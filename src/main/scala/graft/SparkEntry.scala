@@ -1,13 +1,448 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.HashFunctions._
+import graft.functions.TextFunctions._
+import graft.multimodal.Multimodal
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Every `queries` entry pairs with a DuckDB `oracleSql` statement
+  * computing the same result over the same parquet tables. Output
+  * discipline for cross-engine hash equality:
+  *  - aggregates over money/value columns go through DECIMAL (exact,
+  *    order-independent) and are cast to DOUBLE on output;
+  *  - ratios/similarities are rounded (4–6 dp) with identical
+  *    formulas and fold order on both sides;
+  *  - hashes are md5-derived (identical in every engine);
+  *  - timestamps are emitted as formatted strings (parquet µs vs ns
+  *    physical types would otherwise differ);
+  *  - every query ends in a fully deterministic ORDER BY.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the full medallion pipeline (bronze → silver → gold
+    * chunks) over the sf0.001 documents corpus. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Medallion.pipeline(Tables.documents(spark, "/root/testdata/sf0.001"))
+
+  private val TsFmt = "yyyy-MM-dd HH:mm:ss"
+  private val TsFmtUs = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── medallion pipeline ──────────────────────────────────────────
+    "pipe_bronze" -> ((s, d) =>
+      Medallion.bronze(Tables.documents(s, d))
+        .select(col("doc_id"), col("source"), col("content"), col("content_length"))
+        .orderBy(col("doc_id"))),
+    "pipe_silver_normalize" -> ((s, d) =>
+      Medallion.silverNormalize(Medallion.bronze(Tables.documents(s, d)))
+        .select(col("doc_id"), col("source"), col("content"), col("content_length"))
+        .orderBy(col("doc_id"))),
+    "pipe_silver_dedup" -> ((s, d) =>
+      Medallion.silverDedup(Medallion.silverNormalize(Medallion.bronze(Tables.documents(s, d))))
+        .select(col("doc_id"), col("source"), col("content"), col("content_length"))
+        .orderBy(col("doc_id"))),
+    "pipe_gold_chunks" -> ((s, d) =>
+      Medallion.pipeline(Tables.documents(s, d))
+        .select(col("doc_id"), col("chunk_idx"), col("chunk"), col("chunk_length"))
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+    "pipe_chunk_stats" -> ((s, d) =>
+      Medallion.pipeline(Tables.documents(s, d))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          min(col("chunk_length")).as("min_chunk_len"),
+          max(col("chunk_length")).as("max_chunk_len"))
+        .orderBy(col("doc_id"))),
+    "pipe_end_to_end" -> ((s, d) =>
+      Medallion.pipeline(Tables.documents(s, d))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          round(avg(col("chunk_length")), 4).as("avg_chunk_len"))
+        .orderBy(col("source"))),
+
+    // ── data quality ────────────────────────────────────────────────
+    "dq_record_counts" -> ((s, d) => Quality.recordCounts(Tables.documents(s, d))),
+    "dq_length_stats" -> ((s, d) => Quality.lengthStats(Tables.documents(s, d))),
+    "dq_missing_values" -> ((s, d) =>
+      Quality.missingValues(Tables.documents(s, d), Seq("text", "lang", "source"))),
+    "dq_duplicate_analysis" -> ((s, d) => Quality.duplicateAnalysis(Tables.documents(s, d))),
+    "dq_word_freq" -> ((s, d) => Quality.wordFrequency(Tables.documents(s, d))),
+    "dq_top_sources" -> ((s, d) => Quality.topSourcesByLength(Tables.documents(s, d))),
+
+    // ── text analysis ───────────────────────────────────────────────
+    "txt_token_count" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"),
+          bpeTokenCount(col("text")).as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))),
+    "txt_quality_score" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          stopwordRatio(tokens(col("text"))).as("stopword_ratio"),
+          punctRatio(col("text")).as("punct_ratio"),
+          qualityScore(col("text")).as("quality_score"))
+        .orderBy(col("doc_id"))),
+    "txt_langid" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), langId(col("text")).as("lang_pred"))
+        .withColumn("is_match", when(col("lang") === col("lang_pred"), 1L).otherwise(0L))
+        .orderBy(col("doc_id"))),
+    "txt_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), fingerprint(tokens(lower(col("text")))).as("fingerprint"))
+        .orderBy(col("doc_id"))),
+    "txt_shingles" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), shingles(tokens(col("text")), 3).as("sh"))
+        .select(col("doc_id"),
+          size(col("sh")).cast("long").as("n_shingles"),
+          size(array_distinct(col("sh"))).cast("long").as("n_distinct_shingles"),
+          md5(concat_ws("|", col("sh"))).as("shingle_hash"))
+        .orderBy(col("doc_id"))),
+
+    // ── deduplication ───────────────────────────────────────────────
+    "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
+    "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(Tables.documents(s, d))),
+    "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
+    "dedup_embedding" -> ((s, d) => Dedup.embeddingPairs(Tables.embeddings(s, d))),
+
+    // ── similarity search ───────────────────────────────────────────
+    "ann_brute_topk" -> ((s, d) => Similarity.bruteTopK(Tables.embeddings(s, d))),
+    "ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d))),
+    "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
+
+    // ── relational analytics ────────────────────────────────────────
+    "q1_pricing_summary" -> ((s, d) => Analytics.pricingSummary(s, d)),
+    "q3_top_orders" -> ((s, d) =>
+      Analytics.topOrders(s, d)
+        .withColumn("o_orderdate", date_format(col("o_orderdate"), "yyyy-MM-dd"))),
+    "q5_region_volume" -> ((s, d) => Analytics.regionVolume(s, d)),
+    "q_window_rank" -> ((s, d) => Analytics.windowRank(s, d)),
+    "q_top_customers" -> ((s, d) => Analytics.topCustomers(s, d)),
+
+    // ── events ──────────────────────────────────────────────────────
+    "ev_tumbling_agg" -> ((s, d) =>
+      Events.tumblingAgg(Tables.events(s, d))
+        .withColumn("window_start", date_format(col("window_start"), TsFmt))),
+    "ev_sessionize" -> ((s, d) =>
+      Events.sessionize(Tables.events(s, d))
+        .withColumn("session_start", date_format(col("session_start"), TsFmtUs))
+        .withColumn("session_end", date_format(col("session_end"), TsFmtUs))),
+    "ev_user_stats" -> ((s, d) =>
+      Events.userStats(Tables.events(s, d))
+        .withColumn("first_seen", date_format(col("first_seen"), TsFmtUs))
+        .withColumn("last_seen", date_format(col("last_seen"), TsFmtUs))),
+
+    // ── multimodal ──────────────────────────────────────────────────
+    "mm_binary_meta" -> ((s, d) =>
+      Multimodal.extractMeta(Multimodal.withBinaryPayload(Tables.documents(s, d)))
+        .select(col("doc_id"), col("byte_len"), col("mime"), col("width"), col("height"))
+        .orderBy(col("doc_id"))),
+    "mm_frame_sample" -> ((s, d) =>
+      Multimodal.sampleFrames(Multimodal.withBinaryPayload(Tables.documents(s, d)))
+        .orderBy(col("doc_id"), col("offset")))
+  )
+
+  // ════ DuckDB oracle SQL ════════════════════════════════════════════
+  // Shared fragments (single-quoted strings are regex-literal in SQL).
+  private def dToks(x: String) =
+    s"list_filter(string_split_regex(trim($x), '\\s+'), t -> length(t) > 0)"
+  private def dNorm(x: String) =
+    s"trim(regexp_replace(lower(regexp_replace($x, '[^\\w\\d\\s.,!?;:\\-()]', ' ', 'g')), '\\s+', ' ', 'g'))"
+  private def dShingles(tk: String) =
+    s"list_transform(range(1, len($tk) - 1), i -> array_to_string(list_slice($tk, i, i + 2), ' '))"
+  private def dHex12(x: String) = s"CAST('0x' || substr(md5($x), 1, 12) AS BIGINT)"
+  private def dHex8(x: String) = s"CAST('0x' || substr(md5($x), 1, 8) AS BIGINT)"
+  private def dDot(a: String, b: String) =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), i -> $a[i] * $b[i])), (x, y) -> x + y)"
+  private val dDec = "DECIMAL(18,2)"
+  private def dRev(p: String, disc: String) =
+    s"SUM(CAST($p AS $dDec) * (CAST(1 AS $dDec) - CAST($disc AS $dDec)))"
+
+  /** Silver CTE chain shared by the pipeline oracles. */
+  private val silverCte =
+    s"""WITH bronze AS (
+       |  SELECT doc_id, source, trim(text) AS content
+       |  FROM documents WHERE trim(text) IS NOT NULL AND length(trim(text)) > 0),
+       |silver0 AS (
+       |  SELECT doc_id, source, ${dNorm("content")} AS content FROM bronze),
+       |silver AS (
+       |  SELECT doc_id, source, content, length(content) AS content_length
+       |  FROM silver0 WHERE length(content) > 50
+       |  QUALIFY row_number() OVER (PARTITION BY content ORDER BY doc_id) = 1),
+       |chunked AS (
+       |  SELECT doc_id, source, content,
+       |         unnest(generate_series(0, CAST(floor((length(content) - 1) / 190) AS BIGINT))) AS chunk_idx
+       |  FROM silver),
+       |gold AS (
+       |  SELECT doc_id, source, chunk_idx,
+       |         substr(content, CAST(chunk_idx * 190 + 1 AS INT), 200) AS chunk
+       |  FROM chunked)
+       |""".stripMargin
+
+  /** Hashed-shingle-set CTE chain shared by the jaccard/minhash
+    * oracles (shingle → 48-bit md5 prefix, mirroring Md5Array). */
+  private val shingleCte =
+    s"""WITH toksrc AS (SELECT doc_id AS id, ${dToks("text")} AS tk FROM documents),
+       |raw AS (SELECT id, ${dShingles("tk")} AS sh0 FROM toksrc),
+       |sets AS (SELECT id, list_distinct(list_transform(sh0, x -> ${dHex12("x")})) AS shh
+       |         FROM raw WHERE len(sh0) > 0)
+       |""".stripMargin
+
+  private def jaccardVerify(tau: Double) =
+    s"""v AS (SELECT id_a, id_b, CAST(len(list_intersect(x.shh, y.shh)) AS BIGINT) AS inter,
+       |             len(x.shh) AS sa, len(y.shh) AS sb
+       |      FROM cand JOIN sets x ON x.id = id_a JOIN sets y ON y.id = id_b),
+       |j AS (SELECT id_a, id_b,
+       |             round(CAST(inter AS DOUBLE) / CAST(sa + sb - inter AS DOUBLE), 4) AS jaccard
+       |      FROM v)
+       |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= $tau ORDER BY id_a, id_b""".stripMargin
+
+  private val simhashExpr: String = (0 until 32).map { b =>
+    s"(CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(hs, h -> ((h >> $b) & 1) * 2 - 1)), (x, y) -> x + y) > 0 " +
+      s"THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+  }.mkString(" + ")
+
+  private val embNormCte =
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT id, v, sqrt(${dDot("v", "v")}) AS nrm FROM e)
+       |""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "pipe_bronze" ->
+      s"""$silverCte SELECT doc_id, source, content, length(content) AS content_length
+         |FROM bronze ORDER BY doc_id""".stripMargin,
+    "pipe_silver_normalize" ->
+      s"""$silverCte SELECT doc_id, source, content, length(content) AS content_length
+         |FROM silver0 WHERE length(content) > 50 ORDER BY doc_id""".stripMargin,
+    "pipe_silver_dedup" ->
+      s"$silverCte SELECT doc_id, source, content, content_length FROM silver ORDER BY doc_id",
+    "pipe_gold_chunks" ->
+      s"""$silverCte SELECT doc_id, chunk_idx, chunk, length(chunk) AS chunk_length
+         |FROM gold ORDER BY doc_id, chunk_idx""".stripMargin,
+    "pipe_chunk_stats" ->
+      s"""$silverCte SELECT doc_id, count(*) AS n_chunks,
+         |  min(length(chunk)) AS min_chunk_len, max(length(chunk)) AS max_chunk_len
+         |FROM gold GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "pipe_end_to_end" ->
+      s"""$silverCte SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
+         |  round(avg(length(chunk)), 4) AS avg_chunk_len
+         |FROM gold GROUP BY source ORDER BY source""".stripMargin,
+
+    "dq_record_counts" ->
+      "SELECT source, count(*) AS record_count FROM documents GROUP BY source ORDER BY source",
+    "dq_length_stats" ->
+      """SELECT source, round(avg(length(text)), 4) AS avg_length,
+        |  min(length(text)) AS min_length, max(length(text)) AS max_length
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "dq_missing_values" ->
+      """SELECT count(*) AS total_records,
+        |  count(*) - count(text) AS missing_text,
+        |  count(*) - count(lang) AS missing_lang,
+        |  count(*) - count(source) AS missing_source
+        |FROM documents""".stripMargin,
+    "dq_duplicate_analysis" ->
+      """SELECT count(*) AS total_records, count(DISTINCT text) AS unique_content,
+        |  count(*) - count(DISTINCT text) AS duplicates
+        |FROM documents""".stripMargin,
+    "dq_word_freq" ->
+      s"""SELECT w AS word, count(*) AS frequency
+         |FROM (SELECT unnest(${dToks("lower(text)")}) AS w FROM documents)
+         |WHERE length(w) > 3 GROUP BY w ORDER BY frequency DESC, word LIMIT 20""".stripMargin,
+    "dq_top_sources" ->
+      """SELECT source, round(avg(length(text)), 4) AS avg_length
+        |FROM documents GROUP BY source ORDER BY avg_length DESC, source LIMIT 5""".stripMargin,
+
+    "txt_token_count" ->
+      s"""SELECT doc_id, CAST(len(${dToks("text")}) AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS BIGINT) AS n_bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "txt_quality_score" ->
+      s"""WITH t AS (SELECT doc_id, text, ${dToks("text")} AS tk FROM documents),
+         |m AS (SELECT doc_id, text, len(tk) AS n,
+         |  len(list_filter(tk, x -> x IN (${Stopwords.map(w => s"'$w'").mkString(",")}))) AS sw,
+         |  length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS np
+         |  FROM t)
+         |SELECT doc_id,
+         |  round(CASE WHEN n > 0 THEN CAST(sw AS DOUBLE) / CAST(n AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END, 4) AS stopword_ratio,
+         |  round(CASE WHEN length(text) > 0 THEN CAST(np AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END, 4) AS punct_ratio,
+         |  round(CAST(0.2 AS DOUBLE)
+         |    + (CASE WHEN n >= 20 AND n <= 1000 THEN CAST(0.5 AS DOUBLE) WHEN n >= 5 THEN CAST(0.25 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+         |    + (CASE WHEN (CASE WHEN n > 0 THEN CAST(sw AS DOUBLE) / CAST(n AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) > 0.01
+         |            AND (CASE WHEN n > 0 THEN CAST(sw AS DOUBLE) / CAST(n AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) < 0.6
+         |        THEN CAST(0.3 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+         |    - (CASE WHEN length(text) > 0 AND CAST(np AS DOUBLE) / CAST(length(text) AS DOUBLE) > 0.2
+         |        THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END), 4) AS quality_score
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "txt_langid" -> {
+      val votes = LangMarkers.map { case (lang, ms) =>
+        s"len(list_filter(tk, x -> x IN (${ms.map(w => s"'$w'").mkString(",")}))) AS v_$lang"
+      }.mkString(", ")
+      val langs = LangMarkers.map(_._1)
+      val top = s"greatest(${langs.map(l => s"v_$l").mkString(", ")})"
+      val caseChain = langs.map(l => s"WHEN v_$l = top THEN '$l'").mkString(" ")
+      s"""WITH t AS (SELECT doc_id, lang, ${dToks("lower(text)")} AS tk FROM documents),
+         |v AS (SELECT doc_id, lang, $votes FROM t),
+         |w AS (SELECT *, $top AS top FROM v)
+         |SELECT doc_id, lang,
+         |  CASE WHEN top = 0 THEN 'und' $caseChain ELSE 'und' END AS lang_pred,
+         |  CAST(CASE WHEN lang = (CASE WHEN top = 0 THEN 'und' $caseChain ELSE 'und' END) THEN 1 ELSE 0 END AS BIGINT) AS is_match
+         |FROM w ORDER BY doc_id""".stripMargin
+    },
+    "txt_fingerprint" ->
+      s"""SELECT doc_id,
+         |  md5(array_to_string(list_sort(list_distinct(${dToks("lower(text)")})), ' ')) AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "txt_shingles" ->
+      s"""WITH t AS (SELECT doc_id, ${dShingles(dToks("text"))} AS sh FROM documents)
+         |SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
+         |  CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct_shingles,
+         |  md5(array_to_string(sh, '|')) AS shingle_hash
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""$shingleCte,
+         |ex AS (SELECT id, unnest(shh) AS sg FROM sets),
+         |hot AS (SELECT sg FROM ex GROUP BY sg HAVING count(*) > 50),
+         |blocked AS (SELECT id, sg FROM ex WHERE sg NOT IN (SELECT sg FROM hot)),
+         |cand AS (SELECT a.id AS id_a, b.id AS id_b
+         |         FROM blocked a JOIN blocked b ON a.sg = b.sg AND a.id < b.id
+         |         GROUP BY 1, 2 HAVING count(*) >= 2),
+         |${jaccardVerify(0.1)}""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""$shingleCte,
+         |sigs AS (SELECT id, shh, list_transform(range(0, 16), s ->
+         |  list_min(list_transform(shh, m ->
+         |    ((2 * s + 1) * (m % 2147483647) + s * 7919 + 1) % 2147483647))) AS sig FROM sets),
+         |bandk AS (SELECT id, bi,
+         |  ${dHex12("array_to_string(list_slice(sig, bi * 4 + 1, bi * 4 + 4), ',')")} AS bkey
+         |  FROM sigs, (SELECT unnest(range(0, 4)) AS bi) bb),
+         |cand AS (SELECT DISTINCT k1.id AS id_a, k2.id AS id_b
+         |         FROM bandk k1 JOIN bandk k2 ON k1.bi = k2.bi AND k1.bkey = k2.bkey AND k1.id < k2.id),
+         |${jaccardVerify(0.5)}""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH toksrc AS (SELECT doc_id AS id, ${dToks("text")} AS tk FROM documents),
+         |hsrc AS (SELECT id, list_transform(tk, t -> ${dHex8("t")}) AS hs FROM toksrc),
+         |sims AS (SELECT id, $simhashExpr AS sim FROM hsrc)
+         |SELECT a.id AS id_a, b.id AS id_b,
+         |  CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+         |FROM sims a JOIN sims b ON a.id < b.id
+         |WHERE bit_count(xor(a.sim, b.sim)) <= 3 ORDER BY id_a, id_b""".stripMargin,
+    "dedup_embedding" ->
+      s"""$embNormCte,
+         |p AS (SELECT a.id AS id_a, b.id AS id_b,
+         |        round(${dDot("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS cos
+         |      FROM n a JOIN n b ON a.id < b.id)
+         |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+
+    "ann_brute_topk" ->
+      s"""$embNormCte,
+         |q AS (SELECT id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE id < 5),
+         |s AS (SELECT query_id, n.id AS neighbor_id,
+         |        round(${dDot("qv", "n.v")} / (qnrm * n.nrm), 6) AS sim
+         |      FROM q, n WHERE n.id <> query_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
+         |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", sim
+         |FROM r WHERE rnk <= 10 ORDER BY query_id, "rank"""".stripMargin,
+
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(CAST(l_quantity AS $dDec)) AS DOUBLE) AS sum_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS $dDec)) AS DOUBLE) AS sum_base_price,
+         |  CAST(${dRev("l_extendedprice", "l_discount")} AS DOUBLE) AS sum_disc_price,
+         |  count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_top_orders" ->
+      s"""SELECT o.o_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+         |  o.o_orderpriority,
+         |  CAST(${dRev("l.l_extendedprice", "l.l_discount")} AS DOUBLE) AS revenue
+         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |WHERE c.c_mktsegment = 'BUILDING'
+         |GROUP BY 1, 2, 3 ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q5_region_volume" ->
+      s"""SELECT n.n_name, CAST(${dRev("l.l_extendedprice", "l.l_discount")} AS DOUBLE) AS revenue
+         |FROM lineitem l
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_nationkey = s.s_nationkey
+         |JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |JOIN region r ON n.n_regionkey = r.r_regionkey
+         |WHERE r.r_name = 'ASIA' GROUP BY n.n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_window_rank" ->
+      s"""SELECT o_custkey, o_orderkey,
+         |  CAST(CAST(o_totalprice AS $dDec) AS DOUBLE) AS o_totalprice,
+         |  CAST(rnk AS BIGINT) AS rnk, running_spend
+         |FROM (
+         |  SELECT o_custkey, o_orderkey, o_totalprice,
+         |    rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+         |    CAST(SUM(CAST(o_totalprice AS $dDec)) OVER (
+         |      PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+         |      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
+         |  FROM orders)
+         |WHERE rnk <= 3 ORDER BY o_custkey, rnk, o_orderkey""".stripMargin,
+    "q_top_customers" ->
+      s"""WITH agg AS (SELECT o_custkey, count(*) AS n_orders,
+         |    SUM(CAST(o_totalprice AS $dDec)) AS spend_d
+         |  FROM orders GROUP BY o_custkey)
+         |SELECT c.c_custkey, c.c_name, a.n_orders, CAST(a.spend_d AS DOUBLE) AS total_spend
+         |FROM agg a JOIN customer c ON a.o_custkey = c.c_custkey
+         |WHERE a.n_orders > 12 ORDER BY total_spend DESC, c_custkey LIMIT 10""".stripMargin,
+
+    "ev_tumbling_agg" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ev_sessionize" ->
+      """WITH s AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |t AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM s)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
+        |FROM t GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+    "ev_user_stats" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  count(DISTINCT event_type) AS n_types,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_seen,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_seen
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "mm_binary_meta" ->
+      s"""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+         |  CASE WHEN doc_id % 3 = 0 THEN 'image/jpeg'
+         |       WHEN doc_id % 3 = 1 THEN 'audio/wav'
+         |       ELSE 'video/mp4' END AS mime,
+         |  CAST(${dHex12("'w:' || doc_id")} % 1280 + 64 AS BIGINT) AS width,
+         |  CAST(${dHex12("'h:' || doc_id")} % 720 + 64 AS BIGINT) AS height
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frame_sample" ->
+      """SELECT doc_id, CAST(o AS BIGINT) AS "offset",
+        |  CAST(ascii(substr(text, CAST(o + 1 AS INT), 1)) AS BIGINT) AS byte_val
+        |FROM (SELECT doc_id, text, unnest(range(0, octet_length(encode(text)), 64)) AS o
+        |      FROM documents)
+        |ORDER BY doc_id, "offset"""".stripMargin
+  )
 }

@@ -1,0 +1,83 @@
+package graft.multimodal
+
+import graft.functions.HashFunctions
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, plus decode/feature-extract/sample
+  * operators.
+  *
+  * The Spark-side plumbing (schemas, partition-preserving batch
+  * shape, deterministic sampling) is real; the codec itself is
+  * stubbed with a deterministic fake because no image/audio libraries
+  * ship in this environment — swap `fakeDecode` for a real codec
+  * bound in `mapPartitions` and everything else stands.
+  */
+object Multimodal {
+
+  val MediaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("mime", StringType, nullable = true),
+    StructField("byte_len", LongType, nullable = true)))
+
+  /** Attach a binary payload column (here derived from text — in a
+    * real corpus this is the raw media bytes from the object store)
+    * plus typed metadata. Map-only. */
+  def withBinaryPayload(docs: DataFrame, contentCol: String = "text"): DataFrame =
+    docs
+      .withColumn("payload", encode(col(contentCol), "UTF-8"))
+      .withColumn("byte_len", octet_length(col("payload")).cast("long"))
+      .withColumn("mime",
+        when(col("doc_id") % 3 === 0, lit("image/jpeg"))
+          .when(col("doc_id") % 3 === 1, lit("audio/wav"))
+          .otherwise(lit("video/mp4")))
+
+  /** Typed metadata extraction: deterministic pseudo-dimensions from
+    * the payload hash (a real decoder reads the container header
+    * here; the derivation is the stand-in). */
+  def extractMeta(media: DataFrame): DataFrame =
+    media
+      .withColumn("width", (HashFunctions.md5Long(concat(lit("w:"), col("doc_id"))) % 1280 + 64).cast("long"))
+      .withColumn("height", (HashFunctions.md5Long(concat(lit("h:"), col("doc_id"))) % 720 + 64).cast("long"))
+
+  /** Deterministic frame/byte sampling: every `stride`-th offset of
+    * the payload with its byte value. Map-only fan-out (one row per
+    * sampled offset) — the shape a video frame-sampler produces. */
+  def sampleFrames(media: DataFrame, stride: Int = 64): DataFrame =
+    media
+      .withColumn("offset", explode(sequence(lit(0L), col("byte_len") - 1, lit(stride.toLong))))
+      .withColumn("byte_val", ascii(substring(
+        decode(col("payload"), "UTF-8"), (col("offset") + 1).cast("int"), lit(1))).cast("long"))
+      .select(col("doc_id"), col("offset"), col("byte_val"))
+
+  /** Feature extraction over binary payloads via mapPartitions — the
+    * batch shape for a real decoder (one codec instance per
+    * partition, rows streamed through it). The "decoder" here is a
+    * deterministic 16-bin byte histogram. */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("features", ArrayType(LongType, containsNull = false), nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    media.select(col("doc_id"), col("payload")).mapPartitions { rows =>
+      // real codec init would happen once per partition here
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        Row(id, fakeDecode(bytes))
+      }
+    }(enc)
+  }
+
+  /** Deterministic stand-in for an image/audio decoder: 16-bin byte
+    * histogram. Replace with a real codec (e.g. JNI-bound) without
+    * touching the plumbing above. */
+  def fakeDecode(bytes: Array[Byte]): Seq[Long] = {
+    val hist = new Array[Long](16)
+    if (bytes != null) bytes.foreach(b => hist((b & 0xff) % 16) += 1)
+    hist.toSeq
+  }
+}

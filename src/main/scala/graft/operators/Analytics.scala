@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational analytics over the lakehouse tables — the query layer a
+  * user points at the silver/gold zone.
+  *
+  * Decimal arithmetic everywhere money is summed: exact, associative,
+  * engine-portable (double sums are order-dependent and would differ
+  * across engines and across partition counts). Final projections
+  * cast back to double for a stable output type.
+  *
+  * Scale notes: dimension tables (region/nation/supplier/part) are
+  * broadcast — at 100 TB the fact tables shuffle only when an
+  * aggregation key demands it, and AQE coalesces/skew-splits those
+  * exchanges at runtime.
+  */
+object Analytics {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  /** TPC-H Q1-style pricing summary: multi-aggregate scan of lineitem.
+    * Zero joins; one hash shuffle on (returnflag, linestatus) after
+    * map-side partial aggregation. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** TPC-H Q3-style: top orders by revenue for one market segment.
+    * customer is broadcast (small side); lineitem⋈orders shuffles on
+    * orderkey; top-k via global sort of the tiny aggregated result. */
+  def topOrders(spark: SparkSession, dir: String, segment: String = "BUILDING", k: Int = 10): DataFrame = {
+    val c = Tables.customer(spark, dir).where(col("c_mktsegment") === segment)
+    val o = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(k)
+  }
+
+  /** TPC-H Q5-style: revenue by nation within a region, customer and
+    * supplier in the same nation. All dims broadcast; the only big
+    * shuffle is lineitem⋈orders on orderkey. */
+  def regionVolume(spark: SparkSession, dir: String, region: String = "ASIA"): DataFrame = {
+    val r = Tables.region(spark, dir).where(col("r_name") === region)
+    val n = Tables.nation(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Window functions: per-customer order rank and running spend. */
+  def windowRank(spark: SparkSession, dir: String, maxRank: Int = 3): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.select(
+        col("o_custkey"), col("o_orderkey"),
+        dec(col("o_totalprice")).as("price_d"),
+        rank().over(w).as("rnk"),
+        sum(dec(col("o_totalprice")))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .as("running_spend_d"))
+      .where(col("rnk") <= maxRank)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        col("price_d").cast("double").as("o_totalprice"),
+        col("rnk").cast("long").as("rnk"),
+        col("running_spend_d").cast("double").as("running_spend"))
+      .orderBy(col("o_custkey"), col("rnk"), col("o_orderkey"))
+  }
+
+  /** Top customers by total spend among those with > minOrders
+    * orders — groupBy + having + top-k. */
+  def topCustomers(spark: SparkSession, dir: String, minOrders: Int = 12, k: Int = 10): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    o.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), sum(dec(col("o_totalprice"))).as("spend_d"))
+      .where(col("n_orders") > minOrders)
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_orders"),
+        col("spend_d").cast("double").as("total_spend"))
+      .orderBy(col("total_spend").desc, col("c_custkey"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text chunking for RAG ingestion (reference: airflow/dags/etl.py
+  * :201-214 — RecursiveCharacterTextSplitter(chunk_size=200,
+  * chunk_overlap=10) + pandas explode).
+  *
+  * Two implementations:
+  *  - `fixedStride`: deterministic fixed-window chunks with overlap,
+  *    a pure `sequence` + `posexplode` plan (map-only, codegen'd,
+  *    SQL-oracle-expressible).
+  *  - `recursive`: reference-faithful recursive splitting
+  *    (paragraph → sentence → word fallback) as a typed flatMap.
+  */
+object Chunker {
+
+  /** Number of chunks for a text of length `len` with stride s:
+    * floor((len-1)/s) + 1 (len > 0 guaranteed upstream). */
+  def chunkStarts(len: Column, stride: Int): Column =
+    sequence(lit(0L), floor((len - 1) / stride).cast("long"))
+
+  /** Fixed-stride overlapping chunks: chunk i = substr(i*stride + 1,
+    * size), stride = size - overlap. Map-only fan-out — one row in,
+    * ceil(len/stride) rows out, no shuffle. */
+  def fixedStride(df: DataFrame, contentCol: String,
+                  size: Int = 200, overlap: Int = 10): DataFrame = {
+    val stride = size - overlap
+    require(stride > 0, "chunk size must exceed overlap")
+    df
+      .withColumn("chunk_idx", explode(chunkStarts(length(col(contentCol)), stride)))
+      .withColumn("chunk", substring_index_safe(col(contentCol), col("chunk_idx"), stride, size))
+      .withColumn("chunk_length", length(col("chunk")).cast("long"))
+  }
+
+  private def substring_index_safe(c: Column, idx: Column, stride: Int, size: Int): Column =
+    substring(c, (idx * stride + 1).cast("int"), lit(size))
+
+  /** Reference-faithful recursive character splitter: try paragraph
+    * separators first, fall back to sentence then word boundaries,
+    * greedily packing pieces up to `size` chars with `overlap` carry.
+    * Runs as a typed flatMap over rows (per-partition, distributed;
+    * no state crosses rows).
+    */
+  def splitRecursive(text: String, size: Int = 200, overlap: Int = 10): Seq[String] = {
+    val seps = Seq("\n\n", "\n", ". ", " ")
+    def split(t: String, sepIdx: Int): Seq[String] =
+      if (t.length <= size) Seq(t)
+      else if (sepIdx >= seps.length) t.grouped(size).toSeq
+      else {
+        val parts = t.split(java.util.regex.Pattern.quote(seps(sepIdx)), -1).toSeq
+        if (parts.length == 1) split(t, sepIdx + 1)
+        else {
+          // greedy re-pack: merge consecutive parts while <= size
+          val sep = seps(sepIdx)
+          val packed = parts.foldLeft(Vector.empty[String]) { (acc, p) =>
+            acc.lastOption match {
+              case Some(last) if last.length + sep.length + p.length <= size =>
+                acc.init :+ (last + sep + p)
+              case _ => acc :+ p
+            }
+          }
+          packed.flatMap(p => if (p.length <= size) Seq(p) else split(p, sepIdx + 1))
+        }
+      }
+    val chunks = split(text, 0).filter(_.nonEmpty)
+    // carry `overlap` trailing chars of the previous chunk forward
+    if (overlap <= 0) chunks
+    else chunks.zipWithIndex.map { case (c, i) =>
+      if (i == 0) c
+      else chunks(i - 1).takeRight(overlap) + c
+    }
+  }
+
+  /** DataFrame wrapper for the recursive splitter. */
+  def recursive(df: DataFrame, contentCol: String,
+                size: Int = 200, overlap: Int = 10): DataFrame = {
+    val splitUdf = udf((s: String) => splitRecursive(s, size, overlap))
+    df.withColumn("chunk", explode(splitUdf(col(contentCol))))
+      .withColumn("chunk_length", length(col("chunk")).cast("long"))
+  }
+}

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics in batch form. Each query here has a
+  * Structured Streaming mirror in `graft.streaming` (same logical
+  * transform over `readStream`); keeping the core logic in batch
+  * makes it oracle-checkable while the streaming layer adds
+  * watermarks/triggers.
+  */
+object Events {
+
+  /** Tumbling-window aggregation: events per (hour, type) with value
+    * sums. Streaming mirror: groupBy(window($"ts", "1 hour"), type). */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** Gap-based sessionization: a new session starts when a user is
+    * idle longer than `gap`. Classic lag + cumulative-sum windows —
+    * one shuffle on user_id, then linear scans per user partition.
+    * Streaming mirror: flatMapGroupsWithState with event-time timeout.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapMicros = gapMinutes * 60L * 1000000L
+    events
+      .withColumn("_prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("_new_session",
+        when(col("_prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("_prev_ts")) > gapMicros, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("_new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("session_value"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  /** Per-user stats with JSON props extraction (`props` is a JSON
+    * blob; `$.k` pulled with get_json_object — codegen'd, no UDF). */
+  def userStats(events: DataFrame): DataFrame =
+    events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"),
+        sum(col("k")).as("sum_k"),
+        min(col("ts")).as("first_seen"),
+        max(col("ts")).as("last_seen"))
+      .orderBy(col("user_id"))
+}

@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's bronze → silver → gold medallion pipeline,
+  * re-expressed as narrow Spark transforms.
+  *
+  * Reference semantics: airflow/dags/etl.py — bronze (:94-105) trims
+  * and filters raw content; silver (:150-196) normalizes text,
+  * applies a min-length filter and keeps the first row per key;
+  * gold (:201-239) explodes content into overlapping chunks.
+  *
+  * Scale notes: bronze and silver-normalize are map-only (zero
+  * shuffle — they scale linearly with input splits). The dedup is
+  * the single shuffle in the pipeline (hash-partition by the dedup
+  * key). Chunking is again map-only; one input row fans out to
+  * ceil(len/stride) rows without any exchange.
+  */
+object Medallion {
+
+  /** Bronze: trim, drop null/empty content, stamp length.
+    * (processed_at is stamped by `withIngestTime` separately so the
+    * core transform stays deterministic and testable.) */
+  def bronze(raw: DataFrame, contentCol: String = "text"): DataFrame = {
+    val cleaned = raw
+      .withColumn("content", trim(col(contentCol)))
+      .where(col("content").isNotNull && length(col("content")) > 0)
+      .withColumn("content_length", length(col("content")).cast("long"))
+    if (contentCol == "content") cleaned else cleaned.drop(contentCol)
+  }
+
+  def withIngestTime(df: DataFrame): DataFrame =
+    df.withColumn("processed_at", current_timestamp())
+
+  /** Silver step 1: normalize content (strip → lower → collapse ws →
+    * trim) and re-apply the min-length gate. */
+  def silverNormalize(bronze: DataFrame, minContentLength: Int = 50): DataFrame =
+    bronze
+      .withColumn("content", normalizeText(col("content")))
+      .withColumn("content_length", length(col("content")).cast("long"))
+      .where(col("content_length") > minContentLength)
+
+  /** Silver step 2: keep the first row per key (reference keeps the
+    * earliest scrape per url; here the lowest tiebreaker per key).
+    * One hash shuffle on the dedup key. */
+  def silverDedup(df: DataFrame, key: String = "content", tiebreak: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(tiebreak))
+    df.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** Gold: chunk-explode the deduplicated silver content. */
+  def gold(silver: DataFrame, chunkSize: Int = 200, overlap: Int = 10): DataFrame =
+    Chunker.fixedStride(silver, "content", chunkSize, overlap)
+
+  /** The full pipeline, composed. */
+  def pipeline(raw: DataFrame, contentCol: String = "text",
+               minContentLength: Int = 50, chunkSize: Int = 200, overlap: Int = 10): DataFrame =
+    gold(silverDedup(silverNormalize(bronze(raw, contentCol), minContentLength)), chunkSize, overlap)
+}

@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns — the RAG retrieval
+  * layer (reference: Chroma vector store + /ask top-k retrieval in
+  * the README architecture).
+  *
+  * Three tiers:
+  *  - `bruteTopK`: exact cosine top-k; the query side is broadcast so
+  *    the corpus streams through map-side with no shuffle of the
+  *    corpus itself. The baseline and the verification oracle.
+  *  - `lshTopK`: random-hyperplane sign-bucket blocking; a probe
+  *    touches ~corpus/2^nbits rows. The 100 TB path.
+  *  - `ivfTopK`: IVF-style coarse quantization with nprobe cells.
+  */
+object Similarity {
+
+  /** Exact top-k neighbors by cosine for each query vector (queries =
+    * the `nQueries` lowest ids, self excluded). Similarity is rounded
+    * to 6dp *before* ranking so ties break on neighbor id
+    * deterministically. */
+  def bruteTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+    val q = e.select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+      .where(col("query_id") < nQueries)
+    val scored = e.join(broadcast(q), col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        round(cosinePrenormed(dot(col("qv"), col("v")), col("qnrm"), col("nrm")), 6).as("sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** ANN via random-hyperplane LSH: corpus bucketed by `nbits` sign
+    * bits (map-side, deterministic planes), probes only join their
+    * own bucket. Approximate — recall depends on nbits vs corpus
+    * density — but the probe cost drops from O(N) to O(N/2^nbits). */
+  def lshTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10, nbits: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dim = 64
+    val planes = hyperplanes(nbits, dim)
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"),
+      signBucket(col(vecCol), planes).as("bucket"))
+    val q = e.select(col("id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("bucket").as("qbucket"))
+      .where(col("query_id") < nQueries)
+    val scored = e.join(broadcast(q),
+        col("qbucket") === col("bucket") && col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        round(cosinePrenormed(dot(col("qv"), col("v")), col("qnrm"), col("nrm")), 6).as("sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** IVF-style ANN: the `nCells` lowest-id vectors act as coarse
+    * centroids (deterministic, no training iteration needed for the
+    * plumbing); every vector is assigned to its nearest centroid,
+    * queries probe the `nprobe` nearest cells. At scale the
+    * assignment is one broadcast join over the corpus and the probe
+    * join touches nprobe/nCells of the data. */
+  def ivfTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10,
+              nCells: Int = 16, nprobe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+    val cents = e.where(col("id") < nCells)
+      .select(col("id").as("cell"), col("v").as("cv"), col("nrm").as("cnrm"))
+    // nearest centroid per vector (cosine): broadcast centroids, rank 1
+    val assignW = Window.partitionBy(col("id")).orderBy(col("csim").desc, col("cell"))
+    val assigned = e.join(broadcast(cents), lit(true))
+      .select(col("id"), col("v"), col("nrm"), col("cell"),
+        round(cosinePrenormed(dot(col("v"), col("cv")), col("nrm"), col("cnrm")), 6).as("csim"))
+      .withColumn("crank", row_number().over(assignW))
+      .where(col("crank") === 1)
+      .select(col("id"), col("v"), col("nrm"), col("cell"))
+    // nprobe nearest cells per query
+    val probeW = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cell"))
+    val probes = e.where(col("id") < nQueries)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+      .join(broadcast(cents), lit(true))
+      .select(col("query_id"), col("qv"), col("qnrm"), col("cell"),
+        round(cosinePrenormed(dot(col("qv"), col("cv")), col("qnrm"), col("cnrm")), 6).as("csim"))
+      .withColumn("crank", row_number().over(probeW))
+      .where(col("crank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qnrm"), col("cell"))
+    // score candidates within probed cells
+    val scored = assigned.join(broadcast(probes),
+        probes("cell") === assigned("cell") && col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        round(cosinePrenormed(dot(col("qv"), col("v")), col("qnrm"), col("nrm")), 6).as("sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .orderBy(col("query_id"), col("rank"))
+  }
+}

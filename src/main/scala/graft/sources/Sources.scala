@@ -1,0 +1,47 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Lakehouse IO layer.
+  *
+  * The reference lands scraped JSON blobs in an object store and
+  * reads them back file-by-file on the driver
+  * (airflow/dags/etl.py:52-81 — a driver-side loop over bucket
+  * objects). Here the landing zone is read as a distributed JSON
+  * scan with an explicit schema (no inference pass), and the
+  * lakehouse zones are partitioned parquet — both scale with input
+  * splits, no driver loop.
+  */
+object Sources {
+
+  /** Schema of a scraped page (reference: scraper output JSON). */
+  val RawPageSchema: StructType = StructType(Seq(
+    StructField("url", StringType, nullable = true),
+    StructField("title", StringType, nullable = true),
+    StructField("content", StringType, nullable = true),
+    StructField("author", StringType, nullable = true),
+    StructField("date", StringType, nullable = true)))
+
+  /** Raw-zone ingest: directory of JSON blobs → DataFrame, with the
+    * source object name attached (reference stamps `source` from the
+    * object key; here from the file path). */
+  def rawJsonIngest(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(RawPageSchema).json(path)
+      .withColumn("source", input_file_name())
+
+  def readCsv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(path)
+
+  /** Zone write: parquet partitioned by the given columns (the
+    * lakehouse `zone/date=.../` layout). Partition pruning then makes
+    * date-ranged reads skip files entirely. */
+  def writeZone(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+  }
+
+  def readZone(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

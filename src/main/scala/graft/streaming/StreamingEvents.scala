@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming mirrors of the batch event operators
+  * (`graft.operators.Events`): the same logical transforms over
+  * `readStream`, plus a stateful sessionizer that the batch
+  * window-function formulation cannot express incrementally.
+  */
+object StreamingEvents {
+
+  val EventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-source stream over a directory of event parquet. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(EventSchema).parquet(dir)
+
+  /** Streaming mirror of Events.tumblingAgg: watermarked hourly
+    * windows. Late data beyond 2h is dropped; state is bounded by
+    * the watermark — the property that keeps this runnable forever
+    * on an unbounded stream. */
+  def tumblingAgg(stream: DataFrame): DataFrame =
+    stream
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long, value: Double)
+  case class OpenSession(seq: Long, startUs: Long, lastUs: Long, n: Long, sum: Double)
+  case class SessionOut(user_id: Long, session_seq: Long, n_events: Long,
+                        session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,
+                        session_value: Double)
+
+  /** Stateful gap sessionization: per user, events more than `gap`
+    * apart open a new session. Emits *completed* sessions (append
+    * mode); the open session rides in `GroupState` across batches.
+    * State per key is one small case class — bounded regardless of
+    * stream length. */
+  def sessionizeStateful(events: Dataset[Ev], gapMinutes: Int = 30): Dataset[SessionOut] = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (userId: Long, batch: Iterator[Ev], state: GroupState[OpenSession]) =>
+        val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        var open = state.getOption
+        val done = Seq.newBuilder[SessionOut]
+        sorted.foreach { e =>
+          val us = e.ts.getTime * 1000L
+          open match {
+            case Some(s) if us - s.lastUs <= gapUs =>
+              open = Some(s.copy(lastUs = us, n = s.n + 1, sum = s.sum + e.value))
+            case Some(s) =>
+              done += SessionOut(userId, s.seq, s.n,
+                new java.sql.Timestamp(s.startUs / 1000L),
+                new java.sql.Timestamp(s.lastUs / 1000L), s.sum)
+              open = Some(OpenSession(s.seq + 1, us, us, 1L, e.value))
+            case None =>
+              open = Some(OpenSession(1L, us, us, 1L, e.value))
+          }
+        }
+        open.foreach(state.update)
+        done.result().iterator
+    }
+  }
+}

@@ -1,0 +1,15 @@
+/*
+ * Lives in the org.apache.spark.sql package to reach the
+ * private[sql] Column <-> Expression converters — the standard
+ * pattern for libraries that define custom Catalyst expressions
+ * (cf. public examples: Qbeast's DatasetFactory, Spark extensions).
+ */
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+object GraftBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,46 @@
+package graft
+
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+
+class EntrySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("every query runs at sf0.001 and most return rows") {
+    val empties = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      if (n == 0) Some(name) else None
+    }
+    // near-dup/similarity thresholds may legitimately find nothing in
+    // the tiny sf0.001 corpus; everything else must produce rows
+    val allowedEmpty = Set("dedup_ngram_jaccard", "dedup_minhash_lsh",
+      "dedup_simhash", "dedup_embedding")
+    assert((empties.toSet -- allowedEmpty).isEmpty,
+      s"unexpectedly empty: ${empties.toSet -- allowedEmpty}")
+  }
+
+  test("multimodal feature extraction histograms sum to byte length") {
+    val media = Multimodal.withBinaryPayload(Tables.documents(spark, sf).limit(5))
+    val feats = Multimodal.extractFeatures(media)
+    val check = feats.join(media.select($"doc_id", $"byte_len"), "doc_id")
+      .select($"byte_len", aggregate($"features", lit(0L), (a, x) => a + x).as("histsum"))
+      .as[(Long, Long)].collect()
+    assert(check.nonEmpty && check.forall { case (bl, hs) => bl == hs })
+  }
+
+  test("frame sampling offsets stride the payload") {
+    val media = Multimodal.withBinaryPayload(Tables.documents(spark, sf).limit(1))
+    val offs = Multimodal.sampleFrames(media, stride = 64)
+      .select($"offset").as[Long].collect().toSeq
+    assert(offs == offs.sorted && offs.forall(_ % 64 == 0))
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import graft.streaming.StreamingEvents
+import graft.streaming.StreamingEvents.Ev
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming tumbling agg matches batch on the same data") {
+    val tmp = Files.createTempDirectory("graft_stream").toString
+    val batch = Tables.events(spark, sf)
+    batch.write.mode("overwrite").parquet(s"$tmp/in")
+
+    val agg = StreamingEvents.tumblingAgg(
+      StreamingEvents.eventsStream(spark, s"$tmp/in"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("stream_agg").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+
+    val streamed = spark.table("stream_agg")
+      .groupBy().agg(sum($"n_events")).as[Long].head()
+    assert(streamed == batch.count())
+
+    // spot-check one (window, type) cell against the batch operator
+    val batchCell = graft.operators.Events.tumblingAgg(batch)
+      .orderBy($"window_start", $"event_type").limit(1)
+      .select($"n_events").as[Long].head()
+    val (ws, et) = graft.operators.Events.tumblingAgg(batch)
+      .orderBy($"window_start", $"event_type").limit(1)
+      .select($"window_start", $"event_type").as[(java.sql.Timestamp, String)].head()
+    val streamCell = spark.table("stream_agg")
+      .where($"window_start" === ws && $"event_type" === et)
+      .select($"n_events").as[Long].head()
+    assert(streamCell == batchCell)
+  }
+
+  test("stateful sessionizer emits completed sessions, holds the open one") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val tmp = Files.createTempDirectory("graft_sess").toString
+    Seq(
+      Ev(1L, ts(0), 7L, 1.0), Ev(2L, ts(10), 7L, 2.0),   // session 1 (closed by gap)
+      Ev(3L, ts(60), 7L, 3.0),                            // session 2 (still open)
+      Ev(4L, ts(0), 8L, 5.0))                             // user 8 session 1 (open)
+      .toDS().write.mode("overwrite").parquet(s"$tmp/in")
+
+    val evs = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Ev]].schema)
+      .parquet(s"$tmp/in").as[Ev]
+    val out = StreamingEvents.sessionizeStateful(evs)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sessions").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+
+    val done = spark.table("sessions")
+      .select($"user_id", $"session_seq", $"n_events", $"session_value")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // only user 7's first session completed within the batch
+    assert(done == Seq((7L, 1L, 2L, 3.0)))
+  }
+
+  test("streaming medallion pipeline chunks raw json end to end") {
+    val tmp = Files.createTempDirectory("graft_raw").toString
+    val text = "lorem ipsum dolor sit amet " * 20
+    Files.writeString(java.nio.file.Path.of(s"$tmp/in.json"),
+      s"""{"url":"u1","title":"t","content":"$text","author":"a","date":"2024-01-01"}
+         |{"url":"u2","title":"t","content":"short","author":"a","date":"2024-01-01"}
+         |""".stripMargin)
+    val gold = graft.streaming.StreamingPipeline.rawToGold(spark, tmp)
+    val q = gold.writeStream.outputMode("append")
+      .format("memory").queryName("gold_stream").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val rows = spark.table("gold_stream")
+    assert(rows.count() > 1)            // long doc fans out to chunks
+    assert(rows.where($"url" === "u2").count() == 0) // short doc filtered
+  }
+}
