@@ -124,6 +124,11 @@ object SparkEntry {
     "q5_region_volume" -> ((s, d) => Analytics.regionVolume(s, d)),
     "q_window_rank" -> ((s, d) => Analytics.windowRank(s, d)),
     "q_top_customers" -> ((s, d) => Analytics.topCustomers(s, d)),
+    "q_asof_join" -> ((s, d) => Analytics.eventOrderAsOf(s, d)),
+    "q_rollup" -> ((s, d) => Analytics.pricingRollup(s, d)),
+    "q_cust_no_orders" -> ((s, d) => Analytics.custNoOrders(s, d)),
+    "q_type_pivot" -> ((s, d) => Analytics.eventTypePivot(s, d)),
+    "q_approx_distinct" -> ((s, d) => Analytics.approxDistinct(s, d)),
 
     // ── events ──────────────────────────────────────────────────────
     "ev_tumbling_agg" -> ((s, d) =>
@@ -398,6 +403,35 @@ object SparkEntry {
          |SELECT c.c_custkey, c.c_name, a.n_orders, CAST(a.spend_d AS DOUBLE) AS total_spend
          |FROM agg a JOIN customer c ON a.o_custkey = c.c_custkey
          |WHERE a.n_orders > 12 ORDER BY total_spend DESC, c_custkey LIMIT 10""".stripMargin,
+
+    "q_asof_join" ->
+      s"""WITH b AS (SELECT o_custkey AS user_id, o_orderdate,
+         |    max(o_orderkey) AS o_orderkey,
+         |    arg_max(o_totalprice, o_orderkey) AS o_totalprice
+         |  FROM orders GROUP BY 1, 2)
+         |SELECT e.event_id, e.user_id,
+         |  strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+         |  b.o_orderkey, CAST(CAST(b.o_totalprice AS $dDec) AS DOUBLE) AS o_totalprice
+         |FROM events e ASOF JOIN b ON e.user_id = b.user_id AND e.ts >= b.o_orderdate
+         |ORDER BY event_id""".stripMargin,
+    "q_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(CAST(l_quantity AS $dDec)) AS DOUBLE) AS sum_qty,
+         |  count(*) AS n_rows
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_cust_no_orders" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer WHERE c_custkey NOT IN
+        |  (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_type_pivot" -> {
+      val cols = Analytics.EventTypes.map(t =>
+        s"count(*) FILTER (event_type = '$t') AS n_$t").mkString(",\n  ")
+      s"""SELECT user_id,
+         |  $cols
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+    },
 
     "ev_tumbling_agg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

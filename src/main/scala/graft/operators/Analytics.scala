@@ -97,6 +97,77 @@ object Analytics {
       .orderBy(col("o_custkey"), col("rnk"), col("o_orderkey"))
   }
 
+  /** As-of join: each event paired with the user's most recent order
+    * at or before the event time (point-in-time enrichment — the
+    * join a feature-store lookup needs). Build side deduped to one
+    * row per (customer, date) with the max orderkey winning. */
+  def eventOrderAsOf(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_id"), col("user_id"), col("ts"))
+    val w = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+      .orderBy(col("o_orderkey").desc)
+    val build = Tables.orders(spark, dir)
+      .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+      .select(col("o_custkey").as("user_id"), col("o_orderdate"),
+        col("o_orderkey"), col("o_totalprice"))
+    AsOfJoin.asof(ev, build, "user_id", "ts", "o_orderdate",
+        Seq("o_orderkey", "o_totalprice"))
+      .where(col("o_orderkey").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+        col("o_orderkey"), dec(col("o_totalprice")).cast("double").as("o_totalprice"))
+      .orderBy(col("event_id"))
+  }
+
+  /** ROLLUP aggregation: per (returnflag, linestatus) with subtotal
+    * and grand-total rows — one pass, grouping-set expansion handled
+    * by Catalyst's Expand operator. */
+  def pricingRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Anti-join: customers with no order since `cutoff` (churn
+    * detection), counted per segment. The filter lands on the build
+    * side *before* the anti-join, so the hash table holds only
+    * recent orderers. */
+  def custNoOrders(spark: SparkSession, dir: String,
+                   cutoff: String = "2000-01-01"): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= lit(cutoff).cast("timestamp"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Pivot-style conditional aggregation: one column per event type
+    * (static type list so the plan is a single pass — a dynamic pivot
+    * would need a driver-side distinct first). */
+  def eventTypePivot(spark: SparkSession, dir: String): DataFrame = {
+    val aggs = EventTypes.map(t =>
+      count(when(col("event_type") === t, 1)).as(s"n_$t"))
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("user_id"))
+  }
+
+  /** HLL sketch distinct counts (approx_count_distinct) next to the
+    * exact answer — the O(1)-memory path for 100 TB cardinalities.
+    * Sketch estimates are engine-specific: rows-only check. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy(col("event_type"))
+
   /** Top customers by total spend among those with > minOrders
     * orders — groupBy + having + top-k. */
   def topCustomers(spark: SparkSession, dir: String, minOrders: Int = 12, k: Int = 10): DataFrame = {

@@ -19,6 +19,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Rank scored candidates to top-k per query via the map-side
+    * TopKAgg (each map task reduces its slice to ≤ k pairs before the
+    * exchange — the window-function form would shuffle every scored
+    * row). Ordering: sim DESC, neighbor_id ASC, identical to
+    * row_number() over that window. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(graft.plans.TopKAgg.topK(col("sim"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.id").as("neighbor_id"),
+        (col("pos") + 1).cast("long").as("rank"), col("t.score").as("sim"))
+      .orderBy(col("query_id"), col("rank"))
+
   /** Exact top-k neighbors by cosine for each query vector (queries =
     * the `nQueries` lowest ids, self excluded). Similarity is rounded
     * to 6dp *before* ranking so ties break on neighbor id
@@ -31,10 +44,7 @@ object Similarity {
     val scored = e.join(broadcast(q), col("query_id") =!= col("id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
         round(cosinePrenormed(dot(col("qv"), col("v")), col("qnrm"), col("nrm")), 6).as("sim"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .orderBy(col("query_id"), col("rank"))
+    rankTopK(scored, k)
   }
 
   /** ANN via random-hyperplane LSH: corpus bucketed by `nbits` sign
@@ -54,10 +64,7 @@ object Similarity {
         col("qbucket") === col("bucket") && col("query_id") =!= col("id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
         round(cosinePrenormed(dot(col("qv"), col("v")), col("qnrm"), col("nrm")), 6).as("sim"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .orderBy(col("query_id"), col("rank"))
+    rankTopK(scored, k)
   }
 
   /** IVF-style ANN: the `nCells` lowest-id vectors act as coarse
@@ -95,9 +102,6 @@ object Similarity {
         probes("cell") === assigned("cell") && col("query_id") =!= col("id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
         round(cosinePrenormed(dot(col("qv"), col("v")), col("qnrm"), col("nrm")), 6).as("sim"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .where(col("rank") <= k)
-      .orderBy(col("query_id"), col("rank"))
+    rankTopK(scored, k)
   }
 }
