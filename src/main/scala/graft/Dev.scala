@@ -1,35 +1,43 @@
 package graft
 
-import graft.functions.HashFunctions._
-import graft.operators.Dedup
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
 
 /** Scratch dev entrypoint (not part of the library surface). */
 object Dev {
-  def time[T](name: String)(f: => T): T = {
-    val t0 = System.nanoTime(); val r = f
-    println(f"[dev] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
-  }
-
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.getOrCreate("local[16]", 16)
-    val d = "/root/testdata/sf0.1"
-    val docs = Tables.documents(spark, d)
-    time("docs.count")(docs.count())
-    val sets = Dedup.shingleSets(docs, "text", "doc_id", 3)
-    time("sets")(sets.count())
-    val sigs = sets.withColumn("sig", minhashSignature(col("sh"), 16))
-    time("sigs")(sigs.count())
-    time("sigs.force")(sigs.select(sum(element_at(col("sig"), 1))).collect())
-    val banded = sigs.select(col("id"),
-      posexplode(bandKeys(col("sig"), 4, 4)).as(Seq("band", "bkey")))
-    time("banded.force")(banded.select(sum(col("bkey"))).collect())
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
-    time("cand")(println("cand=" + cand.count()))
-    time("full")(Dedup.minhashLshPairs(docs).count())
+    // cluster-config path: extensions injected at session build time
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Tables.documents(spark, "/root/testdata/sf0.01").createOrReplaceTempView("documents")
+    println("== via spark.sql.extensions ==")
+    spark.sql(
+      """SELECT doc_id, graft_simhash32(split(text, ' ')) AS simhash,
+        |       graft_minhash_sig(graft_hashed_shingles(split(text, ' '), 3), 4) AS sig4
+        |FROM documents ORDER BY doc_id LIMIT 3""".stripMargin).show(false)
+
+    println("== probe: non-literal k ==")
+    try {
+      spark.sql("SELECT graft_minhash_sig(graft_hashed_shingles(split(text,' '),3), doc_id + 1) FROM documents LIMIT 1").show()
+      println("NO ERROR (unexpected)")
+    } catch {
+      case e: Throwable => println(s"error class: ${e.getClass.getSimpleName}: ${e.getMessage.linesIterator.next()}")
+    }
+
+    println("== zone IO: partitioned write + pruned read ==")
+    val tmp = java.nio.file.Files.createTempDirectory("zone").toString
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+    graft.sources.Sources.writeZone(ev, s"$tmp/gold", Seq("day"))
+    val read = graft.sources.Sources.readZone(spark, s"$tmp/gold")
+      .where(col("day") === "2024-01-05")
+    println("rows: " + read.count())
+    read.explain() // expect PartitionFilters on day
     spark.stop()
   }
 }
