@@ -1,43 +1,26 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import graft.operators.Skew
+import org.apache.spark.sql.functions._
 
 /** Scratch dev entrypoint (not part of the library surface). */
 object Dev {
   def main(args: Array[String]): Unit = {
-    // cluster-config path: extensions injected at session build time
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.getOrCreate("local[8]", 8)
     spark.sparkContext.setLogLevel("ERROR")
-    Tables.documents(spark, "/root/testdata/sf0.01").createOrReplaceTempView("documents")
-    println("== via spark.sql.extensions ==")
-    spark.sql(
-      """SELECT doc_id, graft_simhash32(split(text, ' ')) AS simhash,
-        |       graft_minhash_sig(graft_hashed_shingles(split(text, ' '), 3), 4) AS sig4
-        |FROM documents ORDER BY doc_id LIMIT 3""".stripMargin).show(false)
-
-    println("== probe: non-literal k ==")
-    try {
-      spark.sql("SELECT graft_minhash_sig(graft_hashed_shingles(split(text,' '),3), doc_id + 1) FROM documents LIMIT 1").show()
-      println("NO ERROR (unexpected)")
-    } catch {
-      case e: Throwable => println(s"error class: ${e.getClass.getSimpleName}: ${e.getMessage.linesIterator.next()}")
-    }
-
-    println("== zone IO: partitioned write + pruned read ==")
-    val tmp = java.nio.file.Files.createTempDirectory("zone").toString
-    import org.apache.spark.sql.functions._
-    val ev = Tables.events(spark, "/root/testdata/sf0.001")
-      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
-    graft.sources.Sources.writeZone(ev, s"$tmp/gold", Seq("day"))
-    val read = graft.sources.Sources.readZone(spark, s"$tmp/gold")
-      .where(col("day") === "2024-01-05")
-    println("rows: " + read.count())
-    read.explain() // expect PartitionFilters on day
+    // skewed aggregation over real data: l_orderkey is uniform, so
+    // manufacture a hot key the way real logs have one hot user
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select(when(col("l_linenumber") === 1, lit(42L)).otherwise(col("l_orderkey")).as("k"))
+    val plain = li.groupBy(col("k")).count().where(col("k") === 42).head().getLong(1)
+    val salted = Skew.saltedCount(li, "k").where(col("k") === 42).head().getLong(1)
+    println(s"hot key 42: plain=$plain salted=$salted equal=${plain == salted}")
+    val dim = Tables.orders(spark, "/root/testdata/sf0.01")
+      .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+    val joined = Skew.hotColdJoin(
+      Tables.lineitem(spark, "/root/testdata/sf0.01").withColumnRenamed("l_orderkey", "k"),
+      dim, "k", Seq(1L, 2L, 3L))
+    println("hotColdJoin rows: " + joined.count())
     spark.stop()
   }
 }

@@ -110,6 +110,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingPairs(Tables.embeddings(s, d))),
+    "dedup_embedding_lsh" -> ((s, d) => Dedup.embeddingPairsLsh(Tables.embeddings(s, d))),
 
     // ── similarity search ───────────────────────────────────────────
     "ann_brute_topk" -> ((s, d) => Similarity.bruteTopK(Tables.embeddings(s, d))),
@@ -138,6 +139,13 @@ object SparkEntry {
       Events.sessionize(Tables.events(s, d))
         .withColumn("session_start", date_format(col("session_start"), TsFmtUs))
         .withColumn("session_end", date_format(col("session_end"), TsFmtUs))),
+    "ev_value_quantiles" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("med"),
+          expr("percentile(value, 0.95)").as("p95"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))),
     "ev_user_stats" -> ((s, d) =>
       Events.userStats(Tables.events(s, d))
         .withColumn("first_seen", date_format(col("first_seen"), TsFmtUs))
@@ -455,6 +463,10 @@ object SparkEntry {
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
         |FROM t GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+    "ev_value_quantiles" ->
+      """SELECT event_type, quantile_cont(value, 0.5) AS med,
+        |  quantile_cont(value, 0.95) AS p95, count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "ev_user_stats" ->
       """SELECT user_id, count(*) AS n_events,
         |  count(DISTINCT event_type) AS n_types,

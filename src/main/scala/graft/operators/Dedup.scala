@@ -140,4 +140,24 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** LSH-blocked embedding near-dup: candidates only from matching
+    * sign-buckets, so the self-join is per-bucket (corpus/2^nbits per
+    * side) instead of O(n²) — the 100 TB path. Approximate: recall
+    * depends on nbits vs tau (high-cosine pairs rarely straddle a
+    * hyperplane, marginal ones may). */
+  def embeddingPairsLsh(emb: DataFrame, tau: Double = 0.3, nbits: Int = 4,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val planes = VectorFunctions.hyperplanes(nbits, 64)
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      VectorFunctions.norm(col(vecCol)).as("nrm"),
+      VectorFunctions.signBucket(col(vecCol), planes).as("bucket"))
+    e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .withColumn("cos", round(VectorFunctions.cosinePrenormed(
+        VectorFunctions.dot(col("a.v"), col("b.v")), col("a.nrm"), col("b.nrm")), 6))
+      .where(col("cos") >= tau)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
 }
