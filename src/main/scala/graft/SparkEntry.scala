@@ -56,6 +56,14 @@ object SparkEntry {
           min(col("chunk_length")).as("min_chunk_len"),
           max(col("chunk_length")).as("max_chunk_len"))
         .orderBy(col("doc_id"))),
+    "pipe_gold_recursive" -> ((s, d) =>
+      // reference-faithful RecursiveCharacterTextSplitter path; the
+      // greedy repacking isn't SQL-expressible → rows-only check
+      Chunker.recursive(
+        Medallion.silverDedup(Medallion.silverNormalize(Medallion.bronze(Tables.documents(s, d)))),
+        "content")
+        .select(col("doc_id"), col("chunk"), col("chunk_length"))
+        .orderBy(col("doc_id"), col("chunk"))),
     "pipe_end_to_end" -> ((s, d) =>
       Medallion.pipeline(Tables.documents(s, d))
         .groupBy(col("source"))

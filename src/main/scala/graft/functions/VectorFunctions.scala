@@ -34,11 +34,11 @@ object VectorFunctions {
   /** Deterministic pseudo-random hyperplanes for sign-LSH: component
     * (s, i) comes from md5 bytes of "s:i" mapped into [-0.5, 0.5].
     * No RNG state — identical planes on every executor and every run. */
-  def hyperplanes(nbits: Int, dim: Int): Seq[Seq[Double]] = {
+  def hyperplanes(nbits: Int, dim: Int, seed: String = ""): Seq[Seq[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     (0 until nbits).map { s =>
       (0 until dim).map { i =>
-        val h = md.digest(s"$s:$i".getBytes("UTF-8"))
+        val h = md.digest(s"$seed$s:$i".getBytes("UTF-8"))
         val v = java.nio.ByteBuffer.wrap(h).getLong(0) >>> 16 // 48 bits
         v.toDouble / Math.pow(2.0, 48.0) - 0.5
       }

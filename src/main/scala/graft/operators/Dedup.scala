@@ -141,23 +141,37 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** LSH-blocked embedding near-dup: candidates only from matching
-    * sign-buckets, so the self-join is per-bucket (corpus/2^nbits per
-    * side) instead of O(n²) — the 100 TB path. Approximate: recall
-    * depends on nbits vs tau (high-cosine pairs rarely straddle a
-    * hyperplane, marginal ones may). */
+  /** Multi-table LSH-blocked embedding near-dup: `tables` independent
+    * sign-bucket assignments; a pair is a candidate if it collides in
+    * ANY table (explode + equi-join on (table, bucket), distinct).
+    * Per-table collision for angle θ is (1−θ/π)^nbits; across L
+    * tables recall is 1−(1−p)^L — e.g. cosine 0.9 with nbits=8, L=4
+    * → ~0.97 recall, while each probe still touches only
+    * ~corpus/2^nbits rows per table. The self-join is per-(table,
+    * bucket), never O(n²) — the 100 TB path. */
   def embeddingPairsLsh(emb: DataFrame, tau: Double = 0.3, nbits: Int = 4,
+                        tables: Int = 4,
                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val planes = VectorFunctions.hyperplanes(nbits, 64)
-    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
-      VectorFunctions.norm(col(vecCol)).as("nrm"),
-      VectorFunctions.signBucket(col(vecCol), planes).as("bucket"))
-    e.as("a").join(e.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+    val buckets = (0 until tables).map { t =>
+      val planes = VectorFunctions.hyperplanes(nbits, 64, seed = s"t$t:")
+      VectorFunctions.signBucket(col(vecCol), planes).as(s"bkt_$t")
+    }
+    val e = emb.select((col(idCol).as("id") +: col(vecCol).as("v") +:
+      VectorFunctions.norm(col(vecCol)).as("nrm") +: buckets): _*)
+    val banded = e.select(col("id"), col("v"), col("nrm"),
+      posexplode(array((0 until tables).map(t => col(s"bkt_$t")): _*)).as(Seq("tbl", "bucket")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.v").as("va"), col("a.nrm").as("na"),
+        col("b.v").as("vb"), col("b.nrm").as("nb"))
+      .dropDuplicates("id_a", "id_b")
+    cand
       .withColumn("cos", round(VectorFunctions.cosinePrenormed(
-        VectorFunctions.dot(col("a.v"), col("b.v")), col("a.nrm"), col("b.nrm")), 6))
+        VectorFunctions.dot(col("va"), col("vb")), col("na"), col("nb")), 6))
       .where(col("cos") >= tau)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
+      .select(col("id_a"), col("id_b"), col("cos"))
       .orderBy(col("id_a"), col("id_b"))
   }
 }
