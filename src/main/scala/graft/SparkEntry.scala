@@ -125,6 +125,15 @@ object SparkEntry {
     "ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d))),
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
 
+    // RAG retrieval (reference /ask flow): query embedding → top-k
+    // neighbors → joined back to document text as cited snippets
+    "rag_retrieve" -> ((s, d) =>
+      Similarity.bruteTopK(Tables.embeddings(s, d), nQueries = 3, k = 3)
+        .join(Tables.documents(s, d), col("neighbor_id") === col("doc_id"))
+        .select(col("query_id"), col("rank"), col("doc_id"), col("source"),
+          substring(col("text"), 1, 80).as("snippet"), col("sim"))
+        .orderBy(col("query_id"), col("rank"))),
+
     // ── relational analytics ────────────────────────────────────────
     "q1_pricing_summary" -> ((s, d) => Analytics.pricingSummary(s, d)),
     "q3_top_orders" -> ((s, d) =>
@@ -374,6 +383,18 @@ object SparkEntry {
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
          |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", sim
          |FROM r WHERE rnk <= 10 ORDER BY query_id, "rank"""".stripMargin,
+
+    "rag_retrieve" ->
+      s"""$embNormCte,
+         |q AS (SELECT id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE id < 3),
+         |s AS (SELECT query_id, n.id AS neighbor_id,
+         |        round(${dDot("qv", "n.v")} / (qnrm * n.nrm), 6) AS sim
+         |      FROM q, n WHERE n.id <> query_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
+         |SELECT query_id, CAST(rnk AS BIGINT) AS "rank", d.doc_id, d.source,
+         |  substr(d.text, 1, 80) AS snippet, sim
+         |FROM r JOIN documents d ON r.neighbor_id = d.doc_id
+         |WHERE rnk <= 3 ORDER BY query_id, "rank"""".stripMargin,
 
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
