@@ -44,11 +44,14 @@ object AsOfJoin {
     val unioned = probeTagged.unionByName(buildTagged)
     val w = Window.partitionBy(col(key)).orderBy(col("_t"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = buildCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"_asof_$c", last(col(s"_b_$c"), ignoreNulls = true).over(w))
-    }
-    carried
+    // carry ALL build columns as one struct so every output column
+    // comes from the same build row even when some are null; the
+    // struct is nulled out on probe rows so ignoreNulls skips them
+    val packed = when(col("_side") === 0,
+      struct(buildCols.map(c => col(s"_b_$c").as(c)): _*))
+    unioned
+      .withColumn("_asof", last(packed, ignoreNulls = true).over(w))
       .where(col("_side") === 1)
-      .select((probeCols.map(col) ++ buildCols.map(c => col(s"_asof_$c").as(c))): _*)
+      .select((probeCols.map(col) ++ buildCols.map(c => col(s"_asof.$c").as(c))): _*)
   }
 }

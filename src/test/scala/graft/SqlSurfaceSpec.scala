@@ -41,4 +41,13 @@ class SqlSurfaceSpec extends SparkSpec {
     val files = read.select(input_file_name()).distinct().as[String].collect()
     assert(files.forall(_.contains(s"day=$firstDay")), s"unpruned read: ${files.take(3).mkString}")
   }
+
+  test("csv source round-trips with explicit schema") {
+    val tmp = Files.createTempDirectory("graft_csv").toString
+    Files.writeString(java.nio.file.Path.of(s"$tmp/data.csv"),
+      "url,title,content,author,date\nu1,t1,hello world,a1,2024-01-01\n")
+    val df = Sources.readCsv(spark, tmp, Sources.RawPageSchema)
+    assert(df.count() == 1)
+    assert(df.select($"content").as[String].head() == "hello world")
+  }
 }
