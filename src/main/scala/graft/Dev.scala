@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Skew
+import graft.operators.Events
 import org.apache.spark.sql.functions._
 
 /** Scratch dev entrypoint (not part of the library surface). */
@@ -8,19 +8,28 @@ object Dev {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.getOrCreate("local[8]", 8)
     spark.sparkContext.setLogLevel("ERROR")
-    // skewed aggregation over real data: l_orderkey is uniform, so
-    // manufacture a hot key the way real logs have one hot user
-    val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
-      .select(when(col("l_linenumber") === 1, lit(42L)).otherwise(col("l_orderkey")).as("k"))
-    val plain = li.groupBy(col("k")).count().where(col("k") === 42).head().getLong(1)
-    val salted = Skew.saltedCount(li, "k").where(col("k") === 42).head().getLong(1)
-    println(s"hot key 42: plain=$plain salted=$salted equal=${plain == salted}")
-    val dim = Tables.orders(spark, "/root/testdata/sf0.01")
-      .select(col("o_orderkey").as("k"), col("o_orderpriority"))
-    val joined = Skew.hotColdJoin(
-      Tables.lineitem(spark, "/root/testdata/sf0.01").withColumnRenamed("l_orderkey", "k"),
-      dim, "k", Seq(1L, 2L, 3L))
-    println("hotColdJoin rows: " + joined.count())
+    val ev = Tables.events(spark, "/root/testdata/sf0.01")
+    val native = Events.sessionizeNative(ev)
+    println("native session_window sessions: " + native.count())
+    native.show(5, false)
+    val classic = Events.sessionize(ev)
+    println("classic sessions: " + classic.count())
+    // cross-check totals
+    val nSum = native.agg(sum(col("n_events"))).head().getLong(0)
+    val cSum = classic.agg(sum(col("n_events"))).head().getLong(0)
+    println(s"events covered: native=$nSum classic=$cSum total=${ev.count()}")
+    // bucketed co-located join, outside the test harness
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.sql("DROP TABLE IF EXISTS b_o"); spark.sql("DROP TABLE IF EXISTS b_l")
+    Tables.orders(spark, "/root/testdata/sf0.01").write
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable("b_o")
+    Tables.lineitem(spark, "/root/testdata/sf0.01").write
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode("overwrite").saveAsTable("b_l")
+    val j = spark.table("b_l").join(spark.table("b_o"), col("l_orderkey") === col("o_orderkey"))
+    println("bucketed join rows: " + j.count())
+    val plan = j.queryExecution.executedPlan.toString
+    println("shuffle exchanges in join plan: " + "Exchange (hash|range)".r.findAllIn(plan).length +
+      ", contains SortMergeJoin: " + plan.contains("SortMergeJoin"))
     spark.stop()
   }
 }

@@ -48,6 +48,20 @@ object Events {
       .orderBy(col("user_id"), col("session_seq"))
   }
 
+  /** Gap sessionization via Spark's native `session_window` — same
+    * 30-minute-gap semantics as `sessionize`, expressed as a session
+    * window aggregation (merging handled inside the aggregation
+    * operator, works identically in batch and streaming). */
+  def sessionizeNative(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), s"$gapMinutes minutes").as("w"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("session_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("session_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
   /** Per-user stats with JSON props extraction (`props` is a JSON
     * blob; `$.k` pulled with get_json_object — codegen'd, no UDF). */
   def userStats(events: DataFrame): DataFrame =

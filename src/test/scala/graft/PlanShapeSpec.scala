@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+
+/** Plan-shape regression guards: correctness tests prove the values;
+  * these prove the *plans* stay the ones designed for scale —
+  * filters reach the parquet scan, dimensions broadcast, shuffles
+  * don't multiply. A future edit that silently turns a broadcast
+  * join into a sort-merge or drops a pushed filter fails here, not
+  * in a 100 TB run. */
+class PlanShapeSpec extends SparkSpec {
+
+  private def physical(df: DataFrame): SparkPlan = {
+    val p = df.queryExecution.executedPlan
+    p match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case other => other
+    }
+  }
+
+  private def collectAll(p: SparkPlan): Seq[SparkPlan] =
+    (p +: p.children.flatMap(collectAll)) ++ p.subqueries.flatMap(collectAll)
+
+  private def count(df: DataFrame, pred: SparkPlan => Boolean): Int =
+    collectAll(physical(df)).count(pred)
+
+  test("q1: shipdate filter is pushed into the parquet scan") {
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, sf)
+    val scans = physical(df).collectLeaves().map(_.toString).mkString
+    assert(scans.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"missing pushdown in: ${scans.take(400)}")
+  }
+
+  test("q1: exactly one data shuffle (partial agg before exchange)") {
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, sf)
+    // one hash exchange for the groupBy + one range exchange for the
+    // final orderBy — anything more means partial aggregation broke
+    assert(count(df, _.isInstanceOf[ShuffleExchangeLike]) <= 2)
+  }
+
+  test("q5: all five dimension joins broadcast, none sort-merge") {
+    val df = SparkEntry.queries("q5_region_volume")(spark, sf)
+    assert(count(df, _.isInstanceOf[BroadcastHashJoinExec]) >= 4)
+    assert(count(df, _.isInstanceOf[SortMergeJoinExec]) == 0)
+  }
+
+  test("pipeline is map-only until the dedup shuffle") {
+    val df = SparkEntry.queries("pipe_silver_normalize")(spark, sf)
+    // normalize stage: zero shuffles beyond the output sort
+    assert(count(df, _.isInstanceOf[ShuffleExchangeLike]) <= 1)
+  }
+
+  test("documents scan prunes to the referenced columns") {
+    val df = SparkEntry.queries("txt_token_count")(spark, sf)
+    val scan = physical(df).collectLeaves().map(_.toString).mkString
+    assert(scan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"unpruned scan: ${scan.take(400)}")
+  }
+}
