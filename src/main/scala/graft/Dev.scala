@@ -18,6 +18,10 @@ object Dev {
     val nSum = native.agg(sum(col("n_events"))).head().getLong(0)
     val cSum = classic.agg(sum(col("n_events"))).head().getLong(0)
     println(s"events covered: native=$nSum classic=$cSum total=${ev.count()}")
+    // stream-stream interval join operator, batch-mode drive
+    val attrib = graft.streaming.StreamingEvents.purchaseAttribution(ev)
+    println("purchase attributions (batch drive): " + attrib.count())
+    attrib.select(col("purchase_id"), col("click_id"), col("purchase_ts"), col("click_ts")).show(3, false)
     // bucketed co-located join, outside the test harness
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.sql("DROP TABLE IF EXISTS b_o"); spark.sql("DROP TABLE IF EXISTS b_l")

@@ -17,6 +17,10 @@ import org.apache.spark.sql.functions._
   * from an equi-join on a short key (shingle, LSH band, simhash
   * byte-band), never from an O(n²) cross join. Signatures are
   * computed map-side in one pass; only (id, key) pairs shuffle.
+  * The candidate-then-verify shape follows the distributed
+  * similarity-join literature (e.g. "Similarity Joins of Sparse
+  * Features", SIGMOD 2024 — prefix/blocking filters before exact
+  * verification; see PAPERS.md).
   */
 object Dedup {
 

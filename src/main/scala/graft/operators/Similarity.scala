@@ -16,6 +16,12 @@ import org.apache.spark.sql.functions._
   *  - `lshTopK`: random-hyperplane sign-bucket blocking; a probe
   *    touches ~corpus/2^nbits rows. The 100 TB path.
   *  - `ivfTopK`: IVF-style coarse quantization with nprobe cells.
+  *
+  * The partition-then-rank shape mirrors distributed top-k search
+  * systems (REPOSE, ICDE 2021: partition by locality key, rank
+  * within partitions, merge); incremental re-ranking ideas from
+  * "Incremental ... Top-K Similarity Search" (EDBT 2020) map to the
+  * TopKAgg partial-aggregation path (see PAPERS.md).
   */
 object Similarity {
 
@@ -47,23 +53,30 @@ object Similarity {
     rankTopK(scored, k)
   }
 
-  /** ANN via random-hyperplane LSH: corpus bucketed by `nbits` sign
-    * bits (map-side, deterministic planes), probes only join their
-    * own bucket. Approximate — recall depends on nbits vs corpus
-    * density — but the probe cost drops from O(N) to O(N/2^nbits). */
+  /** ANN via random-hyperplane LSH with multi-probe: the corpus is
+    * bucketed by `nbits` sign bits (map-side, deterministic planes);
+    * each query probes its own bucket plus every Hamming-1 neighbor
+    * (the buckets reachable by flipping one hyperplane verdict — the
+    * most likely homes of near neighbors that straddle one plane).
+    * Probe cost is (nbits+1)/2^nbits of the corpus instead of O(N);
+    * multi-probe recovers most of the recall a single probe loses
+    * (cf. multi-probe LSH, Lv et al., VLDB'07). */
   def lshTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10, nbits: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val dim = 64
     val planes = hyperplanes(nbits, dim)
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"),
       signBucket(col(vecCol), planes).as("bucket"))
+    val probeBuckets = array((col("bucket") +:
+      (0 until nbits).map(b => col("bucket").bitwiseXOR(lit(1L << b)))): _*)
     val q = e.select(col("id").as("query_id"), col("v").as("qv"),
-        col("nrm").as("qnrm"), col("bucket").as("qbucket"))
+        col("nrm").as("qnrm"), explode(probeBuckets).as("qbucket"))
       .where(col("query_id") < nQueries)
     val scored = e.join(broadcast(q),
         col("qbucket") === col("bucket") && col("query_id") =!= col("id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
         round(cosinePrenormed(dot(col("qv"), col("v")), col("qnrm"), col("nrm")), 6).as("sim"))
+      .dropDuplicates("query_id", "neighbor_id")
     rankTopK(scored, k)
   }
 

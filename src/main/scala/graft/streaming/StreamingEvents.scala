@@ -35,6 +35,24 @@ object StreamingEvents {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Stream-stream interval join: purchases matched to the same
+    * user's clicks in the preceding hour. Both sides watermarked so
+    * the join state is bounded — Spark drops buffered rows once the
+    * event-time bound passes. */
+  def purchaseAttribution(events: DataFrame): DataFrame = {
+    val clicks = events.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", "2 hours")
+    purchases.join(clicks,
+      col("p_user") === col("user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+  }
+
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long, value: Double)
   case class OpenSession(seq: Long, startUs: Long, lastUs: Long, n: Long, sum: Double)
   case class SessionOut(user_id: Long, session_seq: Long, n_events: Long,

@@ -76,4 +76,19 @@ class StreamingSpec extends SparkSpec {
     assert(rows.count() > 1)            // long doc fans out to chunks
     assert(rows.where($"url" === "u2").count() == 0) // short doc filtered
   }
+
+  test("stream-stream interval join matches the batch equivalent") {
+    val tmp = Files.createTempDirectory("graft_ssj").toString
+    val batch = Tables.events(spark, sf)
+    batch.write.mode("overwrite").parquet(s"$tmp/in")
+    val joined = StreamingEvents.purchaseAttribution(
+      StreamingEvents.eventsStream(spark, s"$tmp/in"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("attrib").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("attrib").count()
+    val expected = StreamingEvents.purchaseAttribution(batch).count()
+    assert(streamed == expected)
+    assert(streamed > 0)
+  }
 }
