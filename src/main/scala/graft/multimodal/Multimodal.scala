@@ -48,7 +48,13 @@ object Multimodal {
     * sampled offset) — the shape a video frame-sampler produces. */
   def sampleFrames(media: DataFrame, stride: Int = 64): DataFrame =
     media
-      .withColumn("offset", explode(sequence(lit(0L), col("byte_len") - 1, lit(stride.toLong))))
+      // byte_len=0 would make sequence() throw (0 to -1); an empty
+      // payload must sample zero frames, matching the oracle's
+      // range(0, byte_len) which yields no rows.
+      .withColumn("offset", explode(
+        when(col("byte_len") > 0,
+          sequence(lit(0L), col("byte_len") - 1, lit(stride.toLong)))
+          .otherwise(array().cast("array<long>"))))
       .withColumn("byte_val", ascii(substring(
         decode(col("payload"), "UTF-8"), (col("offset") + 1).cast("int"), lit(1))).cast("long"))
       .select(col("doc_id"), col("offset"), col("byte_val"))

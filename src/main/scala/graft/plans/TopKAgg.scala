@@ -37,10 +37,18 @@ case class TopKAgg(scoreExpr: Expression, idExpr: Expression, k: Int,
 
   override def createAggregationBuffer(): ArrayBuffer[(Double, Long)] = ArrayBuffer.empty
 
+  /** score DESC under Spark SQL ordering (NaN sorts as the largest
+    * double, so it ranks FIRST under DESC), then id ASC — keeps
+    * results interchangeable with the row_number() formulation even
+    * when a scorer emits NaN (e.g. cosine of a zero-norm vector). */
+  private def orderKey(p: (Double, Long)): (Int, Double, Long) = p match {
+    case (s, id) => (if (s.isNaN) 0 else 1, if (s.isNaN) 0.0 else -s, id)
+  }
+
   private def prune(buf: ArrayBuffer[(Double, Long)]): ArrayBuffer[(Double, Long)] =
     if (buf.length <= 2 * k) buf
     else {
-      val kept = buf.sortBy { case (s, id) => (-s, id) }.take(k)
+      val kept = buf.sortBy(orderKey).take(k)
       buf.clear(); buf ++= kept
     }
 
@@ -61,7 +69,7 @@ case class TopKAgg(scoreExpr: Expression, idExpr: Expression, k: Int,
   }
 
   override def eval(buf: ArrayBuffer[(Double, Long)]): Any = {
-    val top = buf.sortBy { case (s, id) => (-s, id) }.take(k)
+    val top = buf.sortBy(orderKey).take(k)
     new GenericArrayData(top.map { case (s, id) =>
       InternalRow(id, s)
     }.toArray[Any])

@@ -64,24 +64,36 @@ object StreamingEvents {
     * mode); the open session rides in `GroupState` across batches.
     * State per key is one small case class — bounded regardless of
     * stream length. */
+  /** Full-precision epoch micros: Timestamp.getTime is millis only
+    * (sub-ms lives in getNanos), so derive micros from both — the
+    * truncated form can disagree with batch unix_micros on gap
+    * boundaries. */
+  private def tsMicros(ts: java.sql.Timestamp): Long =
+    math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
+  private def microsTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(math.floorDiv(us, 1000L))
+    t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
   def sessionizeStateful(events: Dataset[Ev], gapMinutes: Int = 30): Dataset[SessionOut] = {
     val gapUs = gapMinutes * 60L * 1000000L
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id).flatMapGroupsWithState(
       OutputMode.Append, GroupStateTimeout.NoTimeout) {
       (userId: Long, batch: Iterator[Ev], state: GroupState[OpenSession]) =>
-        val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        val sorted = batch.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
         var open = state.getOption
         val done = Seq.newBuilder[SessionOut]
         sorted.foreach { e =>
-          val us = e.ts.getTime * 1000L
+          val us = tsMicros(e.ts)
           open match {
             case Some(s) if us - s.lastUs <= gapUs =>
               open = Some(s.copy(lastUs = us, n = s.n + 1, sum = s.sum + e.value))
             case Some(s) =>
               done += SessionOut(userId, s.seq, s.n,
-                new java.sql.Timestamp(s.startUs / 1000L),
-                new java.sql.Timestamp(s.lastUs / 1000L), s.sum)
+                microsTs(s.startUs), microsTs(s.lastUs), s.sum)
               open = Some(OpenSession(s.seq + 1, us, us, 1L, e.value))
             case None =>
               open = Some(OpenSession(1L, us, us, 1L, e.value))
