@@ -15,13 +15,27 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Guarantee scan parallelism ≥ the session's default parallelism.
+    *
+    * The local test files are single-row-group parquet, so the scan
+    * yields ONE split and everything before the first shuffle runs on
+    * one core. At cluster scale inputs arrive pre-split (many files /
+    * row groups), the partition count already exceeds the target, and
+    * this is a no-op — no shuffle is ever added to a well-split scan.
+    * Catalyst still pushes filters and prunes columns through the
+    * round-robin exchange, so scan pushdown is unaffected. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
-  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  def lineitem(s: SparkSession, d: String): DataFrame = fanOut(load(s, d, "lineitem"))
   /** events.parquet carries TIMESTAMP(NANOS) which the vectorized
     * parquet reader rejects; read nanos as long and convert to a
     * microsecond timestamp (the generator emits µs-aligned values,
@@ -32,6 +46,6 @@ object Tables {
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
   }
-  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  def documents(s: SparkSession, d: String): DataFrame = fanOut(load(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame = fanOut(load(s, d, "embeddings"))
 }
