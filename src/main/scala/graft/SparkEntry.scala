@@ -74,6 +74,8 @@ object SparkEntry {
 
     // ── data quality ────────────────────────────────────────────────
     "dq_record_counts" -> ((s, d) => Quality.recordCounts(Tables.documents(s, d))),
+    "dq_length_quartiles" -> ((s, d) => Quality.lengthQuartiles(Tables.documents(s, d))),
+    "dq_top_words_src" -> ((s, d) => Quality.topWordsPerSource(Tables.documents(s, d))),
     "dq_length_stats" -> ((s, d) => Quality.lengthStats(Tables.documents(s, d))),
     "dq_missing_values" -> ((s, d) =>
       Quality.missingValues(Tables.documents(s, d), Seq("text", "lang", "source"))),
@@ -112,6 +114,24 @@ object SparkEntry {
           md5(concat_ws("|", col("sh"))).as("shingle_hash"))
         .orderBy(col("doc_id"))),
 
+    "txt_gopher_filter" -> ((s, d) => Quality.gopherFilter(Tables.documents(s, d))),
+    "txt_pii_scrub" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          piiEmailCount(col("text")).as("n_emails"),
+          piiPhoneCount(col("text")).as("n_phones"),
+          md5(piiScrub(col("text"))).as("scrubbed_hash"))
+        .orderBy(col("doc_id"))),
+    "txt_decontaminate" -> ((s, d) => Decontam.flagContaminated(Tables.documents(s, d))),
+
+    // ── sampling ────────────────────────────────────────────────────
+    "samp_stratified" -> ((s, d) =>
+      Sampling.hashSample(Tables.documents(s, d), 20)
+        .select(col("doc_id"), col("source")).orderBy(col("doc_id"))),
+    "samp_uniform" -> ((s, d) =>
+      Sampling.uniformN(Tables.documents(s, d), 100)
+        .select(col("doc_id"), col("source"), col("h"))),
+
     // ── deduplication ───────────────────────────────────────────────
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
@@ -124,6 +144,10 @@ object SparkEntry {
     "ann_brute_topk" -> ((s, d) => Similarity.bruteTopK(Tables.embeddings(s, d))),
     "ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d))),
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
+    "emb_cluster_sizes" -> ((s, d) => Similarity.clusterSizes(Tables.embeddings(s, d))),
+
+    // BM25 lexical ranking (RAG retrieval pre-filter / hybrid scorer)
+    "rag_bm25" -> ((s, d) => Ranking.bm25TopK(Tables.documents(s, d))),
 
     // RAG retrieval (reference /ask flow): query embedding → top-k
     // neighbors → joined back to document text as cited snippets
@@ -147,6 +171,7 @@ object SparkEntry {
     "q_cust_no_orders" -> ((s, d) => Analytics.custNoOrders(s, d)),
     "q_type_pivot" -> ((s, d) => Analytics.eventTypePivot(s, d)),
     "q_approx_distinct" -> ((s, d) => Analytics.approxDistinct(s, d)),
+    "q_range_join" -> ((s, d) => Analytics.valueBands(s, d)),
 
     // ── events ──────────────────────────────────────────────────────
     "ev_tumbling_agg" -> ((s, d) =>
@@ -167,6 +192,7 @@ object SparkEntry {
       Events.userStats(Tables.events(s, d))
         .withColumn("first_seen", date_format(col("first_seen"), TsFmtUs))
         .withColumn("last_seen", date_format(col("last_seen"), TsFmtUs))),
+    "ev_anomaly" -> ((s, d) => Events.anomalies(Tables.events(s, d))),
 
     // ── multimodal ──────────────────────────────────────────────────
     "mm_binary_meta" -> ((s, d) =>
@@ -267,6 +293,18 @@ object SparkEntry {
 
     "dq_record_counts" ->
       "SELECT source, count(*) AS record_count FROM documents GROUP BY source ORDER BY source",
+    "dq_length_quartiles" ->
+      """WITH t AS (SELECT doc_id, source, length(text) AS len FROM documents),
+        |q AS (SELECT source, len, ntile(4) OVER (PARTITION BY source ORDER BY len, doc_id) AS quart FROM t)
+        |SELECT source, CAST(quart AS BIGINT) AS quartile, count(*) AS n,
+        |  min(len) AS min_len, max(len) AS max_len
+        |FROM q GROUP BY 1, 2 ORDER BY source, quartile""".stripMargin,
+    "dq_top_words_src" ->
+      s"""WITH w AS (SELECT source, unnest(${dToks("lower(text)")}) AS word FROM documents),
+         |c AS (SELECT source, word, count(*) AS freq FROM w WHERE length(word) > 3 GROUP BY 1, 2),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY freq DESC, word) AS rnk FROM c)
+         |SELECT source, CAST(rnk AS BIGINT) AS rnk, word, freq FROM r
+         |WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
     "dq_length_stats" ->
       """SELECT source, round(avg(length(text)), 4) AS avg_length,
         |  min(length(text)) AS min_length, max(length(text)) AS max_length
@@ -336,6 +374,50 @@ object SparkEntry {
          |  md5(array_to_string(sh, '|')) AS shingle_hash
          |FROM t ORDER BY doc_id""".stripMargin,
 
+    "txt_gopher_filter" ->
+      s"""WITH t AS (SELECT doc_id, text, ${dToks("text")} AS tk FROM documents),
+         |m AS (SELECT doc_id, len(tk) AS n_words,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(tk, w -> CAST(length(w) AS BIGINT))), (x, y) -> x + y) AS char_sum,
+         |  len(list_filter(tk, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+         |  len(list_filter(tk, w -> w IN (${Quality.GopherStopwords.map(w => s"'$w'").mkString(",")}))) AS n_stop
+         |  FROM t)
+         |SELECT doc_id, n_words,
+         |  round(CAST(char_sum AS DOUBLE) / n_words, 4) AS mean_word_len,
+         |  round(CAST(n_alpha AS DOUBLE) / n_words, 4) AS alpha_ratio, n_stop,
+         |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+         |    AND CAST(char_sum AS DOUBLE) / n_words BETWEEN 3 AND 10
+         |    AND CAST(n_alpha AS DOUBLE) / n_words >= 0.8
+         |    AND n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "txt_pii_scrub" ->
+      s"""WITH s AS (SELECT doc_id,
+         |    regexp_replace(regexp_replace(text,
+         |      '${EmailPattern.replace("\\", "\\\\")}', '<EMAIL>', 'g'),
+         |      '${PhonePattern.replace("\\", "\\\\")}', '<PHONE>', 'g') AS scrubbed,
+         |    len(regexp_extract_all(text, '${EmailPattern.replace("\\", "\\\\")}')) AS n_emails,
+         |    len(regexp_extract_all(text, '${PhonePattern.replace("\\", "\\\\")}')) AS n_phones
+         |  FROM documents)
+         |SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
+         |  CAST(n_phones AS BIGINT) AS n_phones, md5(scrubbed) AS scrubbed_hash
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "txt_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, ${dToks("text")} AS tk FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(tk) - 3), i ->
+         |         ${dHex12("array_to_string(list_slice(tk, i, i + 4), ' ')")})) AS shh
+         |       FROM t WHERE len(tk) >= 5),
+         |bench AS (SELECT DISTINCT unnest(shh) AS sg FROM sh WHERE doc_id < 20),
+         |hits AS (SELECT doc_id, count(*) AS n_hits
+         |         FROM (SELECT doc_id, unnest(shh) AS sg FROM sh WHERE doc_id >= 20)
+         |         WHERE sg IN (SELECT sg FROM bench) GROUP BY doc_id)
+         |SELECT doc_id, n_hits FROM hits ORDER BY doc_id""".stripMargin,
+
+    "samp_stratified" ->
+      s"""SELECT doc_id, source FROM documents
+         |WHERE ${dHex12("'samp:' || doc_id")} % 100 < 20 ORDER BY doc_id""".stripMargin,
+    "samp_uniform" ->
+      """SELECT doc_id, source, md5('u:' || doc_id) AS h FROM documents
+        |ORDER BY h LIMIT 100""".stripMargin,
+
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
@@ -383,6 +465,33 @@ object SparkEntry {
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
          |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", sim
          |FROM r WHERE rnk <= 10 ORDER BY query_id, "rank"""".stripMargin,
+
+    "emb_cluster_sizes" ->
+      s"""$embNormCte,
+         |c AS (SELECT id AS cell, v AS cv, nrm AS cnrm FROM n WHERE id < 16),
+         |a AS (SELECT n.id, c.cell,
+         |        round(${dDot("n.v", "c.cv")} / (n.nrm * c.cnrm), 6) AS csim,
+         |        row_number() OVER (PARTITION BY n.id
+         |          ORDER BY round(${dDot("n.v", "c.cv")} / (n.nrm * c.cnrm), 6) DESC, c.cell) AS rnk
+         |      FROM n CROSS JOIN c)
+         |SELECT cell, count(*) AS n_members, min(id) AS min_id,
+         |  round(CAST(SUM(CAST(csim AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_sim
+         |FROM a WHERE rnk = 1 GROUP BY cell ORDER BY cell""".stripMargin,
+
+    "rag_bm25" ->
+      s"""WITH t AS (SELECT doc_id, ${dToks("text")} AS tk FROM documents),
+         |stats AS (SELECT count(*) AS n_docs, avg(len(tk)) AS avg_len FROM t),
+         |terms AS (SELECT unnest([${Ranking.DefaultTerms.map(w => s"'$w'").mkString(",")}]) AS term),
+         |tf AS (SELECT doc_id, w AS term, dl, count(*) AS tf
+         |       FROM (SELECT doc_id, unnest(tk) AS w, CAST(len(tk) AS BIGINT) AS dl FROM t)
+         |       WHERE w IN (SELECT term FROM terms) GROUP BY 1, 2, 3),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT doc_id,
+         |         round(ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         |           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avg_len)), 6) AS term_score
+         |       FROM tf JOIN df ON tf.term = df.term CROSS JOIN stats s)
+         |SELECT doc_id, CAST(SUM(CAST(term_score AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+         |FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
 
     "rag_retrieve" ->
       s"""$embNormCte,
@@ -469,6 +578,28 @@ object SparkEntry {
          |  $cols
          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
     },
+
+    "q_range_join" ->
+      """WITH b AS (SELECT band, CAST(band * 50.0 AS DOUBLE) AS lo,
+        |    CAST((band + 1) * 50.0 AS DOUBLE) AS hi
+        |  FROM (SELECT unnest(range(0, 10)) AS band))
+        |SELECT b.band, b.lo, b.hi, count(e.event_id) AS n_events,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM b LEFT JOIN events e ON e.value >= b.lo AND e.value < b.hi
+        |GROUP BY 1, 2, 3 ORDER BY band""".stripMargin,
+
+    "ev_anomaly" ->
+      """WITH s AS (SELECT event_type,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sumv,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sumsq,
+        |    count(*) AS n
+        |  FROM events GROUP BY event_type),
+        |m AS (SELECT event_type, sumv / n AS mean,
+        |        sqrt(sumsq / n - (sumv / n) * (sumv / n)) AS std FROM s)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  round((e.value - m.mean) / m.std, 4) AS z
+        |FROM events e JOIN m ON e.event_type = m.event_type
+        |WHERE abs((e.value - m.mean) / m.std) > 3 ORDER BY event_id""".stripMargin,
 
     "ev_tumbling_agg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -103,6 +103,24 @@ object TextFunctions {
   def fingerprint(toks: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(toks))))
 
+  /** PII patterns (RE2-compatible — no lookarounds — so the DuckDB
+    * oracle replays them verbatim). */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern: String = "\\+?[0-9][0-9() .-]{7,}[0-9]"
+
+  /** Redact emails then phone numbers. Map-only; the codegen'd
+    * regexp_replace keeps this in whole-stage codegen. */
+  def piiScrub(c: Column): Column =
+    regexp_replace(
+      regexp_replace(c, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+
+  def piiEmailCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(EmailPattern), lit(0))).cast("long")
+
+  def piiPhoneCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(PhonePattern), lit(0))).cast("long")
+
   /** Word n-gram shingles over a token array; empty when |toks| < n. */
   def shingles(toks: Column, n: Int): Column =
     when(size(toks) >= n,

@@ -182,4 +182,24 @@ object Analytics {
       .orderBy(col("total_spend").desc, col("c_custkey"))
       .limit(k)
   }
+
+  /** Range join: events histogrammed into fixed value bands via a
+    * non-equi join. The band table is O(bands) so it broadcasts and
+    * the fact side streams map-side — a broadcast nested-loop whose
+    * inner loop is the band count, not a shuffle. (With a DERIVED
+    * band table you'd instead compute the band key arithmetically
+    * map-side; the join form is the general one for irregular
+    * bands.) */
+  def valueBands(spark: SparkSession, dir: String,
+                 nBands: Int = 10, width: Double = 50.0): DataFrame = {
+    val bands = spark.range(nBands).select(col("id").as("band"),
+      (col("id") * width).cast("double").as("lo"),
+      ((col("id") + 1) * width).cast("double").as("hi"))
+    val ev = Tables.events(spark, dir)
+    bands.join(ev, col("value") >= col("lo") && col("value") < col("hi"), "left")
+      .groupBy(col("band"), col("lo"), col("hi"))
+      .agg(count(col("event_id")).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .orderBy(col("band"))
+  }
 }

@@ -76,4 +76,27 @@ object Events {
         min(col("ts")).as("first_seen"),
         max(col("ts")).as("last_seen"))
       .orderBy(col("user_id"))
+
+  /** Per-type z-score outliers (|z| > `zMax`). Moments come from one
+    * partial-aggregating pass with DECIMAL sums (exact → the derived
+    * mean/std are identical on any partitioning and in the oracle);
+    * the per-type stats table is tiny and broadcasts back onto the
+    * stream of events — two narrow passes total, no wide shuffle of
+    * the events themselves. */
+  def anomalies(events: DataFrame, zMax: Double = 3.0): DataFrame = {
+    val d = col("value").cast("decimal(18,4)")
+    val stats = events.groupBy(col("event_type"))
+      .agg(sum(d).cast("double").as("sumv"),
+        sum(d * d).cast("double").as("sumsq"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), (col("sumv") / col("n")).as("mean"),
+        sqrt(col("sumsq") / col("n") -
+          (col("sumv") / col("n")) * (col("sumv") / col("n"))).as("std"))
+    val z = (col("value") - col("mean")) / col("std")
+    events.join(broadcast(stats), "event_type")
+      .where(abs(z) > zMax)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(z, 4).as("z"))
+      .orderBy(col("event_id"))
+  }
 }

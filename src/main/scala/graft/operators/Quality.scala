@@ -60,4 +60,64 @@ object Quality {
       .agg(round(avg(length(col(contentCol))), 4).as("avg_length"))
       .orderBy(col("avg_length").desc, col(by))
       .limit(k)
+
+  /** Stopwords the gopher-style rule checks for (small fixed list so
+    * the oracle can inline it). */
+  val GopherStopwords: Seq[String] = Seq("the", "a", "of", "to", "and", "in")
+
+  /** Gopher-style document filter (per Rae et al.'s quality rules —
+    * word-count band, mean-word-length band, alphabetic-word ratio,
+    * required stopwords). Pure map-side row metrics + verdict; rows
+    * carry the metrics so downstream can audit WHY a doc dropped. */
+  def gopherFilter(docs: DataFrame, contentCol: String = "text",
+                   minWords: Long = 50, maxWords: Long = 100000): DataFrame = {
+    val tk = tokens(col(contentCol))
+    val nWords = size(tk).cast("long")
+    val charSum = aggregate(transform(tk, w => length(w).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val nAlpha = size(filter(tk, w => w.rlike("[A-Za-z]"))).cast("long")
+    val nStop = size(filter(tk, w => w.isin(GopherStopwords: _*))).cast("long")
+    val meanWordLen = charSum.cast("double") / nWords
+    val alphaRatio = nAlpha.cast("double") / nWords
+    docs.select(col("doc_id"), nWords.as("n_words"),
+        round(meanWordLen, 4).as("mean_word_len"),
+        round(alphaRatio, 4).as("alpha_ratio"), nStop.as("n_stop"),
+        when(nWords.between(minWords, maxWords) &&
+          meanWordLen.between(3.0, 10.0) &&
+          alphaRatio >= 0.8 && nStop >= 2, 1L).otherwise(0L).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-source content-length quartiles via ntile. The window is
+    * partitioned by source, so at scale each source sorts
+    * independently across the cluster — no global sort. */
+  def lengthQuartiles(docs: DataFrame, contentCol: String = "text",
+                      by: String = "source"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(by)).orderBy(length(col(contentCol)), col("doc_id"))
+    docs.select(col(by), length(col(contentCol)).cast("long").as("len"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .groupBy(col(by), col("quartile"))
+      .agg(count(lit(1)).as("n"), min(col("len")).as("min_len"),
+        max(col("len")).as("max_len"))
+      .orderBy(col(by), col("quartile"))
+  }
+
+  /** Top-k words per source: two-level aggregation (word counts
+    * partial-agg map-side, then a per-source window over the already
+    * tiny (source, word, freq) set). The window input is the grouped
+    * counts, never the exploded tokens. */
+  def topWordsPerSource(docs: DataFrame, contentCol: String = "text",
+                        by: String = "source", minLen: Int = 3, k: Int = 5): DataFrame = {
+    val counts = docs
+      .select(col(by), explode(tokens(lower(col(contentCol)))).as("word"))
+      .where(length(col("word")) > minLen)
+      .groupBy(col(by), col("word")).agg(count(lit(1)).as("freq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(by)).orderBy(col("freq").desc, col("word"))
+    counts.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col(by), col("rnk"), col("word"), col("freq"))
+      .orderBy(col(by), col("rnk"))
+  }
 }

@@ -86,20 +86,45 @@ object Similarity {
     * queries probe the `nprobe` nearest cells. At scale the
     * assignment is one broadcast join over the corpus and the probe
     * join touches nprobe/nCells of the data. */
-  def ivfTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10,
-              nCells: Int = 16, nprobe: Int = 4,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+  /** Nearest-centroid assignment (the IVF coarse quantizer, exposed):
+    * centroids = the `nCells` lowest-id vectors (deterministic, no
+    * training loop needed for the plumbing); broadcast them and rank
+    * cosine per vector. Input must carry (id, v, nrm). Output adds
+    * (cell, csim). */
+  def assignCells(e: DataFrame, nCells: Int): DataFrame = {
     val cents = e.where(col("id") < nCells)
       .select(col("id").as("cell"), col("v").as("cv"), col("nrm").as("cnrm"))
-    // nearest centroid per vector (cosine): broadcast centroids, rank 1
     val assignW = Window.partitionBy(col("id")).orderBy(col("csim").desc, col("cell"))
-    val assigned = e.join(broadcast(cents), lit(true))
+    e.join(broadcast(cents), lit(true))
       .select(col("id"), col("v"), col("nrm"), col("cell"),
         round(cosinePrenormed(dot(col("v"), col("cv")), col("nrm"), col("cnrm")), 6).as("csim"))
       .withColumn("crank", row_number().over(assignW))
       .where(col("crank") === 1)
-      .select(col("id"), col("v"), col("nrm"), col("cell"))
+      .drop("crank")
+  }
+
+  /** Cluster occupancy of the IVF quantizer — the oracle-checked
+    * companion to `ivfTopK` (the top-k itself is approximate; the
+    * assignment is exact and hash-verifiable). avg_sim sums DECIMAL
+    * so it is order-independent. */
+  def clusterSizes(emb: DataFrame, nCells: Int = 16,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+    assignCells(e, nCells)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"), min(col("id")).as("min_id"),
+        round(sum(col("csim").cast("decimal(18,6)")).cast("double") / count(lit(1)), 6)
+          .as("avg_sim"))
+      .orderBy(col("cell"))
+  }
+
+  def ivfTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10,
+              nCells: Int = 16, nprobe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+    val assigned = assignCells(e, nCells).select(col("id"), col("v"), col("nrm"), col("cell"))
+    val cents = e.where(col("id") < nCells)
+      .select(col("id").as("cell"), col("v").as("cv"), col("nrm").as("cnrm"))
     // nprobe nearest cells per query
     val probeW = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cell"))
     val probes = e.where(col("id") < nQueries)

@@ -1,0 +1,78 @@
+package graft
+
+import graft.functions.TextFunctions._
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-2 curation operators: BM25 ranking, gopher
+  * filtering, PII scrubbing, decontamination, hash sampling, range
+  * banding, anomaly detection, cluster assignment. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bm25 ranks the doc with more query-term occurrences higher") {
+    val docs = Seq(
+      (1L, "spark join spark join spark"),
+      (2L, "spark other words here now"),
+      (3L, "nothing relevant at all here")).toDF("doc_id", "text")
+    val got = Ranking.bm25TopK(docs, Seq("spark", "join"), topK = 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 2L)) // doc 3 scores nothing
+    assert(got(0)._2 > got(1)._2)
+  }
+
+  test("gopher filter drops short docs and keeps long prose") {
+    val long = (1 to 60).map(i => s"word$i").mkString(" ") + " the a of to"
+    val docs = Seq((1L, "too short"), (2L, long)).toDF("doc_id", "text")
+    val keep = Quality.gopherFilter(docs).select($"doc_id", $"keep")
+      .as[(Long, Long)].collect().toMap
+    assert(keep(1L) == 0L && keep(2L) == 1L)
+  }
+
+  test("pii scrub redacts emails and phones, counts match") {
+    val docs = Seq((1L, "mail me at jo.doe+x@site.org or call +1 555-123-4567 ok"))
+      .toDF("doc_id", "text")
+    val row = docs.select(piiScrub($"text").as("s"),
+        piiEmailCount($"text").as("e"), piiPhoneCount($"text").as("p"))
+      .as[(String, Long, Long)].head()
+    assert(row._1 == "mail me at <EMAIL> or call <PHONE> ok")
+    assert(row._2 == 1L && row._3 == 1L)
+  }
+
+  test("decontamination flags the doc sharing a 5-gram with the benchmark") {
+    val bench = "alpha beta gamma delta epsilon zeta"
+    val contaminated = "intro words then alpha beta gamma delta epsilon end"
+    val clean = "totally different content with many other tokens inside"
+    val docs = Seq((0L, bench), (25L, contaminated), (30L, clean)).toDF("doc_id", "text")
+    val got = Decontam.flagContaminated(docs, benchmarkMaxId = 20)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((25L, 1L))) // "alpha beta gamma delta epsilon" is shared
+  }
+
+  test("hash sampling is deterministic and roughly proportional") {
+    val docs = spark.range(1000).select($"id".as("doc_id"))
+    val a = Sampling.hashSample(docs, 20).count()
+    val b = Sampling.hashSample(docs, 20).count()
+    assert(a == b && a > 120 && a < 280)
+    assert(Sampling.uniformN(docs, 50).count() == 50)
+  }
+
+  test("value bands partition all events exactly once") {
+    val bands = Analytics.valueBands(spark, sf)
+    val total = bands.agg(sum($"n_events")).as[Long].head()
+    assert(total == Tables.events(spark, sf).count())
+  }
+
+  test("anomalies are symmetric-tail outliers with |z| > 3") {
+    val out = Events.anomalies(Tables.events(spark, sf))
+    val zs = out.select($"z").as[Double].collect()
+    assert(zs.nonEmpty && zs.forall(z => math.abs(z) > 3.0))
+  }
+
+  test("cluster assignment covers every vector exactly once") {
+    val emb = Tables.embeddings(spark, sf)
+    val sizes = Similarity.clusterSizes(emb)
+    assert(sizes.agg(sum($"n_members")).as[Long].head() == emb.count())
+    assert(sizes.select($"cell").as[Long].collect().toSet.subsetOf((0L until 16L).toSet))
+  }
+}
