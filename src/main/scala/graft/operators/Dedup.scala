@@ -73,6 +73,16 @@ object Dedup {
     verifyJaccard(cand, sets, tau)
   }
 
+  /** The per-doc signature table: hashed shingle set + k-hash MinHash
+    * signature, one map-side pass. At 100 TB this is the table you
+    * materialize ONCE (e.g. `Sources.writeZone`) and reuse across
+    * every dedup run / banding configuration — recomputing shingles
+    * on both sides of the self-join doubles the dominant cost. */
+  def signatureTable(docs: DataFrame, contentCol: String = "text",
+                     idCol: String = "doc_id", n: Int = 3, k: Int = 16): DataFrame =
+    hashedShingleSets(docs, contentCol, idCol, n)
+      .withColumn("sig", graft.plans.NativeExprs.minhashSig(col("shh"), k))
+
   /** MinHash + LSH banding: k-hash signatures map-side, candidates
     * from band-bucket equi-join, exact-Jaccard verification. The
     * banding threshold is ~(1/bands)^(bands/k); with k=16, bands=4
@@ -80,10 +90,16 @@ object Dedup {
     * operating point for corpus dedup at 100 TB. */
   def minhashLshPairs(docs: DataFrame, contentCol: String = "text",
                       idCol: String = "doc_id", n: Int = 3, k: Int = 16,
-                      bands: Int = 4, tau: Double = 0.5): DataFrame = {
+                      bands: Int = 4, tau: Double = 0.5): DataFrame =
+    minhashLshPairsFrom(signatureTable(docs, contentCol, idCol, n, k),
+      k = k, bands = bands, tau = tau)
+
+  /** The banding + verify stages over an existing signature table
+    * (freshly computed or read back from a materialized zone —
+    * results are bit-identical either way). */
+  def minhashLshPairsFrom(sigs: DataFrame, k: Int = 16, bands: Int = 4,
+                          tau: Double = 0.5): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
-    val sets = hashedShingleSets(docs, contentCol, idCol, n)
-    val sigs = sets.withColumn("sig", graft.plans.NativeExprs.minhashSig(col("shh"), k))
     val banded = sigs.select(col("id"),
       posexplode(bandKeys(col("sig"), bands, k / bands)).as(Seq("band", "bkey")))
     val cand = banded.as("a").join(banded.as("b"),
@@ -91,7 +107,7 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    verifyJaccard(cand, sets, tau)
+    verifyJaccard(cand, sigs.select(col("id"), col("shh")), tau)
   }
 
   /** Exact-Jaccard verify of candidate pairs against full shingle

@@ -83,17 +83,23 @@ object Events {
     * the per-type stats table is tiny and broadcasts back onto the
     * stream of events — two narrow passes total, no wide shuffle of
     * the events themselves. */
-  def anomalies(events: DataFrame, zMax: Double = 3.0): DataFrame = {
+  /** Per-type (mean, std) from one partial-aggregating pass with
+    * DECIMAL sums — exact on any partitioning. Reused as the static
+    * side of the streaming anomaly scorer. */
+  def typeStats(events: DataFrame): DataFrame = {
     val d = col("value").cast("decimal(18,4)")
-    val stats = events.groupBy(col("event_type"))
+    events.groupBy(col("event_type"))
       .agg(sum(d).cast("double").as("sumv"),
         sum(d * d).cast("double").as("sumsq"),
         count(lit(1)).as("n"))
       .select(col("event_type"), (col("sumv") / col("n")).as("mean"),
         sqrt(col("sumsq") / col("n") -
           (col("sumv") / col("n")) * (col("sumv") / col("n"))).as("std"))
+  }
+
+  def anomalies(events: DataFrame, zMax: Double = 3.0): DataFrame = {
     val z = (col("value") - col("mean")) / col("std")
-    events.join(broadcast(stats), "event_type")
+    events.join(broadcast(typeStats(events)), "event_type")
       .where(abs(z) > zMax)
       .select(col("event_id"), col("event_type"), col("value"),
         round(z, 4).as("z"))

@@ -70,7 +70,14 @@ object Quality {
     * required stopwords). Pure map-side row metrics + verdict; rows
     * carry the metrics so downstream can audit WHY a doc dropped. */
   def gopherFilter(docs: DataFrame, contentCol: String = "text",
-                   minWords: Long = 50, maxWords: Long = 100000): DataFrame = {
+                   minWords: Long = 50, maxWords: Long = 100000): DataFrame =
+    gopherFilterUnordered(docs, contentCol, minWords, maxWords)
+      .orderBy(col("doc_id"))
+
+  /** The map-only part of the gopher filter (no output sort) — the
+    * form that lifts unchanged into Structured Streaming. */
+  def gopherFilterUnordered(docs: DataFrame, contentCol: String = "text",
+                            minWords: Long = 50, maxWords: Long = 100000): DataFrame = {
     val tk = tokens(col(contentCol))
     val nWords = size(tk).cast("long")
     val charSum = aggregate(transform(tk, w => length(w).cast("long")),
@@ -80,12 +87,11 @@ object Quality {
     val meanWordLen = charSum.cast("double") / nWords
     val alphaRatio = nAlpha.cast("double") / nWords
     docs.select(col("doc_id"), nWords.as("n_words"),
-        round(meanWordLen, 4).as("mean_word_len"),
-        round(alphaRatio, 4).as("alpha_ratio"), nStop.as("n_stop"),
-        when(nWords.between(minWords, maxWords) &&
-          meanWordLen.between(3.0, 10.0) &&
-          alphaRatio >= 0.8 && nStop >= 2, 1L).otherwise(0L).as("keep"))
-      .orderBy(col("doc_id"))
+      round(meanWordLen, 4).as("mean_word_len"),
+      round(alphaRatio, 4).as("alpha_ratio"), nStop.as("n_stop"),
+      when(nWords.between(minWords, maxWords) &&
+        meanWordLen.between(3.0, 10.0) &&
+        alphaRatio >= 0.8 && nStop >= 2, 1L).otherwise(0L).as("keep"))
   }
 
   /** Per-source content-length quartiles via ntile. The window is

@@ -1,0 +1,35 @@
+package graft.streaming
+
+import graft.operators.{Events, Quality}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming mirrors of the curation operators.
+  *
+  * The stateless ones (quality filter, PII scrub) lift unchanged —
+  * they are map-only Column expressions, so the same function runs
+  * batch or streaming. Anomaly detection becomes a stream-static
+  * join: moments are computed batch-side over the historical corpus
+  * (exact DECIMAL sums), broadcast, and each micro-batch scores
+  * against them — the standard "train offline, score online" shape.
+  */
+object StreamingCuration {
+
+  /** Stateless quality gate on a document stream: keep only rows the
+    * gopher rules pass. Identical verdicts to the batch filter. */
+  def gopherKeep(stream: DataFrame): DataFrame = {
+    val scored = Quality.gopherFilterUnordered(stream)
+    stream.join(scored.where(col("keep") === 1L).select(col("doc_id")), "doc_id")
+  }
+
+  /** Stream-static anomaly scoring: z-scores against batch-computed
+    * per-type moments. `staticStats` comes from
+    * `Events.typeStats(batchEvents)`; the static side broadcasts
+    * into every micro-batch. */
+  def anomalyScores(stream: DataFrame, staticStats: DataFrame, zMax: Double = 3.0): DataFrame = {
+    val z = (col("value") - col("mean")) / col("std")
+    stream.join(broadcast(staticStats), "event_type")
+      .where(abs(z) > zMax)
+      .select(col("event_id"), col("event_type"), col("value"), round(z, 4).as("z"))
+  }
+}

@@ -67,6 +67,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(dataShuffles(df) <= 1)
   }
 
+  test("decontamination joins the benchmark side as a broadcast") {
+    val df = SparkEntry.queries("txt_decontaminate")(spark, sf)
+    assert(count(df, _.isInstanceOf[BroadcastHashJoinExec]) >= 1)
+    assert(count(df, _.isInstanceOf[SortMergeJoinExec]) == 0)
+  }
+
+  test("bm25 broadcasts the df/stats sides, never sort-merges") {
+    val df = SparkEntry.queries("rag_bm25")(spark, sf)
+    assert(count(df, _.isInstanceOf[BroadcastHashJoinExec]) >= 1)
+    assert(count(df, _.isInstanceOf[SortMergeJoinExec]) == 0)
+  }
+
+  test("range join broadcasts the band table (nested-loop, no shuffle of facts)") {
+    val df = SparkEntry.queries("q_range_join")(spark, sf)
+    assert(count(df,
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]) == 1)
+  }
+
   test("documents scan prunes to the referenced columns") {
     val df = SparkEntry.queries("txt_token_count")(spark, sf)
     val scan = physical(df).collectLeaves().map(_.toString).mkString
