@@ -64,6 +64,8 @@ object SparkEntry {
         "content")
         .select(col("doc_id"), col("chunk"), col("chunk_length"))
         .orderBy(col("doc_id"), col("chunk"))),
+    "pipe_pack_sequences" -> ((s, d) =>
+      Chunker.packSequences(Medallion.pipeline(Tables.documents(s, d)))),
     "pipe_end_to_end" -> ((s, d) =>
       Medallion.pipeline(Tables.documents(s, d))
         .groupBy(col("source"))
@@ -131,6 +133,14 @@ object SparkEntry {
     "samp_uniform" -> ((s, d) =>
       Sampling.uniformN(Tables.documents(s, d), 100)
         .select(col("doc_id"), col("source"), col("h"))),
+    "samp_weighted" -> ((s, d) =>
+      Sampling.weightedSample(Tables.documents(s, d),
+          when(col("source").isin("src0", "src1", "src2", "src3"), lit(50)).otherwise(lit(10)))
+        .select(col("doc_id"), col("source")).orderBy(col("doc_id"))),
+    "samp_split" -> ((s, d) =>
+      Sampling.splitAssign(Tables.documents(s, d))
+        .groupBy(col("source"), col("split")).agg(count(lit(1)).as("n"))
+        .orderBy(col("source"), col("split"))),
 
     // ── deduplication ───────────────────────────────────────────────
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
@@ -139,6 +149,8 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingPairs(Tables.embeddings(s, d))),
     "dedup_embedding_lsh" -> ((s, d) => Dedup.embeddingPairsLsh(Tables.embeddings(s, d))),
+    "dedup_clusters" -> ((s, d) =>
+      Dedup.nearDupClusters(Dedup.minhashLshPairs(Tables.documents(s, d)))),
 
     // ── similarity search ───────────────────────────────────────────
     "ann_brute_topk" -> ((s, d) => Similarity.bruteTopK(Tables.embeddings(s, d))),
@@ -286,6 +298,17 @@ object SparkEntry {
       s"""$silverCte SELECT doc_id, count(*) AS n_chunks,
          |  min(length(chunk)) AS min_chunk_len, max(length(chunk)) AS max_chunk_len
          |FROM gold GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "pipe_pack_sequences" ->
+      s"""$silverCte,
+         |tc AS (SELECT doc_id, source, chunk_idx,
+         |  CAST(len(${dToks("chunk")}) AS BIGINT) AS n_tok FROM gold),
+         |cum AS (SELECT *, SUM(n_tok) OVER (PARTITION BY source
+         |  ORDER BY doc_id, chunk_idx ROWS UNBOUNDED PRECEDING) AS cum_tok FROM tc),
+         |blocks AS (SELECT source,
+         |  CAST(floor((cum_tok - n_tok) / 512) AS BIGINT) AS block_id, doc_id, n_tok FROM cum)
+         |SELECT source, block_id, count(*) AS n_chunks, count(DISTINCT doc_id) AS n_docs,
+         |  SUM(n_tok) AS n_tokens
+         |FROM blocks GROUP BY 1, 2 ORDER BY source, block_id""".stripMargin,
     "pipe_end_to_end" ->
       s"""$silverCte SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
          |  round(avg(length(chunk)), 4) AS avg_chunk_len
@@ -417,6 +440,18 @@ object SparkEntry {
     "samp_uniform" ->
       """SELECT doc_id, source, md5('u:' || doc_id) AS h FROM documents
         |ORDER BY h LIMIT 100""".stripMargin,
+    "samp_weighted" ->
+      s"""SELECT doc_id, source FROM documents
+         |WHERE ${dHex12("'mix:' || doc_id")} % 100 <
+         |  CASE WHEN source IN ('src0','src1','src2','src3') THEN 50 ELSE 10 END
+         |ORDER BY doc_id""".stripMargin,
+    "samp_split" ->
+      s"""WITH k AS (SELECT doc_id, source,
+         |    ${dHex12("'split:' || doc_id")} % 100 AS bucket FROM documents)
+         |SELECT source,
+         |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+         |       ELSE 'test' END AS split, count(*) AS n
+         |FROM k GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
@@ -449,6 +484,32 @@ object SparkEntry {
          |  CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
          |FROM sims a JOIN sims b ON a.id < b.id
          |WHERE bit_count(xor(a.sim, b.sim)) <= 3 ORDER BY id_a, id_b""".stripMargin,
+    "dedup_clusters" ->
+      s"""$shingleCte,
+         |sigs AS (SELECT id, shh, list_transform(range(0, 16), s ->
+         |  list_min(list_transform(shh, m ->
+         |    ((2 * s + 1) * (m % 2147483647) + s * 7919 + 1) % 2147483647))) AS sig FROM sets),
+         |bandk AS (SELECT id, bi,
+         |  ${dHex12("array_to_string(list_slice(sig, bi * 4 + 1, bi * 4 + 4), ',')")} AS bkey
+         |  FROM sigs, (SELECT unnest(range(0, 4)) AS bi) bb),
+         |cand AS (SELECT DISTINCT k1.id AS id_a, k2.id AS id_b
+         |         FROM bandk k1 JOIN bandk k2 ON k1.bi = k2.bi AND k1.bkey = k2.bkey AND k1.id < k2.id),
+         |v AS (SELECT id_a, id_b, CAST(len(list_intersect(x.shh, y.shh)) AS BIGINT) AS inter,
+         |             len(x.shh) AS sa, len(y.shh) AS sb
+         |      FROM cand JOIN sets x ON x.id = id_a JOIN sets y ON y.id = id_b),
+         |pairs AS (SELECT id_a, id_b FROM v
+         |          WHERE round(CAST(inter AS DOUBLE) / CAST(sa + sb - inter AS DOUBLE), 4) >= 0.5),
+         |e AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS id FROM e),
+         |reach AS (
+         |  WITH RECURSIVE r(src, dst) AS (
+         |    SELECT id, id FROM nodes
+         |    UNION
+         |    SELECT r.src, e.b FROM r JOIN e ON r.dst = e.a)
+         |  SELECT * FROM r)
+         |SELECT src AS doc_id, min(dst) AS cluster_id FROM reach
+         |GROUP BY src ORDER BY doc_id""".stripMargin,
+
     "dedup_embedding" ->
       s"""$embNormCte,
          |p AS (SELECT a.id AS id_a, b.id AS id_b,

@@ -74,6 +74,31 @@ object Chunker {
   }
 
   /** DataFrame wrapper for the recursive splitter. */
+  /** Pack chunks into fixed-token-budget training blocks: a running
+    * token count per source assigns each chunk to
+    * `floor(preceding_tokens / blockTokens)` — greedy packing in
+    * (doc_id, chunk_idx) order, the shape a pretraining data loader
+    * consumes. The window partitions by source, so each source packs
+    * independently across the cluster — no global sort; at 100 TB
+    * you partition by (source, date) shard keys the same way. */
+  def packSequences(chunks: DataFrame, blockTokens: Int = 512): DataFrame = {
+    import graft.functions.TextFunctions.tokenCount
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"), col("chunk_idx"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    chunks
+      .select(col("source"), col("doc_id"), col("chunk_idx"),
+        tokenCount(col("chunk")).as("n_tok"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .withColumn("block_id",
+        floor((col("cum_tok") - col("n_tok")) / lit(blockTokens)).cast("long"))
+      .groupBy(col("source"), col("block_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"))
+      .orderBy(col("source"), col("block_id"))
+  }
+
   def recursive(df: DataFrame, contentCol: String,
                 size: Int = 200, overlap: Int = 10): DataFrame = {
     val splitUdf = udf((s: String) => splitRecursive(s, size, overlap))

@@ -124,6 +124,54 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Connected components over near-dup pairs: every doc in a dup
+    * pair gets its component's minimum doc id as `cluster_id` — the
+    * canonical representative, i.e. the row dedup keeps.
+    *
+    * Iterative min-label propagation (the standard distributed CC:
+    * each round, a node takes the min of its own and its neighbors'
+    * labels; converges in ≤ diameter rounds, O(log n) with the
+    * doubling effect of already-propagated minima). Near-dup
+    * components are tiny and shallow in practice, so this is 2–3
+    * rounds over an edge set that is itself the (small) pair list —
+    * NOT over the corpus. The convergence check reads one scalar
+    * per round; labels only ever decrease, so an unchanged sum is a
+    * fixpoint. */
+  def nearDupClusters(pairs: DataFrame): DataFrame = {
+    // one pass over the (possibly expensive) pair pipeline: emit both
+    // edge directions via explode rather than a union of two scans
+    val e = pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("edge"))
+      .select(col("edge.src").as("src"), col("edge.dst").as("dst"))
+      .persist()
+    var labels = e.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .persist()
+    var prevSum = labels.agg(sum(col("label"))).head.getLong(0)
+    var converged = false
+    while (!converged) {
+      val nbrMin = e.join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("label")).as("nbr_min"))
+      // simple min-propagation: near-dup components are tiny and
+      // shallow (diameter 2–3), so extra machinery (pointer doubling,
+      // star contraction) costs more per round than it saves
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .persist()
+      val nextSum = next.agg(sum(col("label"))).head.getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = nextSum == prevSum
+      prevSum = nextSum
+    }
+    val out = labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy(col("doc_id"))
+    e.unpersist()
+    out
+  }
+
   /** SimHash near-dup pairs with hamming ≤ maxHamming (≤ 3). Blocking
     * on the 4 byte-bands of the 32-bit simhash is *lossless* for
     * hamming ≤ 3 (pigeonhole: 3 flipped bits can't touch all 4

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.HashFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling for training-data curation.
@@ -22,6 +22,28 @@ object Sampling {
                  salt: String = "samp"): DataFrame =
     df.where(
       HashFunctions.md5Long(concat(lit(s"$salt:"), col(keyCol))) % 100 < pct)
+
+  /** Mixture/domain-weighted sampling: per-row keep rate comes from a
+    * rate Column (percent, 0–100) — e.g. upweight curated sources,
+    * downweight crawl. Same hash discipline as `hashSample`: map-only
+    * and retry-stable. */
+  def weightedSample(df: DataFrame, rate: Column, keyCol: String = "doc_id",
+                     salt: String = "mix"): DataFrame =
+    df.where(
+      HashFunctions.md5Long(concat(lit(s"$salt:"), col(keyCol))) % 100 < rate)
+
+  /** Deterministic train/val/test assignment from the key hash:
+    * bucket < trainPct → train, < trainPct+valPct → val, else test.
+    * A document lands in the same split on every engine and every
+    * run — the property that keeps eval sets leak-free. */
+  def splitAssign(df: DataFrame, trainPct: Int = 80, valPct: Int = 10,
+                  keyCol: String = "doc_id", salt: String = "split"): DataFrame = {
+    val bucket = HashFunctions.md5Long(concat(lit(s"$salt:"), col(keyCol))) % 100
+    df.withColumn("split",
+      when(bucket < trainPct, lit("train"))
+        .when(bucket < trainPct + valPct, lit("val"))
+        .otherwise(lit("test")))
+  }
 
   /** Exactly-n uniform sample: rank by salted md5 and keep the lowest
     * n. Runs as a distributed top-k (TakeOrdered: per-partition heap

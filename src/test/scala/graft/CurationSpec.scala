@@ -69,6 +69,44 @@ class CurationSpec extends SparkSpec {
     assert(zs.nonEmpty && zs.forall(z => math.abs(z) > 3.0))
   }
 
+  test("near-dup clustering assigns the component minimum as representative") {
+    val pairs = Seq((1L, 2L), (2L, 5L), (7L, 9L)).toDF("id_a", "id_b")
+    val got = Dedup.nearDupClusters(pairs).as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (5L, 1L), (7L, 7L), (9L, 7L)))
+  }
+
+  test("near-dup clustering converges on a chain (diameter > 1)") {
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
+    val labels = Dedup.nearDupClusters(chain).select($"cluster_id").as[Long].collect().toSet
+    assert(labels == Set(1L))
+  }
+
+  test("sequence packing conserves tokens and respects block budget") {
+    val chunks = Medallion.pipeline(Tables.documents(spark, sf))
+    val packed = Chunker.packSequences(chunks)
+    val packedTokens = packed.agg(sum($"n_tokens")).as[Long].head()
+    val directTokens = chunks.select(tokenCount($"chunk").as("t"))
+      .agg(sum($"t")).as[Long].head()
+    assert(packedTokens == directTokens)
+    // every block except possibly the last per source holds ≥ 512 tokens
+    // minus at most one chunk's worth of spill; block ids are dense from 0
+    val bySource = packed.select($"source", $"block_id").as[(String, Long)]
+      .collect().groupBy(_._1).values
+    bySource.foreach { blocks =>
+      val ids = blocks.map(_._2).sorted.toSeq
+      assert(ids == (0L until ids.length.toLong))
+    }
+  }
+
+  test("split assignment is exhaustive and deterministic") {
+    val docs = Tables.documents(spark, sf)
+    val a = Sampling.splitAssign(docs).groupBy($"split").count()
+      .as[(String, Long)].collect().toMap
+    assert(a.keySet == Set("train", "val", "test"))
+    assert(a.values.sum == docs.count())
+    assert(a("train") > a("val") && a("train") > a("test"))
+  }
+
   test("cluster assignment covers every vector exactly once") {
     val emb = Tables.embeddings(spark, sf)
     val sizes = Similarity.clusterSizes(emb)
