@@ -66,6 +66,19 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk"))),
     "pipe_pack_sequences" -> ((s, d) =>
       Chunker.packSequences(Medallion.pipeline(Tables.documents(s, d)))),
+    // per-zone row counts + avg content length (delta_queries.py:45-54)
+    "pipe_zone_lengths" -> ((s, d) => {
+      val bronze = Medallion.bronze(Tables.documents(s, d))
+      val silver = Medallion.silverDedup(Medallion.silverNormalize(bronze))
+      val gold = Medallion.pipeline(Tables.documents(s, d))
+      bronze.select(lit("bronze").as("zone"), col("content"))
+        .unionByName(silver.select(lit("silver").as("zone"), col("content")))
+        .unionByName(gold.select(lit("gold").as("zone"), col("chunk").as("content")))
+        .groupBy(col("zone"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(avg(length(col("content"))), 4).as("avg_len"))
+        .orderBy(col("zone"))
+    }),
     "pipe_end_to_end" -> ((s, d) =>
       Medallion.pipeline(Tables.documents(s, d))
         .groupBy(col("source"))
@@ -82,6 +95,7 @@ object SparkEntry {
     "dq_missing_values" -> ((s, d) =>
       Quality.missingValues(Tables.documents(s, d), Seq("text", "lang", "source"))),
     "dq_duplicate_analysis" -> ((s, d) => Quality.duplicateAnalysis(Tables.documents(s, d))),
+    "dq_duplicate_rows" -> ((s, d) => Quality.duplicateRows(Tables.documents(s, d))),
     "dq_word_freq" -> ((s, d) => Quality.wordFrequency(Tables.documents(s, d))),
     "dq_top_sources" -> ((s, d) => Quality.topSourcesByLength(Tables.documents(s, d))),
 
@@ -157,9 +171,11 @@ object SparkEntry {
     "ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d))),
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
     "emb_cluster_sizes" -> ((s, d) => Similarity.clusterSizes(Tables.embeddings(s, d))),
+    "emb_kmeans_update" -> ((s, d) => Similarity.lloydUpdate(Tables.embeddings(s, d))),
 
     // BM25 lexical ranking (RAG retrieval pre-filter / hybrid scorer)
     "rag_bm25" -> ((s, d) => Ranking.bm25TopK(Tables.documents(s, d))),
+    "txt_tfidf_topterms" -> ((s, d) => Ranking.tfidfTopTerms(Tables.documents(s, d))),
 
     // RAG retrieval (reference /ask flow): query embedding → top-k
     // neighbors → joined back to document text as cited snippets
@@ -298,6 +314,13 @@ object SparkEntry {
       s"""$silverCte SELECT doc_id, count(*) AS n_chunks,
          |  min(length(chunk)) AS min_chunk_len, max(length(chunk)) AS max_chunk_len
          |FROM gold GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "pipe_zone_lengths" ->
+      s"""$silverCte, z AS (
+         |  SELECT 'bronze' AS zone, content FROM bronze
+         |  UNION ALL SELECT 'silver', content FROM silver
+         |  UNION ALL SELECT 'gold', chunk FROM gold)
+         |SELECT zone, count(*) AS n_rows, round(avg(length(content)), 4) AS avg_len
+         |FROM z GROUP BY zone ORDER BY zone""".stripMargin,
     "pipe_pack_sequences" ->
       s"""$silverCte,
          |tc AS (SELECT doc_id, source, chunk_idx,
@@ -342,6 +365,12 @@ object SparkEntry {
       """SELECT count(*) AS total_records, count(DISTINCT text) AS unique_content,
         |  count(*) - count(DISTINCT text) AS duplicates
         |FROM documents""".stripMargin,
+    "dq_duplicate_rows" ->
+      """WITH hot AS (SELECT md5(text) AS content_hash, count(*) AS n_copies
+        |  FROM documents GROUP BY 1 HAVING count(*) > 1)
+        |SELECT d.doc_id, d.source, h.content_hash, h.n_copies
+        |FROM documents d JOIN hot h ON md5(d.text) = h.content_hash
+        |ORDER BY d.doc_id""".stripMargin,
     "dq_word_freq" ->
       s"""SELECT w AS word, count(*) AS frequency
          |FROM (SELECT unnest(${dToks("lower(text)")}) AS w FROM documents)
@@ -538,6 +567,33 @@ object SparkEntry {
          |SELECT cell, count(*) AS n_members, min(id) AS min_id,
          |  round(CAST(SUM(CAST(csim AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_sim
          |FROM a WHERE rnk = 1 GROUP BY cell ORDER BY cell""".stripMargin,
+
+    "emb_kmeans_update" ->
+      s"""$embNormCte,
+         |c AS (SELECT id AS cell, v AS cv, nrm AS cnrm FROM n WHERE id < 16),
+         |a AS (SELECT n.id, n.v, c.cell,
+         |        row_number() OVER (PARTITION BY n.id
+         |          ORDER BY round(${dDot("n.v", "c.cv")} / (n.nrm * c.cnrm), 6) DESC, c.cell) AS rnk
+         |      FROM n CROSS JOIN c),
+         |m AS (SELECT id, v, cell FROM a WHERE rnk = 1),
+         |x AS (SELECT cell, d.dim, round(v[d.dim], 6) AS val
+         |      FROM m, (SELECT unnest(range(1, 65)) AS dim) d)
+         |SELECT cell, CAST(dim AS BIGINT) AS dim,
+         |  CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS centroid
+         |FROM x GROUP BY 1, 2 ORDER BY cell, dim""".stripMargin,
+
+    "txt_tfidf_topterms" ->
+      s"""WITH t AS (SELECT doc_id, ${dToks("lower(text)")} AS tk FROM documents),
+         |stats AS (SELECT count(*) AS n_docs FROM t),
+         |tf AS (SELECT doc_id, w AS word, count(*) AS tf
+         |       FROM (SELECT doc_id, unnest(tk) AS w FROM t) WHERE length(w) > 3 GROUP BY 1, 2),
+         |df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+         |sc AS (SELECT doc_id, tf.word,
+         |         round(tf.tf * ln(CAST(s.n_docs AS DOUBLE) / df.df), 6) AS score
+         |       FROM tf JOIN df ON tf.word = df.word CROSS JOIN stats s),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rnk FROM sc)
+         |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, word, score FROM r WHERE rnk <= 3
+         |ORDER BY doc_id, rnk""".stripMargin,
 
     "rag_bm25" ->
       s"""WITH t AS (SELECT doc_id, ${dToks("text")} AS tk FROM documents),

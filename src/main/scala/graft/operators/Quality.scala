@@ -61,6 +61,21 @@ object Quality {
       .orderBy(col("avg_length").desc, col(by))
       .limit(k)
 
+  /** All rows whose content occurs more than once — the reference's
+    * `find_duplicates` (delta_queries.py:57-62, pandas
+    * `duplicated(keep=False)`). Scale shape: aggregate content hashes
+    * (one shuffle), keep the hot ones, semi-join the corpus back —
+    * the corpus itself never self-joins. */
+  def duplicateRows(docs: DataFrame, contentCol: String = "text"): DataFrame = {
+    val hot = docs.groupBy(md5(col(contentCol)).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"))
+      .where(col("n_copies") > 1)
+    docs.select(col("doc_id"), col("source"), md5(col(contentCol)).as("content_hash"))
+      .join(hot, "content_hash")
+      .select(col("doc_id"), col("source"), col("content_hash"), col("n_copies"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Stopwords the gopher-style rule checks for (small fixed list so
     * the oracle can inline it). */
   val GopherStopwords: Seq[String] = Seq("the", "a", "of", "to", "and", "in")

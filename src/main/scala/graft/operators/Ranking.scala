@@ -51,4 +51,29 @@ object Ranking {
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(topK)
   }
+
+  /** Per-document top-k TF-IDF terms (the classic keyword extractor):
+    * tf and df are two partial-aggregating passes over the exploded
+    * tokens; df is corpus-wide but only |vocab| rows, so it
+    * broadcasts back; the ranking window runs over the already
+    * grouped (doc, word, score) set, never the raw tokens. */
+  def tfidfTopTerms(docs: DataFrame, minLen: Int = 3, k: Int = 3,
+                    contentCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val t = docs.select(col(idCol).as("doc_id"), tokens(lower(col(contentCol))).as("tk"))
+    val stats = t.agg(count(lit(1)).as("n_docs"))
+    val tf = t.select(col("doc_id"), explode(col("tk")).as("word"))
+      .where(length(col("word")) > minLen)
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val score = round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("word"))
+    tf.join(broadcast(df), "word")
+      .crossJoin(broadcast(stats))
+      .withColumn("score", score)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("word"), col("score"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
 }

@@ -118,6 +118,32 @@ object Similarity {
       .orderBy(col("cell"))
   }
 
+  /** One Lloyd (k-means) centroid update over the IVF assignment:
+    * per-cell, per-dimension mean of the member vectors — the
+    * training step that turns the deterministic seed centroids into
+    * fitted ones. The explode is map-side; the only shuffle carries
+    * (cell, dim) partial DECIMAL sums (64·k cells rows), so the
+    * update costs one aggregation pass regardless of corpus size —
+    * iterate it k times for full Lloyd's. Values are rounded to 6dp
+    * before the exact DECIMAL sum, so the update is bit-stable on
+    * any partitioning (and in the DuckDB oracle). */
+  def lloydUpdate(emb: DataFrame, nCells: Int = 16,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+    assignCells(e, nCells)
+      .select(col("cell"), posexplode(col("v")).as(Seq("pos", "val0")))
+      .select(col("cell"), (col("pos") + 1).cast("long").as("dim"),
+        round(col("val0").cast("double"), 6).as("val"))
+      .groupBy(col("cell"), col("dim"))
+      // no rounding after the division: a 6-dp sum over a small count
+      // lands exactly on .5 ulp boundaries where engines' rounding
+      // implementations disagree; the raw quotient of an exact
+      // decimal-sum double by the count is bit-identical everywhere
+      .agg((sum(col("val").cast("decimal(18,6)")).cast("double") / count(lit(1)))
+        .as("centroid"))
+      .orderBy(col("cell"), col("dim"))
+  }
+
   def ivfTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10,
               nCells: Int = 16, nprobe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

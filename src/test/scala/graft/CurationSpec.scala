@@ -107,6 +107,38 @@ class CurationSpec extends SparkSpec {
     assert(a("train") > a("val") && a("train") > a("test"))
   }
 
+  test("lloyd update emits one centroid value per (cell, dim)") {
+    val up = Similarity.lloydUpdate(Tables.embeddings(spark, sf))
+    val rows = up.as[(Long, Long, Double)].collect()
+    assert(rows.length == 16 * 64)
+    assert(rows.forall { case (_, _, c) => !c.isNaN && math.abs(c) < 10 })
+    // a fitted centroid is a true mean: dims covered exactly 1..64 per cell
+    val dims = rows.groupBy(_._1).values.map(_.map(_._2).sorted.toSeq)
+    assert(dims.forall(_ == (1L to 64L)))
+  }
+
+  test("tfidf top terms are ranked descending within each doc") {
+    val tt = Ranking.tfidfTopTerms(Tables.documents(spark, sf))
+    val byDoc = tt.as[(Long, Long, String, Double)].collect().groupBy(_._1)
+    assert(byDoc.nonEmpty)
+    byDoc.values.foreach { rs =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length.toLong))
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._4 > b._4 || (a._4 == b._4 && a._3 < b._3)
+        case _ => true
+      })
+    }
+  }
+
+  test("duplicate rows returns every copy of duplicated content") {
+    val docs = Seq((1L, "x", "a"), (2L, "x", "a"), (3L, "y", "b"))
+      .toDF("doc_id", "text", "source")
+    val got = Quality.duplicateRows(docs)
+      .select($"doc_id", $"n_copies").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L), (2L, 2L)))
+  }
+
   test("cluster assignment covers every vector exactly once") {
     val emb = Tables.embeddings(spark, sf)
     val sizes = Similarity.clusterSizes(emb)

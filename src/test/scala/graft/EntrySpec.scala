@@ -23,7 +23,8 @@ class EntrySpec extends SparkSpec {
     // near-dup/similarity thresholds may legitimately find nothing in
     // the tiny sf0.001 corpus; everything else must produce rows
     val allowedEmpty = Set("dedup_ngram_jaccard", "dedup_minhash_lsh",
-      "dedup_simhash", "dedup_embedding", "dedup_embedding_lsh")
+      "dedup_simhash", "dedup_embedding", "dedup_embedding_lsh",
+      "dedup_clusters", "txt_decontaminate", "dq_duplicate_rows")
     assert((empties.toSet -- allowedEmpty).isEmpty,
       s"unexpectedly empty: ${empties.toSet -- allowedEmpty}")
   }
