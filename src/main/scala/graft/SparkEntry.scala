@@ -200,6 +200,10 @@ object SparkEntry {
     "q_type_pivot" -> ((s, d) => Analytics.eventTypePivot(s, d)),
     "q_approx_distinct" -> ((s, d) => Analytics.approxDistinct(s, d)),
     "q_range_join" -> ((s, d) => Analytics.valueBands(s, d)),
+    // two-phase salted aggregation produces results identical to the
+    // plain groupBy — the oracle IS the plain GROUP BY
+    "q_skew_salted_count" -> ((s, d) =>
+      Skew.saltedCount(Tables.events(s, d), "user_id").orderBy(col("user_id"))),
 
     // ── events ──────────────────────────────────────────────────────
     "ev_tumbling_agg" -> ((s, d) =>
@@ -229,7 +233,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
     "mm_frame_sample" -> ((s, d) =>
       Multimodal.sampleFrames(Multimodal.withBinaryPayload(Tables.documents(s, d)))
-        .orderBy(col("doc_id"), col("offset")))
+        .orderBy(col("doc_id"), col("offset"))),
+    // the mapPartitions decode path, exact-checked: the stub decoder
+    // is a 16-bin byte histogram the oracle replays in SQL
+    "mm_feature_hist" -> ((s, d) =>
+      Multimodal.extractFeatures(Multimodal.withBinaryPayload(Tables.documents(s, d)))
+        .select(col("doc_id"), posexplode(col("features")).as(Seq("bin", "n")))
+        .select(col("doc_id"), col("bin").cast("long").as("bin"), col("n"))
+        .orderBy(col("doc_id"), col("bin")))
   )
 
   // ════ DuckDB oracle SQL ════════════════════════════════════════════
@@ -696,6 +707,10 @@ object SparkEntry {
          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
     },
 
+    "q_skew_salted_count" ->
+      """SELECT user_id, count(*) AS cnt FROM events
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "q_range_join" ->
       """WITH b AS (SELECT band, CAST(band * 50.0 AS DOUBLE) AS lo,
         |    CAST((band + 1) * 50.0 AS DOUBLE) AS hi
@@ -766,6 +781,17 @@ object SparkEntry {
         |  CAST(ascii(substr(text, CAST(o + 1 AS INT), 1)) AS BIGINT) AS byte_val
         |FROM (SELECT doc_id, text, unnest(range(0, octet_length(encode(text)), 64)) AS o
         |      FROM documents)
-        |ORDER BY doc_id, "offset"""".stripMargin
+        |ORDER BY doc_id, "offset"""".stripMargin,
+    "mm_feature_hist" ->
+      """WITH bytes AS (
+        |  SELECT doc_id, ascii(substr(text, CAST(i + 1 AS INT), 1)) % 16 AS bin
+        |  FROM (SELECT doc_id, text, unnest(range(0, octet_length(encode(text)))) AS i
+        |        FROM documents)),
+        |c AS (SELECT doc_id, bin, count(*) AS n FROM bytes GROUP BY 1, 2),
+        |g AS (SELECT d.doc_id, bb.bin
+        |      FROM documents d, (SELECT unnest(range(0, 16)) AS bin) bb)
+        |SELECT g.doc_id, CAST(g.bin AS BIGINT) AS bin, COALESCE(c.n, 0) AS n
+        |FROM g LEFT JOIN c ON g.doc_id = c.doc_id AND g.bin = c.bin
+        |ORDER BY g.doc_id, g.bin""".stripMargin
   )
 }
