@@ -225,6 +225,8 @@ object SparkEntry {
         .withColumn("first_seen", date_format(col("first_seen"), TsFmtUs))
         .withColumn("last_seen", date_format(col("last_seen"), TsFmtUs))),
     "ev_anomaly" -> ((s, d) => Events.anomalies(Tables.events(s, d))),
+    "ev_funnel" -> ((s, d) => Events.funnel(Tables.events(s, d))),
+    "ev_retention" -> ((s, d) => Events.retention(Tables.events(s, d))),
 
     // ── multimodal ──────────────────────────────────────────────────
     "mm_binary_meta" -> ((s, d) =>
@@ -732,6 +734,27 @@ object SparkEntry {
         |  round((e.value - m.mean) / m.std, 4) AS z
         |FROM events e JOIN m ON e.event_type = m.event_type
         |WHERE abs((e.value - m.mean) / m.std) > 3 ORDER BY event_id""".stripMargin,
+
+    "ev_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN v ON e.user_id = v.user_id AND e.ts > v.t AND e.ts <= v.t + INTERVAL 24 HOURS
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN c ON e.user_id = c.user_id AND e.ts > c.t AND e.ts <= c.t + INTERVAL 24 HOURS
+        |  WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |  (SELECT count(*) FROM c) AS n_view_click,
+        |  (SELECT count(*) FROM p) AS n_full_funnel""".stripMargin,
+    "ev_retention" ->
+      """WITH f AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT e.user_id, f.cohort,
+        |        date_diff('day', f.cohort, CAST(e.ts AS DATE)) AS day_off
+        |      FROM events e JOIN f ON e.user_id = f.user_id)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort, CAST(day_off AS BIGINT) AS day_off,
+        |  count(*) AS n_users
+        |FROM a WHERE day_off <= 7 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "ev_tumbling_agg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -77,6 +77,48 @@ object Events {
         max(col("ts")).as("last_seen"))
       .orderBy(col("user_id"))
 
+  /** Ordered conversion funnel with per-stage windows: first view →
+    * first click within `windowHours` → first purchase within
+    * `windowHours` of that click. Each stage is one filtered
+    * aggregate joined to the previous stage's (small) user table —
+    * the stage tables shrink monotonically, so at scale each join
+    * broadcasts the converted-user side against the event stream. */
+  def funnel(events: DataFrame, windowHours: Int = 24): DataFrame = {
+    val win = expr(s"INTERVAL $windowHours HOURS")
+    val v = events.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("vt"))
+    val c = events.where(col("event_type") === "click").as("e")
+      .join(broadcast(v), col("e.user_id") === v("user_id") &&
+        col("e.ts") > col("vt") && col("e.ts") <= col("vt") + win)
+      .groupBy(col("e.user_id")).agg(min(col("e.ts")).as("ct"))
+    val p = events.where(col("event_type") === "purchase").as("e2")
+      .join(broadcast(c), col("e2.user_id") === c("user_id") &&
+        col("e2.ts") > col("ct") && col("e2.ts") <= col("ct") + win)
+      .groupBy(col("e2.user_id")).agg(min(col("e2.ts")).as("pt"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_full_funnel")))
+  }
+
+  /** Cohort retention: users grouped by first-seen date; one row per
+    * (cohort, day offset ≤ maxDays) with the distinct active users.
+    * Two aggregation passes — the cohort table is one row per user
+    * and joins back hash-partitioned on user_id. */
+  def retention(events: DataFrame, maxDays: Int = 7): DataFrame = {
+    val f = events.groupBy(col("user_id"))
+      .agg(to_date(min(col("ts"))).as("cohort"))
+    events.join(f, "user_id")
+      .select(col("user_id"), col("cohort"),
+        datediff(to_date(col("ts")), col("cohort")).cast("long").as("day_off"))
+      .where(col("day_off") <= maxDays)
+      .distinct()
+      .groupBy(col("cohort"), col("day_off"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+        col("day_off"), col("n_users"))
+      .orderBy(col("cohort"), col("day_off"))
+  }
+
   /** Per-type z-score outliers (|z| > `zMax`). Moments come from one
     * partial-aggregating pass with DECIMAL sums (exact → the derived
     * mean/std are identical on any partitioning and in the oracle);

@@ -139,6 +139,19 @@ class CurationSpec extends SparkSpec {
     assert(got == Seq((1L, 2L), (2L, 2L)))
   }
 
+  test("funnel stages shrink monotonically") {
+    val (v, c, p) = Events.funnel(Tables.events(spark, sf))
+      .as[(Long, Long, Long)].head()
+    assert(v >= c && c >= p && v > 0)
+  }
+
+  test("retention day-0 covers every cohort user exactly once") {
+    val ret = Events.retention(Tables.events(spark, sf))
+    val day0 = ret.where($"day_off" === 0L).agg(sum($"n_users")).as[Long].head()
+    val users = Tables.events(spark, sf).select($"user_id").distinct().count()
+    assert(day0 == users) // first-seen day is day 0 for every user
+  }
+
   test("cluster assignment covers every vector exactly once") {
     val emb = Tables.embeddings(spark, sf)
     val sizes = Similarity.clusterSizes(emb)
