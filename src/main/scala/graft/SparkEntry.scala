@@ -200,6 +200,12 @@ object SparkEntry {
     "q_type_pivot" -> ((s, d) => Analytics.eventTypePivot(s, d)),
     "q_approx_distinct" -> ((s, d) => Analytics.approxDistinct(s, d)),
     "q_range_join" -> ((s, d) => Analytics.valueBands(s, d)),
+    "q_cube" -> ((s, d) =>
+      Tables.events(s, d)
+        .cube(col("event_type"), to_date(col("ts")).cast("string").as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+        .orderBy(col("event_type").asc_nulls_first, col("day").asc_nulls_first)),
     // two-phase salted aggregation produces results identical to the
     // plain groupBy — the oracle IS the plain GROUP BY
     "q_skew_salted_count" -> ((s, d) =>
@@ -712,6 +718,11 @@ object SparkEntry {
     "q_skew_salted_count" ->
       """SELECT user_id, count(*) AS cnt FROM events
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_cube" ->
+      """SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |  count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY CUBE (event_type, CAST(ts AS DATE))
+        |ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST""".stripMargin,
 
     "q_range_join" ->
       """WITH b AS (SELECT band, CAST(band * 50.0 AS DOUBLE) AS lo,
