@@ -148,7 +148,8 @@ object Dedup {
     var labels = e.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
       .persist()
-    var prevSum = labels.agg(sum(col("label"))).head.getLong(0)
+    // coalesce: sum over an empty pair list is null, not 0
+    var prevSum = labels.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
     var converged = false
     while (!converged) {
       val nbrMin = e.join(labels.select(col("id").as("dst"), col("label")), "dst")
@@ -160,7 +161,7 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
         .persist()
-      val nextSum = next.agg(sum(col("label"))).head.getLong(0)
+      val nextSum = next.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
       labels.unpersist()
       labels = next
       converged = nextSum == prevSum
