@@ -89,6 +89,22 @@ object Quality {
     gopherFilterUnordered(docs, contentCol, minWords, maxWords)
       .orderBy(col("doc_id"))
 
+  /** The gopher verdict as a single boolean Column — usable as a
+    * plain `where` filter on batch or streaming frames (no join, no
+    * state). */
+  def gopherKeepExpr(contentCol: String = "text",
+                     minWords: Long = 50, maxWords: Long = 100000): org.apache.spark.sql.Column = {
+    val tk = tokens(col(contentCol))
+    val nWords = size(tk).cast("long")
+    val charSum = aggregate(transform(tk, w => length(w).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val nAlpha = size(filter(tk, w => w.rlike("[A-Za-z]"))).cast("long")
+    val nStop = size(filter(tk, w => w.isin(GopherStopwords: _*))).cast("long")
+    nWords.between(minWords, maxWords) &&
+      (charSum.cast("double") / nWords).between(3.0, 10.0) &&
+      nAlpha.cast("double") / nWords >= 0.8 && nStop >= 2
+  }
+
   /** The map-only part of the gopher filter (no output sort) — the
     * form that lifts unchanged into Structured Streaming. */
   def gopherFilterUnordered(docs: DataFrame, contentCol: String = "text",
@@ -104,9 +120,8 @@ object Quality {
     docs.select(col("doc_id"), nWords.as("n_words"),
       round(meanWordLen, 4).as("mean_word_len"),
       round(alphaRatio, 4).as("alpha_ratio"), nStop.as("n_stop"),
-      when(nWords.between(minWords, maxWords) &&
-        meanWordLen.between(3.0, 10.0) &&
-        alphaRatio >= 0.8 && nStop >= 2, 1L).otherwise(0L).as("keep"))
+      when(gopherKeepExpr(contentCol, minWords, maxWords), 1L)
+        .otherwise(0L).as("keep"))
   }
 
   /** Per-source content-length quartiles via ntile. The window is

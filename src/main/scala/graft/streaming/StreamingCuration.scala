@@ -16,11 +16,10 @@ import org.apache.spark.sql.functions._
 object StreamingCuration {
 
   /** Stateless quality gate on a document stream: keep only rows the
-    * gopher rules pass. Identical verdicts to the batch filter. */
-  def gopherKeep(stream: DataFrame): DataFrame = {
-    val scored = Quality.gopherFilterUnordered(stream)
-    stream.join(scored.where(col("keep") === 1L).select(col("doc_id")), "doc_id")
-  }
+    * gopher rules pass. A pure map-side filter — no join, no
+    * streaming state — with verdicts identical to the batch filter. */
+  def gopherKeep(stream: DataFrame): DataFrame =
+    stream.where(Quality.gopherKeepExpr())
 
   /** Stream-static anomaly scoring: z-scores against batch-computed
     * per-type moments. `staticStats` comes from
