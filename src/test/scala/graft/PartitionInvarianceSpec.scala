@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.DataFrame
+
+/** Partition-invariance guards: the engine's promise at 100 TB is
+  * that results do not depend on how the input happens to be split.
+  * Each case runs the operator on a single-partition and a
+  * many-partition copy of the same input and requires bit-identical
+  * collected results — this is what the DECIMAL-sum / round-before-
+  * aggregate / deterministic-ORDER-BY discipline buys. */
+class PartitionInvarianceSpec extends SparkSpec {
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  private def invariant(name: String)(op: DataFrame => DataFrame)(input: DataFrame): Unit = {
+    val one = rows(op(input.coalesce(1)))
+    val many = rows(op(input.repartition(7)))
+    assert(one == many, s"$name differs across partitionings")
+    assert(one.nonEmpty, s"$name returned nothing")
+  }
+
+  test("anomaly z-scores are partition-invariant (decimal moments)") {
+    invariant("anomalies")(Events.anomalies(_))(Tables.events(spark, sf))
+  }
+
+  test("bm25 scores are partition-invariant (decimal term sums)") {
+    invariant("bm25")(Ranking.bm25TopK(_))(Tables.documents(spark, sf))
+  }
+
+  test("lloyd update is partition-invariant (per-dim decimal means)") {
+    invariant("lloyd")(Similarity.lloydUpdate(_))(Tables.embeddings(spark, sf))
+  }
+
+  test("sequence packing is partition-invariant (windowed cumsum)") {
+    invariant("pack")(df => Chunker.packSequences(Medallion.pipeline(df)))(
+      Tables.documents(spark, sf))
+  }
+
+  test("minhash pairs are partition-invariant (hash-derived signatures)") {
+    invariant("minhash")(Dedup.minhashLshPairs(_))(
+      Tables.documents(spark, "/root/testdata/sf0.01"))
+  }
+
+  test("hash sampling is partition-invariant (key-pure predicate)") {
+    invariant("sample")(d => Sampling.hashSample(d, 20).orderBy("doc_id"))(
+      Tables.documents(spark, sf))
+  }
+}
