@@ -67,6 +67,19 @@ object SparkEntry {
     "pipe_pack_sequences" -> ((s, d) =>
       Chunker.packSequences(Medallion.pipeline(Tables.documents(s, d)))),
     // per-zone row counts + avg content length (delta_queries.py:45-54)
+    // MERGE/upsert: updates replace same-key rows, new keys append
+    "pipe_upsert" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"), col("source"))
+      val upd = docs.where(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), upper(col("text")).as("text"), col("source"))
+        .unionByName(docs.where(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text"),
+            lit("src_new").as("source")))
+      Medallion.upsertByKey(docs, upd)
+        .select(col("doc_id"), md5(col("text")).as("content_hash"), col("source"),
+          col("is_update").cast("long").as("is_update"))
+        .orderBy(col("doc_id"))
+    }),
     "pipe_zone_lengths" -> ((s, d) => {
       val bronze = Medallion.bronze(Tables.documents(s, d))
       val silver = Medallion.silverDedup(Medallion.silverNormalize(bronze))
@@ -333,6 +346,20 @@ object SparkEntry {
       s"""$silverCte SELECT doc_id, count(*) AS n_chunks,
          |  min(length(chunk)) AS min_chunk_len, max(length(chunk)) AS max_chunk_len
          |FROM gold GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "pipe_upsert" ->
+      """WITH updates AS (
+        |  SELECT doc_id, upper(text) AS text, source, 1 AS is_update
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text, 'src_new', 1 FROM documents WHERE doc_id % 13 = 0),
+        |unioned AS (
+        |  SELECT doc_id, text, source, 0 AS is_update FROM documents
+        |  UNION ALL SELECT * FROM updates),
+        |merged AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY is_update DESC) AS rn
+        |  FROM unioned)
+        |SELECT doc_id, md5(text) AS content_hash, source, CAST(is_update AS BIGINT) AS is_update
+        |FROM merged WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "pipe_zone_lengths" ->
       s"""$silverCte, z AS (
          |  SELECT 'bronze' AS zone, content FROM bronze

@@ -61,4 +61,20 @@ object Medallion {
   def pipeline(raw: DataFrame, contentCol: String = "text",
                minContentLength: Int = 50, chunkSize: Int = 200, overlap: Int = 10): DataFrame =
     gold(silverDedup(silverNormalize(bronze(raw, contentCol), minContentLength)), chunkSize, overlap)
+
+  /** MERGE/upsert semantics without a table format: rows in `updates`
+    * replace same-key rows in `existing`; new keys append. Each side
+    * must be key-unique (the usual CDC contract). One hash shuffle on
+    * the key; on a bucketed zone the exchange disappears entirely.
+    * The delta-rs writer in the reference gets this from Delta — here
+    * it is a window over the union, which any engine can replay. */
+  def upsertByKey(existing: DataFrame, updates: DataFrame,
+                  key: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col("is_update").desc)
+    existing.withColumn("is_update", lit(0))
+      .unionByName(updates.withColumn("is_update", lit(1)))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .drop("rn")
+  }
 }

@@ -44,4 +44,29 @@ object Sources {
 
   def readZone(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Small-file compaction: rewrite a zone into ~`targetRows`-row
+    * files. Streaming ingest produces many tiny files; scans then pay
+    * per-file open/footer cost and lose row-group parallelism. The
+    * rewrite is one narrow read + round-robin repartition to the
+    * target file count. Output goes to a NEW path (atomic swap is the
+    * caller's move — rewriting a path while reading it is not). */
+  def compactZone(spark: SparkSession, inPath: String, outPath: String,
+                  targetRows: Long = 1000000L): Unit = {
+    val df = spark.read.parquet(inPath)
+    val n = df.count()
+    val files = math.max(1L, (n + targetRows - 1) / targetRows).toInt
+    df.repartition(files).write.mode("overwrite").parquet(outPath)
+  }
+
+  /** Range-clustered write: repartitionByRange + in-partition sort on
+    * the cluster keys, so every output file covers a disjoint key
+    * range. Parquet footers then carry tight min/max stats and a
+    * key-ranged scan prunes whole files — the data-skipping layout
+    * (Z-order's 1-D special case) delta/iceberg users OPTIMIZE for. */
+  def writeClusteredZone(df: DataFrame, path: String, clusterCols: Seq[String],
+                         numFiles: Int = 8): Unit =
+    df.repartitionByRange(numFiles, clusterCols.map(col): _*)
+      .sortWithinPartitions(clusterCols.map(col): _*)
+      .write.mode("overwrite").parquet(path)
 }

@@ -42,6 +42,49 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(files.forall(_.contains(s"day=$firstDay")), s"unpruned read: ${files.take(3).mkString}")
   }
 
+  test("compaction preserves data and hits the target file count") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val docs = Tables.documents(spark, sf)
+    docs.repartition(40).write.mode("overwrite").parquet(s"$tmp/tiny")
+    graft.sources.Sources.compactZone(spark, s"$tmp/tiny", s"$tmp/big", targetRows = 250)
+    val before = new java.io.File(s"$tmp/tiny").listFiles.count(_.getName.endsWith(".parquet"))
+    val after = new java.io.File(s"$tmp/big").listFiles.count(_.getName.endsWith(".parquet"))
+    assert(before == 40 && after == 2)
+    assert(spark.read.parquet(s"$tmp/big").count() == docs.count())
+  }
+
+  test("clustered write produces range-disjoint files (data skipping layout)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cluster").toString
+    val docs = Tables.documents(spark, sf)
+    graft.sources.Sources.writeClusteredZone(docs, s"$tmp/z", Seq("doc_id"), numFiles = 4)
+    val files = new java.io.File(s"$tmp/z").listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length == 4)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(org.apache.spark.sql.functions.min($"doc_id"),
+          org.apache.spark.sql.functions.max($"doc_id"))
+        .as[(Long, Long)].head()
+      r
+    }.sortBy(_._1)
+    // every file's range ends before the next begins → footer min/max
+    // stats prune whole files for key-ranged scans
+    assert(ranges.sliding(2).forall {
+      case Array(a, b) => a._2 < b._1
+      case _ => true
+    })
+  }
+
+  test("upsert replaces matched keys and appends new ones") {
+    import graft.operators.Medallion
+    val existing = Seq((1L, "old", "s"), (2L, "keep", "s")).toDF("doc_id", "text", "source")
+    val updates = Seq((1L, "new", "s"), (9L, "fresh", "s")).toDF("doc_id", "text", "source")
+    val got = Medallion.upsertByKey(existing, updates)
+      .select($"doc_id", $"text", $"is_update").as[(Long, String, Int)]
+      .collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1L, "new", 1), (2L, "keep", 0), (9L, "fresh", 1)))
+  }
+
   test("csv source round-trips with explicit schema") {
     val tmp = Files.createTempDirectory("graft_csv").toString
     Files.writeString(java.nio.file.Path.of(s"$tmp/data.csv"),
