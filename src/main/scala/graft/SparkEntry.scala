@@ -185,6 +185,16 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
     "emb_cluster_sizes" -> ((s, d) => Similarity.clusterSizes(Tables.embeddings(s, d))),
     "emb_kmeans_update" -> ((s, d) => Similarity.lloydUpdate(Tables.embeddings(s, d))),
+    // recall of the approximate scale paths vs exact brute force —
+    // deterministic but the LSH planes are JVM-side → rows-only check
+    "ann_lsh_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.recallAtK(Similarity.lshTopK(emb), Similarity.bruteTopK(emb))
+    }),
+    "ann_ivf_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.recallAtK(Similarity.ivfTopK(emb), Similarity.bruteTopK(emb))
+    }),
 
     // BM25 lexical ranking (RAG retrieval pre-filter / hybrid scorer)
     "rag_bm25" -> ((s, d) => Ranking.bm25TopK(Tables.documents(s, d))),
