@@ -1,0 +1,66 @@
+package graft.sources
+
+import graft.operators.Medallion
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** Poor-man's versioned table: each write lands a complete snapshot
+  * under `path/v=<n>/`; readers take the highest committed version.
+  * This is the minimal slice of what delta-rs gives the reference —
+  * atomic-enough replace (a version directory appears only after its
+  * write completes) plus time travel by version — expressed with
+  * nothing but parquet directories, so it runs on any Spark.
+  *
+  * Scale note: a snapshot rewrite is O(zone); for partial updates at
+  * 100 TB you partition the zone and rewrite only touched partitions
+  * (`replaceWhere` pattern). The versioning mechanics are identical.
+  */
+object VersionedZone {
+
+  private def versions(spark: SparkSession, path: String): Seq[Long] = {
+    val dir = new java.io.File(path)
+    if (!dir.exists()) Seq.empty
+    else dir.listFiles.filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("v="))
+      .map(_.stripPrefix("v=").toLong).toSeq.sorted
+  }
+
+  def latestVersion(spark: SparkSession, path: String): Option[Long] =
+    versions(spark, path).lastOption
+
+  def read(spark: SparkSession, path: String, version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(latestVersion(spark, path)).getOrElse(
+      throw new IllegalArgumentException(s"no committed version under $path"))
+    spark.read.parquet(s"$path/v=$v")
+  }
+
+  def write(df: DataFrame, path: String): Long = {
+    val next = latestVersion(df.sparkSession, path).map(_ + 1).getOrElse(0L)
+    df.write.mode("overwrite").parquet(s"$path/v=$next")
+    next
+  }
+
+  /** Streaming MERGE sink: each micro-batch upserts into the zone by
+    * key and commits a new snapshot version — continuous CDC ingest
+    * with batch-identical merge semantics (the window form in
+    * `Medallion.upsertByKey`). */
+  def upsertSink(stream: DataFrame, path: String, checkpointDir: String,
+                 key: String = "doc_id"): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val merged = latestVersion(spark, path) match {
+          case None => batch.withColumn("is_update",
+            org.apache.spark.sql.functions.lit(1))
+          case Some(v) =>
+            Medallion.upsertByKey(
+              read(spark, path, Some(v)).drop("is_update"), batch, key)
+        }
+        // materialize BEFORE committing the next version: the plan
+        // reads the previous snapshot, so write to the new dir (never
+        // in-place) and only then does the reader see it
+        write(merged, path)
+        ()
+      }
+}

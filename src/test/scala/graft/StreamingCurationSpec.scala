@@ -20,6 +20,43 @@ class StreamingCurationSpec extends SparkSpec {
     assert(fromZone == direct && direct.nonEmpty)
   }
 
+  test("streaming upsert sink merges micro-batches into a versioned zone") {
+    import graft.sources.VersionedZone
+    val tmp = Files.createTempDirectory("graft_vz").toString
+    val zone = s"$tmp/zone"
+
+    // land each micro-batch as a bare parquet FILE in the watched dir
+    // (the file source does not recurse into nested write dirs)
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = s"$tmp/stage_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
+      Files.copy(part, java.nio.file.Paths.get(s"$tmp/in/$name.parquet"))
+    }
+
+    val b1 = Seq((1L, "one", "s"), (2L, "two", "s")).toDF("doc_id", "text", "source")
+    land(b1, "b1")
+    val q1 = VersionedZone.upsertSink(
+      spark.readStream.schema(b1.schema).parquet(s"$tmp/in"), zone, s"$tmp/cp").start()
+    try { q1.processAllAvailable() } finally { q1.stop() }
+
+    // batch 2: doc 1 updated, doc 3 new
+    land(Seq((1L, "one-v2", "s"), (3L, "three", "s")).toDF("doc_id", "text", "source"), "b2")
+    val q2 = VersionedZone.upsertSink(
+      spark.readStream.schema(b1.schema).parquet(s"$tmp/in"), zone, s"$tmp/cp").start()
+    try { q2.processAllAvailable() } finally { q2.stop() }
+
+    val latest = VersionedZone.read(spark, zone)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq.sortBy(_._1)
+    assert(latest == Seq((1L, "one-v2"), (2L, "two"), (3L, "three")))
+    // time travel: version 0 still holds the pre-update state
+    val v0 = VersionedZone.read(spark, zone, Some(0L))
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq.sortBy(_._1)
+    assert(v0 == Seq((1L, "one"), (2L, "two")))
+  }
+
   test("stream-static anomaly scoring matches the batch operator") {
     val tmp = Files.createTempDirectory("graft_anom").toString
     val batch = Tables.events(spark, sf)
