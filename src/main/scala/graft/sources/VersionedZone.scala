@@ -17,12 +17,19 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   */
 object VersionedZone {
 
+  /** Version listing via the Hadoop FS API so the zone can live on
+    * any supported filesystem (HDFS, S3A, local), not just local
+    * disk. */
   private def versions(spark: SparkSession, path: String): Seq[Long] = {
-    val dir = new java.io.File(path)
-    if (!dir.exists()) Seq.empty
-    else dir.listFiles.filter(_.isDirectory)
-      .map(_.getName).filter(_.startsWith("v="))
-      .map(_.stripPrefix("v=").toLong).toSeq.sorted
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("v="))
+      .map(_.stripPrefix("v=").toLong)
+      .sorted
   }
 
   def latestVersion(spark: SparkSession, path: String): Option[Long] =
