@@ -152,6 +152,8 @@ object SparkEntry {
           md5(piiScrub(col("text"))).as("scrubbed_hash"))
         .orderBy(col("doc_id"))),
     "txt_decontaminate" -> ((s, d) => Decontam.flagContaminated(Tables.documents(s, d))),
+    "txt_char_entropy" -> ((s, d) => Quality.charEntropy(Tables.documents(s, d))),
+    "dq_length_mad" -> ((s, d) => Quality.lengthMadOutliers(Tables.documents(s, d))),
 
     // ── sampling ────────────────────────────────────────────────────
     "samp_stratified" -> ((s, d) =>
@@ -518,6 +520,27 @@ object SparkEntry {
          |         FROM (SELECT doc_id, unnest(shh) AS sg FROM sh WHERE doc_id >= 20)
          |         WHERE sg IN (SELECT sg FROM bench) GROUP BY doc_id)
          |SELECT doc_id, n_hits FROM hits ORDER BY doc_id""".stripMargin,
+
+    "txt_char_entropy" ->
+      """WITH chars AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+        |cnt AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, SUM(c) AS n FROM cnt GROUP BY 1),
+        |terms AS (SELECT cnt.doc_id,
+        |    round(-(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n), 6) AS t
+        |  FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id)
+        |SELECT doc_id, CAST(SUM(CAST(t AS DECIMAL(18,6))) AS DOUBLE) AS entropy
+        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dq_length_mad" ->
+      """WITH l AS (SELECT CAST(length(text) AS DOUBLE) AS len FROM documents),
+        |m AS (SELECT quantile_cont(len, 0.5) AS med FROM l),
+        |d AS (SELECT len, abs(len - m.med) AS dev FROM l, m),
+        |s AS (SELECT quantile_cont(dev, 0.5) AS mad FROM d)
+        |SELECT count(*) AS n_docs,
+        |  (SELECT med FROM m) AS median_len,
+        |  (SELECT mad FROM s) AS mad,
+        |  count(*) FILTER (WHERE dev > 2 * (SELECT mad FROM s)) AS n_outliers
+        |FROM d""".stripMargin,
 
     "samp_stratified" ->
       s"""SELECT doc_id, source FROM documents

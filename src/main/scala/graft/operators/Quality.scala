@@ -76,6 +76,42 @@ object Quality {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-doc character-distribution entropy (nats) — the cheap
+    * perplexity proxy: gibberish and boilerplate sit at the entropy
+    * extremes. Explode → per-(doc, char) counts (partial-agg
+    * map-side), per-term contributions rounded then DECIMAL-summed
+    * so the score is partition-independent. */
+  def charEntropy(docs: DataFrame, contentCol: String = "text"): DataFrame = {
+    val cnt = docs.select(col("doc_id"), explode(split(col(contentCol), "")).as("ch"))
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val p = col("c").cast("double") / col("n")
+    cnt.withColumn("n", sum(col("c")).over(w))
+      .withColumn("t", round(-p * log(p), 6))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("t").cast("decimal(18,6)")).cast("double").as("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Robust length-outlier stats via MAD (median absolute deviation):
+    * median and MAD are exact interpolated percentiles (bit-equal to
+    * quantile_cont in any engine), so the outlier count is exact.
+    * At 100 TB swap `percentile` for `approx_percentile` — the
+    * operator shape is unchanged. */
+  def lengthMadOutliers(docs: DataFrame, contentCol: String = "text",
+                        k: Double = 2.0): DataFrame = {
+    val l = docs.select(length(col(contentCol)).cast("double").as("len"))
+    val med = l.agg(expr("percentile(len, 0.5)").as("median_len"))
+    val d = l.crossJoin(broadcast(med))
+      .withColumn("dev", abs(col("len") - col("median_len")))
+    val mad = d.agg(expr("percentile(dev, 0.5)").as("mad"))
+    d.crossJoin(broadcast(mad))
+      .agg(count(lit(1)).as("n_docs"),
+        first(col("median_len")).as("median_len"),
+        first(col("mad")).as("mad"),
+        count(when(col("dev") > lit(k) * col("mad"), 1)).as("n_outliers"))
+  }
+
   /** Stopwords the gopher-style rule checks for (small fixed list so
     * the oracle can inline it). */
   val GopherStopwords: Seq[String] = Seq("the", "a", "of", "to", "and", "in")
