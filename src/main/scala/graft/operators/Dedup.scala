@@ -167,8 +167,13 @@ object Dedup {
       converged = nextSum == prevSum
       prevSum = nextSum
     }
+    // the result is O(docs-in-pairs) — materialize it eagerly
+    // (localCheckpoint) so the loop's cached edge/label tables can be
+    // dropped instead of lingering for the caller's lifetime
     val out = labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .orderBy(col("doc_id"))
+      .localCheckpoint(true)
+    labels.unpersist()
     e.unpersist()
     out
   }
