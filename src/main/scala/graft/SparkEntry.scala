@@ -170,6 +170,10 @@ object SparkEntry {
       Sampling.splitAssign(Tables.documents(s, d))
         .groupBy(col("source"), col("split")).agg(count(lit(1)).as("n"))
         .orderBy(col("source"), col("split"))),
+    "samp_stratified_n" -> ((s, d) =>
+      Sampling.stratifiedN(Tables.documents(s, d), 5)
+        .select(col("source"), col("rnk"), col("doc_id"))
+        .orderBy(col("source"), col("rnk"))),
 
     // ── deduplication ───────────────────────────────────────────────
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
@@ -560,6 +564,12 @@ object SparkEntry {
          |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
          |       ELSE 'test' END AS split, count(*) AS n
          |FROM k GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
+    "samp_stratified_n" ->
+      """WITH r AS (SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source ORDER BY md5('sn:' || doc_id)) AS rnk
+        |  FROM documents)
+        |SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id FROM r
+        |WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies

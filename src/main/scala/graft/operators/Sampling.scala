@@ -45,6 +45,19 @@ object Sampling {
         .otherwise(lit("test")))
   }
 
+  /** Exactly-n per stratum: rank rows inside each group by salted
+    * hash and keep the lowest n — the balanced-mixture builder
+    * (equal docs per source regardless of source sizes). The window
+    * partitions by the stratum, so groups rank in parallel; the
+    * ranked input is one row per DOC, not per token. */
+  def stratifiedN(df: DataFrame, n: Int, byCol: String = "source",
+                  keyCol: String = "doc_id", salt: String = "sn"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(byCol))
+      .orderBy(md5(concat(lit(s"$salt:"), col(keyCol))))
+    df.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= n)
+  }
+
   /** Exactly-n uniform sample: rank by salted md5 and keep the lowest
     * n. Runs as a distributed top-k (TakeOrdered: per-partition heap
     * then merge of n·partitions rows) — never a full global sort. */
