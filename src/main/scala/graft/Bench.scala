@@ -20,10 +20,12 @@ object Bench {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
-      // drop any cache an operator left behind (e.g. the clustering
-      // loop's persisted edge/label tables) so later queries don't
-      // inherit heap pressure from earlier ones
+      // drop whatever a query left behind so later ones don't
+      // inherit its heap: clearCache for catalog-level caches plus
+      // an RDD-level sweep (localCheckpoint blocks, e.g. the
+      // clustering result, live outside the CacheManager)
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -503,13 +503,16 @@ object SparkEntry {
          |    AND CAST(n_alpha AS DOUBLE) / n_words >= 0.8
          |    AND n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM m ORDER BY doc_id""".stripMargin,
+    // patterns embedded VERBATIM: DuckDB standard string literals do
+    // not interpret backslash escapes, so doubling them would make
+    // the oracle patterns unmatchable
     "txt_pii_scrub" ->
       s"""WITH s AS (SELECT doc_id,
          |    regexp_replace(regexp_replace(text,
-         |      '${EmailPattern.replace("\\", "\\\\")}', '<EMAIL>', 'g'),
-         |      '${PhonePattern.replace("\\", "\\\\")}', '<PHONE>', 'g') AS scrubbed,
-         |    len(regexp_extract_all(text, '${EmailPattern.replace("\\", "\\\\")}')) AS n_emails,
-         |    len(regexp_extract_all(text, '${PhonePattern.replace("\\", "\\\\")}')) AS n_phones
+         |      '$EmailPattern', '<EMAIL>', 'g'),
+         |      '$PhonePattern', '<PHONE>', 'g') AS scrubbed,
+         |    len(regexp_extract_all(text, '$EmailPattern')) AS n_emails,
+         |    len(regexp_extract_all(text, '$PhonePattern')) AS n_phones
          |  FROM documents)
          |SELECT doc_id, CAST(n_emails AS BIGINT) AS n_emails,
          |  CAST(n_phones AS BIGINT) AS n_phones, md5(scrubbed) AS scrubbed_hash

@@ -183,23 +183,30 @@ object Analytics {
       .limit(k)
   }
 
-  /** Range join: events histogrammed into fixed value bands via a
-    * non-equi join. The band table is O(bands) so it broadcasts and
-    * the fact side streams map-side — a broadcast nested-loop whose
-    * inner loop is the band count, not a shuffle. (With a DERIVED
-    * band table you'd instead compute the band key arithmetically
-    * map-side; the join form is the general one for irregular
-    * bands.) */
+  /** Fixed-width value histogram: the band key is computed
+    * ARITHMETICALLY map-side (floor(value/width)) and aggregated, so
+    * the fact table never joins pre-aggregation; the O(bands) result
+    * then left-joins onto the band table to keep empty bands. (A
+    * range JOIN formulation of a left-outer band lookup would force
+    * Spark's nested-loop join to broadcast the FACT side — the
+    * preserved side must stream — which is an OOM at scale; for
+    * genuinely irregular bands, inner-join with the band table
+    * broadcast, or bucketize the boundaries.) */
   def valueBands(spark: SparkSession, dir: String,
                  nBands: Int = 10, width: Double = 50.0): DataFrame = {
     val bands = spark.range(nBands).select(col("id").as("band"),
       (col("id") * width).cast("double").as("lo"),
       ((col("id") + 1) * width).cast("double").as("hi"))
-    val ev = Tables.events(spark, dir)
-    bands.join(ev, col("value") >= col("lo") && col("value") < col("hi"), "left")
-      .groupBy(col("band"), col("lo"), col("hi"))
+    val agg = Tables.events(spark, dir)
+      .select(floor(col("value") / width).cast("long").as("band"),
+        col("value"), col("event_id"))
+      .where(col("band") >= 0 && col("band") < nBands)
+      .groupBy(col("band"))
       .agg(count(col("event_id")).as("n_events"),
         sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+    bands.join(broadcast(agg), Seq("band"), "left")
+      .select(col("band"), col("lo"), col("hi"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"), col("sum_value"))
       .orderBy(col("band"))
   }
 }

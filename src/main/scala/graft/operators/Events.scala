@@ -119,12 +119,6 @@ object Events {
       .orderBy(col("cohort"), col("day_off"))
   }
 
-  /** Per-type z-score outliers (|z| > `zMax`). Moments come from one
-    * partial-aggregating pass with DECIMAL sums (exact → the derived
-    * mean/std are identical on any partitioning and in the oracle);
-    * the per-type stats table is tiny and broadcasts back onto the
-    * stream of events — two narrow passes total, no wide shuffle of
-    * the events themselves. */
   /** Per-type (mean, std) from one partial-aggregating pass with
     * DECIMAL sums — exact on any partitioning. Reused as the static
     * side of the streaming anomaly scorer. */
@@ -139,6 +133,9 @@ object Events {
           (col("sumv") / col("n")) * (col("sumv") / col("n"))).as("std"))
   }
 
+  /** Per-type z-score outliers (|z| > `zMax`): the tiny stats table
+    * broadcasts back onto the events — two narrow passes total, no
+    * wide shuffle of the events themselves. */
   def anomalies(events: DataFrame, zMax: Double = 3.0): DataFrame = {
     val z = (col("value") - col("mean")) / col("std")
     events.join(broadcast(typeStats(events)), "event_type")

@@ -96,7 +96,10 @@ object Quality {
   /** Robust length-outlier stats via MAD (median absolute deviation):
     * median and MAD are exact interpolated percentiles (bit-equal to
     * quantile_cont in any engine), so the outlier count is exact.
-    * At 100 TB swap `percentile` for `approx_percentile` — the
+    * NOTE this is inherently ≥2 sequential passes (MAD needs the
+    * median first) and as written scans the length projection three
+    * times; at 100 TB cache/checkpoint the one-column projection
+    * once and swap `percentile` for `approx_percentile` — the
     * operator shape is unchanged. */
   def lengthMadOutliers(docs: DataFrame, contentCol: String = "text",
                         k: Double = 2.0): DataFrame = {
@@ -125,17 +128,28 @@ object Quality {
     gopherFilterUnordered(docs, contentCol, minWords, maxWords)
       .orderBy(col("doc_id"))
 
-  /** The gopher verdict as a single boolean Column — usable as a
-    * plain `where` filter on batch or streaming frames (no join, no
-    * state). */
-  def gopherKeepExpr(contentCol: String = "text",
-                     minWords: Long = 50, maxWords: Long = 100000): org.apache.spark.sql.Column = {
+  /** The four gopher metric Columns (word count, summed word chars,
+    * alphabetic-word count, stopword count) — the single source the
+    * verdict, the audit columns, and the streaming gate all build
+    * from. */
+  private def gopherMetrics(contentCol: String)
+      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+         org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
     val tk = tokens(col(contentCol))
     val nWords = size(tk).cast("long")
     val charSum = aggregate(transform(tk, w => length(w).cast("long")),
       lit(0L), (acc, x) => acc + x)
     val nAlpha = size(filter(tk, w => w.rlike("[A-Za-z]"))).cast("long")
     val nStop = size(filter(tk, w => w.isin(GopherStopwords: _*))).cast("long")
+    (nWords, charSum, nAlpha, nStop)
+  }
+
+  /** The gopher verdict as a single boolean Column — usable as a
+    * plain `where` filter on batch or streaming frames (no join, no
+    * state). */
+  def gopherKeepExpr(contentCol: String = "text",
+                     minWords: Long = 50, maxWords: Long = 100000): org.apache.spark.sql.Column = {
+    val (nWords, charSum, nAlpha, nStop) = gopherMetrics(contentCol)
     nWords.between(minWords, maxWords) &&
       (charSum.cast("double") / nWords).between(3.0, 10.0) &&
       nAlpha.cast("double") / nWords >= 0.8 && nStop >= 2
@@ -145,17 +159,10 @@ object Quality {
     * form that lifts unchanged into Structured Streaming. */
   def gopherFilterUnordered(docs: DataFrame, contentCol: String = "text",
                             minWords: Long = 50, maxWords: Long = 100000): DataFrame = {
-    val tk = tokens(col(contentCol))
-    val nWords = size(tk).cast("long")
-    val charSum = aggregate(transform(tk, w => length(w).cast("long")),
-      lit(0L), (acc, x) => acc + x)
-    val nAlpha = size(filter(tk, w => w.rlike("[A-Za-z]"))).cast("long")
-    val nStop = size(filter(tk, w => w.isin(GopherStopwords: _*))).cast("long")
-    val meanWordLen = charSum.cast("double") / nWords
-    val alphaRatio = nAlpha.cast("double") / nWords
+    val (nWords, charSum, nAlpha, nStop) = gopherMetrics(contentCol)
     docs.select(col("doc_id"), nWords.as("n_words"),
-      round(meanWordLen, 4).as("mean_word_len"),
-      round(alphaRatio, 4).as("alpha_ratio"), nStop.as("n_stop"),
+      round(charSum.cast("double") / nWords, 4).as("mean_word_len"),
+      round(nAlpha.cast("double") / nWords, 4).as("alpha_ratio"), nStop.as("n_stop"),
       when(gopherKeepExpr(contentCol, minWords, maxWords), 1L)
         .otherwise(0L).as("keep"))
   }

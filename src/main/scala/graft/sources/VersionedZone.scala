@@ -17,15 +17,21 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   */
 object VersionedZone {
 
-  /** Version listing via the Hadoop FS API so the zone can live on
-    * any supported filesystem (HDFS, S3A, local), not just local
-    * disk. */
+  /** COMMITTED version listing via the Hadoop FS API (any supported
+    * filesystem, not just local disk). A version directory exists
+    * from job START (Spark creates it for _temporary), so bare
+    * existence is not commitment — only directories carrying the
+    * committer's _SUCCESS marker count. Readers concurrent with the
+    * streaming sink therefore never select an in-flight snapshot.
+    * (Single writer per zone is assumed, as with any
+    * non-transactional table layout.) */
   private def versions(spark: SparkSession, path: String): Seq[Long] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq
       .filter(_.isDirectory)
+      .filter(s => fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
       .map(_.getPath.getName)
       .filter(_.startsWith("v="))
       .map(_.stripPrefix("v=").toLong)
@@ -42,6 +48,8 @@ object VersionedZone {
   }
 
   def write(df: DataFrame, path: String): Long = {
+    // latestVersion only sees committed (_SUCCESS-bearing) snapshots,
+    // so a crashed half-written v=n is overwritten by the retry
     val next = latestVersion(df.sparkSession, path).map(_ + 1).getOrElse(0L)
     df.write.mode("overwrite").parquet(s"$path/v=$next")
     next

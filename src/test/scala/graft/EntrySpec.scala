@@ -29,6 +29,18 @@ class EntrySpec extends SparkSpec {
       s"unexpectedly empty: ${empties.toSet -- allowedEmpty}")
   }
 
+  test("corpus is pure ASCII (mm oracles index chars as bytes)") {
+    // the mm_frame_sample / mm_feature_hist oracles use
+    // ascii(substr(text, i, 1)) at BYTE offsets, valid only while
+    // chars == bytes; if the generator ever emits multi-byte text
+    // this fails loudly instead of a silent oracle divergence
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
+      val nonAscii = Tables.documents(spark, d)
+        .where(octet_length($"text") =!= length($"text")).count()
+      assert(nonAscii == 0, s"non-ASCII docs in $d")
+    }
+  }
+
   test("multimodal feature extraction histograms sum to byte length") {
     val media = Multimodal.withBinaryPayload(Tables.documents(spark, sf).limit(5))
     val feats = Multimodal.extractFeatures(media)

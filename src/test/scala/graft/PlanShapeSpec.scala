@@ -79,10 +79,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(df, _.isInstanceOf[SortMergeJoinExec]) == 0)
   }
 
-  test("range join broadcasts the band table (nested-loop, no shuffle of facts)") {
+  test("band histogram aggregates the facts before any join (no nested loop)") {
     val df = SparkEntry.queries("q_range_join")(spark, sf)
+    // the fact side must reduce to O(bands) rows pre-join; a
+    // BroadcastNestedLoopJoin here would mean the raw fact table is
+    // being broadcast (the left-outer range-join trap)
     assert(count(df,
-      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]) == 1)
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]) == 0)
+    assert(count(df, _.isInstanceOf[BroadcastHashJoinExec]) >= 1)
+    assert(count(df, _.isInstanceOf[SortMergeJoinExec]) == 0)
   }
 
   test("documents scan prunes to the referenced columns") {
