@@ -47,4 +47,24 @@ class PartitionInvarianceSpec extends SparkSpec {
     invariant("sample")(d => Sampling.hashSample(d, 20).orderBy("doc_id"))(
       Tables.documents(spark, sf))
   }
+
+  test("char entropy is partition-invariant (rounded-term decimal sums)") {
+    invariant("entropy")(Quality.charEntropy(_))(Tables.documents(spark, sf))
+  }
+
+  test("cohort retention is partition-invariant") {
+    invariant("retention")(Events.retention(_))(Tables.events(spark, sf))
+  }
+
+  test("upsert is partition-invariant (key-unique sides)") {
+    invariant("upsert") { d =>
+      val docs = d.select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"),
+        org.apache.spark.sql.functions.col("source"))
+      val upd = docs.where("doc_id % 7 = 0")
+        .withColumn("text", org.apache.spark.sql.functions.upper(
+          org.apache.spark.sql.functions.col("text")))
+      Medallion.upsertByKey(docs, upd).orderBy("doc_id")
+    }(Tables.documents(spark, sf))
+  }
 }
