@@ -18,8 +18,13 @@ object Bench {
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
+      // a failed query must be VISIBLE (-1), not a fast-looking timing
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case t: Throwable =>
+          System.err.println(s"BENCH FAIL $name: ${t.getClass.getSimpleName}: ${t.getMessage}")
+          false
+      }
+      val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       // drop whatever a query left behind so later ones don't
       // inherit its heap: clearCache for catalog-level caches plus
       // an RDD-level sweep (localCheckpoint blocks, e.g. the

@@ -70,10 +70,13 @@ object SparkEntry {
     // MERGE/upsert: updates replace same-key rows, new keys append
     "pipe_upsert" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"), col("source"))
+      // new-doc ids are NEGATIVE (-doc_id - 1): collision-free with
+      // the non-negative existing ids at ANY corpus size, keeping
+      // both upsert sides key-unique as the contract requires
       val upd = docs.where(col("doc_id") % 7 === 0)
         .select(col("doc_id"), upper(col("text")).as("text"), col("source"))
         .unionByName(docs.where(col("doc_id") % 13 === 0)
-          .select((col("doc_id") + 100000).as("doc_id"), col("text"),
+          .select((-col("doc_id") - 1).as("doc_id"), col("text"),
             lit("src_new").as("source")))
       Medallion.upsertByKey(docs, upd)
         .select(col("doc_id"), md5(col("text")).as("content_hash"), col("source"),
@@ -367,7 +370,7 @@ object SparkEntry {
         |  SELECT doc_id, upper(text) AS text, source, 1 AS is_update
         |  FROM documents WHERE doc_id % 7 = 0
         |  UNION ALL
-        |  SELECT doc_id + 100000, text, 'src_new', 1 FROM documents WHERE doc_id % 13 = 0),
+        |  SELECT -doc_id - 1, text, 'src_new', 1 FROM documents WHERE doc_id % 13 = 0),
         |unioned AS (
         |  SELECT doc_id, text, source, 0 AS is_update FROM documents
         |  UNION ALL SELECT * FROM updates),

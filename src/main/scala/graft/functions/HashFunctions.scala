@@ -24,10 +24,11 @@ object HashFunctions {
   def md5Int(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
-  /** MinHash signature: for each of k seeded hash functions, the min
-    * hash over the shingle set. One map-side pass, no shuffle; the
-    * signature is k longs regardless of document size — the property
-    * that makes near-dup detection feasible at 100 TB.
+  /** SPEC-ONLY MinHash (md5-seeded): kept as the readable composed
+    * form the tests cross-check primitives against. NOT the
+    * production path and NOT signature-compatible with
+    * `NativeExprs.MinHashSig` (affine mod-P), which every Dedup
+    * operator and oracle uses — never mix the two in one pipeline.
     */
   def minhashSignature(shingleCol: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
@@ -41,8 +42,9 @@ object HashFunctions {
       md5Long(concat_ws(",", slice(sig, b * rowsPerBand + 1, rowsPerBand)))): _*)
 
   /** 32-bit SimHash over a precomputed token-hash array: per bit, the
-    * sign of the ±1 sum across tokens. Hamming-close simhashes ⇒
-    * similar token distributions. Map-side only, no shuffle. */
+    * sign of the ±1 sum across tokens. SPEC-ONLY composed form —
+    * production and oracles use `NativeExprs.SimHash32`
+    * (bit-identical; the tests assert that equivalence). */
   def simhashFromHashes(hashes: Column): Column =
     (0 until 32).map { b =>
       val signSum = aggregate(hashes, lit(0L),

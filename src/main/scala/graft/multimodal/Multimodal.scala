@@ -55,8 +55,11 @@ object Multimodal {
         when(col("byte_len") > 0,
           sequence(lit(0L), col("byte_len") - 1, lit(stride.toLong)))
           .otherwise(array().cast("array<long>"))))
-      .withColumn("byte_val", ascii(substring(
-        decode(col("payload"), "UTF-8"), (col("offset") + 1).cast("int"), lit(1))).cast("long"))
+      // index the BINARY payload directly (substring slices bytes on
+      // BinaryType) — decoding to string and indexing chars would
+      // return codepoints, wrong for any multibyte payload
+      .withColumn("byte_val", conv(hex(substring(
+        col("payload"), (col("offset") + 1).cast("int"), lit(1))), 16, 10).cast("long"))
       .select(col("doc_id"), col("offset"), col("byte_val"))
 
   /** Feature extraction over binary payloads via mapPartitions — the

@@ -224,10 +224,10 @@ object Dedup {
     * ~corpus/2^nbits rows per table. The self-join is per-(table,
     * bucket), never O(n²) — the 100 TB path. */
   def embeddingPairsLsh(emb: DataFrame, tau: Double = 0.3, nbits: Int = 4,
-                        tables: Int = 4,
+                        tables: Int = 4, dim: Int = 64,
                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val buckets = (0 until tables).map { t =>
-      val planes = VectorFunctions.hyperplanes(nbits, 64, seed = s"t$t:")
+      val planes = VectorFunctions.hyperplanes(nbits, dim, seed = s"t$t:")
       VectorFunctions.signBucket(col(vecCol), planes).as(s"bkt_$t")
     }
     val e = emb.select((col(idCol).as("id") +: col(vecCol).as("v") +:

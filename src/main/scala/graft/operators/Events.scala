@@ -82,7 +82,11 @@ object Events {
     * `windowHours` of that click. Each stage is one filtered
     * aggregate joined to the previous stage's (small) user table —
     * the stage tables shrink monotonically, so at scale each join
-    * broadcasts the converted-user side against the event stream. */
+    * broadcasts the converted-user side against the event stream.
+    * Stage subtrees repeat in the plan (v inside c inside p AND in
+    * the final join); Spark's ReuseExchange dedups the identical
+    * aggregates, but at 100 TB persist/checkpoint each stage table
+    * explicitly rather than rely on it. */
   def funnel(events: DataFrame, windowHours: Int = 24): DataFrame = {
     val win = expr(s"INTERVAL $windowHours HOURS")
     val v = events.where(col("event_type") === "view")
@@ -90,14 +94,19 @@ object Events {
     val c = events.where(col("event_type") === "click").as("e")
       .join(broadcast(v), col("e.user_id") === v("user_id") &&
         col("e.ts") > col("vt") && col("e.ts") <= col("vt") + win)
-      .groupBy(col("e.user_id")).agg(min(col("e.ts")).as("ct"))
+      .groupBy(col("e.user_id").as("c_user")).agg(min(col("e.ts")).as("ct"))
     val p = events.where(col("event_type") === "purchase").as("e2")
-      .join(broadcast(c), col("e2.user_id") === c("user_id") &&
+      .join(broadcast(c), col("e2.user_id") === col("c_user") &&
         col("e2.ts") > col("ct") && col("e2.ts") <= col("ct") + win)
-      .groupBy(col("e2.user_id")).agg(min(col("e2.ts")).as("pt"))
-    v.agg(count(lit(1)).as("n_view"))
-      .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
-      .crossJoin(p.agg(count(lit(1)).as("n_full_funnel")))
+      .groupBy(col("e2.user_id").as("p_user")).agg(min(col("e2.ts")).as("pt"))
+    // one user-stage table, counts in ONE aggregate — the crossJoin-
+    // of-three-counts form re-evaluated every unpersisted stage
+    // (v three times, c twice ≈ six event scans)
+    v.join(c, col("user_id") === col("c_user"), "left")
+      .join(p, col("user_id") === col("p_user"), "left")
+      .agg(count(lit(1)).as("n_view"),
+        count(col("ct")).as("n_view_click"),
+        count(col("pt")).as("n_full_funnel"))
   }
 
   /** Cohort retention: users grouped by first-seen date; one row per

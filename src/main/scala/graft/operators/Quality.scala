@@ -144,27 +144,42 @@ object Quality {
     (nWords, charSum, nAlpha, nStop)
   }
 
+  /** The verdict from already-computed metric Columns — shared by
+    * the standalone expression and the audit filter so the metrics
+    * are built (and evaluated) exactly once per row. */
+  private def gopherKeepFrom(nWords: org.apache.spark.sql.Column,
+                             charSum: org.apache.spark.sql.Column,
+                             nAlpha: org.apache.spark.sql.Column,
+                             nStop: org.apache.spark.sql.Column,
+                             minWords: Long, maxWords: Long): org.apache.spark.sql.Column =
+    nWords.between(minWords, maxWords) &&
+      (charSum.cast("double") / nWords).between(3.0, 10.0) &&
+      nAlpha.cast("double") / nWords >= 0.8 && nStop >= 2
+
   /** The gopher verdict as a single boolean Column — usable as a
     * plain `where` filter on batch or streaming frames (no join, no
     * state). */
   def gopherKeepExpr(contentCol: String = "text",
                      minWords: Long = 50, maxWords: Long = 100000): org.apache.spark.sql.Column = {
     val (nWords, charSum, nAlpha, nStop) = gopherMetrics(contentCol)
-    nWords.between(minWords, maxWords) &&
-      (charSum.cast("double") / nWords).between(3.0, 10.0) &&
-      nAlpha.cast("double") / nWords >= 0.8 && nStop >= 2
+    gopherKeepFrom(nWords, charSum, nAlpha, nStop, minWords, maxWords)
   }
 
   /** The map-only part of the gopher filter (no output sort) — the
-    * form that lifts unchanged into Structured Streaming. */
+    * form that lifts unchanged into Structured Streaming. The verdict
+    * is derived from the SAME projected metric columns it reports, so
+    * the interpreted token lambdas run once per metric, not twice. */
   def gopherFilterUnordered(docs: DataFrame, contentCol: String = "text",
                             minWords: Long = 50, maxWords: Long = 100000): DataFrame = {
     val (nWords, charSum, nAlpha, nStop) = gopherMetrics(contentCol)
-    docs.select(col("doc_id"), nWords.as("n_words"),
-      round(charSum.cast("double") / nWords, 4).as("mean_word_len"),
-      round(nAlpha.cast("double") / nWords, 4).as("alpha_ratio"), nStop.as("n_stop"),
-      when(gopherKeepExpr(contentCol, minWords, maxWords), 1L)
-        .otherwise(0L).as("keep"))
+    docs.select(col("doc_id"), nWords.as("n_words"), charSum.as("char_sum"),
+        nAlpha.as("n_alpha"), nStop.as("n_stop"))
+      .select(col("doc_id"), col("n_words"),
+        round(col("char_sum").cast("double") / col("n_words"), 4).as("mean_word_len"),
+        round(col("n_alpha").cast("double") / col("n_words"), 4).as("alpha_ratio"),
+        col("n_stop"),
+        when(gopherKeepFrom(col("n_words"), col("char_sum"), col("n_alpha"),
+          col("n_stop"), minWords, maxWords), 1L).otherwise(0L).as("keep"))
   }
 
   /** Per-source content-length quartiles via ntile. The window is

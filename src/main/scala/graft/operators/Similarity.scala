@@ -63,9 +63,8 @@ object Similarity {
     * `ann_lsh_recall`: 0.72 vs 0.54 single-table at equal probe
     * budget on the sf0.1 corpus). */
   def lshTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10, nbits: Int = 6,
-              tables: Int = 4,
+              tables: Int = 4, dim: Int = 64,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val dim = 64
     // all table buckets in ONE corpus projection (posexplode), not a
     // union of per-table rescans — one pass at any corpus size
     val buckets = (0 until tables).map { t =>
@@ -105,13 +104,20 @@ object Similarity {
   def assignCells(e: DataFrame, nCells: Int): DataFrame = {
     val cents = e.where(col("id") < nCells)
       .select(col("id").as("cell"), col("v").as("cv"), col("nrm").as("cnrm"))
-    val assignW = Window.partitionBy(col("id")).orderBy(col("csim").desc, col("cell"))
+    // per-vector argmax via partial-aggregating max-of-struct: each
+    // map task reduces its corpus×nCells scored rows to one best per
+    // vector BEFORE the exchange (a window formulation shuffles all
+    // nCells scored copies of the corpus). Key (csim, −cell)
+    // reproduces "csim DESC, cell ASC" — ties break identically to
+    // the row_number() oracle.
     e.join(broadcast(cents), lit(true))
       .select(col("id"), col("v"), col("nrm"), col("cell"),
         round(cosinePrenormed(dot(col("v"), col("cv")), col("nrm"), col("cnrm")), 6).as("csim"))
-      .withColumn("crank", row_number().over(assignW))
-      .where(col("crank") === 1)
-      .drop("crank")
+      .groupBy(col("id"))
+      .agg(max(struct(col("csim"), (-col("cell")).as("neg_cell"), col("cell"),
+        col("v"), col("nrm"))).as("m"))
+      .select(col("id"), col("m.v").as("v"), col("m.nrm").as("nrm"),
+        col("m.cell").as("cell"), col("m.csim").as("csim"))
   }
 
   /** Cluster occupancy of the IVF quantizer — the oracle-checked

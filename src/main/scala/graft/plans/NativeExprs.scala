@@ -181,6 +181,9 @@ object NativeExprs {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
       val n = x.numElements()
+      if (y.numElements() != n)
+        throw new IllegalArgumentException(
+          s"graft_dot: array length mismatch ($n vs ${y.numElements()})")
       val xf = leftFloat
       val yf = rightFloat
       var acc = 0.0

@@ -33,7 +33,7 @@ object VersionedZone {
       .filter(_.isDirectory)
       .filter(s => fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
       .map(_.getPath.getName)
-      .filter(_.startsWith("v="))
+      .filter(_.matches("v=\\d+")) // ignore foreign/non-numeric dirs
       .map(_.stripPrefix("v=").toLong)
       .sorted
   }

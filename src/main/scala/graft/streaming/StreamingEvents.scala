@@ -63,7 +63,13 @@ object StreamingEvents {
     * apart open a new session. Emits *completed* sessions (append
     * mode); the open session rides in `GroupState` across batches.
     * State per key is one small case class — bounded regardless of
-    * stream length. */
+    * stream length.
+    *
+    * Cross-batch late data: an event within the open session's reach
+    * ([start − gap, last + gap]) merges with min/max bounds, so a
+    * late arrival can never produce end < start; an event older than
+    * the open session's reach is DROPPED (the watermark discipline —
+    * its true session may already have been emitted downstream). */
   /** Full-precision epoch micros: Timestamp.getTime is millis only
     * (sub-ms lives in getNanos), so derive micros from both — the
     * truncated form can disagree with batch unix_micros on gap
@@ -89,8 +95,11 @@ object StreamingEvents {
         sorted.foreach { e =>
           val us = tsMicros(e.ts)
           open match {
+            case Some(s) if us < s.startUs - gapUs =>
+              () // too late: older than the open session's reach
             case Some(s) if us - s.lastUs <= gapUs =>
-              open = Some(s.copy(lastUs = us, n = s.n + 1, sum = s.sum + e.value))
+              open = Some(s.copy(startUs = math.min(s.startUs, us),
+                lastUs = math.max(s.lastUs, us), n = s.n + 1, sum = s.sum + e.value))
             case Some(s) =>
               done += SessionOut(userId, s.seq, s.n,
                 microsTs(s.startUs), microsTs(s.lastUs), s.sum)

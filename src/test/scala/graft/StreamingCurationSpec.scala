@@ -57,6 +57,43 @@ class StreamingCurationSpec extends SparkSpec {
     assert(v0 == Seq((1L, "one"), (2L, "two")))
   }
 
+  test("late cross-batch events merge with sane bounds or drop") {
+    import graft.streaming.StreamingEvents
+    import graft.streaming.StreamingEvents.Ev
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 12:00:00")
+    def ts(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val tmp = Files.createTempDirectory("graft_late").toString
+    val enc = implicitly[org.apache.spark.sql.Encoder[Ev]]
+
+    def land(evs: Seq[Ev], name: String): Unit = {
+      val stage = s"$tmp/stage_$name"
+      evs.toDS().coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
+      Files.copy(part, java.nio.file.Paths.get(s"$tmp/in/$name.parquet"))
+    }
+
+    // batch 1: open session at [100, 110]
+    land(Seq(Ev(1L, ts(100), 7L, 1.0), Ev(2L, ts(110), 7L, 1.0)), "b1")
+    val evs = spark.readStream.schema(enc.schema).parquet(s"$tmp/in").as[Ev]
+    val q = StreamingEvents.sessionizeStateful(evs).writeStream
+      .outputMode("append").format("memory").queryName("late_sess").start()
+    val done = try {
+      q.processAllAvailable()
+      // batch 2 into the running query: late 95 merges (within
+      // reach), very-late 10 drops, 200 closes the session
+      land(Seq(Ev(3L, ts(95), 7L, 1.0), Ev(4L, ts(10), 7L, 1.0), Ev(5L, ts(200), 7L, 1.0)), "b2")
+      q.processAllAvailable()
+      spark.table("late_sess")
+        .select($"user_id", $"n_events", $"session_start", $"session_end")
+        .as[(Long, Long, java.sql.Timestamp, java.sql.Timestamp)].collect().toSeq
+    } finally q.stop()
+
+    assert(done == Seq((7L, 3L, ts(95), ts(110))))
+    assert(!done.exists { case (_, _, s, e) => e.before(s) })
+  }
+
   test("stream-static anomaly scoring matches the batch operator") {
     val tmp = Files.createTempDirectory("graft_anom").toString
     val batch = Tables.events(spark, sf)
