@@ -13,6 +13,23 @@ object Bench {
     // warm the session (codegen, scan machinery) so the first timed
     // query isn't charged for JVM/session startup
     spark.range(1000000).selectExpr("sum(id)").collect()
+    // JIT warmup: run EVERY query once against the smallest sibling
+    // scale factor, so timings below measure steady-state execution
+    // rather than whichever query happens to trigger compilation
+    // (e.g. the clustering loop runs 12s cold vs 3.7s warm)
+    val warmDir = new java.io.File(sfDir).getParentFile match {
+      case null => None
+      case p =>
+        val w = new java.io.File(p, "sf0.001")
+        if (w.isDirectory && w.getPath != sfDir) Some(w.getPath) else None
+    }
+    warmDir.foreach { wd =>
+      SparkEntry.queries.values.foreach { fn =>
+        try fn(spark, wd).count() catch { case _: Throwable => () }
+      }
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
     SparkEntry.queries.headOption.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
