@@ -1,14 +1,15 @@
 package graft
 object Dev {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.getOrCreate("local[32]", 32)
-    val d = "/root/testdata/sf0.1"
-    (1 to 3).foreach { i =>
-      val t0 = System.nanoTime()
-      val n = SparkEntry.queries("dedup_clusters")(spark, d).count()
-      println(s"run $i: ${(System.nanoTime()-t0)/1e9}s rows=$n")
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    val spark = GraftSession.getOrCreate("local[8]", 8)
+    try {
+      SparkEntry.queries("txt_gopher_filter")(spark, "/tmp/sf_adv")
+        .write.mode("overwrite").parquet("/tmp/gopher_probe")
+      println("gopher write OK")
+    } catch { case t: Throwable =>
+      println(s"gopher FAIL: ${t.getMessage}")
+      var c = t.getCause
+      while (c != null) { println(s"  cause: ${c.getClass.getName}: ${c.getMessage}"); c = c.getCause }
     }
     spark.stop()
   }

@@ -480,15 +480,18 @@ object SparkEntry {
          |  CAST(CASE WHEN lang = (CASE WHEN top = 0 THEN 'und' $caseChain ELSE 'und' END) THEN 1 ELSE 0 END AS BIGINT) AS is_match
          |FROM w ORDER BY doc_id""".stripMargin
     },
+    // coalesce: DuckDB's array_to_string([]) is NULL, Spark's
+    // concat_ws over an empty array is '' — a token-less doc must
+    // fingerprint as md5('') on both sides
     "txt_fingerprint" ->
       s"""SELECT doc_id,
-         |  md5(array_to_string(list_sort(list_distinct(${dToks("lower(text)")})), ' ')) AS fingerprint
+         |  md5(coalesce(array_to_string(list_sort(list_distinct(${dToks("lower(text)")})), ' '), '')) AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
     "txt_shingles" ->
       s"""WITH t AS (SELECT doc_id, ${dShingles(dToks("text"))} AS sh FROM documents)
          |SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
          |  CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct_shingles,
-         |  md5(array_to_string(sh, '|')) AS shingle_hash
+         |  md5(coalesce(array_to_string(sh, '|'), '')) AS shingle_hash
          |FROM t ORDER BY doc_id""".stripMargin,
 
     "txt_gopher_filter" ->

@@ -146,7 +146,9 @@ object Events {
     * broadcasts back onto the events — two narrow passes total, no
     * wide shuffle of the events themselves. */
   def anomalies(events: DataFrame, zMax: Double = 3.0): DataFrame = {
-    val z = (col("value") - col("mean")) / col("std")
+    // a zero-variance type yields NULL z (no outliers), matching the
+    // oracle's x/0 → NULL instead of Spark's ANSI divide error
+    val z = (col("value") - col("mean")) / when(col("std") =!= 0.0, col("std"))
     events.join(broadcast(typeStats(events)), "event_type")
       .where(abs(z) > zMax)
       .select(col("event_id"), col("event_type"), col("value"),

@@ -144,17 +144,24 @@ object Quality {
     (nWords, charSum, nAlpha, nStop)
   }
 
+  /** Null divisor when a doc has no tokens: division yields NULL
+    * (matching DuckDB's x/0) instead of the ANSI DIVIDE_BY_ZERO
+    * error Spark 4 raises by default. */
+  private def nzWords(nWords: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(nWords > 0, nWords)
+
   /** The verdict from already-computed metric Columns — shared by
     * the standalone expression and the audit filter so the metrics
-    * are built (and evaluated) exactly once per row. */
+    * are built (and evaluated) exactly once per row. A token-less
+    * doc yields NULL ratios → NULL verdict → keep = 0 / filtered. */
   private def gopherKeepFrom(nWords: org.apache.spark.sql.Column,
                              charSum: org.apache.spark.sql.Column,
                              nAlpha: org.apache.spark.sql.Column,
                              nStop: org.apache.spark.sql.Column,
                              minWords: Long, maxWords: Long): org.apache.spark.sql.Column =
     nWords.between(minWords, maxWords) &&
-      (charSum.cast("double") / nWords).between(3.0, 10.0) &&
-      nAlpha.cast("double") / nWords >= 0.8 && nStop >= 2
+      (charSum.cast("double") / nzWords(nWords)).between(3.0, 10.0) &&
+      nAlpha.cast("double") / nzWords(nWords) >= 0.8 && nStop >= 2
 
   /** The gopher verdict as a single boolean Column — usable as a
     * plain `where` filter on batch or streaming frames (no join, no
@@ -175,8 +182,8 @@ object Quality {
     docs.select(col("doc_id"), nWords.as("n_words"), charSum.as("char_sum"),
         nAlpha.as("n_alpha"), nStop.as("n_stop"))
       .select(col("doc_id"), col("n_words"),
-        round(col("char_sum").cast("double") / col("n_words"), 4).as("mean_word_len"),
-        round(col("n_alpha").cast("double") / col("n_words"), 4).as("alpha_ratio"),
+        round(col("char_sum").cast("double") / nzWords(col("n_words")), 4).as("mean_word_len"),
+        round(col("n_alpha").cast("double") / nzWords(col("n_words")), 4).as("alpha_ratio"),
         col("n_stop"),
         when(gopherKeepFrom(col("n_words"), col("char_sum"), col("n_alpha"),
           col("n_stop"), minWords, maxWords), 1L).otherwise(0L).as("keep"))

@@ -26,7 +26,7 @@ object StreamingCuration {
     * `Events.typeStats(batchEvents)`; the static side broadcasts
     * into every micro-batch. */
   def anomalyScores(stream: DataFrame, staticStats: DataFrame, zMax: Double = 3.0): DataFrame = {
-    val z = (col("value") - col("mean")) / col("std")
+    val z = (col("value") - col("mean")) / when(col("std") =!= 0.0, col("std"))
     stream.join(broadcast(staticStats), "event_type")
       .where(abs(z) > zMax)
       .select(col("event_id"), col("event_type"), col("value"), round(z, 4).as("z"))

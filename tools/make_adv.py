@@ -1,0 +1,43 @@
+#!/usr/bin/env python3
+"""Build an adversarial test corpus at /tmp/sf_adv: the driver's
+sf0.001 tables with documents replaced by a version that adds PII,
+exact duplicates, whitespace-only / single-char / very long /
+punctuation-heavy docs (all ASCII — the mm oracles index chars as
+bytes by design). The full oracle gate should stay green on it:
+
+    python3 tools/make_adv.py
+    SPARK_GRAFT_CPUS=16 tools/run.sh graft.Verify /tmp/sf_adv /tmp/vo_adv
+    python3 tools/check.py /tmp/sf_adv /tmp/vo_adv
+
+This catches vacuously-green oracles (e.g. PII patterns that never
+match the clean driver corpus) and ANSI-mode crashes (divide by
+zero on token-less docs) that the driver's data cannot exercise.
+"""
+import duckdb, shutil, os
+
+src = '/root/testdata/sf0.001'
+dst = '/tmp/sf_adv'
+os.makedirs(dst, exist_ok=True)
+for f in os.listdir(src):
+    if f != 'documents.parquet':
+        shutil.copy(f'{src}/{f}', f'{dst}/{f}')
+
+duckdb.sql(f"""
+COPY (
+  WITH base AS (SELECT * FROM '{src}/documents.parquet'),
+  adv(doc_id, text, lang, source) AS (VALUES
+    (9001, 'contact me at john.doe+spam@example.org or call +1 555-123-4567 today', 'en', 'adv'),
+    (9002, 'contact me at john.doe+spam@example.org or call +1 555-123-4567 today', 'en', 'adv'),
+    (9003, '   ', 'en', 'adv'),
+    (9004, 'x', 'en', 'adv'),
+    (9005, repeat('the quick brown fox jumps over a lazy dog and ', 200), 'en', 'adv'),
+    (9006, '!!! ??? ... ;;; ::: ,,, (((', 'en', 'adv'),
+    (9007, 'one two three four five six seven eight nine ten one two three four five', 'en', 'adv'),
+    (9008, 'one two three four five six seven eight nine ten one two three four six', 'en', 'adv'),
+    (9009, 'mail a@b.co and c.d@e-f.org plus 555 867 5309 and (02) 1234-5678 done', 'en', 'adv'))
+  SELECT doc_id, text, lang, source, length(text) AS n_chars FROM base
+  UNION ALL
+  SELECT doc_id, text, lang, source, length(text) FROM adv
+) TO '{dst}/documents.parquet' (FORMAT PARQUET)
+""")
+print(f"wrote {dst}")
