@@ -23,13 +23,23 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Null divisor for a zero-norm operand: the cosine of a zero
+    * vector is NULL (undefined) on both engines — Spark 4's ANSI
+    * mode would otherwise raise DIVIDE_BY_ZERO where DuckDB yields
+    * NULL. NULL similarities drop out of every threshold filter and
+    * top-k ranking. */
+  private def nzProduct(normA: Column, normB: Column): Column = {
+    val p = normA * normB
+    when(p =!= 0.0, p)
+  }
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / nzProduct(norm(a), norm(b))
 
   /** Cosine given precomputed norms (compute the norm once per row —
     * at corpus scale the norm is materialized a single time, not once
     * per candidate pair). */
   def cosinePrenormed(dotAB: Column, normA: Column, normB: Column): Column =
-    dotAB / (normA * normB)
+    dotAB / nzProduct(normA, normB)
 
   /** Deterministic pseudo-random hyperplanes for sign-LSH: component
     * (s, i) comes from md5 bytes of "s:i" mapped into [-0.5, 0.5].
