@@ -204,6 +204,12 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Similarity.recallAtK(Similarity.ivfTopK(emb), Similarity.bruteTopK(emb))
     }),
+    // IVF over the Lloyd-FITTED quantizer (2 training rounds)
+    "ann_ivf_trained" -> ((s, d) => Similarity.ivfTopKFitted(Tables.embeddings(s, d))),
+    "ann_ivf_trained_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.recallAtK(Similarity.ivfTopKFitted(emb), Similarity.bruteTopK(emb))
+    }),
 
     // BM25 lexical ranking (RAG retrieval pre-filter / hybrid scorer)
     "rag_bm25" -> ((s, d) => Ranking.bm25TopK(Tables.documents(s, d))),

@@ -101,15 +101,14 @@ object Similarity {
     * training loop needed for the plumbing); broadcast them and rank
     * cosine per vector. Input must carry (id, v, nrm). Output adds
     * (cell, csim). */
-  def assignCells(e: DataFrame, nCells: Int): DataFrame = {
-    val cents = e.where(col("id") < nCells)
-      .select(col("id").as("cell"), col("v").as("cv"), col("nrm").as("cnrm"))
-    // per-vector argmax via partial-aggregating max-of-struct: each
-    // map task reduces its corpus×nCells scored rows to one best per
-    // vector BEFORE the exchange (a window formulation shuffles all
-    // nCells scored copies of the corpus). Key (csim, −cell)
-    // reproduces "csim DESC, cell ASC" — ties break identically to
-    // the row_number() oracle.
+  /** Per-vector argmax against an arbitrary centroid table
+    * (cell, cv, cnrm) via partial-aggregating max-of-struct: each
+    * map task reduces its corpus×nCells scored rows to one best per
+    * vector BEFORE the exchange (a window formulation shuffles all
+    * nCells scored copies of the corpus). Key (csim, −cell)
+    * reproduces "csim DESC, cell ASC" — ties break identically to
+    * the row_number() oracle. */
+  def assignTo(e: DataFrame, cents: DataFrame): DataFrame =
     e.join(broadcast(cents), lit(true))
       .select(col("id"), col("v"), col("nrm"), col("cell"),
         round(cosinePrenormed(dot(col("v"), col("cv")), col("nrm"), col("cnrm")), 6).as("csim"))
@@ -118,6 +117,63 @@ object Similarity {
         col("v"), col("nrm"))).as("m"))
       .select(col("id"), col("m.v").as("v"), col("m.nrm").as("nrm"),
         col("m.cell").as("cell"), col("m.csim").as("csim"))
+
+  def assignCells(e: DataFrame, nCells: Int): DataFrame =
+    assignTo(e, e.where(col("id") < nCells)
+      .select(col("id").as("cell"), col("v").as("cv"), col("nrm").as("cnrm")))
+
+  /** Lloyd-fitted centroid table: start from the deterministic seed
+    * centroids and run `iters` assign→per-dim-DECIMAL-mean rounds
+    * (each round = one broadcast join + one tiny aggregation, per
+    * the lloydUpdate shape). Returns (cell, cv, cnrm) ready for
+    * `assignTo`/`ivfTopKFitted`. */
+  def fittedCentroids(emb: DataFrame, nCells: Int = 16, iters: Int = 2,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+    var cents = e.where(col("id") < nCells)
+      .select(col("id").as("cell"), col("v").as("cv"), col("nrm").as("cnrm"))
+    (1 to iters).foreach { _ =>
+      val upd = assignTo(e, cents)
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "val0")))
+        .select(col("cell"), col("pos"),
+          round(col("val0").cast("double"), 6).as("val"))
+        .groupBy(col("cell"), col("pos"))
+        .agg((sum(col("val").cast("decimal(18,6)")).cast("double") / count(lit(1)))
+          .as("centroid"))
+      cents = upd.groupBy(col("cell"))
+        // sort by dim before rebuilding the vector: collect_list
+        // order is otherwise nondeterministic
+        .agg(array_sort(collect_list(struct(col("pos"), col("centroid")))).as("a"))
+        .select(col("cell"),
+          transform(col("a"), x => x.getField("centroid")).as("cv"))
+        .withColumn("cnrm", sqrt(dot(col("cv"), col("cv"))))
+    }
+    cents
+  }
+
+  /** IVF top-k over the Lloyd-FITTED quantizer: same probe shape as
+    * `ivfTopK` but cells come from `fittedCentroids`, which balances
+    * occupancy and tightens cells vs. the raw seed vectors. */
+  def ivfTopKFitted(emb: DataFrame, nQueries: Int = 5, k: Int = 10,
+                    nCells: Int = 16, nprobe: Int = 4, iters: Int = 2,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+    val cents = fittedCentroids(emb, nCells, iters, idCol, vecCol)
+    val assigned = assignTo(e, cents).select(col("id"), col("v"), col("nrm"), col("cell"))
+    val probeW = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cell"))
+    val probes = e.where(col("id") < nQueries)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+      .join(broadcast(cents), lit(true))
+      .select(col("query_id"), col("qv"), col("qnrm"), col("cell"),
+        round(cosinePrenormed(dot(col("qv"), col("cv")), col("qnrm"), col("cnrm")), 6).as("csim"))
+      .withColumn("crank", row_number().over(probeW))
+      .where(col("crank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qnrm"), col("cell"))
+    val scored = assigned.join(broadcast(probes),
+        probes("cell") === assigned("cell") && col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        round(cosinePrenormed(dot(col("qv"), col("v")), col("qnrm"), col("nrm")), 6).as("sim"))
+    rankTopK(scored, k)
   }
 
   /** Cluster occupancy of the IVF quantizer — the oracle-checked

@@ -152,6 +152,23 @@ class CurationSpec extends SparkSpec {
     assert(day0 == users) // first-seen day is day 0 for every user
   }
 
+  test("fitted centroids are complete, normalized-length vectors") {
+    val cents = Similarity.fittedCentroids(Tables.embeddings(spark, sf))
+      .select($"cell", size($"cv").as("d"), $"cnrm")
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(cents.map(_._1).sorted == (0L until 16L))
+    assert(cents.forall(_._2 == 64))
+    assert(cents.forall(c => c._3 > 0 && !c._3.isNaN))
+  }
+
+  test("trained IVF returns a full ranked top-k per query") {
+    val got = Similarity.ivfTopKFitted(Tables.embeddings(spark, sf))
+      .select($"query_id", $"rank").as[(Long, Long)].collect().toSeq
+    val byQ = got.groupBy(_._1)
+    assert(byQ.keySet == (0L until 5L).toSet)
+    byQ.values.foreach(rs => assert(rs.map(_._2).sorted.toSeq == (1L to 10L)))
+  }
+
   test("cluster assignment covers every vector exactly once") {
     val emb = Tables.embeddings(spark, sf)
     val sizes = Similarity.clusterSizes(emb)
