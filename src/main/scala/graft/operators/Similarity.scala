@@ -147,6 +147,9 @@ object Similarity {
         .select(col("cell"),
           transform(col("a"), x => x.getField("centroid")).as("cv"))
         .withColumn("cnrm", sqrt(dot(col("cv"), col("cv"))))
+        // materialize the O(cells) table NOW: without this each
+        // round's plan carries (and re-executes) every prior round
+        .localCheckpoint(true)
     }
     cents
   }
