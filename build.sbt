@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify drivers parse machine-readable JSON lines from
+// stdout; sbt's default LoggedOutput strategy prefixes every forked
+// line with "[info] ", which breaks that parse. Pass the child's
+// stdout/stderr through untouched instead.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
