@@ -895,15 +895,19 @@ object SparkEntry {
          |  CAST(${dHex12("'w:' || doc_id")} % 1280 + 64 AS BIGINT) AS width,
          |  CAST(${dHex12("'h:' || doc_id")} % 720 + 64 AS BIGINT) AS height
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // byte-true slicing: hex(encode(text)) puts byte i at hex chars
+    // 2i+1..2i+2, so the oracle indexes BYTES like the Spark binary
+    // path does — exact on non-ASCII corpora too (char-based
+    // ascii(substr(text,…)) would return codepoints there)
     "mm_frame_sample" ->
       """SELECT doc_id, CAST(o AS BIGINT) AS "offset",
-        |  CAST(ascii(substr(text, CAST(o + 1 AS INT), 1)) AS BIGINT) AS byte_val
+        |  CAST(CAST('0x' || substr(hex(encode(text)), CAST(2*o + 1 AS INT), 2) AS INT) AS BIGINT) AS byte_val
         |FROM (SELECT doc_id, text, unnest(range(0, octet_length(encode(text)), 64)) AS o
         |      FROM documents)
         |ORDER BY doc_id, "offset"""".stripMargin,
     "mm_feature_hist" ->
       """WITH bytes AS (
-        |  SELECT doc_id, ascii(substr(text, CAST(i + 1 AS INT), 1)) % 16 AS bin
+        |  SELECT doc_id, CAST('0x' || substr(hex(encode(text)), CAST(2*i + 1 AS INT), 2) AS INT) % 16 AS bin
         |  FROM (SELECT doc_id, text, unnest(range(0, octet_length(encode(text)))) AS i
         |        FROM documents)),
         |c AS (SELECT doc_id, bin, count(*) AS n FROM bytes GROUP BY 1, 2),

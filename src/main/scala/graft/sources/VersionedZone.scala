@@ -58,19 +58,34 @@ object VersionedZone {
   /** Streaming MERGE sink: each micro-batch upserts into the zone by
     * key and commits a new snapshot version — continuous CDC ingest
     * with batch-identical merge semantics (the window form in
-    * `Medallion.upsertByKey`). */
+    * `Medallion.upsertByKey`).
+    *
+    * A CDC micro-batch can carry several rows for one key (two rapid
+    * updates coalesced into one trigger); `upsertByKey`'s contract is
+    * one update row per key, so each batch is first reduced to its
+    * winning row — latest by `orderCol` when given, ties (and the
+    * no-orderCol case) broken by a full-row hash so the survivor is
+    * deterministic across retries rather than partition-order luck. */
   def upsertSink(stream: DataFrame, path: String, checkpointDir: String,
-                 key: String = "doc_id"): DataStreamWriter[org.apache.spark.sql.Row] =
+                 key: String = "doc_id", orderCol: Option[String] = None)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions.{col, row_number, xxhash64}
         val spark = batch.sparkSession
+        val tiebreak = xxhash64(batch.columns.map(col).toIndexedSeq: _*)
+        val ord = orderCol.map(c => col(c).desc_nulls_last).toSeq :+ tiebreak.desc
+        val w = Window.partitionBy(col(key)).orderBy(ord: _*)
+        val deduped = batch.withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1).drop("__rn")
         val merged = latestVersion(spark, path) match {
-          case None => batch.withColumn("is_update",
+          case None => deduped.withColumn("is_update",
             org.apache.spark.sql.functions.lit(1))
           case Some(v) =>
             Medallion.upsertByKey(
-              read(spark, path, Some(v)).drop("is_update"), batch, key)
+              read(spark, path, Some(v)).drop("is_update"), deduped, key)
         }
         // materialize BEFORE committing the next version: the plan
         // reads the previous snapshot, so write to the new dir (never

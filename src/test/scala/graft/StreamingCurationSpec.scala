@@ -57,6 +57,35 @@ class StreamingCurationSpec extends SparkSpec {
     assert(v0 == Seq((1L, "one"), (2L, "two")))
   }
 
+  test("upsert sink reduces duplicate-key micro-batches deterministically") {
+    import graft.sources.VersionedZone
+    val tmp = Files.createTempDirectory("graft_vzdup").toString
+    val zone = s"$tmp/zone"
+
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = s"$tmp/stage_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
+      Files.copy(part, java.nio.file.Paths.get(s"$tmp/in/$name.parquet"))
+    }
+
+    // one micro-batch carrying TWO rows for doc 1: v2 has the later
+    // seq and must win regardless of file/partition order
+    val b = Seq((1L, "one-v1", 10L), (1L, "one-v2", 20L), (2L, "two", 5L))
+      .toDF("doc_id", "text", "seq")
+    land(b, "b1")
+    val q = VersionedZone.upsertSink(
+      spark.readStream.schema(b.schema).parquet(s"$tmp/in"),
+      zone, s"$tmp/cp", orderCol = Some("seq")).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+
+    val latest = VersionedZone.read(spark, zone)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toSeq.sortBy(_._1)
+    assert(latest == Seq((1L, "one-v2"), (2L, "two")))
+  }
+
   test("late cross-batch events merge with sane bounds or drop") {
     import graft.streaming.StreamingEvents
     import graft.streaming.StreamingEvents.Ev

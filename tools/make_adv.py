@@ -2,8 +2,9 @@
 """Build an adversarial test corpus at /tmp/sf_adv: the driver's
 sf0.001 tables with documents replaced by a version that adds PII,
 exact duplicates, whitespace-only / single-char / very long /
-punctuation-heavy docs (all ASCII — the mm oracles index chars as
-bytes by design). The full oracle gate should stay green on it:
+punctuation-heavy docs, and non-ASCII (accents / CJK / emoji — the
+mm oracles slice BYTES via hex(encode(text)), so multibyte payloads
+must stay exact too). The full oracle gate should stay green on it:
 
     python3 tools/make_adv.py
     SPARK_GRAFT_CPUS=16 tools/run.sh graft.Verify /tmp/sf_adv /tmp/vo_adv
@@ -34,7 +35,10 @@ COPY (
     (9006, '!!! ??? ... ;;; ::: ,,, (((', 'en', 'adv'),
     (9007, 'one two three four five six seven eight nine ten one two three four five', 'en', 'adv'),
     (9008, 'one two three four five six seven eight nine ten one two three four six', 'en', 'adv'),
-    (9009, 'mail a@b.co and c.d@e-f.org plus 555 867 5309 and (02) 1234-5678 done', 'en', 'adv'))
+    (9009, 'mail a@b.co and c.d@e-f.org plus 555 867 5309 and (02) 1234-5678 done', 'en', 'adv'),
+    (9010, 'café résumé naïve coöperate — ünïcödé tëst with àccents all över', 'fr', 'adv'),
+    (9011, '数据 处理 引擎 测试 文档 内容 分析 质量 检查 完成', 'zh', 'adv'),
+    (9012, 'emoji test 😀 rocket 🚀 and some mixed ascii plus ñ and ß endings', 'en', 'adv'))
   SELECT doc_id, text, lang, source, length(text) AS n_chars FROM base
   UNION ALL
   SELECT doc_id, text, lang, source, length(text) FROM adv
