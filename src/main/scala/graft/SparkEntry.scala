@@ -195,7 +195,7 @@ object SparkEntry {
     "emb_cluster_sizes" -> ((s, d) => Similarity.clusterSizes(Tables.embeddings(s, d))),
     "emb_kmeans_update" -> ((s, d) => Similarity.lloydUpdate(Tables.embeddings(s, d))),
     // recall of the approximate scale paths vs exact brute force —
-    // deterministic but the LSH planes are JVM-side → rows-only check
+    // an in-engine comparison, so only its row shape is oracle-checked
     "ann_lsh_recall" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.recallAtK(Similarity.lshTopK(emb), Similarity.bruteTopK(emb))
@@ -656,6 +656,61 @@ object SparkEntry {
          |s AS (SELECT query_id, n.id AS neighbor_id,
          |        round(${dDot("qv", "n.v")} / (qnrm * n.nrm), 6) AS sim
          |      FROM q, n WHERE n.id <> query_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
+         |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", sim
+         |FROM r WHERE rnk <= 10 ORDER BY query_id, "rank"""".stripMargin,
+
+    // the IVF path replayed exactly: seed centroids (lowest-id
+    // vectors), argmax assignment, nprobe-nearest probe cells, then
+    // brute-force within the probed cells — same tie-breaks as the
+    // engine ((csim DESC, cell), (sim DESC, neighbor_id))
+    "ann_ivf_topk" ->
+      s"""$embNormCte,
+         |c AS (SELECT id AS cell, v AS cv, nrm AS cnrm FROM n WHERE id < 16),
+         |a AS (SELECT n.id, n.v, n.nrm, c.cell,
+         |        row_number() OVER (PARTITION BY n.id
+         |          ORDER BY round(${dDot("n.v", "c.cv")} / (n.nrm * c.cnrm), 6) DESC, c.cell) AS rnk
+         |      FROM n CROSS JOIN c),
+         |m AS (SELECT id, v, nrm, cell FROM a WHERE rnk = 1),
+         |p AS (SELECT n.id AS query_id, n.v AS qv, n.nrm AS qnrm, c.cell,
+         |        row_number() OVER (PARTITION BY n.id
+         |          ORDER BY round(${dDot("n.v", "c.cv")} / (n.nrm * c.cnrm), 6) DESC, c.cell) AS crank
+         |      FROM n CROSS JOIN c WHERE n.id < 5),
+         |pr AS (SELECT query_id, qv, qnrm, cell FROM p WHERE crank <= 4),
+         |s AS (SELECT pr.query_id, m.id AS neighbor_id,
+         |        round(${dDot("pr.qv", "m.v")} / (pr.qnrm * m.nrm), 6) AS sim
+         |      FROM pr JOIN m ON pr.cell = m.cell AND m.id <> pr.query_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
+         |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", sim
+         |FROM r WHERE rnk <= 10 ORDER BY query_id, "rank"""".stripMargin,
+
+    // the multi-table multi-probe LSH path replayed exactly: the
+    // hyperplane component for (table t, bit s, dim i) is the first
+    // 48 bits of md5("t{t}:{s}:{i}") mapped into [-0.5, 0.5] — the
+    // same derivation as VectorFunctions.hyperplanes, so buckets,
+    // Hamming-1 probes, candidates and ranks all reproduce
+    "ann_lsh_topk" ->
+      s"""$embNormCte,
+         |planes AS (
+         |  SELECT t, s, list_transform(range(0, 64),
+         |    i -> CAST(CAST('0x' || substr(md5('t' || t || ':' || s || ':' || i), 1, 12) AS BIGINT) AS DOUBLE) / 281474976710656.0 - 0.5) AS pv
+         |  FROM (SELECT unnest(range(0, 4)) AS t), (SELECT unnest(range(0, 6)) AS s)),
+         |bits AS (
+         |  SELECT n.id, p.t, p.s,
+         |    CASE WHEN ${dDot("n.v", "p.pv")} > 0 THEN 1 << s ELSE 0 END AS bit
+         |  FROM n CROSS JOIN planes p),
+         |bkt AS (SELECT id, t, SUM(bit) AS bucket FROM bits GROUP BY 1, 2),
+         |qp AS (
+         |  SELECT b.id AS query_id, b.t, unnest(list_prepend(b.bucket,
+         |    list_transform(range(0, 6), x -> xor(b.bucket, 1 << x)))) AS qbucket
+         |  FROM bkt b WHERE b.id < 5),
+         |cand AS (
+         |  SELECT DISTINCT qp.query_id, c.id AS neighbor_id
+         |  FROM qp JOIN bkt c ON qp.t = c.t AND qp.qbucket = c.bucket AND c.id <> qp.query_id),
+         |s AS (
+         |  SELECT cand.query_id, cand.neighbor_id,
+         |    round(${dDot("q.v", "x.v")} / (q.nrm * x.nrm), 6) AS sim
+         |  FROM cand JOIN n q ON q.id = cand.query_id JOIN n x ON x.id = cand.neighbor_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
          |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", sim
          |FROM r WHERE rnk <= 10 ORDER BY query_id, "rank"""".stripMargin,
