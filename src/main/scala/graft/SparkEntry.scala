@@ -177,9 +177,12 @@ object SparkEntry {
       Sampling.stratifiedN(Tables.documents(s, d), 5)
         .select(col("source"), col("rnk"), col("doc_id"))
         .orderBy(col("source"), col("rnk"))),
+    "samp_temperature" -> ((s, d) =>
+      Sampling.temperatureMixture(Tables.documents(s, d))),
 
     // ── deduplication ───────────────────────────────────────────────
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
+    "dedup_lines" -> ((s, d) => Dedup.lineDedup(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
@@ -204,6 +207,12 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Similarity.recallAtK(Similarity.ivfTopK(emb), Similarity.bruteTopK(emb))
     }),
+    "ann_pq_topk" -> ((s, d) => Similarity.pqTopK(Tables.embeddings(s, d))),
+    "ann_pq_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.recallAtK(Similarity.pqTopK(emb),
+        Similarity.bruteTopK(emb, nQueries = 3))
+    }),
     // IVF over the Lloyd-FITTED quantizer (2 training rounds)
     "ann_ivf_trained" -> ((s, d) => Similarity.ivfTopKFitted(Tables.embeddings(s, d))),
     "ann_ivf_trained_recall" -> ((s, d) => {
@@ -213,6 +222,8 @@ object SparkEntry {
 
     // BM25 lexical ranking (RAG retrieval pre-filter / hybrid scorer)
     "rag_bm25" -> ((s, d) => Ranking.bm25TopK(Tables.documents(s, d))),
+    "rag_hybrid" -> ((s, d) =>
+      Ranking.hybridTopK(Tables.documents(s, d), Tables.embeddings(s, d))),
     "txt_tfidf_topterms" -> ((s, d) => Ranking.tfidfTopTerms(Tables.documents(s, d))),
 
     // RAG retrieval (reference /ask flow): query embedding → top-k
@@ -238,6 +249,14 @@ object SparkEntry {
     "q_type_pivot" -> ((s, d) => Analytics.eventTypePivot(s, d)),
     "q_approx_distinct" -> ((s, d) => Analytics.approxDistinct(s, d)),
     "q_range_join" -> ((s, d) => Analytics.valueBands(s, d)),
+    "q_above_avg" -> ((s, d) => Analytics.aboveAvgOrders(s, d)),
+    // one-pass column profiler over orders; doubles excluded (their
+    // string rendering is engine-specific)
+    "dq_profile" -> ((s, d) =>
+      Quality.profile(Tables.orders(s, d),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
+          "o_orderpriority"))),
+    "txt_repetition" -> ((s, d) => Quality.repetition(Tables.documents(s, d))),
     "q_cube" -> ((s, d) =>
       Tables.events(s, d)
         .cube(col("event_type"), to_date(col("ts")).cast("string").as("day"))
@@ -271,6 +290,10 @@ object SparkEntry {
     "ev_anomaly" -> ((s, d) => Events.anomalies(Tables.events(s, d))),
     "ev_funnel" -> ((s, d) => Events.funnel(Tables.events(s, d))),
     "ev_retention" -> ((s, d) => Events.retention(Tables.events(s, d))),
+    "ev_markov" -> ((s, d) => Events.transitions(Tables.events(s, d))),
+    "ev_hopping_agg" -> ((s, d) =>
+      Events.hoppingAgg(Tables.events(s, d))
+        .withColumn("window_start", date_format(col("window_start"), TsFmt))),
 
     // ── multimodal ──────────────────────────────────────────────────
     "mm_binary_meta" -> ((s, d) =>
@@ -550,6 +573,28 @@ object SparkEntry {
         |  FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id)
         |SELECT doc_id, CAST(SUM(CAST(t AS DECIMAL(18,6))) AS DOUBLE) AS entropy
         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Gopher repetition filters; every ratio is an exact integer
+    // quotient so no rounding is needed anywhere
+    "txt_repetition" ->
+      s"""WITH t AS (SELECT doc_id, ${dToks("lower(text)")} AS tk FROM documents),
+         |wc AS (SELECT doc_id, w, count(*) AS tf
+         |       FROM (SELECT doc_id, unnest(tk) AS w FROM t) GROUP BY 1, 2),
+         |wa AS (SELECT doc_id, SUM(tf) AS n_tokens, count(*) AS n_distinct, MAX(tf) AS top_tf
+         |       FROM wc GROUP BY doc_id),
+         |bg AS (SELECT doc_id, b, count(*) AS bf
+         |       FROM (SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk), 1)), i -> tk[i] || ' ' || tk[i+1])) AS b
+         |             FROM t WHERE len(tk) > 1) GROUP BY 1, 2),
+         |ba AS (SELECT doc_id, MAX(bf) AS top_bf FROM bg GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(wa.n_tokens, 0) AS n_tokens,
+         |  CAST(wa.n_distinct AS DOUBLE) / wa.n_tokens AS ttr,
+         |  CAST(wa.top_tf AS DOUBLE) / wa.n_tokens AS top_word_frac,
+         |  CASE WHEN wa.n_tokens > 1 THEN CAST(ba.top_bf AS DOUBLE) / (wa.n_tokens - 1) END AS top_bigram_frac,
+         |  CASE WHEN wa.n_tokens > 0 AND CAST(wa.n_distinct AS DOUBLE) / wa.n_tokens > 0.2
+         |        AND CAST(wa.top_tf AS DOUBLE) / wa.n_tokens < 0.3
+         |        AND (wa.n_tokens <= 1 OR CAST(ba.top_bf AS DOUBLE) / (wa.n_tokens - 1) < 0.25)
+         |       THEN 1 ELSE 0 END AS keep
+         |FROM documents d LEFT JOIN wa ON d.doc_id = wa.doc_id LEFT JOIN ba ON d.doc_id = ba.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "dq_length_mad" ->
       """WITH l AS (SELECT CAST(length(text) AS DOUBLE) AS len FROM documents),
         |m AS (SELECT quantile_cont(len, 0.5) AS med FROM l),
@@ -585,10 +630,34 @@ object SparkEntry {
         |  FROM documents)
         |SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id FROM r
         |WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
+    // temperature mixture: the rate formula's association order is
+    // mirrored verbatim from Sampling.temperatureMixture — any
+    // re-parenthesization would change the double and flip hash-edge
+    // rows at the % 10000 comparison
+    "samp_temperature" ->
+      s"""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+         |d AS (SELECT CAST(SUM(CAST(round(sqrt(CAST(n AS DOUBLE)), 6) AS DECIMAL(18,6))) AS DOUBLE) AS denom,
+         |             SUM(n) AS total FROM c),
+         |r AS (SELECT c.source, c.n AS n_orig,
+         |        least(100.0, ((100.0 * (0.5 * d.total)) * (round(sqrt(CAST(c.n AS DOUBLE)), 6) / d.denom)) / c.n) AS rate_pct
+         |      FROM c CROSS JOIN d)
+         |SELECT r.source, r.n_orig, round(r.rate_pct, 6) AS rate_pct, count(*) AS n_sampled
+         |FROM documents t JOIN r ON t.source = r.source
+         |WHERE ${dHex12("'temp:' || t.doc_id")} % 10000 < r.rate_pct * 100
+         |GROUP BY 1, 2, 3 ORDER BY r.source""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "dedup_lines" ->
+      """WITH l AS (SELECT doc_id, i - 1 AS idx, ls[CAST(i AS INT)] AS line
+        |           FROM (SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS i
+        |                 FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents))),
+        |hot AS (SELECT line FROM l GROUP BY line HAVING count(*) >= 3)
+        |SELECT doc_id, count(*) AS n_lines,
+        |  SUM(CASE WHEN line IN (SELECT line FROM hot) THEN 1 ELSE 0 END) AS n_removed,
+        |  COALESCE(string_agg(CASE WHEN line NOT IN (SELECT line FROM hot) THEN line END, chr(10) ORDER BY idx), '') AS clean_text
+        |FROM l GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""$shingleCte,
          |ex AS (SELECT id, unnest(shh) AS sg FROM sets),
@@ -715,6 +784,33 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", sim
          |FROM r WHERE rnk <= 10 ORDER BY query_id, "rank"""".stripMargin,
 
+    // the PQ/ADC path replayed exactly: 8×8 subspaces, codebook = the
+    // 16 lowest-id vectors' subvectors, encode by rounded expanded-L2
+    // argmin (ties to the lowest code), score = DECIMAL sum of the
+    // per-subspace rounded LUT dot products
+    "ann_pq_topk" -> {
+      def dot8(a: String, b: String) =
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 9), i -> $a[i] * $b[i])), (x, y) -> x + y)"
+      s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |subs AS (SELECT id, m.sub, list_slice(v, m.sub * 8 + 1, m.sub * 8 + 8) AS sv
+         |         FROM e, (SELECT unnest(range(0, 8)) AS sub) m),
+         |cb AS (SELECT id AS code, sub, sv AS cv FROM subs WHERE id < 16),
+         |enc AS (SELECT s.id, s.sub, cb.code,
+         |          row_number() OVER (PARTITION BY s.id, s.sub
+         |            ORDER BY round((${dot8("s.sv", "s.sv")} - 2.0 * ${dot8("s.sv", "cb.cv")}) + ${dot8("cb.cv", "cb.cv")}, 6), cb.code) AS rnk
+         |        FROM subs s JOIN cb ON s.sub = cb.sub),
+         |codes AS (SELECT id, sub, code FROM enc WHERE rnk = 1),
+         |lut AS (SELECT s.id AS query_id, s.sub, cb.code, round(${dot8("s.sv", "cb.cv")}, 6) AS lv
+         |        FROM subs s JOIN cb ON s.sub = cb.sub WHERE s.id < 3),
+         |sc AS (SELECT l.query_id, c.id AS neighbor_id,
+         |         CAST(SUM(CAST(l.lv AS DECIMAL(18,6))) AS DOUBLE) AS sim
+         |       FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
+         |       WHERE l.query_id <> c.id GROUP BY 1, 2),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM sc)
+         |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", sim
+         |FROM r WHERE rnk <= 10 ORDER BY query_id, "rank"""".stripMargin
+    },
+
     "emb_cluster_sizes" ->
       s"""$embNormCte,
          |c AS (SELECT id AS cell, v AS cv, nrm AS cnrm FROM n WHERE id < 16),
@@ -768,6 +864,44 @@ object SparkEntry {
          |       FROM tf JOIN df ON tf.term = df.term CROSS JOIN stats s)
          |SELECT doc_id, CAST(SUM(CAST(term_score AS DECIMAL(18,6))) AS DOUBLE) AS bm25
          |FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+
+    // RRF fusion: the bm25 CTE chain is rag_bm25's verbatim; the
+    // vector CTE chain is ann_brute's at nQueries=3, depth=20; the
+    // fused terms are rounded-then-DECIMAL-summed like the engine
+    "rag_hybrid" ->
+      s"""WITH t AS (SELECT doc_id, ${dToks("text")} AS tk FROM documents),
+         |stats AS (SELECT count(*) AS n_docs, avg(len(tk)) AS avg_len FROM t),
+         |terms AS (SELECT unnest([${Ranking.DefaultTerms.map(w => s"'$w'").mkString(",")}]) AS term),
+         |tf AS (SELECT doc_id, w AS term, dl, count(*) AS tf
+         |       FROM (SELECT doc_id, unnest(tk) AS w, CAST(len(tk) AS BIGINT) AS dl FROM t)
+         |       WHERE w IN (SELECT term FROM terms) GROUP BY 1, 2, 3),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |bsc AS (SELECT doc_id,
+         |         round(ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         |           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avg_len)), 6) AS term_score
+         |       FROM tf JOIN df ON tf.term = df.term CROSS JOIN stats s),
+         |lex0 AS (SELECT doc_id, CAST(SUM(CAST(term_score AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+         |         FROM bsc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20),
+         |lex AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank FROM lex0),
+         |e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT id, v, sqrt(${dDot("v", "v")}) AS nrm FROM e),
+         |q AS (SELECT id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE id < 3),
+         |vs AS (SELECT query_id, n.id AS neighbor_id,
+         |        round(${dDot("qv", "n.v")} / (qnrm * n.nrm), 6) AS sim
+         |      FROM q, n WHERE n.id <> query_id),
+         |vr AS (SELECT query_id, neighbor_id AS doc_id,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS vec_rank
+         |       FROM vs QUALIFY vec_rank <= 20),
+         |lpq AS (SELECT qq.query_id, lex.doc_id, lex.lex_rank
+         |        FROM (SELECT DISTINCT query_id FROM vr) qq CROSS JOIN lex),
+         |f AS (SELECT COALESCE(v.query_id, l.query_id) AS query_id,
+         |        COALESCE(v.doc_id, l.doc_id) AS doc_id, v.vec_rank, l.lex_rank,
+         |        CAST(COALESCE(CAST(round(1.0/(60 + v.vec_rank), 6) AS DECIMAL(18,6)), 0) +
+         |             COALESCE(CAST(round(1.0/(60 + l.lex_rank), 6) AS DECIMAL(18,6)), 0) AS DOUBLE) AS rrf
+         |      FROM vr v FULL OUTER JOIN lpq l ON v.query_id = l.query_id AND v.doc_id = l.doc_id),
+         |rr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rnk FROM f)
+         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id, vec_rank, lex_rank, rrf
+         |FROM rr WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
 
     "rag_retrieve" ->
       s"""$embNormCte,
@@ -864,6 +998,26 @@ object SparkEntry {
         |FROM events GROUP BY CUBE (event_type, CAST(ts AS DATE))
         |ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST""".stripMargin,
 
+    "q_above_avg" ->
+      """WITH a AS (SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT c.c_mktsegment, count(*) AS n_above, count(DISTINCT o.o_custkey) AS n_customers
+        |FROM orders o JOIN a ON o.o_custkey = a.o_custkey JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_totalprice > a.avg_price
+        |GROUP BY 1 ORDER BY c.c_mktsegment""".stripMargin,
+
+    "dq_profile" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
+        "o_orderpriority")
+      cols.map { c =>
+        s"""SELECT '$c' AS "column", count(*) - count($c) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_val, CAST(max($c) AS VARCHAR) AS max_val
+           |FROM orders""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
+
     "q_range_join" ->
       """WITH b AS (SELECT band, CAST(band * 50.0 AS DOUBLE) AS lo,
         |    CAST((band + 1) * 50.0 AS DOUBLE) AS hi
@@ -872,6 +1026,27 @@ object SparkEntry {
         |  CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM b LEFT JOIN events e ON e.value >= b.lo AND e.value < b.hi
         |GROUP BY 1, 2, 3 ORDER BY band""".stripMargin,
+
+    "ev_markov" ->
+      """WITH p AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+        |         event_type
+        |  FROM events),
+        |c AS (SELECT prev_type, event_type, count(*) AS n FROM p
+        |      WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, event_type, n,
+        |  CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type) AS p
+        |FROM c ORDER BY prev_type, event_type""".stripMargin,
+    // hopping windows are epoch-aligned every 5 minutes; each event
+    // lands in exactly size/slide = 2 of them
+    "ev_hopping_agg" ->
+      """WITH x AS (
+        |  SELECT epoch_us(ts) - epoch_us(ts) % 300000000 - s.o AS ws_us, event_type, value
+        |  FROM events, (SELECT unnest([0, 300000000]) AS o) s)
+        |SELECT strftime(make_timestamp(ws_us), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM x GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
 
     "ev_anomaly" ->
       """WITH s AS (SELECT event_type,

@@ -192,6 +192,28 @@ object Analytics {
     * preserved side must stream — which is an OOM at scale; for
     * genuinely irregular bands, inner-join with the band table
     * broadcast, or bucketize the boundaries.) */
+  /** Orders priced above their own customer's average (the
+    * correlated-subquery shape, decorrelated): the per-customer
+    * average is one partial aggregation over orders (exact DECIMAL
+    * sum / count), joined back on the same o_custkey hash
+    * partitioning — Catalyst reuses the exchange, so the "subquery"
+    * costs one extra agg, not a second scan shuffle. Counts roll up
+    * per market segment with the customer dim broadcast. */
+  def aboveAvgOrders(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val custAvg = orders.groupBy(col("o_custkey"))
+      .agg((sum(dec(col("o_totalprice"))).cast("double") / count(lit(1)))
+        .as("avg_price"))
+    val above = orders.join(custAvg, "o_custkey")
+      .where(col("o_totalprice") > col("avg_price"))
+    above.join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_above"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   def valueBands(spark: SparkSession, dir: String,
                  nBands: Int = 10, width: Double = 50.0): DataFrame = {
     val bands = spark.range(nBands).select(col("id").as("band"),

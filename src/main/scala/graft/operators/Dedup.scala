@@ -183,6 +183,34 @@ object Dedup {
     * hamming ≤ 3 (pigeonhole: 3 flipped bits can't touch all 4
     * bytes), so this equals the all-pairs answer without the n²
     * join. */
+  /** Corpus-level line deduplication (the CCNet-style boilerplate
+    * remover): lines occurring ≥ `cap` times across the WHOLE corpus
+    * (headers, footers, nav bars) are dropped from every document.
+    * Shape at scale: explode lines map-side, one hash shuffle on the
+    * line for the global counts, broadcast-or-shuffle join back
+    * (the hot-line table is small — only lines above the cap
+    * matter), then one per-doc regroup that reassembles the kept
+    * lines in original order from a sorted struct array. Returns
+    * (doc_id, n_lines, n_removed, clean_text). */
+  def lineDedup(docs: DataFrame, cap: Int = 3, contentCol: String = "text",
+                idCol: String = "doc_id"): DataFrame = {
+    val lines = docs.select(col(idCol).as("doc_id"),
+        posexplode(split(col(contentCol), "\n")).as(Seq("idx", "line")))
+    val hot = lines.groupBy(col("line")).agg(count(lit(1)).as("n_occ"))
+      .where(col("n_occ") >= cap)
+      .select(col("line"), lit(1L).as("is_hot"))
+    lines.join(broadcast(hot), Seq("line"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        count(col("is_hot")).as("n_removed"),
+        concat_ws("\n",
+          transform(
+            array_sort(collect_list(
+              when(col("is_hot").isNull, struct(col("idx"), col("line"))))),
+            s => s.getField("line"))).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
   def simhashPairs(docs: DataFrame, contentCol: String = "text",
                    idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
     val sims = docs.select(col(idCol).as("id"),

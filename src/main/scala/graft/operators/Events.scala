@@ -128,6 +128,41 @@ object Events {
       .orderBy(col("cohort"), col("day_off"))
   }
 
+  /** Event-type transition matrix (first-order Markov chain over each
+    * user's ordered stream): lag window per user, then one aggregation
+    * over (prev, next) pairs. The probability is an exact integer
+    * quotient (count/total as doubles), so it is bit-stable on any
+    * partitioning and in the oracle. One shuffle on user_id for the
+    * lag, one tiny shuffle on the pair keys. */
+  def transitions(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .where(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val totalW = Window.partitionBy(col("prev_type"))
+    pairs
+      .withColumn("p", col("n").cast("double") / sum(col("n")).over(totalW))
+      .orderBy(col("prev_type"), col("event_type"))
+  }
+
+  /** Hopping (sliding) window aggregation via Spark's native
+    * `window(ts, size, slide)`: each event lands in size/slide
+    * windows (2 here), exploded map-side — the streaming-native
+    * sliding counterpart of `tumblingAgg`, identical in readStream
+    * form. Shuffle carries (window, type) partials only. */
+  def hoppingAgg(events: DataFrame, sizeMinutes: Int = 10,
+                 slideMinutes: Int = 5): DataFrame =
+    events
+      .groupBy(window(col("ts"), s"$sizeMinutes minutes", s"$slideMinutes minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
   /** Per-type (mean, std) from one partial-aggregating pass with
     * DECIMAL sums — exact on any partitioning. Reused as the static
     * side of the streaming anomaly scorer. */

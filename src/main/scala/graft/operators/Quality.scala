@@ -53,6 +53,67 @@ object Quality {
       .orderBy(col("frequency").desc, col("word"))
       .limit(k)
 
+  /** Per-document repetition metrics — the Gopher repetition filters
+    * (type-token ratio, most-common-word share, most-common-bigram
+    * share). The word counts come from one explode + two-level
+    * aggregation (doc×word partials, then per-doc max/sum), the
+    * bigrams from a map-side zip of the token array with its own
+    * tail — no self-join, no second tokenization pass. All ratios
+    * are exact integer quotients (bit-stable everywhere); token-less
+    * docs yield NULL ratios and keep=0. */
+  def repetition(docs: DataFrame, contentCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame = {
+    val t = docs.select(col(idCol).as("doc_id"), tokens(lower(col(contentCol))).as("tk"))
+    val wordAgg = t.select(col("doc_id"), explode(col("tk")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+        max(col("tf")).as("top_tf"))
+    val bigrams = t.select(col("doc_id"),
+        explode(zip_with(
+          slice(col("tk"), lit(1), greatest(size(col("tk")) - 1, lit(0))),
+          slice(col("tk"), lit(2), greatest(size(col("tk")) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b))).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("bf"))
+      .groupBy(col("doc_id")).agg(max(col("bf")).as("top_bf"))
+    val nTok = col("n_tokens")
+    val ttr = col("n_distinct").cast("double") / nTok
+    val topW = col("top_tf").cast("double") / nTok
+    val topB = col("top_bf").cast("double") / (nTok - 1)
+    docs.select(col(idCol).as("doc_id"))
+      .join(wordAgg, Seq("doc_id"), "left")
+      .join(bigrams, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(nTok, lit(0L)).as("n_tokens"),
+        ttr.as("ttr"), topW.as("top_word_frac"),
+        when(nTok > 1, topB).as("top_bigram_frac"),
+        when(nTok > 0 && ttr > 0.2 && topW < 0.3 &&
+          (nTok <= 1 || topB < 0.25), 1L).otherwise(0L).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** One-pass column profiler: null count, exact distinct count and
+    * min/max per column, unpivoted to one row per column. The single
+    * wide aggregate computes every metric in one scan (the multi-
+    * distinct is Spark's Expand: one shuffle carrying per-column
+    * partials); the unpivot is a map-side explode of the 1-row
+    * result. Doubles are excluded by callers because their string
+    * rendering is engine-specific — longs/strings/dates render
+    * identically everywhere. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c => Seq(
+      (count(lit(1)) - count(col(c))).as(s"nn_$c"),
+      countDistinct(col(c)).as(s"nd_$c"),
+      min(col(c)).cast("string").as(s"mn_$c"),
+      max(col(c)).cast("string").as(s"mx_$c")) }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val entries = cols.map { c => struct(lit(c).as("column"),
+      col(s"nn_$c").as("n_nulls"), col(s"nd_$c").as("n_distinct"),
+      col(s"mn_$c").as("min_val"), col(s"mx_$c").as("max_val")) }
+    row.select(explode(array(entries: _*)).as("e")).select(col("e.*"))
+      .orderBy(col("column"))
+  }
+
   /** Top sources by average content length (duckdb_queries.py:150-159). */
   def topSourcesByLength(docs: DataFrame, contentCol: String = "text",
                          by: String = "source", k: Int = 5): DataFrame =

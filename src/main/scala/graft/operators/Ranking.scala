@@ -52,6 +52,42 @@ object Ranking {
       .limit(topK)
   }
 
+  /** Hybrid retrieval via reciprocal-rank fusion (RRF, Cormack et
+    * al.): fuse the BM25 lexical list with each query vector's
+    * cosine top-list — score = Σ 1/(K + rank) over the lists a doc
+    * appears in. Both input lists are already tiny (top-`depth`
+    * each), so the fusion is a full-outer join of two O(depth)
+    * tables per query — the corpus is touched only inside the two
+    * underlying retrievals. The RRF terms are rounded then
+    * DECIMAL-summed: order-independent and oracle-replayable. */
+  def hybridTopK(docs: DataFrame, emb: DataFrame,
+                 terms: Seq[String] = DefaultTerms, nQueries: Int = 3,
+                 depth: Int = 20, k: Int = 10, rrfK: Int = 60): DataFrame = {
+    val lexW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bm25").desc, col("doc_id"))
+    val lex = bm25TopK(docs, terms, depth)
+      .withColumn("lex_rank", row_number().over(lexW).cast("long"))
+      .select(col("doc_id"), col("lex_rank"))
+    val vec = graft.operators.Similarity.bruteTopK(emb, nQueries, depth)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("vec_rank"))
+    val queries = vec.select(col("query_id")).distinct()
+    val lexPerQuery = queries.crossJoin(lex)
+    val fused = vec.join(lexPerQuery, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf", (
+        coalesce(round(lit(1.0) / (lit(rrfK) + col("vec_rank")), 6), lit(0.0))
+          .cast("decimal(18,6)") +
+        coalesce(round(lit(1.0) / (lit(rrfK) + col("lex_rank")), 6), lit(0.0))
+          .cast("decimal(18,6)")).cast("double"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("doc_id"),
+        col("vec_rank"), col("lex_rank"), col("rrf"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** Per-document top-k TF-IDF terms (the classic keyword extractor):
     * tf and df are two partial-aggregating passes over the exploded
     * tokens; df is corpus-wide but only |vocab| rows, so it

@@ -58,6 +58,41 @@ object Sampling {
       .where(col("rnk") <= n)
   }
 
+  /** Temperature-flattened mixture sampling (the multilingual /
+    * multi-domain rebalancer): target share of source s ∝ sqrt(n_s)
+    * (temperature α = 0.5), scaled so the expected sample is
+    * `targetFrac` of the corpus, capped at keeping a source whole.
+    * The per-source rates derive from one tiny counts aggregate
+    * (DECIMAL-summed sqrt weights, so the denominator is partition-
+    * order independent) and broadcast back onto the corpus as a pure
+    * hash predicate — map-only over the data, retry-stable, and
+    * replayable in SQL. Returns (source, n_orig, rate_pct,
+    * n_sampled). */
+  def temperatureMixture(df: DataFrame, targetFrac: Double = 0.5,
+                         byCol: String = "source", keyCol: String = "doc_id",
+                         salt: String = "temp"): DataFrame = {
+    val counts = df.groupBy(col(byCol)).agg(count(lit(1)).as("n"))
+    val denom = counts.agg(
+      sum(round(sqrt(col("n").cast("double")), 6).cast("decimal(18,6)"))
+        .cast("double").as("denom"),
+      sum(col("n")).as("total"))
+    // fixed association order, mirrored verbatim in the oracle:
+    // ((100.0 * (targetFrac * total)) * (w / denom)) / n
+    val rates = counts.crossJoin(broadcast(denom))
+      .withColumn("w", round(sqrt(col("n").cast("double")), 6))
+      .withColumn("rate_pct", least(lit(100.0),
+        lit(100.0) * (lit(targetFrac) * col("total")) * (col("w") / col("denom")) / col("n")))
+      .select(col(byCol), col("n").as("n_orig"), col("rate_pct"))
+    df.join(broadcast(rates), byCol)
+      .where(HashFunctions.md5Long(concat(lit(s"$salt:"), col(keyCol))) % 10000 <
+        col("rate_pct") * 100)
+      .groupBy(col(byCol), col("n_orig"), col("rate_pct"))
+      .agg(count(lit(1)).as("n_sampled"))
+      .select(col(byCol), col("n_orig"), round(col("rate_pct"), 6).as("rate_pct"),
+        col("n_sampled"))
+      .orderBy(col(byCol))
+  }
+
   /** Exactly-n uniform sample: rank by salted md5 and keep the lowest
     * n. Runs as a distributed top-k (TakeOrdered: per-partition heap
     * then merge of n·partitions rows) — never a full global sort. */

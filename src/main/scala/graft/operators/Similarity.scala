@@ -239,6 +239,52 @@ object Similarity {
       .orderBy(col("cell"), col("dim"))
   }
 
+  /** Product-quantization ANN (PQ/ADC, Jégou et al., TPAMI 2011):
+    * vectors split into `m` subspaces; each subvector is encoded as
+    * its nearest codeword (codebook = the 16 lowest-id vectors'
+    * subvectors — deterministic plumbing, swap in Lloyd-fitted
+    * codebooks exactly as `fittedCentroids` does for IVF). A query
+    * scores a corpus vector from the code table alone — asymmetric
+    * distance: Σ_m dot(q_m, codeword(code_m)) — so the scoring join
+    * touches the O(n·m) code table, never the raw vectors.
+    *
+    * Scale shape: the codebook and the per-query LUT (m·16 and
+    * q·m·16 rows) broadcast; encoding is one broadcast join +
+    * partial-aggregating argmin per (vector, subspace); scoring
+    * partial-aggregates the per-subspace LUT terms to one row per
+    * (query, vector) before the exchange. Rounded-then-DECIMAL sums
+    * keep every stage bit-stable and oracle-replayable. */
+  def pqTopK(emb: DataFrame, nQueries: Int = 3, k: Int = 10,
+             m: Int = 8, nCodes: Int = 16,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val subDim = 64 / m
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    def subs(df: DataFrame, id: String, out: String): DataFrame =
+      df.select(col(id), posexplode(array((0 until m).map(i =>
+        slice(col("v"), i * subDim + 1, subDim)): _*)).as(Seq("sub", out)))
+    val cb = subs(e.where(col("id") < nCodes), "id", "cv")
+      .select(col("id").as("code"), col("sub"), col("cv"))
+    // encode: argmin_code round(‖x_m − c‖², 6), ties to the lowest
+    // code — expanded form (x·x − 2 x·c) + c·c keeps dot() native
+    val l2 = round(dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("cv")) +
+      dot(col("cv"), col("cv")), 6)
+    val codes = subs(e, "id", "sv").join(broadcast(cb), "sub")
+      .select(col("id"), col("sub"), col("code"), l2.as("l2"))
+      .groupBy(col("id"), col("sub"))
+      .agg(min(struct(col("l2"), col("code"))).as("best"))
+      .select(col("id"), col("sub"), col("best.code").as("code"))
+    val lut = subs(e.where(col("id") < nQueries), "id", "qv")
+      .join(broadcast(cb), "sub")
+      .select(col("id").as("query_id"), col("sub"), col("code"),
+        round(dot(col("qv"), col("cv")), 6).as("lv"))
+    val scored = codes.join(broadcast(lut), Seq("sub", "code"))
+      .where(col("query_id") =!= col("id"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("lv").cast("decimal(18,6)")).cast("double").as("sim"))
+      .select(col("query_id"), col("id").as("neighbor_id"), col("sim"))
+    rankTopK(scored, k)
+  }
+
   def ivfTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10,
               nCells: Int = 16, nprobe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

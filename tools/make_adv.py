@@ -38,7 +38,10 @@ COPY (
     (9009, 'mail a@b.co and c.d@e-f.org plus 555 867 5309 and (02) 1234-5678 done', 'en', 'adv'),
     (9010, 'café résumé naïve coöperate — ünïcödé tëst with àccents all över', 'fr', 'adv'),
     (9011, '数据 处理 引擎 测试 文档 内容 分析 质量 检查 完成', 'zh', 'adv'),
-    (9012, 'emoji test 😀 rocket 🚀 and some mixed ascii plus ñ and ß endings', 'en', 'adv'))
+    (9012, 'emoji test 😀 rocket 🚀 and some mixed ascii plus ñ and ß endings', 'en', 'adv'),
+    (9013, 'COOKIE BANNER' || chr(10) || 'real content thirteen' || chr(10) || 'FOOTER NAV', 'en', 'adv'),
+    (9014, 'COOKIE BANNER' || chr(10) || 'real content fourteen' || chr(10) || 'FOOTER NAV', 'en', 'adv'),
+    (9015, 'COOKIE BANNER' || chr(10) || 'real content fifteen' || chr(10) || 'FOOTER NAV', 'en', 'adv'))
   SELECT doc_id, text, lang, source, length(text) AS n_chars FROM base
   UNION ALL
   SELECT doc_id, text, lang, source, length(text) FROM adv
