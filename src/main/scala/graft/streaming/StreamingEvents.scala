@@ -83,6 +83,57 @@ object StreamingEvents {
     t
   }
 
+  case class TypedEv(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                     event_type: String)
+  case class FunnelState(viewUs: Long, clickUs: Long, purchaseUs: Long)
+  case class FunnelOut(user_id: Long, view_ts: java.sql.Timestamp,
+                       click_ts: java.sql.Timestamp, purchase_ts: java.sql.Timestamp)
+
+  /** Stateful conversion funnel (streaming form of `Events.funnel`):
+    * per user, the first view, then the first click within
+    * `windowHours` of it, then the first purchase within
+    * `windowHours` of that click. State per key is three epoch-micro
+    * longs — bounded forever. Emits one row per user on conversion
+    * (append mode).
+    *
+    * Ordering discipline: each batch is processed in (event-time,
+    * event_id) order; a view arriving AFTER a later stage has
+    * already locked in (cross-batch late data) cannot retroactively
+    * shift the funnel — the stage chain only advances, mirroring the
+    * sessionizer's drop-too-late watermark stance. On in-order (or
+    * single-batch) input this equals the batch operator exactly. */
+  def funnelStateful(events: Dataset[TypedEv],
+                     windowHours: Int = 24): Dataset[FunnelOut] = {
+    val winUs = windowHours * 3600L * 1000000L
+    import events.sparkSession.implicits._
+    val unset = Long.MaxValue
+    events.groupByKey(_.user_id).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (userId: Long, batch: Iterator[TypedEv], state: GroupState[FunnelState]) =>
+        val sorted = batch.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
+        var s = state.getOption.getOrElse(FunnelState(unset, unset, unset))
+        val done = Seq.newBuilder[FunnelOut]
+        sorted.foreach { e =>
+          val us = tsMicros(e.ts)
+          e.event_type match {
+            case "view" if s.clickUs == unset =>
+              s = s.copy(viewUs = math.min(s.viewUs, us))
+            case "click" if s.viewUs != unset && s.clickUs == unset &&
+                us > s.viewUs && us <= s.viewUs + winUs =>
+              s = s.copy(clickUs = us)
+            case "purchase" if s.clickUs != unset && s.purchaseUs == unset &&
+                us > s.clickUs && us <= s.clickUs + winUs =>
+              s = s.copy(purchaseUs = us)
+              done += FunnelOut(userId, microsTs(s.viewUs),
+                microsTs(s.clickUs), microsTs(s.purchaseUs))
+            case _ => ()
+          }
+        }
+        state.update(s)
+        done.result().iterator
+    }
+  }
+
   def sessionizeStateful(events: Dataset[Ev], gapMinutes: Int = 30): Dataset[SessionOut] = {
     val gapUs = gapMinutes * 60L * 1000000L
     import events.sparkSession.implicits._

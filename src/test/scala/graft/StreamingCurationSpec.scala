@@ -123,6 +123,64 @@ class StreamingCurationSpec extends SparkSpec {
     assert(!done.exists { case (_, _, s, e) => e.before(s) })
   }
 
+  test("stateful funnel matches the batch funnel count on one batch") {
+    import graft.streaming.StreamingEvents
+    import graft.streaming.StreamingEvents.TypedEv
+    val tmp = Files.createTempDirectory("graft_fun").toString
+    val batch = Tables.events(spark, sf)
+    batch.select($"event_id", $"ts", $"user_id", $"event_type")
+      .write.mode("overwrite").parquet(s"$tmp/in")
+
+    val enc = implicitly[org.apache.spark.sql.Encoder[TypedEv]]
+    val stream = spark.readStream.schema(enc.schema).parquet(s"$tmp/in").as[TypedEv]
+    val q = StreamingEvents.funnelStateful(stream).writeStream
+      .outputMode("append").format("memory").queryName("fun").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+
+    val streamed = spark.table("fun").count()
+    val batched = Events.funnel(batch).select($"n_full_funnel").as[Long].head()
+    assert(streamed == batched && batched > 0)
+  }
+
+  test("stateful funnel converts across micro-batches") {
+    import graft.streaming.StreamingEvents
+    import graft.streaming.StreamingEvents.TypedEv
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 12:00:00")
+    def ts(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val tmp = Files.createTempDirectory("graft_fun2").toString
+    val enc = implicitly[org.apache.spark.sql.Encoder[TypedEv]]
+
+    def land(evs: Seq[TypedEv], name: String): Unit = {
+      val stage = s"$tmp/stage_$name"
+      evs.toDS().coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
+      Files.copy(part, java.nio.file.Paths.get(s"$tmp/in/$name.parquet"))
+    }
+
+    // batch 1: view + click for user 7; view-only for user 8
+    land(Seq(TypedEv(1L, ts(0), 7L, "view"), TypedEv(2L, ts(30), 7L, "click"),
+      TypedEv(3L, ts(0), 8L, "view")), "b1")
+    val stream = spark.readStream.schema(enc.schema).parquet(s"$tmp/in").as[TypedEv]
+    val q = StreamingEvents.funnelStateful(stream).writeStream
+      .outputMode("append").format("memory").queryName("fun2").start()
+    val rows = try {
+      q.processAllAvailable()
+      assert(spark.table("fun2").count() == 0)
+      // batch 2: purchase inside the click window converts user 7;
+      // user 8's purchase without a click stays unconverted
+      land(Seq(TypedEv(4L, ts(90), 7L, "purchase"),
+        TypedEv(5L, ts(90), 8L, "purchase")), "b2")
+      q.processAllAvailable()
+      spark.table("fun2")
+        .select($"user_id", $"view_ts", $"click_ts", $"purchase_ts")
+        .as[(Long, java.sql.Timestamp, java.sql.Timestamp, java.sql.Timestamp)]
+        .collect().toSeq
+    } finally q.stop()
+    assert(rows == Seq((7L, ts(0), ts(30), ts(90))))
+  }
+
   test("stream-static anomaly scoring matches the batch operator") {
     val tmp = Files.createTempDirectory("graft_anom").toString
     val batch = Tables.events(spark, sf)
