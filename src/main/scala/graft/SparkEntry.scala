@@ -263,6 +263,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
         .orderBy(col("event_type").asc_nulls_first, col("day").asc_nulls_first)),
+    // explicit GROUPING SETS (the rollup/cube generalization): the
+    // three asymmetric groupings a cube would over-produce
+    "q_grouping_sets" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("day", to_date(col("ts")).cast("string"))
+      ev.groupingSets(
+          Seq(Seq(col("event_type"), col("day")), Seq(col("event_type")), Seq(col("day"))),
+          col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+        .orderBy(col("event_type").asc_nulls_first, col("day").asc_nulls_first)
+    }),
     // two-phase salted aggregation produces results identical to the
     // plain groupBy — the oracle IS the plain GROUP BY
     "q_skew_salted_count" -> ((s, d) =>
@@ -291,6 +303,7 @@ object SparkEntry {
     "ev_funnel" -> ((s, d) => Events.funnel(Tables.events(s, d))),
     "ev_retention" -> ((s, d) => Events.retention(Tables.events(s, d))),
     "ev_markov" -> ((s, d) => Events.transitions(Tables.events(s, d))),
+    "ev_path_trigrams" -> ((s, d) => Events.pathTrigrams(Tables.events(s, d))),
     "ev_hopping_agg" -> ((s, d) =>
       Events.hoppingAgg(Tables.events(s, d))
         .withColumn("window_start", date_format(col("window_start"), TsFmt))),
@@ -784,6 +797,47 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", sim
          |FROM r WHERE rnk <= 10 ORDER BY query_id, "rank"""".stripMargin,
 
+    // the trained-IVF path replayed exactly: two Lloyd rounds (argmax
+    // assignment → per-dim DECIMAL means → rebuilt centroid vectors)
+    // from the seed centroids, then the same probe flow as
+    // ann_ivf_topk against the fitted quantizer — every round's
+    // rounding and tie-break mirrors Similarity.fittedCentroids
+    "ann_ivf_trained" -> {
+      def lloydRound(prev: String, out: String) =
+        s"""a_$out AS (SELECT n.id, n.v, c.cell,
+           |      row_number() OVER (PARTITION BY n.id
+           |        ORDER BY round(${dDot("n.v", "c.cv")} / (n.nrm * c.cnrm), 6) DESC, c.cell) AS rnk
+           |    FROM n CROSS JOIN $prev c),
+           |m_$out AS (SELECT id, v, cell FROM a_$out WHERE rnk = 1),
+           |x_$out AS (SELECT cell, d.dim, round(v[d.dim], 6) AS val
+           |    FROM m_$out, (SELECT unnest(range(1, 65)) AS dim) d),
+           |u_$out AS (SELECT cell, dim,
+           |      CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS centroid
+           |    FROM x_$out GROUP BY 1, 2),
+           |$out AS (SELECT cell, list(centroid ORDER BY dim) AS cv FROM u_$out GROUP BY cell),
+           |${out}n AS (SELECT cell, cv, sqrt(${dDot("cv", "cv")}) AS cnrm FROM $out)""".stripMargin
+      s"""$embNormCte,
+         |c0 AS (SELECT id AS cell, v AS cv, nrm AS cnrm FROM n WHERE id < 16),
+         |${lloydRound("c0", "c1")},
+         |${lloydRound("c1n", "c2")},
+         |af AS (SELECT n.id, n.v, n.nrm, c.cell,
+         |      row_number() OVER (PARTITION BY n.id
+         |        ORDER BY round(${dDot("n.v", "c.cv")} / (n.nrm * c.cnrm), 6) DESC, c.cell) AS rnk
+         |    FROM n CROSS JOIN c2n c),
+         |mf AS (SELECT id, v, nrm, cell FROM af WHERE rnk = 1),
+         |p AS (SELECT n.id AS query_id, n.v AS qv, n.nrm AS qnrm, c.cell,
+         |      row_number() OVER (PARTITION BY n.id
+         |        ORDER BY round(${dDot("n.v", "c.cv")} / (n.nrm * c.cnrm), 6) DESC, c.cell) AS crank
+         |    FROM n CROSS JOIN c2n c WHERE n.id < 5),
+         |pr AS (SELECT query_id, qv, qnrm, cell FROM p WHERE crank <= 4),
+         |s AS (SELECT pr.query_id, mf.id AS neighbor_id,
+         |        round(${dDot("pr.qv", "mf.v")} / (pr.qnrm * mf.nrm), 6) AS sim
+         |      FROM pr JOIN mf ON pr.cell = mf.cell AND mf.id <> pr.query_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
+         |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", sim
+         |FROM r WHERE rnk <= 10 ORDER BY query_id, "rank"""".stripMargin
+    },
+
     // the PQ/ADC path replayed exactly: 8×8 subspaces, codebook = the
     // 16 lowest-id vectors' subvectors, encode by rounded expanded-L2
     // argmin (ties to the lowest code), score = DECIMAL sum of the
@@ -992,6 +1046,12 @@ object SparkEntry {
     "q_skew_salted_count" ->
       """SELECT user_id, count(*) AS cnt FROM events
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |  count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type, CAST(ts AS DATE)), (event_type), (CAST(ts AS DATE)))
+        |ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST""".stripMargin,
     "q_cube" ->
       """SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
         |  count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
@@ -1037,6 +1097,13 @@ object SparkEntry {
         |SELECT prev_type, event_type, n,
         |  CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type) AS p
         |FROM c ORDER BY prev_type, event_type""".stripMargin,
+    "ev_path_trigrams" ->
+      """WITH p AS (
+        |  SELECT lag(event_type, 2) OVER w AS t1, lag(event_type, 1) OVER w AS t2,
+        |         event_type AS t3
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT t1, t2, t3, count(*) AS n FROM p WHERE t1 IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY n DESC, t1, t2, t3 LIMIT 20""".stripMargin,
     // hopping windows are epoch-aligned every 5 minutes; each event
     // lands in exactly size/slide = 2 of them
     "ev_hopping_agg" ->

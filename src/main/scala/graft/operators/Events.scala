@@ -163,6 +163,23 @@ object Events {
         col("n_events"), col("sum_value"))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** Top event-type trigrams across user streams (path mining): two
+    * lag windows per user, then one count aggregation over the path
+    * keys — the n-gram analysis of behavioral sequences. One shuffle
+    * on user_id (both lags share the window), one tiny shuffle on
+    * the trigram keys. */
+  def pathTrigrams(events: DataFrame, k: Int = 20): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("t1", lag(col("event_type"), 2).over(byUser))
+      .withColumn("t2", lag(col("event_type"), 1).over(byUser))
+      .where(col("t1").isNotNull)
+      .groupBy(col("t1"), col("t2"), col("event_type").as("t3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+      .limit(k)
+  }
+
   /** Per-type (mean, std) from one partial-aggregating pass with
     * DECIMAL sums — exact on any partitioning. Reused as the static
     * side of the streaming anomaly scorer. */
