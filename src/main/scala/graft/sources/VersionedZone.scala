@@ -55,6 +55,34 @@ object VersionedZone {
     next
   }
 
+  /** Incremental snapshot diff (the change-data-feed read): what
+    * happened to each key between two committed versions — INSERT
+    * (key only in `toV`), DELETE (key only in `fromV`), UPDATE (key
+    * in both, any non-key column changed). Change detection hashes
+    * the full row (xxhash64 over the common columns in a fixed
+    * order), so it needs no per-column comparison and no schema
+    * knowledge. One full-outer hash join on the key — both sides are
+    * single snapshots, and at scale the join co-partitions on the
+    * same key hash. */
+  def readChanges(spark: SparkSession, path: String, fromV: Long, toV: Long,
+                  key: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, when, xxhash64, coalesce}
+    val from = read(spark, path, Some(fromV))
+    val to = read(spark, path, Some(toV))
+    val common = from.columns.toSeq.intersect(to.columns.toSeq).sorted
+    def keyed(df: DataFrame, side: String) =
+      df.select(col(key).as(s"${side}_key"),
+        xxhash64(common.filterNot(_ == key).map(col).toIndexedSeq: _*).as(s"${side}_h"))
+    keyed(from, "f").join(keyed(to, "t"),
+        col("f_key") === col("t_key"), "full_outer")
+      .select(coalesce(col("t_key"), col("f_key")).as(key),
+        when(col("f_key").isNull, lit("insert"))
+          .when(col("t_key").isNull, lit("delete"))
+          .when(col("f_h") =!= col("t_h"), lit("update")).as("change_type"))
+      .where(col("change_type").isNotNull)
+      .orderBy(col(key))
+  }
+
   /** Streaming MERGE sink: each micro-batch upserts into the zone by
     * key and commits a new snapshot version — continuous CDC ingest
     * with batch-identical merge semantics (the window form in

@@ -35,6 +35,20 @@ object StreamingEvents {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming mirror of Events.hoppingAgg: watermarked sliding
+    * windows (each event in size/slide windows, exploded map-side;
+    * state bounded by the watermark). */
+  def hoppingAgg(stream: DataFrame, sizeMinutes: Int = 10,
+                 slideMinutes: Int = 5): DataFrame =
+    stream
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), s"$sizeMinutes minutes", s"$slideMinutes minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
   /** Stream-stream interval join: purchases matched to the same
     * user's clicks in the preceding hour. Both sides watermarked so
     * the join state is bounded — Spark drops buffered rows once the

@@ -123,6 +123,42 @@ class StreamingCurationSpec extends SparkSpec {
     assert(!done.exists { case (_, _, s, e) => e.before(s) })
   }
 
+  test("snapshot diff reports inserts, updates and deletes by key") {
+    import graft.sources.VersionedZone
+    val tmp = Files.createTempDirectory("graft_cdf").toString
+    val zone = s"$tmp/zone"
+    VersionedZone.write(Seq((1L, "one", "s"), (2L, "two", "s"), (3L, "three", "s"))
+      .toDF("doc_id", "text", "source"), zone)
+    VersionedZone.write(Seq((1L, "one", "s"), (2L, "two-v2", "s"), (4L, "four", "s"))
+      .toDF("doc_id", "text", "source"), zone)
+    val changes = VersionedZone.readChanges(spark, zone, 0L, 1L)
+      .as[(Long, String)].collect().toSeq
+    assert(changes == Seq((2L, "update"), (3L, "delete"), (4L, "insert")))
+  }
+
+  test("streaming hopping agg matches the batch operator") {
+    import graft.streaming.{StreamingEvents}
+    val tmp = Files.createTempDirectory("graft_hop").toString
+    val batch = Tables.events(spark, sf)
+    batch.write.mode("overwrite").parquet(s"$tmp/in")
+
+    val out = StreamingEvents.hoppingAgg(
+      StreamingEvents.eventsStream(spark, s"$tmp/in"))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("hop").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+
+    // append mode only emits windows the watermark has closed; every
+    // emitted window must match the batch result exactly, and the
+    // stream must have closed most of them
+    val streamed = spark.table("hop")
+      .select($"window_start", $"event_type", $"n_events", $"sum_value")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    val batched = Events.hoppingAgg(batch)
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    assert(streamed.subsetOf(batched) && streamed.size > batched.size / 2)
+  }
+
   test("stateful funnel matches the batch funnel count on one batch") {
     import graft.streaming.StreamingEvents
     import graft.streaming.StreamingEvents.TypedEv
