@@ -56,6 +56,28 @@ class PartitionInvarianceSpec extends SparkSpec {
     invariant("retention")(Events.retention(_))(Tables.events(spark, sf))
   }
 
+  test("pq codes and scores are partition-invariant (rounded argmin + decimal ADC)") {
+    invariant("pq")(Similarity.pqTopK(_))(Tables.embeddings(spark, sf))
+  }
+
+  test("hybrid RRF fusion is partition-invariant (decimal rrf terms)") {
+    invariant("hybrid")(d => Ranking.hybridTopK(
+      Tables.documents(spark, sf), d))(Tables.embeddings(spark, sf))
+  }
+
+  test("temperature rates are partition-invariant (decimal sqrt-weight denominator)") {
+    invariant("temperature")(Sampling.temperatureMixture(_))(
+      Tables.documents(spark, sf))
+  }
+
+  test("line dedup is partition-invariant (global counts + ordered reassembly)") {
+    invariant("lines")(Dedup.lineDedup(_))(Tables.documents(spark, sf))
+  }
+
+  test("markov transitions are partition-invariant (integer quotients)") {
+    invariant("markov")(Events.transitions(_))(Tables.events(spark, sf))
+  }
+
   test("upsert is partition-invariant (key-unique sides)") {
     invariant("upsert") { d =>
       val docs = d.select(org.apache.spark.sql.functions.col("doc_id"),

@@ -96,4 +96,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(scan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
       s"unpruned scan: ${scan.take(400)}")
   }
+
+  test("pq: codebook and LUT broadcast; codebook filter reaches the scan") {
+    val df = SparkEntry.queries("ann_pq_topk")(spark, sf)
+    assert(count(df, _.isInstanceOf[BroadcastHashJoinExec]) >= 3)
+    assert(count(df, _.isInstanceOf[SortMergeJoinExec]) == 0)
+    val scans = physical(df).collectLeaves().map(_.toString).mkString
+    assert(scans.contains("LessThan(vec_id,16)"), "codebook filter not pushed")
+  }
+
+  test("line dedup: only the hot-line table broadcasts, corpus never sort-merges") {
+    val df = SparkEntry.queries("dedup_lines")(spark, sf)
+    assert(count(df, _.isInstanceOf[BroadcastHashJoinExec]) == 1)
+    assert(count(df, _.isInstanceOf[SortMergeJoinExec]) == 0)
+  }
+
+  test("temperature sampling: rate table broadcasts onto a map-only filter") {
+    val df = SparkEntry.queries("samp_temperature")(spark, sf)
+    assert(count(df, _.isInstanceOf[BroadcastHashJoinExec]) >= 1)
+    assert(count(df, _.isInstanceOf[SortMergeJoinExec]) == 0)
+  }
+
+  test("hopping agg: one data shuffle (map-side window explode + partials)") {
+    val df = SparkEntry.queries("ev_hopping_agg")(spark, sf)
+    // one hash exchange on (window, type) + the output range sort
+    assert(dataShuffles(df) <= 2)
+  }
 }
