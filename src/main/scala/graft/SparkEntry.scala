@@ -208,6 +208,7 @@ object SparkEntry {
       Similarity.recallAtK(Similarity.ivfTopK(emb), Similarity.bruteTopK(emb))
     }),
     "ann_pq_topk" -> ((s, d) => Similarity.pqTopK(Tables.embeddings(s, d))),
+    "ann_pq_trained" -> ((s, d) => Similarity.pqTopKFitted(Tables.embeddings(s, d))),
     "ann_pq_recall" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.recallAtK(Similarity.pqTopK(emb),
@@ -856,6 +857,48 @@ object SparkEntry {
          |codes AS (SELECT id, sub, code FROM enc WHERE rnk = 1),
          |lut AS (SELECT s.id AS query_id, s.sub, cb.code, round(${dot8("s.sv", "cb.cv")}, 6) AS lv
          |        FROM subs s JOIN cb ON s.sub = cb.sub WHERE s.id < 3),
+         |sc AS (SELECT l.query_id, c.id AS neighbor_id,
+         |         CAST(SUM(CAST(l.lv AS DECIMAL(18,6))) AS DOUBLE) AS sim
+         |       FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
+         |       WHERE l.query_id <> c.id GROUP BY 1, 2),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM sc)
+         |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", sim
+         |FROM r WHERE rnk <= 10 ORDER BY query_id, "rank"""".stripMargin
+    },
+
+    // the fitted-PQ path: two k-means rounds inside EVERY subspace
+    // ((sub, code) is the cell key), then the same ADC flow as
+    // ann_pq_topk against the trained codebooks
+    "ann_pq_trained" -> {
+      def dot8(a: String, b: String) =
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 9), i -> $a[i] * $b[i])), (x, y) -> x + y)"
+      def l2(sv: String, cv: String) =
+        s"round((${dot8(sv, sv)} - 2.0 * ${dot8(sv, cv)}) + ${dot8(cv, cv)}, 6)"
+      def fitRound(prev: String, out: String) =
+        s"""a_$out AS (SELECT s.id, s.sub, s.sv, cb.code,
+           |      row_number() OVER (PARTITION BY s.id, s.sub
+           |        ORDER BY ${l2("s.sv", "cb.cv")}, cb.code) AS rnk
+           |    FROM subs s JOIN $prev cb ON s.sub = cb.sub),
+           |m_$out AS (SELECT sub, code, sv FROM a_$out WHERE rnk = 1),
+           |x_$out AS (SELECT sub, code, d.dim, round(sv[d.dim], 6) AS val
+           |    FROM m_$out, (SELECT unnest(range(1, 9)) AS dim) d),
+           |u_$out AS (SELECT sub, code, dim,
+           |      CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS centroid
+           |    FROM x_$out GROUP BY 1, 2, 3),
+           |$out AS (SELECT sub, code, list(centroid ORDER BY dim) AS cv FROM u_$out GROUP BY 1, 2)""".stripMargin
+      s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |subs AS (SELECT id, m.sub, list_slice(v, m.sub * 8 + 1, m.sub * 8 + 8) AS sv
+         |         FROM e, (SELECT unnest(range(0, 8)) AS sub) m),
+         |cb0 AS (SELECT id AS code, sub, sv AS cv FROM subs WHERE id < 16),
+         |${fitRound("cb0", "cb1")},
+         |${fitRound("cb1", "cb2")},
+         |enc AS (SELECT s.id, s.sub, cb.code,
+         |          row_number() OVER (PARTITION BY s.id, s.sub
+         |            ORDER BY ${l2("s.sv", "cb.cv")}, cb.code) AS rnk
+         |        FROM subs s JOIN cb2 cb ON s.sub = cb.sub),
+         |codes AS (SELECT id, sub, code FROM enc WHERE rnk = 1),
+         |lut AS (SELECT s.id AS query_id, s.sub, cb.code, round(${dot8("s.sv", "cb.cv")}, 6) AS lv
+         |        FROM subs s JOIN cb2 cb ON s.sub = cb.sub WHERE s.id < 3),
          |sc AS (SELECT l.query_id, c.id AS neighbor_id,
          |         CAST(SUM(CAST(l.lv AS DECIMAL(18,6))) AS DOUBLE) AS sim
          |       FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code

@@ -254,26 +254,27 @@ object Similarity {
     * partial-aggregates the per-subspace LUT terms to one row per
     * (query, vector) before the exchange. Rounded-then-DECIMAL sums
     * keep every stage bit-stable and oracle-replayable. */
-  def pqTopK(emb: DataFrame, nQueries: Int = 3, k: Int = 10,
-             m: Int = 8, nCodes: Int = 16,
-             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val subDim = 64 / m
-    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-    def subs(df: DataFrame, id: String, out: String): DataFrame =
-      df.select(col(id), posexplode(array((0 until m).map(i =>
-        slice(col("v"), i * subDim + 1, subDim)): _*)).as(Seq("sub", out)))
-    val cb = subs(e.where(col("id") < nCodes), "id", "cv")
-      .select(col("id").as("code"), col("sub"), col("cv"))
-    // encode: argmin_code round(‖x_m − c‖², 6), ties to the lowest
-    // code — expanded form (x·x − 2 x·c) + c·c keeps dot() native
-    val l2 = round(dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("cv")) +
-      dot(col("cv"), col("cv")), 6)
-    val codes = subs(e, "id", "sv").join(broadcast(cb), "sub")
-      .select(col("id"), col("sub"), col("code"), l2.as("l2"))
+  /** Subspace explode: one row per (row id, subspace index) with the
+    * subvector. Map-side only. */
+  private def subVectors(df: DataFrame, m: Int, subDim: Int,
+                         out: String): DataFrame =
+    df.select(col("id"), posexplode(array((0 until m).map(i =>
+      slice(col("v"), i * subDim + 1, subDim)): _*)).as(Seq("sub", out)))
+
+  /** encode: argmin_code round(‖x_m − c‖², 6), ties to the lowest
+    * code — expanded form (x·x − 2 x·c) + c·c keeps dot() native */
+  private def pqL2 = round(dot(col("sv"), col("sv")) -
+    lit(2.0) * dot(col("sv"), col("cv")) + dot(col("cv"), col("cv")), 6)
+
+  /** PQ top-k against a given codebook table (code, sub, cv). */
+  private def pqTopKWith(e: DataFrame, cb: DataFrame, nQueries: Int, k: Int,
+                         m: Int, subDim: Int): DataFrame = {
+    val codes = subVectors(e, m, subDim, "sv").join(broadcast(cb), "sub")
+      .select(col("id"), col("sub"), col("code"), pqL2.as("l2"))
       .groupBy(col("id"), col("sub"))
       .agg(min(struct(col("l2"), col("code"))).as("best"))
       .select(col("id"), col("sub"), col("best.code").as("code"))
-    val lut = subs(e.where(col("id") < nQueries), "id", "qv")
+    val lut = subVectors(e.where(col("id") < nQueries), m, subDim, "qv")
       .join(broadcast(cb), "sub")
       .select(col("id").as("query_id"), col("sub"), col("code"),
         round(dot(col("qv"), col("cv")), 6).as("lv"))
@@ -283,6 +284,63 @@ object Similarity {
       .agg(sum(col("lv").cast("decimal(18,6)")).cast("double").as("sim"))
       .select(col("query_id"), col("id").as("neighbor_id"), col("sim"))
     rankTopK(scored, k)
+  }
+
+  def pqTopK(emb: DataFrame, nQueries: Int = 3, k: Int = 10,
+             m: Int = 8, nCodes: Int = 16,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val subDim = 64 / m
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val cb = subVectors(e.where(col("id") < nCodes), m, subDim, "cv")
+      .select(col("id").as("code"), col("sub"), col("cv"))
+    pqTopKWith(e, cb, nQueries, k, m, subDim)
+  }
+
+  /** Lloyd-fitted PQ codebooks: per subspace, `iters` rounds of
+    * encode → per-dim DECIMAL-mean over the members of each code —
+    * k-means in every 8-dim subspace at once (the (sub, code) pair
+    * is the cell key, so one aggregation trains all 8 codebooks
+    * together; the update shuffle carries m·nCodes·subDim partial
+    * rows regardless of corpus size). Codes that lose all members
+    * drop out, exactly as in the IVF fit. */
+  def fittedCodebook(emb: DataFrame, m: Int = 8, nCodes: Int = 16,
+                     iters: Int = 2, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val subDim = 64 / m
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val corpusSubs = subVectors(e, m, subDim, "sv")
+    var cb = subVectors(e.where(col("id") < nCodes), m, subDim, "cv")
+      .select(col("id").as("code"), col("sub"), col("cv"))
+    (1 to iters).foreach { _ =>
+      val assigned = corpusSubs.join(broadcast(cb), "sub")
+        .select(col("id"), col("sub"), col("sv"), col("code"), pqL2.as("l2"))
+        .groupBy(col("id"), col("sub"))
+        .agg(min(struct(col("l2"), col("code"), col("sv"))).as("best"))
+        .select(col("sub"), col("best.code").as("code"), col("best.sv").as("sv"))
+      cb = assigned
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("dim", "val0")))
+        .select(col("sub"), col("code"), col("dim"),
+          round(col("val0").cast("double"), 6).as("val"))
+        .groupBy(col("sub"), col("code"), col("dim"))
+        .agg((sum(col("val").cast("decimal(18,6)")).cast("double") / count(lit(1)))
+          .as("centroid"))
+        .groupBy(col("sub"), col("code"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("centroid")))).as("a"))
+        .select(col("code"), col("sub"),
+          transform(col("a"), x => x.getField("centroid")).as("cv"))
+        .localCheckpoint(true)
+    }
+    cb
+  }
+
+  /** PQ top-k over the Lloyd-fitted codebooks. */
+  def pqTopKFitted(emb: DataFrame, nQueries: Int = 3, k: Int = 10,
+                   m: Int = 8, nCodes: Int = 16, iters: Int = 2,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val subDim = 64 / m
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    pqTopKWith(e, fittedCodebook(emb, m, nCodes, iters, idCol, vecCol),
+      nQueries, k, m, subDim)
   }
 
   def ivfTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10,
