@@ -183,6 +183,7 @@ object SparkEntry {
     // ── deduplication ───────────────────────────────────────────────
     "dedup_exact" -> ((s, d) => Dedup.exact(Tables.documents(s, d))),
     "dedup_lines" -> ((s, d) => Dedup.lineDedup(Tables.documents(s, d))),
+    "dedup_edit_verify" -> ((s, d) => Dedup.editVerifiedPairs(Tables.documents(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(Tables.documents(s, d))),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
@@ -258,6 +259,7 @@ object SparkEntry {
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
           "o_orderpriority"))),
     "txt_repetition" -> ((s, d) => Quality.repetition(Tables.documents(s, d))),
+    "txt_readability" -> ((s, d) => Quality.readability(Tables.documents(s, d))),
     "q_cube" -> ((s, d) =>
       Tables.events(s, d)
         .cube(col("event_type"), to_date(col("ts")).cast("string").as("day"))
@@ -609,6 +611,17 @@ object SparkEntry {
          |       THEN 1 ELSE 0 END AS keep
          |FROM documents d LEFT JOIN wa ON d.doc_id = wa.doc_id LEFT JOIN ba ON d.doc_id = ba.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    "txt_readability" ->
+      s"""WITH m AS (SELECT doc_id,
+         |    CAST(len(${dToks("text")}) AS BIGINT) AS n_words,
+         |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sents,
+         |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+         |  FROM documents)
+         |SELECT doc_id, n_words, CAST(n_sents AS BIGINT) AS n_sents, n_syllables,
+         |  round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+         |    - 84.6 * (CAST(n_syllables AS DOUBLE) /
+         |        CASE WHEN n_words > 0 THEN n_words END), 4) AS flesch
+         |FROM m ORDER BY doc_id""".stripMargin,
     "dq_length_mad" ->
       """WITH l AS (SELECT CAST(length(text) AS DOUBLE) AS len FROM documents),
         |m AS (SELECT quantile_cont(len, 0.5) AS med FROM l),
@@ -692,6 +705,32 @@ object SparkEntry {
          |cand AS (SELECT DISTINCT k1.id AS id_a, k2.id AS id_b
          |         FROM bandk k1 JOIN bandk k2 ON k1.bi = k2.bi AND k1.bkey = k2.bkey AND k1.id < k2.id),
          |${jaccardVerify(0.5)}""".stripMargin,
+    // the LSH candidate pipeline (identical to dedup_minhash_lsh up
+    // to the jaccard gate), then exact Levenshtein on each survivor
+    "dedup_edit_verify" ->
+      s"""$shingleCte,
+         |sigs AS (SELECT id, shh, list_transform(range(0, 16), s ->
+         |  list_min(list_transform(shh, m ->
+         |    ((2 * s + 1) * (m % 2147483647) + s * 7919 + 1) % 2147483647))) AS sig FROM sets),
+         |bandk AS (SELECT id, bi,
+         |  ${dHex12("array_to_string(list_slice(sig, bi * 4 + 1, bi * 4 + 4), ',')")} AS bkey
+         |  FROM sigs, (SELECT unnest(range(0, 4)) AS bi) bb),
+         |cand AS (SELECT DISTINCT k1.id AS id_a, k2.id AS id_b
+         |         FROM bandk k1 JOIN bandk k2 ON k1.bi = k2.bi AND k1.bkey = k2.bkey AND k1.id < k2.id),
+         |v AS (SELECT id_a, id_b, CAST(len(list_intersect(x.shh, y.shh)) AS BIGINT) AS inter,
+         |             len(x.shh) AS sa, len(y.shh) AS sb
+         |      FROM cand JOIN sets x ON x.id = id_a JOIN sets y ON y.id = id_b),
+         |p AS (SELECT id_a, id_b FROM v
+         |      WHERE round(CAST(inter AS DOUBLE) / CAST(sa + sb - inter AS DOUBLE), 4) >= 0.5),
+         |lv AS (SELECT p.id_a, p.id_b,
+         |         CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
+         |         round(1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE) /
+         |           greatest(length(da.text), length(db.text)), 6) AS sim_ratio
+         |       FROM p JOIN documents da ON da.doc_id = p.id_a
+         |              JOIN documents db ON db.doc_id = p.id_b)
+         |SELECT id_a, id_b, lev, sim_ratio,
+         |  CASE WHEN sim_ratio >= 0.8 THEN 1 ELSE 0 END AS is_dup
+         |FROM lv ORDER BY id_a, id_b""".stripMargin,
     "dedup_simhash" ->
       s"""WITH toksrc AS (SELECT doc_id AS id, ${dToks("text")} AS tk FROM documents),
          |hsrc AS (SELECT id, list_transform(tk, t -> ${dHex8("t")}) AS hs FROM toksrc),

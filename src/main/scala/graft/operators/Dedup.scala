@@ -211,6 +211,29 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Edit-distance verification of the MinHash-LSH candidate pairs:
+    * exact Levenshtein similarity ratio (1 − dist/max_len) for each
+    * candidate — the expensive O(len²) verify runs ONLY on the
+    * LSH-blocked pairs, never corpus×corpus. Codegen'd `levenshtein`
+    * on both sides of a hash join against the (tiny) pair list;
+    * ratios are exact integer-derived doubles. */
+  def editVerifiedPairs(docs: DataFrame, tau: Double = 0.8,
+                        contentCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val pairs = minhashLshPairs(docs, contentCol, idCol)
+      .select(col("id_a"), col("id_b"))
+    val t = docs.select(col(idCol).as("id"), col(contentCol).as("t"))
+    pairs
+      .join(t.select(col("id").as("id_a"), col("t").as("ta")), "id_a")
+      .join(t.select(col("id").as("id_b"), col("t").as("tb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("lev"),
+        round(lit(1.0) - levenshtein(col("ta"), col("tb")).cast("double") /
+          greatest(length(col("ta")), length(col("tb"))), 6).as("sim_ratio"))
+      .withColumn("is_dup", when(col("sim_ratio") >= tau, 1L).otherwise(0L))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   def simhashPairs(docs: DataFrame, contentCol: String = "text",
                    idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
     val sims = docs.select(col(idCol).as("id"),

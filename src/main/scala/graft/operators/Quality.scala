@@ -114,6 +114,27 @@ object Quality {
       .orderBy(col("column"))
   }
 
+  /** Flesch-style readability score per document: words from the
+    * shared tokenizer, sentences from punctuation-run counts,
+    * syllables approximated as vowel runs — all regexp_count, fully
+    * codegen'd, map-only. Ratios guard zero denominators to NULL;
+    * the score is rounded with the formula's association order
+    * mirrored in the oracle. */
+  def readability(docs: DataFrame, contentCol: String = "text",
+                  idCol: String = "doc_id"): DataFrame = {
+    val nW = tokenCount(col(contentCol))
+    // a text without terminal punctuation is one sentence
+    val nS = greatest(regexp_count(col(contentCol), lit("[.!?]+")), lit(1))
+    val nSyl = regexp_count(lower(col(contentCol)), lit("[aeiouy]+"))
+    val wps = nW.cast("double") / nS
+    val spw = nSyl.cast("double") / when(nW > 0, nW)
+    docs.select(col(idCol).as("doc_id"),
+        nW.as("n_words"), nS.cast("long").as("n_sents"),
+        nSyl.cast("long").as("n_syllables"),
+        round(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 4).as("flesch"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Top sources by average content length (duckdb_queries.py:150-159). */
   def topSourcesByLength(docs: DataFrame, contentCol: String = "text",
                          by: String = "source", k: Int = 5): DataFrame =
