@@ -1,8 +1,9 @@
 package graft.streaming
 
-import graft.operators.{Events, Quality}
-import org.apache.spark.sql.DataFrame
+import graft.operators.Quality
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
 /** Streaming mirrors of the curation operators.
   *
@@ -20,6 +21,29 @@ object StreamingCuration {
     * streaming state — with verdicts identical to the batch filter. */
   def gopherKeep(stream: DataFrame): DataFrame =
     stream.where(Quality.gopherKeepExpr())
+
+  case class WordCount(word: String, n: Long)
+
+  /** Stateful running word counts over a document stream (the
+    * incremental form of `Quality.wordFrequency`): one long of state
+    * per word, updated per micro-batch via `mapGroupsWithState` —
+    * vocabulary-bounded state, emits each touched word's new total
+    * (update mode). Top-k is a query over the sink's latest values;
+    * totals equal the batch counts over the same documents. */
+  def runningWordCounts(docs: DataFrame, minLen: Int = 3): Dataset[WordCount] = {
+    import graft.functions.TextFunctions.tokens
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(explode(tokens(lower(col("text")))).as("word"))
+      .where(length(col("word")) > minLen).as[String]
+      .groupByKey(identity)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (w: String, it: Iterator[String], st: GroupState[Long]) =>
+          val n = st.getOption.getOrElse(0L) + it.size
+          st.update(n)
+          WordCount(w, n)
+      }
+  }
 
   /** Stream-static anomaly scoring: z-scores against batch-computed
     * per-type moments. `staticStats` comes from

@@ -236,6 +236,42 @@ class StreamingCurationSpec extends SparkSpec {
     assert(streamed == batched && batched.nonEmpty)
   }
 
+  test("running word counts converge to the batch frequencies across batches") {
+    import graft.streaming.StreamingCuration
+    val tmp = Files.createTempDirectory("graft_wc").toString
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val stage = s"$tmp/stage_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
+      Files.copy(part, java.nio.file.Paths.get(s"$tmp/in/$name.parquet"))
+    }
+
+    land(docs.where($"doc_id" % 2 === 0), "b1")
+    val stream = spark.readStream.schema(
+      docs.schema).parquet(s"$tmp/in")
+    val q = StreamingCuration.runningWordCounts(stream).writeStream
+      .outputMode("update").format("memory").queryName("wc").start()
+    val streamed = try {
+      q.processAllAvailable()
+      land(docs.where($"doc_id" % 2 === 1), "b2")
+      q.processAllAvailable()
+      // latest emitted total per word = running count after both batches
+      spark.table("wc").groupBy($"word").agg(max($"n").as("n"))
+        .as[(String, Long)].collect().toMap
+    } finally q.stop()
+
+    val batched = docs.select(explode(
+        graft.functions.TextFunctions.tokens(lower($"text"))).as("word"))
+      .where(length($"word") > 3)
+      .groupBy($"word").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(streamed == batched && batched.nonEmpty)
+  }
+
   test("streaming gopher gate keeps exactly the batch-kept docs") {
     val tmp = Files.createTempDirectory("graft_gq").toString
     val docs = Tables.documents(spark, sf)
