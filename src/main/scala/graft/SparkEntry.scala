@@ -252,6 +252,8 @@ object SparkEntry {
     "q_approx_distinct" -> ((s, d) => Analytics.approxDistinct(s, d)),
     "q_range_join" -> ((s, d) => Analytics.valueBands(s, d)),
     "q_above_avg" -> ((s, d) => Analytics.aboveAvgOrders(s, d)),
+    "q_part_revenue" -> ((s, d) => Analytics.partBrandRevenue(s, d)),
+    "q_exists_highvalue" -> ((s, d) => Analytics.highValueCustomers(s, d)),
     // one-pass column profiler over orders; doubles excluded (their
     // string rendering is engine-specific)
     "dq_profile" -> ((s, d) =>
@@ -1149,6 +1151,18 @@ object SparkEntry {
         |WHERE o.o_totalprice > a.avg_price
         |GROUP BY 1 ORDER BY c.c_mktsegment""".stripMargin,
 
+    "q_part_revenue" ->
+      s"""SELECT p.p_brand, count(*) AS n_lineitems,
+         |  CAST(SUM(CAST(l.l_quantity AS $dDec)) AS DOUBLE) AS sum_qty,
+         |  CAST(${dRev("l.l_extendedprice", "l.l_discount")} AS DOUBLE) AS revenue
+         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         |GROUP BY 1 ORDER BY p.p_brand""".stripMargin,
+    "q_exists_highvalue" ->
+      s"""SELECT c.c_mktsegment, count(*) AS n_customers,
+         |  CAST(SUM(CAST(c.c_acctbal AS $dDec)) AS DOUBLE) / count(*) AS avg_acctbal
+         |FROM customer c
+         |WHERE c.c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+         |GROUP BY 1 ORDER BY c.c_mktsegment""".stripMargin,
     "dq_profile" -> {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
         "o_orderpriority")

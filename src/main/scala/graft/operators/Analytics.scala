@@ -214,6 +214,39 @@ object Analytics {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Revenue by part brand: the classic fact×dimension rollup — part
+    * broadcasts (MBs at any SF), lineitem streams through map-side,
+    * one hash shuffle on the ~brand-cardinality partials. */
+  def partBrandRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.join(broadcast(Tables.part(spark, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n_lineitems"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice")) * (lit(BigDecimal(1)).cast("decimal(18,2)") -
+          dec(col("l_discount")))).cast("double").as("revenue"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** Customers owning at least one order above `threshold`, counted
+    * per market segment — the EXISTS shape as an explicit LEFT SEMI
+    * join: the distinct-key probe side reduces BEFORE the join, so
+    * the semi join carries one row per qualifying customer. */
+  def highValueCustomers(spark: SparkSession, dir: String,
+                         threshold: Double = 400000.0): DataFrame = {
+    val hot = Tables.orders(spark, dir)
+      .where(col("o_totalprice") > threshold)
+      .select(col("o_custkey")).distinct()
+    Tables.customer(spark, dir)
+      .join(hot, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        (sum(dec(col("c_acctbal"))).cast("double") / count(lit(1))).as("avg_acctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   def valueBands(spark: SparkSession, dir: String,
                  nBands: Int = 10, width: Double = 50.0): DataFrame = {
     val bands = spark.range(nBands).select(col("id").as("band"),
