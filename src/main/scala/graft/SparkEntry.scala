@@ -198,6 +198,7 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
     "emb_cluster_sizes" -> ((s, d) => Similarity.clusterSizes(Tables.embeddings(s, d))),
     "emb_kmeans_update" -> ((s, d) => Similarity.lloydUpdate(Tables.embeddings(s, d))),
+    "emb_power_iter" -> ((s, d) => Similarity.powerIteration(Tables.embeddings(s, d))),
     // recall of the approximate scale paths vs exact brute force —
     // an in-engine comparison, so only its row shape is oracle-checked
     "ann_lsh_recall" -> ((s, d) => {
@@ -262,6 +263,7 @@ object SparkEntry {
           "o_orderpriority"))),
     "txt_repetition" -> ((s, d) => Quality.repetition(Tables.documents(s, d))),
     "txt_readability" -> ((s, d) => Quality.readability(Tables.documents(s, d))),
+    "dq_drift" -> ((s, d) => Quality.lengthDrift(Tables.documents(s, d))),
     "q_cube" -> ((s, d) =>
       Tables.events(s, d)
         .cube(col("event_type"), to_date(col("ts")).cast("string").as("day"))
@@ -974,6 +976,37 @@ object SparkEntry {
          |SELECT cell, CAST(dim AS BIGINT) AS dim,
          |  CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS centroid
          |FROM x GROUP BY 1, 2 ORDER BY cell, dim""".stripMargin,
+
+    // power iteration: matrix-vector product as rounded-term DECIMAL
+    // sums per dimension; norm from the 64-row result table
+    "emb_power_iter" ->
+      s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |s AS (SELECT v, round(${dDot("v", "list_transform(range(1, 65), i -> 1.0)")}, 6) AS s FROM e),
+         |t AS (SELECT d.dim, round(v[d.dim] * s, 6) AS term
+         |      FROM s, (SELECT unnest(range(1, 65)) AS dim) d),
+         |y AS (SELECT CAST(dim AS BIGINT) AS dim,
+         |        CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE) AS y
+         |      FROM t GROUP BY dim),
+         |nrm AS (SELECT sqrt(CAST(SUM(CAST(round(y * y, 6) AS DECIMAL(28,6))) AS DOUBLE)) AS nrm FROM y)
+         |SELECT dim, y, round(y / nrm, 6) AS v1 FROM y CROSS JOIN nrm ORDER BY dim""".stripMargin,
+
+    "dq_drift" ->
+      """WITH lens AS (SELECT source AS src, CAST(length(text) AS BIGINT) AS len
+        |              FROM documents WHERE source IN ('src0','src1')),
+        |b AS (SELECT min(len) AS lo, max(len) AS hi,
+        |        count(*) FILTER (WHERE src = 'src0') AS na,
+        |        count(*) FILTER (WHERE src = 'src1') AS nb FROM lens),
+        |g AS (SELECT l.src, l.len, b.lo, b.na, b.nb, k.k,
+        |        CAST(b.hi - b.lo AS DOUBLE) / 20 AS step
+        |      FROM lens l CROSS JOIN b, (SELECT unnest(range(1, 21)) AS k) k),
+        |c AS (SELECT k, CAST(lo AS DOUBLE) + k * step AS t, na, nb,
+        |        count(*) FILTER (WHERE src = 'src0' AND len <= CAST(lo AS DOUBLE) + k * step) AS ca,
+        |        count(*) FILTER (WHERE src = 'src1' AND len <= CAST(lo AS DOUBLE) + k * step) AS cb
+        |      FROM g GROUP BY 1, 2, 3, 4)
+        |SELECT CAST(k AS BIGINT) AS k, t,
+        |  CAST(ca AS DOUBLE) / na AS cdf_a, CAST(cb AS DOUBLE) / nb AS cdf_b,
+        |  abs(CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb) AS gap
+        |FROM c ORDER BY k""".stripMargin,
 
     "txt_tfidf_topterms" ->
       s"""WITH t AS (SELECT doc_id, ${dToks("lower(text)")} AS tk FROM documents),

@@ -135,6 +135,36 @@ object Quality {
       .orderBy(col("doc_id"))
   }
 
+  /** Distribution drift between two sources (KS-style): the max
+    * absolute CDF gap of content length over an equal-width grid.
+    * One scalar pass for the [lo, hi] bounds, one map-side
+    * grid-explode + conditional-count pass whose shuffle carries
+    * `bins` partial rows — no global sort, unlike an exact KS. CDF
+    * values are integer quotients: bit-stable everywhere. */
+  def lengthDrift(docs: DataFrame, srcA: String = "src0", srcB: String = "src1",
+                  bins: Int = 20, contentCol: String = "text",
+                  by: String = "source"): DataFrame = {
+    val lens = docs.where(col(by).isin(srcA, srcB))
+      .select(col(by).as("src"), length(col(contentCol)).cast("long").as("len"))
+    val bounds = lens.agg(min(col("len")).as("lo"), max(col("len")).as("hi"),
+      count(when(col("src") === srcA, 1)).as("na"),
+      count(when(col("src") === srcB, 1)).as("nb"))
+    lens.crossJoin(broadcast(bounds))
+      .select(col("src"), col("len"), col("lo"), col("na"), col("nb"),
+        explode(sequence(lit(1), lit(bins))).as("k"),
+        ((col("hi") - col("lo")).cast("double") / bins).as("step"))
+      .withColumn("t", col("lo").cast("double") + col("k") * col("step"))
+      .groupBy(col("k"), col("t"), col("na"), col("nb"))
+      .agg(count(when(col("src") === srcA && col("len") <= col("t"), 1)).as("ca"),
+        count(when(col("src") === srcB && col("len") <= col("t"), 1)).as("cb"))
+      .select(col("k").cast("long").as("k"), col("t"),
+        (col("ca").cast("double") / col("na")).as("cdf_a"),
+        (col("cb").cast("double") / col("nb")).as("cdf_b"),
+        abs(col("ca").cast("double") / col("na") -
+          col("cb").cast("double") / col("nb")).as("gap"))
+      .orderBy(col("k"))
+  }
+
   /** Top sources by average content length (duckdb_queries.py:150-159). */
   def topSourcesByLength(docs: DataFrame, contentCol: String = "text",
                          by: String = "source", k: Int = 5): DataFrame =

@@ -213,6 +213,32 @@ object Similarity {
           count(lit(1))).as("avg_recall"))
   }
 
+  /** One power-iteration step toward the corpus's top principal
+    * direction (the PCA/whitening primitive): y = Σ_x x·(x·v₀) with
+    * v₀ = 1⃗, then normalize. The matrix–vector product is one
+    * map-side pass (each row contributes its scalar projection times
+    * itself); the shuffle carries 64 (dim, DECIMAL partial) rows
+    * regardless of corpus size — iterate for full power method.
+    * Terms are rounded then DECIMAL-summed: bit-stable on any
+    * partitioning and in the oracle. */
+  def powerIteration(emb: DataFrame, dim: Int = 64,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val ones = typedlit(Seq.fill(dim)(1.0))
+    val e = emb.select(col(vecCol).as("v"))
+      .withColumn("s", round(dot(col("v"), ones), 6))
+    val y = e
+      .select(col("s"), posexplode(col("v")).as(Seq("pos", "x0")))
+      .select((col("pos") + 1).cast("long").as("dim"),
+        round(col("x0").cast("double") * col("s"), 6).as("term"))
+      .groupBy(col("dim"))
+      .agg(sum(col("term").cast("decimal(18,6)")).cast("double").as("y"))
+    val nrm = y.agg(sqrt(sum(round(col("y") * col("y"), 6)
+      .cast("decimal(28,6)")).cast("double")).as("nrm"))
+    y.crossJoin(broadcast(nrm))
+      .select(col("dim"), col("y"), round(col("y") / col("nrm"), 6).as("v1"))
+      .orderBy(col("dim"))
+  }
+
   /** One Lloyd (k-means) centroid update over the IVF assignment:
     * per-cell, per-dimension mean of the member vectors — the
     * training step that turns the deterministic seed centroids into
