@@ -103,6 +103,47 @@ class Round3Spec extends SparkSpec {
     }
   }
 
+  test("power iteration yields a unit vector") {
+    val out = Similarity.powerIteration(Tables.embeddings(spark, sf))
+      .select($"v1").as[Double].collect()
+    assert(out.length == 64)
+    assert(math.abs(out.map(x => x * x).sum - 1.0) < 1e-4)
+  }
+
+  test("drift CDFs are monotone and end at 1") {
+    val rows = Quality.lengthDrift(Tables.documents(spark, sf))
+      .select($"k", $"cdf_a", $"cdf_b", $"gap")
+      .as[(Long, Double, Double, Double)].collect().sortBy(_._1)
+    assert(rows.length == 20)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 >= a._2 && b._3 >= a._3)
+    }
+    assert(rows.last._2 == 1.0 && rows.last._3 == 1.0)
+    rows.foreach(r => assert(r._4 >= 0.0 && r._4 <= 1.0))
+  }
+
+  test("edit verification flags exact copies and clears distinct docs") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "a completely different document about query engines and columnar io")
+    ).toDF("doc_id", "text")
+    val out = Dedup.editVerifiedPairs(docs)
+      .select($"id_a", $"id_b", $"lev", $"is_dup")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L, 0L, 1L)))
+  }
+
+  test("readability scores a terse text above a polysyllabic one") {
+    val docs = Seq(
+      (1L, "the cat sat. the dog ran. we go now."),
+      (2L, "extraordinarily multisyllabic vocabulary necessitates considerable concentration")
+    ).toDF("doc_id", "text")
+    val out = Quality.readability(docs)
+      .select($"doc_id", $"flesch").as[(Long, Double)].collect().toMap
+    assert(out(1L) > out(2L))
+  }
+
   test("profile reports nulls, distincts and bounds per column") {
     val df = Seq((1L, Some("a")), (2L, None), (3L, Some("c")))
       .toDF("id", "s")
