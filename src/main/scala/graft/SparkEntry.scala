@@ -66,6 +66,13 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk"))),
     "pipe_pack_sequences" -> ((s, d) =>
       Chunker.packSequences(Medallion.pipeline(Tables.documents(s, d)))),
+    // gold-zone duplicate analysis: chunk-level total vs distinct
+    // (the reference's duplicate analysis applied to the chunk zone)
+    "pipe_chunk_dedup" -> ((s, d) =>
+      Medallion.pipeline(Tables.documents(s, d))
+        .agg(count(lit(1)).as("total_chunks"),
+          countDistinct(col("chunk")).as("unique_chunks"),
+          (count(lit(1)) - countDistinct(col("chunk"))).as("dup_chunks"))),
     // per-zone row counts + avg content length (delta_queries.py:45-54)
     // MERGE/upsert: updates replace same-key rows, new keys append
     "pipe_upsert" -> ((s, d) => {
@@ -311,6 +318,18 @@ object SparkEntry {
     "ev_retention" -> ((s, d) => Events.retention(Tables.events(s, d))),
     "ev_markov" -> ((s, d) => Events.transitions(Tables.events(s, d))),
     "ev_path_trigrams" -> ((s, d) => Events.pathTrigrams(Tables.events(s, d))),
+    // daily active users + day-over-total stickiness: two partial
+    // aggregations (per-day distinct, then global distinct)
+    "ev_dau" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val total = ev.agg(countDistinct(col("user_id")).as("n_total"))
+      ev.groupBy(to_date(col("ts")).cast("string").as("day"))
+        .agg(countDistinct(col("user_id")).as("dau"), count(lit(1)).as("n_events"))
+        .crossJoin(broadcast(total))
+        .select(col("day"), col("dau"), col("n_events"),
+          (col("dau").cast("double") / col("n_total")).as("stickiness"))
+        .orderBy(col("day"))
+    }),
     "ev_hopping_agg" -> ((s, d) =>
       Events.hoppingAgg(Tables.events(s, d))
         .withColumn("window_start", date_format(col("window_start"), TsFmt))),
@@ -407,6 +426,10 @@ object SparkEntry {
          |FROM silver0 WHERE length(content) > 50 ORDER BY doc_id""".stripMargin,
     "pipe_silver_dedup" ->
       s"$silverCte SELECT doc_id, source, content, content_length FROM silver ORDER BY doc_id",
+    "pipe_chunk_dedup" ->
+      s"""$silverCte SELECT count(*) AS total_chunks,
+         |  count(DISTINCT chunk) AS unique_chunks,
+         |  count(*) - count(DISTINCT chunk) AS dup_chunks FROM gold""".stripMargin,
     "pipe_gold_chunks" ->
       s"""$silverCte SELECT doc_id, chunk_idx, chunk, length(chunk) AS chunk_length
          |FROM gold ORDER BY doc_id, chunk_idx""".stripMargin,
@@ -1226,6 +1249,12 @@ object SparkEntry {
         |SELECT prev_type, event_type, n,
         |  CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type) AS p
         |FROM c ORDER BY prev_type, event_type""".stripMargin,
+    "ev_dau" ->
+      """WITH t AS (SELECT count(DISTINCT user_id) AS n_total FROM events)
+        |SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |  count(DISTINCT user_id) AS dau, count(*) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS DOUBLE) / t.n_total AS stickiness
+        |FROM events, t GROUP BY 1, t.n_total ORDER BY day""".stripMargin,
     "ev_path_trigrams" ->
       """WITH p AS (
         |  SELECT lag(event_type, 2) OVER w AS t1, lag(event_type, 1) OVER w AS t2,
