@@ -58,7 +58,7 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
     "pipe_gold_recursive" -> ((s, d) =>
       // reference-faithful RecursiveCharacterTextSplitter path; the
-      // greedy repacking isn't SQL-expressible → rows-only check
+      // oracle replays the greedy repack as recursive-CTE folds
       Chunker.recursive(
         Medallion.silverDedup(Medallion.silverNormalize(Medallion.bronze(Tables.documents(s, d)))),
         "content")
@@ -426,6 +426,75 @@ object SparkEntry {
          |FROM silver0 WHERE length(content) > 50 ORDER BY doc_id""".stripMargin,
     "pipe_silver_dedup" ->
       s"$silverCte SELECT doc_id, source, content, content_length FROM silver ORDER BY doc_id",
+    // the recursive splitter replayed exactly: silver-normalized text
+    // has no newlines, so the paragraph levels are identity and the
+    // algorithm reduces to greedy left-folds over '. ' then ' '
+    // parts (each a recursive CTE carrying (done-groups, acc)),
+    // fixed chopping for any still-oversize piece, then the
+    // 10-char overlap carry as a lag window — all tie-breaks and
+    // merge conditions mirror Chunker.splitRecursive verbatim
+    "pipe_gold_recursive" ->
+      s"""$silverCte,
+         |p1 AS (
+         |  SELECT doc_id, i AS pi, ls[CAST(i AS INT)] AS part, len(ls) AS np
+         |  FROM (SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS i
+         |        FROM (SELECT doc_id, string_split(content, '. ') AS ls FROM silver))),
+         |f1 AS (
+         |  WITH RECURSIVE r(doc_id, pi, np, done, acc) AS (
+         |    SELECT doc_id, pi, np, CAST([] AS VARCHAR[]), part FROM p1 WHERE pi = 1
+         |    UNION ALL
+         |    SELECT r.doc_id, p.pi, r.np,
+         |      CASE WHEN length(r.acc) + 2 + length(p.part) <= 200 THEN r.done
+         |           ELSE list_append(r.done, r.acc) END,
+         |      CASE WHEN length(r.acc) + 2 + length(p.part) <= 200 THEN r.acc || '. ' || p.part
+         |           ELSE p.part END
+         |    FROM r JOIN p1 p ON p.doc_id = r.doc_id AND p.pi = r.pi + 1)
+         |  SELECT doc_id, unnest(list_append(done, acc)) AS grp,
+         |         generate_subscripts(list_append(done, acc), 1) AS gi
+         |  FROM r WHERE pi = np),
+         |g_ok AS (SELECT doc_id, gi, 0 AS g2i, grp AS piece FROM f1 WHERE length(grp) <= 200),
+         |p2 AS (
+         |  SELECT doc_id, gi, i AS pi, ls[CAST(i AS INT)] AS part, len(ls) AS np
+         |  FROM (SELECT doc_id, gi, ls, unnest(range(1, len(ls) + 1)) AS i
+         |        FROM (SELECT doc_id, gi, string_split(grp, ' ') AS ls FROM f1 WHERE length(grp) > 200))),
+         |f2 AS (
+         |  WITH RECURSIVE r2(doc_id, gi, pi, np, done, acc) AS (
+         |    SELECT doc_id, gi, pi, np, CAST([] AS VARCHAR[]), part FROM p2 WHERE pi = 1
+         |    UNION ALL
+         |    SELECT r2.doc_id, r2.gi, p.pi, r2.np,
+         |      CASE WHEN length(r2.acc) + 1 + length(p.part) <= 200 THEN r2.done
+         |           ELSE list_append(r2.done, r2.acc) END,
+         |      CASE WHEN length(r2.acc) + 1 + length(p.part) <= 200 THEN r2.acc || ' ' || p.part
+         |           ELSE p.part END
+         |    FROM r2 JOIN p2 p ON p.doc_id = r2.doc_id AND p.gi = r2.gi AND p.pi = r2.pi + 1)
+         |  SELECT doc_id, gi, unnest(list_append(done, acc)) AS piece,
+         |         generate_subscripts(list_append(done, acc), 1) AS g2i
+         |  FROM r2 WHERE pi = np),
+         |pieces AS (
+         |  SELECT doc_id, gi, g2i, piece FROM g_ok
+         |  UNION ALL
+         |  SELECT doc_id, gi, g2i, piece FROM f2),
+         |chopped0 AS (
+         |  SELECT doc_id, gi, g2i, piece,
+         |    unnest(range(0, CAST(floor((length(piece) - 1) / 200) AS BIGINT) + 1)) AS g3i
+         |  FROM pieces),
+         |chopped AS (
+         |  SELECT doc_id, gi, g2i, g3i,
+         |    CASE WHEN length(piece) <= 200 THEN piece
+         |         ELSE substr(piece, CAST(1 + 200 * g3i AS INT), 200) END AS chunk
+         |  FROM chopped0),
+         |ordered AS (
+         |  SELECT doc_id, chunk,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY gi, g2i, g3i) AS ci
+         |  FROM chopped WHERE length(chunk) > 0),
+         |carried AS (
+         |  SELECT doc_id,
+         |    CASE WHEN ci = 1 THEN chunk
+         |         ELSE right(lag(chunk) OVER (PARTITION BY doc_id ORDER BY ci), 10) || chunk END AS chunk
+         |  FROM ordered)
+         |SELECT doc_id, chunk, length(chunk) AS chunk_length FROM carried
+         |ORDER BY doc_id, chunk""".stripMargin,
+
     "pipe_chunk_dedup" ->
       s"""$silverCte SELECT count(*) AS total_chunks,
          |  count(DISTINCT chunk) AS unique_chunks,
