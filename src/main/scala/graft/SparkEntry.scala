@@ -868,6 +868,27 @@ object SparkEntry {
          |      FROM n a JOIN n b ON a.id < b.id)
          |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.3 ORDER BY id_a, id_b""".stripMargin,
 
+    // the sign-bucket-blocked embedding near-dup replayed exactly:
+    // same md5 hyperplane derivation as ann_lsh_topk (4 tables × 4
+    // bits), candidates from same-bucket joins, cosine gate at τ
+    "dedup_embedding_lsh" ->
+      s"""$embNormCte,
+         |planes AS (
+         |  SELECT t, s, list_transform(range(0, 64),
+         |    i -> CAST(CAST('0x' || substr(md5('t' || t || ':' || s || ':' || i), 1, 12) AS BIGINT) AS DOUBLE) / 281474976710656.0 - 0.5) AS pv
+         |  FROM (SELECT unnest(range(0, 4)) AS t), (SELECT unnest(range(0, 4)) AS s)),
+         |bits AS (
+         |  SELECT n.id, p.t, p.s,
+         |    CASE WHEN ${dDot("n.v", "p.pv")} > 0 THEN 1 << s ELSE 0 END AS bit
+         |  FROM n CROSS JOIN planes p),
+         |bkt AS (SELECT id, t, SUM(bit) AS bucket FROM bits GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |         FROM bkt a JOIN bkt b ON a.t = b.t AND a.bucket = b.bucket AND a.id < b.id),
+         |sc AS (SELECT c.id_a, c.id_b,
+         |         round(${dDot("x.v", "y.v")} / (x.nrm * y.nrm), 6) AS cos
+         |       FROM cand c JOIN n x ON x.id = c.id_a JOIN n y ON y.id = c.id_b)
+         |SELECT id_a, id_b, cos FROM sc WHERE cos >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+
     "ann_brute_topk" ->
       s"""$embNormCte,
          |q AS (SELECT id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE id < 5),
