@@ -412,6 +412,111 @@ object SparkEntry {
       s"THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
   }.mkString(" + ")
 
+  // ── prefixed ANN CTE fragments for the recall oracles ─────────────
+  // Each builder emits a CTE chain ending in `$pfx(query_id,
+  // neighbor_id)` — the top-k identity set of one retrieval path.
+  // They assume embNormCte's `n` is in scope; every internal CTE is
+  // prefixed so an approx and an exact chain can share one WITH.
+  private def dBruteCte(pfx: String, nq: Int, k: Int = 10) =
+    s"""${pfx}s AS (SELECT q.id AS query_id, n.id AS neighbor_id,
+       |        round(${dDot("q.v", "n.v")} / (q.nrm * n.nrm), 6) AS sim
+       |      FROM n q, n WHERE q.id < $nq AND n.id <> q.id),
+       |${pfx}r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM ${pfx}s),
+       |$pfx AS (SELECT query_id, neighbor_id FROM ${pfx}r WHERE rnk <= $k)""".stripMargin
+
+  private def dLshTopCte(pfx: String, nq: Int = 5, k: Int = 10,
+                         nbits: Int = 6, tables: Int = 4) =
+    s"""${pfx}planes AS (
+       |  SELECT t, s, list_transform(range(0, 64),
+       |    i -> CAST(CAST('0x' || substr(md5('t' || t || ':' || s || ':' || i), 1, 12) AS BIGINT) AS DOUBLE) / 281474976710656.0 - 0.5) AS pv
+       |  FROM (SELECT unnest(range(0, $tables)) AS t), (SELECT unnest(range(0, $nbits)) AS s)),
+       |${pfx}bits AS (
+       |  SELECT n.id, p.t, p.s,
+       |    CASE WHEN ${dDot("n.v", "p.pv")} > 0 THEN 1 << s ELSE 0 END AS bit
+       |  FROM n CROSS JOIN ${pfx}planes p),
+       |${pfx}bkt AS (SELECT id, t, SUM(bit) AS bucket FROM ${pfx}bits GROUP BY 1, 2),
+       |${pfx}qp AS (
+       |  SELECT b.id AS query_id, b.t, unnest(list_prepend(b.bucket,
+       |    list_transform(range(0, $nbits), x -> xor(b.bucket, 1 << x)))) AS qbucket
+       |  FROM ${pfx}bkt b WHERE b.id < $nq),
+       |${pfx}cand AS (
+       |  SELECT DISTINCT qp.query_id, c.id AS neighbor_id
+       |  FROM ${pfx}qp qp JOIN ${pfx}bkt c ON qp.t = c.t AND qp.qbucket = c.bucket AND c.id <> qp.query_id),
+       |${pfx}s AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    round(${dDot("q.v", "x.v")} / (q.nrm * x.nrm), 6) AS sim
+       |  FROM ${pfx}cand cand JOIN n q ON q.id = cand.query_id JOIN n x ON x.id = cand.neighbor_id),
+       |${pfx}r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM ${pfx}s),
+       |$pfx AS (SELECT query_id, neighbor_id FROM ${pfx}r WHERE rnk <= $k)""".stripMargin
+
+  /** One Lloyd assignment+update round, prefixed (recall-oracle twin
+    * of ann_ivf_trained's lloydRound). */
+  private def dLloydRound(pfx: String, prev: String, out: String) =
+    s"""${pfx}a_$out AS (SELECT n.id, n.v, c.cell,
+       |      row_number() OVER (PARTITION BY n.id
+       |        ORDER BY round(${dDot("n.v", "c.cv")} / (n.nrm * c.cnrm), 6) DESC, c.cell) AS rnk
+       |    FROM n CROSS JOIN $prev c),
+       |${pfx}m_$out AS (SELECT id, v, cell FROM ${pfx}a_$out WHERE rnk = 1),
+       |${pfx}x_$out AS (SELECT cell, d.dim, round(v[d.dim], 6) AS val
+       |    FROM ${pfx}m_$out, (SELECT unnest(range(1, 65)) AS dim) d),
+       |${pfx}u_$out AS (SELECT cell, dim,
+       |      CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS centroid
+       |    FROM ${pfx}x_$out GROUP BY 1, 2),
+       |${pfx}$out AS (SELECT cell, list(centroid ORDER BY dim) AS cv FROM ${pfx}u_$out GROUP BY cell),
+       |${pfx}${out}n AS (SELECT cell, cv, sqrt(${dDot("cv", "cv")}) AS cnrm FROM ${pfx}$out)""".stripMargin
+
+  /** IVF top-k chain against centroid CTE `cents`, prefixed. */
+  private def dIvfProbe(pfx: String, cents: String, nq: Int = 5, k: Int = 10,
+                        nprobe: Int = 4) =
+    s"""${pfx}af AS (SELECT n.id, n.v, n.nrm, c.cell,
+       |      row_number() OVER (PARTITION BY n.id
+       |        ORDER BY round(${dDot("n.v", "c.cv")} / (n.nrm * c.cnrm), 6) DESC, c.cell) AS rnk
+       |    FROM n CROSS JOIN $cents c),
+       |${pfx}mf AS (SELECT id, v, nrm, cell FROM ${pfx}af WHERE rnk = 1),
+       |${pfx}p AS (SELECT n.id AS query_id, n.v AS qv, n.nrm AS qnrm, c.cell,
+       |      row_number() OVER (PARTITION BY n.id
+       |        ORDER BY round(${dDot("n.v", "c.cv")} / (n.nrm * c.cnrm), 6) DESC, c.cell) AS crank
+       |    FROM n CROSS JOIN $cents c WHERE n.id < $nq),
+       |${pfx}pr AS (SELECT query_id, qv, qnrm, cell FROM ${pfx}p WHERE crank <= $nprobe),
+       |${pfx}s AS (SELECT pr.query_id, mf.id AS neighbor_id,
+       |        round(${dDot("pr.qv", "mf.v")} / (pr.qnrm * mf.nrm), 6) AS sim
+       |      FROM ${pfx}pr pr JOIN ${pfx}mf mf ON pr.cell = mf.cell AND mf.id <> pr.query_id),
+       |${pfx}r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM ${pfx}s),
+       |$pfx AS (SELECT query_id, neighbor_id FROM ${pfx}r WHERE rnk <= $k)""".stripMargin
+
+  private def dPqTopCte(pfx: String, nq: Int = 3, k: Int = 10) = {
+    def dot8(a: String, b: String) =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 9), i -> $a[i] * $b[i])), (x, y) -> x + y)"
+    s"""${pfx}subs AS (SELECT id, m.sub, list_slice(v, m.sub * 8 + 1, m.sub * 8 + 8) AS sv
+       |         FROM n, (SELECT unnest(range(0, 8)) AS sub) m),
+       |${pfx}cb AS (SELECT id AS code, sub, sv AS cv FROM ${pfx}subs WHERE id < 16),
+       |${pfx}enc AS (SELECT s.id, s.sub, cb.code,
+       |          row_number() OVER (PARTITION BY s.id, s.sub
+       |            ORDER BY round((${dot8("s.sv", "s.sv")} - 2.0 * ${dot8("s.sv", "cb.cv")}) + ${dot8("cb.cv", "cb.cv")}, 6), cb.code) AS rnk
+       |        FROM ${pfx}subs s JOIN ${pfx}cb cb ON s.sub = cb.sub),
+       |${pfx}codes AS (SELECT id, sub, code FROM ${pfx}enc WHERE rnk = 1),
+       |${pfx}lut AS (SELECT s.id AS query_id, s.sub, cb.code, round(${dot8("s.sv", "cb.cv")}, 6) AS lv
+       |        FROM ${pfx}subs s JOIN ${pfx}cb cb ON s.sub = cb.sub WHERE s.id < $nq),
+       |${pfx}sc AS (SELECT l.query_id, c.id AS neighbor_id,
+       |         CAST(SUM(CAST(l.lv AS DECIMAL(18,6))) AS DOUBLE) AS sim
+       |       FROM ${pfx}codes c JOIN ${pfx}lut l ON c.sub = l.sub AND c.code = l.code
+       |       WHERE l.query_id <> c.id GROUP BY 1, 2),
+       |${pfx}r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM ${pfx}sc),
+       |$pfx AS (SELECT query_id, neighbor_id FROM ${pfx}r WHERE rnk <= $k)""".stripMargin
+  }
+
+  /** recall@k of `approx` vs `exact` — mirrors Similarity.recallAtK. */
+  private def dRecallTail(k: Int = 10) =
+    s"""hits AS (SELECT a.query_id, count(*) AS n_hits
+       |         FROM approx a JOIN exact x ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+       |         GROUP BY 1),
+       |qs AS (SELECT DISTINCT query_id FROM exact),
+       |rc AS (SELECT qs.query_id, CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / $k AS recall
+       |       FROM qs LEFT JOIN hits h ON qs.query_id = h.query_id)
+       |SELECT count(*) AS n_queries,
+       |  CAST(SUM(CAST(recall AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_recall
+       |FROM rc""".stripMargin
+
   private val embNormCte =
     s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |n AS (SELECT id, v, sqrt(${dDot("v", "v")}) AS nrm FROM e)
@@ -953,6 +1058,34 @@ object SparkEntry {
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
          |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", sim
          |FROM r WHERE rnk <= 10 ORDER BY query_id, "rank"""".stripMargin,
+
+    // recall probes replayed exactly: both retrieval paths (approx +
+    // exact brute force) run as SQL CTE chains, then the same
+    // hits/k averaging as Similarity.recallAtK
+    "ann_lsh_recall" ->
+      s"""$embNormCte,
+         |${dLshTopCte("approx")},
+         |${dBruteCte("exact", 5)},
+         |${dRecallTail()}""".stripMargin,
+    "ann_ivf_recall" ->
+      s"""$embNormCte,
+         |ivfc AS (SELECT id AS cell, v AS cv, nrm AS cnrm FROM n WHERE id < 16),
+         |${dIvfProbe("approx", "ivfc")},
+         |${dBruteCte("exact", 5)},
+         |${dRecallTail()}""".stripMargin,
+    "ann_ivf_trained_recall" ->
+      s"""$embNormCte,
+         |tc0 AS (SELECT id AS cell, v AS cv, nrm AS cnrm FROM n WHERE id < 16),
+         |${dLloydRound("t", "tc0", "c1")},
+         |${dLloydRound("t", "tc1n", "c2")},
+         |${dIvfProbe("approx", "tc2n")},
+         |${dBruteCte("exact", 5)},
+         |${dRecallTail()}""".stripMargin,
+    "ann_pq_recall" ->
+      s"""$embNormCte,
+         |${dPqTopCte("approx", 3)},
+         |${dBruteCte("exact", 3)},
+         |${dRecallTail()}""".stripMargin,
 
     // the trained-IVF path replayed exactly: two Lloyd rounds (argmax
     // assignment → per-dim DECIMAL means → rebuilt centroid vectors)
