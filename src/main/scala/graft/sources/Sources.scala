@@ -45,6 +45,19 @@ object Sources {
   def readZone(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** ORC zone round-trip — the other columnar format Spark ships
+    * natively (vectorized reader, predicate pushdown, same
+    * partition-directory layout as the parquet zones). Useful when a
+    * consumer stack (Hive, Trino) prefers ORC. */
+  def writeOrcZone(df: DataFrame, path: String,
+                   partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).orc(path)
+  }
+
+  def readOrcZone(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Small-file compaction: rewrite a zone into ~`targetRows`-row
     * files. Streaming ingest produces many tiny files; scans then pay
     * per-file open/footer cost and lose row-group parallelism. The

@@ -42,6 +42,19 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(files.forall(_.contains(s"day=$firstDay")), s"unpruned read: ${files.take(3).mkString}")
   }
 
+  test("orc zone round-trips with partition pruning and pushed filters") {
+    val tmp = Files.createTempDirectory("graft_orc").toString
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text", $"source")
+    Sources.writeOrcZone(docs, s"$tmp/z", Seq("source"))
+    val back = Sources.readOrcZone(spark, s"$tmp/z")
+    assert(back.count() == docs.count())
+    val one = back.where($"source" === "src0" && $"doc_id" < 100)
+    assert(one.count() == docs.where($"source" === "src0" && $"doc_id" < 100).count())
+    val scan = one.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("PushedFilters") && scan.contains("LessThan(doc_id,100)"),
+      s"orc pushdown missing: ${scan.take(300)}")
+  }
+
   test("compaction preserves data and hits the target file count") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
     val docs = Tables.documents(spark, sf)
