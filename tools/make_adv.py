@@ -20,8 +20,21 @@ src = '/root/testdata/sf0.001'
 dst = '/tmp/sf_adv'
 os.makedirs(dst, exist_ok=True)
 for f in os.listdir(src):
-    if f != 'documents.parquet':
+    if f not in ('documents.parquet', 'embeddings.parquet'):
         shutil.copy(f'{src}/{f}', f'{dst}/{f}')
+
+# embeddings + a zero-norm vector (exercises every cosine path's
+# divide-by-zero guard; NULL cosine must match DuckDB's x/0 -> NULL)
+# and an exact duplicate vector (ties in every ranking path)
+duckdb.sql(f"""
+COPY (
+  SELECT * FROM '{src}/embeddings.parquet'
+  UNION ALL
+  SELECT 9001, CAST(list_transform(range(1, 65), i -> 0.0) AS FLOAT[]), 'zero'
+  UNION ALL
+  SELECT 9002, (SELECT embedding FROM '{src}/embeddings.parquet' WHERE vec_id = 10), 'dup'
+) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)
+""")
 
 duckdb.sql(f"""
 COPY (
