@@ -213,6 +213,64 @@ object Similarity {
           count(lit(1))).as("avg_recall"))
   }
 
+  /** IVF+PQ composite index (the FAISS-style IVFPQ layout): vectors
+    * are coarse-quantized to an IVF cell, the RESIDUAL (v − centroid)
+    * is PQ-encoded, and a query scores candidates in its probed
+    * cells as inner product: q·centroid (the coarse term, known at
+    * probe time) + Σ_m q_m·codeword(code_m) (the ADC fine term from
+    * a per-query LUT). Memory per vector is one cell id + m codes —
+    * the layout that makes billion-vector stores fit — and scoring
+    * touches only the code table of the probed cells. Every stage
+    * rounds-then-DECIMAL-sums, so the whole composite replays in the
+    * oracle. */
+  def ivfpqTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10,
+                nCells: Int = 16, nprobe: Int = 4, m: Int = 8, nCodes: Int = 16,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val subDim = 64 / m
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+    val cents = e.where(col("id") < nCells)
+      .select(col("id").as("cell"), col("v").as("cv"), col("nrm").as("cnrm"))
+    // residuals against the assigned centroid (element-wise exact)
+    val withRes = assignTo(e, cents)
+      .join(broadcast(cents.select(col("cell"), col("cv"))), "cell")
+      .select(col("id"), col("cell"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("v"))
+    val cb = subVectors(withRes.where(col("id") < nCodes), m, subDim, "cv")
+      .select(col("id").as("code"), col("sub"), col("cv"))
+    val codes = subVectors(withRes, m, subDim, "sv")
+      .join(withRes.select(col("id"), col("cell")), "id")
+      .join(broadcast(cb), "sub")
+      .select(col("id"), col("cell"), col("sub"), col("code"), pqL2.as("l2"))
+      .groupBy(col("id"), col("cell"), col("sub"))
+      .agg(min(struct(col("l2"), col("code"))).as("best"))
+      .select(col("id"), col("cell"), col("sub"), col("best.code").as("code"))
+    // probes: nprobe nearest cells per query (cosine, as in ivfTopK),
+    // carrying the coarse inner-product term
+    val probeW = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cell"))
+    val probes = e.where(col("id") < nQueries)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+      .join(broadcast(cents), lit(true))
+      .select(col("query_id"), col("qv"), col("qnrm"), col("cell"),
+        round(cosinePrenormed(dot(col("qv"), col("cv")), col("qnrm"), col("cnrm")), 6).as("csim"),
+        round(dot(col("qv"), col("cv")), 6).as("coarse"))
+      .withColumn("crank", row_number().over(probeW))
+      .where(col("crank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cell"), col("coarse"))
+    val lut = subVectors(
+        e.where(col("id") < nQueries).select(col("id"), col("v")), m, subDim, "qv")
+      .join(broadcast(cb), "sub")
+      .select(col("id").as("query_id"), col("sub"), col("code"),
+        round(dot(col("qv"), col("cv")), 6).as("lv"))
+    val scored = codes.join(broadcast(probes.select(col("query_id"), col("cell"), col("coarse"))), Seq("cell"))
+      .where(col("query_id") =!= col("id"))
+      .join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("id"), col("coarse"))
+      .agg(sum(col("lv").cast("decimal(18,6)")).as("fine"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        (col("coarse").cast("decimal(18,6)") + col("fine")).cast("double").as("sim"))
+    rankTopK(scored, k)
+  }
+
   /** One power-iteration step toward the corpus's top principal
     * direction (the PCA/whitening primitive): y = Σ_x x·(x·v₀) with
     * v₀ = 1⃗, then normalize. The matrix–vector product is one
