@@ -219,6 +219,10 @@ object SparkEntry {
     "ann_pq_topk" -> ((s, d) => Similarity.pqTopK(Tables.embeddings(s, d))),
     "ann_pq_trained" -> ((s, d) => Similarity.pqTopKFitted(Tables.embeddings(s, d))),
     "ann_ivfpq_topk" -> ((s, d) => Similarity.ivfpqTopK(Tables.embeddings(s, d))),
+    "ann_ivfpq_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.recallAtK(Similarity.ivfpqTopK(emb), Similarity.bruteTopK(emb))
+    }),
     "ann_pq_recall" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.recallAtK(Similarity.pqTopK(emb),
@@ -502,6 +506,49 @@ object SparkEntry {
        |         CAST(SUM(CAST(l.lv AS DECIMAL(18,6))) AS DOUBLE) AS sim
        |       FROM ${pfx}codes c JOIN ${pfx}lut l ON c.sub = l.sub AND c.code = l.code
        |       WHERE l.query_id <> c.id GROUP BY 1, 2),
+       |${pfx}r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM ${pfx}sc),
+       |$pfx AS (SELECT query_id, neighbor_id FROM ${pfx}r WHERE rnk <= $k)""".stripMargin
+  }
+
+  /** IVFPQ top-k chain, prefixed (recall-oracle twin of
+    * ann_ivfpq_topk's inline SQL). */
+  private def dIvfpqCte(pfx: String, nq: Int = 5, k: Int = 10) = {
+    def dot8(a: String, b: String) =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 9), i -> $a[i] * $b[i])), (x, y) -> x + y)"
+    def l2(sv: String, cv: String) =
+      s"round((${dot8(sv, sv)} - 2.0 * ${dot8(sv, cv)}) + ${dot8(cv, cv)}, 6)"
+    s"""${pfx}c AS (SELECT id AS cell, v AS cv, nrm AS cnrm FROM n WHERE id < 16),
+       |${pfx}a AS (SELECT n.id, n.v, c.cell,
+       |        row_number() OVER (PARTITION BY n.id
+       |          ORDER BY round(${dDot("n.v", "c.cv")} / (n.nrm * c.cnrm), 6) DESC, c.cell) AS rnk
+       |      FROM n CROSS JOIN ${pfx}c c),
+       |${pfx}res AS (SELECT a.id, a.cell,
+       |          list_transform(range(1, 65), i -> a.v[i] - c.cv[i]) AS r
+       |        FROM ${pfx}a a JOIN ${pfx}c c ON a.cell = c.cell WHERE a.rnk = 1),
+       |${pfx}rsubs AS (SELECT id, cell, m.sub, list_slice(r, m.sub * 8 + 1, m.sub * 8 + 8) AS sv
+       |          FROM ${pfx}res, (SELECT unnest(range(0, 8)) AS sub) m),
+       |${pfx}cb AS (SELECT id AS code, sub, sv AS cv FROM ${pfx}rsubs WHERE id < 16),
+       |${pfx}enc AS (SELECT s.id, s.cell, s.sub, cb.code,
+       |          row_number() OVER (PARTITION BY s.id, s.sub
+       |            ORDER BY ${l2("s.sv", "cb.cv")}, cb.code) AS rnk
+       |        FROM ${pfx}rsubs s JOIN ${pfx}cb cb ON s.sub = cb.sub),
+       |${pfx}codes AS (SELECT id, cell, sub, code FROM ${pfx}enc WHERE rnk = 1),
+       |${pfx}p AS (SELECT n.id AS query_id, n.v AS qv, c.cell,
+       |        round(${dDot("n.v", "c.cv")}, 6) AS coarse,
+       |        row_number() OVER (PARTITION BY n.id
+       |          ORDER BY round(${dDot("n.v", "c.cv")} / (n.nrm * c.cnrm), 6) DESC, c.cell) AS crank
+       |      FROM n CROSS JOIN ${pfx}c c WHERE n.id < $nq),
+       |${pfx}pr AS (SELECT query_id, qv, cell, coarse FROM ${pfx}p WHERE crank <= 4),
+       |${pfx}qsubs AS (SELECT n.id AS query_id, m.sub, list_slice(n.v, m.sub * 8 + 1, m.sub * 8 + 8) AS qv
+       |          FROM n, (SELECT unnest(range(0, 8)) AS sub) m WHERE n.id < $nq),
+       |${pfx}lut AS (SELECT q.query_id, q.sub, cb.code, round(${dot8("q.qv", "cb.cv")}, 6) AS lv
+       |        FROM ${pfx}qsubs q JOIN ${pfx}cb cb ON q.sub = cb.sub),
+       |${pfx}sc AS (SELECT pr.query_id, codes.id AS neighbor_id,
+       |         CAST(CAST(pr.coarse AS DECIMAL(18,6)) +
+       |              SUM(CAST(l.lv AS DECIMAL(18,6))) AS DOUBLE) AS sim
+       |       FROM ${pfx}codes codes JOIN ${pfx}pr pr ON codes.cell = pr.cell AND codes.id <> pr.query_id
+       |       JOIN ${pfx}lut l ON l.query_id = pr.query_id AND l.sub = codes.sub AND l.code = codes.code
+       |       GROUP BY 1, 2, pr.coarse),
        |${pfx}r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM ${pfx}sc),
        |$pfx AS (SELECT query_id, neighbor_id FROM ${pfx}r WHERE rnk <= $k)""".stripMargin
   }
@@ -1086,6 +1133,11 @@ object SparkEntry {
       s"""$embNormCte,
          |${dPqTopCte("approx", 3)},
          |${dBruteCte("exact", 3)},
+         |${dRecallTail()}""".stripMargin,
+    "ann_ivfpq_recall" ->
+      s"""$embNormCte,
+         |${dIvfpqCte("approx")},
+         |${dBruteCte("exact", 5)},
          |${dRecallTail()}""".stripMargin,
 
     // the trained-IVF path replayed exactly: two Lloyd rounds (argmax
