@@ -198,6 +198,8 @@ object SparkEntry {
     "dedup_embedding_lsh" -> ((s, d) => Dedup.embeddingPairsLsh(Tables.embeddings(s, d))),
     "dedup_clusters" -> ((s, d) =>
       Dedup.nearDupClusters(Dedup.minhashLshPairs(Tables.documents(s, d)))),
+    "dedup_pagerank" -> ((s, d) =>
+      Dedup.pairPageRank(Dedup.minhashLshPairs(Tables.documents(s, d)))),
 
     // ── similarity search ───────────────────────────────────────────
     "ann_brute_topk" -> ((s, d) => Similarity.bruteTopK(Tables.embeddings(s, d))),
@@ -980,6 +982,35 @@ object SparkEntry {
          |SELECT id_a, id_b, lev, sim_ratio,
          |  CASE WHEN sim_ratio >= 0.8 THEN 1 ELSE 0 END AS is_dup
          |FROM lv ORDER BY id_a, id_b""".stripMargin,
+    // one PageRank iteration over the minhash near-dup graph (the
+    // pair chain is dedup_minhash_lsh's verbatim)
+    "dedup_pagerank" ->
+      s"""$shingleCte,
+         |sigs AS (SELECT id, shh, list_transform(range(0, 16), s ->
+         |  list_min(list_transform(shh, m ->
+         |    ((2 * s + 1) * (m % 2147483647) + s * 7919 + 1) % 2147483647))) AS sig FROM sets),
+         |bandk AS (SELECT id, bi,
+         |  ${dHex12("array_to_string(list_slice(sig, bi * 4 + 1, bi * 4 + 4), ',')")} AS bkey
+         |  FROM sigs, (SELECT unnest(range(0, 4)) AS bi) bb),
+         |cand AS (SELECT DISTINCT k1.id AS id_a, k2.id AS id_b
+         |         FROM bandk k1 JOIN bandk k2 ON k1.bi = k2.bi AND k1.bkey = k2.bkey AND k1.id < k2.id),
+         |v AS (SELECT id_a, id_b, CAST(len(list_intersect(x.shh, y.shh)) AS BIGINT) AS inter,
+         |             len(x.shh) AS sa, len(y.shh) AS sb
+         |      FROM cand JOIN sets x ON x.id = id_a JOIN sets y ON y.id = id_b),
+         |p AS (SELECT id_a, id_b FROM v
+         |      WHERE round(CAST(inter AS DOUBLE) / CAST(sa + sb - inter AS DOUBLE), 4) >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p),
+         |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+         |nn AS (SELECT count(*) AS n_nodes FROM deg),
+         |contrib AS (
+         |  SELECT e.dst, round((1.0 / nn.n_nodes) / d.outdeg, 6) AS term
+         |  FROM edges e JOIN deg d ON e.src = d.src CROSS JOIN nn),
+         |mass AS (SELECT dst, CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE) AS mass
+         |         FROM contrib GROUP BY dst)
+         |SELECT d.src AS doc_id, d.outdeg,
+         |  round(0.15 / nn.n_nodes + 0.85 * COALESCE(m.mass, 0.0), 6) AS pr
+         |FROM deg d CROSS JOIN nn LEFT JOIN mass m ON d.src = m.dst
+         |ORDER BY doc_id""".stripMargin,
     "dedup_simhash" ->
       s"""WITH toksrc AS (SELECT doc_id AS id, ${dToks("text")} AS tk FROM documents),
          |hsrc AS (SELECT id, list_transform(tk, t -> ${dHex8("t")}) AS hs FROM toksrc),

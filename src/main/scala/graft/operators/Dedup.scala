@@ -234,6 +234,33 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** One PageRank iteration over the near-dup pair graph (damping
+    * 0.85, uniform start): which documents sit at the CENTER of
+    * duplicate clusters — the centrality signal a curator uses to
+    * pick canonical copies (degree-rich hubs) vs stragglers. The
+    * graph is the (tiny) pair list, never the corpus: one union to
+    * undirect the edges, one aggregation for degrees, one
+    * join+aggregation for the rank mass — iterate for full PageRank.
+    * Contribution terms round-then-DECIMAL-sum: bit-stable on any
+    * partitioning and in the oracle. */
+  def pairPageRank(pairs: DataFrame, damping: Double = 0.85): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val n = deg.agg(count(lit(1)).as("n_nodes"))
+    val contrib = edges.join(deg, "src").crossJoin(broadcast(n))
+      .select(col("dst"),
+        round((lit(1.0) / col("n_nodes")) / col("outdeg"), 6).as("term"))
+      .groupBy(col("dst")).agg(
+        sum(col("term").cast("decimal(18,6)")).cast("double").as("mass"))
+    deg.select(col("src").as("doc_id"), col("outdeg")).crossJoin(broadcast(n))
+      .join(contrib, col("doc_id") === col("dst"), "left")
+      .select(col("doc_id"), col("outdeg"),
+        round(lit(1.0 - damping) / col("n_nodes") +
+          lit(damping) * coalesce(col("mass"), lit(0.0)), 6).as("pr"))
+      .orderBy(col("doc_id"))
+  }
+
   def simhashPairs(docs: DataFrame, contentCol: String = "text",
                    idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
     val sims = docs.select(col(idCol).as("id"),
