@@ -144,6 +144,26 @@ class Round3Spec extends SparkSpec {
     assert(out(1L) > out(2L))
   }
 
+  test("pagerank mass sums to ~1 over the pair graph") {
+    val pr = Dedup.pairPageRank(
+      Dedup.minhashLshPairs(Tables.documents(spark, "/root/testdata/sf0.01")))
+      .select($"pr").as[Double].collect()
+    assert(pr.nonEmpty)
+    // rank mass is conserved up to rounding: n_nodes * 6dp rounding slack
+    assert(math.abs(pr.sum - 1.0) < pr.length * 1e-6 + 1e-4, s"sum=${pr.sum}")
+  }
+
+  test("ivfpq scores decompose into coarse + fine terms") {
+    val out = Similarity.ivfpqTopK(Tables.embeddings(spark, sf))
+      .select($"query_id", $"rank", $"sim").collect()
+    assert(out.nonEmpty)
+    // ranks are dense from 1 within each query
+    out.groupBy(_.getLong(0)).values.foreach { rows =>
+      val ranks = rows.map(_.getLong(1)).sorted.toSeq
+      assert(ranks == (1L to ranks.length))
+    }
+  }
+
   test("profile reports nulls, distincts and bounds per column") {
     val df = Seq((1L, Some("a")), (2L, None), (3L, Some("c")))
       .toDF("id", "s")
