@@ -10,6 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // evaluate via the noop sink, not count(): count() prunes every
+    // column, so a map-heavy query would be timed without computing
+    // its output expressions at all
+    def exec(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
     // warm the session (codegen, scan machinery) so the first timed
     // query isn't charged for JVM/session startup
     spark.range(1000000).selectExpr("sum(id)").collect()
@@ -25,18 +30,18 @@ object Bench {
     }
     warmDir.foreach { wd =>
       SparkEntry.queries.values.foreach { fn =>
-        try fn(spark, wd).count() catch { case _: Throwable => () }
+        try exec(fn(spark, wd)) catch { case _: Throwable => () }
       }
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     SparkEntry.queries.headOption.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // a failed query must be VISIBLE (-1), not a fast-looking timing
-      val ok = try { fn(spark, sfDir).count(); true } catch {
+      val ok = try { exec(fn(spark, sfDir)); true } catch {
         case t: Throwable =>
           System.err.println(s"BENCH FAIL $name: ${t.getClass.getSimpleName}: ${t.getMessage}")
           false
@@ -50,10 +55,24 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val total = r3(if (results.nonEmpty) results.values.sum else 0.0)
+    def jsonLine(qs: Seq[(String, Double)]): String = {
+      val qj = qs.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qj,"sf":"$sfDir"}"""
+    }
+    // the driver captures only a ~2000-char tail of stdout and parses
+    // the JSON from it — a line carrying all ~100 per-query timings
+    // overflows that window and the whole benchmark reads as
+    // unparseable (BENCH_r01–r03 all did). Keep the stdout line well
+    // under the window: report the total plus the slowest queries,
+    // and dump the complete per-query map to stderr for humans.
+    val bySlow = results.toSeq.sortBy { case (_, v) => -v }
+    var keep = bySlow.size
+    while (keep > 1 && jsonLine(bySlow.take(keep)).length > 1500) keep -= 1
+    System.err.println("BENCH FULL " + jsonLine(bySlow))
+    println(jsonLine(bySlow.take(keep).sortBy(_._1)))
     spark.stop()
   }
 }

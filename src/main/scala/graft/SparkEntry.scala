@@ -691,7 +691,7 @@ object SparkEntry {
          |blocks AS (SELECT source,
          |  CAST(floor((cum_tok - n_tok) / 512) AS BIGINT) AS block_id, doc_id, n_tok FROM cum)
          |SELECT source, block_id, count(*) AS n_chunks, count(DISTINCT doc_id) AS n_docs,
-         |  SUM(n_tok) AS n_tokens
+         |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens
          |FROM blocks GROUP BY 1, 2 ORDER BY source, block_id""".stripMargin,
     "pipe_end_to_end" ->
       s"""$silverCte SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
@@ -852,14 +852,14 @@ object SparkEntry {
          |       FROM (SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk), 1)), i -> tk[i] || ' ' || tk[i+1])) AS b
          |             FROM t WHERE len(tk) > 1) GROUP BY 1, 2),
          |ba AS (SELECT doc_id, MAX(bf) AS top_bf FROM bg GROUP BY doc_id)
-         |SELECT d.doc_id, COALESCE(wa.n_tokens, 0) AS n_tokens,
+         |SELECT d.doc_id, CAST(COALESCE(wa.n_tokens, 0) AS BIGINT) AS n_tokens,
          |  CAST(wa.n_distinct AS DOUBLE) / wa.n_tokens AS ttr,
          |  CAST(wa.top_tf AS DOUBLE) / wa.n_tokens AS top_word_frac,
          |  CASE WHEN wa.n_tokens > 1 THEN CAST(ba.top_bf AS DOUBLE) / (wa.n_tokens - 1) END AS top_bigram_frac,
          |  CASE WHEN wa.n_tokens > 0 AND CAST(wa.n_distinct AS DOUBLE) / wa.n_tokens > 0.2
          |        AND CAST(wa.top_tf AS DOUBLE) / wa.n_tokens < 0.3
          |        AND (wa.n_tokens <= 1 OR CAST(ba.top_bf AS DOUBLE) / (wa.n_tokens - 1) < 0.25)
-         |       THEN 1 ELSE 0 END AS keep
+         |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
          |FROM documents d LEFT JOIN wa ON d.doc_id = wa.doc_id LEFT JOIN ba ON d.doc_id = ba.doc_id
          |ORDER BY d.doc_id""".stripMargin,
     "txt_readability" ->
@@ -933,7 +933,7 @@ object SparkEntry {
         |                 FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents))),
         |hot AS (SELECT line FROM l GROUP BY line HAVING count(*) >= 3)
         |SELECT doc_id, count(*) AS n_lines,
-        |  SUM(CASE WHEN line IN (SELECT line FROM hot) THEN 1 ELSE 0 END) AS n_removed,
+        |  CAST(SUM(CASE WHEN line IN (SELECT line FROM hot) THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
         |  COALESCE(string_agg(CASE WHEN line NOT IN (SELECT line FROM hot) THEN line END, chr(10) ORDER BY idx), '') AS clean_text
         |FROM l GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
@@ -980,7 +980,7 @@ object SparkEntry {
          |       FROM p JOIN documents da ON da.doc_id = p.id_a
          |              JOIN documents db ON db.doc_id = p.id_b)
          |SELECT id_a, id_b, lev, sim_ratio,
-         |  CASE WHEN sim_ratio >= 0.8 THEN 1 ELSE 0 END AS is_dup
+         |  CAST(CASE WHEN sim_ratio >= 0.8 THEN 1 ELSE 0 END AS BIGINT) AS is_dup
          |FROM lv ORDER BY id_a, id_b""".stripMargin,
     // one PageRank iteration over the minhash near-dup graph (the
     // pair chain is dedup_minhash_lsh's verbatim)

@@ -187,11 +187,14 @@ object Dedup {
     * remover): lines occurring ≥ `cap` times across the WHOLE corpus
     * (headers, footers, nav bars) are dropped from every document.
     * Shape at scale: explode lines map-side, one hash shuffle on the
-    * line for the global counts, broadcast-or-shuffle join back
-    * (the hot-line table is small — only lines above the cap
-    * matter), then one per-doc regroup that reassembles the kept
-    * lines in original order from a sorted struct array. Returns
-    * (doc_id, n_lines, n_removed, clean_text). */
+    * line for the global counts, then join the hot-line table back.
+    * The hot side is usually small (only lines above the cap), but on
+    * boilerplate-heavy web corpora it can reach millions of rows, so
+    * the join is left to AQE: it broadcasts when the built side fits
+    * and falls back to a shuffle join when it doesn't — no forced
+    * hint that could OOM the driver. A final per-doc regroup
+    * reassembles the kept lines in original order from a sorted
+    * struct array. Returns (doc_id, n_lines, n_removed, clean_text). */
   def lineDedup(docs: DataFrame, cap: Int = 3, contentCol: String = "text",
                 idCol: String = "doc_id"): DataFrame = {
     val lines = docs.select(col(idCol).as("doc_id"),
@@ -199,7 +202,7 @@ object Dedup {
     val hot = lines.groupBy(col("line")).agg(count(lit(1)).as("n_occ"))
       .where(col("n_occ") >= cap)
       .select(col("line"), lit(1L).as("is_hot"))
-    lines.join(broadcast(hot), Seq("line"), "left")
+    lines.join(hot, Seq("line"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_lines"),
         count(col("is_hot")).as("n_removed"),

@@ -45,6 +45,17 @@ def main():
             print(f"FAIL {name}: rows exp={len(exp)} got={len(got)}")
             nfail += 1
             continue
+        # dtype parity: the driver renders DuckDB HUGEINT differently
+        # from Spark BIGINT even when values are equal (CORRECTNESS_r03
+        # dedup_lines/txt_repetition/pipe_pack_sequences) — any dtype
+        # drift between oracle and Spark output is a latent hash fail
+        dtbad = [(c, str(exp[c].dtype), str(got[c].dtype))
+                 for c in exp.columns if str(exp[c].dtype) != str(got[c].dtype)]
+        if dtbad:
+            c, de, dg = dtbad[0]
+            print(f"FAIL {name}: dtype col={c} oracle={de} spark={dg} (CAST the oracle)")
+            nfail += 1
+            continue
         # compare as the driver would: exact values, row order as produced
         bad = None
         for c in exp.columns:
