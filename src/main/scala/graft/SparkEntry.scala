@@ -340,6 +340,17 @@ object SparkEntry {
     "ev_hopping_agg" -> ((s, d) =>
       Events.hoppingAgg(Tables.events(s, d))
         .withColumn("window_start", date_format(col("window_start"), TsFmt))),
+    "ev_moving_avg" -> ((s, d) => Analytics.movingAvg(s, d)),
+
+    // ── round-4 relational / embedding additions ────────────────────
+    "q_order_priority" -> ((s, d) => Analytics.orderPriorityLate(s, d)),
+    "q_cust_dist" -> ((s, d) => Analytics.custOrderDistribution(s, d)),
+    "q_small_qty_rev" -> ((s, d) => Analytics.smallQtyRevenue(s, d)),
+    "emb_norm_stats" -> ((s, d) => Similarity.normStats(Tables.embeddings(s, d))),
+    "emb_quantize_int8" -> ((s, d) =>
+      Similarity.quantizeInt8(Tables.embeddings(s, d))
+        .select(col("id").as("vec_id"), col("sum_code"), col("sq_err"))
+        .orderBy(col("vec_id"))),
 
     // ── multimodal ──────────────────────────────────────────────────
     "mm_binary_meta" -> ((s, d) =>
@@ -1547,6 +1558,63 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         |  CAST(1 AS BIGINT) AS approx_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
+    "q_cust_dist" ->
+      """WITH co AS (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1)
+        |SELECT n_orders, count(*) AS n_customers
+        |FROM co GROUP BY 1 ORDER BY n_orders""".stripMargin,
+    "q_small_qty_rev" ->
+      s"""WITH pa AS (SELECT l_partkey AS pk,
+         |    SUM(CAST(l_quantity AS $dDec)) AS sum_qty_d, count(*) AS n_lines
+         |  FROM lineitem GROUP BY 1)
+         |SELECT count(*) AS n_small,
+         |  CAST(SUM(CAST(l.l_extendedprice AS $dDec)) AS DOUBLE) AS total_price
+         |FROM lineitem l JOIN pa ON l.l_partkey = pa.pk
+         |WHERE CAST(l.l_quantity AS $dDec) * 5 * pa.n_lines < pa.sum_qty_d""".stripMargin,
+    "ev_moving_avg" ->
+      """SELECT user_id, event_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, round(value, 4) AS value,
+        |  round(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+        |        / (count(*) OVER w), 4) AS mov_avg,
+        |  count(*) OVER w AS n_in_frame
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "emb_norm_stats" ->
+      s"""WITH n AS (SELECT label,
+         |    round(sqrt(${dDot("embedding", "embedding")}), 6) AS nrm
+         |  FROM embeddings)
+         |SELECT label, count(*) AS n_vecs,
+         |  CAST(SUM(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+         |  CAST(SUM(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_norm
+         |FROM n GROUP BY 1 ORDER BY label""".stripMargin,
+    "emb_quantize_int8" ->
+      """WITH x AS (
+        |  SELECT vec_id AS id, t.i AS dim, CAST(embedding[t.i] AS DOUBLE) AS x
+        |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) t),
+        |s AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM x GROUP BY 1),
+        |c AS (SELECT id, x, mn, mx,
+        |    CASE WHEN mx = mn THEN 0
+        |         ELSE CAST(floor((x - mn) * 255.0 / (mx - mn) + 0.5) AS BIGINT)
+        |    END AS code
+        |  FROM x JOIN s USING (dim))
+        |SELECT id AS vec_id, CAST(SUM(code) AS BIGINT) AS sum_code,
+        |  CAST(SUM(CAST(round(pow(x - (mn + CAST(code AS DOUBLE) * (mx - mn) / 255.0), 2), 12)
+        |    AS DECIMAL(28,12))) AS DOUBLE) AS sq_err
+        |FROM c GROUP BY 1 ORDER BY vec_id""".stripMargin,
     "q_grouping_sets" ->
       """SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
         |  count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value

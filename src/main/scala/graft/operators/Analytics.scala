@@ -271,4 +271,81 @@ object Analytics {
         coalesce(col("n_events"), lit(0L)).as("n_events"), col("sum_value"))
       .orderBy(col("band"))
   }
+
+  /** TPC-H Q4 shape (reference lineitem has no commit/receipt dates,
+    * so "late" = shipped more than `lateDays` after the order date):
+    * order-priority counts over a date window where EXISTS a late
+    * lineitem. The EXISTS is a LEFT SEMI join on orderkey — lineitem
+    * reduces map-side to the qualifying keys (the date filter on
+    * orders is pushed to its scan), and the semi join emits each
+    * order at most once regardless of how many lines matched. */
+  def orderPriorityLate(spark: SparkSession, dir: String,
+                        from: String = "1997-01-01", until: String = "1997-07-01",
+                        lateDays: Int = 90): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= lit(from).cast("timestamp") &&
+        col("o_orderdate") < lit(until).cast("timestamp"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    o.join(li, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q13 shape: distribution of customers by order count,
+    * INCLUDING zero-order customers (the left outer join is the whole
+    * point). Two aggregations: per-customer counts shuffle on
+    * custkey; the histogram over the O(customers) result is tiny. */
+  def custOrderDistribution(spark: SparkSession, dir: String): DataFrame =
+    custOrderDist(Tables.customer(spark, dir), Tables.orders(spark, dir))
+
+  def custOrderDist(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.select(col("c_custkey"))
+      .join(orders.select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("n_orders"))
+
+  /** TPC-H Q17 shape: revenue from small-quantity lineitems — lines
+    * whose quantity is below 20% of their part's average quantity.
+    * The correlated AVG decorrelates into one per-part aggregation
+    * joined back on partkey (both sides hash-partition on partkey;
+    * the aggregated side is O(parts) and broadcasts under AQE when
+    * small). The threshold compare is cross-multiplied into exact
+    * DECIMAL terms (qty * 5 * n < sum_qty) so no engine-specific
+    * float division decides membership. */
+  def smallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val partAvg = li.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(dec(col("l_quantity"))).as("sum_qty_d"), count(lit(1)).as("n_lines"))
+    li.join(partAvg, col("l_partkey") === col("pk"))
+      .where(dec(col("l_quantity")) * lit(5) * col("n_lines") < col("sum_qty_d"))
+      .agg(count(lit(1)).as("n_small"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("total_price"))
+  }
+
+  /** Sliding window frame: per-user moving average of `value` over
+    * the previous `frame` events (ROWS BETWEEN frame-1 PRECEDING AND
+    * CURRENT ROW). One hash shuffle on user_id; the frame sum is
+    * DECIMAL (exact, order-independent) and the average divides in
+    * double only at output. */
+  def movingAvg(spark: SparkSession, dir: String, frame: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-(frame - 1), 0)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+        round(col("value"), 4).as("value"),
+        round(sum(col("value").cast("decimal(18,4)")).over(w).cast("double") /
+          count(lit(1)).over(w), 4).as("mov_avg"),
+        count(lit(1)).over(w).as("n_in_frame"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
 }

@@ -451,4 +451,52 @@ object Similarity {
         round(cosinePrenormed(dot(col("qv"), col("v")), col("qnrm"), col("nrm")), 6).as("sim"))
     rankTopK(scored, k)
   }
+
+  /** Embedding-store data quality: per-label vector counts, zero-norm
+    * (undefined-direction) vectors, and average L2 norm. Map-side
+    * norm (left-fold dot, 6-dp rounded) then one hash shuffle on
+    * label with DECIMAL partials — O(labels) output at any corpus
+    * size. The quality gate an embedding pipeline runs before
+    * indexing: zero vectors break cosine, wild norms flag a bad
+    * encoder batch. */
+  def normStats(emb: DataFrame, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame =
+    emb.select(col("label"), round(norm(col(vecCol)), 6).as("nrm"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("nrm") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        (sum(col("nrm").cast("decimal(18,6)")).cast("double") / count(lit(1)))
+          .as("avg_norm"))
+      .orderBy(col("label"))
+
+  /** Scalar int8 quantization (the 4×-compression layout embedding
+    * stores ship to disk): per-dimension corpus min/max → each value
+    * encodes as floor((x−mn)·255/(mx−mn) + 0.5) ∈ [0,255]. The
+    * per-dim stats shuffle carries `dim` rows regardless of corpus
+    * size and broadcast back onto a map-only encode. Output is the
+    * per-vector code sum plus the reconstruction squared error
+    * (rounded-then-DECIMAL-summed → bit-stable on any partitioning;
+    * floor(+0.5) instead of round() because engines disagree on
+    * half-ulp ties). */
+  def quantizeInt8(emb: DataFrame, dim: Int = 64, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val exploded = emb
+      .select(col(idCol).as("id"), posexplode(col(vecCol)).as(Seq("pos", "x0")))
+      .select(col("id"), (col("pos") + 1).cast("long").as("dim"),
+        col("x0").cast("double").as("x"))
+    val stats = exploded.groupBy(col("dim"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val coded = exploded.join(broadcast(stats), "dim")
+      .select(col("id"), col("x"), col("mn"), col("mx"),
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(floor((col("x") - col("mn")) * 255.0 /
+            (col("mx") - col("mn")) + 0.5).cast("long")).as("code"))
+      .select(col("id"), col("code"),
+        round(pow(col("x") - (col("mn") + col("code").cast("double") *
+          (col("mx") - col("mn")) / 255.0), 2), 12).as("err2"))
+    coded.groupBy(col("id"))
+      .agg(sum(col("code")).as("sum_code"),
+        sum(col("err2").cast("decimal(28,12)")).cast("double").as("sq_err"))
+      .orderBy(col("id"))
+  }
 }
