@@ -352,6 +352,19 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("sum_code"), col("sq_err"))
         .orderBy(col("vec_id"))),
 
+    // ── round-4 training-data curation additions ────────────────────
+    "txt_unigram_lm" -> ((s, d) =>
+      Quality.unigramCrossEntropy(Tables.documents(s, d))),
+    "dedup_containment" -> ((s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d))),
+    "dedup_ngram_repeats" -> ((s, d) =>
+      Dedup.repeatedNgramStats(Tables.documents(s, d))),
+    "mm_frame_energy" -> ((s, d) =>
+      Multimodal.frameEnergy(Multimodal.withBinaryPayload(Tables.documents(s, d)))
+        .select(col("doc_id"), col("frame_idx"), col("n_bytes"), col("energy"),
+          (col("energy").cast("double") / col("n_bytes")).as("mean_energy"))
+        .orderBy(col("doc_id"), col("frame_idx"))),
+
     // ── multimodal ──────────────────────────────────────────────────
     "mm_binary_meta" -> ((s, d) =>
       Multimodal.extractMeta(Multimodal.withBinaryPayload(Tables.documents(s, d)))
@@ -377,6 +390,8 @@ object SparkEntry {
     s"trim(regexp_replace(lower(regexp_replace($x, '[^\\w\\d\\s.,!?;:\\-()]', ' ', 'g')), '\\s+', ' ', 'g'))"
   private def dShingles(tk: String) =
     s"list_transform(range(1, len($tk) - 1), i -> array_to_string(list_slice($tk, i, i + 2), ' '))"
+  private def dShinglesN(tk: String, n: Int) =
+    s"list_transform(range(1, len($tk) - ${n - 2}), i -> array_to_string(list_slice($tk, i, i + ${n - 1}), ' '))"
   private def dHex12(x: String) = s"CAST('0x' || substr(md5($x), 1, 12) AS BIGINT)"
   private def dHex8(x: String) = s"CAST('0x' || substr(md5($x), 1, 8) AS BIGINT)"
   private def dDot(a: String, b: String) =
@@ -1601,6 +1616,62 @@ object SparkEntry {
          |  CAST(SUM(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
          |  CAST(SUM(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_norm
          |FROM n GROUP BY 1 ORDER BY label""".stripMargin,
+    "txt_unigram_lm" ->
+      s"""WITH tk AS (SELECT doc_id, unnest(${dToks("text")}) AS tok FROM documents),
+         |cnt AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY 1),
+         |tot AS (SELECT count(*) AS total FROM tk),
+         |terms AS (SELECT t.doc_id,
+         |    round(-ln(CAST(c.cnt AS DOUBLE) / tot.total), 6) AS nll
+         |  FROM tk t JOIN cnt c ON t.tok = c.tok CROSS JOIN tot),
+         |pd AS (SELECT doc_id, count(*) AS n_tokens,
+         |    CAST(SUM(CAST(nll AS DECIMAL(18,6))) AS DOUBLE) AS nll_sum
+         |  FROM terms GROUP BY 1)
+         |SELECT d.doc_id, CAST(COALESCE(pd.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  pd.nll_sum, pd.nll_sum / pd.n_tokens AS cross_entropy
+         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "dedup_containment" ->
+      s"""$shingleCte,
+         |ex AS (SELECT id, unnest(shh) AS sg FROM sets),
+         |hot AS (SELECT sg FROM ex GROUP BY sg HAVING count(*) > 50),
+         |blocked AS (SELECT id, sg FROM ex WHERE sg NOT IN (SELECT sg FROM hot)),
+         |cand AS (SELECT a.id AS id_a, b.id AS id_b
+         |         FROM blocked a JOIN blocked b ON a.sg = b.sg AND a.id < b.id
+         |         GROUP BY 1, 2 HAVING count(*) >= 2),
+         |v AS (SELECT id_a, id_b,
+         |        CAST(len(list_intersect(x.shh, y.shh)) AS BIGINT) AS inter,
+         |        len(x.shh) AS sa, len(y.shh) AS sb
+         |      FROM cand JOIN sets x ON x.id = id_a JOIN sets y ON y.id = id_b)
+         |SELECT id_a, id_b, CAST(inter AS DOUBLE) / sa AS c_a_in_b,
+         |  CAST(inter AS DOUBLE) / sb AS c_b_in_a
+         |FROM v
+         |WHERE greatest(CAST(inter AS DOUBLE) / sa, CAST(inter AS DOUBLE) / sb) >= 0.6
+         |ORDER BY id_a, id_b""".stripMargin,
+    "dedup_ngram_repeats" ->
+      s"""WITH toksrc AS (SELECT doc_id AS id, ${dToks("text")} AS tk FROM documents),
+         |raw AS (SELECT id, ${dShinglesN("tk", 8)} AS sh0 FROM toksrc),
+         |sets AS (SELECT id, list_distinct(list_transform(sh0, x -> ${dHex12("x")})) AS shh
+         |         FROM raw WHERE len(sh0) > 0),
+         |ex AS (SELECT id, unnest(shh) AS sg FROM sets),
+         |df AS (SELECT sg, count(*) AS df FROM ex GROUP BY 1),
+         |pd AS (SELECT e.id, count(*) AS n_shingles,
+         |    CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated
+         |  FROM ex e JOIN df ON e.sg = df.sg GROUP BY 1)
+         |SELECT d.doc_id, CAST(COALESCE(pd.n_shingles, 0) AS BIGINT) AS n_shingles,
+         |  CAST(COALESCE(pd.n_repeated, 0) AS BIGINT) AS n_repeated,
+         |  CAST(pd.n_repeated AS DOUBLE) / pd.n_shingles AS rep_frac
+         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.id
+         |ORDER BY d.doc_id""".stripMargin,
+    "mm_frame_energy" ->
+      """WITH b AS (
+        |  SELECT doc_id, CAST(i // 256 AS BIGINT) AS frame_idx,
+        |    CAST('0x' || substr(hex(encode(text)), CAST(2*i + 1 AS INT), 2) AS INT) AS bv
+        |  FROM (SELECT doc_id, text, unnest(range(0, octet_length(encode(text)))) AS i
+        |        FROM documents))
+        |SELECT doc_id, frame_idx, count(*) AS n_bytes,
+        |  CAST(SUM(bv) AS BIGINT) AS energy,
+        |  CAST(SUM(bv) AS DOUBLE) / count(*) AS mean_energy
+        |FROM b GROUP BY 1, 2 ORDER BY doc_id, frame_idx""".stripMargin,
     "emb_quantize_int8" ->
       """WITH x AS (
         |  SELECT vec_id AS id, t.i AS dim, CAST(embedding[t.i] AS DOUBLE) AS x

@@ -81,6 +81,32 @@ object Multimodal {
     }(enc)
   }
 
+  /** Audio-style fixed framing via mapPartitions: the payload splits
+    * into non-overlapping `frameLen`-byte frames, each emitting its
+    * length and energy (byte-value sum) — the batch shape an audio
+    * feature extractor (MFCC, VAD) runs in, with the codec stubbed
+    * as plain byte arithmetic. One row per frame, partition-
+    * preserving fan-out; empty payloads emit no frames. */
+  def frameEnergy(media: DataFrame, frameLen: Int = 256): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("frame_idx", LongType, nullable = false),
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("energy", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    media.select(col("doc_id"), col("payload")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        if (bytes == null || bytes.isEmpty) Iterator.empty
+        else bytes.grouped(frameLen).zipWithIndex.map { case (fr, i) =>
+          Row(id, i.toLong, fr.length.toLong,
+            fr.foldLeft(0L)((acc, b) => acc + (b & 0xff)))
+        }
+      }
+    }(enc)
+  }
+
   /** Deterministic stand-in for an image/audio decoder: 16-bin byte
     * histogram. Replace with a real codec (e.g. JNI-bound) without
     * touching the plumbing above. */

@@ -58,19 +58,75 @@ object Dedup {
     * exact. */
   def ngramJaccardPairs(docs: DataFrame, contentCol: String = "text",
                         idCol: String = "doc_id", n: Int = 3,
-                        tau: Double = 0.1, maxDf: Int = 50, minShared: Int = 2): DataFrame = {
-    val sets = hashedShingleSets(docs, contentCol, idCol, n)
+                        tau: Double = 0.1, maxDf: Int = 50, minShared: Int = 2): DataFrame =
+    verifyJaccard(
+      blockedCandidates(hashedShingleSets(docs, contentCol, idCol, n), maxDf, minShared),
+      hashedShingleSets(docs, contentCol, idCol, n), tau)
+
+  /** Shared-shingle blocking: candidate pairs sharing ≥ minShared
+    * non-stop shingles (df ≤ maxDf). The two controls bound the
+    * self-join at scale — see ngramJaccardPairs. */
+  private def blockedCandidates(sets: DataFrame, maxDf: Int, minShared: Int): DataFrame = {
     val ex = sets.select(col("id"), explode(col("shh")).as("sg"))
     val hot = ex.groupBy("sg").agg(count(lit(1)).as("df"))
       .where(col("df") > maxDf).select("sg")
     val blocked = ex.join(broadcast(hot), Seq("sg"), "left_anti")
-    val cand = blocked.as("a").join(blocked.as("b"),
+    blocked.as("a").join(blocked.as("b"),
         col("a.sg") === col("b.sg") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
       .select(col("id_a"), col("id_b"))
-    verifyJaccard(cand, sets, tau)
+  }
+
+  /** Asymmetric containment over blocked candidates: c(A⊆B) =
+    * |A∩B| / |A| — catches a document (near-)contained in another
+    * (quote farms, page-of-pages aggregation, prefix/suffix crops),
+    * which symmetric Jaccard misses when the container is much
+    * larger. Emits both orientations; a pair surfaces when either
+    * reaches τ. Quotients of exact integers are emitted raw (no
+    * rounding — identical doubles on every engine). */
+  def containmentPairs(docs: DataFrame, contentCol: String = "text",
+                       idCol: String = "doc_id", n: Int = 3,
+                       tau: Double = 0.6, maxDf: Int = 50, minShared: Int = 2): DataFrame = {
+    val sets = hashedShingleSets(docs, contentCol, idCol, n)
+    blockedCandidates(sets, maxDf, minShared)
+      .join(sets.select(col("id").as("id_a"), col("shh").as("sh_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("shh").as("sh_b")), "id_b")
+      .withColumn("inter", graft.plans.NativeExprs.intersectSize(col("sh_a"), col("sh_b")))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") / size(col("sh_a"))).as("c_a_in_b"),
+        (col("inter").cast("double") / size(col("sh_b"))).as("c_b_in_a"))
+      .where(greatest(col("c_a_in_b"), col("c_b_in_a")) >= tau)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Cross-document n-gram repetition (the memorization-risk signal
+    * behind substring-level dedup, Lee et al. 2022): per doc, the
+    * fraction of its distinct word-n-grams that occur in at least
+    * `minDf` documents corpus-wide. One df shuffle over hashed
+    * shingles, one join back — within-doc repetition is Quality
+    * .repetition's job; this measures repetition ACROSS documents at
+    * n-gram (sub-document) granularity, where doc-level dedup is
+    * blind. Quotients emitted raw, no rounding. */
+  def repeatedNgramStats(docs: DataFrame, contentCol: String = "text",
+                         idCol: String = "doc_id", n: Int = 8,
+                         minDf: Int = 2): DataFrame = {
+    val ex = hashedShingleSets(docs, contentCol, idCol, n)
+      .select(col("id"), explode(col("shh")).as("sg"))
+    // sets are per-doc distinct, so count(*) per shingle == doc freq
+    val df = ex.groupBy(col("sg")).agg(count(lit(1)).as("df"))
+    val perDoc = ex.join(df, "sg")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_repeated"))
+    docs.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_repeated"), lit(0L)).as("n_repeated"),
+        (col("n_repeated").cast("double") / col("n_shingles")).as("rep_frac"))
+      .orderBy(col("doc_id"))
   }
 
   /** The per-doc signature table: hashed shingle set + k-hash MinHash

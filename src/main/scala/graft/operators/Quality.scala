@@ -205,6 +205,36 @@ object Quality {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-doc cross-entropy under the corpus's own unigram LM — the
+    * cheap in-engine stand-in for a KenLM-style perplexity filter:
+    * H(d) = −(1/|d|) Σ_{t∈d} ln(count(t)/total). Surprising docs
+    * (gibberish, wrong-language, encoding damage) score high;
+    * boilerplate scores low. Shape: token explode is map-side; one
+    * hash shuffle builds the count table (O(vocab), partial-agg);
+    * the term join shuffles on token (AQE broadcasts it when the
+    * vocab fits); per-term nll is rounded then DECIMAL-summed so the
+    * doc score is partition-independent, and the final divide is a
+    * raw double quotient (identical on every engine). */
+  def unigramCrossEntropy(docs: DataFrame, contentCol: String = "text"): DataFrame = {
+    val tk = docs.select(col("doc_id"), explode(tokens(col(contentCol))).as("tok"))
+    val cnt = tk.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = cnt.agg(sum(col("cnt")).as("total"))
+    val perDoc = tk.join(cnt, "tok")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        round(-log(col("cnt").cast("double") / col("total")), 6).as("nll"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("nll").cast("decimal(18,6)")).cast("double").as("nll_sum"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("nll_sum"),
+        (col("nll_sum") / col("n_tokens")).as("cross_entropy"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Robust length-outlier stats via MAD (median absolute deviation):
     * median and MAD are exact interpolated percentiles (bit-equal to
     * quantile_cont in any engine), so the outlier count is exact.

@@ -69,6 +69,57 @@ class Round4Spec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2L, 1L), (2L, 1L, 0L)))
   }
 
+  test("containment catches a doc embedded in a larger one that jaccard misses") {
+    val small = "alpha beta gamma delta epsilon zeta eta theta"
+    val big = small + " " + (1 to 60).map(i => s"filler$i word$i").mkString(" ")
+    val docs = Seq((1L, small), (2L, big)).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, tau = 0.9)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(cont.length == 1)
+    val (a, b, cab, cba) = cont.head
+    assert((a, b) == (1L, 2L))
+    assert(cab == 1.0, "small doc fully contained")
+    assert(cba < 0.2, "container barely covered")
+    // symmetric jaccard at the same threshold finds nothing
+    assert(Dedup.ngramJaccardPairs(docs, tau = 0.9).isEmpty)
+  }
+
+  test("repeated n-gram fraction flags cross-doc repetition only") {
+    val shared = "one two three four five six seven eight"
+    val docs = Seq(
+      (1L, shared + " unique tail for doc one goes here now"),
+      (2L, shared + " different ending text for doc two here"),
+      (3L, "entirely fresh words nine ten eleven twelve thirteen fourteen")).toDF("doc_id", "text")
+    val out = Dedup.repeatedNgramStats(docs, n = 8)
+      .select($"doc_id", $"n_repeated").as[(Long, Long)].collect().toMap
+    assert(out(1L) >= 1 && out(2L) >= 1, "shared leading 8-gram not counted")
+    assert(out(3L) == 0, "unique doc wrongly flagged")
+  }
+
+  test("unigram cross-entropy ranks boilerplate below rare text") {
+    val boiler = "the the the the the the the the the the"
+    val docs = Seq(
+      (1L, boiler), (2L, boiler), (3L, boiler),
+      (4L, "quixotic zephyrs vex jumbled gnomes wafting banal proxies")).toDF("doc_id", "text")
+    val ce = Quality.unigramCrossEntropy(docs)
+      .select($"doc_id", $"cross_entropy").as[(Long, Option[Double])].collect().toMap
+    assert(ce(1L).get < ce(4L).get, "repeated boilerplate should be less surprising")
+    val empty = Quality.unigramCrossEntropy(Seq((1L, "  ")).toDF("doc_id", "text"))
+      .select($"n_tokens", $"cross_entropy").as[(Long, Option[Double])].collect().head
+    assert(empty == ((0L, None)))
+  }
+
+  test("frame energy splits payloads into exact 256-byte frames") {
+    val media = graft.multimodal.Multimodal.withBinaryPayload(
+      Seq((1L, "ab" * 300)).toDF("doc_id", "text")) // 600 bytes
+    val out = graft.multimodal.Multimodal.frameEnergy(media)
+      .select($"frame_idx", $"n_bytes", $"energy").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(out.map(_._2).toSeq == Seq(256L, 256L, 88L))
+    val ab = 'a'.toLong + 'b'.toLong
+    assert(out(0)._3 == 128 * ab && out(2)._3 == 44 * ab)
+  }
+
   test("approx-distinct bounds contract holds on the test corpus") {
     val bad = Analytics.approxDistinct(spark, sf).where($"approx_ok" =!= 1L)
     assert(bad.isEmpty)
