@@ -72,6 +72,50 @@ object Sources {
     df.repartition(files).write.mode("overwrite").parquet(outPath)
   }
 
+  /** Compaction plan + result summary (file counts are what specs and
+    * operators audit; sizes are bytes). */
+  final case class CompactStats(nKept: Int, nRewritten: Int, nBins: Int)
+
+  /** OPTIMIZE-style bin-packing compaction: files already at or above
+    * `keepBytes` are carried over byte-for-byte (no decode/re-encode
+    * — rewriting well-sized files is wasted IO and churns their
+    * footer stats); the small-file tail is read once and repacked
+    * into ⌈Σsize / targetBytes⌉ bins. Planning is a metadata-only
+    * file listing on the driver (as in delta/iceberg OPTIMIZE); the
+    * rewrite itself is one distributed job, NOT a per-bin loop.
+    * Output goes to a NEW path — atomic swap is the caller's move. */
+  def compactZoneBinPacked(spark: SparkSession, inPath: String, outPath: String,
+                           targetBytes: Long = 128L * 1024 * 1024,
+                           keepBytes: Long = 64L * 1024 * 1024): CompactStats = {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val in = new Path(inPath)
+    val fs = in.getFileSystem(conf)
+    val files = fs.listStatus(in).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val (keep, small) = files.partition(_.getLen >= keepBytes)
+    val out = new Path(outPath)
+    fs.mkdirs(out)
+    val nBins =
+      if (small.isEmpty) 0
+      else {
+        val totalSmall = small.map(_.getLen).sum
+        val bins = math.max(1L, (totalSmall + targetBytes - 1) / targetBytes).toInt
+        spark.read.parquet(small.map(_.getPath.toString): _*)
+          .repartition(bins)
+          .write.mode("append").parquet(outPath)
+        bins
+      }
+    // carry-over AFTER the rewrite job: parquet append never collides
+    // with the keep- prefix, and a failed rewrite leaves no stale mix
+    keep.foreach { s =>
+      FileUtil.copy(fs, s.getPath, fs,
+        new Path(out, s"keep-${s.getPath.getName}"), false, conf)
+    }
+    fs.create(new Path(out, "_SUCCESS")).close()
+    CompactStats(keep.size, small.size, nBins)
+  }
+
   /** Range-clustered write: repartitionByRange + in-partition sort on
     * the cluster keys, so every output file covers a disjoint key
     * range. Parquet footers then carry tight min/max stats and a

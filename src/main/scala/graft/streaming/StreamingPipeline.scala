@@ -31,4 +31,28 @@ object StreamingPipeline {
       .option("path", outDir)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
+
+  /** Stream enriched against the versioned zone's LATEST committed
+    * snapshot, re-resolved per micro-batch. A plain stream-static
+    * join pins the files it saw at planning time — new snapshot
+    * versions (new directories) are invisible to it — so the
+    * re-resolution happens in foreachBatch, where each batch freshly
+    * reads `latestVersion`. The dimension snapshot broadcasts (it's
+    * the small side by contract); rows with no match keep NULL
+    * enrichment (left join) rather than silently dropping. */
+  def enrichFromLatestSnapshot(stream: DataFrame, zonePath: String,
+                               checkpointDir: String, key: String,
+                               enrichCols: Seq[String])
+                              (out: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.functions.{broadcast, col}
+        val spark = batch.sparkSession
+        val dim = graft.sources.VersionedZone.read(spark, zonePath)
+          .select((key +: enrichCols).map(col).toIndexedSeq: _*)
+        out(batch.join(broadcast(dim), Seq(key), "left"), batchId)
+        ()
+      }
 }
