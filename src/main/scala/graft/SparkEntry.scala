@@ -353,6 +353,15 @@ object SparkEntry {
         .orderBy(col("vec_id"))),
 
     // ── round-4 training-data curation additions ────────────────────
+    "ann_refine_topk" -> ((s, d) =>
+      Similarity.refineTopK(Tables.embeddings(s, d))),
+    "ann_refine_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.recallAtK(Similarity.refineTopK(emb), Similarity.bruteTopK(emb))
+    }),
+    "samp_dsir" -> ((s, d) =>
+      Sampling.importanceWeights(Tables.documents(s, d))),
+    "ev_rfm" -> ((s, d) => Events.rfmScores(Tables.events(s, d))),
     "txt_unigram_lm" -> ((s, d) =>
       Quality.unigramCrossEntropy(Tables.documents(s, d))),
     "dedup_containment" -> ((s, d) =>
@@ -1616,6 +1625,82 @@ object SparkEntry {
          |  CAST(SUM(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
          |  CAST(SUM(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_norm
          |FROM n GROUP BY 1 ORDER BY label""".stripMargin,
+    "ann_refine_topk" ->
+      s"""$embNormCte,
+         |${dPqTopCte("cand", 5, 50)},
+         |rs AS (SELECT c.query_id, c.neighbor_id,
+         |    round(${dDot("q.v", "x.v")} / (q.nrm * x.nrm), 6) AS sim
+         |  FROM cand c JOIN n q ON q.id = c.query_id JOIN n x ON x.id = c.neighbor_id),
+         |rr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY sim DESC, neighbor_id) AS rnk FROM rs)
+         |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank, sim
+         |FROM rr WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin,
+    "ann_refine_recall" ->
+      s"""$embNormCte,
+         |${dPqTopCte("cand", 5, 50)},
+         |rs AS (SELECT c.query_id, c.neighbor_id,
+         |    round(${dDot("q.v", "x.v")} / (q.nrm * x.nrm), 6) AS sim
+         |  FROM cand c JOIN n q ON q.id = c.query_id JOIN n x ON x.id = c.neighbor_id),
+         |rr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY sim DESC, neighbor_id) AS rnk FROM rs),
+         |approx AS (SELECT query_id, neighbor_id FROM rr WHERE rnk <= 10),
+         |${dBruteCte("exact", 5)},
+         |${dRecallTail()}""".stripMargin,
+    "samp_dsir" ->
+      s"""WITH tk AS (SELECT doc_id, source, unnest(${dToks("text")}) AS tok FROM documents),
+         |tb AS (SELECT doc_id, source, ${dHex12("tok")} % 128 AS b FROM tk),
+         |model AS (SELECT b,
+         |    SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS tcnt,
+         |    SUM(CASE WHEN source = 'src0' THEN 0 ELSE 1 END) AS rcnt
+         |  FROM tb GROUP BY 1),
+         |tot AS (SELECT SUM(tcnt) AS tt, SUM(rcnt) AS rt FROM model),
+         |lr AS (SELECT b, round(ln(CAST(tcnt + 1 AS DOUBLE) / (tt + 128))
+         |                     - ln(CAST(rcnt + 1 AS DOUBLE) / (rt + 128)), 6) AS llr
+         |  FROM model CROSS JOIN tot),
+         |pd AS (SELECT t.doc_id, count(*) AS n_tokens,
+         |    CAST(SUM(CAST(lr.llr AS DECIMAL(18,6))) AS DOUBLE) AS llr_sum
+         |  FROM tb t JOIN lr ON t.b = lr.b GROUP BY 1)
+         |SELECT d.doc_id, d.source, CAST(COALESCE(pd.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  pd.llr_sum, pd.llr_sum / pd.n_tokens AS avg_llr
+         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "ev_rfm" ->
+      """WITH pu AS (SELECT user_id, max(ts) AS last_ts, count(*) AS freq,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS monetary
+        |  FROM events GROUP BY 1),
+        |mt AS (SELECT max(ts) AS max_ts FROM events),
+        |pr AS (SELECT user_id,
+        |    CAST(date_diff('day', CAST(last_ts AS DATE), CAST(max_ts AS DATE)) AS BIGINT)
+        |      AS recency_days,
+        |    freq, monetary FROM pu CROSS JOIN mt),
+        |qs AS (SELECT
+        |    quantile_cont(CAST(recency_days AS DOUBLE), 0.25) AS r1,
+        |    quantile_cont(CAST(recency_days AS DOUBLE), 0.5) AS r2,
+        |    quantile_cont(CAST(recency_days AS DOUBLE), 0.75) AS r3,
+        |    quantile_cont(CAST(freq AS DOUBLE), 0.25) AS f1,
+        |    quantile_cont(CAST(freq AS DOUBLE), 0.5) AS f2,
+        |    quantile_cont(CAST(freq AS DOUBLE), 0.75) AS f3,
+        |    quantile_cont(monetary, 0.25) AS m1,
+        |    quantile_cont(monetary, 0.5) AS m2,
+        |    quantile_cont(monetary, 0.75) AS m3
+        |  FROM pr),
+        |sc AS (SELECT p.user_id, p.recency_days, p.freq, p.monetary,
+        |    CAST(5 - (1 + (CASE WHEN CAST(p.recency_days AS DOUBLE) > q.r1 THEN 1 ELSE 0 END)
+        |                + (CASE WHEN CAST(p.recency_days AS DOUBLE) > q.r2 THEN 1 ELSE 0 END)
+        |                + (CASE WHEN CAST(p.recency_days AS DOUBLE) > q.r3 THEN 1 ELSE 0 END))
+        |      AS BIGINT) AS r_score,
+        |    CAST(1 + (CASE WHEN CAST(p.freq AS DOUBLE) > q.f1 THEN 1 ELSE 0 END)
+        |           + (CASE WHEN CAST(p.freq AS DOUBLE) > q.f2 THEN 1 ELSE 0 END)
+        |           + (CASE WHEN CAST(p.freq AS DOUBLE) > q.f3 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS f_score,
+        |    CAST(1 + (CASE WHEN p.monetary > q.m1 THEN 1 ELSE 0 END)
+        |           + (CASE WHEN p.monetary > q.m2 THEN 1 ELSE 0 END)
+        |           + (CASE WHEN p.monetary > q.m3 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS m_score
+        |  FROM pr p CROSS JOIN qs q)
+        |SELECT user_id, recency_days, freq, monetary, r_score, f_score, m_score,
+        |  CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm_code
+        |FROM sc ORDER BY user_id""".stripMargin,
     "txt_unigram_lm" ->
       s"""WITH tk AS (SELECT doc_id, unnest(${dToks("text")}) AS tok FROM documents),
          |cnt AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY 1),

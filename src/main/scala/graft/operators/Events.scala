@@ -194,6 +194,47 @@ object Events {
           (col("sumv") / col("n")) * (col("sumv") / col("n"))).as("std"))
   }
 
+  /** RFM segmentation (recency / frequency / monetary): per-user
+    * rollup in one partial-agg shuffle, quartile BOUNDARIES from
+    * exact interpolated percentiles over the O(users) rollup (the
+    * small derivative table — swap approx_percentile at extreme
+    * scale), then map-only banding by boundary compare:
+    * band = 1 + (x > q1) + (x > q2) + (x > q3). No global sort and
+    * no ntile window — banding a user never shuffles the users.
+    * r_score inverts the recency band so 4 = most recent on every
+    * axis; rfm_code = r·100 + f·10 + m. */
+  def rfmScores(events: DataFrame): DataFrame = {
+    val maxTs = events.agg(max(col("ts")).as("max_ts"))
+    val peru = events.groupBy(col("user_id"))
+      .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("freq"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("monetary"))
+      .crossJoin(broadcast(maxTs))
+      .select(col("user_id"),
+        datediff(col("max_ts"), col("last_ts")).cast("long").as("recency_days"),
+        col("freq"), col("monetary"))
+    val qs = peru.agg(
+      expr("percentile(recency_days, 0.25)").as("r1"),
+      expr("percentile(recency_days, 0.5)").as("r2"),
+      expr("percentile(recency_days, 0.75)").as("r3"),
+      expr("percentile(freq, 0.25)").as("f1"),
+      expr("percentile(freq, 0.5)").as("f2"),
+      expr("percentile(freq, 0.75)").as("f3"),
+      expr("percentile(monetary, 0.25)").as("m1"),
+      expr("percentile(monetary, 0.5)").as("m2"),
+      expr("percentile(monetary, 0.75)").as("m3"))
+    def band(x: org.apache.spark.sql.Column, q1: String, q2: String, q3: String) =
+      lit(1L) + (x > col(q1)).cast("long") + (x > col(q2)).cast("long") +
+        (x > col(q3)).cast("long")
+    peru.crossJoin(broadcast(qs))
+      .select(col("user_id"), col("recency_days"), col("freq"), col("monetary"),
+        (lit(5L) - band(col("recency_days").cast("double"), "r1", "r2", "r3")).as("r_score"),
+        band(col("freq").cast("double"), "f1", "f2", "f3").as("f_score"),
+        band(col("monetary"), "m1", "m2", "m3").as("m_score"))
+      .withColumn("rfm_code",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      .orderBy(col("user_id"))
+  }
+
   /** Per-type z-score outliers (|z| > `zMax`): the tiny stats table
     * broadcasts back onto the events — two narrow passes total, no
     * wide shuffle of the events themselves. */

@@ -101,4 +101,42 @@ object Sampling {
     df.withColumn("h", md5(concat(lit(s"$salt:"), col(keyCol))))
       .orderBy(col("h"))
       .limit(n)
+
+  /** DSIR-style importance weights (Xie et al., NeurIPS 2023):
+    * per-doc log-likelihood ratio between a hashed-unigram LM of the
+    * TARGET domain and one of the rest of the corpus — the score
+    * data-selection-for-pretraining resamples by. Tokens hash into
+    * `buckets` md5 buckets (the hashed n-gram trick that keeps both
+    * LMs O(buckets), engine-replayable, and broadcastable at any
+    * corpus size); both models are Laplace-smoothed integer ratios,
+    * (c_b + 1)/(C + buckets). Per-token terms are rounded then
+    * DECIMAL-summed; the mean stays a raw quotient. Shape: one
+    * explode + one O(buckets) aggregation + a broadcast join back —
+    * the corpus never shuffles. */
+  def importanceWeights(docs: DataFrame, targetSource: String = "src0",
+                        buckets: Int = 128, contentCol: String = "text"): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val tk = docs
+      .select(col("doc_id"), col("source"), explode(tokens(col(contentCol))).as("tok"))
+      .withColumn("b", HashFunctions.md5Long(col("tok")) % buckets)
+    val isT = col("source") === targetSource
+    val model = tk.groupBy(col("b"))
+      .agg(sum(when(isT, 1L).otherwise(0L)).as("tb"),
+        sum(when(isT, 0L).otherwise(1L)).as("rb"))
+    val totals = model.agg(sum(col("tb")).as("tt"), sum(col("rb")).as("rt"))
+    val lr = model.crossJoin(broadcast(totals))
+      .select(col("b"), round(
+        log((col("tb") + 1).cast("double") / (col("tt") + buckets)) -
+          log((col("rb") + 1).cast("double") / (col("rt") + buckets)), 6).as("llr"))
+    val perDoc = tk.join(broadcast(lr), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("llr").cast("decimal(18,6)")).cast("double").as("llr_sum"))
+    docs.select(col("doc_id"), col("source"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("llr_sum"), (col("llr_sum") / col("n_tokens")).as("avg_llr"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -452,6 +452,30 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Two-stage refine retrieval — the production ANN serving shape:
+    * a cheap PQ/ADC pass over the code table nominates `candK`
+    * candidates per query, then ONLY those candidates are re-scored
+    * with exact cosine against their raw vectors and re-ranked to
+    * top-k. Fixes ADC's quantization-induced ordering errors at the
+    * cost of candK (not corpus) raw-vector reads per query — the
+    * candidate list broadcasts, so the rescore is one semi-join-
+    * shaped probe of the vector store. recall(refine) ≥ recall(PQ)
+    * by construction (same candidates, better ordering). */
+  def refineTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10, candK: Int = 50,
+                 m: Int = 8, nCodes: Int = 16,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+    val cand = pqTopK(emb, nQueries, candK, m, nCodes, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = e.where(col("id") < nQueries)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = e.join(broadcast(cand), col("id") === col("neighbor_id"))
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosinePrenormed(dot(col("qv"), col("v")), col("qnrm"), col("nrm")), 6).as("sim"))
+    rankTopK(scored, k)
+  }
+
   /** Embedding-store data quality: per-label vector counts, zero-norm
     * (undefined-direction) vectors, and average L2 norm. Map-side
     * norm (left-fold dot, 6-dp rounded) then one hash shuffle on

@@ -120,6 +120,35 @@ class Round4Spec extends SparkSpec {
     assert(out(0)._3 == 128 * ab && out(2)._3 == 44 * ab)
   }
 
+  test("refine stage never hurts recall vs raw PQ at equal candidates") {
+    val emb = Tables.embeddings(spark, sf)
+    val exact = Similarity.bruteTopK(emb)
+    def recall(df: org.apache.spark.sql.DataFrame): Double =
+      Similarity.recallAtK(df, exact).select($"avg_recall").as[Double].head()
+    val pq = recall(Similarity.pqTopK(emb, nQueries = 5, k = 10))
+    val refined = recall(Similarity.refineTopK(emb, nQueries = 5, k = 10))
+    assert(refined >= pq, s"refine $refined < pq $pq")
+  }
+
+  test("rfm bands stay in range and every quartile is populated") {
+    val rfm = Events.rfmScores(Tables.events(spark, sf))
+    assert(rfm.where($"r_score" < 1 || $"r_score" > 4 ||
+      $"f_score" < 1 || $"f_score" > 4 || $"m_score" < 1 || $"m_score" > 4).isEmpty)
+    assert(rfm.where($"rfm_code" =!=
+      $"r_score" * 100 + $"f_score" * 10 + $"m_score").isEmpty)
+    // quartile banding over >100 users must populate all 4 f-bands
+    assert(rfm.select($"f_score").distinct().count() == 4)
+  }
+
+  test("dsir importance weights rank target-domain docs above the rest") {
+    val iw = Sampling.importanceWeights(Tables.documents(spark, sf), "src0")
+    val byTarget = iw.where($"n_tokens" > 0)
+      .groupBy(($"source" === "src0").as("is_target"))
+      .agg(avg($"avg_llr").as("m")).as[(Boolean, Double)].collect().toMap
+    assert(byTarget(true) > byTarget(false),
+      s"target mean ${byTarget(true)} not above rest ${byTarget(false)}")
+  }
+
   test("approx-distinct bounds contract holds on the test corpus") {
     val bad = Analytics.approxDistinct(spark, sf).where($"approx_ok" =!= 1L)
     assert(bad.isEmpty)
