@@ -335,11 +335,14 @@ object Analytics {
     * CURRENT ROW). One hash shuffle on user_id; the frame sum is
     * DECIMAL (exact, order-independent) and the average divides in
     * double only at output. */
-  def movingAvg(spark: SparkSession, dir: String, frame: Int = 5): DataFrame = {
+  def movingAvg(spark: SparkSession, dir: String, frame: Int = 5): DataFrame =
+    movingAvgOf(Tables.events(spark, dir), frame)
+
+  def movingAvgOf(events: DataFrame, frame: Int = 5): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(-(frame - 1), 0)
-    Tables.events(spark, dir)
+    events
       .select(col("user_id"), col("event_id"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
         round(col("value"), 4).as("value"),

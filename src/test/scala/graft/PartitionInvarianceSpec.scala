@@ -78,6 +78,39 @@ class PartitionInvarianceSpec extends SparkSpec {
     invariant("markov")(Events.transitions(_))(Tables.events(spark, sf))
   }
 
+  test("moving average is partition-invariant (decimal frame sums)") {
+    invariant("movavg")(Analytics.movingAvgOf(_))(Tables.events(spark, sf))
+  }
+
+  test("unigram cross-entropy is partition-invariant (rounded-term decimal sums)") {
+    invariant("unigram")(Quality.unigramCrossEntropy(_))(Tables.documents(spark, sf))
+  }
+
+  test("repeated n-gram stats are partition-invariant (integer df counts)") {
+    invariant("ngram-rep")(Dedup.repeatedNgramStats(_))(Tables.documents(spark, sf))
+  }
+
+  test("containment pairs are partition-invariant (exact set intersections)") {
+    invariant("containment")(Dedup.containmentPairs(_, tau = 0.1))(
+      Tables.documents(spark, "/root/testdata/sf0.01"))
+  }
+
+  test("dsir weights are partition-invariant (integer-ratio models, decimal sums)") {
+    invariant("dsir")(Sampling.importanceWeights(_))(Tables.documents(spark, sf))
+  }
+
+  test("rfm bands are partition-invariant (exact percentile boundaries)") {
+    invariant("rfm")(Events.rfmScores(_))(Tables.events(spark, sf))
+  }
+
+  test("int8 quantization is partition-invariant (exact min/max + floor codes)") {
+    invariant("int8")(Similarity.quantizeInt8(_))(Tables.embeddings(spark, sf))
+  }
+
+  test("refine top-k is partition-invariant (rounded cosine rescoring)") {
+    invariant("refine")(Similarity.refineTopK(_))(Tables.embeddings(spark, sf))
+  }
+
   test("upsert is partition-invariant (key-unique sides)") {
     invariant("upsert") { d =>
       val docs = d.select(org.apache.spark.sql.functions.col("doc_id"),

@@ -130,4 +130,47 @@ class PlanShapeSpec extends SparkSpec {
     // one hash exchange on (window, type) + the output range sort
     assert(dataShuffles(df) <= 2)
   }
+
+  test("q4: the order-date window is pushed into the orders scan") {
+    val df = SparkEntry.queries("q_order_priority")(spark, sf)
+    val scans = physical(df).collectLeaves().map(_.toString).mkString
+    assert(scans.contains("GreaterThanOrEqual(o_orderdate") &&
+      scans.contains("LessThan(o_orderdate"), s"window not pushed: ${scans.take(400)}")
+  }
+
+  test("moving average: one data shuffle (hash on user) + output sort") {
+    val df = SparkEntry.queries("ev_moving_avg")(spark, sf)
+    assert(dataShuffles(df) <= 2)
+  }
+
+  test("int8 quantization: per-dim stats broadcast back, never sort-merge") {
+    val df = SparkEntry.queries("emb_quantize_int8")(spark, sf)
+    assert(count(df, _.isInstanceOf[BroadcastHashJoinExec]) >= 1)
+    assert(count(df, _.isInstanceOf[SortMergeJoinExec]) == 0)
+  }
+
+  test("dsir: the O(buckets) model broadcasts; corpus never sort-merges") {
+    val df = SparkEntry.queries("samp_dsir")(spark, sf)
+    // the llr-model join must be a broadcast hash join (the totals
+    // 1-row cross join is a nested-loop broadcast, not counted here);
+    // the one allowed sort-merge is the doc_id rejoin of the corpus
+    // to its per-doc scores — corpus-sized on BOTH sides, so a
+    // shuffle join is the design, not a regression
+    assert(count(df, _.isInstanceOf[BroadcastHashJoinExec]) >= 1)
+    assert(count(df, _.isInstanceOf[SortMergeJoinExec]) <= 1)
+  }
+
+  test("refine retrieval: candidates and queries broadcast onto the vector store") {
+    val df = SparkEntry.queries("ann_refine_topk")(spark, sf)
+    assert(count(df, _.isInstanceOf[BroadcastHashJoinExec]) >= 2)
+    assert(count(df, _.isInstanceOf[SortMergeJoinExec]) == 0)
+  }
+
+  test("small-qty revenue: no nested-loop joins, bounded shuffles") {
+    val df = SparkEntry.queries("q_small_qty_rev")(spark, sf)
+    assert(count(df,
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]) == 0)
+    // partkey agg + join back + final global agg
+    assert(dataShuffles(df) <= 3)
+  }
 }
