@@ -362,6 +362,14 @@ object SparkEntry {
     "samp_dsir" -> ((s, d) =>
       Sampling.importanceWeights(Tables.documents(s, d))),
     "ev_rfm" -> ((s, d) => Events.rfmScores(Tables.events(s, d))),
+    "q_supplier_share" -> ((s, d) => Analytics.supplierShare(s, d)),
+    "q_yoy_growth" -> ((s, d) => Analytics.yoyGrowth(s, d)),
+    "ann_mrl_topk" -> ((s, d) =>
+      Similarity.truncatedTopK(Tables.embeddings(s, d))),
+    "ann_mrl_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.recallAtK(Similarity.truncatedTopK(emb), Similarity.bruteTopK(emb))
+    }),
     "txt_unigram_lm" -> ((s, d) =>
       Quality.unigramCrossEntropy(Tables.documents(s, d))),
     "dedup_containment" -> ((s, d) =>
@@ -1646,6 +1654,58 @@ object SparkEntry {
          |approx AS (SELECT query_id, neighbor_id FROM rr WHERE rnk <= 10),
          |${dBruteCte("exact", 5)},
          |${dRecallTail()}""".stripMargin,
+    "q_supplier_share" ->
+      s"""WITH rev AS (SELECT n.n_name, s.s_name,
+         |    ${dRev("l.l_extendedprice", "l.l_discount")} AS rev_d
+         |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |  GROUP BY 1, 2)
+         |SELECT n_name, s_name, CAST(rev_d AS DOUBLE) AS revenue,
+         |  CAST(rev_d AS DOUBLE) / CAST(SUM(rev_d) OVER (PARTITION BY n_name) AS DOUBLE)
+         |    AS nation_share,
+         |  CAST(row_number() OVER (PARTITION BY n_name ORDER BY rev_d DESC, s_name)
+         |    AS BIGINT) AS nation_rank
+         |FROM rev ORDER BY n_name, nation_rank""".stripMargin,
+    "q_yoy_growth" ->
+      """WITH yearly AS (SELECT c.c_mktsegment,
+        |    CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+        |    SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev_d, count(*) AS n_orders
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1, 2)
+        |SELECT c_mktsegment, yr, n_orders, CAST(rev_d AS DOUBLE) AS revenue,
+        |  CAST(lag(rev_d) OVER w AS DOUBLE) AS prev_revenue,
+        |  (CAST(rev_d AS DOUBLE) - CAST(lag(rev_d) OVER w AS DOUBLE))
+        |    / CAST(lag(rev_d) OVER w AS DOUBLE) AS yoy_growth
+        |FROM yearly WINDOW w AS (PARTITION BY c_mktsegment ORDER BY yr)
+        |ORDER BY c_mktsegment, yr""".stripMargin,
+    "ann_mrl_topk" -> {
+      def dot16(a: String, b: String) =
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 17), i -> $a[i] * $b[i])), (x, y) -> x + y)"
+      s"""$embNormCte,
+         |t AS (SELECT id, list_slice(v, 1, 16) AS v FROM e),
+         |nt AS (SELECT id, v, sqrt(${dot16("v", "v")}) AS nrm FROM t),
+         |ms AS (SELECT q.id AS query_id, x.id AS neighbor_id,
+         |    round(${dot16("q.v", "x.v")} / (q.nrm * x.nrm), 6) AS sim
+         |  FROM nt q, nt x WHERE q.id < 5 AND x.id <> q.id),
+         |mr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY sim DESC, neighbor_id) AS rnk FROM ms)
+         |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank, sim
+         |FROM mr WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin
+    },
+    "ann_mrl_recall" -> {
+      def dot16(a: String, b: String) =
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 17), i -> $a[i] * $b[i])), (x, y) -> x + y)"
+      s"""$embNormCte,
+         |t AS (SELECT id, list_slice(v, 1, 16) AS v FROM e),
+         |nt AS (SELECT id, v, sqrt(${dot16("v", "v")}) AS nrm FROM t),
+         |ms AS (SELECT q.id AS query_id, x.id AS neighbor_id,
+         |    round(${dot16("q.v", "x.v")} / (q.nrm * x.nrm), 6) AS sim
+         |  FROM nt q, nt x WHERE q.id < 5 AND x.id <> q.id),
+         |mr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY sim DESC, neighbor_id) AS rnk FROM ms),
+         |approx AS (SELECT query_id, neighbor_id FROM mr WHERE rnk <= 10),
+         |${dBruteCte("exact", 5)},
+         |${dRecallTail()}""".stripMargin
+    },
     "samp_dsir" ->
       s"""WITH tk AS (SELECT doc_id, source, unnest(${dToks("text")}) AS tok FROM documents),
          |tb AS (SELECT doc_id, source, ${dHex12("tok")} % 128 AS b FROM tk),

@@ -330,6 +330,48 @@ object Analytics {
         sum(dec(col("l_extendedprice"))).cast("double").as("total_price"))
   }
 
+  /** Share-of-total window: each supplier's revenue as a fraction of
+    * its nation's total (the ratio_to_report shape). The window SUM
+    * runs over the already-aggregated O(suppliers) rows — the
+    * lineitem fact never enters a window — and sums DECIMAL, so the
+    * denominator is exact; the share stays a raw double quotient. */
+  def supplierShare(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val rev = li
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("s_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(BigDecimal(1)).cast("decimal(18,2)") -
+        dec(col("l_discount")))).as("rev_d"))
+    val w = Window.partitionBy(col("n_name"))
+    rev.select(col("n_name"), col("s_name"),
+        col("rev_d").cast("double").as("revenue"),
+        (col("rev_d").cast("double") / sum(col("rev_d")).over(w).cast("double"))
+          .as("nation_share"),
+        row_number().over(w.orderBy(col("rev_d").desc, col("s_name")))
+          .cast("long").as("nation_rank"))
+      .orderBy(col("n_name"), col("nation_rank"))
+  }
+
+  /** Year-over-year growth per market segment: yearly DECIMAL revenue
+    * rollup (O(segments · years) rows), then a lag window over that
+    * tiny aggregate — the trend query every lakehouse dashboard runs.
+    * Growth is a raw double quotient; the first year emits NULLs. */
+  def yoyGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val yearly = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(sum(dec(col("o_totalprice"))).as("rev_d"), count(lit(1)).as("n_orders"))
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("yr"))
+    yearly.select(col("c_mktsegment"), col("yr"), col("n_orders"),
+        col("rev_d").cast("double").as("revenue"),
+        lag(col("rev_d"), 1).over(w).cast("double").as("prev_revenue"))
+      .withColumn("yoy_growth",
+        (col("revenue") - col("prev_revenue")) / col("prev_revenue"))
+      .orderBy(col("c_mktsegment"), col("yr"))
+  }
+
   /** Sliding window frame: per-user moving average of `value` over
     * the previous `frame` events (ROWS BETWEEN frame-1 PRECEDING AND
     * CURRENT ROW). One hash shuffle on user_id; the frame sum is

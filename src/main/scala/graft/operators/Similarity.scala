@@ -476,6 +476,18 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Matryoshka-style truncation (MRL, Kusupati et al. 2022): search
+    * with only the first `dims` dimensions of each embedding — the
+    * 4× cheaper index the nesting property of MRL-trained encoders
+    * enables. Returns exact top-k under the TRUNCATED metric;
+    * measure the quality trade with `recallAtK` against the full-
+    * dimension brute force. (The synthetic test vectors are not
+    * MRL-trained, so measured recall is the pessimistic floor.) */
+  def truncatedTopK(emb: DataFrame, dims: Int = 16, nQueries: Int = 5, k: Int = 10,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    bruteTopK(emb.select(col(idCol), slice(col(vecCol), 1, dims).as(vecCol)),
+      nQueries, k, idCol, vecCol)
+
   /** Embedding-store data quality: per-label vector counts, zero-norm
     * (undefined-direction) vectors, and average L2 norm. Map-side
     * norm (left-fold dot, 6-dp rounded) then one hash shuffle on

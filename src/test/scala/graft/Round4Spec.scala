@@ -149,6 +149,36 @@ class Round4Spec extends SparkSpec {
       s"target mean ${byTarget(true)} not above rest ${byTarget(false)}")
   }
 
+  test("supplier shares sum to one within every nation") {
+    val sums = Analytics.supplierShare(spark, sf)
+      .groupBy($"n_name").agg(sum($"nation_share").as("s"), max($"nation_rank").as("n"))
+      .as[(String, Double, Long)].collect()
+    assert(sums.nonEmpty)
+    sums.foreach { case (nat, s, _) =>
+      assert(math.abs(s - 1.0) < 1e-9, s"$nat shares sum to $s") }
+  }
+
+  test("yoy growth matches its own revenue columns and starts null") {
+    val g = Analytics.yoyGrowth(spark, sf)
+    val bad = g.where($"prev_revenue".isNotNull &&
+      abs($"yoy_growth" - ($"revenue" - $"prev_revenue") / $"prev_revenue") > 1e-12)
+    assert(bad.isEmpty)
+    // exactly one NULL-growth row (the first year) per segment
+    val firsts = g.where($"yoy_growth".isNull)
+      .groupBy($"c_mktsegment").count().as[(String, Long)].collect()
+    assert(firsts.nonEmpty && firsts.forall(_._2 == 1L))
+  }
+
+  test("matryoshka truncation at full width degenerates to exact brute force") {
+    val emb = Tables.embeddings(spark, sf)
+    val full = Similarity.truncatedTopK(emb, dims = 64)
+    val brute = Similarity.bruteTopK(emb)
+    assert(full.exceptAll(brute).isEmpty && brute.exceptAll(full).isEmpty)
+    val r = Similarity.recallAtK(Similarity.truncatedTopK(emb), brute)
+      .select($"avg_recall").as[Double].head()
+    assert(r >= 0.0 && r <= 1.0)
+  }
+
   test("approx-distinct bounds contract holds on the test corpus") {
     val bad = Analytics.approxDistinct(spark, sf).where($"approx_ok" =!= 1L)
     assert(bad.isEmpty)
