@@ -366,6 +366,7 @@ object SparkEntry {
     "q_yoy_growth" -> ((s, d) => Analytics.yoyGrowth(s, d)),
     "ann_mrl_topk" -> ((s, d) =>
       Similarity.truncatedTopK(Tables.embeddings(s, d))),
+    "rag_mmr" -> ((s, d) => Similarity.mmrTopK(Tables.embeddings(s, d))),
     "ann_mrl_recall" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.recallAtK(Similarity.truncatedTopK(emb), Similarity.bruteTopK(emb))
@@ -1691,6 +1692,41 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank, sim
          |FROM mr WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin
     },
+    // MMR greedy selection replayed as a recursive CTE: the state is
+    // the per-query chosen list; each step's pick is a LATERAL
+    // argmax over the remaining candidates with the max-penalty
+    // correlated against the chosen set
+    "rag_mmr" ->
+      s"""${embNormCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |cs AS (SELECT q.id AS query_id, x.id AS id,
+         |    round(${dDot("q.v", "x.v")} / (q.nrm * x.nrm), 6) AS rel
+         |  FROM n q, n x WHERE q.id < 5 AND x.id <> q.id),
+         |cr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rel DESC, id) AS rnk FROM cs),
+         |cand AS (SELECT query_id, id, rel FROM cr WHERE rnk <= 20),
+         |psim AS (SELECT a.query_id, a.id AS pa, b.id AS pb,
+         |    round(${dDot("x.v", "y.v")} / (x.nrm * y.nrm), 6) AS sim
+         |  FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.id <> b.id
+         |  JOIN n x ON x.id = a.id JOIN n y ON y.id = b.id),
+         |sel AS (
+         |  SELECT query_id, CAST([] AS BIGINT[]) AS chosen, 0 AS step,
+         |    CAST(NULL AS BIGINT) AS id, CAST(NULL AS BIGINT) AS s10
+         |  FROM (SELECT DISTINCT query_id FROM cand)
+         |  UNION ALL
+         |  SELECT s.query_id, list_append(s.chosen, p.id), s.step + 1, p.id, p.s10
+         |  FROM sel s, LATERAL (
+         |    SELECT c.id, 7 * CAST(round(c.rel * 1000000) AS BIGINT)
+         |      - 3 * CAST(round(COALESCE((
+         |        SELECT max(ps.sim) FROM psim ps
+         |        WHERE ps.query_id = s.query_id AND ps.pa = c.id
+         |          AND list_contains(s.chosen, ps.pb)), 0.0) * 1000000) AS BIGINT) AS s10
+         |    FROM cand c
+         |    WHERE c.query_id = s.query_id AND NOT list_contains(s.chosen, c.id)
+         |    ORDER BY s10 DESC, c.id LIMIT 1) p
+         |  WHERE s.step < 10)
+         |SELECT query_id, id AS neighbor_id, CAST(step AS BIGINT) AS rank,
+         |  CAST(s10 AS DOUBLE) / 10000000.0 AS score
+         |FROM sel WHERE step >= 1 ORDER BY query_id, rank""".stripMargin,
     "ann_mrl_recall" -> {
       def dot16(a: String, b: String) =
         s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 17), i -> $a[i] * $b[i])), (x, y) -> x + y)"

@@ -488,6 +488,71 @@ object Similarity {
     bruteTopK(emb.select(col(idCol), slice(col(vecCol), 1, dims).as(vecCol)),
       nQueries, k, idCol, vecCol)
 
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR 1998) — the diversity pass a RAG retriever runs so the k
+    * returned chunks aren't k near-copies: greedily pick
+    * argmax λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s).
+    *
+    * Scale shape: candidates are the brute top-`depth` per query
+    * (swap any ANN path in), so the greedy loop runs over
+    * O(queries·depth) rows and a depth² pairwise-sim table — corpus
+    * size never enters the iteration; each of the k rounds is a tiny
+    * anti-join + max-penalty lookup + argmax, checkpointed so plans
+    * stay flat. Scores are rounded to 6dp with ties to the lowest
+    * id: bit-stable and replayable as a recursive-CTE oracle. */
+  def mmrTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10, depth: Int = 20,
+              lambda: Double = 0.7,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // λ quantized to tenths so the greedy compare stays in exact longs
+    val l10 = math.round(lambda * 10)
+    require(l10 >= 0 && l10 <= 10, "lambda must be in [0, 1]")
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+    val cand = bruteTopK(emb, nQueries, depth, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id").as("id"), col("sim").as("rel"))
+    val av = e.select(col("id").as("pa"), col("v").as("av"), col("nrm").as("anrm"))
+    val bv = e.select(col("id").as("pb"), col("v").as("bv"), col("nrm").as("bnrm"))
+    val psim = cand.select(col("query_id"), col("id").as("pa"))
+      .join(cand.select(col("query_id"), col("id").as("pb")), "query_id")
+      .where(col("pa") =!= col("pb"))
+      .join(broadcast(av), "pa").join(broadcast(bv), "pb")
+      .select(col("query_id"), col("pa"), col("pb"),
+        round(cosinePrenormed(dot(col("av"), col("bv")), col("anrm"), col("bnrm")), 6)
+          .as("sim"))
+      .localCheckpoint(true)
+    var sel = cand
+      .select(col("query_id"), col("id"), lit(0L).as("s10"), lit(0).as("step"))
+      .limit(0).localCheckpoint(true)
+    (1 to k).foreach { step =>
+      val remaining = cand.join(sel.select(col("query_id"), col("id")),
+        Seq("query_id", "id"), "left_anti")
+      val pens = psim.join(sel.select(col("query_id"), col("id").as("pb")),
+          Seq("query_id", "pb"))
+        .groupBy(col("query_id"), col("pa").as("id"))
+        .agg(max(col("sim")).as("ms"))
+      // the combined score works in EXACT integers: rel and ms are
+      // 6dp-rounded doubles, so 10⁶-scaling recovers exact longs and
+      // 7·rel₆ − 3·ms₆ selects with no floating point at all.
+      // (A double combination here is a trap twice over: λ·rel lands
+      // a half-ulp from the 10⁻⁶ grid — round() boundaries — and
+      // engines' FMA contraction differs in the raw last bit.)
+      val scored = remaining.join(pens, Seq("query_id", "id"), "left")
+        .select(col("query_id"), col("id"),
+          (lit(l10) * round(col("rel") * 1e6).cast("long") -
+            lit(10L - l10) * round(coalesce(col("ms"), lit(0.0)) * 1e6).cast("long"))
+            .as("s10"))
+      val pick = scored
+        .groupBy(col("query_id"))
+        .agg(max(struct(col("s10"), (-col("id")).as("negid"), col("id"))).as("m"))
+        .select(col("query_id"), col("m.id").as("id"), col("m.s10").as("s10"),
+          lit(step).as("step"))
+      sel = sel.unionByName(pick).localCheckpoint(true)
+    }
+    sel.select(col("query_id"), col("id").as("neighbor_id"),
+        col("step").cast("long").as("rank"),
+        (col("s10").cast("double") / 1e7).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Embedding-store data quality: per-label vector counts, zero-norm
     * (undefined-direction) vectors, and average L2 norm. Map-side
     * norm (left-fold dot, 6-dp rounded) then one hash shuffle on

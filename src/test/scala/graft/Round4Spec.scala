@@ -179,6 +179,22 @@ class Round4Spec extends SparkSpec {
     assert(r >= 0.0 && r <= 1.0)
   }
 
+  test("mmr starts at the most relevant doc and diversifies the tail") {
+    val emb = Tables.embeddings(spark, sf)
+    val mmr = Similarity.mmrTopK(emb)
+    val brute = Similarity.bruteTopK(emb)
+    // step 1 has no penalty: it must equal brute-force rank 1
+    val m1 = mmr.where($"rank" === 1).select($"query_id", $"neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val b1 = brute.where($"rank" === 1).select($"query_id", $"neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    assert(m1 == b1)
+    // k distinct picks per query
+    val dup = mmr.groupBy($"query_id", $"neighbor_id").count().where($"count" > 1)
+    assert(dup.isEmpty)
+    assert(mmr.groupBy($"query_id").count().as[(Long, Long)].collect().forall(_._2 == 10))
+  }
+
   test("approx-distinct bounds contract holds on the test corpus") {
     val bad = Analytics.approxDistinct(spark, sf).where($"approx_ok" =!= 1L)
     assert(bad.isEmpty)
