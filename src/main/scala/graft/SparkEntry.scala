@@ -364,6 +364,9 @@ object SparkEntry {
     "ev_rfm" -> ((s, d) => Events.rfmScores(Tables.events(s, d))),
     "q_supplier_share" -> ((s, d) => Analytics.supplierShare(s, d)),
     "q_yoy_growth" -> ((s, d) => Analytics.yoyGrowth(s, d)),
+    "q_nation_matrix" -> ((s, d) => Analytics.nationTradeMatrix(s, d)),
+    "ev_inactive_gap" -> ((s, d) => Events.inactivityGaps(Tables.events(s, d))),
+    "dq_token_hist" -> ((s, d) => Quality.tokenHistogram(Tables.documents(s, d))),
     "ann_mrl_topk" -> ((s, d) =>
       Similarity.truncatedTopK(Tables.embeddings(s, d))),
     "rag_mmr" -> ((s, d) => Similarity.mmrTopK(Tables.embeddings(s, d))),
@@ -1655,6 +1658,32 @@ object SparkEntry {
          |approx AS (SELECT query_id, neighbor_id FROM rr WHERE rnk <= 10),
          |${dBruteCte("exact", 5)},
          |${dRecallTail()}""".stripMargin,
+    "q_nation_matrix" ->
+      s"""SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+         |  count(*) AS n_lineitems,
+         |  CAST(${dRev("l.l_extendedprice", "l.l_discount")} AS DOUBLE) AS revenue
+         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+         |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+         |GROUP BY 1, 2 ORDER BY cust_nation, supp_nation""".stripMargin,
+    "ev_inactive_gap" ->
+      """WITH g AS (SELECT user_id,
+        |    epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id)) AS gap_us
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_events, count(gap_us) AS n_gaps,
+        |  CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+        |  CAST(SUM(gap_us) AS DOUBLE) / count(gap_us) AS avg_gap_us
+        |FROM g GROUP BY 1 HAVING count(gap_us) > 0 ORDER BY user_id""".stripMargin,
+    "dq_token_hist" ->
+      s"""WITH t AS (SELECT len(${dToks("text")}) AS n FROM documents),
+         |b AS (SELECT n, CASE WHEN n = 0 THEN -1
+         |                     ELSE length(bin(n)) - 1 END AS bucket FROM t)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
+         |  CAST(min(n) AS BIGINT) AS min_tokens, CAST(max(n) AS BIGINT) AS max_tokens
+         |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q_supplier_share" ->
       s"""WITH rev AS (SELECT n.n_name, s.s_name,
          |    ${dRev("l.l_extendedprice", "l.l_discount")} AS rev_d

@@ -372,6 +372,28 @@ object Analytics {
       .orderBy(col("c_mktsegment"), col("yr"))
   }
 
+  /** Customer-nation × supplier-nation trade matrix: the two-dim
+    * rollup over the full star join. Both nation dims broadcast
+    * twice under different aliases; the only big shuffle is
+    * lineitem⋈orders on orderkey, then O(nations²) partials. */
+  def nationTradeMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val n = Tables.nation(spark, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n.select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("cnk"))
+      .join(broadcast(n.select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("snk"))
+      .groupBy(col("cust_nation"), col("supp_nation"))
+      .agg(count(lit(1)).as("n_lineitems"),
+        sum(dec(col("l_extendedprice")) * (lit(BigDecimal(1)).cast("decimal(18,2)") -
+          dec(col("l_discount")))).cast("double").as("revenue"))
+      .orderBy(col("cust_nation"), col("supp_nation"))
+  }
+
   /** Sliding window frame: per-user moving average of `value` over
     * the previous `frame` events (ROWS BETWEEN frame-1 PRECEDING AND
     * CURRENT ROW). One hash shuffle on user_id; the frame sum is

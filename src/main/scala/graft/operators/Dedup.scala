@@ -251,12 +251,22 @@ object Dedup {
     * hint that could OOM the driver. A final per-doc regroup
     * reassembles the kept lines in original order from a sorted
     * struct array. Returns (doc_id, n_lines, n_removed, clean_text). */
+  /** The corpus-hot (boilerplate) line table: every line occurring at
+    * least `cap` times. Small by construction — it IS the
+    * boilerplate. Reused by the batch cleaner below and the
+    * stream-static gate in StreamingCuration. */
+  def hotLines(docs: DataFrame, cap: Int = 3,
+               contentCol: String = "text"): DataFrame =
+    docs.select(explode(split(col(contentCol), "\n")).as("line"))
+      .groupBy(col("line")).agg(count(lit(1)).as("n_occ"))
+      .where(col("n_occ") >= cap)
+      .select(col("line"))
+
   def lineDedup(docs: DataFrame, cap: Int = 3, contentCol: String = "text",
                 idCol: String = "doc_id"): DataFrame = {
     val lines = docs.select(col(idCol).as("doc_id"),
         posexplode(split(col(contentCol), "\n")).as(Seq("idx", "line")))
-    val hot = lines.groupBy(col("line")).agg(count(lit(1)).as("n_occ"))
-      .where(col("n_occ") >= cap)
+    val hot = hotLines(docs, cap, contentCol)
       .select(col("line"), lit(1L).as("is_hot"))
     lines.join(hot, Seq("line"), "left")
       .groupBy(col("doc_id"))

@@ -194,6 +194,25 @@ object Events {
           (col("sumv") / col("n")) * (col("sumv") / col("n"))).as("std"))
   }
 
+  /** Per-user inactivity gaps: the max and mean time between
+    * consecutive events (the churn-risk / session-break signal).
+    * One user-hash shuffle for the lag window; gaps stay exact
+    * integer MICROSECONDS end to end (the mean is a raw quotient of
+    * an exact sum — no float timestamps anywhere). */
+  def inactivityGaps(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"),
+        (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))).as("gap_us"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("gap_us")).as("n_gaps"),
+        max(col("gap_us")).as("max_gap_us"),
+        (sum(col("gap_us")).cast("double") / count(col("gap_us"))).as("avg_gap_us"))
+      .where(col("n_gaps") > 0)
+      .orderBy(col("user_id"))
+  }
+
   /** RFM segmentation (recency / frequency / monetary): per-user
     * rollup in one partial-agg shuffle, quartile BOUNDARIES from
     * exact interpolated percentiles over the O(users) rollup (the

@@ -235,6 +235,22 @@ object Quality {
       .orderBy(col("doc_id"))
   }
 
+  /** Token-count histogram in power-of-two bins: the one-glance
+    * length-distribution profile a curation run starts from. The
+    * bucket is floor(log2(n)) computed EXACTLY as the bit length of
+    * the integer (length(bin(n)) − 1) — float log2 sits on exact-
+    * power boundaries where libm implementations disagree. Empty
+    * docs land in bucket −1. Map-only + one O(buckets) aggregate. */
+  def tokenHistogram(docs: DataFrame, contentCol: String = "text"): DataFrame =
+    docs.select(tokenCount(col(contentCol)).as("n"))
+      .select(col("n"),
+        when(col("n") === 0, lit(-1L))
+          .otherwise((length(bin(col("n"))) - 1).cast("long")).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n")).as("min_tokens"), max(col("n")).as("max_tokens"))
+      .orderBy(col("bucket"))
+
   /** Robust length-outlier stats via MAD (median absolute deviation):
     * median and MAD are exact interpolated percentiles (bit-equal to
     * quantile_cont in any engine), so the outlier count is exact.

@@ -45,6 +45,23 @@ object StreamingCuration {
       }
   }
 
+  /** Stream-static boilerplate removal: the hot-line table comes from
+    * a batch pass over the historical corpus (`Dedup.hotLines` —
+    * small by construction), collapses to ONE array row, and
+    * broadcasts into every micro-batch; cleaning is then a stateless
+    * map (split → filter-by-membership → rejoin), so the stream
+    * needs no aggregation state and no watermark. The CCNet cleaner
+    * in its train-offline / clean-online shape. */
+  def lineCleanStream(stream: DataFrame, hotLines: DataFrame,
+                      contentCol: String = "text"): DataFrame = {
+    val hot = hotLines.agg(collect_set(col("line")).as("__hot"))
+    stream.crossJoin(broadcast(hot))
+      .withColumn("clean_text",
+        array_join(filter(split(col(contentCol), "\n"),
+          l => !array_contains(col("__hot"), l)), "\n"))
+      .drop("__hot")
+  }
+
   /** Stream-static anomaly scoring: z-scores against batch-computed
     * per-type moments. `staticStats` comes from
     * `Events.typeStats(batchEvents)`; the static side broadcasts

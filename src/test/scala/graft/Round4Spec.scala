@@ -195,6 +195,52 @@ class Round4Spec extends SparkSpec {
     assert(mmr.groupBy($"query_id").count().as[(Long, Long)].collect().forall(_._2 == 10))
   }
 
+  test("token histogram buckets are exact powers of two") {
+    val h = Quality.tokenHistogram(Tables.documents(spark, sf))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(h.nonEmpty)
+    h.filter(_._1 >= 0).foreach { case (bucket, _, mn, mx) =>
+      assert(mn >= (1L << bucket) && mx < (1L << (bucket + 1)),
+        s"bucket $bucket holds [$mn,$mx]")
+    }
+    assert(h.map(_._2).sum == Tables.documents(spark, sf).count())
+  }
+
+  test("inactivity gaps are positive and bounded by the user's own span") {
+    val g = Events.inactivityGaps(Tables.events(spark, sf))
+    assert(g.where($"max_gap_us" < 0 || $"avg_gap_us" > $"max_gap_us").isEmpty)
+    assert(g.where($"n_gaps" =!= $"n_events" - 1).isEmpty)
+  }
+
+  test("nation trade matrix conserves total lineitem revenue") {
+    val m = Analytics.nationTradeMatrix(spark, sf)
+    val total = m.agg(sum($"n_lineitems")).as[Long].head()
+    assert(total == Tables.lineitem(spark, sf).count(),
+      "every lineitem must land in exactly one matrix cell")
+  }
+
+  test("streaming line-clean gate equals the batch cleaner on the same corpus") {
+    val docs = Seq(
+      (1L, "HEADER\nalpha\nFOOTER"),
+      (2L, "HEADER\nbeta\nFOOTER"),
+      (3L, "HEADER\ngamma\nFOOTER"),
+      (4L, "delta only")).toDF("doc_id", "text")
+    val hot = Dedup.hotLines(docs, cap = 3)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lclean").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/in")
+    val st = spark.readStream.schema(docs.schema).parquet(s"$tmp/in")
+    val q = graft.streaming.StreamingCuration.lineCleanStream(st, hot)
+      .select($"doc_id", $"clean_text")
+      .writeStream.outputMode("append").format("memory").queryName("lclean").start()
+    val got = try {
+      q.processAllAvailable()
+      spark.table("lclean").as[(Long, String)].collect().toMap
+    } finally q.stop()
+    val want = Dedup.lineDedup(docs, cap = 3)
+      .select($"doc_id", $"clean_text").as[(Long, String)].collect().toMap
+    assert(got == want)
+  }
+
   test("approx-distinct bounds contract holds on the test corpus") {
     val bad = Analytics.approxDistinct(spark, sf).where($"approx_ok" =!= 1L)
     assert(bad.isEmpty)
