@@ -365,6 +365,7 @@ object SparkEntry {
     "q_supplier_share" -> ((s, d) => Analytics.supplierShare(s, d)),
     "q_yoy_growth" -> ((s, d) => Analytics.yoyGrowth(s, d)),
     "q_nation_matrix" -> ((s, d) => Analytics.nationTradeMatrix(s, d)),
+    "pipe_curation_funnel" -> ((s, d) => Curation.funnel(Tables.documents(s, d))),
     "ev_inactive_gap" -> ((s, d) => Events.inactivityGaps(Tables.events(s, d))),
     "dq_token_hist" -> ((s, d) => Quality.tokenHistogram(Tables.documents(s, d))),
     "ann_mrl_topk" -> ((s, d) =>
@@ -1658,6 +1659,62 @@ object SparkEntry {
          |approx AS (SELECT query_id, neighbor_id FROM rr WHERE rnk <= 10),
          |${dBruteCte("exact", 5)},
          |${dRecallTail()}""".stripMargin,
+    // the full curation pipeline replayed stage by stage: langid
+    // vote → gopher rules → repetition filters → exact dedup, each
+    // fragment identical to its standalone oracle
+    "pipe_curation_funnel" -> {
+      val votes = LangMarkers.map { case (lang, ms) =>
+        s"len(list_filter(ltk, x -> x IN (${ms.map(w => s"'$w'").mkString(",")}))) AS v_$lang"
+      }.mkString(", ")
+      val langs = LangMarkers.map(_._1)
+      val top = s"greatest(${langs.map(l => s"v_$l").mkString(", ")})"
+      val caseChain = langs.map(l => s"WHEN v_$l = top THEN '$l'").mkString(" ")
+      def cnt(src: String) =
+        s"count(*) AS n_docs, CAST(SUM(len(${dToks("text")})) AS BIGINT) AS n_tokens FROM $src"
+      s"""WITH s0 AS (SELECT doc_id, text FROM documents),
+         |lt AS (SELECT doc_id, text, ${dToks("lower(text)")} AS ltk FROM s0),
+         |lv AS (SELECT doc_id, text, $votes FROM lt),
+         |lw AS (SELECT *, $top AS top FROM lv),
+         |s1 AS (SELECT doc_id, text FROM lw
+         |       WHERE (CASE WHEN top = 0 THEN 'und' $caseChain ELSE 'und' END) = 'en'),
+         |gt AS (SELECT doc_id, text, ${dToks("text")} AS tk FROM s1),
+         |gm AS (SELECT doc_id, text, len(tk) AS n_words,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(tk, w -> CAST(length(w) AS BIGINT))), (x, y) -> x + y) AS char_sum,
+         |  len(list_filter(tk, w -> regexp_matches(w, '[A-Za-z]'))) AS n_alpha,
+         |  len(list_filter(tk, w -> w IN (${Quality.GopherStopwords.map(w => s"'$w'").mkString(",")}))) AS n_stop
+         |  FROM gt),
+         |s2 AS (SELECT doc_id, text FROM gm
+         |       WHERE n_words BETWEEN 50 AND 100000
+         |         AND CAST(char_sum AS DOUBLE) / n_words BETWEEN 3 AND 10
+         |         AND CAST(n_alpha AS DOUBLE) / n_words >= 0.8
+         |         AND n_stop >= 2),
+         |rt AS (SELECT doc_id, text, ${dToks("lower(text)")} AS tk FROM s2),
+         |wc AS (SELECT doc_id, w, count(*) AS tf
+         |       FROM (SELECT doc_id, unnest(tk) AS w FROM rt) GROUP BY 1, 2),
+         |wa AS (SELECT doc_id, SUM(tf) AS n_tokens, count(*) AS n_distinct, MAX(tf) AS top_tf
+         |       FROM wc GROUP BY doc_id),
+         |bg AS (SELECT doc_id, b, count(*) AS bf
+         |       FROM (SELECT doc_id, unnest(list_transform(range(1, greatest(len(tk), 1)), i -> tk[i] || ' ' || tk[i+1])) AS b
+         |             FROM rt WHERE len(tk) > 1) GROUP BY 1, 2),
+         |ba AS (SELECT doc_id, MAX(bf) AS top_bf FROM bg GROUP BY doc_id),
+         |s3 AS (SELECT r.doc_id, r.text
+         |       FROM rt r JOIN wa ON r.doc_id = wa.doc_id
+         |       LEFT JOIN ba ON r.doc_id = ba.doc_id
+         |       WHERE wa.n_tokens > 0 AND CAST(wa.n_distinct AS DOUBLE) / wa.n_tokens > 0.2
+         |         AND CAST(wa.top_tf AS DOUBLE) / wa.n_tokens < 0.3
+         |         AND (wa.n_tokens <= 1 OR CAST(ba.top_bf AS DOUBLE) / (wa.n_tokens - 1) < 0.25)),
+         |s4 AS (SELECT doc_id, text FROM (
+         |         SELECT doc_id, text, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |         FROM s3) WHERE rn = 1),
+         |u AS (
+         |  SELECT 0 AS stage, 'raw' AS name, ${cnt("s0")}
+         |  UNION ALL SELECT 1, 'langid', ${cnt("s1")}
+         |  UNION ALL SELECT 2, 'gopher', ${cnt("s2")}
+         |  UNION ALL SELECT 3, 'repetition', ${cnt("s3")}
+         |  UNION ALL SELECT 4, 'dedup', ${cnt("s4")})
+         |SELECT CAST(stage AS BIGINT) AS stage, name, n_docs, n_tokens
+         |FROM u ORDER BY stage""".stripMargin
+    },
     "q_nation_matrix" ->
       s"""SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
          |  count(*) AS n_lineitems,

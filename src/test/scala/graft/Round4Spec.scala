@@ -241,6 +241,18 @@ class Round4Spec extends SparkSpec {
     assert(got == want)
   }
 
+  test("curation funnel is monotone and consistent with its standalone stages") {
+    val docs = Tables.documents(spark, sf)
+    val f = Curation.funnel(docs)
+      .select($"stage", $"n_docs").as[(Long, Long)].collect().sortBy(_._1).map(_._2)
+    assert(f.length == 5)
+    f.sliding(2).foreach { case Array(a, b) => assert(b <= a, s"funnel grew: $a -> $b") }
+    // stage 1 must equal the standalone language-ID 'en' count
+    import graft.functions.TextFunctions.langId
+    val en = docs.where(langId($"text") === "en").count()
+    assert(f(1) == en)
+  }
+
   test("approx-distinct bounds contract holds on the test corpus") {
     val bad = Analytics.approxDistinct(spark, sf).where($"approx_ok" =!= 1L)
     assert(bad.isEmpty)
