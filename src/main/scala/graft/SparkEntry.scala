@@ -367,6 +367,8 @@ object SparkEntry {
     "q_nation_matrix" -> ((s, d) => Analytics.nationTradeMatrix(s, d)),
     "pipe_curation_funnel" -> ((s, d) => Curation.funnel(Tables.documents(s, d))),
     "ev_inactive_gap" -> ((s, d) => Events.inactivityGaps(Tables.events(s, d))),
+    "ev_attribution" -> ((s, d) =>
+      Events.lastTouchAttribution(Tables.events(s, d))),
     "dq_token_hist" -> ((s, d) => Quality.tokenHistogram(Tables.documents(s, d))),
     "ann_mrl_topk" -> ((s, d) =>
       Similarity.truncatedTopK(Tables.embeddings(s, d))),
@@ -1725,6 +1727,21 @@ object SparkEntry {
          |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
          |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
          |GROUP BY 1, 2 ORDER BY cust_nation, supp_nation""".stripMargin,
+    "ev_attribution" ->
+      """WITH b AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |    last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
+        |      OVER w AS last_click_us,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |      OVER w AS last_click_id
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, ts_us,
+        |  CASE WHEN ts_us - last_click_us <= 86400000000 THEN last_click_id END
+        |    AS attributed_click_id,
+        |  CASE WHEN ts_us - last_click_us <= 86400000000 THEN ts_us - last_click_us END
+        |    AS delay_us
+        |FROM b WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
     "ev_inactive_gap" ->
       """WITH g AS (SELECT user_id,
         |    epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id

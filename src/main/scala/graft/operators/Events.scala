@@ -194,6 +194,34 @@ object Events {
           (col("sumv") / col("n")) * (col("sumv") / col("n"))).as("std"))
   }
 
+  /** Last-touch attribution: each purchase credits the user's most
+    * recent click at or before it, if within `windowHours`. One
+    * user-hash shuffle; the candidate click rides along as a
+    * last-non-null window carry (IGNORE NULLS running last_value) —
+    * no self-join of the event stream against itself. Timestamps
+    * stay exact integer microseconds. */
+  def lastTouchAttribution(events: DataFrame, windowHours: Int = 24): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val horizon = windowHours * 3600L * 1000000L
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("last_click_us",
+        last(when(col("event_type") === "click", col("ts_us")), ignoreNulls = true)
+          .over(w))
+      .withColumn("last_click_id",
+        last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true)
+          .over(w))
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        when(col("ts_us") - col("last_click_us") <= horizon, col("last_click_id"))
+          .as("attributed_click_id"),
+        when(col("ts_us") - col("last_click_us") <= horizon,
+          col("ts_us") - col("last_click_us")).as("delay_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** Per-user inactivity gaps: the max and mean time between
     * consecutive events (the churn-risk / session-break signal).
     * One user-hash shuffle for the lag window; gaps stay exact

@@ -253,6 +253,25 @@ class Round4Spec extends SparkSpec {
     assert(f(1) == en)
   }
 
+  test("last-touch attribution credits the right click and respects the window") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(h: Long) = new java.sql.Timestamp(t0.getTime + h * 3600000L)
+    val ev = Seq(
+      (1L, ts(0), 7L, "click", 0.0),    // credited for purchase at h=2
+      (2L, ts(1), 7L, "click", 0.0),    // more recent → wins
+      (3L, ts(2), 7L, "purchase", 9.0),
+      (4L, ts(40), 7L, "purchase", 9.0), // 39h after last click → null
+      (5L, ts(5), 8L, "purchase", 9.0)   // user 8 never clicked → null
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Events.lastTouchAttribution(ev)
+      .select($"event_id", $"attributed_click_id").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(out == Map(3L -> Some(2L), 4L -> None, 5L -> None))
+    // corpus-wide: delay is never negative nor beyond the horizon
+    val all = Events.lastTouchAttribution(Tables.events(spark, sf))
+    assert(all.where($"delay_us" < 0 || $"delay_us" > 24L * 3600 * 1000000).isEmpty)
+  }
+
   test("approx-distinct bounds contract holds on the test corpus") {
     val bad = Analytics.approxDistinct(spark, sf).where($"approx_ok" =!= 1L)
     assert(bad.isEmpty)
