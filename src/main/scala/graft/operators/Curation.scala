@@ -21,21 +21,40 @@ import org.apache.spark.sql.functions._
 object Curation {
 
   def funnel(docs: DataFrame, contentCol: String = "text"): DataFrame = {
-    val s0 = docs.select(col("doc_id"), col(contentCol).as("text"))
-    val s1 = s0.where(langId(col("text")) === "en")
-    val s2 = s1.where(Quality.gopherKeepExpr("text"))
-    val repKeep = Quality.repetition(s2, "text").where(col("keep") === 1)
-      .select(col("doc_id"))
-    val s3 = s2.join(repKeep, Seq("doc_id"), "left_semi")
-    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
-    val s4 = s3.withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
-    def stage(i: Long, name: String, df: DataFrame) =
-      df.agg(count(lit(1)).as("n_docs"),
-          sum(tokenCount(col("text"))).as("n_tokens"))
-        .select(lit(i).as("stage"), lit(name).as("name"),
-          col("n_docs"), col("n_tokens"))
-    Seq(stage(0, "raw", s0), stage(1, "langid", s1), stage(2, "gopher", s2),
-        stage(3, "repetition", s3), stage(4, "dedup", s4))
+    // one pass computes every per-doc stage flag; the five stage
+    // rows then fall out of a SINGLE conditional aggregation —
+    // a per-stage re-filter would rescan (and re-predicate) the
+    // corpus five times, with stage i redoing stages 1..i−1's work
+    val base = docs.select(col("doc_id"), col(contentCol).as("text"),
+        tokenCount(col(contentCol)).as("n_tok"))
+      .withColumn("f1", (langId(col("text")) === "en").cast("int"))
+      .withColumn("f2", (col("f1") === 1 &&
+        Quality.gopherKeepExpr("text")).cast("int"))
+    // repetition metrics only over the gopher survivors (its explode
+    // + two aggregations are the expensive part of the pipeline)
+    val repKeep = Quality.repetition(base.where(col("f2") === 1), "text")
+      .where(col("keep") === 1).select(col("doc_id"), lit(1).as("rk"))
+    val w = Window.partitionBy(md5(col("text")))
+      .orderBy(col("f3").desc, col("doc_id"))
+    val flagged = base.join(repKeep, Seq("doc_id"), "left")
+      .withColumn("f3", when(col("f2") === 1 && col("rk") === 1, 1).otherwise(0))
+      .withColumn("f4",
+        when(col("f3") === 1 && row_number().over(w) === 1, 1).otherwise(0))
+    val agg = flagged.agg(
+      count(lit(1)).as("d0"), sum(col("n_tok")).as("t0"),
+      sum(col("f1")).as("d1"), sum(col("f1") * col("n_tok")).as("t1"),
+      sum(col("f2")).as("d2"), sum(col("f2") * col("n_tok")).as("t2"),
+      sum(col("f3")).as("d3"), sum(col("f3") * col("n_tok")).as("t3"),
+      sum(col("f4")).as("d4"), sum(col("f4") * col("n_tok")).as("t4"))
+    Seq(("0", "raw"), ("1", "langid"), ("2", "gopher"),
+        ("3", "repetition"), ("4", "dedup"))
+      .map { case (i, name) =>
+        // an empty stage reports NULL tokens (sum over no rows), not
+        // the conditional-sum's 0 — matching the per-stage oracle
+        agg.select(lit(i.toLong).as("stage"), lit(name).as("name"),
+          col(s"d$i").as("n_docs"),
+          when(col(s"d$i") > 0, col(s"t$i")).cast("long").as("n_tokens"))
+      }
       .reduce(_ unionByName _)
       .orderBy(col("stage"))
   }
