@@ -148,6 +148,44 @@ object StreamingEvents {
     }
   }
 
+  case class FrameState(vals: List[Long]) // 10⁴-scaled, newest last, ≤ frame−1
+  case class MovAvgOut(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+                       value: Double, mov_avg: Double, n_in_frame: Long)
+
+  /** Stateful streaming mirror of `Analytics.movingAvgOf`: the
+    * ROWS-frame moving average carried across micro-batches. State
+    * per user is the last frame−1 values as 10⁴-SCALED LONGS — the
+    * exact decimal(18,4) representation the batch operator sums, so
+    * on in-order input the stream emits bit-identical averages
+    * (the spec asserts exactly that). Rounding goes through
+    * BigDecimal.valueOf (shortest-repr), matching Spark's Round. */
+  def movingAvgStateful(events: Dataset[Ev], frame: Int = 5): Dataset[MovAvgOut] = {
+    import events.sparkSession.implicits._
+    def r4(d: Double): Double =
+      java.math.BigDecimal.valueOf(d)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    events.groupByKey(_.user_id).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (userId: Long, batch: Iterator[Ev], state: GroupState[FrameState]) =>
+        val sorted = batch.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
+        var vals = state.getOption.map(_.vals).getOrElse(Nil)
+        val out = sorted.map { e =>
+          val scaled = java.math.BigDecimal.valueOf(e.value)
+            .setScale(4, java.math.RoundingMode.HALF_UP)
+            .unscaledValue().longValueExact()
+          val window = (vals :+ scaled).takeRight(frame)
+          val sumD = new java.math.BigDecimal(
+            java.math.BigInteger.valueOf(window.sum), 4).doubleValue()
+          val o = MovAvgOut(userId, e.event_id, e.ts,
+            r4(e.value), r4(sumD / window.size), window.size.toLong)
+          vals = window.takeRight(frame - 1)
+          o
+        }
+        state.update(FrameState(vals))
+        out.iterator
+    }
+  }
+
   def sessionizeStateful(events: Dataset[Ev], gapMinutes: Int = 30): Dataset[SessionOut] = {
     val gapUs = gapMinutes * 60L * 1000000L
     import events.sparkSession.implicits._

@@ -272,6 +272,41 @@ class Round4Spec extends SparkSpec {
     assert(all.where($"delay_us" < 0 || $"delay_us" > 24L * 3600 * 1000000).isEmpty)
   }
 
+  test("stateful streaming moving average equals the batch window across micro-batches") {
+    import graft.streaming.StreamingEvents.Ev
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 12:00:00")
+    def ts(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mavg").toString
+    val enc = implicitly[org.apache.spark.sql.Encoder[Ev]]
+    def land(evs: Seq[Ev], name: String): Unit = {
+      val stage = s"$tmp/stage_$name"
+      evs.toDS().coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
+      java.nio.file.Files.copy(part, java.nio.file.Paths.get(s"$tmp/in/$name.parquet"))
+    }
+    val b1 = (1 to 6).map(i => Ev(i.toLong, ts(i), 7L, i * 1.111))
+    val b2 = (7 to 12).map(i => Ev(i.toLong, ts(i), 7L, i * 1.111))
+    land(b1, "b1")
+    val st = spark.readStream.schema(enc.schema).parquet(s"$tmp/in").as[Ev]
+    val q = graft.streaming.StreamingEvents.movingAvgStateful(st).writeStream
+      .outputMode("append").format("memory").queryName("mavg").start()
+    val got = try {
+      q.processAllAvailable()
+      land(b2, "b2") // frame must carry over the batch boundary
+      q.processAllAvailable()
+      spark.table("mavg")
+        .select($"event_id", $"mov_avg", $"n_in_frame")
+        .as[(Long, Double, Long)].collect().toSeq.sortBy(_._1)
+    } finally q.stop()
+    val batch = Analytics.movingAvgOf((b1 ++ b2).toDS()
+        .select($"user_id", $"event_id", $"ts", $"value"))
+      .select($"event_id", $"mov_avg", $"n_in_frame")
+      .as[(Long, Double, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == batch)
+  }
+
   test("approx-distinct bounds contract holds on the test corpus") {
     val bad = Analytics.approxDistinct(spark, sf).where($"approx_ok" =!= 1L)
     assert(bad.isEmpty)
