@@ -373,6 +373,8 @@ object SparkEntry {
     "ann_mrl_topk" -> ((s, d) =>
       Similarity.truncatedTopK(Tables.embeddings(s, d))),
     "rag_mmr" -> ((s, d) => Similarity.mmrTopK(Tables.embeddings(s, d))),
+    "samp_kcenter" -> ((s, d) =>
+      Similarity.kCenterCoreset(Tables.embeddings(s, d))),
     "ann_mrl_recall" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.recallAtK(Similarity.truncatedTopK(emb), Similarity.bruteTopK(emb))
@@ -1794,6 +1796,31 @@ object SparkEntry {
          |    ORDER BY sim DESC, neighbor_id) AS rnk FROM ms)
          |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS rank, sim
          |FROM mr WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin
+    },
+    // greedy farthest-point traversal replayed as a recursive CTE:
+    // the chosen list is the state; each step's LATERAL argmax
+    // recomputes every candidate's min scaled distance to it
+    "samp_kcenter" -> {
+      def d2(a: String, b: String) =
+        s"round(${dDot(a, a)} - 2.0 * ${dDot(a, b)} + ${dDot(b, b)}, 6)"
+      s"""WITH RECURSIVE e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |base AS (SELECT min(id) AS mn FROM e),
+         |sel AS (
+         |  SELECT list_value(mn) AS chosen, 1 AS step, mn AS id,
+         |    CAST(NULL AS BIGINT) AS pm
+         |  FROM base
+         |  UNION ALL
+         |  SELECT list_append(s.chosen, p.id), s.step + 1, p.id, p.pm
+         |  FROM sel s, LATERAL (
+         |    SELECT c.id, min(CAST(round(${d2("c.v", "nv.v")} * 1000000) AS BIGINT)) AS pm
+         |    FROM e c JOIN e nv ON list_contains(s.chosen, nv.id)
+         |    WHERE NOT list_contains(s.chosen, c.id)
+         |    GROUP BY c.id
+         |    ORDER BY pm DESC, c.id LIMIT 1) p
+         |  WHERE s.step < 10)
+         |SELECT id AS vec_id, CAST(step AS BIGINT) AS rank,
+         |  CAST(pm AS DOUBLE) / 1000000.0 AS radius_sq
+         |FROM sel ORDER BY rank""".stripMargin
     },
     // MMR greedy selection replayed as a recursive CTE: the state is
     // the per-query chosen list; each step's pick is a LATERAL

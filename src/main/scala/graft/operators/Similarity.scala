@@ -553,6 +553,55 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** k-center coreset selection (greedy farthest-point traversal,
+    * Gonzalez 1985 — the 2-approximation): start from the lowest-id
+    * vector, repeatedly add the point FARTHEST from everything
+    * selected. The diverse-subset sampler a training pipeline uses
+    * for coreset distillation / eval-set picking; also the classic
+    * k-means++-style seeder.
+    *
+    * Scale shape: each of the k rounds is one corpus pass — the
+    * per-point distance-to-selected updates INCREMENTALLY
+    * (min(old, dist-to-newest)) against a broadcast single row, and
+    * the argmax partial-aggregates map-side. Distances are rounded
+    * L2² lifted to exact 10⁶-scaled longs, so selection never
+    * compares raw floats (same cross-engine discipline as MMR). */
+  def kCenterCoreset(emb: DataFrame, k: Int = 10,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      round(dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b), 6)
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val seedId = e.agg(min(col("id"))).head().getLong(0)
+    val seed = e.where(col("id") === seedId)
+    var picked = seed.select(col("id"), lit(1L).as("rank"),
+      lit(null).cast("double").as("radius_sq")).localCheckpoint(true)
+    // state: every unpicked point with its scaled distance to the
+    // nearest selected center so far
+    var state = e.where(col("id") =!= seedId)
+      .crossJoin(broadcast(seed.select(col("v").as("cv"))))
+      .select(col("id"), col("v"),
+        round(d2(col("v"), col("cv")) * 1e6).cast("long").as("mind6"))
+      .localCheckpoint(true)
+    (2 to k).foreach { rank =>
+      val far = state
+        .agg(max(struct(col("mind6"), (-col("id")).as("negid"), col("id"))).as("m"))
+        .select(col("m.id").as("pid"), col("m.mind6").as("pm"))
+      picked = picked.unionByName(
+        far.select(col("pid").as("id"), lit(rank.toLong).as("rank"),
+          (col("pm").cast("double") / 1e6).as("radius_sq"))).localCheckpoint(true)
+      val newC = state.join(broadcast(far), col("id") === col("pid"))
+        .select(col("v").as("cv"))
+      state = state.join(broadcast(far), col("id") === col("pid"), "left_anti")
+        .crossJoin(broadcast(newC))
+        .select(col("id"), col("v"),
+          least(col("mind6"),
+            round(d2(col("v"), col("cv")) * 1e6).cast("long")).as("mind6"))
+        .localCheckpoint(true)
+    }
+    picked.select(col("id").as("vec_id"), col("rank"), col("radius_sq"))
+      .orderBy(col("rank"))
+  }
+
   /** Embedding-store data quality: per-label vector counts, zero-norm
     * (undefined-direction) vectors, and average L2 norm. Map-side
     * norm (left-fold dot, 6-dp rounded) then one hash shuffle on

@@ -307,6 +307,17 @@ class Round4Spec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("k-center picks are distinct and the coverage radius never grows") {
+    val ks = Similarity.kCenterCoreset(Tables.embeddings(spark, sf))
+      .select($"vec_id", $"rank", $"radius_sq")
+      .as[(Long, Long, Option[Double])].collect().sortBy(_._2)
+    assert(ks.length == 10 && ks.map(_._1).distinct.length == 10)
+    assert(ks.head._2 == 1L && ks.head._3.isEmpty, "seed is rank 1 with null radius")
+    val radii = ks.flatMap(_._3)
+    radii.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a + 1e-12, s"maximin radius grew: $a -> $b") }
+  }
+
   test("approx-distinct bounds contract holds on the test corpus") {
     val bad = Analytics.approxDistinct(spark, sf).where($"approx_ok" =!= 1L)
     assert(bad.isEmpty)
