@@ -366,6 +366,14 @@ object SparkEntry {
     "q_yoy_growth" -> ((s, d) => Analytics.yoyGrowth(s, d)),
     "q_nation_matrix" -> ((s, d) => Analytics.nationTradeMatrix(s, d)),
     "pipe_curation_funnel" -> ((s, d) => Curation.funnel(Tables.documents(s, d))),
+    "pipe_chunk_audit" -> ((s, d) =>
+      Chunker.overlapAudit(Medallion.pipeline(Tables.documents(s, d)))),
+    // split-fairness audit: KS-style drift between the train and
+    // test splits' length distributions (leak-free hash split ⇒
+    // gaps should be small noise)
+    "samp_split_drift" -> ((s, d) =>
+      Quality.lengthDrift(Sampling.splitAssign(Tables.documents(s, d)),
+        srcA = "train", srcB = "test", by = "split")),
     "ev_inactive_gap" -> ((s, d) => Events.inactivityGaps(Tables.events(s, d))),
     "ev_attribution" -> ((s, d) =>
       Events.lastTouchAttribution(Tables.events(s, d))),
@@ -1719,6 +1727,40 @@ object SparkEntry {
          |SELECT CAST(stage AS BIGINT) AS stage, name, n_docs, n_tokens
          |FROM u ORDER BY stage""".stripMargin
     },
+    "pipe_chunk_audit" ->
+      s"""$silverCte,
+         |a AS (SELECT doc_id, chunk_idx, chunk,
+         |        lag(chunk) OVER (PARTITION BY doc_id ORDER BY chunk_idx) AS prev
+         |      FROM gold)
+         |SELECT doc_id, count(*) AS n_chunks,
+         |  CAST(SUM(CASE WHEN prev IS NOT NULL AND length(prev) = 200
+         |    AND substr(prev, 191, 10) <> substr(chunk, 1, 10)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap_viol,
+         |  CAST(SUM(CASE WHEN length(chunk) > 200 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_oversize
+         |FROM a GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "samp_split_drift" ->
+      s"""WITH lens AS (SELECT
+         |    CASE WHEN ${dHex12("'split:' || doc_id")} % 100 < 80 THEN 'train'
+         |         WHEN ${dHex12("'split:' || doc_id")} % 100 < 90 THEN 'val'
+         |         ELSE 'test' END AS src,
+         |    CAST(length(text) AS BIGINT) AS len
+         |  FROM documents),
+         |f AS (SELECT * FROM lens WHERE src IN ('train','test')),
+         |b AS (SELECT min(len) AS lo, max(len) AS hi,
+         |        count(*) FILTER (WHERE src = 'train') AS na,
+         |        count(*) FILTER (WHERE src = 'test') AS nb FROM f),
+         |g AS (SELECT l.src, l.len, b.lo, b.na, b.nb, k.k,
+         |        CAST(b.hi - b.lo AS DOUBLE) / 20 AS step
+         |      FROM f l CROSS JOIN b, (SELECT unnest(range(1, 21)) AS k) k),
+         |c AS (SELECT k, CAST(lo AS DOUBLE) + k * step AS t, na, nb,
+         |        count(*) FILTER (WHERE src = 'train' AND len <= CAST(lo AS DOUBLE) + k * step) AS ca,
+         |        count(*) FILTER (WHERE src = 'test' AND len <= CAST(lo AS DOUBLE) + k * step) AS cb
+         |      FROM g GROUP BY 1, 2, 3, 4)
+         |SELECT CAST(k AS BIGINT) AS k, t,
+         |  CAST(ca AS DOUBLE) / na AS cdf_a, CAST(cb AS DOUBLE) / nb AS cdf_b,
+         |  abs(CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb) AS gap
+         |FROM c ORDER BY k""".stripMargin,
     "q_nation_matrix" ->
       s"""SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
          |  count(*) AS n_lineitems,

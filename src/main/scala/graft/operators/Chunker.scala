@@ -37,6 +37,27 @@ object Chunker {
   private def substring_index_safe(c: Column, idx: Column, stride: Int, size: Int): Column =
     substring(c, (idx * stride + 1).cast("int"), lit(size))
 
+  /** Gold-zone integrity audit: per doc, count chunks violating the
+    * overlap contract (a full chunk's last `overlap` chars must
+    * reopen the next chunk) or the size bound. An ETL regression —
+    * wrong stride, re-chunk with different params, truncation —
+    * shows up here as nonzero counts instead of silently degraded
+    * retrieval. One doc-hash shuffle for the lag window. */
+  def overlapAudit(gold: DataFrame, size: Int = 200, overlap: Int = 10): DataFrame = {
+    val stride = size - overlap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("chunk_idx"))
+    gold.select(col("doc_id"), col("chunk_idx"), col("chunk"))
+      .withColumn("prev", lag(col("chunk"), 1).over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("prev").isNotNull && length(col("prev")) === size &&
+          substring(col("prev"), stride + 1, overlap) =!= substring(col("chunk"), 1, overlap),
+          1L).otherwise(0L)).as("n_overlap_viol"),
+        sum(when(length(col("chunk")) > size, 1L).otherwise(0L)).as("n_oversize"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Reference-faithful recursive character splitter: try paragraph
     * separators first, fall back to sentence then word boundaries,
     * greedily packing pieces up to `size` chars with `overlap` carry.

@@ -318,6 +318,25 @@ class Round4Spec extends SparkSpec {
       assert(b <= a + 1e-12, s"maximin radius grew: $a -> $b") }
   }
 
+  test("chunk audit passes the real pipeline and catches a broken stride") {
+    val gold = Medallion.pipeline(Tables.documents(spark, sf))
+    val ok = Chunker.overlapAudit(gold)
+    assert(ok.where($"n_overlap_viol" > 0 || $"n_oversize" > 0).isEmpty,
+      "the real pipeline must satisfy its own overlap contract")
+    // re-chunk with a different stride, audit with the default: the
+    // contract breaks and the audit must say so
+    val broken = Chunker.fixedStride(
+      Medallion.silverDedup(Medallion.silverNormalize(Medallion.bronze(
+        Tables.documents(spark, sf)))), "content", size = 200, overlap = 40)
+    assert(Chunker.overlapAudit(broken).where($"n_overlap_viol" > 0).count() > 0)
+  }
+
+  test("hash split shows no material length drift between train and test") {
+    val drift = SparkEntry.queries("samp_split_drift")(spark, "/root/testdata/sf0.01")
+    val maxGap = drift.agg(max($"gap")).as[Double].head()
+    assert(maxGap < 0.15, s"split drift too large: $maxGap")
+  }
+
   test("approx-distinct bounds contract holds on the test corpus") {
     val bad = Analytics.approxDistinct(spark, sf).where($"approx_ok" =!= 1L)
     assert(bad.isEmpty)
