@@ -389,6 +389,8 @@ object SparkEntry {
     }),
     "txt_unigram_lm" -> ((s, d) =>
       Quality.unigramCrossEntropy(Tables.documents(s, d))),
+    "txt_bigram_lm" -> ((s, d) =>
+      Quality.bigramCrossEntropy(Tables.documents(s, d))),
     "dedup_containment" -> ((s, d) =>
       Dedup.containmentPairs(Tables.documents(s, d))),
     "dedup_ngram_repeats" -> ((s, d) =>
@@ -1981,6 +1983,25 @@ object SparkEntry {
          |  FROM terms GROUP BY 1)
          |SELECT d.doc_id, CAST(COALESCE(pd.n_tokens, 0) AS BIGINT) AS n_tokens,
          |  pd.nll_sum, pd.nll_sum / pd.n_tokens AS cross_entropy
+         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "txt_bigram_lm" ->
+      s"""WITH tk AS (SELECT doc_id, ${dToks("text")} AS tk FROM documents),
+         |pairs AS (SELECT doc_id, p.prev, p.w FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+         |      i -> {'prev': tk[i], 'w': tk[i+1]})) AS p
+         |    FROM tk WHERE len(tk) >= 2)),
+         |c2 AS (SELECT prev, w, count(*) AS c2 FROM pairs GROUP BY 1, 2),
+         |c1 AS (SELECT prev, SUM(c2) AS c1 FROM c2 GROUP BY 1),
+         |rate AS (SELECT c2.prev, c2.w,
+         |    round(-ln(CAST(c2.c2 AS DOUBLE) / c1.c1), 6) AS nll
+         |  FROM c2 JOIN c1 ON c2.prev = c1.prev),
+         |pd AS (SELECT p.doc_id, count(*) AS n_bigrams,
+         |    CAST(SUM(CAST(r.nll AS DECIMAL(18,6))) AS DOUBLE) AS nll_sum
+         |  FROM pairs p JOIN rate r ON p.prev = r.prev AND p.w = r.w
+         |  GROUP BY 1)
+         |SELECT d.doc_id, CAST(COALESCE(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |  pd.nll_sum, pd.nll_sum / pd.n_bigrams AS cross_entropy
          |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
          |ORDER BY d.doc_id""".stripMargin,
     "dedup_containment" ->

@@ -235,6 +235,40 @@ object Quality {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-doc cross-entropy under the corpus BIGRAM LM — the
+    * conditional upgrade of `unigramCrossEntropy`:
+    * H(d) = −(1/(|d|−1)) Σ ln(c(prev,w) / c(prev,·)), with the
+    * prefix marginal derived from the bigram table itself (exact).
+    * Shape: bigram explode is map-side; counts build in one hash
+    * shuffle; the per-pair rate joins back on (prev, w). Same
+    * rounding discipline as the unigram LM. Single-token and empty
+    * docs emit NULL entropy. */
+  def bigramCrossEntropy(docs: DataFrame, contentCol: String = "text"): DataFrame = {
+    val pairs = docs
+      .select(col("doc_id"), tokens(col(contentCol)).as("tk"))
+      .where(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(tk) - 1), " +
+          "i -> struct(element_at(tk, i) AS prev, element_at(tk, i + 1) AS w))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.prev").as("prev"), col("p.w").as("w"))
+    val c2 = pairs.groupBy(col("prev"), col("w")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("prev")).agg(sum(col("c2")).as("c1"))
+    val rate = c2.join(c1, "prev")
+      .select(col("prev"), col("w"),
+        round(-log(col("c2").cast("double") / col("c1")), 6).as("nll"))
+    val perDoc = pairs.join(rate, Seq("prev", "w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("nll").cast("decimal(18,6)")).cast("double").as("nll_sum"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("nll_sum"), (col("nll_sum") / col("n_bigrams")).as("cross_entropy"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token-count histogram in power-of-two bins: the one-glance
     * length-distribution profile a curation run starts from. The
     * bucket is floor(log2(n)) computed EXACTLY as the bit length of

@@ -337,6 +337,22 @@ class Round4Spec extends SparkSpec {
     assert(maxGap < 0.15, s"split drift too large: $maxGap")
   }
 
+  test("bigram LM is sharper than unigram on predictable text") {
+    // a corpus where bigram context is fully predictive: the bigram
+    // model should assign (near-)zero surprise, far below unigram
+    val docs = Seq.tabulate(4)(i => (i.toLong, "to be or not to be that is"))
+      .toDF("doc_id", "text")
+    val bi = Quality.bigramCrossEntropy(docs)
+      .agg(avg($"cross_entropy")).as[Double].head()
+    val uni = Quality.unigramCrossEntropy(docs)
+      .agg(avg($"cross_entropy")).as[Double].head()
+    assert(bi < uni, s"bigram $bi should beat unigram $uni on predictable text")
+    // single-token docs have no bigrams → NULL entropy
+    val one = Quality.bigramCrossEntropy(Seq((1L, "word")).toDF("doc_id", "text"))
+      .select($"n_bigrams", $"cross_entropy").as[(Long, Option[Double])].head()
+    assert(one == ((0L, None)))
+  }
+
   test("approx-distinct bounds contract holds on the test corpus") {
     val bad = Analytics.approxDistinct(spark, sf).where($"approx_ok" =!= 1L)
     assert(bad.isEmpty)
