@@ -374,6 +374,16 @@ object SparkEntry {
     "samp_split_drift" -> ((s, d) =>
       Quality.lengthDrift(Sampling.splitAssign(Tables.documents(s, d)),
         srcA = "train", srcB = "test", by = "split")),
+    "rag_context_pack" -> ((s, d) =>
+      Ranking.contextPack(Tables.documents(s, d), Tables.embeddings(s, d))),
+    "pipe_shard_assign" -> ((s, d) =>
+      Sampling.shardAssign(Tables.documents(s, d))),
+    "mm_modality_mix" -> ((s, d) =>
+      Multimodal.withBinaryPayload(Tables.documents(s, d))
+        .groupBy(col("mime"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("byte_len")).as("total_bytes"),
+          (sum(col("byte_len")).cast("double") / count(lit(1))).as("avg_bytes"))
+        .orderBy(col("mime"))),
     "ev_inactive_gap" -> ((s, d) => Events.inactivityGaps(Tables.events(s, d))),
     "ev_attribution" -> ((s, d) =>
       Events.lastTouchAttribution(Tables.events(s, d))),
@@ -1763,6 +1773,39 @@ object SparkEntry {
          |  CAST(ca AS DOUBLE) / na AS cdf_a, CAST(cb AS DOUBLE) / nb AS cdf_b,
          |  abs(CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb) AS gap
          |FROM c ORDER BY k""".stripMargin,
+    "rag_context_pack" ->
+      s"""$embNormCte,
+         |cs AS (SELECT q.id AS query_id, x.id AS id,
+         |    round(${dDot("q.v", "x.v")} / (q.nrm * x.nrm), 6) AS sim
+         |  FROM n q, n x WHERE q.id < 5 AND x.id <> q.id),
+         |cr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY sim DESC, id) AS rnk FROM cs),
+         |cand AS (SELECT query_id, id AS doc_id, rnk AS rank, sim FROM cr WHERE rnk <= 20),
+         |tok AS (SELECT doc_id, CAST(len(${dToks("text")}) AS BIGINT) AS n_tok FROM documents),
+         |j AS (SELECT c.query_id, c.rank, c.doc_id, t.n_tok, c.sim,
+         |    CAST(SUM(t.n_tok) OVER (PARTITION BY c.query_id ORDER BY c.rank
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM cand c JOIN tok t ON c.doc_id = t.doc_id)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, n_tok, cum_tokens, sim
+         |FROM j WHERE cum_tokens <= 150 ORDER BY query_id, rank""".stripMargin,
+    "pipe_shard_assign" ->
+      s"""WITH t AS (SELECT doc_id AS id, CAST(len(${dToks("text")}) AS BIGINT) AS n_tok,
+         |    md5('shard:' || doc_id) AS h FROM documents),
+         |tt AS (SELECT SUM(n_tok) AS total FROM t),
+         |c AS (SELECT id, n_tok,
+         |    CAST(SUM(n_tok) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM t)
+         |SELECT CAST(((c.cum - c.n_tok) * 8) // tt.total AS BIGINT) AS shard,
+         |  count(*) AS n_docs, CAST(SUM(c.n_tok) AS BIGINT) AS n_tokens
+         |FROM c CROSS JOIN tt GROUP BY 1 ORDER BY shard""".stripMargin,
+    "mm_modality_mix" ->
+      """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image/jpeg'
+        |            WHEN doc_id % 3 = 1 THEN 'audio/wav'
+        |            ELSE 'video/mp4' END AS mime,
+        |  count(*) AS n_docs,
+        |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        |  CAST(SUM(octet_length(encode(text))) AS DOUBLE) / count(*) AS avg_bytes
+        |FROM documents GROUP BY 1 ORDER BY mime""".stripMargin,
     "q_nation_matrix" ->
       s"""SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
          |  count(*) AS n_lineitems,

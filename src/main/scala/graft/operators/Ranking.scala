@@ -112,4 +112,24 @@ object Ranking {
       .select(col("doc_id"), col("rnk"), col("word"), col("score"))
       .orderBy(col("doc_id"), col("rnk"))
   }
+
+  /** Context-window assembly: the retrieved candidates packed into a
+    * fixed token budget in relevance order — what actually gets
+    * prompted. The running token total is a per-query window over
+    * ≤ depth candidate rows (never the corpus); packing stops at
+    * the first overflow (prefix rule: deterministic and identical
+    * in the SQL replay). */
+  def contextPack(docs: DataFrame, emb: DataFrame, nQueries: Int = 5,
+                  depth: Int = 20, budgetTokens: Long = 150): DataFrame = {
+    val cand = graft.operators.Similarity.bruteTopK(emb, nQueries, depth)
+      .join(docs.select(col("doc_id"), tokenCount(col("text")).as("n_tok")),
+        col("neighbor_id") === col("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("rank"))
+    cand.withColumn("cum_tokens", sum(col("n_tok")).over(w))
+      .where(col("cum_tokens") <= budgetTokens)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("n_tok"), col("cum_tokens"), col("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 }

@@ -102,6 +102,35 @@ object Sampling {
       .orderBy(col("h"))
       .limit(n)
 
+  /** Token-balanced shard assignment: documents in deterministic
+    * hash order are cut into `nShards` contiguous ranges of
+    * near-equal TOKEN mass — the data-parallel sharding that keeps
+    * every trainer rank fed evenly (doc-count round-robin skews by
+    * doc length). shard = ⌊start·N / total⌋ in exact integer math
+    * over the exclusive running sum. The global hash-order window
+    * is the cost: at extreme scale swap in the classic two-phase
+    * form (per-partition token sums → driver prefix offsets), same
+    * assignment. Returns the per-shard summary. */
+  def shardAssign(docs: DataFrame, nShards: Int = 8,
+                  contentCol: String = "text", keyCol: String = "doc_id",
+                  salt: String = "shard"): DataFrame = {
+    import graft.functions.TextFunctions.tokenCount
+    val t = docs.select(col(keyCol).as("id"),
+      tokenCount(col(contentCol)).as("n_tok"),
+      md5(concat(lit(s"$salt:"), col(keyCol))).as("h"))
+    val total = t.agg(sum(col("n_tok")).as("total"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("h"))
+    t.withColumn("cum", sum(col("n_tok")).over(w))
+      .crossJoin(broadcast(total))
+      // integer `div`, not `/`: Spark's / is always fractional and a
+      // float detour could misround at extreme token totals
+      .select(col("id"), col("n_tok"),
+        expr(s"((cum - n_tok) * $nShards) div total").cast("long").as("shard"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy(col("shard"))
+  }
+
   /** DSIR-style importance weights (Xie et al., NeurIPS 2023):
     * per-doc log-likelihood ratio between a hashed-unigram LM of the
     * TARGET domain and one of the rest of the corpus — the score

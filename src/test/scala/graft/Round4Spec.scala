@@ -353,6 +353,29 @@ class Round4Spec extends SparkSpec {
     assert(one == ((0L, None)))
   }
 
+  test("context packing respects the budget and never skips then resumes") {
+    val p = Ranking.contextPack(Tables.documents(spark, sf), Tables.embeddings(spark, sf))
+    assert(p.where($"cum_tokens" > 150).isEmpty)
+    // ranks per query form a contiguous prefix 1..n
+    val byQ = p.groupBy($"query_id")
+      .agg(max($"rank").as("mx"), count(lit(1)).as("n"))
+    assert(byQ.where($"mx" =!= $"n").isEmpty, "packed ranks must be a prefix")
+  }
+
+  test("token-balanced shards stay within one max-doc of even mass") {
+    val docs = Tables.documents(spark, sf)
+    val sh = Sampling.shardAssign(docs, nShards = 8)
+      .select($"shard", $"n_tokens").as[(Long, Long)].collect().toMap
+    assert(sh.keySet == (0L to 7L).toSet, s"missing shards: ${sh.keySet}")
+    val total = sh.values.sum
+    val maxDoc = docs.select(max(graft.functions.TextFunctions.tokenCount($"text")))
+      .as[Long].head()
+    val ideal = total.toDouble / 8
+    sh.values.foreach { m =>
+      assert(math.abs(m - ideal) <= maxDoc + ideal * 0.01,
+        s"shard mass $m vs ideal $ideal (maxDoc $maxDoc)") }
+  }
+
   test("approx-distinct bounds contract holds on the test corpus") {
     val bad = Analytics.approxDistinct(spark, sf).where($"approx_ok" =!= 1L)
     assert(bad.isEmpty)
