@@ -142,21 +142,34 @@ object Sampling {
     * DECIMAL-summed; the mean stays a raw quotient. Shape: one
     * explode + one O(buckets) aggregation + a broadcast join back —
     * the corpus never shuffles. */
-  def importanceWeights(docs: DataFrame, targetSource: String = "src0",
-                        buckets: Int = 128, contentCol: String = "text"): DataFrame = {
+  /** The trained DSIR model alone: per-bucket log-likelihood ratio
+    * between the target domain's hashed-unigram LM and the rest's.
+    * O(buckets) rows — materialize/broadcast it and score streams
+    * with `StreamingCuration.dsirGate`. */
+  def llrModel(docs: DataFrame, targetSource: String = "src0",
+               buckets: Int = 128, contentCol: String = "text"): DataFrame = {
     import graft.functions.TextFunctions.tokens
     val tk = docs
-      .select(col("doc_id"), col("source"), explode(tokens(col(contentCol))).as("tok"))
+      .select(col("source"), explode(tokens(col(contentCol))).as("tok"))
       .withColumn("b", HashFunctions.md5Long(col("tok")) % buckets)
     val isT = col("source") === targetSource
     val model = tk.groupBy(col("b"))
       .agg(sum(when(isT, 1L).otherwise(0L)).as("tb"),
         sum(when(isT, 0L).otherwise(1L)).as("rb"))
     val totals = model.agg(sum(col("tb")).as("tt"), sum(col("rb")).as("rt"))
-    val lr = model.crossJoin(broadcast(totals))
+    model.crossJoin(broadcast(totals))
       .select(col("b"), round(
         log((col("tb") + 1).cast("double") / (col("tt") + buckets)) -
           log((col("rb") + 1).cast("double") / (col("rt") + buckets)), 6).as("llr"))
+  }
+
+  def importanceWeights(docs: DataFrame, targetSource: String = "src0",
+                        buckets: Int = 128, contentCol: String = "text"): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val tk = docs
+      .select(col("doc_id"), col("source"), explode(tokens(col(contentCol))).as("tok"))
+      .withColumn("b", HashFunctions.md5Long(col("tok")) % buckets)
+    val lr = llrModel(docs, targetSource, buckets, contentCol)
     val perDoc = tk.join(broadcast(lr), "b")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),

@@ -62,6 +62,28 @@ object StreamingCuration {
       .drop("__hot")
   }
 
+  /** Stream-static DSIR gate: score each incoming document against
+    * batch-trained hashed-unigram log-ratio models (the `lr` table
+    * from `Sampling.importanceWeights`'s model stage, O(buckets)
+    * rows) and keep documents whose mean log-ratio clears the
+    * threshold — importance filtering in its train-offline /
+    * score-online shape. Per micro-batch: map-side token explode,
+    * broadcast model join, one per-doc partial aggregation. */
+  def dsirGate(stream: DataFrame, llrModel: DataFrame,
+               minAvgLlr: Double = 0.0, contentCol: String = "text"): DataFrame = {
+    import graft.functions.HashFunctions
+    import graft.functions.TextFunctions.tokens
+    val scored = stream
+      .select(col("doc_id"), explode(tokens(col(contentCol))).as("tok"))
+      .withColumn("b", HashFunctions.md5Long(col("tok")) % 128)
+      .join(broadcast(llrModel), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("llr").cast("decimal(18,6)")).cast("double").as("llr_sum"))
+      .withColumn("avg_llr", col("llr_sum") / col("n_tokens"))
+    scored.where(col("avg_llr") >= minAvgLlr)
+  }
+
   /** Stream-static anomaly scoring: z-scores against batch-computed
     * per-type moments. `staticStats` comes from
     * `Events.typeStats(batchEvents)`; the static side broadcasts

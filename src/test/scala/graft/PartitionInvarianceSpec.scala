@@ -111,6 +111,31 @@ class PartitionInvarianceSpec extends SparkSpec {
     invariant("refine")(Similarity.refineTopK(_))(Tables.embeddings(spark, sf))
   }
 
+  test("bigram LM is partition-invariant (rounded-term decimal sums)") {
+    invariant("bigram")(Quality.bigramCrossEntropy(_))(Tables.documents(spark, sf))
+  }
+
+  test("k-center traversal is partition-invariant (scaled-long argmax)") {
+    invariant("kcenter")(Similarity.kCenterCoreset(_))(Tables.embeddings(spark, sf))
+  }
+
+  test("mmr selection is partition-invariant (integer scores)") {
+    invariant("mmr")(Similarity.mmrTopK(_))(Tables.embeddings(spark, sf))
+  }
+
+  test("context packing is partition-invariant (ranked prefix sums)") {
+    invariant("ctxpack")(Ranking.contextPack(Tables.documents(spark, sf), _))(
+      Tables.embeddings(spark, sf))
+  }
+
+  test("shard assignment is partition-invariant (hash-order integer cuts)") {
+    invariant("shard")(Sampling.shardAssign(_))(Tables.documents(spark, sf))
+  }
+
+  test("curation funnel is partition-invariant (flag sums)") {
+    invariant("funnel")(Curation.funnel(_))(Tables.documents(spark, sf))
+  }
+
   test("upsert is partition-invariant (key-unique sides)") {
     invariant("upsert") { d =>
       val docs = d.select(org.apache.spark.sql.functions.col("doc_id"),

@@ -376,6 +376,27 @@ class Round4Spec extends SparkSpec {
         s"shard mass $m vs ideal $ideal (maxDoc $maxDoc)") }
   }
 
+  test("streaming dsir gate equals the batch importance filter") {
+    val docs = Tables.documents(spark, sf)
+    val model = Sampling.llrModel(docs).localCheckpoint(true)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dsir").toString
+    docs.select($"doc_id", $"text").write.mode("overwrite").parquet(s"$tmp/in")
+    val st = spark.readStream
+      .schema(docs.select($"doc_id", $"text").schema).parquet(s"$tmp/in")
+    val q = graft.streaming.StreamingCuration.dsirGate(st, model)
+      .select($"doc_id").writeStream
+      .outputMode("update").format("memory").queryName("dsir_gate").start()
+    val got = try {
+      q.processAllAvailable()
+      spark.table("dsir_gate").as[Long].collect().toSet
+    } finally q.stop()
+    val want = Sampling.importanceWeights(docs)
+      .where($"n_tokens" > 0 && $"avg_llr" >= 0.0)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty && got.size < docs.count())
+  }
+
   test("approx-distinct bounds contract holds on the test corpus") {
     val bad = Analytics.approxDistinct(spark, sf).where($"approx_ok" =!= 1L)
     assert(bad.isEmpty)
