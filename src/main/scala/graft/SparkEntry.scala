@@ -384,6 +384,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("byte_len")).as("total_bytes"),
           (sum(col("byte_len")).cast("double") / count(lit(1))).as("avg_bytes"))
         .orderBy(col("mime"))),
+    // corpus after near-dup collapse: non-canonical members removed
+    "dedup_survivors" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val losers = Dedup.nearDupClusters(Dedup.minhashLshPairs(docs))
+        .where(col("doc_id") =!= col("cluster_id")).select(col("doc_id"))
+      docs.join(losers, Seq("doc_id"), "left_anti")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(tokenCount(col("text"))).as("n_tokens"))
+        .orderBy(col("source"))
+    }),
+    "q_monthly_cum" -> ((s, d) => Analytics.monthlyCumRevenue(s, d)),
+    "txt_js_divergence" -> ((s, d) =>
+      Quality.jsDivergence(Tables.documents(s, d))),
     "ev_inactive_gap" -> ((s, d) => Events.inactivityGaps(Tables.events(s, d))),
     "ev_attribution" -> ((s, d) =>
       Events.lastTouchAttribution(Tables.events(s, d))),
@@ -496,6 +510,32 @@ object SparkEntry {
   // neighbor_id)` — the top-k identity set of one retrieval path.
   // They assume embNormCte's `n` is in scope; every internal CTE is
   // prefixed so an approx and an exact chain can share one WITH.
+  /** MinHash-LSH pairs → connected components, shared by the cluster
+    * and survivor oracles (ends with `reach(src, dst)`). */
+  private lazy val clusterCte =
+    s"""$shingleCte,
+       |sigs AS (SELECT id, shh, list_transform(range(0, 16), s ->
+       |  list_min(list_transform(shh, m ->
+       |    ((2 * s + 1) * (m % 2147483647) + s * 7919 + 1) % 2147483647))) AS sig FROM sets),
+       |bandk AS (SELECT id, bi,
+       |  ${dHex12("array_to_string(list_slice(sig, bi * 4 + 1, bi * 4 + 4), ',')")} AS bkey
+       |  FROM sigs, (SELECT unnest(range(0, 4)) AS bi) bb),
+       |cand AS (SELECT DISTINCT k1.id AS id_a, k2.id AS id_b
+       |         FROM bandk k1 JOIN bandk k2 ON k1.bi = k2.bi AND k1.bkey = k2.bkey AND k1.id < k2.id),
+       |v AS (SELECT id_a, id_b, CAST(len(list_intersect(x.shh, y.shh)) AS BIGINT) AS inter,
+       |             len(x.shh) AS sa, len(y.shh) AS sb
+       |      FROM cand JOIN sets x ON x.id = id_a JOIN sets y ON y.id = id_b),
+       |pairs AS (SELECT id_a, id_b FROM v
+       |          WHERE round(CAST(inter AS DOUBLE) / CAST(sa + sb - inter AS DOUBLE), 4) >= 0.5),
+       |e AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS id FROM e),
+       |reach AS (
+       |  WITH RECURSIVE r(src, dst) AS (
+       |    SELECT id, id FROM nodes
+       |    UNION
+       |    SELECT r.src, e.b FROM r JOIN e ON r.dst = e.a)
+       |  SELECT * FROM r)""".stripMargin
+
   private def dBruteCte(pfx: String, nq: Int, k: Int = 10) =
     s"""${pfx}s AS (SELECT q.id AS query_id, n.id AS neighbor_id,
        |        round(${dDot("q.v", "n.v")} / (q.nrm * n.nrm), 6) AS sim
@@ -1092,30 +1132,20 @@ object SparkEntry {
          |FROM sims a JOIN sims b ON a.id < b.id
          |WHERE bit_count(xor(a.sim, b.sim)) <= 3 ORDER BY id_a, id_b""".stripMargin,
     "dedup_clusters" ->
-      s"""$shingleCte,
-         |sigs AS (SELECT id, shh, list_transform(range(0, 16), s ->
-         |  list_min(list_transform(shh, m ->
-         |    ((2 * s + 1) * (m % 2147483647) + s * 7919 + 1) % 2147483647))) AS sig FROM sets),
-         |bandk AS (SELECT id, bi,
-         |  ${dHex12("array_to_string(list_slice(sig, bi * 4 + 1, bi * 4 + 4), ',')")} AS bkey
-         |  FROM sigs, (SELECT unnest(range(0, 4)) AS bi) bb),
-         |cand AS (SELECT DISTINCT k1.id AS id_a, k2.id AS id_b
-         |         FROM bandk k1 JOIN bandk k2 ON k1.bi = k2.bi AND k1.bkey = k2.bkey AND k1.id < k2.id),
-         |v AS (SELECT id_a, id_b, CAST(len(list_intersect(x.shh, y.shh)) AS BIGINT) AS inter,
-         |             len(x.shh) AS sa, len(y.shh) AS sb
-         |      FROM cand JOIN sets x ON x.id = id_a JOIN sets y ON y.id = id_b),
-         |pairs AS (SELECT id_a, id_b FROM v
-         |          WHERE round(CAST(inter AS DOUBLE) / CAST(sa + sb - inter AS DOUBLE), 4) >= 0.5),
-         |e AS (SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs),
-         |nodes AS (SELECT DISTINCT a AS id FROM e),
-         |reach AS (
-         |  WITH RECURSIVE r(src, dst) AS (
-         |    SELECT id, id FROM nodes
-         |    UNION
-         |    SELECT r.src, e.b FROM r JOIN e ON r.dst = e.a)
-         |  SELECT * FROM r)
+      s"""$clusterCte
          |SELECT src AS doc_id, min(dst) AS cluster_id FROM reach
          |GROUP BY src ORDER BY doc_id""".stripMargin,
+    // the corpus AFTER near-dup collapse: every non-canonical cluster
+    // member removed, per-source survivor mass — the headline
+    // "dedup kept X%" number, composed from the same cluster chain
+    "dedup_survivors" ->
+      s"""$clusterCte,
+         |cl AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+         |losers AS (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(SUM(len(${dToks("text")})) AS BIGINT) AS n_tokens
+         |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+         |GROUP BY 1 ORDER BY source""".stripMargin,
 
     "dedup_embedding" ->
       s"""$embNormCte,
@@ -1806,6 +1836,37 @@ object SparkEntry {
         |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
         |  CAST(SUM(octet_length(encode(text))) AS DOUBLE) / count(*) AS avg_bytes
         |FROM documents GROUP BY 1 ORDER BY mime""".stripMargin,
+    "q_monthly_cum" ->
+      """WITH monthly AS (SELECT c.c_mktsegment,
+        |    strftime(o.o_orderdate, '%Y-%m') AS month,
+        |    SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev_d, count(*) AS n_orders
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1, 2)
+        |SELECT c_mktsegment, month, n_orders, CAST(rev_d AS DOUBLE) AS revenue,
+        |  CAST(SUM(rev_d) OVER (PARTITION BY c_mktsegment ORDER BY month
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_revenue
+        |FROM monthly ORDER BY c_mktsegment, month""".stripMargin,
+    "txt_js_divergence" ->
+      s"""WITH cnt AS (SELECT w,
+         |    count(*) FILTER (WHERE src = 'src0') AS ca,
+         |    count(*) FILTER (WHERE src = 'src1') AS cb
+         |  FROM (SELECT source AS src, unnest(${dToks("text")}) AS w
+         |        FROM documents WHERE source IN ('src0','src1'))
+         |  GROUP BY 1),
+         |t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM cnt),
+         |terms AS (SELECT
+         |    CASE WHEN ca > 0 THEN round(0.5 * (CAST(ca AS DOUBLE) / na) *
+         |      ln((CAST(ca AS DOUBLE) / na) /
+         |         ((CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb) / 2)), 8)
+         |    ELSE 0.0 END AS tp,
+         |    CASE WHEN cb > 0 THEN round(0.5 * (CAST(cb AS DOUBLE) / nb) *
+         |      ln((CAST(cb AS DOUBLE) / nb) /
+         |         ((CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb) / 2)), 8)
+         |    ELSE 0.0 END AS tq
+         |  FROM cnt CROSS JOIN t)
+         |SELECT count(*) AS n_vocab,
+         |  CAST(SUM(CAST(tp AS DECIMAL(18,8))) + SUM(CAST(tq AS DECIMAL(18,8)))
+         |    AS DOUBLE) AS jsd_nats
+         |FROM terms""".stripMargin,
     "q_nation_matrix" ->
       s"""SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
          |  count(*) AS n_lineitems,

@@ -372,6 +372,25 @@ object Analytics {
       .orderBy(col("c_mktsegment"), col("yr"))
   }
 
+  /** Cumulative monthly revenue per market segment: DECIMAL monthly
+    * rollup (O(segments · months) rows), then a running-sum window
+    * over that tiny aggregate — the cumulative trend line. The
+    * window sums DECIMAL, so the running totals are exact. */
+  def monthlyCumRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val monthly = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(sum(dec(col("o_totalprice"))).as("rev_d"), count(lit(1)).as("n_orders"))
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("month"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    monthly.select(col("c_mktsegment"), col("month"), col("n_orders"),
+        col("rev_d").cast("double").as("revenue"),
+        sum(col("rev_d")).over(w).cast("double").as("cum_revenue"))
+      .orderBy(col("c_mktsegment"), col("month"))
+  }
+
   /** Customer-nation × supplier-nation trade matrix: the two-dim
     * rollup over the full star join. Both nation dims broadcast
     * twice under different aliases; the only big shuffle is

@@ -269,6 +269,40 @@ object Quality {
       .orderBy(col("doc_id"))
   }
 
+  /** Jensen–Shannon divergence between two sources' unigram
+    * distributions — the vocabulary-level corpus-drift metric (a
+    * symmetric, bounded complement to the length-KS drift).
+    * JSD = ½KL(p‖m) + ½KL(q‖m), m = (p+q)/2, in nats; absent words
+    * contribute zero to their side's KL. One token-count shuffle
+    * (O(vocab) rows); per-word terms rounded then DECIMAL-summed —
+    * products only, no a·b−c·d shapes, so no FMA divergence. */
+  def jsDivergence(docs: DataFrame, srcA: String = "src0", srcB: String = "src1",
+                   contentCol: String = "text", by: String = "source"): DataFrame = {
+    val cnt = docs.where(col(by).isin(srcA, srcB))
+      .select(col(by).as("src"), explode(tokens(col(contentCol))).as("w"))
+      .groupBy(col("w"))
+      .agg(count(when(col("src") === srcA, 1)).as("ca"),
+        count(when(col("src") === srcB, 1)).as("cb"))
+    val totals = cnt.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val terms = cnt.crossJoin(broadcast(totals))
+      .select(
+        when(col("ca") > 0, round(
+          lit(0.5) * (col("ca").cast("double") / col("na")) *
+            log((col("ca").cast("double") / col("na")) /
+              ((col("ca").cast("double") / col("na") +
+                col("cb").cast("double") / col("nb")) / 2)), 8))
+          .otherwise(lit(0.0)).as("tp"),
+        when(col("cb") > 0, round(
+          lit(0.5) * (col("cb").cast("double") / col("nb")) *
+            log((col("cb").cast("double") / col("nb")) /
+              ((col("ca").cast("double") / col("na") +
+                col("cb").cast("double") / col("nb")) / 2)), 8))
+          .otherwise(lit(0.0)).as("tq"))
+    terms.agg(count(lit(1)).as("n_vocab"),
+      (sum(col("tp").cast("decimal(18,8)")) +
+        sum(col("tq").cast("decimal(18,8)"))).cast("double").as("jsd_nats"))
+  }
+
   /** Token-count histogram in power-of-two bins: the one-glance
     * length-distribution profile a curation run starts from. The
     * bucket is floor(log2(n)) computed EXACTLY as the bit length of

@@ -397,6 +397,34 @@ class Round4Spec extends SparkSpec {
     assert(got.nonEmpty && got.size < docs.count())
   }
 
+  test("dedup survivors never exceed the corpus and drop known near-dups") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val surv = SparkEntry.queries("dedup_survivors")(spark, "/root/testdata/sf0.01")
+      .agg(sum($"n_docs")).as[Long].head()
+    val total = docs.count()
+    val losers = Dedup.nearDupClusters(Dedup.minhashLshPairs(docs))
+      .where($"doc_id" =!= $"cluster_id").count()
+    assert(surv == total - losers && losers > 0)
+  }
+
+  test("cumulative revenue is monotone within each segment") {
+    val c = Analytics.monthlyCumRevenue(spark, sf)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"c_mktsegment").orderBy($"month")
+    val bad = c.withColumn("prev", lag($"cum_revenue", 1).over(w))
+      .where($"prev".isNotNull && $"cum_revenue" < $"prev")
+    assert(bad.isEmpty)
+  }
+
+  test("js divergence is bounded and zero against itself") {
+    val jsd = Quality.jsDivergence(Tables.documents(spark, sf))
+      .select($"jsd_nats").as[Double].head()
+    assert(jsd >= 0.0 && jsd <= math.log(2) + 1e-9, s"jsd out of range: $jsd")
+    val self = Quality.jsDivergence(Tables.documents(spark, sf), "src0", "src0")
+      .select($"jsd_nats").as[Double].head()
+    assert(math.abs(self) < 1e-9, s"self-divergence should be 0: $self")
+  }
+
   test("approx-distinct bounds contract holds on the test corpus") {
     val bad = Analytics.approxDistinct(spark, sf).where($"approx_ok" =!= 1L)
     assert(bad.isEmpty)
