@@ -398,6 +398,7 @@ object SparkEntry {
     "q_monthly_cum" -> ((s, d) => Analytics.monthlyCumRevenue(s, d)),
     "txt_js_divergence" -> ((s, d) =>
       Quality.jsDivergence(Tables.documents(s, d))),
+    "txt_zipf_fit" -> ((s, d) => Quality.zipfFit(Tables.documents(s, d))),
     "ev_inactive_gap" -> ((s, d) => Events.inactivityGaps(Tables.events(s, d))),
     "ev_attribution" -> ((s, d) =>
       Events.lastTouchAttribution(Tables.events(s, d))),
@@ -1836,6 +1837,24 @@ object SparkEntry {
         |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
         |  CAST(SUM(octet_length(encode(text))) AS DOUBLE) / count(*) AS avg_bytes
         |FROM documents GROUP BY 1 ORDER BY mime""".stripMargin,
+    "txt_zipf_fit" ->
+      s"""WITH freq AS (SELECT w, count(*) AS cnt
+         |  FROM (SELECT unnest(${dToks("lower(text)")}) AS w FROM documents)
+         |  GROUP BY 1),
+         |terms AS (SELECT
+         |    round(ln(CAST(row_number() OVER (ORDER BY cnt DESC, w) AS DOUBLE)), 6) AS x,
+         |    round(ln(CAST(cnt AS DOUBLE)), 6) AS y
+         |  FROM freq),
+         |t2 AS (SELECT x, y, round(x * y, 6) AS xy, round(x * x, 6) AS xx FROM terms),
+         |sums AS (SELECT count(*) AS n,
+         |    CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         |    CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+         |    CAST(SUM(CAST(xy AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+         |    CAST(SUM(CAST(xx AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+         |  FROM t2)
+         |SELECT n AS n_vocab, sx, sy, sxy, sxx,
+         |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope
+         |FROM sums""".stripMargin,
     "q_monthly_cum" ->
       """WITH monthly AS (SELECT c.c_mktsegment,
         |    strftime(o.o_orderdate, '%Y-%m') AS month,

@@ -303,6 +303,37 @@ object Quality {
         sum(col("tq").cast("decimal(18,8)"))).cast("double").as("jsd_nats"))
   }
 
+  /** Zipf's-law fit over the corpus vocabulary: OLS slope of
+    * ln(freq) against ln(rank) — natural text sits near −1; heavy
+    * boilerplate or deduplication damage shows up as a bent tail.
+    * One token-count shuffle; the rank window runs over the O(vocab)
+    * counts (note: a global window — at extreme vocab swap in a
+    * two-phase rank). Per-term products are rounded then
+    * DECIMAL-summed; the slope's a·b−c·d combination is emitted
+    * through STAGED product columns and rounded to 4dp (the raw
+    * combined double is FMA-contraction-unstable across engines —
+    * same lesson as MMR's scoring). */
+  def zipfFit(docs: DataFrame, contentCol: String = "text"): DataFrame = {
+    val freq = docs.select(explode(tokens(lower(col(contentCol)))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("w"))
+    val terms = freq.withColumn("rnk", row_number().over(w))
+      .select(round(log(col("rnk").cast("double")), 6).as("x"),
+        round(log(col("cnt").cast("double")), 6).as("y"))
+      .select(col("x"), col("y"),
+        round(col("x") * col("y"), 6).as("xy"),
+        round(col("x") * col("x"), 6).as("xx"))
+    val sums = terms.agg(count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(18,6)")).cast("double").as("sx"),
+      sum(col("y").cast("decimal(18,6)")).cast("double").as("sy"),
+      sum(col("xy").cast("decimal(18,6)")).cast("double").as("sxy"),
+      sum(col("xx").cast("decimal(18,6)")).cast("double").as("sxx"))
+    sums.select(col("n").as("n_vocab"), col("sx"), col("sy"), col("sxy"), col("sxx"),
+      round((col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx")), 4).as("zipf_slope"))
+  }
+
   /** Token-count histogram in power-of-two bins: the one-glance
     * length-distribution profile a curation run starts from. The
     * bucket is floor(log2(n)) computed EXACTLY as the bit length of

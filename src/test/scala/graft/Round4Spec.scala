@@ -425,6 +425,17 @@ class Round4Spec extends SparkSpec {
     assert(math.abs(self) < 1e-9, s"self-divergence should be 0: $self")
   }
 
+  test("zipf fit recovers the -1 slope on a 1/rank corpus") {
+    val text = (1 to 60).flatMap(i => Seq.fill(600 / i)(s"w$i")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val slope = Quality.zipfFit(docs).select($"zipf_slope").as[Double].head()
+    assert(math.abs(slope - (-1.0)) < 0.1, s"zipf slope $slope should be ~ -1")
+    // corpus slope must at least be negative (frequency decreases in rank)
+    val corpus = Quality.zipfFit(Tables.documents(spark, sf))
+      .select($"zipf_slope").as[Double].head()
+    assert(corpus < 0.0)
+  }
+
   test("approx-distinct bounds contract holds on the test corpus") {
     val bad = Analytics.approxDistinct(spark, sf).where($"approx_ok" =!= 1L)
     assert(bad.isEmpty)
