@@ -252,6 +252,22 @@ object SparkEntry {
           substring(col("text"), 1, 80).as("snippet"), col("sim"))
         .orderBy(col("query_id"), col("rank"))),
 
+    // metadata-filtered retrieval (the vector-store `where=` filter):
+    // the corpus PRE-filters by source before scoring — the filter
+    // pushes to the scan, so a filtered search reads only the
+    // qualifying slice, never scores then discards
+    "rag_filtered" -> ((s, d) => {
+      val srcFilter = Tables.documents(s, d).where(col("source") === "src1")
+        .select(col("doc_id"))
+      val emb = Tables.embeddings(s, d)
+      val corpus = emb.join(srcFilter,
+        emb("vec_id") === srcFilter("doc_id"), "left_semi")
+      Similarity.filteredTopK(emb, corpus, nQueries = 3, k = 5)
+        .join(Tables.documents(s, d), col("neighbor_id") === col("doc_id"))
+        .select(col("query_id"), col("rank"), col("doc_id"), col("source"), col("sim"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ── relational analytics ────────────────────────────────────────
     "q1_pricing_summary" -> ((s, d) => Analytics.pricingSummary(s, d)),
     "q3_top_orders" -> ((s, d) =>
@@ -1837,6 +1853,18 @@ object SparkEntry {
         |  CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
         |  CAST(SUM(octet_length(encode(text))) AS DOUBLE) / count(*) AS avg_bytes
         |FROM documents GROUP BY 1 ORDER BY mime""".stripMargin,
+    "rag_filtered" ->
+      s"""$embNormCte,
+         |flt AS (SELECT n.id, n.v, n.nrm FROM n
+         |        JOIN documents d ON n.id = d.doc_id AND d.source = 'src1'),
+         |fs AS (SELECT q.id AS query_id, c.id AS neighbor_id,
+         |    round(${dDot("q.v", "c.v")} / (q.nrm * c.nrm), 6) AS sim
+         |  FROM n q JOIN flt c ON q.id < 3 AND c.id <> q.id),
+         |fr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY sim DESC, neighbor_id) AS rnk FROM fs)
+         |SELECT f.query_id, CAST(f.rnk AS BIGINT) AS rank, d.doc_id, d.source, f.sim
+         |FROM fr f JOIN documents d ON f.neighbor_id = d.doc_id
+         |WHERE f.rnk <= 5 ORDER BY query_id, rank""".stripMargin,
     "txt_zipf_fit" ->
       s"""WITH freq AS (SELECT w, count(*) AS cnt
          |  FROM (SELECT unnest(${dToks("lower(text)")}) AS w FROM documents)

@@ -53,6 +53,23 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Metadata-filtered exact top-k (the vector-store `where=`
+    * filter): the corpus PRE-filters before any scoring — with the
+    * predicate pushed to the scan, a filtered search reads only the
+    * qualifying slice instead of scoring everything and discarding.
+    * Queries still come from the unfiltered store. */
+  def filteredTopK(emb: DataFrame, corpus: DataFrame,
+                   nQueries: Int = 3, k: Int = 5,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+    val q = emb.where(col(idCol) < nQueries)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), norm(col(vecCol)).as("qnrm"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        round(cosinePrenormed(dot(col("qv"), col("v")), col("qnrm"), col("nrm")), 6).as("sim"))
+    rankTopK(scored, k)
+  }
+
   /** ANN via multi-table, multi-probe random-hyperplane LSH: `tables`
     * independent sign-bucket assignments; in each table a query
     * probes its own bucket plus every Hamming-1 neighbor (the

@@ -436,6 +436,19 @@ class Round4Spec extends SparkSpec {
     assert(corpus < 0.0)
   }
 
+  test("filtered retrieval only returns corpus matching the metadata filter") {
+    val hits = SparkEntry.queries("rag_filtered")(spark, sf)
+    assert(hits.where($"source" =!= "src1").isEmpty)
+    assert(hits.count() > 0)
+    // filtered results are a (re-ranked) subset of the unfiltered search space:
+    // every hit must also score in the full store under the same metric
+    val emb = Tables.embeddings(spark, sf)
+    val all = Similarity.filteredTopK(emb, emb, nQueries = 3, k = 1000)
+      .select($"query_id", $"neighbor_id")
+    assert(hits.select($"query_id", $"doc_id".as("neighbor_id"))
+      .exceptAll(all).isEmpty)
+  }
+
   test("approx-distinct bounds contract holds on the test corpus") {
     val bad = Analytics.approxDistinct(spark, sf).where($"approx_ok" =!= 1L)
     assert(bad.isEmpty)
