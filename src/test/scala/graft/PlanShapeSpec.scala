@@ -166,6 +166,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(df, _.isInstanceOf[SortMergeJoinExec]) == 0)
   }
 
+  test("filtered retrieval: the metadata predicate reaches the documents scan") {
+    val df = SparkEntry.queries("rag_filtered")(spark, sf)
+    val scans = physical(df).collectLeaves().map(_.toString).mkString
+    assert(scans.contains("EqualTo(source,src1)"),
+      s"where= filter not pushed: ${scans.take(400)}")
+  }
+
   test("small-qty revenue: no nested-loop joins, bounded shuffles") {
     val df = SparkEntry.queries("q_small_qty_rev")(spark, sf)
     assert(count(df,
