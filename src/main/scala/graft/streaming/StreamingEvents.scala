@@ -148,6 +148,41 @@ object StreamingEvents {
     }
   }
 
+  case class ClickState(tsUs: Long, eventId: Long)
+  case class AttributionOut(user_id: Long, event_id: Long, ts_us: Long,
+                            attributed_click_id: Option[Long], delay_us: Option[Long])
+
+  /** Stateful streaming mirror of `Events.lastTouchAttribution`:
+    * the most recent click rides in GroupState (two longs per user —
+    * bounded forever), and each purchase emits its credit
+    * immediately. On in-order input the emissions equal the batch
+    * window-carry operator row for row. */
+  def attributionStateful(events: Dataset[TypedEv],
+                          windowHours: Int = 24): Dataset[AttributionOut] = {
+    val horizon = windowHours * 3600L * 1000000L
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (userId: Long, batch: Iterator[TypedEv], state: GroupState[ClickState]) =>
+        val sorted = batch.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
+        var last = state.getOption
+        val out = Seq.newBuilder[AttributionOut]
+        sorted.foreach { e =>
+          val us = tsMicros(e.ts)
+          e.event_type match {
+            case "click" => last = Some(ClickState(us, e.event_id))
+            case "purchase" =>
+              val hit = last.filter(c => us - c.tsUs <= horizon)
+              out += AttributionOut(userId, e.event_id, us,
+                hit.map(_.eventId), hit.map(c => us - c.tsUs))
+            case _ => ()
+          }
+        }
+        last.foreach(state.update)
+        out.result().iterator
+    }
+  }
+
   case class FrameState(vals: List[Long]) // 10⁴-scaled, newest last, ≤ frame−1
   case class MovAvgOut(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
                        value: Double, mov_avg: Double, n_in_frame: Long)

@@ -449,6 +449,40 @@ class Round4Spec extends SparkSpec {
       .exceptAll(all).isEmpty)
   }
 
+  test("streaming attribution equals the batch carry across micro-batches") {
+    import graft.streaming.StreamingEvents.TypedEv
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(h: Long) = new java.sql.Timestamp(t0.getTime + h * 3600000L)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sattr").toString
+    val enc = implicitly[org.apache.spark.sql.Encoder[TypedEv]]
+    def land(evs: Seq[TypedEv], name: String): Unit = {
+      val stage = s"$tmp/stage_$name"
+      evs.toDS().coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
+      java.nio.file.Files.copy(part, java.nio.file.Paths.get(s"$tmp/in/$name.parquet"))
+    }
+    val b1 = Seq(TypedEv(1L, ts(0), 7L, "click"), TypedEv(2L, ts(2), 7L, "purchase"))
+    // the batch-2 purchase must credit the click carried from batch 1
+    val b2 = Seq(TypedEv(3L, ts(5), 7L, "purchase"), TypedEv(4L, ts(40), 7L, "purchase"))
+    land(b1, "b1")
+    val st = spark.readStream.schema(enc.schema).parquet(s"$tmp/in").as[TypedEv]
+    val q = graft.streaming.StreamingEvents.attributionStateful(st).writeStream
+      .outputMode("append").format("memory").queryName("sattr").start()
+    val got = try {
+      q.processAllAvailable(); land(b2, "b2"); q.processAllAvailable()
+      spark.table("sattr")
+        .select($"event_id", $"attributed_click_id", $"delay_us")
+        .as[(Long, Option[Long], Option[Long])].collect().toSet
+    } finally q.stop()
+    val batch = Events.lastTouchAttribution((b1 ++ b2).toDS()
+        .withColumn("value", lit(0.0)).toDF())
+      .select($"event_id", $"attributed_click_id", $"delay_us")
+      .as[(Long, Option[Long], Option[Long])].collect().toSet
+    assert(got == batch && got.exists(_._2.isDefined))
+  }
+
   test("approx-distinct bounds contract holds on the test corpus") {
     val bad = Analytics.approxDistinct(spark, sf).where($"approx_ok" =!= 1L)
     assert(bad.isEmpty)
