@@ -418,6 +418,16 @@ object SparkEntry {
     "ev_inactive_gap" -> ((s, d) => Events.inactivityGaps(Tables.events(s, d))),
     "ev_attribution" -> ((s, d) =>
       Events.lastTouchAttribution(Tables.events(s, d))),
+    "ev_cart_abandon" -> ((s, d) =>
+      Events.cartAbandonment(Tables.events(s, d))),
+    "emb_outliers" -> ((s, d) =>
+      Similarity.embeddingOutliers(Tables.embeddings(s, d))),
+    // distribution of order sizes (lineitems per order)
+    "q_order_sizes" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_items"))
+        .groupBy(col("n_items")).agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_items"))),
     "dq_token_hist" -> ((s, d) => Quality.tokenHistogram(Tables.documents(s, d))),
     "ann_mrl_topk" -> ((s, d) =>
       Similarity.truncatedTopK(Tables.embeddings(s, d))),
@@ -1939,6 +1949,35 @@ object SparkEntry {
         |  CASE WHEN ts_us - last_click_us <= 86400000000 THEN ts_us - last_click_us END
         |    AS delay_us
         |FROM b WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "ev_cart_abandon" ->
+      """WITH b AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |    CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |    last_value(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS np
+        |  FROM events)
+        |SELECT day, count(*) AS n_clicks,
+        |  CAST(SUM(CASE WHEN np IS NULL OR np - ts_us > 86400000000
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_abandoned,
+        |  CAST(SUM(CASE WHEN np IS NULL OR np - ts_us > 86400000000
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS abandon_rate
+        |FROM b WHERE event_type = 'click' GROUP BY 1 ORDER BY day""".stripMargin,
+    "emb_outliers" ->
+      s"""$embNormCte,
+         |cents AS (SELECT id AS cell, v AS cv, nrm AS cnrm FROM n WHERE id < 16),
+         |af AS (SELECT n.id, c.cell,
+         |    round(${dDot("n.v", "c.cv")} / (n.nrm * c.cnrm), 6) AS csim,
+         |    row_number() OVER (PARTITION BY n.id
+         |      ORDER BY round(${dDot("n.v", "c.cv")} / (n.nrm * c.cnrm), 6) DESC, c.cell) AS rnk
+         |  FROM n CROSS JOIN cents c),
+         |asg AS (SELECT id, cell, csim FROM af WHERE rnk = 1),
+         |cut AS (SELECT quantile_cont(csim, 0.05) AS cut FROM asg)
+         |SELECT id AS vec_id, cell, csim FROM asg CROSS JOIN cut
+         |WHERE csim <= cut ORDER BY vec_id""".stripMargin,
+    "q_order_sizes" ->
+      """WITH c AS (SELECT l_orderkey, count(*) AS n_items FROM lineitem GROUP BY 1)
+        |SELECT n_items, count(*) AS n_orders FROM c
+        |GROUP BY 1 ORDER BY n_items""".stripMargin,
     "ev_inactive_gap" ->
       """WITH g AS (SELECT user_id,
         |    epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id

@@ -222,6 +222,34 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** Cart abandonment: clicks with no purchase by the same user
+    * within `windowHours` after. The candidate purchase rides
+    * BACKWARD as an IGNORE-NULLS carry over descending time (the
+    * next purchase at or after each event) — same no-self-join
+    * discipline as attribution, one user-hash shuffle. Reported per
+    * day with the abandonment rate as a raw quotient. */
+  def cartAbandonment(events: DataFrame, windowHours: Int = 24): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val horizon = windowHours * 3600L * 1000000L
+    events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"),
+        to_date(col("ts")).cast("string").as("day"))
+      .withColumn("next_purchase_us",
+        last(when(col("event_type") === "purchase", col("ts_us")), ignoreNulls = true)
+          .over(w))
+      .where(col("event_type") === "click")
+      .withColumn("abandoned",
+        when(col("next_purchase_us").isNull ||
+          col("next_purchase_us") - col("ts_us") > horizon, 1L).otherwise(0L))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_clicks"), sum(col("abandoned")).as("n_abandoned"),
+        (sum(col("abandoned")).cast("double") / count(lit(1))).as("abandon_rate"))
+      .orderBy(col("day"))
+  }
+
   /** Per-user inactivity gaps: the max and mean time between
     * consecutive events (the churn-risk / session-break signal).
     * One user-hash shuffle for the lag window; gaps stay exact

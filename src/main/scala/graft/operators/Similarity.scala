@@ -619,6 +619,23 @@ object Similarity {
       .orderBy(col("rank"))
   }
 
+  /** Embedding outliers: vectors far from their assigned IVF
+    * centroid — encoder-damage / out-of-distribution detection on
+    * the vector store. The cutoff is an exact percentile BOUNDARY
+    * over the O(corpus) assignment similarities (broadcast back as
+    * one row); flagged vectors are the bottom `pct` by cosine to
+    * their own cell. */
+  def embeddingOutliers(emb: DataFrame, nCells: Int = 16, pct: Double = 0.05,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+    val assigned = assignCells(e, nCells).select(col("id"), col("cell"), col("csim"))
+    val cut = assigned.agg(expr(s"percentile(csim, $pct)").as("cut"))
+    assigned.crossJoin(broadcast(cut))
+      .where(col("csim") <= col("cut"))
+      .select(col("id").as("vec_id"), col("cell"), col("csim"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Embedding-store data quality: per-label vector counts, zero-norm
     * (undefined-direction) vectors, and average L2 norm. Map-side
     * norm (left-fold dot, 6-dp rounded) then one hash shuffle on

@@ -483,6 +483,32 @@ class Round4Spec extends SparkSpec {
     assert(got == batch && got.exists(_._2.isDefined))
   }
 
+  test("cart abandonment flags the never-purchasing clicker and clears the converter") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(h: Long) = new java.sql.Timestamp(t0.getTime + h * 3600000L)
+    val ev = Seq(
+      (1L, ts(1), 7L, "click", 0.0), (2L, ts(2), 7L, "purchase", 1.0),
+      (3L, ts(3), 8L, "click", 0.0), // user 8 never purchases
+      (4L, ts(4), 9L, "click", 0.0), (5L, ts(40), 9L, "purchase", 1.0) // too late
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Events.cartAbandonment(ev)
+      .agg(sum($"n_clicks"), sum($"n_abandoned")).as[(Long, Long)].head()
+    assert(out == ((3L, 2L)))
+  }
+
+  test("embedding outliers are the bottom tail of assignment similarity") {
+    val o = Similarity.embeddingOutliers(Tables.embeddings(spark, sf))
+    val n = Tables.embeddings(spark, sf).count()
+    val k = o.count()
+    assert(k > 0 && k <= math.ceil(n * 0.07).toLong, s"$k outliers of $n")
+    val maxOut = o.agg(max($"csim")).as[Double].head()
+    val asg = Similarity.assignCells(
+      Tables.embeddings(spark, sf).select($"vec_id".as("id"), $"embedding".as("v"),
+        graft.functions.VectorFunctions.norm($"embedding").as("nrm")), 16)
+    val medianAll = asg.agg(expr("percentile(csim, 0.5)")).as[Double].head()
+    assert(maxOut <= medianAll, "outliers must sit below the median similarity")
+  }
+
   test("approx-distinct bounds contract holds on the test corpus") {
     val bad = Analytics.approxDistinct(spark, sf).where($"approx_ok" =!= 1L)
     assert(bad.isEmpty)
