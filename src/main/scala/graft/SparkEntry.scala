@@ -415,6 +415,9 @@ object SparkEntry {
     "txt_js_divergence" -> ((s, d) =>
       Quality.jsDivergence(Tables.documents(s, d))),
     "txt_zipf_fit" -> ((s, d) => Quality.zipfFit(Tables.documents(s, d))),
+    "txt_oov_rate" -> ((s, d) => Quality.oovRate(Tables.documents(s, d))),
+    "ev_peak_concurrency" -> ((s, d) =>
+      Events.peakConcurrency(Tables.events(s, d))),
     "ev_inactive_gap" -> ((s, d) => Events.inactivityGaps(Tables.events(s, d))),
     "ev_attribution" -> ((s, d) =>
       Events.lastTouchAttribution(Tables.events(s, d))),
@@ -537,6 +540,21 @@ object SparkEntry {
   // neighbor_id)` — the top-k identity set of one retrieval path.
   // They assume embNormCte's `n` is in scope; every internal CTE is
   // prefixed so an approx and an exact chain can share one WITH.
+  /** Gap-sessionization chain shared by the session and concurrency
+    * oracles (ends with `t(user_id, ts, value, session_seq)`). */
+  private val sessionTCte =
+    """WITH s AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |t AS (
+      |  SELECT user_id, ts, value,
+      |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      |  FROM s)""".stripMargin
+
   /** MinHash-LSH pairs → connected components, shared by the cluster
     * and survivor oracles (ends with `reach(src, dst)`). */
   private lazy val clusterCte =
@@ -1875,6 +1893,18 @@ object SparkEntry {
          |SELECT f.query_id, CAST(f.rnk AS BIGINT) AS rank, d.doc_id, d.source, f.sim
          |FROM fr f JOIN documents d ON f.neighbor_id = d.doc_id
          |WHERE f.rnk <= 5 ORDER BY query_id, rank""".stripMargin,
+    "txt_oov_rate" ->
+      s"""WITH tk AS (SELECT doc_id, unnest(${dToks("lower(text)")}) AS w FROM documents),
+         |vocab AS (SELECT w FROM (SELECT w, count(*) AS cnt FROM tk GROUP BY 1)
+         |          ORDER BY cnt DESC, w LIMIT 20),
+         |pd AS (SELECT t.doc_id, count(*) AS n_tokens,
+         |    CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+         |  FROM tk t LEFT JOIN vocab v ON t.w = v.w GROUP BY 1)
+         |SELECT d.doc_id, CAST(COALESCE(pd.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(pd.n_oov, 0) AS BIGINT) AS n_oov,
+         |  CAST(pd.n_oov AS DOUBLE) / pd.n_tokens AS oov_rate
+         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "txt_zipf_fit" ->
       s"""WITH freq AS (SELECT w, count(*) AS cnt
          |  FROM (SELECT unnest(${dToks("lower(text)")}) AS w FROM documents)
@@ -2377,22 +2407,34 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ev_sessionize" ->
-      """WITH s AS (
-        |  SELECT user_id, ts, event_id, value,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
-        |         THEN 1 ELSE 0 END AS new_s
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |t AS (
-        |  SELECT user_id, ts, value,
-        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
-        |  FROM s)
-        |SELECT user_id, session_seq, count(*) AS n_events,
-        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
-        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
-        |FROM t GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+      s"""$sessionTCte
+         |SELECT user_id, session_seq, count(*) AS n_events,
+         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
+         |FROM t GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+    // interval algebra over the session table: +1/−1 boundary deltas,
+    // running sum inside each day = live concurrency; peak per day
+    "ev_peak_concurrency" ->
+      s"""$sessionTCte,
+         |sess AS (SELECT user_id, session_seq,
+         |    epoch_us(min(ts)) AS s_us, epoch_us(max(ts)) AS e_us,
+         |    CAST(CAST(min(ts) AS DATE) AS VARCHAR) AS day
+         |  FROM t GROUP BY 1, 2),
+         |bounds AS (
+         |  SELECT day, s_us AS ts_us, 1 AS delta, user_id, session_seq FROM sess
+         |  UNION ALL
+         |  SELECT day, e_us, -1, user_id, session_seq FROM sess),
+         |run AS (SELECT day,
+         |    CAST(SUM(delta) OVER (PARTITION BY day
+         |      ORDER BY ts_us, delta DESC, user_id, session_seq
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS live
+         |  FROM bounds)
+         |SELECT r.day, s.n_sessions, r.peak
+         |FROM (SELECT day, max(live) AS peak FROM run GROUP BY 1) r
+         |JOIN (SELECT day, count(*) AS n_sessions FROM sess GROUP BY 1) s
+         |  ON r.day = s.day
+         |ORDER BY r.day""".stripMargin,
     "ev_value_quantiles" ->
       """SELECT event_type, quantile_cont(value, 0.5) AS med,
         |  quantile_cont(value, 0.95) AS p95, count(*) AS n

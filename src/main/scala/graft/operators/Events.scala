@@ -222,6 +222,36 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** Peak concurrent sessions per day — interval algebra over the
+    * session table: each session contributes +1/−1 boundary deltas,
+    * the running sum inside a day is the live-session count, and
+    * the peak is its max. Boundaries order (ts, +1-before-−1, user,
+    * seq) so touching sessions count as concurrent and ties are
+    * deterministic. O(sessions) rows ever enter the windows;
+    * per-day partitions keep the running sum parallel (sessions
+    * assumed intraday — the 30-minute gap rule makes midnight
+    * spanning rare; a spanning session counts in its start day). */
+  def peakConcurrency(events: DataFrame): DataFrame = {
+    val sess = sessionize(events)
+      .select(col("user_id"), col("session_seq"),
+        unix_micros(col("session_start")).as("s_us"),
+        unix_micros(col("session_end")).as("e_us"),
+        to_date(col("session_start")).cast("string").as("day"))
+    val bounds = sess.select(col("day"), col("s_us").as("ts_us"),
+        lit(1).as("delta"), col("user_id"), col("session_seq"))
+      .unionByName(sess.select(col("day"), col("e_us").as("ts_us"),
+        lit(-1).as("delta"), col("user_id"), col("session_seq")))
+    val w = Window.partitionBy(col("day"))
+      .orderBy(col("ts_us"), col("delta").desc, col("user_id"), col("session_seq"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val peak = bounds.withColumn("live", sum(col("delta")).over(w).cast("long"))
+      .groupBy(col("day")).agg(max(col("live")).as("peak"))
+    val ns = sess.groupBy(col("day")).agg(count(lit(1)).as("n_sessions"))
+    peak.join(ns, "day")
+      .select(col("day"), col("n_sessions"), col("peak"))
+      .orderBy(col("day"))
+  }
+
   /** Cart abandonment: clicks with no purchase by the same user
     * within `windowHours` after. The candidate purchase rides
     * BACKWARD as an IGNORE-NULLS carry over descending time (the

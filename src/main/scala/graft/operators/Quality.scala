@@ -303,6 +303,31 @@ object Quality {
         sum(col("tq").cast("decimal(18,8)"))).cast("double").as("jsd_nats"))
   }
 
+  /** Out-of-vocabulary rate against the corpus's own top-`vocabSize`
+    * frequency vocabulary — the rare-token-density signal (tokenizer
+    * coverage proxy; high OOV flags encoding damage or off-domain
+    * text). The vocab is a distributed top-k (never a full sort) and
+    * broadcasts back onto a per-token membership join. */
+  def oovRate(docs: DataFrame, vocabSize: Int = 20,
+              contentCol: String = "text"): DataFrame = {
+    val tk = docs.select(col("doc_id"),
+      explode(tokens(lower(col(contentCol)))).as("w"))
+    val vocab = tk.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(vocabSize)
+      .select(col("w"), lit(1).as("iv"))
+    val pd = tk.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+    docs.select(col("doc_id"))
+      .join(pd, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Zipf's-law fit over the corpus vocabulary: OLS slope of
     * ln(freq) against ln(rank) — natural text sits near −1; heavy
     * boilerplate or deduplication damage shows up as a bent tail.

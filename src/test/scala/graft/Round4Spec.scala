@@ -509,6 +509,26 @@ class Round4Spec extends SparkSpec {
     assert(maxOut <= medianAll, "outliers must sit below the median similarity")
   }
 
+  test("peak concurrency brackets correctly on a hand-built overlap") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def ts(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    // three users, overlapping sessions: u1 [0,10], u2 [5,15], u3 [12,20]
+    val ev = Seq(
+      (1L, ts(0), 1L, "view", 0.0), (2L, ts(10), 1L, "view", 0.0),
+      (3L, ts(5), 2L, "view", 0.0), (4L, ts(15), 2L, "view", 0.0),
+      (5L, ts(12), 3L, "view", 0.0), (6L, ts(20), 3L, "view", 0.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Events.peakConcurrency(ev)
+      .select($"n_sessions", $"peak").as[(Long, Long)].head()
+    assert(out == ((3L, 2L)), s"expected 3 sessions peaking at 2, got $out")
+  }
+
+  test("oov rate is a proper fraction and some docs see rare tokens") {
+    val o = Quality.oovRate(Tables.documents(spark, sf))
+    assert(o.where($"oov_rate" < 0 || $"oov_rate" > 1).isEmpty)
+    assert(o.where($"n_oov" > 0).count() > 0, "top-20 vocab must leave some OOV")
+  }
+
   test("approx-distinct bounds contract holds on the test corpus") {
     val bad = Analytics.approxDistinct(spark, sf).where($"approx_ok" =!= 1L)
     assert(bad.isEmpty)
