@@ -425,6 +425,18 @@ object SparkEntry {
       Events.cartAbandonment(Tables.events(s, d))),
     "emb_outliers" -> ((s, d) =>
       Similarity.embeddingOutliers(Tables.embeddings(s, d))),
+    "dedup_semdedup" -> ((s, d) => Dedup.semDedup(Tables.embeddings(s, d))),
+    // the one-row "dataset card": the headline numbers a corpus
+    // release quotes
+    "pipe_dataset_card" -> ((s, d) =>
+      Tables.documents(s, d).agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(tokenCount(col("text"))).as("n_tokens"),
+        sum(length(col("text")).cast("long")).as("n_chars"),
+        (count(lit(1)) - countDistinct(md5(col("text")))).as("n_exact_dups"),
+        round(avg(length(col("text"))), 4).as("avg_chars"))),
     // distribution of order sizes (lineitems per order)
     "q_order_sizes" -> ((s, d) =>
       Tables.lineitem(s, d).groupBy(col("l_orderkey"))
@@ -1992,6 +2004,32 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN np IS NULL OR np - ts_us > 86400000000
         |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS abandon_rate
         |FROM b WHERE event_type = 'click' GROUP BY 1 ORDER BY day""".stripMargin,
+    "dedup_semdedup" ->
+      s"""$embNormCte,
+         |cents AS (SELECT id AS cell, v AS cv, nrm AS cnrm FROM n WHERE id < 16),
+         |af AS (SELECT n.id, n.v, n.nrm, c.cell,
+         |    row_number() OVER (PARTITION BY n.id
+         |      ORDER BY round(${dDot("n.v", "c.cv")} / (n.nrm * c.cnrm), 6) DESC, c.cell) AS rnk
+         |  FROM n CROSS JOIN cents c),
+         |asg AS (SELECT id, v, nrm, cell FROM af WHERE rnk = 1),
+         |prs AS (SELECT DISTINCT a.cell, b.id AS loser
+         |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.id < b.id
+         |  WHERE round(${dDot("a.v", "b.v")} / (a.nrm * b.nrm), 6) >= 0.95),
+         |drp AS (SELECT cell, count(*) AS n_dropped FROM prs GROUP BY 1)
+         |SELECT m.cell, m.n_members,
+         |  CAST(COALESCE(drp.n_dropped, 0) AS BIGINT) AS n_dropped,
+         |  CAST(m.n_members - COALESCE(drp.n_dropped, 0) AS BIGINT) AS n_kept
+         |FROM (SELECT cell, count(*) AS n_members FROM asg GROUP BY 1) m
+         |LEFT JOIN drp ON m.cell = drp.cell ORDER BY m.cell""".stripMargin,
+    "pipe_dataset_card" ->
+      s"""SELECT count(*) AS n_docs,
+         |  count(DISTINCT source) AS n_sources,
+         |  count(DISTINCT lang) AS n_langs,
+         |  CAST(SUM(len(${dToks("text")})) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+         |  CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups,
+         |  round(avg(length(text)), 4) AS avg_chars
+         |FROM documents""".stripMargin,
     "emb_outliers" ->
       s"""$embNormCte,
          |cents AS (SELECT id AS cell, v AS cv, nrm AS cnrm FROM n WHERE id < 16),

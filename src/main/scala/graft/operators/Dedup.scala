@@ -101,6 +101,34 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** SemDeDup (Abbas et al. 2023): semantic dedup CLUSTER-FIRST —
+    * vectors coarse-cluster to IVF cells, and the O(n²) cosine
+    * screen runs only WITHIN each cell (members of different cells
+    * are never compared; the clustering is what makes semantic
+    * dedup tractable at corpus scale). Within a cell, any vector
+    * cosine ≥ τ to a lower-id member is dropped. Returns the
+    * per-cell summary (members, dropped, kept). */
+  def semDedup(emb: DataFrame, tau: Double = 0.95, nCells: Int = 16,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorFunctions.{cosinePrenormed, dot, norm}
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+    val assigned = graft.operators.Similarity.assignCells(e, nCells)
+      .select(col("id"), col("v"), col("nrm"), col("cell"))
+    val pairs = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .where(round(cosinePrenormed(dot(col("a.v"), col("b.v")),
+        col("a.nrm"), col("b.nrm")), 6) >= tau)
+      .select(col("a.cell").as("cell"), col("b.id").as("loser"))
+      .distinct()
+    val dropped = pairs.groupBy(col("cell")).agg(count(lit(1)).as("n_dropped"))
+    assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
+      .join(dropped, Seq("cell"), "left")
+      .select(col("cell"), col("n_members"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (col("n_members") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+      .orderBy(col("cell"))
+  }
+
   /** Cross-document n-gram repetition (the memorization-risk signal
     * behind substring-level dedup, Lee et al. 2022): per doc, the
     * fraction of its distinct word-n-grams that occur in at least

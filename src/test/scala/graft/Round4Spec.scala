@@ -529,6 +529,28 @@ class Round4Spec extends SparkSpec {
     assert(o.where($"n_oov" > 0).count() > 0, "top-20 vocab must leave some OOV")
   }
 
+  test("semdedup drops exact-duplicate embeddings within a cell, conserving members") {
+    val base = (0L to 19L).map(i =>
+      (i, Array.tabulate(64)(d => ((i * 7 + d) % 13).toFloat / 13f), 0L))
+    // vectors 100/101 duplicate vector 5 exactly → same cell, cos=1
+    val dup = Seq((100L, base(5)._2.clone(), 0L), (101L, base(5)._2.clone(), 0L))
+    val emb = (base ++ dup).toDF("vec_id", "embedding", "label")
+    val out = Dedup.semDedup(emb)
+    val Array((members, dropped)) = out
+      .agg(sum($"n_members"), sum($"n_dropped")).as[(Long, Long)].collect()
+    assert(members == 22 && dropped >= 2, s"members=$members dropped=$dropped")
+    assert(out.where($"n_kept" + $"n_dropped" =!= $"n_members").isEmpty)
+  }
+
+  test("dataset card numbers agree with their standalone queries") {
+    val card = SparkEntry.queries("pipe_dataset_card")(spark, sf)
+      .select($"n_docs", $"n_exact_dups").as[(Long, Long)].head()
+    assert(card._1 == Tables.documents(spark, sf).count())
+    val dupRows = Quality.duplicateAnalysis(Tables.documents(spark, sf))
+      .select($"duplicates").as[Long].head()
+    assert(card._2 == dupRows)
+  }
+
   test("approx-distinct bounds contract holds on the test corpus") {
     val bad = Analytics.approxDistinct(spark, sf).where($"approx_ok" =!= 1L)
     assert(bad.isEmpty)
