@@ -416,6 +416,28 @@ object SparkEntry {
       Quality.jsDivergence(Tables.documents(s, d))),
     "txt_zipf_fit" -> ((s, d) => Quality.zipfFit(Tables.documents(s, d))),
     "txt_oov_rate" -> ((s, d) => Quality.oovRate(Tables.documents(s, d))),
+    // classifier-eval shape: langid confusion matrix against the
+    // labeled lang column (which cells are confused tells you which
+    // marker lists to fix)
+    "txt_lang_confusion" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("lang"), langId(col("text")).as("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("lang_pred"))),
+    // semi-additive measure: account-style balances sum the LAST
+    // value per entity within the period, not every row
+    "q_semi_additive" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"), date_format(col("o_orderdate"), "yyyy-MM"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      o.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_last_price"))
+        .orderBy(col("month"))
+    }),
     "ev_peak_concurrency" -> ((s, d) =>
       Events.peakConcurrency(Tables.events(s, d))),
     "ev_inactive_gap" -> ((s, d) => Events.inactivityGaps(Tables.events(s, d))),
@@ -1905,6 +1927,29 @@ object SparkEntry {
          |SELECT f.query_id, CAST(f.rnk AS BIGINT) AS rank, d.doc_id, d.source, f.sim
          |FROM fr f JOIN documents d ON f.neighbor_id = d.doc_id
          |WHERE f.rnk <= 5 ORDER BY query_id, rank""".stripMargin,
+    "txt_lang_confusion" -> {
+      val votes = LangMarkers.map { case (lang, ms) =>
+        s"len(list_filter(tk, x -> x IN (${ms.map(w => s"'$w'").mkString(",")}))) AS v_$lang"
+      }.mkString(", ")
+      val langs = LangMarkers.map(_._1)
+      val top = s"greatest(${langs.map(l => s"v_$l").mkString(", ")})"
+      val caseChain = langs.map(l => s"WHEN v_$l = top THEN '$l'").mkString(" ")
+      s"""WITH t AS (SELECT doc_id, lang, ${dToks("lower(text)")} AS tk FROM documents),
+         |v AS (SELECT doc_id, lang, $votes FROM t),
+         |w AS (SELECT *, $top AS top FROM v)
+         |SELECT lang, CASE WHEN top = 0 THEN 'und' $caseChain ELSE 'und' END AS lang_pred,
+         |  count(*) AS n
+         |FROM w GROUP BY 1, 2 ORDER BY lang, lang_pred""".stripMargin
+    },
+    "q_semi_additive" ->
+      """WITH r AS (SELECT o_custkey, strftime(o_orderdate, '%Y-%m') AS month,
+        |    o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey, strftime(o_orderdate, '%Y-%m')
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders)
+        |SELECT month, count(*) AS n_customers,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_last_price
+        |FROM r WHERE rn = 1 GROUP BY 1 ORDER BY month""".stripMargin,
     "txt_oov_rate" ->
       s"""WITH tk AS (SELECT doc_id, unnest(${dToks("lower(text)")}) AS w FROM documents),
          |vocab AS (SELECT w FROM (SELECT w, count(*) AS cnt FROM tk GROUP BY 1)

@@ -551,6 +551,25 @@ class Round4Spec extends SparkSpec {
     assert(card._2 == dupRows)
   }
 
+  test("lang confusion matrix mass equals the corpus and diagonal dominates") {
+    val cm = SparkEntry.queries("txt_lang_confusion")(spark, sf)
+    val total = cm.agg(sum($"n")).as[Long].head()
+    assert(total == Tables.documents(spark, sf).count())
+    // marker-vote langid on the synthetic word-salad corpus is weak
+    // (≈0.35 at sf0.001) but must clearly beat chance over the
+    // 5-language + 'und' label space
+    val diag = cm.where($"lang" === $"lang_pred").agg(sum($"n")).as[Long].head()
+    assert(diag.toDouble / total > 0.25, s"langid accuracy ${diag.toDouble / total}")
+  }
+
+  test("semi-additive sum counts one row per customer-month") {
+    val sa = SparkEntry.queries("q_semi_additive")(spark, sf)
+    val nCM = Tables.orders(spark, sf)
+      .select($"o_custkey", date_format($"o_orderdate", "yyyy-MM").as("m"))
+      .distinct().count()
+    assert(sa.agg(sum($"n_customers")).as[Long].head() == nCM)
+  }
+
   test("approx-distinct bounds contract holds on the test corpus") {
     val bad = Analytics.approxDistinct(spark, sf).where($"approx_ok" =!= 1L)
     assert(bad.isEmpty)
