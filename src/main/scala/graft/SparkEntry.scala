@@ -503,7 +503,21 @@ object SparkEntry {
       Multimodal.extractFeatures(Multimodal.withBinaryPayload(Tables.documents(s, d)))
         .select(col("doc_id"), posexplode(col("features")).as(Seq("bin", "n")))
         .select(col("doc_id"), col("bin").cast("long").as("bin"), col("n"))
-        .orderBy(col("doc_id"), col("bin")))
+        .orderBy(col("doc_id"), col("bin"))),
+
+    // ── the remaining hard TPC-H shapes (Q2/Q8/Q9/Q10/Q11/Q14/Q15/
+    //    Q18/Q19/Q21/Q22 analogs over the driver's star schema) ──────
+    "q_returned_revenue" -> ((s, d) => TpchShapes.returnedRevenue(s, d)),
+    "q_promo_share" -> ((s, d) => TpchShapes.promoShare(s, d)),
+    "q_top_supplier" -> ((s, d) => TpchShapes.topSupplier(s, d)),
+    "q_large_orders" -> ((s, d) => TpchShapes.largeOrders(s, d)),
+    "q_late_solo_supplier" -> ((s, d) => TpchShapes.lateSoloSupplier(s, d)),
+    "q_idle_rich_customers" -> ((s, d) => TpchShapes.idleRichCustomers(s, d)),
+    "q_min_unit_cost" -> ((s, d) => TpchShapes.minUnitCost(s, d)),
+    "q_mkt_share" -> ((s, d) => TpchShapes.marketShare(s, d)),
+    "q_product_profit" -> ((s, d) => TpchShapes.productProfit(s, d)),
+    "q_important_parts" -> ((s, d) => TpchShapes.importantParts(s, d)),
+    "q_disjunctive" -> ((s, d) => TpchShapes.disjunctiveBundles(s, d))
   )
 
   // ════ DuckDB oracle SQL ════════════════════════════════════════════
@@ -2559,6 +2573,152 @@ object SparkEntry {
         |      FROM documents d, (SELECT unnest(range(0, 16)) AS bin) bb)
         |SELECT g.doc_id, CAST(g.bin AS BIGINT) AS bin, COALESCE(c.n, 0) AS n
         |FROM g LEFT JOIN c ON g.doc_id = c.doc_id AND g.bin = c.bin
-        |ORDER BY g.doc_id, g.bin""".stripMargin
+        |ORDER BY g.doc_id, g.bin""".stripMargin,
+
+    // ── the remaining hard TPC-H shapes ─────────────────────────────
+    "q_returned_revenue" ->
+      s"""SELECT c.c_custkey, c.c_name, n.n_name, a.n_items,
+         |  CAST(a.rev_d AS DOUBLE) AS revenue
+         |FROM (
+         |  SELECT o.o_custkey, ${dRev("l.l_extendedprice", "l.l_discount")} AS rev_d,
+         |    count(*) AS n_items
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  WHERE l.l_returnflag = 'R'
+         |    AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+         |    AND o.o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+         |  GROUP BY 1) a
+         |JOIN customer c ON a.o_custkey = c.c_custkey
+         |JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q_promo_share" ->
+      s"""WITH a AS (
+         |  SELECT
+         |    SUM(CASE WHEN p.p_type = 'PROMO'
+         |      THEN CAST(l.l_extendedprice AS $dDec) * (CAST(1 AS $dDec) - CAST(l.l_discount AS $dDec))
+         |      ELSE CAST(0 AS $dDec) END) AS promo_d,
+         |    ${dRev("l.l_extendedprice", "l.l_discount")} AS total_d
+         |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         |  WHERE l.l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+         |    AND l.l_shipdate < TIMESTAMP '1998-04-01 00:00:00')
+         |SELECT CAST(promo_d AS DOUBLE) AS promo_revenue,
+         |  CAST(total_d AS DOUBLE) AS total_revenue,
+         |  CAST(promo_d * 100 AS BIGINT) * 1000000 // CAST(total_d * 100 AS BIGINT) AS promo_ppm
+         |FROM a""".stripMargin,
+    "q_top_supplier" ->
+      s"""WITH r AS (
+         |  SELECT l_suppkey, ${dRev("l_extendedprice", "l_discount")} AS rev_d
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1998-04-01 00:00:00'
+         |  GROUP BY 1)
+         |SELECT s.s_suppkey, s.s_name, CAST(r.rev_d AS DOUBLE) AS total_rev
+         |FROM r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+         |WHERE r.rev_d = (SELECT max(rev_d) FROM r)
+         |ORDER BY s_suppkey""".stripMargin,
+    "q_large_orders" ->
+      s"""WITH big AS (
+         |  SELECT l_orderkey, SUM(CAST(l_quantity AS $dDec)) AS qty_d
+         |  FROM lineitem GROUP BY 1 HAVING SUM(CAST(l_quantity AS $dDec)) > 250)
+         |SELECT c.c_name, c.c_custkey, o.o_orderkey,
+         |  strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+         |  CAST(CAST(o.o_totalprice AS $dDec) AS DOUBLE) AS o_totalprice,
+         |  CAST(big.qty_d AS DOUBLE) AS sum_qty
+         |FROM big JOIN orders o ON big.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin,
+    "q_late_solo_supplier" ->
+      """WITH ls AS (
+        |  SELECT l.l_orderkey, l.l_suppkey,
+        |    max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |        THEN 1 ELSE 0 END) AS late
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 2),
+        |os AS (SELECT l_orderkey, count(*) AS n_supp, CAST(sum(late) AS BIGINT) AS n_late
+        |       FROM ls GROUP BY 1)
+        |SELECT s.s_suppkey, s.s_name, count(*) AS n_waiting_orders
+        |FROM ls JOIN os ON ls.l_orderkey = os.l_orderkey
+        |JOIN supplier s ON ls.l_suppkey = s.s_suppkey
+        |WHERE ls.late = 1 AND os.n_supp > 1 AND os.n_late = 1
+        |GROUP BY 1, 2
+        |ORDER BY n_waiting_orders DESC, s_suppkey""".stripMargin,
+    "q_idle_rich_customers" ->
+      s"""WITH stats AS (
+         |  SELECT SUM(CAST(c_acctbal AS $dDec)) AS sum_d, count(*) AS n_pos
+         |  FROM customer WHERE c_acctbal > 0)
+         |SELECT c.c_mktsegment, count(*) AS n_customers,
+         |  CAST(SUM(CAST(c.c_acctbal AS $dDec)) AS DOUBLE) AS total_bal
+         |FROM customer c, stats
+         |WHERE CAST(c.c_acctbal AS $dDec) * stats.n_pos > stats.sum_d
+         |  AND c.c_custkey NOT IN (
+         |    SELECT o_custkey FROM orders
+         |    WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+         |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin,
+    "q_min_unit_cost" ->
+      """WITH offer AS (
+        |  SELECT l.l_partkey, l.l_suppkey,
+        |    min(CAST(round(l.l_extendedprice * 100) AS BIGINT) // CAST(l.l_quantity AS BIGINT))
+        |      AS offer_cents
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE p.p_size <= 5
+        |  GROUP BY 1, 2),
+        |best AS (SELECT l_partkey, min(offer_cents) AS best_cents FROM offer GROUP BY 1)
+        |SELECT p.p_partkey, p.p_brand, s.s_suppkey, s.s_name, n.n_name, o.offer_cents
+        |FROM offer o
+        |JOIN best b ON o.l_partkey = b.l_partkey AND o.offer_cents = b.best_cents
+        |JOIN part p ON o.l_partkey = p.p_partkey
+        |JOIN supplier s ON o.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |ORDER BY p_partkey, s_suppkey""".stripMargin,
+    "q_mkt_share" ->
+      s"""WITH o AS (
+         |  SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS o_year
+         |  FROM orders
+         |  WHERE o_custkey IN (
+         |    SELECT c.c_custkey FROM customer c
+         |    JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |    JOIN region r ON n.n_regionkey = r.r_regionkey
+         |    WHERE r.r_name = 'ASIA')),
+         |a AS (
+         |  SELECT o.o_year,
+         |    SUM(CASE WHEN n.n_name = 'NATION_5'
+         |      THEN CAST(l.l_extendedprice AS $dDec) * (CAST(1 AS $dDec) - CAST(l.l_discount AS $dDec))
+         |      ELSE CAST(0 AS $dDec) END) AS nation_d,
+         |    ${dRev("l.l_extendedprice", "l.l_discount")} AS total_d
+         |  FROM lineitem l JOIN o ON l.l_orderkey = o.o_orderkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |  GROUP BY 1)
+         |SELECT o_year, CAST(nation_d AS DOUBLE) AS nation_revenue,
+         |  CAST(total_d AS DOUBLE) AS total_revenue,
+         |  CAST(nation_d * 100 AS BIGINT) * 1000000 // CAST(total_d * 100 AS BIGINT) AS share_ppm
+         |FROM a ORDER BY o_year""".stripMargin,
+    "q_product_profit" ->
+      s"""SELECT n.n_name, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         |  CAST(SUM(CAST(l.l_extendedprice AS $dDec) * (CAST(1 AS $dDec) - CAST(l.l_discount AS $dDec))
+         |    - CAST(p.p_retailprice AS $dDec) * CAST(l.l_quantity AS $dDec)) AS DOUBLE) AS profit
+         |FROM lineitem l
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN part p ON l.l_partkey = p.p_partkey
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |GROUP BY 1, 2 ORDER BY n_name, o_year""".stripMargin,
+    "q_important_parts" ->
+      s"""WITH pv AS (
+         |  SELECT l_partkey, SUM(CAST(l_extendedprice AS $dDec)) AS value_d
+         |  FROM lineitem GROUP BY 1)
+         |SELECT pv.l_partkey, CAST(pv.value_d AS DOUBLE) AS value
+         |FROM pv, (SELECT SUM(value_d) AS total_d FROM pv) t
+         |WHERE pv.value_d * 1800 > t.total_d
+         |ORDER BY value DESC, l_partkey""".stripMargin,
+    "q_disjunctive" ->
+      s"""SELECT count(*) AS n_lines,
+         |  CAST(${dRev("l.l_extendedprice", "l.l_discount")} AS DOUBLE) AS revenue
+         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         |WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+         |       AND l.l_quantity BETWEEN 1 AND 11)
+         |   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+         |       AND l.l_quantity BETWEEN 10 AND 20)
+         |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+         |       AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin
   )
 }
