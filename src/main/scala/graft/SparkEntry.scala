@@ -517,7 +517,11 @@ object SparkEntry {
     "q_mkt_share" -> ((s, d) => TpchShapes.marketShare(s, d)),
     "q_product_profit" -> ((s, d) => TpchShapes.productProfit(s, d)),
     "q_important_parts" -> ((s, d) => TpchShapes.importantParts(s, d)),
-    "q_disjunctive" -> ((s, d) => TpchShapes.disjunctiveBundles(s, d))
+    "q_disjunctive" -> ((s, d) => TpchShapes.disjunctiveBundles(s, d)),
+
+    // ── scale-layout library: Z-order skipping, Bloom runtime filter ─
+    "pipe_zorder_skipping" -> ((s, d) => Layout.skippingStats(s, d)),
+    "q_bloom_prefilter" -> ((s, d) => RuntimeFilter.highBalanceRevenue(s, d))
   )
 
   // ════ DuckDB oracle SQL ════════════════════════════════════════════
@@ -2719,6 +2723,56 @@ object SparkEntry {
          |   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
          |       AND l.l_quantity BETWEEN 10 AND 20)
          |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
-         |       AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin
+         |       AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    // Z-order vs linear clustering, min/max skipping replayed on the
+    // same integer bit-interleave and fixed-width bucket arithmetic
+    "pipe_zorder_skipping" ->
+      """WITH st AS (SELECT min(l_partkey) AS k1min, max(l_partkey) AS k1max,
+        |              min(l_suppkey) AS k2min, max(l_suppkey) AS k2max FROM lineitem),
+        |base AS (SELECT l_partkey AS k1, l_suppkey AS k2,
+        |    (l_partkey - k1min) * 256 // (k1max - k1min + 1) AS n1,
+        |    (l_suppkey - k2min) * 256 // (k2max - k2min + 1) AS n2,
+        |    k1min + (k1max - k1min + 1) * 10 // 100 AS k1lo,
+        |    k1min + (k1max - k1min + 1) * 30 // 100 AS k1hi,
+        |    k2min + (k2max - k2min + 1) * 20 // 100 AS k2lo,
+        |    k2min + (k2max - k2min + 1) * 30 // 100 AS k2hi
+        |  FROM lineitem, st),
+        |zl AS (SELECT *,
+        |  list_sum(list_transform(range(0, 8), i ->
+        |    ((n1 >> i) & 1) * (CAST(1 AS BIGINT) << (2*i + 1)) +
+        |    ((n2 >> i) & 1) * (CAST(1 AS BIGINT) << (2*i))))
+        |    * 64 // 65536 AS file_id FROM base),
+        |ll AS (SELECT *, n1 * 64 // 256 AS file_id FROM base),
+        |m AS (SELECT count(*) AS rows_matched FROM base
+        |      WHERE k1 BETWEEN k1lo AND k1hi AND k2 BETWEEN k2lo AND k2hi),
+        |zf AS (SELECT file_id, count(*) AS n_rows, min(k1) AS min_k1, max(k1) AS max_k1,
+        |         min(k2) AS min_k2, max(k2) AS max_k2, min(k1lo) AS k1lo, min(k1hi) AS k1hi,
+        |         min(k2lo) AS k2lo, min(k2hi) AS k2hi FROM zl GROUP BY 1),
+        |lf AS (SELECT file_id, count(*) AS n_rows, min(k1) AS min_k1, max(k1) AS max_k1,
+        |         min(k2) AS min_k2, max(k2) AS max_k2, min(k1lo) AS k1lo, min(k1hi) AS k1hi,
+        |         min(k2lo) AS k2lo, min(k2hi) AS k2hi FROM ll GROUP BY 1),
+        |zs AS (SELECT count(*) AS files_scanned,
+        |         CAST(COALESCE(sum(n_rows), 0) AS BIGINT) AS rows_scanned FROM zf
+        |       WHERE max_k1 >= k1lo AND min_k1 <= k1hi AND max_k2 >= k2lo AND min_k2 <= k2hi),
+        |ls AS (SELECT count(*) AS files_scanned,
+        |         CAST(COALESCE(sum(n_rows), 0) AS BIGINT) AS rows_scanned FROM lf
+        |       WHERE max_k1 >= k1lo AND min_k1 <= k1hi AND max_k2 >= k2lo AND min_k2 <= k2hi),
+        |zt AS (SELECT count(*) AS n_files, CAST(sum(n_rows) AS BIGINT) AS n_rows_total FROM zf),
+        |lt AS (SELECT count(*) AS n_files, CAST(sum(n_rows) AS BIGINT) AS n_rows_total FROM lf)
+        |SELECT 'linear' AS layout, lt.n_files, ls.files_scanned,
+        |  lt.n_rows_total, ls.rows_scanned, m.rows_matched FROM lt, ls, m
+        |UNION ALL
+        |SELECT 'zorder', zt.n_files, zs.files_scanned,
+        |  zt.n_rows_total, zs.rows_scanned, m.rows_matched FROM zt, zs, m
+        |ORDER BY layout""".stripMargin,
+    // the Bloom pre-filter is an I/O optimization; the exact semi
+    // join behind it IS the semantics the oracle checks
+    "q_bloom_prefilter" ->
+      s"""SELECT count(*) AS n_lines,
+         |  CAST(${dRev("l.l_extendedprice", "l.l_discount")} AS DOUBLE) AS revenue
+         |FROM lineitem l
+         |WHERE l.l_suppkey IN
+         |  (SELECT s_suppkey FROM supplier WHERE s_acctbal > 6000)""".stripMargin
   )
 }
