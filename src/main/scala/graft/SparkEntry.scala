@@ -521,7 +521,13 @@ object SparkEntry {
 
     // ── scale-layout library: Z-order skipping, Bloom runtime filter ─
     "pipe_zorder_skipping" -> ((s, d) => Layout.skippingStats(s, d)),
-    "q_bloom_prefilter" -> ((s, d) => RuntimeFilter.highBalanceRevenue(s, d))
+    "q_bloom_prefilter" -> ((s, d) => RuntimeFilter.highBalanceRevenue(s, d)),
+    "txt_ttr" -> ((s, d) => Quality.typeTokenStats(Tables.documents(s, d))),
+    "txt_ngram_novelty" -> ((s, d) => Quality.ngramNovelty(Tables.documents(s, d))),
+    "emb_pca2" -> ((s, d) => Similarity.powerIterationDeflated(Tables.embeddings(s, d))),
+    "emb_sim_hist" -> ((s, d) => Similarity.cosineHistogram(Tables.embeddings(s, d))),
+    "mm_phash_dedup" -> ((s, d) =>
+      Multimodal.phashPairs(Multimodal.withBinaryPayload(Tables.documents(s, d))))
   )
 
   // ════ DuckDB oracle SQL ════════════════════════════════════════════
@@ -2773,6 +2779,104 @@ object SparkEntry {
          |  CAST(${dRev("l.l_extendedprice", "l.l_discount")} AS DOUBLE) AS revenue
          |FROM lineitem l
          |WHERE l.l_suppkey IN
-         |  (SELECT s_suppkey FROM supplier WHERE s_acctbal > 6000)""".stripMargin
+         |  (SELECT s_suppkey FROM supplier WHERE s_acctbal > 6000)""".stripMargin,
+
+    "txt_ttr" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, tok, count(*) AS n
+         |  FROM (SELECT doc_id, unnest(${dToks("lower(text)")}) AS tok FROM documents)
+         |  GROUP BY 1, 2)
+         |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
+         |  count(*) AS n_types,
+         |  CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+         |  count(*) * 1000000 // CAST(SUM(n) AS BIGINT) AS ttr_ppm
+         |FROM tf GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "txt_ngram_novelty" ->
+      s"""WITH toksrc AS (SELECT doc_id AS id, ${dToks("text")} AS tk FROM documents),
+         |raw AS (SELECT id, ${dShinglesN("tk", 8)} AS sh0 FROM toksrc),
+         |grams AS (SELECT DISTINCT id, ${dHex12("g")} AS gh
+         |          FROM (SELECT id, unnest(sh0) AS g FROM raw WHERE len(sh0) > 0)),
+         |firsts AS (SELECT gh, min(id) AS first_doc FROM grams GROUP BY 1),
+         |pd AS (SELECT g.id, count(*) AS n_grams,
+         |    CAST(SUM(CASE WHEN f.first_doc < g.id THEN 1 ELSE 0 END) AS BIGINT) AS n_seen
+         |  FROM grams g JOIN firsts f ON g.gh = f.gh GROUP BY 1)
+         |SELECT d.doc_id, CAST(COALESCE(pd.n_grams, 0) AS BIGINT) AS n_grams,
+         |  CAST(COALESCE(pd.n_seen, 0) AS BIGINT) AS n_seen,
+         |  COALESCE((pd.n_grams - pd.n_seen) * 1000000 // pd.n_grams, 1000000)
+         |    AS novel_ppm
+         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // second principal direction by deflation: replay the first power
+    // step to get v1, deflate every vector, run the second step —
+    // identical rounding/fold discipline as emb_power_iter
+    "emb_pca2" ->
+      s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |s AS (SELECT v, round(${dDot("v", "list_transform(range(1, 65), i -> 1.0)")}, 6) AS s FROM e),
+         |t AS (SELECT d.dim, round(v[d.dim] * s, 6) AS term
+         |      FROM s, (SELECT unnest(range(1, 65)) AS dim) d),
+         |y AS (SELECT CAST(dim AS BIGINT) AS dim,
+         |        CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE) AS y
+         |      FROM t GROUP BY dim),
+         |nrm AS (SELECT sqrt(CAST(SUM(CAST(round(y * y, 6) AS DECIMAL(28,6))) AS DOUBLE)) AS nrm FROM y),
+         |v1l AS (SELECT list(round(y / nrm, 6) ORDER BY dim) AS v1 FROM y CROSS JOIN nrm),
+         |e2 AS (SELECT v, round(${dDot("v", "v1")}, 6) AS p FROM e CROSS JOIN v1l),
+         |d2 AS (SELECT list_transform(range(1, 65), i -> round(v[i] - p * v1[i], 6)) AS vd
+         |       FROM e2 CROSS JOIN v1l),
+         |s2 AS (SELECT vd, round(${dDot("vd", "list_transform(range(1, 65), i -> 1.0)")}, 6) AS s FROM d2),
+         |t2 AS (SELECT d.dim, round(vd[d.dim] * s, 6) AS term
+         |       FROM s2, (SELECT unnest(range(1, 65)) AS dim) d),
+         |y2 AS (SELECT CAST(dim AS BIGINT) AS dim,
+         |         CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE) AS y2
+         |       FROM t2 GROUP BY dim),
+         |n2 AS (SELECT sqrt(CAST(SUM(CAST(round(y2 * y2, 6) AS DECIMAL(28,6))) AS DOUBLE)) AS nrm FROM y2)
+         |SELECT y2.dim, v1[y2.dim] AS v1, y2.y2, round(y2.y2 / n2.nrm, 6) AS v2
+         |FROM y2 CROSS JOIN n2 CROSS JOIN v1l ORDER BY dim""".stripMargin,
+    "emb_sim_hist" ->
+      s"""WITH e AS (SELECT vec_id AS id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT id, label, v, sqrt(${dDot("v", "v")}) AS nrm FROM e),
+         |p AS (SELECT round(${dDot("a.v", "b.v")} / (a.nrm * b.nrm), 6) AS cos
+         |      FROM n a JOIN n b ON a.label = b.label AND a.id < b.id),
+         |h AS (SELECT CAST(floor(cos * 10) AS BIGINT) AS bucket FROM p WHERE cos IS NOT NULL)
+         |SELECT bucket, CAST(bucket AS DOUBLE) / 10 AS lo, count(*) AS n_pairs
+         |FROM h GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // perceptual aHash over the stubbed byte-lane decode: integer
+    // lane means, cross-multiplied mean compare, 2×32-bit packing,
+    // 16-bit band blocking, bit_count hamming — replayed bit-for-bit
+    "mm_phash_dedup" ->
+      """WITH bytes AS (
+        |  SELECT doc_id, i % 64 AS lane,
+        |    CAST('0x' || substr(hex(encode(text)), CAST(2*i + 1 AS INT), 2) AS INT) AS bv
+        |  FROM (SELECT doc_id, text, unnest(range(0, octet_length(encode(text)))) AS i
+        |        FROM documents)),
+        |lanes AS (SELECT doc_id, lane, CAST(sum(bv) AS BIGINT) // count(*) AS pix
+        |          FROM bytes GROUP BY 1, 2),
+        |grid AS (SELECT d.doc_id, g.lane
+        |         FROM documents d, (SELECT unnest(range(0, 64)) AS lane) g),
+        |px AS (SELECT g.doc_id, g.lane, COALESCE(l.pix, 0) AS pix
+        |       FROM grid g LEFT JOIN lanes l ON g.doc_id = l.doc_id AND g.lane = l.lane),
+        |tot AS (SELECT doc_id, CAST(sum(pix) AS BIGINT) AS total FROM px GROUP BY 1),
+        |bits AS (SELECT p.doc_id, p.lane,
+        |    CASE WHEN p.pix * 64 > t.total THEN CAST(1 AS BIGINT)
+        |         ELSE CAST(0 AS BIGINT) END AS bit
+        |  FROM px p JOIN tot t ON p.doc_id = t.doc_id),
+        |packed AS (SELECT doc_id,
+        |    CAST(SUM(CASE WHEN lane < 32 THEN bit << lane ELSE 0 END) AS BIGINT) AS lo,
+        |    CAST(SUM(CASE WHEN lane >= 32 THEN bit << (lane - 32) ELSE 0 END) AS BIGINT) AS hi
+        |  FROM bits GROUP BY 1),
+        |bands AS (SELECT doc_id, lo, hi, b,
+        |    CASE b WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
+        |           WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS bkey
+        |  FROM packed, (SELECT unnest(range(0, 4)) AS b) bb),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+        |    a.lo AS alo, a.hi AS ahi, b2.lo AS blo, b2.hi AS bhi
+        |  FROM bands a JOIN bands b2
+        |    ON a.b = b2.b AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id)
+        |SELECT id_a, id_b,
+        |  CAST(bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) AS BIGINT) AS ham
+        |FROM cand
+        |WHERE bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }

@@ -1,7 +1,7 @@
 package graft.multimodal
 
 import graft.functions.HashFunctions
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -114,5 +114,73 @@ object Multimodal {
     val hist = new Array[Long](16)
     if (bytes != null) bytes.foreach(b => hist((b & 0xff) % 16) += 1)
     hist.toSeq
+  }
+
+  /** Stubbed "decode to an 8×8 grayscale grid": pixel i is the
+    * integer mean of the payload bytes in lane i (offset mod 64) —
+    * a real image decoder + downscale slots in here; everything
+    * downstream (hashing, banding, the pair join) is the real
+    * production plumbing. Map-only, one row in → one row out. */
+  def perceptualPixels(media: DataFrame, lanes: Int = 64): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("pixels", ArrayType(LongType, containsNull = false), nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    media.select(col("doc_id"), col("payload")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val sums = new Array[Long](lanes)
+        val counts = new Array[Long](lanes)
+        if (bytes != null) bytes.zipWithIndex.foreach { case (b, i) =>
+          sums(i % lanes) += (b & 0xff); counts(i % lanes) += 1
+        }
+        Row(id, sums.indices.map(i => if (counts(i) == 0) 0L else sums(i) / counts(i)))
+      }
+    }(enc)
+  }
+
+  /** Perceptual-hash (aHash) near-duplicate pairs over the decoded
+    * grid: bit i set iff pixel i exceeds the grid mean — compared
+    * cross-multiplied in integers (pix·64 > Σpix), so no float mean
+    * decides a bit. The 64 bits pack into two 32-bit words (a set
+    * bit 63 would need the sign bit of one BIGINT), candidates block
+    * on four 16-bit bands, and the exact bit_count hamming gate runs
+    * only on band collisions — by pigeonhole the blocking is
+    * RECALL-EXACT for ham ≤ 3 (4 bands, ≤3 flips leave a clean
+    * band); beyond that it is the same recall trade SimHash banding
+    * makes (see dedup_simhash). Everything after the stub decode is
+    * builtin codegen'd bit arithmetic; the join is per-(band, key),
+    * never corpus × corpus. */
+  def phashPairs(media: DataFrame, maxHam: Int = 3): DataFrame = {
+    val laneIdx = typedlit((0L until 64L).toSeq)
+    def packWord(fromBit: Int): Column = aggregate(
+      zip_with(col("pixels"), laneIdx, (x, i) =>
+        when(i >= fromBit && i < fromBit + 32 && x * 64 > col("total"),
+          call_function("shiftleft", lit(1L), (i - fromBit).cast("int")))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+    val px = perceptualPixels(media)
+      .withColumn("total", aggregate(col("pixels"), lit(0L), (acc, x) => acc + x))
+      .withColumn("lo", packWord(0))
+      .withColumn("hi", packWord(32))
+    val bands = px.select(col("doc_id"), col("lo"), col("hi"),
+      posexplode(array(
+        col("lo").bitwiseAND(lit(65535L)),
+        shiftright(col("lo"), 16).bitwiseAND(lit(65535L)),
+        col("hi").bitwiseAND(lit(65535L)),
+        shiftright(col("hi"), 16).bitwiseAND(lit(65535L)))).as(Seq("b", "bkey")))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.b") === col("b.b") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.lo").as("alo"), col("a.hi").as("ahi"),
+        col("b.lo").as("blo"), col("b.hi").as("bhi"))
+      .distinct()
+    cand.select(col("id_a"), col("id_b"),
+        (bit_count(col("alo").bitwiseXOR(col("blo"))) +
+          bit_count(col("ahi").bitwiseXOR(col("bhi")))).cast("long").as("ham"))
+      .where(col("ham") <= maxHam)
+      .orderBy(col("id_a"), col("id_b"))
   }
 }

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.HashFunctions.md5Long
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -502,5 +503,49 @@ object Quality {
       .where(col("rnk") <= k)
       .select(col(by), col("rnk"), col("word"), col("freq"))
       .orderBy(col(by), col("rnk"))
+  }
+
+  /** Lexical diversity per document: type-token ratio and hapax
+    * (once-only) counts. One explode + two-level aggregation — the
+    * per-(doc, token) counts partial-aggregate map-side, and the
+    * per-doc rollup rides the same doc_id hash partitioning. The
+    * ratio is ppm by integer floor division (exact cross-engine). */
+  def typeTokenStats(docs: DataFrame, contentCol: String = "text"): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(lower(col(contentCol)))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("n"))
+    tf.groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("ttr_ppm", expr("n_types * 1000000 div n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus-order n-gram novelty: for each document, how many of its
+    * distinct word 8-grams appear in ANY earlier document (doc_id
+    * order = ingestion order). The "seen before" set is one global
+    * min(doc_id)-per-gram aggregation — O(distinct grams), hashed,
+    * no timeline sort — joined back on the same gram partitioning.
+    * The novelty curve of a growing corpus is the curation signal
+    * for "are new sources still adding new content?". */
+  def ngramNovelty(docs: DataFrame, contentCol: String = "text", n: Int = 8): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"),
+        explode(shingles(tokens(col(contentCol)), n)).as("g"))
+      .select(col("doc_id"), md5Long(col("g")).as("gh"))
+      .distinct()
+    val firsts = grams.groupBy(col("gh")).agg(min(col("doc_id")).as("first_doc"))
+    val perDoc = grams.join(firsts, "gh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L)).as("n_seen"))
+      .withColumn("novel_ppm", expr("(n_grams - n_seen) * 1000000 div n_grams"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_seen"), lit(0L)).as("n_seen"),
+        coalesce(col("novel_ppm"), lit(1000000L)).as("novel_ppm"))
+      .orderBy(col("doc_id"))
   }
 }

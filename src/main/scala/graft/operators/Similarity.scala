@@ -683,4 +683,62 @@ object Similarity {
         sum(col("err2").cast("decimal(28,12)")).cast("double").as("sq_err"))
       .orderBy(col("id"))
   }
+
+  /** Second principal direction by deflation: remove each vector's
+    * projection onto the first power-iteration direction (x' = x −
+    * (x·v₁)v₁), then run one power step on the deflated corpus. v₁
+    * comes out of `powerIteration` as a 64-value model — collected
+    * once and broadcast as a literal, exactly like a trained
+    * centroid table. Same determinism discipline: every per-row term
+    * is rounded to 6dp before the exact DECIMAL shuffle sum, so the
+    * result is bit-stable on any partitioning. The shuffle again
+    * carries 64 partial rows at any corpus size. */
+  def powerIterationDeflated(emb: DataFrame, dim: Int = 64,
+                             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v1Seq = powerIteration(emb, dim, idCol, vecCol)
+      .select(col("dim"), col("v1")).collect()
+      .sortBy(_.getLong(0)).map(_.getDouble(1)).toSeq
+    val v1 = typedlit(v1Seq)
+    val ones = typedlit(Seq.fill(dim)(1.0))
+    val e = emb.select(col(vecCol).as("v"))
+      .withColumn("p", round(dot(col("v"), v1), 6))
+      .withColumn("vd", zip_with(col("v"), v1,
+        (x, w) => round(x.cast("double") - col("p") * w, 6)))
+      .withColumn("s", round(dot(col("vd"), ones), 6))
+    val y2 = e
+      .select(col("s"), posexplode(col("vd")).as(Seq("pos", "x0")))
+      .select((col("pos") + 1).cast("long").as("dim"),
+        round(col("x0") * col("s"), 6).as("term"))
+      .groupBy(col("dim"))
+      .agg(sum(col("term").cast("decimal(18,6)")).cast("double").as("y2"))
+    val nrm = y2.agg(sqrt(sum(round(col("y2") * col("y2"), 6)
+      .cast("decimal(28,6)")).cast("double")).as("nrm"))
+    y2.crossJoin(broadcast(nrm))
+      .select(col("dim"),
+        element_at(v1, col("dim").cast("int")).as("v1"),
+        col("y2"), round(col("y2") / col("nrm"), 6).as("v2"))
+      .orderBy(col("dim"))
+  }
+
+  /** Cosine-similarity histogram over label-blocked pairs: the
+    * embedding-collapse diagnostic (a healthy space is spread; a
+    * collapsed one piles mass near 1.0). Pairing is BLOCKED on the
+    * label column so the join is per-group, never corpus×corpus —
+    * the same candidate-bounding discipline as every dedup path.
+    * Buckets are floor(cos·10): pure double ops both engines share. */
+  def cosineHistogram(emb: DataFrame, idCol: String = "vec_id",
+                      vecCol: String = "embedding", by: String = "label"): DataFrame = {
+    val e = emb.select(col(by).as("blk"), col(idCol).as("id"),
+      col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+    e.as("a").join(e.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(round(cosinePrenormed(
+        dot(col("a.v"), col("b.v")), col("a.nrm"), col("b.nrm")), 6).as("cos"))
+      .where(col("cos").isNotNull)
+      .select(floor(col("cos") * 10).cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(col("bucket"), (col("bucket").cast("double") / 10).as("lo"), col("n_pairs"))
+      .orderBy(col("bucket"))
+  }
 }

@@ -94,4 +94,21 @@ object StreamingCuration {
       .where(abs(z) > zMax)
       .select(col("event_id"), col("event_type"), col("value"), round(z, 4).as("z"))
   }
+
+  /** Streaming exact dedup — the online form of `Dedup.exact`: each
+    * arriving document keeps only the FIRST occurrence of its content
+    * hash. `dropDuplicatesWithinWatermark` bounds the hash state by
+    * event time: a duplicate arriving within `horizon` of the
+    * original is dropped; state older than the watermark is evicted,
+    * so memory is O(docs per horizon), not O(corpus) — the only
+    * state contract that survives an unbounded stream. Exactly-once
+    * emission per content hash inside the horizon, matching the
+    * batch dedup verdict on any replay whose duplicates fall within
+    * it. */
+  def dedupStream(stream: DataFrame, contentCol: String = "text",
+                  eventTimeCol: String = "ts", horizon: String = "10 minutes"): DataFrame =
+    stream
+      .withColumn("content_hash", md5(col(contentCol)))
+      .withWatermark(eventTimeCol, horizon)
+      .dropDuplicatesWithinWatermark("content_hash")
 }
