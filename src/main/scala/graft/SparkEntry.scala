@@ -527,7 +527,14 @@ object SparkEntry {
     "emb_pca2" -> ((s, d) => Similarity.powerIterationDeflated(Tables.embeddings(s, d))),
     "emb_sim_hist" -> ((s, d) => Similarity.cosineHistogram(Tables.embeddings(s, d))),
     "mm_phash_dedup" -> ((s, d) =>
-      Multimodal.phashPairs(Multimodal.withBinaryPayload(Tables.documents(s, d))))
+      Multimodal.phashPairs(Multimodal.withBinaryPayload(Tables.documents(s, d)))),
+    "txt_bpe_pairs" -> ((s, d) => Quality.bpePairStats(Tables.documents(s, d))),
+    "txt_ppl_buckets" -> ((s, d) => Quality.perplexityBuckets(Tables.documents(s, d))),
+    "dedup_substrings" -> ((s, d) => Dedup.substringRuns(Tables.documents(s, d))),
+    "pipe_scd2" -> ((s, d) => Analytics.scd2Priority(s, d)),
+    "ev_range_frame" -> ((s, d) => Events.rangeFrameSum(Tables.events(s, d))),
+    "rag_qlm" -> ((s, d) => Ranking.queryLikelihoodTopK(Tables.documents(s, d))),
+    "ev_heavy_hitters" -> ((s, d) => Sketches.cmsHeavyHitters(Tables.events(s, d)))
   )
 
   // ════ DuckDB oracle SQL ════════════════════════════════════════════
@@ -2877,6 +2884,120 @@ object SparkEntry {
         |  CAST(bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) AS BIGINT) AS ham
         |FROM cand
         |WHERE bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) <= 3
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "txt_bpe_pairs" ->
+      s"""WITH wf AS (SELECT w, count(*) AS freq
+         |  FROM (SELECT unnest(${dToks("lower(text)")}) AS w FROM documents)
+         |  WHERE regexp_matches(w, '^[a-z]+$$') AND length(w) >= 2 GROUP BY 1),
+         |pr AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_freq,
+         |    count(DISTINCT w) AS n_word_types
+         |  FROM (SELECT w, freq, unnest(list_transform(range(1, length(w)),
+         |      i -> substr(w, CAST(i AS INT), 1) || ' ' || substr(w, CAST(i + 1 AS INT), 1))) AS pair
+         |    FROM wf) GROUP BY 1),
+         |r AS (SELECT *, row_number() OVER (ORDER BY pair_freq DESC, pair) AS rnk FROM pr)
+         |SELECT CAST(rnk AS BIGINT) AS rnk, pair, pair_freq, n_word_types
+         |FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+    "txt_ppl_buckets" ->
+      s"""WITH tk AS (SELECT doc_id, unnest(${dToks("text")}) AS tok FROM documents),
+         |cnt AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY 1),
+         |tot AS (SELECT count(*) AS total FROM tk),
+         |terms AS (SELECT t.doc_id,
+         |    round(-ln(CAST(c.cnt AS DOUBLE) / tot.total), 6) AS nll
+         |  FROM tk t JOIN cnt c ON t.tok = c.tok CROSS JOIN tot),
+         |pd AS (SELECT doc_id, count(*) AS n_tokens,
+         |    CAST(SUM(CAST(nll AS DECIMAL(18,6))) AS DOUBLE) AS nll_sum
+         |  FROM terms GROUP BY 1),
+         |sc AS (SELECT doc_id, n_tokens, nll_sum / n_tokens AS ce FROM pd
+         |       WHERE nll_sum IS NOT NULL),
+         |b AS (SELECT *, ntile(3) OVER (ORDER BY ce, doc_id) AS bucket FROM sc)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |  round(min(ce), 6) AS min_ce, round(max(ce), 6) AS max_ce
+         |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "dedup_substrings" ->
+      s"""WITH tks AS (SELECT doc_id, ${dToks("text")} AS tk FROM documents),
+         |sh AS (SELECT doc_id, ${dShinglesN("tk", 16)} AS shl FROM tks),
+         |grams AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         |    ${dHex12("shl[CAST(i AS INT)]")} AS gh
+         |  FROM (SELECT doc_id, shl, unnest(range(1, len(shl) + 1)) AS i
+         |        FROM sh WHERE len(shl) > 0)),
+         |nd AS (SELECT gh, count(DISTINCT doc_id) AS ndocs FROM grams GROUP BY 1),
+         |fl AS (SELECT g.doc_id, g.pos, nd.ndocs >= 2 AS dup
+         |       FROM grams g JOIN nd ON g.gh = nd.gh),
+         |runs AS (SELECT doc_id, max(run) AS max_run FROM (
+         |    SELECT doc_id, grp, count(*) AS run
+         |    FROM (SELECT doc_id, pos,
+         |            pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |          FROM fl WHERE dup) GROUP BY 1, 2) GROUP BY 1),
+         |pd AS (SELECT doc_id, count(*) AS n_grams,
+         |    CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams
+         |  FROM fl GROUP BY 1)
+         |SELECT d.doc_id, CAST(COALESCE(pd.n_grams, 0) AS BIGINT) AS n_grams,
+         |  CAST(COALESCE(pd.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+         |  CAST(COALESCE(r.max_run + 15, 0) AS BIGINT) AS max_dup_span
+         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+         |LEFT JOIN runs r ON d.doc_id = r.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "pipe_scd2" ->
+      """WITH s AS (SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+        |    CASE WHEN lag(o_orderpriority) OVER w IS NULL
+        |           OR lag(o_orderpriority) OVER w <> o_orderpriority
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |c AS (SELECT *, CAST(SUM(chg) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+        |  FROM s),
+        |segs AS (SELECT o_custkey AS custkey, version, o_orderpriority AS priority,
+        |    min(o_orderdate) AS vf, count(*) AS n_orders
+        |  FROM c GROUP BY 1, 2, 3),
+        |v AS (SELECT *, lead(vf) OVER (PARTITION BY custkey ORDER BY version) AS vt FROM segs)
+        |SELECT custkey, version, priority, strftime(vf, '%Y-%m-%d') AS valid_from,
+        |  COALESCE(strftime(vt, '%Y-%m-%d'), '9999-12-31') AS valid_to,
+        |  CAST(CASE WHEN vt IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current, n_orders
+        |FROM v ORDER BY custkey, version""".stripMargin,
+    "ev_range_frame" ->
+      """SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS win_sum,
+        |  count(*) OVER w AS n_in_window
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "rag_qlm" ->
+      s"""WITH t AS (SELECT doc_id, ${dToks("text")} AS tk FROM documents),
+         |tok AS (SELECT doc_id, unnest(tk) AS w FROM t),
+         |tot AS (SELECT count(*) AS total FROM tok),
+         |q AS (SELECT unnest(['spark', 'join', 'vector', 'query']) AS w),
+         |cf AS (SELECT w, count(*) AS cf FROM tok
+         |       WHERE w IN (SELECT w FROM q) GROUP BY 1),
+         |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok
+         |       WHERE w IN (SELECT w FROM q) GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM t),
+         |cells AS (SELECT d.doc_id, q.w, d.dl, COALESCE(tf.tf, 0) AS tf, cf.cf, tot.total
+         |  FROM dl d CROSS JOIN q JOIN cf ON cf.w = q.w CROSS JOIN tot
+         |  LEFT JOIN tf ON tf.doc_id = d.doc_id AND tf.w = q.w),
+         |sc AS (SELECT doc_id,
+         |    CAST(SUM(CAST(round(ln((tf + 2000 * (CAST(cf AS DOUBLE) / total))
+         |      / (dl + 2000)), 6) AS DECIMAL(18,6))) AS DOUBLE) AS qlm
+         |  FROM cells GROUP BY 1)
+         |SELECT doc_id, qlm FROM sc ORDER BY qlm DESC, doc_id LIMIT 20""".stripMargin,
+    "ev_heavy_hitters" ->
+      s"""WITH ex AS (SELECT user_id, count(*) AS exact_n FROM events GROUP BY 1),
+         |top AS (SELECT user_id, exact_n FROM ex ORDER BY exact_n DESC, user_id LIMIT 20),
+         |rr AS (SELECT unnest(range(0, 4)) AS r),
+         |cells AS (SELECT rr.r,
+         |    ${dHex12("CAST(rr.r AS VARCHAR) || ':' || CAST(e.user_id AS VARCHAR)")} % 64 AS bucket,
+         |    count(*) AS c
+         |  FROM events e CROSS JOIN rr GROUP BY 1, 2),
+         |probe AS (SELECT t.user_id, t.exact_n, rr.r,
+         |    ${dHex12("CAST(rr.r AS VARCHAR) || ':' || CAST(t.user_id AS VARCHAR)")} % 64 AS bucket
+         |  FROM top t CROSS JOIN rr),
+         |est AS (SELECT p.user_id, p.exact_n, min(c.c) AS est_n
+         |  FROM probe p JOIN cells c ON c.r = p.r AND c.bucket = p.bucket GROUP BY 1, 2)
+         |SELECT user_id, exact_n, CAST(est_n AS BIGINT) AS est_n,
+         |  CAST(est_n - exact_n AS BIGINT) AS overcount
+         |FROM est ORDER BY exact_n DESC, user_id""".stripMargin
   )
 }

@@ -434,4 +434,36 @@ object Analytics {
         count(lit(1)).over(w).as("n_in_frame"))
       .orderBy(col("user_id"), col("event_id"))
   }
+
+  /** SCD Type-2 dimension build: each customer's order-priority
+    * history collapsed into versioned validity intervals — the
+    * slowly-changing-dimension table a lakehouse maintains next to
+    * its facts (Kimball SCD2: valid_from/valid_to/is_current).
+    * Change detection is lag() per customer, the running change
+    * count numbers the versions, and lead() closes each interval
+    * with the next version's start. Every window partitions by
+    * custkey — O(orders per customer) state, embarrassingly
+    * parallel; the open interval gets the sentinel 9999-12-31. */
+  def scd2Priority(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val seg = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .withColumn("chg",
+        when(lag(col("o_orderpriority"), 1).over(w).isNull ||
+          lag(col("o_orderpriority"), 1).over(w) =!= col("o_orderpriority"), 1L)
+          .otherwise(0L))
+      .withColumn("version", sum(col("chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val w2 = Window.partitionBy(col("custkey")).orderBy(col("version"))
+    seg.groupBy(col("o_custkey").as("custkey"), col("version"), col("o_orderpriority").as("priority"))
+      .agg(min(col("o_orderdate")).as("vf"), count(lit(1)).as("n_orders"))
+      .withColumn("vt", lead(col("vf"), 1).over(w2))
+      .select(col("custkey"), col("version"), col("priority"),
+        date_format(col("vf"), "yyyy-MM-dd").as("valid_from"),
+        coalesce(date_format(col("vt"), "yyyy-MM-dd"), lit("9999-12-31")).as("valid_to"),
+        when(col("vt").isNull, 1L).otherwise(0L).as("is_current"),
+        col("n_orders"))
+      .orderBy(col("custkey"), col("version"))
+  }
 }

@@ -423,4 +423,45 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cos"))
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** Cross-document duplicated-substring spans (the detection half of
+    * Lee et al. 2022's exact substring dedup): for each doc, its
+    * longest run of consecutive token positions whose n-gram also
+    * appears in another document. A run of r consecutive duplicated
+    * n-gram positions means an (r + n − 1)-token span is shared
+    * verbatim. Shape: gram hashes shuffle once to count distinct
+    * docs per gram (map-side partials), flags join back on the gram
+    * hash, and run detection is a gaps-and-islands window strictly
+    * per doc — no global order, no pair join at all. Within-doc
+    * repeats are NOT flagged (that's `Quality.repetition`); this is
+    * the cross-doc memorization signal. */
+  def substringRuns(docs: DataFrame, contentCol: String = "text",
+                    n: Int = 16, idCol: String = "doc_id"): DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(shingles(tokens(col(contentCol)), n)).as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), md5Long(col("g")).as("gh"))
+    val docsPerGram = grams.select(col("doc_id"), col("gh")).distinct()
+      .groupBy(col("gh")).agg(count(lit(1)).as("ndocs"))
+    val flagged = grams.join(docsPerGram, "gh")
+      .select(col("doc_id"), col("pos"), (col("ndocs") >= 2).as("dup"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = flagged.where(col("dup"))
+      .withColumn("grp", col("pos") - row_number().over(wDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("run")).as("max_run"))
+    val perDoc = flagged.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_grams"))
+    docs.select(col(idCol).as("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("max_run") + lit(n - 1), lit(0L)).as("max_dup_span"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -353,4 +353,23 @@ object Events {
         round(z, 4).as("z"))
       .orderBy(col("event_id"))
   }
+
+  /** Time-RANGE window frame: per event, the sum/count of the same
+    * user's events in the trailing `windowMinutes` — a true RANGE
+    * frame over event-time microseconds, not a row-count frame
+    * (`movingAvgOf`), so ts-peers share one frame and sparse/bursty
+    * activity is windowed by TIME. The frame sum is DECIMAL (exact,
+    * order-independent); windows partition per user — no global
+    * order at any scale. */
+  def rangeFrameSum(events: DataFrame, windowMinutes: Int = 10): DataFrame = {
+    val us = expr("unix_micros(ts)")
+    val w = Window.partitionBy(col("user_id")).orderBy(us)
+      .rangeBetween(-windowMinutes * 60L * 1000000L, 0L)
+    events
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+        sum(col("value").cast("decimal(18,4)")).over(w).cast("double").as("win_sum"),
+        count(lit(1)).over(w).as("n_in_window"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
 }

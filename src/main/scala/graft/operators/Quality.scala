@@ -522,6 +522,56 @@ object Quality {
       .orderBy(col("doc_id"))
   }
 
+  /** One BPE training step: the weighted adjacent-symbol-pair counts
+    * a byte-pair-encoding tokenizer ranks to pick its next merge
+    * (Sennrich et al. 2016). Restricted to ASCII-lowercase word
+    * types so char indexing is engine-exact. Scale shape: the corpus
+    * collapses to its word-type frequency table first (one hash
+    * shuffle, map-side partials), so the pair explode runs over
+    * O(vocab) rows, not O(tokens); the final ranking window sees at
+    * most 26² distinct pairs — driver-trivial at any corpus size. */
+  def bpePairStats(docs: DataFrame, contentCol: String = "text", topK: Int = 20): DataFrame = {
+    val words = docs
+      .select(explode(tokens(lower(col(contentCol)))).as("w"))
+      .where(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    val pairs = words
+      .select(col("w"), col("freq"), explode(expr(
+        "transform(sequence(1, length(w) - 1), " +
+          "i -> concat(substring(w, i, 1), ' ', substring(w, i + 1, 1)))")).as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("freq")).as("pair_freq"),
+        countDistinct(col("w")).as("n_word_types"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("pair_freq").desc, col("pair"))
+    pairs.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= topK)
+      .select(col("rnk"), col("pair"), col("pair_freq"), col("n_word_types"))
+      .orderBy(col("rnk"))
+  }
+
+  /** CCNet-style perplexity bucketing: documents split into
+    * head/middle/tail tertiles by their unigram-LM cross-entropy
+    * (Wenzek et al. 2020 keep the head, drop the tail). ntile over a
+    * fully tie-broken order (entropy, doc_id) is deterministic;
+    * per-bucket stats aggregate the O(docs) scored table. The rank
+    * window carries three longs per doc — fine to ~1e9 docs; beyond
+    * that swap the exact ntile for entropy-boundary banding (the
+    * ev_rfm pattern), which needs no global order. */
+  def perplexityBuckets(docs: DataFrame, contentCol: String = "text"): DataFrame = {
+    val scored = unigramCrossEntropy(docs, contentCol)
+      .where(col("cross_entropy").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cross_entropy"), col("doc_id"))
+    scored.withColumn("bucket", ntile(3).over(w).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        round(min(col("cross_entropy")), 6).as("min_ce"),
+        round(max(col("cross_entropy")), 6).as("max_ce"))
+      .orderBy(col("bucket"))
+  }
+
   /** Corpus-order n-gram novelty: for each document, how many of its
     * distinct word 8-grams appear in ANY earlier document (doc_id
     * order = ingestion order). The "seen before" set is one global

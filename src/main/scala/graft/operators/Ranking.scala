@@ -132,4 +132,43 @@ object Ranking {
         col("n_tok"), col("cum_tokens"), col("sim"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    * Lafferty 2004) — the LM alternative to BM25:
+    * score(d) = Σ_t ln((tf(t,d) + µ·cf(t)/T) / (|d| + µ)).
+    * Smoothing gives every doc a finite score, so ranking sees the
+    * whole corpus — but the per-doc work is |query| terms: the
+    * exploded corpus is filtered to query terms BEFORE any shuffle
+    * (O(matches) pairs), the corpus LM is |query| rows broadcast,
+    * and non-matching (doc, term) cells materialize only as the
+    * query-term × doc left join, never a token-level cross. Same
+    * round-then-DECIMAL-sum fold as BM25. */
+  def queryLikelihoodTopK(docs: DataFrame, terms: Seq[String] = DefaultTerms,
+                          topK: Int = 20, mu: Int = 2000,
+                          contentCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val t = docs.select(col(idCol).as("doc_id"), tokens(col(contentCol)).as("tk"))
+    val toks = t.select(col("doc_id"), explode(col("tk")).as("w"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    val cf = toks.where(col("w").isin(terms: _*))
+      .groupBy(col("w")).agg(count(lit(1)).as("cf"))
+    val tf = toks.where(col("w").isin(terms: _*))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val termTable = docs.sparkSession.createDataFrame(
+      terms.map(Tuple1(_))).toDF("w")
+    val cells = t.select(col("doc_id"), size(col("tk")).cast("long").as("dl"))
+      .crossJoin(broadcast(termTable))
+      .join(tf, Seq("doc_id", "w"), "left")
+      .join(broadcast(cf), Seq("w"))
+      .crossJoin(broadcast(total))
+    // identical association order in the oracle:
+    //   ln((tf + mu * (cf / T)) / (dl + mu))
+    val term = round(log(
+      (coalesce(col("tf"), lit(0L)) + lit(mu) * (col("cf").cast("double") / col("total"))) /
+        (col("dl") + lit(mu))), 6)
+    cells.withColumn("term_nll", term)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("term_nll").cast("decimal(18,6)")).cast("double").as("qlm"))
+      .orderBy(col("qlm").desc, col("doc_id"))
+      .limit(topK)
+  }
 }
