@@ -534,7 +534,16 @@ object SparkEntry {
     "pipe_scd2" -> ((s, d) => Analytics.scd2Priority(s, d)),
     "ev_range_frame" -> ((s, d) => Events.rangeFrameSum(Tables.events(s, d))),
     "rag_qlm" -> ((s, d) => Ranking.queryLikelihoodTopK(Tables.documents(s, d))),
-    "ev_heavy_hitters" -> ((s, d) => Sketches.cmsHeavyHitters(Tables.events(s, d)))
+    "ev_heavy_hitters" -> ((s, d) => Sketches.cmsHeavyHitters(Tables.events(s, d))),
+    "ann_jl_topk" -> ((s, d) => Similarity.jlTopK(Tables.embeddings(s, d))),
+    "ann_jl_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.recallAtK(Similarity.jlTopK(emb), Similarity.bruteTopK(emb))
+    }),
+    "emb_dim_stats" -> ((s, d) => Similarity.dimStats(Tables.embeddings(s, d))),
+    "dq_benford" -> ((s, d) => Analytics.benfordDigits(s, d)),
+    "q_approx_percentile" -> ((s, d) => Analytics.approxPercentile(s, d)),
+    "txt_html_strip" -> ((s, d) => Quality.htmlStrip(Tables.documents(s, d)))
   )
 
   // ════ DuckDB oracle SQL ════════════════════════════════════════════
@@ -551,6 +560,8 @@ object SparkEntry {
   private def dHex8(x: String) = s"CAST('0x' || substr(md5($x), 1, 8) AS BIGINT)"
   private def dDot(a: String, b: String) =
     s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), i -> $a[i] * $b[i])), (x, y) -> x + y)"
+  private def dDotN(a: String, b: String, n: Int) =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, ${n + 1}), i -> $a[i] * $b[i])), (x, y) -> x + y)"
   private val dDec = "DECIMAL(18,2)"
   private def dRev(p: String, disc: String) =
     s"SUM(CAST($p AS $dDec) * (CAST(1 AS $dDec) - CAST($disc AS $dDec)))"
@@ -778,6 +789,23 @@ object SparkEntry {
   }
 
   /** recall@k of `approx` vs `exact` — mirrors Similarity.recallAtK. */
+  /** JL-projection top-k chain, prefixed (oracle twin of
+    * Similarity.jlTopK): pDim md5-derived planes, rounded projection
+    * values, exact cosine in sketch space. */
+  private def dJlTopCte(pfx: String, nq: Int = 5, k: Int = 10, pDim: Int = 32) =
+    s"""${pfx}p AS (SELECT s, list_transform(range(0, 64),
+       |    i -> CAST(CAST('0x' || substr(md5('jl:' || s || ':' || i), 1, 12) AS BIGINT) AS DOUBLE) / 281474976710656.0 - 0.5) AS pv
+       |  FROM (SELECT unnest(range(0, $pDim)) AS s)),
+       |${pfx}0 AS (SELECT n.id, p.s, round(${dDot("n.v", "p.pv")}, 6) AS yv
+       |  FROM n CROSS JOIN ${pfx}p p),
+       |${pfx}y AS (SELECT id, list(yv ORDER BY s) AS y FROM ${pfx}0 GROUP BY id),
+       |${pfx}n AS (SELECT id, y, sqrt(${dDotN("y", "y", pDim)}) AS nrm FROM ${pfx}y),
+       |${pfx}s AS (SELECT q.id AS query_id, x.id AS neighbor_id,
+       |    round(${dDotN("q.y", "x.y", pDim)} / (q.nrm * x.nrm), 6) AS sim
+       |  FROM ${pfx}n q, ${pfx}n x WHERE q.id < $nq AND x.id <> q.id),
+       |${pfx}r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM ${pfx}s),
+       |$pfx AS (SELECT query_id, neighbor_id, rnk, sim FROM ${pfx}r WHERE rnk <= $k)""".stripMargin
+
   private def dRecallTail(k: Int = 10) =
     s"""hits AS (SELECT a.query_id, count(*) AS n_hits
        |         FROM approx a JOIN exact x ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
@@ -2998,6 +3026,57 @@ object SparkEntry {
          |  FROM probe p JOIN cells c ON c.r = p.r AND c.bucket = p.bucket GROUP BY 1, 2)
          |SELECT user_id, exact_n, CAST(est_n AS BIGINT) AS est_n,
          |  CAST(est_n - exact_n AS BIGINT) AS overcount
-         |FROM est ORDER BY exact_n DESC, user_id""".stripMargin
+         |FROM est ORDER BY exact_n DESC, user_id""".stripMargin,
+
+    "ann_jl_topk" ->
+      s"""$embNormCte,
+         |${dJlTopCte("jl")}
+         |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", sim
+         |FROM jl ORDER BY query_id, "rank"""".stripMargin,
+    "ann_jl_recall" ->
+      s"""$embNormCte,
+         |${dJlTopCte("approx")},
+         |${dBruteCte("exact", 5)},
+         |${dRecallTail()}""".stripMargin,
+    "emb_dim_stats" ->
+      """WITH x AS (SELECT CAST(d.dim AS BIGINT) AS dim,
+        |    round(CAST(embedding[CAST(d.dim AS INT)] AS DOUBLE), 6) AS x
+        |  FROM embeddings, (SELECT unnest(range(1, 65)) AS dim) d),
+        |a AS (SELECT dim, count(*) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS s,
+        |    CAST(SUM(CAST(round(x * x, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sq
+        |  FROM x GROUP BY 1)
+        |SELECT dim, n, round(s / n, 6) AS mean,
+        |  round(sqrt(sq / n - (s / n) * (s / n)), 6) AS std
+        |FROM a ORDER BY dim""".stripMargin,
+    "dq_benford" -> {
+      val expCase = (1 to 9).map(d =>
+        s"WHEN $d THEN CAST(${math.floor(math.log10(1.0 + 1.0 / d) * 1e6).toLong} AS BIGINT)")
+        .mkString("CASE digit ", " ", " END")
+      s"""WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+         |  FROM orders WHERE o_totalprice >= 1.0),
+         |tot AS (SELECT count(*) AS total FROM d),
+         |g AS (SELECT digit, count(*) AS n FROM d GROUP BY 1)
+         |SELECT digit, n, n * 1000000 // total AS obs_ppm,
+         |  $expCase AS exp_ppm,
+         |  (n * 1000000 // total) - $expCase AS dev_ppm
+         |FROM g CROSS JOIN tot ORDER BY digit""".stripMargin
+    },
+    "q_approx_percentile" ->
+      """SELECT l_returnflag, count(*) AS n_rows, CAST(1 AS BIGINT) AS approx_ok
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "txt_html_strip" ->
+      """SELECT doc_id, length(text) AS raw_len,
+        |  CAST(len(regexp_extract_all(text, '<[^>]*>', 0)) AS BIGINT) AS n_tags,
+        |  length(clean_text) AS clean_len,
+        |  (length(text) - length(clean_text)) * 1000000 // greatest(length(text), 1) AS removed_ppm,
+        |  clean_text
+        |FROM (SELECT doc_id, text,
+        |    trim(regexp_replace(replace(replace(replace(replace(
+        |      regexp_replace(text, '<[^>]*>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&amp;', '&'),
+        |      '\s+', ' ', 'g')) AS clean_text
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -435,6 +435,50 @@ object Analytics {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Benford's-law first-digit audit on order totals — the classic
+    * fabricated-data screen: naturally-grown monetary values follow
+    * P(d) = log10(1 + 1/d); synthetic or tampered ones usually
+    * don't. First digit extraction is pure integer/string (floor →
+    * BIGINT → first char), never float log; observed shares are ppm
+    * by integer division; expectations are injected as precomputed
+    * integer literals — bit-exact on both engines. One 9-row
+    * aggregation with map-side partials. */
+  def benfordDigits(spark: SparkSession, dir: String): DataFrame = {
+    val expPpm = (1 to 9).map(d => d.toLong ->
+      math.floor(math.log10(1.0 + 1.0 / d) * 1e6).toLong).toMap
+    val digits = Tables.orders(spark, dir)
+      .where(col("o_totalprice") >= 1.0)
+      .select(substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+        .cast("long").as("digit"))
+    val tot = digits.agg(count(lit(1)).as("total"))
+    digits.groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        expr("n * 1000000 div total").as("obs_ppm"),
+        element_at(typedlit(expPpm), col("digit")).as("exp_ppm"))
+      .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
+      .orderBy(col("digit"))
+  }
+
+  /** Approximate-percentile accuracy contract, the quantile twin of
+    * `approxDistinct`: the t-digest style `approx_percentile` sketch
+    * value is engine-specific, but "the estimate lands within ±2% of
+    * the exact median" is not — per return flag the query emits the
+    * count and the contract verdict, and the oracle expects
+    * approx_ok=1 from its own exact quantile. The approx path is the
+    * 100 TB one (constant-size sketch per group, map-side merge); the
+    * exact percentile here exists only to score it. */
+  def approxPercentile(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("approx_p50"),
+        expr("percentile(l_extendedprice, 0.5)").as("exact_p50"))
+      .select(col("l_returnflag"), col("n_rows"),
+        (abs(col("approx_p50") - col("exact_p50")) <= col("exact_p50") * 0.02)
+          .cast("long").as("approx_ok"))
+      .orderBy(col("l_returnflag"))
+
   /** SCD Type-2 dimension build: each customer's order-priority
     * history collapsed into versioned validity intervals — the
     * slowly-changing-dimension table a lakehouse maintains next to

@@ -522,6 +522,29 @@ object Quality {
       .orderBy(col("doc_id"))
   }
 
+  /** HTML boilerplate stripping — the first pass of every web-corpus
+    * curation stack: drop tags, decode the core entities, collapse
+    * whitespace; report what was removed. Map-only (one regex pass
+    * per doc, whole-stage codegen'd), no shuffle at all; the
+    * patterns are deliberately RE2-safe so the Spark (Java regex)
+    * and oracle (RE2) replays agree byte for byte. */
+  def htmlStrip(docs: DataFrame, contentCol: String = "text"): DataFrame = {
+    val unescaped = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&amp;" -> "&")
+      .foldLeft(regexp_replace(col(contentCol), "<[^>]*>", " ")) {
+        case (c, (ent, ch)) => regexp_replace(c, ent, ch)
+      }
+    docs.select(col("doc_id"),
+        length(col(contentCol)).cast("long").as("raw_len"),
+        size(expr(s"regexp_extract_all($contentCol, '<[^>]*>', 0)")).cast("long").as("n_tags"),
+        trim(regexp_replace(unescaped, "\\s+", " ")).as("clean_text"))
+      .withColumn("clean_len", length(col("clean_text")).cast("long"))
+      .withColumn("removed_ppm",
+        expr("(raw_len - clean_len) * 1000000 div greatest(raw_len, 1)"))
+      .select(col("doc_id"), col("raw_len"), col("n_tags"),
+        col("clean_len"), col("removed_ppm"), col("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** One BPE training step: the weighted adjacent-symbol-pair counts
     * a byte-pair-encoding tokenizer ranks to pick its next merge
     * (Sennrich et al. 2016). Restricted to ASCII-lowercase word

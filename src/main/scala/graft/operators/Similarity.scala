@@ -720,6 +720,60 @@ object Similarity {
       .orderBy(col("dim"))
   }
 
+  /** ANN by Johnson–Lindenstrauss random projection: every vector is
+    * projected onto `pDim` shared md5-derived random directions (the
+    * SAME deterministic construction as the LSH hyperplanes — LSH
+    * keeps each projection's SIGN, JL keeps its rounded VALUE), and
+    * exact cosine top-k runs in the low-dim sketch space: a 4×
+    * smaller compare payload per vector with JL-lemma distortion
+    * bounds instead of LSH's bucketing recall cliff. The plane
+    * matrix is a literal (map-only projection, no shuffle); scoring
+    * reuses the broadcast-query brute shape over the sketches.
+    * Recall vs full-dim brute force is probed by `ann_jl_recall`:
+    * 0.14 at pDim=32 on the sf0.01 near-random synthetic vectors —
+    * the same sketch trade PQ records (0.24); real embedding
+    * corpora, whose neighbors are far better separated, retain far
+    * more. */
+  def jlTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10, pDim: Int = 32,
+             dim: Int = 64, idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    val planes = hyperplanes(pDim, dim, seed = "jl:")
+    val y = array(planes.map(p => round(dot(col(vecCol), typedlit(p)), 6)): _*)
+    val proj = emb.select(col(idCol).as("id"), y.as("v"))
+      .select(col("id"), col("v"), norm(col("v")).as("nrm"))
+    val q = proj.select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+      .where(col("query_id") < nQueries)
+    val scored = proj.join(broadcast(q), col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        round(cosinePrenormed(dot(col("qv"), col("v")), col("qnrm"), col("nrm")), 6).as("sim"))
+    rankTopK(scored, k)
+  }
+
+  /** Per-dimension corpus mean/std — the statistics a whitening /
+    * standardization transform is fit from (and the fastest check
+    * for dead or unscaled embedding dimensions). One posexplode +
+    * one 64-row aggregation: per-dim partials combine map-side, the
+    * exchange carries `dim` rows at any corpus size. Sums fold
+    * rounded terms through DECIMAL (exact, order-independent); the
+    * variance is E[x²] − mean² evaluated with the identical
+    * expression tree on both engines. */
+  def dimStats(emb: DataFrame, dim: Int = 64, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val agg = emb
+      .select(posexplode(col(vecCol)).as(Seq("pos", "x0")))
+      .select((col("pos") + 1).cast("long").as("dim"),
+        round(col("x0").cast("double"), 6).as("x"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(18,6)")).cast("double").as("s"),
+        sum(round(col("x") * col("x"), 6).cast("decimal(18,6)")).cast("double").as("sq"))
+    agg.select(col("dim"), col("n"),
+        round(col("s") / col("n"), 6).as("mean"),
+        round(sqrt(col("sq") / col("n") - (col("s") / col("n")) * (col("s") / col("n"))), 6)
+          .as("std"))
+      .orderBy(col("dim"))
+  }
+
   /** Cosine-similarity histogram over label-blocked pairs: the
     * embedding-collapse diagnostic (a healthy space is spread; a
     * collapsed one piles mass near 1.0). Pairing is BLOCKED on the

@@ -54,7 +54,10 @@ COPY (
     (9012, 'emoji test 😀 rocket 🚀 and some mixed ascii plus ñ and ß endings', 'en', 'adv'),
     (9013, 'COOKIE BANNER' || chr(10) || 'real content thirteen' || chr(10) || 'FOOTER NAV', 'en', 'adv'),
     (9014, 'COOKIE BANNER' || chr(10) || 'real content fourteen' || chr(10) || 'FOOTER NAV', 'en', 'adv'),
-    (9015, 'COOKIE BANNER' || chr(10) || 'real content fifteen' || chr(10) || 'FOOTER NAV', 'en', 'adv'))
+    (9015, 'COOKIE BANNER' || chr(10) || 'real content fifteen' || chr(10) || 'FOOTER NAV', 'en', 'adv'),
+    (9016, '<html><body><p>hello &amp; welcome</p><br/>plain tail</body></html>', 'en', 'adv'),
+    (9017, '<div class="x y">nested <b>bold</b> &lt;escaped tag&gt; &quot;quoted&quot;</div>', 'en', 'adv'),
+    (9018, 'no markup here but a stray &amp;&amp; and a < b comparison', 'en', 'adv'))
   SELECT doc_id, text, lang, source, length(text) AS n_chars FROM base
   UNION ALL
   SELECT doc_id, text, lang, source, length(text) FROM adv
