@@ -543,7 +543,12 @@ object SparkEntry {
     "emb_dim_stats" -> ((s, d) => Similarity.dimStats(Tables.embeddings(s, d))),
     "dq_benford" -> ((s, d) => Analytics.benfordDigits(s, d)),
     "q_approx_percentile" -> ((s, d) => Analytics.approxPercentile(s, d)),
-    "txt_html_strip" -> ((s, d) => Quality.htmlStrip(Tables.documents(s, d)))
+    "txt_html_strip" -> ((s, d) => Quality.htmlStrip(Tables.documents(s, d))),
+    "mm_keyframes" -> ((s, d) =>
+      Multimodal.keyframes(Multimodal.withBinaryPayload(Tables.documents(s, d)))),
+    "ev_time_to_convert" -> ((s, d) => Events.timeToConvert(Tables.events(s, d))),
+    "emb_centroid_shift" -> ((s, d) => Similarity.centroidShift(Tables.embeddings(s, d))),
+    "samp_balanced" -> ((s, d) => Sampling.balancedClasses(Tables.documents(s, d)))
   )
 
   // ════ DuckDB oracle SQL ════════════════════════════════════════════
@@ -3077,6 +3082,61 @@ object SparkEntry {
         |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&amp;', '&'),
         |      '\s+', ' ', 'g')) AS clean_text
         |  FROM documents)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "mm_keyframes" ->
+      """WITH b AS (
+        |  SELECT doc_id, CAST(i // 256 AS BIGINT) AS frame_idx,
+        |    CAST('0x' || substr(hex(encode(text)), CAST(2*i + 1 AS INT), 2) AS INT) AS bv
+        |  FROM (SELECT doc_id, text, unnest(range(0, octet_length(encode(text)))) AS i
+        |        FROM documents)),
+        |f AS (SELECT doc_id, frame_idx,
+        |    CAST(SUM(bv) AS BIGINT) // count(*) AS mean_e FROM b GROUP BY 1, 2),
+        |d AS (SELECT doc_id, frame_idx, mean_e,
+        |    lag(mean_e) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev_e
+        |  FROM f)
+        |SELECT doc_id, frame_idx, mean_e,
+        |  CAST(abs(mean_e - prev_e) AS BIGINT) AS delta
+        |FROM d WHERE prev_e IS NULL OR abs(mean_e - prev_e) > 8
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    "ev_time_to_convert" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, min(us) AS v_us FROM e WHERE event_type = 'view' GROUP BY 1),
+        |dl AS (SELECT e.user_id, min(e.us) - min(v.v_us) AS delta
+        |       FROM e JOIN v ON e.user_id = v.user_id
+        |       WHERE e.event_type = 'purchase' AND e.us >= v.v_us
+        |       GROUP BY 1),
+        |r AS (SELECT *, row_number() OVER (ORDER BY delta, user_id) AS rn FROM dl),
+        |tot AS (SELECT count(*) AS n_users, min(delta) AS min_us, max(delta) AS max_us FROM dl),
+        |med AS (SELECT delta AS median_us FROM r CROSS JOIN tot WHERE rn = (n_users + 1) // 2)
+        |SELECT n_users, min_us, median_us, max_us FROM tot CROSS JOIN med""".stripMargin,
+    "emb_centroid_shift" ->
+      """WITH x AS (SELECT label AS blk, vec_id % 2 AS half, CAST(d.dim AS BIGINT) AS dim,
+        |    round(CAST(embedding[CAST(d.dim AS INT)] AS DOUBLE), 6) AS x
+        |  FROM embeddings, (SELECT unnest(range(1, 65)) AS dim) d),
+        |m AS (SELECT blk, dim,
+        |    CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+        |    CAST(SUM(CASE WHEN half = 0 THEN CAST(x AS DECIMAL(18,6)) END) AS DOUBLE) AS sa,
+        |    CAST(SUM(CASE WHEN half = 1 THEN CAST(x AS DECIMAL(18,6)) END) AS DOUBLE) AS sb
+        |  FROM x GROUP BY 1, 2),
+        |g AS (SELECT blk, na, nb,
+        |    round((round(sa / na, 6) - round(sb / nb, 6))
+        |        * (round(sa / na, 6) - round(sb / nb, 6)), 6) AS sq
+        |  FROM m WHERE na > 0 AND nb > 0)
+        |SELECT blk AS label, min(na) AS n_a, min(nb) AS n_b,
+        |  round(sqrt(CAST(SUM(CAST(sq AS DECIMAL(18,6))) AS DOUBLE)), 6) AS shift
+        |FROM g GROUP BY 1 ORDER BY label""".stripMargin,
+    "samp_balanced" ->
+      """WITH fl AS (SELECT min(cnt) AS floor_n
+        |  FROM (SELECT count(*) AS cnt FROM documents GROUP BY lang)),
+        |r AS (SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5('bal:' || CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_orig,
+        |  CAST(SUM(CASE WHEN rnk <= floor_n THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN rnk <= floor_n THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+        |FROM r CROSS JOIN fl GROUP BY 1 ORDER BY lang""".stripMargin
   )
 }

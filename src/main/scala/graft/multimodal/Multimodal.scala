@@ -107,6 +107,25 @@ object Multimodal {
     }(enc)
   }
 
+  /** Keyframe/scene-change detection over the framed payload: a
+    * frame is a keyframe if it opens the stream or its integer mean
+    * energy jumps more than `threshold` against the previous frame —
+    * the shape a video curation pipeline uses to pick which frames
+    * to caption/embed (a real decoder supplies per-frame luma here;
+    * the byte-energy stub keeps the plumbing testable). Per-doc lag
+    * window only — embarrassingly parallel at any corpus size. */
+  def keyframes(media: DataFrame, frameLen: Int = 256, threshold: Long = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    frameEnergy(media, frameLen)
+      .withColumn("mean_e", expr("energy div n_bytes"))
+      .withColumn("prev_e", lag(col("mean_e"), 1).over(w))
+      .withColumn("delta", abs(col("mean_e") - col("prev_e")))
+      .where(col("prev_e").isNull || col("delta") > threshold)
+      .select(col("doc_id"), col("frame_idx"), col("mean_e"), col("delta"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   /** Deterministic stand-in for an image/audio decoder: 16-bin byte
     * histogram. Replace with a real codec (e.g. JNI-bound) without
     * touching the plumbing above. */

@@ -46,16 +46,21 @@ object Curation {
       sum(col("f2")).as("d2"), sum(col("f2") * col("n_tok")).as("t2"),
       sum(col("f3")).as("d3"), sum(col("f3") * col("n_tok")).as("t3"),
       sum(col("f4")).as("d4"), sum(col("f4") * col("n_tok")).as("t4"))
-    Seq(("0", "raw"), ("1", "langid"), ("2", "gopher"),
-        ("3", "repetition"), ("4", "dedup"))
-      .map { case (i, name) =>
+    // the 5 stage rows explode out of the ONE aggregate row — a
+    // union of per-stage projections would re-run the whole funnel
+    // per stage (no subplan reuse across union branches)
+    val stages = array(
+      Seq(("0", "raw"), ("1", "langid"), ("2", "gopher"),
+          ("3", "repetition"), ("4", "dedup")).map { case (i, name) =>
         // an empty stage reports NULL tokens (sum over no rows), not
         // the conditional-sum's 0 — matching the per-stage oracle
-        agg.select(lit(i.toLong).as("stage"), lit(name).as("name"),
+        struct(lit(i.toLong).as("stage"), lit(name).as("name"),
           col(s"d$i").as("n_docs"),
           when(col(s"d$i") > 0, col(s"t$i")).cast("long").as("n_tokens"))
-      }
-      .reduce(_ unionByName _)
+      }: _*)
+    agg.select(explode(stages).as("s"))
+      .select(col("s.stage").as("stage"), col("s.name").as("name"),
+        col("s.n_docs").as("n_docs"), col("s.n_tokens").as("n_tokens"))
       .orderBy(col("stage"))
   }
 }

@@ -354,6 +354,35 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** Time-to-convert distribution: per user, microseconds from the
+    * first `fromType` event to the first `toType` event at-or-after
+    * it; reported as count/min/median/max over converting users. The
+    * median is percentile_disc-style — the actual element at rank
+    * ⌈n/2⌉ under the fully tie-broken (delta, user_id) order — so it
+    * is integer-exact, never interpolated. The per-user reduction is
+    * two filtered aggregations; only the O(converting users) delta
+    * table sees the ranking window. */
+  def timeToConvert(events: DataFrame, fromType: String = "view",
+                    toType: String = "purchase"): DataFrame = {
+    val e = events.select(col("user_id"), col("event_type"),
+      expr("unix_micros(ts)").as("us"))
+    val v = e.where(col("event_type") === fromType)
+      .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
+    val deltas = e.where(col("event_type") === toType)
+      .join(v, "user_id").where(col("us") >= col("v_us"))
+      .groupBy(col("user_id"))
+      .agg((min(col("us")) - min(col("v_us"))).as("delta"))
+    val w = Window.orderBy(col("delta"), col("user_id"))
+    val ranked = deltas.withColumn("rn", row_number().over(w).cast("long"))
+    val tot = deltas.agg(count(lit(1)).as("n_users"),
+      min(col("delta")).as("min_us"), max(col("delta")).as("max_us"))
+    val med = ranked.crossJoin(broadcast(tot))
+      .where(col("rn") === expr("(n_users + 1) div 2"))
+      .select(col("delta").as("median_us"))
+    tot.crossJoin(med)
+      .select(col("n_users"), col("min_us"), col("median_us"), col("max_us"))
+  }
+
   /** Time-RANGE window frame: per event, the sum/count of the same
     * user's events in the trailing `windowMinutes` — a true RANGE
     * frame over event-time microseconds, not a row-count frame

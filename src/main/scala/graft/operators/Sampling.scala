@@ -50,6 +50,31 @@ object Sampling {
     * (equal docs per source regardless of source sizes). The window
     * partitions by the stratum, so groups rank in parallel; the
     * ranked input is one row per DOC, not per token. */
+  /** Class-balanced downsampling: every class keeps exactly the size
+    * of the SMALLEST class, chosen by hash rank within the class
+    * (deterministic, retry-stable) — the classic rebalance before
+    * training a classifier on skewed labels. The floor is one tiny
+    * counts aggregate broadcast back; ranking is a per-class window
+    * (O(class size) state, parallel across classes). Returns the
+    * per-class audit (n_orig, n_kept, plus the kept-id checksum so
+    * the oracle pins WHICH rows survived, not just how many). */
+  def balancedClasses(df: DataFrame, byCol: String = "lang",
+                      keyCol: String = "doc_id", salt: String = "bal"): DataFrame = {
+    val floor = df.groupBy(col(byCol)).agg(count(lit(1)).as("n_orig"))
+      .agg(min(col("n_orig")).as("floor_n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(byCol))
+      .orderBy(md5(concat(lit(s"$salt:"), col(keyCol))), col(keyCol))
+    df.select(col(byCol), col(keyCol))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(floor))
+      .groupBy(col(byCol))
+      .agg(count(lit(1)).as("n_orig"),
+        sum(when(col("rnk") <= col("floor_n"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rnk") <= col("floor_n"), col(keyCol)).otherwise(lit(0L)))
+          .as("kept_id_sum"))
+      .orderBy(col(byCol))
+  }
+
   def stratifiedN(df: DataFrame, n: Int, byCol: String = "source",
                   keyCol: String = "doc_id", salt: String = "sn"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(byCol))

@@ -774,6 +774,45 @@ object Similarity {
       .orderBy(col("dim"))
   }
 
+  /** Embedding-drift monitor: per label, the L2 distance between the
+    * centroids of two deterministic corpus halves (vec_id parity
+    * stands in for the before/after snapshots a production monitor
+    * compares). A healthy encoder + stable corpus keeps the shift
+    * near 0; re-embedding with a changed model or a data shift moves
+    * it. Both halves' per-dim sums pivot out of one conditional
+    * aggregation (map-side partials → O(labels·dim) rows); the
+    * per-dim squared gaps are rounded then DECIMAL-summed, so the
+    * distance is partition-independent. */
+  def centroidShift(emb: DataFrame, idCol: String = "vec_id",
+                    vecCol: String = "embedding", by: String = "label"): DataFrame = {
+    // both halves pivot out of ONE aggregation pass (conditional
+    // sums), not two filtered scans of the exploded corpus
+    emb
+      .select(col(by).as("blk"), (col(idCol) % 2).as("half"),
+        posexplode(col(vecCol)).as(Seq("pos", "x0")))
+      .select(col("blk"), col("half"), (col("pos") + 1).cast("long").as("dim"),
+        round(col("x0").cast("double"), 6).as("x"))
+      .groupBy(col("blk"), col("dim"))
+      .agg(
+        sum(when(col("half") === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("nb"),
+        sum(when(col("half") === 0, col("x").cast("decimal(18,6)")))
+          .cast("double").as("sa"),
+        sum(when(col("half") === 1, col("x").cast("decimal(18,6)")))
+          .cast("double").as("sb"))
+      .where(col("na") > 0 && col("nb") > 0)
+      .select(col("blk"), col("na"), col("nb"),
+        round(col("sa") / col("na"), 6).as("ma"),
+        round(col("sb") / col("nb"), 6).as("mb"))
+      .select(col("blk"), col("na"), col("nb"),
+        round((col("ma") - col("mb")) * (col("ma") - col("mb")), 6).as("sq"))
+      .groupBy(col("blk"))
+      .agg(min(col("na")).as("n_a"), min(col("nb")).as("n_b"),
+        round(sqrt(sum(col("sq").cast("decimal(18,6)")).cast("double")), 6).as("shift"))
+      .select(col("blk").as(by), col("n_a"), col("n_b"), col("shift"))
+      .orderBy(col(by))
+  }
+
   /** Cosine-similarity histogram over label-blocked pairs: the
     * embedding-collapse diagnostic (a healthy space is spread; a
     * collapsed one piles mass near 1.0). Pairing is BLOCKED on the
