@@ -548,7 +548,11 @@ object SparkEntry {
       Multimodal.keyframes(Multimodal.withBinaryPayload(Tables.documents(s, d)))),
     "ev_time_to_convert" -> ((s, d) => Events.timeToConvert(Tables.events(s, d))),
     "emb_centroid_shift" -> ((s, d) => Similarity.centroidShift(Tables.embeddings(s, d))),
-    "samp_balanced" -> ((s, d) => Sampling.balancedClasses(Tables.documents(s, d)))
+    "samp_balanced" -> ((s, d) => Sampling.balancedClasses(Tables.documents(s, d))),
+    "txt_rake" -> ((s, d) => Quality.rakeKeywords(Tables.documents(s, d))),
+    "txt_script_mix" -> ((s, d) => Quality.scriptMix(Tables.documents(s, d))),
+    "ev_cum_users" -> ((s, d) => Events.cumulativeDistinctUsers(Tables.events(s, d))),
+    "ev_cohort_revenue" -> ((s, d) => Events.cohortRevenue(Tables.events(s, d)))
   )
 
   // ════ DuckDB oracle SQL ════════════════════════════════════════════
@@ -3137,6 +3141,61 @@ object SparkEntry {
         |SELECT lang, count(*) AS n_orig,
         |  CAST(SUM(CASE WHEN rnk <= floor_n THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  CAST(SUM(CASE WHEN rnk <= floor_n THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
-        |FROM r CROSS JOIN fl GROUP BY 1 ORDER BY lang""".stripMargin
+        |FROM r CROSS JOIN fl GROUP BY 1 ORDER BY lang""".stripMargin,
+
+    "txt_rake" ->
+      s"""WITH tk AS (SELECT doc_id, i - 1 AS pos, tok FROM (
+         |    SELECT doc_id, tkl, unnest(range(1, len(tkl) + 1)) AS i,
+         |           tkl[CAST(i AS INT)] AS tok
+         |    FROM (SELECT doc_id, ${dToks("lower(text)")} AS tkl FROM documents))
+         |  WHERE regexp_matches(tok, '^[a-z]+$$')),
+         |ns AS (SELECT doc_id, pos, tok,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM tk WHERE tok NOT IN ('the','a','an','and','or','of','to','in','is','on','for','with','as','at','by','it')),
+         |phr AS (SELECT doc_id, grp, string_agg(tok, ' ' ORDER BY pos) AS phrase,
+         |    count(*) AS plen
+         |  FROM ns GROUP BY 1, 2 HAVING count(*) <= 4),
+         |wrd AS (SELECT plen, unnest(string_split(phrase, ' ')) AS w FROM phr),
+         |ws AS (SELECT w, round(CAST(CAST(SUM(plen) AS BIGINT) AS DOUBLE) / count(*), 6) AS wscore
+         |  FROM wrd GROUP BY 1),
+         |ph AS (SELECT phrase, count(*) AS n_occur, min(plen) AS plen FROM phr GROUP BY 1),
+         |sc AS (SELECT p.phrase, p.n_occur, CAST(p.plen AS BIGINT) AS plen,
+         |    CAST(SUM(CAST(ws.wscore AS DECIMAL(18,6))) AS DOUBLE) AS score
+         |  FROM (SELECT phrase, n_occur, plen, unnest(string_split(phrase, ' ')) AS w FROM ph) p
+         |  JOIN ws ON ws.w = p.w
+         |  GROUP BY 1, 2, 3)
+         |SELECT phrase, n_occur, plen, score FROM sc
+         |ORDER BY score DESC, phrase LIMIT 20""".stripMargin,
+    "txt_script_mix" ->
+      """WITH c AS (SELECT source, CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_letter,
+        |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+        |    CAST(length(text) - length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_space,
+        |    CAST(length(text) - length(regexp_replace(text, '[\x{4E00}-\x{9FFF}]', '', 'g')) AS BIGINT) AS n_cjk
+        |  FROM documents)
+        |SELECT source, CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        |  CAST(SUM(n_letter) AS BIGINT) AS n_letter,
+        |  CAST(SUM(n_digit) AS BIGINT) AS n_digit,
+        |  CAST(SUM(n_space) AS BIGINT) AS n_space,
+        |  CAST(SUM(n_cjk) AS BIGINT) AS n_cjk,
+        |  CAST(SUM(n_chars - n_letter - n_digit - n_space - n_cjk) AS BIGINT) AS n_other
+        |FROM c GROUP BY 1 ORDER BY source""".stripMargin,
+    "ev_cum_users" ->
+      """WITH fd AS (SELECT user_id, min(strftime(ts, '%Y-%m-%d')) AS day
+        |  FROM events GROUP BY 1),
+        |daily AS (SELECT day, count(*) AS new_users FROM fd GROUP BY 1)
+        |SELECT day, new_users,
+        |  CAST(SUM(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+        |FROM daily ORDER BY day""".stripMargin,
+    "ev_cohort_revenue" ->
+      """WITH fw AS (SELECT user_id, min(date_trunc('week', ts)) AS cohort
+        |  FROM events GROUP BY 1)
+        |SELECT strftime(fw.cohort, '%Y-%m-%d') AS cohort_week,
+        |  CAST(date_diff('day', fw.cohort, date_trunc('week', e.ts)) // 7 AS BIGINT) AS week_offset,
+        |  count(DISTINCT e.user_id) AS n_buyers,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM events e JOIN fw ON e.user_id = fw.user_id
+        |WHERE e.event_type = 'purchase'
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
   )
 }

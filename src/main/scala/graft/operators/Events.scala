@@ -354,6 +354,40 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** Cumulative distinct users per day. Windowed COUNT(DISTINCT) is
+    * unsupported (and would be quadratic anyway); the standard
+    * rewrite is first-seen-day per user + a running sum of the daily
+    * news — one user-keyed aggregation over the corpus, then an
+    * O(days) window. */
+  def cumulativeDistinctUsers(events: DataFrame): DataFrame = {
+    val daily = events
+      .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .groupBy(col("user_id")).agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.withColumn("cum_users", sum(col("new_users")).over(w))
+      .orderBy(col("day"))
+  }
+
+  /** Cohort lifetime revenue: purchase value by signup-week cohort ×
+    * weeks-since-signup — the retention-revenue matrix a growth team
+    * reads. Cohort is each user's first-seen week (one user-keyed
+    * aggregation); revenue joins back on user and buckets by exact
+    * integer week offset; money sums through DECIMAL. */
+  def cohortRevenue(events: DataFrame): DataFrame = {
+    val firstWeek = events.groupBy(col("user_id"))
+      .agg(min(date_trunc("week", col("ts"))).as("cohort"))
+    events.where(col("event_type") === "purchase")
+      .join(firstWeek, "user_id")
+      .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+        (datediff(date_trunc("week", col("ts")), col("cohort")).cast("long") / 7)
+          .cast("long").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_buyers"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("revenue"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   /** Time-to-convert distribution: per user, microseconds from the
     * first `fromType` event to the first `toType` event at-or-after
     * it; reported as count/min/median/max over converting users. The

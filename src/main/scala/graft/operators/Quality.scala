@@ -545,6 +545,72 @@ object Quality {
       .orderBy(col("doc_id"))
   }
 
+  /** RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    * are maximal stopword-free token runs; each word scores
+    * degree/freq over the phrase corpus (degree = total length of
+    * phrases it appears in) and a phrase scores the sum of its
+    * words' scores. Everything through phrase assembly is per-doc
+    * (gaps-and-islands window over token positions); the word-stat
+    * and phrase-score aggregations hash on word/phrase with map-side
+    * partials, and the final top-k is TakeOrdered — no global sort
+    * materializes. Word scores are rounded then DECIMAL-summed. */
+  def rakeKeywords(docs: DataFrame, contentCol: String = "text", topK: Int = 20,
+                   maxPhraseLen: Int = 4): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), posexplode(tokens(lower(col(contentCol)))).as(Seq("pos", "tok")))
+      .where(col("tok").rlike("^[a-z]+$"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val phrases = toks.where(!col("tok").isin(Stopwords: _*))
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+        x => x("tok")), " ").as("phrase"),
+        count(lit(1)).as("plen"))
+      .where(col("plen") <= maxPhraseLen)
+    val words = phrases.select(col("plen"), explode(split(col("phrase"), " ")).as("w"))
+    val wstats = words.groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("degree"))
+      .select(col("w"), round(col("degree").cast("double") / col("freq"), 6).as("wscore"))
+    val ph = phrases.groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occur"), min(col("plen")).as("plen"))
+    ph.select(col("phrase"), col("n_occur"), col("plen"),
+        explode(split(col("phrase"), " ")).as("w"))
+      .join(wstats, "w")
+      .groupBy(col("phrase"), col("n_occur"), col("plen"))
+      .agg(sum(col("wscore").cast("decimal(18,6)")).cast("double").as("score"))
+      .orderBy(col("score").desc, col("phrase"))
+      .limit(topK)
+  }
+
+  /** Character-class profile per source: letters / digits /
+    * whitespace / CJK / other counts — the cheap encoding-damage and
+    * language-mix screen (a "en" source suddenly heavy in `other` is
+    * mojibake; CJK mass in a Latin corpus is mislabeled routing).
+    * Class counts are length-minus-stripped (one regex pass per
+    * class, map-only, codegen'd); one small aggregation per source. */
+  def scriptMix(docs: DataFrame, contentCol: String = "text"): DataFrame = {
+    def cnt(pattern: String) =
+      (length(col(contentCol)) -
+        length(regexp_replace(col(contentCol), pattern, ""))).cast("long")
+    docs
+      .select(col("source"),
+        length(col(contentCol)).cast("long").as("n_chars"),
+        cnt("[A-Za-z]").as("n_letter"),
+        cnt("[0-9]").as("n_digit"),
+        cnt("\\s").as("n_space"),
+        cnt("[\\x{4E00}-\\x{9FFF}]").as("n_cjk"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_chars")).as("n_chars"),
+        sum(col("n_letter")).as("n_letter"),
+        sum(col("n_digit")).as("n_digit"),
+        sum(col("n_space")).as("n_space"),
+        sum(col("n_cjk")).as("n_cjk"),
+        sum(col("n_chars") - col("n_letter") - col("n_digit") -
+          col("n_space") - col("n_cjk")).as("n_other"))
+      .orderBy(col("source"))
+  }
+
   /** One BPE training step: the weighted adjacent-symbol-pair counts
     * a byte-pair-encoding tokenizer ranks to pick its next merge
     * (Sennrich et al. 2016). Restricted to ASCII-lowercase word

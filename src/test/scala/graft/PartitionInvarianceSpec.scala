@@ -147,4 +147,32 @@ class PartitionInvarianceSpec extends SparkSpec {
       Medallion.upsertByKey(docs, upd).orderBy("doc_id")
     }(Tables.documents(spark, sf))
   }
+
+  test("substring runs are partition-invariant (per-doc islands)") {
+    invariant("substrings")(Dedup.substringRuns(_))(Tables.documents(spark, sf))
+  }
+
+  test("cms heavy hitters are partition-invariant (md5 buckets, integer cells)") {
+    invariant("cms")(Sketches.cmsHeavyHitters(_))(Tables.events(spark, sf))
+  }
+
+  test("jl projection top-k is partition-invariant (rounded sketch cosines)") {
+    invariant("jl")(Similarity.jlTopK(_))(Tables.embeddings(spark, sf))
+  }
+
+  test("balanced sampling is partition-invariant (hash ranks)") {
+    invariant("balanced")(Sampling.balancedClasses(_))(Tables.documents(spark, sf))
+  }
+
+  test("rake keywords are partition-invariant (decimal word-score sums)") {
+    invariant("rake")(Quality.rakeKeywords(_))(Tables.documents(spark, sf))
+  }
+
+  test("centroid shift is partition-invariant (decimal per-dim sums)") {
+    invariant("centroid-shift")(Similarity.centroidShift(_))(Tables.embeddings(spark, sf))
+  }
+
+  test("query likelihood is partition-invariant (decimal term sums)") {
+    invariant("qlm")(Ranking.queryLikelihoodTopK(_))(Tables.documents(spark, sf))
+  }
 }

@@ -180,4 +180,29 @@ class PlanShapeSpec extends SparkSpec {
     // partkey agg + join back + final global agg
     assert(dataShuffles(df) <= 3)
   }
+
+  test("cms: the 256-cell sketch broadcasts onto the probe, never sort-merges") {
+    val df = SparkEntry.queries("ev_heavy_hitters")(spark, sf)
+    assert(count(df, _.isInstanceOf[SortMergeJoinExec]) == 0)
+    assert(count(df, _.isInstanceOf[BroadcastHashJoinExec]) >= 1)
+  }
+
+  test("qlm: corpus LM and totals broadcast; the corpus never sort-merges") {
+    val df = SparkEntry.queries("rag_qlm")(spark, sf)
+    assert(count(df, _.isInstanceOf[SortMergeJoinExec]) == 0)
+  }
+
+  test("jl: the plane matrix is a literal — projection adds no shuffle") {
+    val df = SparkEntry.queries("ann_jl_topk")(spark, sf)
+    // corpus->sketch is map-only; the only data exchanges are the
+    // broadcast of the 5 queries and the top-k partial aggregation
+    assert(count(df, _.isInstanceOf[SortMergeJoinExec]) == 0)
+    assert(dataShuffles(df) <= 2)
+  }
+
+  test("benford: digit agg + scalar total + 9-row output sort, nothing more") {
+    val df = SparkEntry.queries("dq_benford")(spark, sf)
+    assert(dataShuffles(df) <= 3)
+    assert(count(df, _.isInstanceOf[SortMergeJoinExec]) == 0)
+  }
 }
