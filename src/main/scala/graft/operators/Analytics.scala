@@ -488,10 +488,16 @@ object Analytics {
     * with the next version's start. Every window partitions by
     * custkey — O(orders per customer) state, embarrassingly
     * parallel; the open interval gets the sentinel 9999-12-31. */
-  def scd2Priority(spark: SparkSession, dir: String): DataFrame = {
+  def scd2Priority(spark: SparkSession, dir: String): DataFrame =
+    scd2Of(Tables.orders(spark, dir))
+
+  /** Core SCD2 build over any orders-shaped input — shared by the
+    * batch query and the streaming incremental maintainer (which
+    * re-runs it per micro-batch on just the touched customers). */
+  def scd2Of(orders: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
-    val seg = Tables.orders(spark, dir)
+    val seg = orders
       .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .withColumn("chg",
         when(lag(col("o_orderpriority"), 1).over(w).isNull ||

@@ -250,4 +250,34 @@ object StreamingEvents {
         done.result().iterator
     }
   }
+
+  /** Streaming count-min sketch cells — the online form of
+    * `Sketches.cmsHeavyHitters`'s build stage: the running
+    * (row, bucket) counts as a plain streaming aggregation. State is
+    * the depth×width cell grid (256 longs) FOREVER, regardless of
+    * stream length or key cardinality — the sketch IS the bounded
+    * state, which is why it needs no watermark. Cells equal the
+    * batch build on the same prefix (spec-pinned). */
+  def cmsCellsStream(stream: DataFrame, keyCol: String = "user_id",
+                     depth: Int = 4, width: Int = 64): DataFrame =
+    stream.select(col(keyCol).as("k"))
+      .select(col("k"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .select(col("r"), pmod(graft.functions.HashFunctions.md5Long(col("r"), col("k")),
+        lit(width)).as("bucket"))
+      .groupBy(col("r"), col("bucket")).count()
+
+  /** Streaming first-seen users per day — the online form of
+    * `Events.cumulativeDistinctUsers`'s daily-news stage:
+    * dropDuplicates on user keeps each user's FIRST event (arrival
+    * order), then a day-keyed count. Equal to the batch operator
+    * whenever per-user arrival respects event time (the exactness
+    * contract of every first-seen rewrite; out-of-order first events
+    * would need `dropDuplicatesWithinWatermark` + reconciliation).
+    * State is one row per user — the same O(distinct users) any
+    * exact distinct count pays. */
+  def newUsersByDayStream(stream: DataFrame): DataFrame =
+    stream
+      .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .dropDuplicates("user_id")
+      .groupBy(col("day")).count()
 }
