@@ -552,7 +552,22 @@ object SparkEntry {
     "txt_rake" -> ((s, d) => Quality.rakeKeywords(Tables.documents(s, d))),
     "txt_script_mix" -> ((s, d) => Quality.scriptMix(Tables.documents(s, d))),
     "ev_cum_users" -> ((s, d) => Events.cumulativeDistinctUsers(Tables.events(s, d))),
-    "ev_cohort_revenue" -> ((s, d) => Events.cohortRevenue(Tables.events(s, d)))
+    "ev_cohort_revenue" -> ((s, d) => Events.cohortRevenue(Tables.events(s, d))),
+    "ann_pq_code_hist" -> ((s, d) => Similarity.pqCodeHist(Tables.embeddings(s, d))),
+    // recall of the LSH banding path against the blocked-exact
+    // Jaccard reference at the same τ — the dedup twin of the ANN
+    // recall probes (how many true near-dup pairs does banding find?)
+    "dedup_lsh_recall" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val truth = Dedup.ngramJaccardPairs(docs, tau = 0.5)
+        .select(col("id_a"), col("id_b"))
+      val found = Dedup.minhashLshPairs(docs).select(col("id_a"), col("id_b"))
+      val nT = truth.agg(count(lit(1)).as("n_true"))
+      val nH = truth.join(found, Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      nT.crossJoin(nH).select(col("n_true"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_true")).as("recall"))
+    })
   )
 
   // ════ DuckDB oracle SQL ════════════════════════════════════════════
@@ -733,17 +748,25 @@ object SparkEntry {
        |${pfx}r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM ${pfx}s),
        |$pfx AS (SELECT query_id, neighbor_id FROM ${pfx}r WHERE rnk <= $k)""".stripMargin
 
-  private def dPqTopCte(pfx: String, nq: Int = 3, k: Int = 10) = {
-    def dot8(a: String, b: String) =
-      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 9), i -> $a[i] * $b[i])), (x, y) -> x + y)"
+  private def dDot8(a: String, b: String) =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 9), i -> $a[i] * $b[i])), (x, y) -> x + y)"
+
+  /** PQ subspace-encode fragment (subs → cb → enc → codes), shared
+    * by the PQ top-k/recall chains and the codebook-utilization
+    * histogram. */
+  private def dPqEncCte(pfx: String) =
     s"""${pfx}subs AS (SELECT id, m.sub, list_slice(v, m.sub * 8 + 1, m.sub * 8 + 8) AS sv
        |         FROM n, (SELECT unnest(range(0, 8)) AS sub) m),
        |${pfx}cb AS (SELECT id AS code, sub, sv AS cv FROM ${pfx}subs WHERE id < 16),
        |${pfx}enc AS (SELECT s.id, s.sub, cb.code,
        |          row_number() OVER (PARTITION BY s.id, s.sub
-       |            ORDER BY round((${dot8("s.sv", "s.sv")} - 2.0 * ${dot8("s.sv", "cb.cv")}) + ${dot8("cb.cv", "cb.cv")}, 6), cb.code) AS rnk
+       |            ORDER BY round((${dDot8("s.sv", "s.sv")} - 2.0 * ${dDot8("s.sv", "cb.cv")}) + ${dDot8("cb.cv", "cb.cv")}, 6), cb.code) AS rnk
        |        FROM ${pfx}subs s JOIN ${pfx}cb cb ON s.sub = cb.sub),
-       |${pfx}codes AS (SELECT id, sub, code FROM ${pfx}enc WHERE rnk = 1),
+       |${pfx}codes AS (SELECT id, sub, code FROM ${pfx}enc WHERE rnk = 1)""".stripMargin
+
+  private def dPqTopCte(pfx: String, nq: Int = 3, k: Int = 10) = {
+    def dot8(a: String, b: String) = dDot8(a, b)
+    s"""${dPqEncCte(pfx)},
        |${pfx}lut AS (SELECT s.id AS query_id, s.sub, cb.code, round(${dot8("s.sv", "cb.cv")}, 6) AS lv
        |        FROM ${pfx}subs s JOIN ${pfx}cb cb ON s.sub = cb.sub WHERE s.id < $nq),
        |${pfx}sc AS (SELECT l.query_id, c.id AS neighbor_id,
@@ -3196,6 +3219,44 @@ object SparkEntry {
         |  CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM events e JOIN fw ON e.user_id = fw.user_id
         |WHERE e.event_type = 'purchase'
-        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "ann_pq_code_hist" ->
+      s"""$embNormCte,
+         |${dPqEncCte("ph")}
+         |SELECT CAST(sub AS BIGINT) AS sub, code, count(*) AS n_vecs
+         |FROM phcodes GROUP BY 1, 2 ORDER BY sub, code""".stripMargin,
+    "dedup_lsh_recall" ->
+      s"""$shingleCte,
+         |ex AS (SELECT id, unnest(shh) AS sg FROM sets),
+         |hot AS (SELECT sg FROM ex GROUP BY sg HAVING count(*) > 50),
+         |blocked AS (SELECT id, sg FROM ex WHERE sg NOT IN (SELECT sg FROM hot)),
+         |tc AS (SELECT a.id AS id_a, b.id AS id_b
+         |       FROM blocked a JOIN blocked b ON a.sg = b.sg AND a.id < b.id
+         |       GROUP BY 1, 2 HAVING count(*) >= 2),
+         |tverify AS (SELECT id_a, id_b, CAST(len(list_intersect(x.shh, y.shh)) AS BIGINT) AS inter,
+         |       len(x.shh) AS sa, len(y.shh) AS sb
+         |       FROM tc JOIN sets x ON x.id = id_a JOIN sets y ON y.id = id_b),
+         |tpairs AS (SELECT id_a, id_b FROM tverify
+         |       WHERE round(CAST(inter AS DOUBLE) / CAST(sa + sb - inter AS DOUBLE), 4) >= 0.5),
+         |sigs AS (SELECT id, shh, list_transform(range(0, 16), s ->
+         |  list_min(list_transform(shh, m ->
+         |    ((2 * s + 1) * (m % 2147483647) + s * 7919 + 1) % 2147483647))) AS sig FROM sets),
+         |bandk AS (SELECT id, bi,
+         |  ${dHex12("array_to_string(list_slice(sig, bi * 4 + 1, bi * 4 + 4), ',')")} AS bkey
+         |  FROM sigs, (SELECT unnest(range(0, 4)) AS bi) bb),
+         |lc AS (SELECT DISTINCT k1.id AS id_a, k2.id AS id_b
+         |       FROM bandk k1 JOIN bandk k2 ON k1.bi = k2.bi AND k1.bkey = k2.bkey AND k1.id < k2.id),
+         |lverify AS (SELECT id_a, id_b, CAST(len(list_intersect(x.shh, y.shh)) AS BIGINT) AS inter,
+         |       len(x.shh) AS sa, len(y.shh) AS sb
+         |       FROM lc JOIN sets x ON x.id = id_a JOIN sets y ON y.id = id_b),
+         |lpairs AS (SELECT id_a, id_b FROM lverify
+         |       WHERE round(CAST(inter AS DOUBLE) / CAST(sa + sb - inter AS DOUBLE), 4) >= 0.5),
+         |nt AS (SELECT count(*) AS n_true FROM tpairs),
+         |nh AS (SELECT count(*) AS n_hit FROM tpairs t
+         |       WHERE EXISTS (SELECT 1 FROM lpairs l
+         |                     WHERE l.id_a = t.id_a AND l.id_b = t.id_b))
+         |SELECT n_true, n_hit, CAST(n_hit AS DOUBLE) / n_true AS recall
+         |FROM nt CROSS JOIN nh""".stripMargin
   )
 }

@@ -397,6 +397,28 @@ object Similarity {
     pqTopKWith(e, cb, nQueries, k, m, subDim)
   }
 
+  /** PQ codebook utilization histogram: vectors per (subspace, code)
+    * — the index-health diagnostic (dead codewords mean wasted
+    * quantization range; one hot codeword means the subspace carries
+    * no information and ADC scores degenerate). Same broadcast
+    * encode as `pqTopK`, then one m·nCodes-row aggregation with
+    * map-side partials. */
+  def pqCodeHist(emb: DataFrame, m: Int = 8, nCodes: Int = 16,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val subDim = 64 / m
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val cb = subVectors(e.where(col("id") < nCodes), m, subDim, "cv")
+      .select(col("id").as("code"), col("sub"), col("cv"))
+    subVectors(e, m, subDim, "sv").join(broadcast(cb), "sub")
+      .select(col("id"), col("sub"), col("code"), pqL2.as("l2"))
+      .groupBy(col("id"), col("sub"))
+      .agg(min(struct(col("l2"), col("code"))).as("best"))
+      .select(col("sub").cast("long").as("sub"), col("best.code").as("code"))
+      .groupBy(col("sub"), col("code"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy(col("sub"), col("code"))
+  }
+
   /** Lloyd-fitted PQ codebooks: per subspace, `iters` rounds of
     * encode → per-dim DECIMAL-mean over the members of each code —
     * k-means in every 8-dim subspace at once (the (sub, code) pair

@@ -42,6 +42,32 @@ class Round4Wave5Spec extends SparkSpec {
     assert(out.sliding(2).forall { case Array(a, b) => a._3 < b._3; case _ => true })
   }
 
+  test("pq code histogram: every vector is encoded exactly once per subspace") {
+    val emb = Tables.embeddings(spark, sf)
+    val out = graft.operators.Similarity.pqCodeHist(emb).cache()
+    val n = emb.count()
+    // per subspace the histogram sums to the corpus size
+    val bySub = out.groupBy($"sub").agg(sum($"n_vecs").as("t"))
+    assert(bySub.where($"t" =!= n).isEmpty)
+    assert(out.where($"code" < 0 || $"code" >= 16).isEmpty)
+    out.unpersist()
+  }
+
+  test("lsh dedup recall: hits never exceed truth; exact duplicates are always found") {
+    val r = SparkEntry.queries("dedup_lsh_recall")(spark, sf)
+      .as[(Long, Long, Double)].head()
+    assert(r._2 <= r._1 && r._3 >= 0.0 && r._3 <= 1.0)
+    // two exact duplicates share every band — banding must find them
+    val syn = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "totally different words that never overlap with those above")
+    ).toDF("doc_id", "text")
+    val found = graft.operators.Dedup.minhashLshPairs(syn)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(found == Set((1L, 2L)))
+  }
+
   test("cohort revenue: week offsets are non-negative; totals match the raw sum") {
     val out = Events.cohortRevenue(Tables.events(spark, sf)).cache()
     assert(out.where($"week_offset" < 0).isEmpty)
