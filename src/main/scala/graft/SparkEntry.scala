@@ -567,7 +567,11 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_hit"))
       nT.crossJoin(nH).select(col("n_true"), col("n_hit"),
         (col("n_hit").cast("double") / col("n_true")).as("recall"))
-    })
+    }),
+    "emb_hard_negatives" -> ((s, d) => Similarity.hardNegatives(Tables.embeddings(s, d))),
+    "rag_eval_mrr" -> ((s, d) => Similarity.mrrAtK(Tables.embeddings(s, d))),
+    "txt_interp_lm" -> ((s, d) =>
+      Quality.interpolatedCrossEntropy(Tables.documents(s, d)))
   )
 
   // ════ DuckDB oracle SQL ════════════════════════════════════════════
@@ -3257,6 +3261,55 @@ object SparkEntry {
          |       WHERE EXISTS (SELECT 1 FROM lpairs l
          |                     WHERE l.id_a = t.id_a AND l.id_b = t.id_b))
          |SELECT n_true, n_hit, CAST(n_hit AS DOUBLE) / n_true AS recall
-         |FROM nt CROSS JOIN nh""".stripMargin
+         |FROM nt CROSS JOIN nh""".stripMargin,
+
+    "emb_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id AS id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT id, label, v, sqrt(${dDot("v", "v")}) AS nrm FROM e),
+         |s AS (SELECT q.id AS query_id, x.id AS neighbor_id,
+         |    round(${dDot("q.v", "x.v")} / (q.nrm * x.nrm), 6) AS sim
+         |  FROM n q, n x WHERE q.id < 5 AND x.id <> q.id AND x.label <> q.label),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
+         |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", sim
+         |FROM r WHERE rnk <= 5 ORDER BY query_id, "rank"""".stripMargin,
+    "rag_eval_mrr" ->
+      s"""WITH e AS (SELECT vec_id AS id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT id, label, v, sqrt(${dDot("v", "v")}) AS nrm FROM e),
+         |${dBruteCte("top", 5)},
+         |fr AS (SELECT t.query_id, min(t.rnk) AS first_rel
+         |       FROM topr t JOIN n a ON a.id = t.neighbor_id
+         |                   JOIN n b ON b.id = t.query_id
+         |       WHERE t.rnk <= 10 AND a.label = b.label GROUP BY 1),
+         |qs AS (SELECT id AS query_id FROM n WHERE id < 5),
+         |rr AS (SELECT q.query_id,
+         |    COALESCE(round(CAST(1.0 AS DOUBLE) / fr.first_rel, 6), 0.0) AS rr
+         |  FROM qs q LEFT JOIN fr ON q.query_id = fr.query_id)
+         |SELECT count(*) AS n_queries,
+         |  CAST(SUM(CAST(rr AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mrr
+         |FROM rr""".stripMargin,
+    "txt_interp_lm" ->
+      s"""WITH tk AS (SELECT doc_id, ${dToks("text")} AS tk FROM documents),
+         |pairs AS (SELECT doc_id, p.prev, p.w FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+         |      i -> {'prev': tk[i], 'w': tk[i+1]})) AS p
+         |    FROM tk WHERE len(tk) >= 2)),
+         |c2 AS (SELECT prev, w, count(*) AS c2 FROM pairs GROUP BY 1, 2),
+         |c1 AS (SELECT prev, SUM(c2) AS c1 FROM c2 GROUP BY 1),
+         |uni AS (SELECT w, count(*) AS cu
+         |  FROM (SELECT unnest(${dToks("text")}) AS w FROM documents) GROUP BY 1),
+         |tot AS (SELECT SUM(cu) AS total FROM uni),
+         |rate AS (SELECT c2.prev, c2.w,
+         |    round(-ln(0.5 * (CAST(c2.c2 AS DOUBLE) / c1.c1)
+         |            + 0.5 * (CAST(u.cu AS DOUBLE) / t.total)), 6) AS nll
+         |  FROM c2 JOIN c1 ON c2.prev = c1.prev
+         |          JOIN uni u ON u.w = c2.w CROSS JOIN tot t),
+         |pd AS (SELECT p.doc_id, count(*) AS n_bigrams,
+         |    CAST(SUM(CAST(r.nll AS DECIMAL(18,6))) AS DOUBLE) AS nll_sum
+         |  FROM pairs p JOIN rate r ON p.prev = r.prev AND p.w = r.w
+         |  GROUP BY 1)
+         |SELECT d.doc_id, CAST(COALESCE(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |  pd.nll_sum, pd.nll_sum / pd.n_bigrams AS cross_entropy
+         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+         |ORDER BY d.doc_id""".stripMargin
   )
 }

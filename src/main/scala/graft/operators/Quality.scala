@@ -270,6 +270,44 @@ object Quality {
       .orderBy(col("doc_id"))
   }
 
+  /** Jelinek–Mercer interpolated LM cross-entropy: per-bigram
+    * p = λ·p(w|prev) + (1−λ)·p(w), λ = 0.5 — the smoothing that
+    * makes a bigram perplexity filter robust where raw conditional
+    * estimates are sparse (every curation stack interpolates; raw
+    * bigram LMs overfit rare prefixes). Same shapes as
+    * `bigramCrossEntropy` plus one broadcast unigram-rate join;
+    * identical rounded-term DECIMAL fold. */
+  def interpolatedCrossEntropy(docs: DataFrame, contentCol: String = "text"): DataFrame = {
+    val pairs = docs
+      .select(col("doc_id"), tokens(col(contentCol)).as("tk"))
+      .where(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(tk) - 1), " +
+          "i -> struct(element_at(tk, i) AS prev, element_at(tk, i + 1) AS w))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.prev").as("prev"), col("p.w").as("w"))
+    val c2 = pairs.groupBy(col("prev"), col("w")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("prev")).agg(sum(col("c2")).as("c1"))
+    val uni = docs.select(explode(tokens(col(contentCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val total = uni.agg(sum(col("cu")).as("total"))
+    val rate = c2.join(c1, "prev").join(uni, "w").crossJoin(broadcast(total))
+      .select(col("prev"), col("w"),
+        round(-log(
+          lit(0.5) * (col("c2").cast("double") / col("c1")) +
+            lit(0.5) * (col("cu").cast("double") / col("total"))), 6).as("nll"))
+    val perDoc = pairs.join(rate, Seq("prev", "w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("nll").cast("decimal(18,6)")).cast("double").as("nll_sum"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("nll_sum"), (col("nll_sum") / col("n_bigrams")).as("cross_entropy"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Jensen–Shannon divergence between two sources' unigram
     * distributions — the vocabulary-level corpus-drift metric (a
     * symmetric, bounded complement to the length-KS drift).

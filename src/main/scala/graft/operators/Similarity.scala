@@ -397,6 +397,55 @@ object Similarity {
     pqTopKWith(e, cb, nQueries, k, m, subDim)
   }
 
+  /** Hard-negative mining for contrastive embedding training: per
+    * query, the top-k most-similar vectors with a DIFFERENT label —
+    * the negatives that actually teach a bi-encoder something
+    * (random negatives are trivially separable; Karpukhin et al.
+    * 2020). Same broadcast-query scoring as `bruteTopK` with the
+    * label-mismatch predicate fused into the join, so same-label
+    * rows never reach the ranker. */
+  def hardNegatives(emb: DataFrame, nQueries: Int = 5, k: Int = 5,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    val e = emb.select(col(idCol).as("id"), col(labelCol).as("lbl"),
+      col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+    val q = e.select(col("id").as("query_id"), col("lbl").as("qlbl"),
+        col("v").as("qv"), col("nrm").as("qnrm"))
+      .where(col("query_id") < nQueries)
+    val scored = e.join(broadcast(q),
+        col("query_id") =!= col("id") && col("qlbl") =!= col("lbl"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        round(cosinePrenormed(dot(col("qv"), col("v")), col("qnrm"), col("nrm")), 6).as("sim"))
+    rankTopK(scored, k)
+  }
+
+  /** Retrieval evaluation: mean reciprocal rank @ `depth` of the
+    * exact cosine retrieval, with "relevant = shares the query's
+    * label" as ground truth (the standard proxy when no click data
+    * exists). Per query the RR is 1/rank of the first same-label
+    * neighbor (0 if none in the top `depth`); ranks are integers on
+    * 6dp-rounded tie-broken similarity, so the metric is exact. */
+  def mrrAtK(emb: DataFrame, nQueries: Int = 5, depth: Int = 10,
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             labelCol: String = "label"): DataFrame = {
+    val labels = emb.select(col(idCol).as("neighbor_id"), col(labelCol).as("nlbl"))
+    val qlabels = emb.select(col(idCol).as("query_id"), col(labelCol).as("qlbl"))
+      .where(col("query_id") < nQueries)
+    val firstRel = bruteTopK(emb, nQueries, depth, idCol, vecCol)
+      .join(broadcast(labels), "neighbor_id")
+      .join(broadcast(qlabels), "query_id")
+      .where(col("nlbl") === col("qlbl"))
+      .groupBy(col("query_id")).agg(min(col("rank")).as("first_rel"))
+    qlabels.select(col("query_id"))
+      .join(firstRel, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(round(lit(1.0) / col("first_rel"), 6), lit(0.0)).as("rr"))
+      .groupBy()
+      .agg(count(lit(1)).as("n_queries"),
+        (sum(col("rr").cast("decimal(18,6)")).cast("double") / count(lit(1)))
+          .as("mrr"))
+  }
+
   /** PQ codebook utilization histogram: vectors per (subspace, code)
     * — the index-health diagnostic (dead codewords mean wasted
     * quantization range; one hot codeword means the subspace carries
