@@ -571,7 +571,10 @@ object SparkEntry {
     "emb_hard_negatives" -> ((s, d) => Similarity.hardNegatives(Tables.embeddings(s, d))),
     "rag_eval_mrr" -> ((s, d) => Similarity.mrrAtK(Tables.embeddings(s, d))),
     "txt_interp_lm" -> ((s, d) =>
-      Quality.interpolatedCrossEntropy(Tables.documents(s, d)))
+      Quality.interpolatedCrossEntropy(Tables.documents(s, d))),
+    "txt_collocations" -> ((s, d) => Quality.collocations(Tables.documents(s, d))),
+    "samp_coverage" -> ((s, d) => Quality.sampleCoverage(Tables.documents(s, d))),
+    "ev_pareto" -> ((s, d) => Events.paretoShare(Tables.events(s, d)))
   )
 
   // ════ DuckDB oracle SQL ════════════════════════════════════════════
@@ -3310,6 +3313,47 @@ object SparkEntry {
          |SELECT d.doc_id, CAST(COALESCE(pd.n_bigrams, 0) AS BIGINT) AS n_bigrams,
          |  pd.nll_sum, pd.nll_sum / pd.n_bigrams AS cross_entropy
          |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
-         |ORDER BY d.doc_id""".stripMargin
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "txt_collocations" ->
+      s"""WITH tk AS (SELECT doc_id, ${dToks("lower(text)")} AS tk FROM documents),
+         |pairs AS (SELECT p.a, p.b FROM (
+         |    SELECT unnest(list_transform(range(1, len(tk)),
+         |      i -> {'a': tk[i], 'b': tk[i+1]})) AS p
+         |    FROM tk WHERE len(tk) >= 2)),
+         |cab AS (SELECT a, b, count(*) AS cab FROM pairs
+         |        GROUP BY 1, 2 HAVING count(*) >= 5),
+         |uni AS (SELECT w, count(*) AS cu
+         |  FROM (SELECT unnest(${dToks("lower(text)")}) AS w FROM documents) GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(cu) AS BIGINT) AS total FROM uni),
+         |sc AS (SELECT cab.a, cab.b, cab.cab,
+         |    round(ln((CAST(t.total AS DOUBLE) * cab.cab)
+         |            / (CAST(ua.cu AS DOUBLE) * ub.cu)), 6) AS pmi
+         |  FROM cab JOIN uni ua ON ua.w = cab.a
+         |           JOIN uni ub ON ub.w = cab.b CROSS JOIN tot t)
+         |SELECT a, b, cab, pmi FROM sc ORDER BY pmi DESC, a, b LIMIT 20""".stripMargin,
+    "samp_coverage" ->
+      s"""WITH smp AS (SELECT w, count(*) AS cs FROM (
+         |    SELECT unnest(${dToks("lower(text)")}) AS w FROM documents
+         |    WHERE CAST('0x' || substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) % 100 < 10)
+         |  GROUP BY 1),
+         |f AS (SELECT w, count(*) AS cf
+         |  FROM (SELECT unnest(${dToks("lower(text)")}) AS w FROM documents) GROUP BY 1),
+         |j AS (SELECT f.w, f.cf, smp.cs FROM f LEFT JOIN smp ON smp.w = f.w)
+         |SELECT count(*) AS vocab_full,
+         |  CAST(SUM(CASE WHEN cs IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS vocab_sampled,
+         |  CAST(SUM(CASE WHEN cs IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // count(*) AS vocab_ppm,
+         |  CAST(SUM(cf) AS BIGINT) AS tokens_full,
+         |  CAST(SUM(COALESCE(cs, 0)) AS BIGINT) AS tokens_sampled,
+         |  CAST(SUM(COALESCE(cs, 0)) AS BIGINT) * 1000000 // CAST(SUM(cf) AS BIGINT) AS token_ppm
+         |FROM j""".stripMargin,
+    "ev_pareto" ->
+      """WITH pu AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+        |r AS (SELECT *, ntile(10) OVER (ORDER BY n DESC, user_id) AS decile FROM pu),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM pu)
+        |SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n_users,
+        |  CAST(SUM(n) AS BIGINT) AS n_events,
+        |  CAST(SUM(n) AS BIGINT) * 1000000 // t.total AS share_ppm
+        |FROM r CROSS JOIN tot t GROUP BY 1, t.total ORDER BY decile""".stripMargin
   )
 }

@@ -354,6 +354,24 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** Activity concentration (Pareto audit): the share of all events
+    * generated by the top decile of users — the "is 10% of the
+    * corpus 90% of the traffic?" check that decides whether per-user
+    * capping is needed before training on behavioral data. Users
+    * rank by exact (count, user_id) ntile over the O(users)
+    * aggregate; shares are integer ppm. */
+  def paretoShare(events: DataFrame): DataFrame = {
+    val perUser = events.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("n").desc, col("user_id"))
+    val ranked = perUser.withColumn("decile", ntile(10).over(w).cast("long"))
+    ranked.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n")).as("n_events"))
+      .crossJoin(broadcast(perUser.agg(sum(col("n")).as("total"))))
+      .select(col("decile"), col("n_users"), col("n_events"),
+        expr("n_events * 1000000 div total").as("share_ppm"))
+      .orderBy(col("decile"))
+  }
+
   /** Cumulative distinct users per day. Windowed COUNT(DISTINCT) is
     * unsupported (and would be quadratic anyway); the standard
     * rewrite is first-seen-day per user + a running sum of the daily

@@ -270,6 +270,64 @@ object Quality {
       .orderBy(col("doc_id"))
   }
 
+  /** Collocation extraction by pointwise mutual information over
+    * adjacent token pairs: PMI = ln(N·c(a,b) / (c(a)·c(b))) — the
+    * "new york"-finder (Church & Hanks 1990), and the signal behind
+    * phrase-aware tokenizer vocabularies. Support floor `minCount`
+    * keeps the estimate stable (PMI of rare pairs explodes).
+    * Bigram and unigram tables each build in one hash shuffle; the
+    * PMI join runs over the O(bigram-vocab) table only; top-k is
+    * TakeOrdered. The ln's argument is assembled in one fixed shape
+    * (N·c(a,b)) / (c(a)·c(b)) on both engines. */
+  def collocations(docs: DataFrame, contentCol: String = "text",
+                   topK: Int = 20, minCount: Int = 5): DataFrame = {
+    val pairs = docs
+      .select(col("doc_id"), tokens(lower(col(contentCol))).as("tk"))
+      .where(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(tk) - 1), " +
+          "i -> struct(element_at(tk, i) AS a, element_at(tk, i + 1) AS b))"))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val cab = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+      .where(col("cab") >= minCount)
+    val uni = docs.select(explode(tokens(lower(col(contentCol)))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val total = uni.agg(sum(col("cu")).as("total"))
+    cab
+      .join(uni.select(col("w").as("a"), col("cu").as("ca")), "a")
+      .join(uni.select(col("w").as("b"), col("cu").as("cb")), "b")
+      .crossJoin(broadcast(total))
+      .select(col("a"), col("b"), col("cab"),
+        round(log((col("total").cast("double") * col("cab")) /
+          (col("ca").cast("double") * col("cb"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("a"), col("b"))
+      .limit(topK)
+  }
+
+  /** Sampling-loss audit: what share of the corpus vocabulary (and
+    * token mass) survives a p% deterministic sample — the cheap
+    * answer to "what does downsampling cost the tokenizer / the long
+    * tail?". Both sides reduce to vocab-keyed tables (one shuffle);
+    * shares are exact integer ppm. */
+  def sampleCoverage(docs: DataFrame, pct: Int = 10,
+                     contentCol: String = "text"): DataFrame = {
+    val sampled = graft.operators.Sampling.hashSample(docs, pct)
+      .select(explode(tokens(lower(col(contentCol)))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cs"))
+    val full = docs.select(explode(tokens(lower(col(contentCol)))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cf"))
+    full.join(sampled, Seq("w"), "left")
+      .agg(count(lit(1)).as("vocab_full"),
+        sum(when(col("cs").isNotNull, 1L).otherwise(0L)).as("vocab_sampled"),
+        sum(col("cf")).as("tokens_full"),
+        sum(coalesce(col("cs"), lit(0L))).as("tokens_sampled"))
+      .select(col("vocab_full"), col("vocab_sampled"),
+        expr("vocab_sampled * 1000000 div vocab_full").as("vocab_ppm"),
+        col("tokens_full"), col("tokens_sampled"),
+        expr("tokens_sampled * 1000000 div tokens_full").as("token_ppm"))
+  }
+
   /** Jelinek–Mercer interpolated LM cross-entropy: per-bigram
     * p = λ·p(w|prev) + (1−λ)·p(w), λ = 0.5 — the smoothing that
     * makes a bigram perplexity filter robust where raw conditional

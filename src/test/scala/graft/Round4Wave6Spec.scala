@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Quality, Similarity}
+import graft.operators.{Events, Quality, Similarity}
 import org.apache.spark.sql.functions._
 
 /** Semantic guards for the sixth round-4 wave: hard-negative mining,
@@ -29,6 +29,37 @@ class Round4Wave6Spec extends SparkSpec {
     val syn = vecs.toDF("vec_id", "embedding", "label")
     val one = Similarity.mrrAtK(syn).as[(Long, Double)].head()
     assert(one == ((5L, 1.0)))
+  }
+
+  test("collocations: a planted glued pair dominates by PMI") {
+    // "quantum entanglement" always adjacent; filler words everywhere
+    val filler = "one two three four five six seven eight nine ten"
+    val syn = (1L to 10L).map(i => (i, s"$filler quantum entanglement $filler"))
+      .toDF("doc_id", "text")
+    val top = Quality.collocations(syn, minCount = 5)
+      .as[(String, String, Long, Double)].collect()
+    assert(top.head._1 == "quantum" && top.head._2 == "entanglement")
+    // PMI of an always-together pair ~ ln(N / c) > any filler pair
+    assert(top.head._4 > top(1)._4)
+  }
+
+  test("sample coverage: sampling keeps a subset of vocab and token mass") {
+    val r = Quality.sampleCoverage(Tables.documents(spark, sf))
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(r._2 <= r._1 && r._5 <= r._4)
+    assert(r._3 > 0 && r._3 <= 1000000 && r._6 > 0 && r._6 <= 1000000)
+    // coverage of vocab (types) exceeds coverage of nothing and the
+    // sample is ~10% of mass, so token share lands well under vocab share
+    assert(r._3 >= r._6, "type coverage should exceed token-mass share at 10%")
+  }
+
+  test("pareto: decile shares sum to ~1e6 and decile 1 dominates decile 10") {
+    val out = Events.paretoShare(Tables.events(spark, sf))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.map(_._1).toSeq == (1L to 10L))
+    val tot = out.map(_._4).sum
+    assert(tot > 999990 && tot <= 1000000)
+    assert(out.head._3 >= out.last._3)
   }
 
   test("interpolated LM: between pure-bigram and pure-unigram on predictable text") {
