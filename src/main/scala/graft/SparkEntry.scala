@@ -574,7 +574,10 @@ object SparkEntry {
       Quality.interpolatedCrossEntropy(Tables.documents(s, d))),
     "txt_collocations" -> ((s, d) => Quality.collocations(Tables.documents(s, d))),
     "samp_coverage" -> ((s, d) => Quality.sampleCoverage(Tables.documents(s, d))),
-    "ev_pareto" -> ((s, d) => Events.paretoShare(Tables.events(s, d)))
+    "ev_pareto" -> ((s, d) => Events.paretoShare(Tables.events(s, d))),
+    "dedup_winnowing" -> ((s, d) =>
+      Dedup.winnowingFingerprints(Tables.documents(s, d))),
+    "ev_stationary" -> ((s, d) => Events.stationaryStep(Tables.events(s, d)))
   )
 
   // ════ DuckDB oracle SQL ════════════════════════════════════════════
@@ -3354,6 +3357,39 @@ object SparkEntry {
         |SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n_users,
         |  CAST(SUM(n) AS BIGINT) AS n_events,
         |  CAST(SUM(n) AS BIGINT) * 1000000 // t.total AS share_ppm
-        |FROM r CROSS JOIN tot t GROUP BY 1, t.total ORDER BY decile""".stripMargin
+        |FROM r CROSS JOIN tot t GROUP BY 1, t.total ORDER BY decile""".stripMargin,
+
+    "dedup_winnowing" ->
+      s"""WITH tks AS (SELECT doc_id, ${dToks("text")} AS tk FROM documents),
+         |sh AS (SELECT doc_id, ${dShinglesN("tk", 5)} AS shl FROM tks),
+         |grams AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         |    ${dHex8("shl[CAST(i AS INT)]")} * 1048576 + (i - 1) AS kh
+         |  FROM (SELECT doc_id, shl, unnest(range(1, len(shl) + 1)) AS i
+         |        FROM sh WHERE len(shl) > 0)),
+         |mw AS (SELECT doc_id, pos, min(kh) OVER (PARTITION BY doc_id ORDER BY pos
+         |         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m FROM grams),
+         |fps AS (SELECT DISTINCT doc_id, m FROM mw WHERE pos >= 3),
+         |pd AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY 1),
+         |sel AS (SELECT doc_id, count(*) AS n_fps,
+         |        CAST(SUM(m) AS BIGINT) AS fp_checksum FROM fps GROUP BY 1)
+         |SELECT d.doc_id, CAST(COALESCE(pd.n_grams, 0) AS BIGINT) AS n_grams,
+         |  CAST(COALESCE(sel.n_fps, 0) AS BIGINT) AS n_fps,
+         |  CAST(COALESCE(sel.fp_checksum, 0) AS BIGINT) AS fp_checksum
+         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+         |LEFT JOIN sel ON d.doc_id = sel.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "ev_stationary" ->
+      """WITH bu AS (SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events),
+        |pr AS (SELECT prev_type, event_type, count(*) AS n FROM bu
+        |       WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |p AS (SELECT prev_type, event_type,
+        |    round(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+        |  FROM pr),
+        |k AS (SELECT count(DISTINCT prev_type) AS k FROM p)
+        |SELECT event_type,
+        |  CAST(SUM(CAST(round(p / k.k, 6) AS DECIMAL(18,6))) AS DOUBLE) AS pi1
+        |FROM p CROSS JOIN k GROUP BY 1 ORDER BY event_type""".stripMargin
   )
 }

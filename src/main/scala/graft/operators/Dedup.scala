@@ -424,6 +424,66 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Winnowing document fingerprints (Schleimer et al., SIGMOD 2003
+    * — the MOSS algorithm): slide a window of `w` consecutive
+    * n-gram hashes and keep each window's minimum; the selected
+    * (hash, position) set is a fingerprint with a guaranteed match
+    * on any shared run of w+n−1 tokens, at ~2/(w+1) the density of
+    * full hashing. Hash and position pack into one long
+    * (32-bit hash · 2²⁰ + position) so the window min is a single
+    * totally-ordered value — identical tie-breaking on both engines
+    * (position caps at 2²⁰ grams per doc, far beyond any real
+    * document). Per-doc windows only; the fingerprint set is the
+    * cross-corpus join key for plagiarism-style matching. */
+  private def winnowingPacked(docs: DataFrame, contentCol: String = "text",
+                              n: Int = 5, w: Int = 4,
+                              idCol: String = "doc_id"): DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(shingles(tokens(col(contentCol)), n)).as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        (md5Int(col("g")) * lit(1048576L) + col("pos")).as("kh"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(-(w - 1), 0)
+    val fps = grams
+      .withColumn("m", min(col("kh")).over(win))
+      .where(col("pos") >= w - 1)
+      .select(col("doc_id"), col("m")).distinct()
+    fps
+  }
+
+  /** The selected fingerprint set itself, hash and position decoded —
+    * the cross-corpus join key for plagiarism-style matching (match
+    * on `fp_hash`; `fp_pos` localizes the hit inside the doc). */
+  def winnowingFingerprintSet(docs: DataFrame, contentCol: String = "text",
+                              n: Int = 5, w: Int = 4,
+                              idCol: String = "doc_id"): DataFrame =
+    winnowingPacked(docs, contentCol, n, w, idCol)
+      .select(col("doc_id"),
+        (col("m") / 1048576L).cast("long").as("fp_hash"),
+        (col("m") % 1048576L).as("fp_pos"))
+
+  def winnowingFingerprints(docs: DataFrame, contentCol: String = "text",
+                            n: Int = 5, w: Int = 4,
+                            idCol: String = "doc_id"): DataFrame = {
+    val grams = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(shingles(tokens(col(contentCol)), n)).as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        (md5Int(col("g")) * lit(1048576L) + col("pos")).as("kh"))
+    val fps = winnowingPacked(docs, contentCol, n, w, idCol)
+    val perDoc = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val sel = fps.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fps"), sum(col("m")).as("fp_checksum"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left").join(sel, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_fps"), lit(0L)).as("n_fps"),
+        coalesce(col("fp_checksum"), lit(0L)).as("fp_checksum"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Cross-document duplicated-substring spans (the detection half of
     * Lee et al. 2022's exact substring dedup): for each doc, its
     * longest run of consecutive token positions whose n-gram also

@@ -147,6 +147,25 @@ object Events {
       .orderBy(col("prev_type"), col("event_type"))
   }
 
+  /** One power-iteration step toward the Markov chain's stationary
+    * distribution: π₁ = π₀·P from uniform π₀ over the event-type
+    * transition matrix — where user journeys concentrate in the
+    * long run. The matrix is O(types²) rows (tiny at any corpus
+    * size once `transitions` has aggregated); probabilities are
+    * rounded 6dp and the mass sums fold through DECIMAL, so the
+    * step is exact cross-engine. */
+  def stationaryStep(events: DataFrame): DataFrame = {
+    val t = transitions(events)
+      .select(col("prev_type"), col("event_type"), round(col("p"), 6).as("p"))
+    val nStates = t.select(col("prev_type")).distinct()
+      .agg(count(lit(1)).as("k"))
+    t.crossJoin(broadcast(nStates))
+      .groupBy(col("event_type"))
+      .agg(sum(round(col("p") / col("k"), 6).cast("decimal(18,6)"))
+        .cast("double").as("pi1"))
+      .orderBy(col("event_type"))
+  }
+
   /** Hopping (sliding) window aggregation via Spark's native
     * `window(ts, size, slide)`: each event lands in size/slide
     * windows (2 here), exploded map-side — the streaming-native

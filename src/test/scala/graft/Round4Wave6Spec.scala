@@ -62,6 +62,30 @@ class Round4Wave6Spec extends SparkSpec {
     assert(out.head._3 >= out.last._3)
   }
 
+  test("winnowing: shared runs of w+n-1 tokens guarantee a shared fingerprint") {
+    val run = (1 to 8).map(i => s"shared$i").mkString(" ") // 8 ≥ w+n−1 = 8
+    val syn = Seq(
+      (1L, s"prefix words here $run and a suffix tail"),
+      (2L, s"$run with completely different surrounding words instead"),
+      (3L, "no overlap in this one at all whatsoever today")).toDF("doc_id", "text")
+    val audit = graft.operators.Dedup.winnowingFingerprints(syn)
+    assert(audit.where($"n_fps" > $"n_grams").isEmpty)
+    assert(audit.where($"n_fps" === 0).isEmpty)
+    // the guarantee: docs 1 and 2 share a fingerprint HASH; doc 3 none
+    val fps = graft.operators.Dedup.winnowingFingerprintSet(syn)
+    def hashes(id: Long) = fps.where($"doc_id" === id)
+      .select($"fp_hash").as[Long].collect().toSet
+    assert((hashes(1L) & hashes(2L)).nonEmpty)
+    assert((hashes(1L) & hashes(3L)).isEmpty)
+  }
+
+  test("stationary step: pi1 is a probability vector (sums to ~1)") {
+    val out = Events.stationaryStep(Tables.events(spark, sf)).as[(String, Double)].collect()
+    val mass = out.map(_._2).sum
+    assert(math.abs(mass - 1.0) < 1e-3, s"mass $mass")
+    assert(out.forall(_._2 >= 0.0))
+  }
+
   test("interpolated LM: between pure-bigram and pure-unigram on predictable text") {
     val docs = Tables.documents(spark, sf)
     val bi = Quality.bigramCrossEntropy(docs)
