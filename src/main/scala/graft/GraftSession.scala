@@ -22,6 +22,10 @@ object GraftSession {
     "spark.sql.autoBroadcastJoinThreshold" -> (64L * 1024 * 1024).toString,
     "spark.sql.parquet.filterPushdown" -> "true",
     "spark.sql.parquet.aggregatePushdown" -> "true",
+    // static conf: only binds when the session is BUILT with it (the
+    // adopted-session path below swallows the runtime-set failure);
+    // brings the graft_* SQL functions and the FuseMd5Prefix rule
+    "spark.sql.extensions" -> "graft.plans.GraftExtensions",
   )
 
   def builder(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession.Builder = {

@@ -41,9 +41,11 @@ object GraftFunctions {
 
 /** `spark.sql.extensions` injector. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", name), builder))
     }
+    e.injectOptimizerRule(_ => FuseMd5Prefix)
+  }
 }

@@ -117,6 +117,24 @@ object NativeExprs {
     override protected def withNewChildInternal(c: Expression): SimHash32 = copy(child = c)
   }
 
+  /** Fused md5 prefix over a BINARY input: one digest + integer fold
+    * instead of the composed hex-string round trip
+    * `CAST(conv(substring(md5(x), 1, hexLen), 16, 10) AS BIGINT)`.
+    * Bit-identical to that chain for hexLen 12 (48-bit) and 8
+    * (32-bit) — `FuseMd5Prefix` rewrites the composed form to this
+    * node in every optimized plan. */
+  case class Md5Prefix(child: Expression, hexLen: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(hexLen == 12 || hexLen == 8, "only the 48/32-bit prefixes are fused")
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any = {
+      val bytes = v.asInstanceOf[Array[Byte]]
+      if (hexLen == 12) md5Prefix48(bytes) else md5Prefix32(bytes)
+    }
+    override def prettyName: String = "graft_md5_prefix"
+    override protected def withNewChildInternal(c: Expression): Md5Prefix = copy(child = c)
+  }
+
   /** Map each string element to its 48-bit md5 prefix — the hashed
     * shingle representation (long compares beat string compares in
     * every downstream join/intersect). */
