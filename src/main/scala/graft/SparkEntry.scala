@@ -577,6 +577,8 @@ object SparkEntry {
     "ev_pareto" -> ((s, d) => Events.paretoShare(Tables.events(s, d))),
     "dedup_winnowing" -> ((s, d) =>
       Dedup.winnowingFingerprints(Tables.documents(s, d))),
+    "dedup_fp_matches" -> ((s, d) =>
+      Dedup.winnowingMatches(Tables.documents(s, d))),
     "ev_stationary" -> ((s, d) => Events.stationaryStep(Tables.events(s, d)))
   )
 
@@ -3378,6 +3380,24 @@ object SparkEntry {
          |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
          |LEFT JOIN sel ON d.doc_id = sel.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    "dedup_fp_matches" ->
+      s"""WITH tks AS (SELECT doc_id, ${dToks("text")} AS tk FROM documents),
+         |sh AS (SELECT doc_id, ${dShinglesN("tk", 5)} AS shl FROM tks),
+         |grams AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         |    ${dHex8("shl[CAST(i AS INT)]")} * 1048576 + (i - 1) AS kh
+         |  FROM (SELECT doc_id, shl, unnest(range(1, len(shl) + 1)) AS i
+         |        FROM sh WHERE len(shl) > 0)),
+         |mw AS (SELECT doc_id, pos, min(kh) OVER (PARTITION BY doc_id ORDER BY pos
+         |         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m FROM grams),
+         |fpsall AS (SELECT DISTINCT doc_id, m // 1048576 AS fp_hash
+         |           FROM mw WHERE pos >= 3),
+         |hot AS (SELECT fp_hash FROM fpsall GROUP BY 1 HAVING count(*) > 50),
+         |blocked AS (SELECT doc_id, fp_hash FROM fpsall
+         |            WHERE fp_hash NOT IN (SELECT fp_hash FROM hot))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+         |FROM blocked a JOIN blocked b
+         |  ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY id_a, id_b""".stripMargin,
     "ev_stationary" ->
       """WITH bu AS (SELECT event_type,
         |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type

@@ -463,6 +463,29 @@ object Dedup {
         (col("m") / 1048576L).cast("long").as("fp_hash"),
         (col("m") % 1048576L).as("fp_pos"))
 
+  /** Cross-document fingerprint matches — the MOSS-style plagiarism
+    * pair report: documents sharing ≥ `minShared` winnowing
+    * fingerprint hashes, with the shared count as the evidence
+    * weight. The pair join blocks on the fingerprint hash (each hash
+    * joins only its own posting list, never corpus×corpus) and a
+    * df cap drops corpus-boilerplate hashes the same way the
+    * Jaccard blocker drops hot shingles. */
+  def winnowingMatches(docs: DataFrame, contentCol: String = "text",
+                       n: Int = 5, w: Int = 4, minShared: Int = 2,
+                       maxDf: Int = 50, idCol: String = "doc_id"): DataFrame = {
+    val fps = winnowingFingerprintSet(docs, contentCol, n, w, idCol)
+      .select(col("doc_id"), col("fp_hash")).distinct()
+    val hot = fps.groupBy(col("fp_hash")).agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf).select(col("fp_hash"))
+    val blocked = fps.join(broadcast(hot), Seq("fp_hash"), "left_anti")
+    blocked.as("a").join(blocked.as("b"),
+        col("a.fp_hash") === col("b.fp_hash") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   def winnowingFingerprints(docs: DataFrame, contentCol: String = "text",
                             n: Int = 5, w: Int = 4,
                             idCol: String = "doc_id"): DataFrame = {

@@ -22,6 +22,21 @@ object Sketches {
     * cells onto the topK candidate rows. The exact-count pass exists
     * only for the verification report; a production pipeline ships
     * the 256-cell sketch alone. */
+  /** CMS point query: estimate each candidate key's count from an
+    * existing cell table (e.g. the streaming build's state or a
+    * persisted sketch) — min over the key's depth bucket counts.
+    * The cells broadcast; keys never touch the raw stream. */
+  def cmsEstimate(cells: DataFrame, keys: DataFrame, keyCol: String = "user_id",
+                  depth: Int = 4, width: Int = 64): DataFrame =
+    keys.select(col(keyCol).as("k"))
+      .select(col("k"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .withColumn("bucket", pmod(md5Long(col("r"), col("k")), lit(width)))
+      .join(broadcast(cells), Seq("r", "bucket"))
+      .groupBy(col("k"))
+      .agg(min(col("c")).as("est_n"))
+      .select(col("k").as(keyCol), col("est_n"))
+      .orderBy(col(keyCol))
+
   def cmsHeavyHitters(events: DataFrame, keyCol: String = "user_id",
                       depth: Int = 4, width: Int = 64, topK: Int = 20): DataFrame = {
     val cells = events.select(col(keyCol).as("k"))

@@ -79,6 +79,32 @@ class Round4Wave6Spec extends SparkSpec {
     assert((hashes(1L) & hashes(3L)).isEmpty)
   }
 
+  test("winnowing matches report the planted near-dup pair, not the stranger") {
+    val run = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val syn = Seq(
+      (1L, s"$run plus some extra trailing words here"),
+      (2L, s"different lead-in then $run closing words"),
+      (3L, "nothing shared with the others in any way at all")).toDF("doc_id", "text")
+    val m = graft.operators.Dedup.winnowingMatches(syn)
+      .as[(Long, Long, Long)].collect()
+    assert(m.map(r => (r._1, r._2)).toSet == Set((1L, 2L)))
+    assert(m.head._3 >= 2)
+  }
+
+  test("cms point query reproduces the heavy-hitter estimates from the cell table") {
+    import graft.operators.Sketches
+    val ev = Tables.events(spark, sf)
+    val cells = ev.select($"user_id".as("k"))
+      .select($"k", explode(sequence(lit(0), lit(3))).as("r"))
+      .select($"r", pmod(graft.functions.HashFunctions.md5Long($"r", $"k"), lit(64)).as("bucket"))
+      .groupBy($"r", $"bucket").agg(count(lit(1)).as("c"))
+    val hh = Sketches.cmsHeavyHitters(ev)
+      .select($"user_id", $"est_n").as[(Long, Long)].collect().toMap
+    val est = Sketches.cmsEstimate(cells, ev.select($"user_id").distinct())
+      .as[(Long, Long)].collect().toMap
+    assert(hh.forall { case (k, v) => est(k) == v })
+  }
+
   test("stationary step: pi1 is a probability vector (sums to ~1)") {
     val out = Events.stationaryStep(Tables.events(spark, sf)).as[(String, Double)].collect()
     val mass = out.map(_._2).sum
