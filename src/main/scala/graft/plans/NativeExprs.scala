@@ -1,8 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.GraftBridge
@@ -20,9 +19,13 @@ import java.security.MessageDigest
   * while computing *bit-identical* values to the md5-based SQL
   * formulas the DuckDB oracles replay.
   *
-  * All are CodegenFallback: the per-row fallback cost is irrelevant
-  * because each row does O(k·n) work inside the eval; the loops
-  * themselves are the codegen.
+  * Every expression implements `doGenCode`: the generated code is a
+  * single static call into the same JVM loop the interpreted path
+  * uses (Scala's static forwarders on this object), so a stage
+  * containing these nodes stays inside WholeStageCodegen. Round 4
+  * measured the cost of NOT doing this — the CodegenFallback
+  * versions knocked every containing project/filter out of
+  * whole-stage codegen and slowed md5-heavy queries 15-40%.
   */
 object NativeExprs {
 
@@ -55,6 +58,117 @@ object NativeExprs {
 
   val MinHashP: Long = 2147483647L // 2^31 − 1
 
+  // ---------------------------------------------------------------------
+  // Static eval bodies. Each expression's interpreted `nullSafeEval` AND
+  // its generated code call the same method (via the static forwarders
+  // scalac emits for a top-level object), so the two paths cannot drift.
+  // ---------------------------------------------------------------------
+
+  /** Returns null for an empty input (parity with list_min over an
+    * empty list in the oracle). */
+  def minHashSigEval(arr: ArrayData, k: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return null
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val m = arr.getLong(i) % MinHashP
+      var s = 0
+      while (s < k) {
+        val h = ((2L * s + 1) * m + s * 7919L + 1) % MinHashP
+        if (h < mins(s)) mins(s) = h
+        s += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  def simHash32Eval(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val counts = new Array[Long](32)
+    var i = 0
+    while (i < n) {
+      val m = md5Prefix32(arr.getUTF8String(i).getBytes)
+      var b = 0
+      while (b < 32) {
+        counts(b) += ((m >> b) & 1L) * 2 - 1
+        b += 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var b = 0
+    while (b < 32) {
+      if (counts(b) > 0) sim |= 1L << b
+      b += 1
+    }
+    sim
+  }
+
+  def md5PrefixEval(bytes: Array[Byte], hexLen: Int): Long =
+    if (hexLen == 12) md5Prefix48(bytes) else md5Prefix32(bytes)
+
+  def md5ArrayEval(arr: ArrayData): ArrayData = {
+    val out = new Array[Long](arr.numElements())
+    var i = 0
+    while (i < out.length) {
+      out(i) = md5Prefix48(arr.getUTF8String(i).getBytes)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def hashedShinglesEval(arr: ArrayData, n: Int): ArrayData = {
+    val nt = arr.numElements()
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i + n <= nt) {
+      val sb = new java.io.ByteArrayOutputStream(64)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.write(' ')
+        sb.write(arr.getUTF8String(i + j).getBytes)
+        j += 1
+      }
+      out.add(md5Prefix48(sb.toByteArray))
+      i += 1
+    }
+    val res = new Array[Long](out.size)
+    val it = out.iterator()
+    var idx = 0
+    while (it.hasNext) { res(idx) = it.next(); idx += 1 }
+    new GenericArrayData(res)
+  }
+
+  def dotProductEval(x: ArrayData, y: ArrayData, xf: Boolean, yf: Boolean): Double = {
+    val n = x.numElements()
+    if (y.numElements() != n)
+      throw new IllegalArgumentException(
+        s"graft_dot: array length mismatch ($n vs ${y.numElements()})")
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
+      acc = acc + xv * yv
+      i += 1
+    }
+    acc
+  }
+
+  def intersectSizeEval(a: ArrayData, b: ArrayData): Long = {
+    val x = a.toLongArray()
+    val y = b.toLongArray()
+    val set = new java.util.HashSet[Long](x.length * 2)
+    x.foreach(set.add)
+    var n = 0L
+    y.foreach(v => if (set.contains(v)) n += 1)
+    n
+  }
+
+  private val Self = "graft.plans.NativeExprs"
+
   /** k-permutation MinHash over a *hashed* shingle array (longs from
     * `Md5Array`): k affine universal hashes
     * h_s(m) = ((2s+1)·m + 7919s + 1) mod P over m reduced mod P.
@@ -62,58 +176,29 @@ object NativeExprs {
     *   list_transform(range(0,k), s -> list_min(list_transform(shh,
     *     m -> ((2*s+1) * (m % P) + s*7919 + 1) % P)))
     */
-  case class MinHashSig(child: Expression, k: Int)
-      extends UnaryExpression with CodegenFallback {
+  case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullSafeEval(v: Any): Any = {
-      val arr = v.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      if (n == 0) return null // parity with list_min over an empty list
-      val mins = Array.fill(k)(Long.MaxValue)
-      var i = 0
-      while (i < n) {
-        val m = arr.getLong(i) % MinHashP
-        var s = 0
-        while (s < k) {
-          val h = ((2L * s + 1) * m + s * 7919L + 1) % MinHashP
-          if (h < mins(s)) mins(s) = h
-          s += 1
-        }
-        i += 1
-      }
-      new GenericArrayData(mins)
-    }
+    // non-null input can still yield null (empty shingle list)
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any =
+      minHashSigEval(v.asInstanceOf[ArrayData], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"""
+        ${ev.value} = $Self.minHashSigEval($c, $k);
+        if (${ev.value} == null) { ${ev.isNull} = true; }
+      """)
     override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
   }
 
   /** 32-bit SimHash over a string (token) array: per token the 32-bit
     * md5 prefix; per bit, sign of the ±1 sum. Matches the composed
     * `simhashFromHashes` formula bit for bit. */
-  case class SimHash32(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class SimHash32(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
-    override def nullSafeEval(v: Any): Any = {
-      val arr = v.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      val counts = new Array[Long](32)
-      var i = 0
-      while (i < n) {
-        val m = md5Prefix32(arr.getUTF8String(i).getBytes)
-        var b = 0
-        while (b < 32) {
-          counts(b) += ((m >> b) & 1L) * 2 - 1
-          b += 1
-        }
-        i += 1
-      }
-      var sim = 0L
-      var b = 0
-      while (b < 32) {
-        if (counts(b) > 0) sim |= 1L << b
-        b += 1
-      }
-      java.lang.Long.valueOf(sim)
-    }
+    override def nullSafeEval(v: Any): Any =
+      java.lang.Long.valueOf(simHash32Eval(v.asInstanceOf[ArrayData]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Self.simHash32Eval($c)")
     override protected def withNewChildInternal(c: Expression): SimHash32 = copy(child = c)
   }
 
@@ -123,14 +208,13 @@ object NativeExprs {
     * Bit-identical to that chain for hexLen 12 (48-bit) and 8
     * (32-bit) — `FuseMd5Prefix` rewrites the composed form to this
     * node in every optimized plan. */
-  case class Md5Prefix(child: Expression, hexLen: Int)
-      extends UnaryExpression with CodegenFallback {
+  case class Md5Prefix(child: Expression, hexLen: Int) extends UnaryExpression {
     require(hexLen == 12 || hexLen == 8, "only the 48/32-bit prefixes are fused")
     override def dataType: DataType = LongType
-    override def nullSafeEval(v: Any): Any = {
-      val bytes = v.asInstanceOf[Array[Byte]]
-      if (hexLen == 12) md5Prefix48(bytes) else md5Prefix32(bytes)
-    }
+    override def nullSafeEval(v: Any): Any =
+      java.lang.Long.valueOf(md5PrefixEval(v.asInstanceOf[Array[Byte]], hexLen))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Self.md5PrefixEval($c, $hexLen)")
     override def prettyName: String = "graft_md5_prefix"
     override protected def withNewChildInternal(c: Expression): Md5Prefix = copy(child = c)
   }
@@ -138,19 +222,12 @@ object NativeExprs {
   /** Map each string element to its 48-bit md5 prefix — the hashed
     * shingle representation (long compares beat string compares in
     * every downstream join/intersect). */
-  case class Md5Array(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class Md5Array(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullSafeEval(v: Any): Any = {
-      val arr = v.asInstanceOf[ArrayData]
-      val out = new Array[Long](arr.numElements())
-      var i = 0
-      while (i < out.length) {
-        out(i) = md5Prefix48(arr.getUTF8String(i).getBytes)
-        i += 1
-      }
-      new GenericArrayData(out)
-    }
+    override def nullSafeEval(v: Any): Any =
+      md5ArrayEval(v.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Self.md5ArrayEval($c)")
     override protected def withNewChildInternal(c: Expression): Md5Array = copy(child = c)
   }
 
@@ -160,31 +237,12 @@ object NativeExprs {
     * string arrays. Oracle form:
     *   list_distinct(list_transform(<shingles(tk)>, x -> md5_48(x)))
     */
-  case class HashedShingles(child: Expression, n: Int)
-      extends UnaryExpression with CodegenFallback {
+  case class HashedShingles(child: Expression, n: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullSafeEval(v: Any): Any = {
-      val arr = v.asInstanceOf[ArrayData]
-      val nt = arr.numElements()
-      val out = new java.util.LinkedHashSet[java.lang.Long]()
-      var i = 0
-      while (i + n <= nt) {
-        val sb = new java.io.ByteArrayOutputStream(64)
-        var j = 0
-        while (j < n) {
-          if (j > 0) sb.write(' ')
-          sb.write(arr.getUTF8String(i + j).getBytes)
-          j += 1
-        }
-        out.add(md5Prefix48(sb.toByteArray))
-        i += 1
-      }
-      val res = new Array[Long](out.size)
-      val it = out.iterator()
-      var idx = 0
-      while (it.hasNext) { res(idx) = it.next(); idx += 1 }
-      new GenericArrayData(res)
-    }
+    override def nullSafeEval(v: Any): Any =
+      hashedShinglesEval(v.asInstanceOf[ArrayData], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Self.hashedShinglesEval($c, $n)")
     override protected def withNewChildInternal(c: Expression): HashedShingles = copy(child = c)
   }
 
@@ -192,28 +250,13 @@ object NativeExprs {
     * identical fold order (and hence bit pattern) to
     * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` and the DuckDB
     * `list_reduce(list_prepend(0.0, ...))` oracle form. */
-  case class DotProduct(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+  case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = DoubleType
-    override def nullSafeEval(a: Any, b: Any): Any = {
-      val x = a.asInstanceOf[ArrayData]
-      val y = b.asInstanceOf[ArrayData]
-      val n = x.numElements()
-      if (y.numElements() != n)
-        throw new IllegalArgumentException(
-          s"graft_dot: array length mismatch ($n vs ${y.numElements()})")
-      val xf = leftFloat
-      val yf = rightFloat
-      var acc = 0.0
-      var i = 0
-      while (i < n) {
-        val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
-        val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
-        acc = acc + xv * yv
-        i += 1
-      }
-      java.lang.Double.valueOf(acc)
-    }
+    override def nullSafeEval(a: Any, b: Any): Any =
+      java.lang.Double.valueOf(
+        dotProductEval(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], leftFloat, rightFloat))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$Self.dotProductEval($a, $b, $leftFloat, $rightFloat)")
     private def elemIsFloat(e: Expression): Boolean = e.dataType match {
       case ArrayType(FloatType, _) => true
       case _ => false
@@ -227,18 +270,13 @@ object NativeExprs {
   /** Intersection size of two long arrays treated as sets (inputs are
     * already distinct). Replaces `size(array_intersect(...))` in the
     * Jaccard verify step. */
-  case class IntersectSize(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+  case class IntersectSize(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = LongType
-    override def nullSafeEval(a: Any, b: Any): Any = {
-      val x = a.asInstanceOf[ArrayData].toLongArray()
-      val y = b.asInstanceOf[ArrayData].toLongArray()
-      val set = new java.util.HashSet[Long](x.length * 2)
-      x.foreach(set.add)
-      var n = 0L
-      y.foreach(v => if (set.contains(v)) n += 1)
-      java.lang.Long.valueOf(n)
-    }
+    override def nullSafeEval(a: Any, b: Any): Any =
+      java.lang.Long.valueOf(
+        intersectSizeEval(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$Self.intersectSizeEval($a, $b)")
     override protected def withNewChildrenInternal(l: Expression, r: Expression): IntersectSize =
       copy(left = l, right = r)
   }

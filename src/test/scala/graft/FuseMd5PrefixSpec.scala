@@ -50,4 +50,50 @@ class FuseMd5PrefixSpec extends SparkSpec {
       "SELECT CAST(conv(substring(md5(text), 1, 12), 16, 10) AS BIGINT) AS h FROM fuse_probe")
     assert(optimized(df).contains("graft_md5_prefix"))
   }
+
+  // Round 4 measured a 15-40% regression because Md5Prefix was a
+  // CodegenFallback node, which knocked every containing stage out of
+  // whole-stage codegen. These guards pin the fix: the fused project
+  // stays INSIDE a WholeStageCodegen span, and every native
+  // expression compiles and runs under forced codegen (no silent
+  // interpreted fallback) with values bit-equal to interpreted eval.
+  test("the fused project runs inside WholeStageCodegen") {
+    val docs = Tables.documents(spark, sf)
+    val df = docs.select(graft.functions.HashFunctions.md5Long($"text").as("h"))
+    df.collect() // finalize the AQE plan so WholeStageCodegen spans are visible
+    val plan = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[graft_md5_prefix""".r.findFirstIn(plan).isDefined, plan)
+  }
+
+  private def nativeCols(df: org.apache.spark.sql.DataFrame) = {
+    import graft.plans.NativeExprs._
+    df.select(
+      md5Array($"tk").as("ha"),
+      minhashSig(md5Array($"tk"), 16).as("mh"),
+      simhash32($"tk").as("sh"),
+      hashedShingles($"tk", 3).as("hs"),
+      dotProduct($"va", $"vb").as("dp"),
+      intersectSize(md5Array($"tk"), md5Array($"tk2")).as("is"))
+  }
+
+  test("all native expressions run under forced codegen, bit-equal to interpreted") {
+    val rows = Seq(
+      (Seq("a", "b", "c", "d", "e"), Seq("c", "d", "x"), Seq(1.0f, 2.0f, -0.5f), Seq(0.5f, -1.0f, 4.0f)),
+      (Seq("数据", "🚀", "", "q"), Seq("q"), Seq(0.0f, 0.0f, 0.0f), Seq(1.0f, 1.0f, 1.0f)),
+      (Seq.empty[String], Seq("z"), Seq(3.5f), Seq(-3.5f)))
+    val df = rows.toDF("tk", "tk2", "va", "vb")
+    def run(mode: String, wscgFallback: String): Seq[String] = {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      spark.conf.set("spark.sql.codegen.fallback", wscgFallback)
+      try nativeCols(df).collect().map(_.toString).toSeq
+      finally {
+        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+        spark.conf.set("spark.sql.codegen.fallback", "true")
+      }
+    }
+    val gen = run("CODEGEN_ONLY", "false") // throws if any doGenCode is broken
+    val interp = run("NO_CODEGEN", "true")
+    assert(gen == interp, s"codegen/interpreted divergence:\n$gen\n$interp")
+    assert(gen.size == 3)
+  }
 }
