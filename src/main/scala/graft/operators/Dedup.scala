@@ -469,7 +469,11 @@ object Dedup {
     * weight. The pair join blocks on the fingerprint hash (each hash
     * joins only its own posting list, never corpus×corpus) and a
     * df cap drops corpus-boilerplate hashes the same way the
-    * Jaccard blocker drops hot shingles. */
+    * Jaccard blocker drops hot shingles. The anti join against the
+    * hot set carries no broadcast hint: on boilerplate-heavy web
+    * corpora the above-cap table is not provably small, so AQE picks
+    * the strategy from the measured size at runtime (the same fix
+    * round 3 applied to lineDedup). */
   def winnowingMatches(docs: DataFrame, contentCol: String = "text",
                        n: Int = 5, w: Int = 4, minShared: Int = 2,
                        maxDf: Int = 50, idCol: String = "doc_id"): DataFrame = {
@@ -477,7 +481,7 @@ object Dedup {
       .select(col("doc_id"), col("fp_hash")).distinct()
     val hot = fps.groupBy(col("fp_hash")).agg(count(lit(1)).as("df"))
       .where(col("df") > maxDf).select(col("fp_hash"))
-    val blocked = fps.join(broadcast(hot), Seq("fp_hash"), "left_anti")
+    val blocked = fps.join(hot, Seq("fp_hash"), "left_anti")
     blocked.as("a").join(blocked.as("b"),
         col("a.fp_hash") === col("b.fp_hash") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))

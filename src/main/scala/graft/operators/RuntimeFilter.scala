@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -18,26 +18,39 @@ import graft.Tables
   * positives are culled by the exact join that follows — the answer
   * is exact; the filter only cuts I/O and shuffle bytes.
   *
-  * The filter is built driver-side from the collected qualifying
-  * keys — the dim side of a runtime filter is small BY CONSTRUCTION
-  * (that's why it's worth broadcasting); the bit array rides into
-  * the fact-side predicate as an array literal. At 100 TB the same
-  * plan holds: O(qualifying keys) driver memory, O(m/64) longs
-  * broadcast, zero extra shuffles.
+  * The bit array is built ON THE EXECUTORS: probe positions fold into
+  * mBits/64 words via a map-side-combining `bit_or` aggregation, and
+  * only those words — fixed-size sketch state, O(mBits/64) longs no
+  * matter how many keys qualify — reach the driver to become the
+  * fact-side predicate's literal. (Round 4 collected the raw key set
+  * instead: O(keys·k) driver transfer, a driver OOM at 100 TB when a
+  * filtered dim qualifies tens of millions of keys.) The probe and
+  * test sides share one modulus by construction: buildBits requires
+  * mBits % 64 == 0, so `bits.length * 64 == mBits` exactly — a
+  * non-multiple would make the two moduli disagree and turn bloom
+  * false negatives into dropped matching rows.
   */
 object RuntimeFilter {
 
-  /** Build the bit array: `k` hash probes per key into `mBits` bits,
-    * hashes from xxhash64(key, seed) — the same builtin the
-    * fact-side predicate evaluates. */
-  def buildBits(keys: Array[Long], mBits: Int, k: Int, spark: SparkSession): Array[Long] = {
-    import spark.implicits._
-    val probes = keys.toSeq.toDF("key")
-      .select(explode(array((0 until k).map(lit): _*)).as("seed"), col("key"))
+  /** Build the bit array from the qualifying-key DataFrame (single
+    * key column): `k` hash probes per key into `mBits` bits, hashes
+    * from xxhash64(key, seed) — the same builtin the fact-side
+    * predicate evaluates — aggregated into words executor-side. */
+  def buildBits(keys: DataFrame, mBits: Int, k: Int): Array[Long] = {
+    require(mBits % 64 == 0,
+      s"mBits ($mBits) must be a multiple of 64: mightContain recomputes the " +
+        "modulus as bits.length*64, and any remainder would make the probe and " +
+        "test moduli disagree (bloom false negatives = lost matching rows)")
+    val keyCol = col(keys.columns.head)
+    val words = keys
+      .select(explode(array((0 until k).map(lit): _*)).as("seed"), keyCol.as("key"))
       .select(pmod(xxhash64(col("key"), col("seed")), lit(mBits)).as("bit"))
-      .distinct().as[Long].collect()
+      .select((col("bit") / 64).cast("int").as("w"),
+        call_function("shiftleft", lit(1L), pmod(col("bit"), lit(64)).cast("int")).as("m"))
+      .groupBy(col("w")).agg(bit_or(col("m")).as("word"))
+      .collect()
     val bits = new Array[Long](mBits / 64)
-    probes.foreach(b => bits(b.toInt / 64) |= (1L << (b.toInt % 64)))
+    words.foreach(r => bits(r.getInt(0)) = r.getLong(1))
     bits
   }
 
@@ -58,14 +71,13 @@ object RuntimeFilter {
   /** Revenue from lineitems supplied by high-balance suppliers: the
     * Bloom pre-filter nominates fact rows map-side, the broadcast
     * semi join keeps the answer exact. */
-  def highBalanceRevenue(spark: SparkSession, dir: String,
+  def highBalanceRevenue(spark: org.apache.spark.sql.SparkSession, dir: String,
                          minBal: Double = 6000.0,
                          mBits: Int = 4096, k: Int = 5): DataFrame = {
     val dim = Tables.supplier(spark, dir).where(col("s_acctbal") > minBal)
-    val keys = dim.select(col("s_suppkey")).as[Long](org.apache.spark.sql.Encoders.scalaLong)
-      .collect()
+    val bits = buildBits(dim.select(col("s_suppkey")), mBits, k)
     val li = Tables.lineitem(spark, dir)
-      .where(mightContain(col("l_suppkey"), buildBits(keys, mBits, k, spark), k))
+      .where(mightContain(col("l_suppkey"), bits, k))
     li.join(broadcast(dim.select(col("s_suppkey"))),
         col("l_suppkey") === col("s_suppkey"), "left_semi")
       .agg(count(lit(1)).as("n_lines"),

@@ -25,15 +25,19 @@ object Sketches {
   /** CMS point query: estimate each candidate key's count from an
     * existing cell table (e.g. the streaming build's state or a
     * persisted sketch) — min over the key's depth bucket counts.
-    * The cells broadcast; keys never touch the raw stream. */
+    * The cells broadcast; keys never touch the raw stream. A cell
+    * absent from the table counts as 0 (left join + coalesce): CMS
+    * semantics give est_n = 0 for keys the sketch never saw, rather
+    * than dropping them (all cells missing) or overestimating from
+    * only the present cells. */
   def cmsEstimate(cells: DataFrame, keys: DataFrame, keyCol: String = "user_id",
                   depth: Int = 4, width: Int = 64): DataFrame =
     keys.select(col(keyCol).as("k"))
       .select(col("k"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
       .withColumn("bucket", pmod(md5Long(col("r"), col("k")), lit(width)))
-      .join(broadcast(cells), Seq("r", "bucket"))
+      .join(broadcast(cells), Seq("r", "bucket"), "left")
       .groupBy(col("k"))
-      .agg(min(col("c")).as("est_n"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est_n"))
       .select(col("k").as(keyCol), col("est_n"))
       .orderBy(col(keyCol))
 

@@ -257,14 +257,16 @@ object StreamingEvents {
     * the depth×width cell grid (256 longs) FOREVER, regardless of
     * stream length or key cardinality — the sketch IS the bounded
     * state, which is why it needs no watermark. Cells equal the
-    * batch build on the same prefix (spec-pinned). */
+    * batch build on the same prefix (spec-pinned), and carry the
+    * same `c` count column, so the streaming state feeds
+    * `Sketches.cmsEstimate` point queries unchanged. */
   def cmsCellsStream(stream: DataFrame, keyCol: String = "user_id",
                      depth: Int = 4, width: Int = 64): DataFrame =
     stream.select(col(keyCol).as("k"))
       .select(col("k"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
       .select(col("r"), pmod(graft.functions.HashFunctions.md5Long(col("r"), col("k")),
         lit(width)).as("bucket"))
-      .groupBy(col("r"), col("bucket")).count()
+      .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("c"))
 
   /** Streaming first-seen users per day — the online form of
     * `Events.cumulativeDistinctUsers`'s daily-news stage:

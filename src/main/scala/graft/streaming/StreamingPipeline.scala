@@ -71,22 +71,35 @@ object StreamingPipeline {
     orders.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        import org.apache.spark.sql.functions.col
-        val spark = batch.sparkSession
-        batch.write.mode("append").parquet(logPath)
-        val touched = batch.select(col("o_custkey")).distinct()
-        val rebuilt = graft.operators.Analytics.scd2Of(
-          spark.read.parquet(logPath).join(touched, "o_custkey"))
-        val merged = graft.sources.VersionedZone.latestVersion(spark, dimPath) match {
-          case Some(_) =>
-            graft.sources.VersionedZone.read(spark, dimPath)
-              .join(touched.withColumnRenamed("o_custkey", "custkey"),
-                Seq("custkey"), "left_anti")
-              .unionByName(rebuilt)
-          case None => rebuilt
-        }
-        graft.sources.VersionedZone.write(merged, dimPath)
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        scd2Batch(batch, batchId, logPath, dimPath)
       }
+
+  /** One SCD2 micro-batch, idempotent per `batchId`: foreachBatch is
+    * at-least-once, so the durable log append lands in a
+    * batchId-keyed partition directory written with overwrite — a
+    * replayed batch rewrites its own partition instead of appending
+    * duplicate order rows (which would permanently inflate counts
+    * and corrupt version segmentation in every later rebuild). The
+    * dimension re-merge is naturally idempotent (same log prefix →
+    * same rebuilt rows; the extra zone version carries identical
+    * content). */
+  def scd2Batch(batch: DataFrame, batchId: Long, logPath: String, dimPath: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val spark = batch.sparkSession
+    batch.write.mode("overwrite").parquet(s"$logPath/batch_id=$batchId")
+    val touched = batch.select(col("o_custkey")).distinct()
+    val rebuilt = graft.operators.Analytics.scd2Of(
+      spark.read.parquet(logPath).drop("batch_id").join(touched, "o_custkey"))
+    val merged = graft.sources.VersionedZone.latestVersion(spark, dimPath) match {
+      case Some(_) =>
+        graft.sources.VersionedZone.read(spark, dimPath)
+          .join(touched.withColumnRenamed("o_custkey", "custkey"),
+            Seq("custkey"), "left_anti")
+          .unionByName(rebuilt)
+      case None => rebuilt
+    }
+    graft.sources.VersionedZone.write(merged, dimPath)
+    ()
+  }
 }

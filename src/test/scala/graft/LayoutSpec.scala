@@ -40,7 +40,11 @@ class LayoutSpec extends SparkSpec {
     val dim = Tables.supplier(spark, sf).where($"s_acctbal" > 6000)
     val keys = dim.select($"s_suppkey").as[Long].collect()
     assert(keys.nonEmpty)
-    val bits = RuntimeFilter.buildBits(keys, mBits = 4096, k = 5, spark)
+    val bits = RuntimeFilter.buildBits(dim.select($"s_suppkey"), mBits = 4096, k = 5)
+    // probe/test modulus mismatch is impossible by construction
+    assertThrows[IllegalArgumentException] {
+      RuntimeFilter.buildBits(dim.select($"s_suppkey"), mBits = 1000, k = 5)
+    }
     val li = Tables.lineitem(spark, sf)
     val exactN = li.where($"l_suppkey".isin(keys.map(Long.box): _*)).count()
     val passN = li.where(RuntimeFilter.mightContain($"l_suppkey", bits, 5)).count()

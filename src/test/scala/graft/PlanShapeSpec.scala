@@ -119,6 +119,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(collectAll(fin).count(_.isInstanceOf[BroadcastHashJoinExec]) >= 1)
   }
 
+  test("winnowing matches: AQE picks the hot-fingerprint join (no forced hint)") {
+    // same contract as line dedup: the above-cap fingerprint table is
+    // not provably small on boilerplate-heavy corpora, so no hint —
+    // assert AQE's FINAL plan still broadcasts it at this SF
+    val df = SparkEntry.queries("dedup_fp_matches")(spark, sf)
+    df.write.mode("overwrite").format("noop").save()
+    val fin = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    assert(collectAll(fin).count(_.isInstanceOf[BroadcastHashJoinExec]) >= 1)
+  }
+
   test("temperature sampling: rate table broadcasts onto a map-only filter") {
     val df = SparkEntry.queries("samp_temperature")(spark, sf)
     assert(count(df, _.isInstanceOf[BroadcastHashJoinExec]) >= 1)

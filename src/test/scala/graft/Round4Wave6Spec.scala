@@ -105,6 +105,23 @@ class Round4Wave6Spec extends SparkSpec {
     assert(hh.forall { case (k, v) => est(k) == v })
   }
 
+  test("cms point query on a sparse cell grid: unseen keys estimate 0, not absent") {
+    import graft.operators.Sketches
+    // two keys fill at most 8 of the 256 cells; a probe key whose
+    // cells are all empty must report 0 (missing cell = count 0),
+    // not vanish from the output or overestimate from partial cells
+    val tiny = Seq(7L, 13L).toDF("user_id")
+    val cells = tiny.select($"user_id".as("k"))
+      .select($"k", explode(sequence(lit(0), lit(3))).as("r"))
+      .select($"r", pmod(graft.functions.HashFunctions.md5Long($"r", $"k"), lit(64)).as("bucket"))
+      .groupBy($"r", $"bucket").agg(count(lit(1)).as("c"))
+    val probes = Seq(7L, 13L, -99L, 1234567L).toDF("user_id")
+    val est = Sketches.cmsEstimate(cells, probes).as[(Long, Long)].collect().toMap
+    assert(est.size == 4, s"keys dropped: $est")
+    assert(est(7L) == 1L && est(13L) == 1L)
+    assert(est(-99L) == 0L && est(1234567L) == 0L, s"unseen keys must be 0: $est")
+  }
+
   test("stationary step: pi1 is a probability vector (sums to ~1)") {
     val out = Events.stationaryStep(Tables.events(spark, sf)).as[(String, Double)].collect()
     val mass = out.map(_._2).sum

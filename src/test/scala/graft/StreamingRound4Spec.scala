@@ -25,9 +25,15 @@ class StreamingRound4Spec extends SparkSpec {
     val batched = batch.select($"user_id".as("k"))
       .select($"k", explode(sequence(lit(0), lit(3))).as("r"))
       .select($"r", pmod(graft.functions.HashFunctions.md5Long($"r", $"k"), lit(64)).as("bucket"))
-      .groupBy($"r", $"bucket").count()
+      .groupBy($"r", $"bucket").agg(count(lit(1)).as("c"))
       .as[(Int, Long, Long)].collect().toSet
     assert(streamed == batched && streamed.nonEmpty)
+    // the streaming state is drop-in input for the point-query API
+    // (same `c` column — a mismatched name fails analysis here)
+    val est = Sketches.cmsEstimate(spark.table("cms"),
+        batch.select($"user_id").distinct().limit(3))
+      .as[(Long, Long)].collect().toMap
+    assert(est.size == 3 && est.values.forall(_ > 0L))
   }
 
   test("streaming first-seen users equal the batch daily news on ordered input") {
@@ -75,5 +81,13 @@ class StreamingRound4Spec extends SparkSpec {
     val v0 = graft.sources.VersionedZone.read(spark, s"$tmp/dim", Some(0L))
     val expect0 = Analytics.scd2Of(orders.where($"o_orderkey" % 2 === 0))
     assert(v0.exceptAll(expect0).isEmpty && expect0.exceptAll(v0).isEmpty)
+    // foreachBatch is at-least-once: redelivering an already-committed
+    // batch must not duplicate log rows or change the dimension
+    val logN = spark.read.parquet(s"$tmp/log").count()
+    StreamingPipeline.scd2Batch(
+      orders.where($"o_orderkey" % 2 === 1), 1L, s"$tmp/log", s"$tmp/dim")
+    assert(spark.read.parquet(s"$tmp/log").count() == logN, "replay duplicated log rows")
+    val dim2 = graft.sources.VersionedZone.read(spark, s"$tmp/dim")
+    assert(dim2.exceptAll(expect).isEmpty && expect.exceptAll(dim2).isEmpty)
   }
 }
