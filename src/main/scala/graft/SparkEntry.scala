@@ -45,6 +45,18 @@ object SparkEntry {
       Medallion.silverDedup(Medallion.silverNormalize(Medallion.bronze(Tables.documents(s, d))))
         .select(col("doc_id"), col("source"), col("content"), col("content_length"))
         .orderBy(col("doc_id"))),
+    "pipe_delta_roundtrip" -> ((s, d) => {
+      // silver zone committed as a real _delta_log table, read back
+      // through log replay — the reference's storage format end to end
+      val zone = Medallion.silverNormalize(Medallion.bronze(Tables.documents(s, d)))
+        .select(col("doc_id"), col("source"), col("content"), col("content_length"))
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_delta_${math.abs(d.hashCode)}/silver"
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true) // fresh table per run: bounded log
+      graft.sources.DeltaSource.writeDelta(zone, tmp)
+      graft.sources.DeltaSource.readDelta(s, tmp).orderBy(col("doc_id"))
+    }),
     "pipe_gold_chunks" -> ((s, d) =>
       Medallion.pipeline(Tables.documents(s, d))
         .select(col("doc_id"), col("chunk_idx"), col("chunk"), col("chunk_length"))
@@ -875,6 +887,10 @@ object SparkEntry {
          |FROM silver0 WHERE length(content) > 50 ORDER BY doc_id""".stripMargin,
     "pipe_silver_dedup" ->
       s"$silverCte SELECT doc_id, source, content, content_length FROM silver ORDER BY doc_id",
+    // delta round-trip is value-identical to the silver zone it lands
+    "pipe_delta_roundtrip" ->
+      s"""$silverCte SELECT doc_id, source, content, length(content) AS content_length
+         |FROM silver0 WHERE length(content) > 50 ORDER BY doc_id""".stripMargin,
     // the recursive splitter replayed exactly: silver-normalized text
     // has no newlines, so the paragraph levels are identity and the
     // algorithm reduces to greedy left-folds over '. ' then ' '
