@@ -218,6 +218,12 @@ object SparkEntry {
     "ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d))),
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
     "emb_cluster_sizes" -> ((s, d) => Similarity.clusterSizes(Tables.embeddings(s, d))),
+    "emb_infer_chunks" -> ((s, d) =>
+      // gold chunks → batched encoder → embeddings, one map-only pass
+      // (the reference's Embeddings stage; stub model, exact oracle)
+      Embedder.embedChunks(
+        Medallion.pipeline(Tables.documents(s, d)).select(col("doc_id"), col("chunk_idx"), col("chunk")))
+        .orderBy(col("doc_id"), col("chunk_idx"))),
     "emb_kmeans_update" -> ((s, d) => Similarity.lloydUpdate(Tables.embeddings(s, d))),
     "emb_power_iter" -> ((s, d) => Similarity.powerIteration(Tables.embeddings(s, d))),
     // recall of the approximate scale paths vs exact brute force —
@@ -966,6 +972,15 @@ object SparkEntry {
          |  count(*) - count(DISTINCT chunk) AS dup_chunks FROM gold""".stripMargin,
     "pipe_gold_chunks" ->
       s"""$silverCte SELECT doc_id, chunk_idx, chunk, length(chunk) AS chunk_length
+         |FROM gold ORDER BY doc_id, chunk_idx""".stripMargin,
+    // the stub encoder replayed per component: e<j>:<chunk> → 48-bit
+    // md5 prefix mod 1000 (float-exact integers; see Embedder)
+    "emb_infer_chunks" ->
+      s"""$silverCte SELECT doc_id, chunk_idx, CAST(8 AS INTEGER) AS emb_dim,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(range(0, 8), j -> ${dHex12("'e' || j || ':' || chunk")} % 1000)),
+         |    (x, y) -> x + y) AS emb_checksum,
+         |  ${dHex12("'e0:' || chunk")} % 1000 AS emb_head
          |FROM gold ORDER BY doc_id, chunk_idx""".stripMargin,
     "pipe_chunk_stats" ->
       s"""$silverCte SELECT doc_id, count(*) AS n_chunks,
