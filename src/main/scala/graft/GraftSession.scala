@@ -47,6 +47,11 @@ object GraftSession {
       try spark.conf.set(k, v)
       catch { case _: org.apache.spark.sql.AnalysisException => () }
     }
+    // Planner strategies can't ride a static conf onto an adopted
+    // session; the experimental hook is the runtime path. Assignment
+    // is idempotent — native-operator plans (as-of join) fail to plan
+    // without it, so it applies to BOTH built and adopted sessions.
+    spark.experimental.extraStrategies = Seq(new graft.plans.AsOfJoinStrategy)
     spark
   }
 }

@@ -1,20 +1,22 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import graft.plans.AsOfJoinNode
+import org.apache.spark.sql.{DataFrame, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Cast, Expression}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
 
 /** As-of (point-in-time) join: for each probe row, the most recent
   * build row with build.time <= probe.time on the same key.
   *
-  * Spark has no asof operator; per the extension ladder the right
-  * first move is *composition*, and asof composes exactly: tag and
-  * union both sides, sort by (key, time, side) within key partitions,
-  * and carry build attributes forward with last_value(ignoreNulls).
-  * One hash shuffle on the key + a per-key sort — the same cost
-  * profile a native asof-merge exec would have, and AQE handles key
-  * skew. (A custom LogicalPlan/Strategy would only buy avoiding the
-  * union's column padding, not a different shuffle shape.)
+  * `asof` is the production path: a native whole-operator extension
+  * (`AsOfJoinNode` → `SortMergeAsOfExec`, see plans/AsOfJoinPlan
+  * .scala) planned as one streaming merge over the two key-clustered,
+  * (key, time)-sorted sides. `asofComposed` keeps the builtin-only
+  * formulation — tag/union + window-carry, same shuffle shape, more
+  * executor work — as the semantic baseline the specs arbitrate the
+  * exec against.
   *
   * Build-side ties on (key, time) must be broken before the join —
   * callers dedup to one build row per (key, time) (see
@@ -23,14 +25,38 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
-  /** @param probe  rows asking "state as of my time"
-    * @param build  rows defining state changes; one row per (key, time)
-    * @param key    equi-join key column name (same name both sides)
-    * @param probeTime/buildTime  event-time column names
-    * @param buildCols build-side columns to carry onto probe rows */
+  /** Native as-of join (SortMergeAsOfExec). Same contract as
+    * `asofComposed`; mixed date/timestamp time columns are promoted
+    * to timestamp with the session zone, mirroring the union
+    * coercion of the composed form. */
   def asof(probe: DataFrame, build: DataFrame, key: String,
            probeTime: String, buildTime: String,
            buildCols: Seq[String]): DataFrame = {
+    val spark = probe.sparkSession
+    val lp = probe.queryExecution.analyzed
+    val rp = build.queryExecution.analyzed
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             n: String): Attribute =
+      plan.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $n not in [${plan.output.map(_.name).mkString(", ")}]"))
+    val (lt0, rt0) = (attr(lp, probeTime), attr(rp, buildTime))
+    val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
+    val (lt: Expression, rt: Expression) =
+      if (lt0.dataType == rt0.dataType) (lt0, rt0)
+      else (Cast(lt0, TimestampType, tz), Cast(rt0, TimestampType, tz))
+    GraftBridge.ofRows(spark, AsOfJoinNode(lp, rp,
+      attr(lp, key), attr(rp, key), lt, rt, buildCols.map(attr(rp, _))))
+  }
+
+  /** Composed baseline: tag and union both sides, sort by (key,
+    * time, side) within key partitions, carry build attributes
+    * forward with last(ignoreNulls). One hash shuffle on the key +
+    * a per-key sort — the native exec's distribution cost, plus the
+    * union padding and window machinery it avoids. */
+  def asofComposed(probe: DataFrame, build: DataFrame, key: String,
+                   probeTime: String, buildTime: String,
+                   buildCols: Seq[String]): DataFrame = {
     val probeCols = probe.columns.toSeq
     // side 0 = build (sorts first on time ties → inclusive <=), 1 = probe
     val buildTagged = build.select(

@@ -47,5 +47,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft", name), builder))
     }
     e.injectOptimizerRule(_ => FuseMd5Prefix)
+    e.injectPlannerStrategy(_ => new AsOfJoinStrategy)
   }
 }

@@ -42,4 +42,59 @@ class AsOfJoinSpec extends SparkSpec {
     // both columns must come from the SAME build row (the 09:00 one)
     assert(got == ("b", 200L))
   }
+
+  test("native exec and composed baseline agree on the driver asof query inputs") {
+    val ev = Tables.events(spark, sf).select(col("event_id"), col("user_id"), col("ts"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"), col("o_orderdate")).orderBy(col("o_orderkey").desc)
+    val build = Tables.orders(spark, sf)
+      .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+      .select(col("o_custkey").as("user_id"), col("o_orderdate"),
+        col("o_orderkey"), col("o_totalprice"))
+    val native = AsOfJoin.asof(ev, build, "user_id", "ts", "o_orderdate",
+      Seq("o_orderkey", "o_totalprice"))
+    val composed = AsOfJoin.asofComposed(ev, build, "user_id", "ts", "o_orderdate",
+      Seq("o_orderkey", "o_totalprice"))
+    assert(native.schema == composed.schema)
+    assert(native.exceptAll(composed).isEmpty && composed.exceptAll(native).isEmpty)
+  }
+
+  test("native exec agrees with composed on interleaved adversarial times") {
+    // many keys, interleaved probe/build times, build ties on (key,time)
+    // broken upstream, keys with no build rows and builds with no probes
+    val probe = (0 until 400).map { i =>
+      (i.toLong, (i % 13).toLong, ts(f"2024-01-01 ${i % 24}%02d:${(i * 7) % 60}%02d:00"))
+    }.toDF("probe_id", "k", "t")
+    val build = (0 until 200).map { i =>
+      ((i % 11).toLong, ts(f"2024-01-01 ${(i * 3) % 24}%02d:${(i * 11) % 60}%02d:00"), s"s$i")
+    }.toDF("k", "bt", "state")
+      .groupBy("k", "bt").agg(max("state").as("state")) // dedup (key,time)
+    val native = AsOfJoin.asof(probe, build, "k", "t", "bt", Seq("state"))
+    val composed = AsOfJoin.asofComposed(probe, build, "k", "t", "bt", Seq("state"))
+    assert(native.exceptAll(composed).isEmpty && composed.exceptAll(native).isEmpty)
+    assert(native.count() == 400) // every probe row emits exactly once
+  }
+
+  test("the plan is ONE merge exec over two sorted shuffles — no union, no window") {
+    val probe = Seq((1L, 7L, ts("2024-01-01 10:00:00"))).toDF("probe_id", "k", "t")
+    val build = Seq((7L, ts("2024-01-01 08:00:00"), "a")).toDF("k", "bt", "state")
+    val df = AsOfJoin.asof(probe, build, "k", "t", "bt", Seq("state"))
+    df.collect() // materialize the AQE final plan
+    val fin = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    def all(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => p +: all(q.plan)
+      case _ => p +: p.children.flatMap(all)
+    }
+    val nodes = all(fin)
+    assert(nodes.exists(_.isInstanceOf[graft.plans.SortMergeAsOfExec]))
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.UnionExec]))
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]))
+    // distribution cost identical to a sort-merge join: one exchange per side
+    assert(nodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike]) == 2)
+  }
 }
