@@ -239,6 +239,14 @@ object SparkEntry {
     "ann_pq_topk" -> ((s, d) => Similarity.pqTopK(Tables.embeddings(s, d))),
     "ann_pq_trained" -> ((s, d) => Similarity.pqTopKFitted(Tables.embeddings(s, d))),
     "ann_ivfpq_topk" -> ((s, d) => Similarity.ivfpqTopK(Tables.embeddings(s, d))),
+    "ann_index_persist" -> ((s, d) => {
+      // index-build/index-serve split: IVF-PQ structures persisted as
+      // a cell-partitioned parquet layout, queried after a cold load —
+      // bit-identical to the fused ann_ivfpq_topk path
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_annix_${math.abs(d.hashCode)}"
+      graft.sources.AnnIndex.buildAndSave(Tables.embeddings(s, d), dir)
+      graft.sources.AnnIndex.query(s, dir, Tables.embeddings(s, d))
+    }),
     "ann_ivfpq_recall" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.recallAtK(Similarity.ivfpqTopK(emb), Similarity.bruteTopK(emb))
@@ -883,6 +891,52 @@ object SparkEntry {
     s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |n AS (SELECT id, v, sqrt(${dDot("v", "v")}) AS nrm FROM e)
        |""".stripMargin
+
+  /** IVF-PQ replay, shared by the fused path (`ann_ivfpq_topk`) and
+    * the persisted-index round trip (`ann_index_persist`), which is
+    * the same computation after a save/load. */
+  private val ivfpqOracleSql: String = {
+    def dot8(a: String, b: String) =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 9), i -> $a[i] * $b[i])), (x, y) -> x + y)"
+    def l2(sv: String, cv: String) =
+      s"round((${dot8(sv, sv)} - 2.0 * ${dot8(sv, cv)}) + ${dot8(cv, cv)}, 6)"
+    s"""$embNormCte,
+       |c AS (SELECT id AS cell, v AS cv, nrm AS cnrm FROM n WHERE id < 16),
+       |a AS (SELECT n.id, n.v, c.cell,
+       |        row_number() OVER (PARTITION BY n.id
+       |          ORDER BY round(${dDot("n.v", "c.cv")} / (n.nrm * c.cnrm), 6) DESC, c.cell) AS rnk
+       |      FROM n CROSS JOIN c),
+       |res AS (SELECT a.id, a.cell,
+       |          list_transform(range(1, 65), i -> a.v[i] - c.cv[i]) AS r
+       |        FROM a JOIN c ON a.cell = c.cell WHERE a.rnk = 1),
+       |rsubs AS (SELECT id, cell, m.sub, list_slice(r, m.sub * 8 + 1, m.sub * 8 + 8) AS sv
+       |          FROM res, (SELECT unnest(range(0, 8)) AS sub) m),
+       |cb AS (SELECT id AS code, sub, sv AS cv FROM rsubs WHERE id < 16),
+       |enc AS (SELECT s.id, s.cell, s.sub, cb.code,
+       |          row_number() OVER (PARTITION BY s.id, s.sub
+       |            ORDER BY ${l2("s.sv", "cb.cv")}, cb.code) AS rnk
+       |        FROM rsubs s JOIN cb ON s.sub = cb.sub),
+       |codes AS (SELECT id, cell, sub, code FROM enc WHERE rnk = 1),
+       |p AS (SELECT n.id AS query_id, n.v AS qv, c.cell,
+       |        round(${dDot("n.v", "c.cv")}, 6) AS coarse,
+       |        row_number() OVER (PARTITION BY n.id
+       |          ORDER BY round(${dDot("n.v", "c.cv")} / (n.nrm * c.cnrm), 6) DESC, c.cell) AS crank
+       |      FROM n CROSS JOIN c WHERE n.id < 5),
+       |pr AS (SELECT query_id, qv, cell, coarse FROM p WHERE crank <= 4),
+       |qsubs AS (SELECT n.id AS query_id, m.sub, list_slice(n.v, m.sub * 8 + 1, m.sub * 8 + 8) AS qv
+       |          FROM n, (SELECT unnest(range(0, 8)) AS sub) m WHERE n.id < 5),
+       |lut AS (SELECT q.query_id, q.sub, cb.code, round(${dot8("q.qv", "cb.cv")}, 6) AS lv
+       |        FROM qsubs q JOIN cb ON q.sub = cb.sub),
+       |sc AS (SELECT pr.query_id, codes.id AS neighbor_id,
+       |         CAST(CAST(pr.coarse AS DECIMAL(18,6)) +
+       |              SUM(CAST(l.lv AS DECIMAL(18,6))) AS DOUBLE) AS sim
+       |       FROM codes JOIN pr ON codes.cell = pr.cell AND codes.id <> pr.query_id
+       |       JOIN lut l ON l.query_id = pr.query_id AND l.sub = codes.sub AND l.code = codes.code
+       |       GROUP BY 1, 2, pr.coarse),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM sc)
+       |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", sim
+       |FROM r WHERE rnk <= 10 ORDER BY query_id, "rank"""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "pipe_bronze" ->
@@ -1558,48 +1612,10 @@ object SparkEntry {
     // assignment, element-wise residuals, residual-PQ encode, probe
     // cells by cosine, score = coarse inner product + ADC fine term
     // (both DECIMAL-combined)
-    "ann_ivfpq_topk" -> {
-      def dot8(a: String, b: String) =
-        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 9), i -> $a[i] * $b[i])), (x, y) -> x + y)"
-      def l2(sv: String, cv: String) =
-        s"round((${dot8(sv, sv)} - 2.0 * ${dot8(sv, cv)}) + ${dot8(cv, cv)}, 6)"
-      s"""$embNormCte,
-         |c AS (SELECT id AS cell, v AS cv, nrm AS cnrm FROM n WHERE id < 16),
-         |a AS (SELECT n.id, n.v, c.cell,
-         |        row_number() OVER (PARTITION BY n.id
-         |          ORDER BY round(${dDot("n.v", "c.cv")} / (n.nrm * c.cnrm), 6) DESC, c.cell) AS rnk
-         |      FROM n CROSS JOIN c),
-         |res AS (SELECT a.id, a.cell,
-         |          list_transform(range(1, 65), i -> a.v[i] - c.cv[i]) AS r
-         |        FROM a JOIN c ON a.cell = c.cell WHERE a.rnk = 1),
-         |rsubs AS (SELECT id, cell, m.sub, list_slice(r, m.sub * 8 + 1, m.sub * 8 + 8) AS sv
-         |          FROM res, (SELECT unnest(range(0, 8)) AS sub) m),
-         |cb AS (SELECT id AS code, sub, sv AS cv FROM rsubs WHERE id < 16),
-         |enc AS (SELECT s.id, s.cell, s.sub, cb.code,
-         |          row_number() OVER (PARTITION BY s.id, s.sub
-         |            ORDER BY ${l2("s.sv", "cb.cv")}, cb.code) AS rnk
-         |        FROM rsubs s JOIN cb ON s.sub = cb.sub),
-         |codes AS (SELECT id, cell, sub, code FROM enc WHERE rnk = 1),
-         |p AS (SELECT n.id AS query_id, n.v AS qv, c.cell,
-         |        round(${dDot("n.v", "c.cv")}, 6) AS coarse,
-         |        row_number() OVER (PARTITION BY n.id
-         |          ORDER BY round(${dDot("n.v", "c.cv")} / (n.nrm * c.cnrm), 6) DESC, c.cell) AS crank
-         |      FROM n CROSS JOIN c WHERE n.id < 5),
-         |pr AS (SELECT query_id, qv, cell, coarse FROM p WHERE crank <= 4),
-         |qsubs AS (SELECT n.id AS query_id, m.sub, list_slice(n.v, m.sub * 8 + 1, m.sub * 8 + 8) AS qv
-         |          FROM n, (SELECT unnest(range(0, 8)) AS sub) m WHERE n.id < 5),
-         |lut AS (SELECT q.query_id, q.sub, cb.code, round(${dot8("q.qv", "cb.cv")}, 6) AS lv
-         |        FROM qsubs q JOIN cb ON q.sub = cb.sub),
-         |sc AS (SELECT pr.query_id, codes.id AS neighbor_id,
-         |         CAST(CAST(pr.coarse AS DECIMAL(18,6)) +
-         |              SUM(CAST(l.lv AS DECIMAL(18,6))) AS DOUBLE) AS sim
-         |       FROM codes JOIN pr ON codes.cell = pr.cell AND codes.id <> pr.query_id
-         |       JOIN lut l ON l.query_id = pr.query_id AND l.sub = codes.sub AND l.code = codes.code
-         |       GROUP BY 1, 2, pr.coarse),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM sc)
-         |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", sim
-         |FROM r WHERE rnk <= 10 ORDER BY query_id, "rank"""".stripMargin
-    },
+    "ann_ivfpq_topk" -> ivfpqOracleSql,
+    // the persisted-index query IS the fused IVF-PQ computation after
+    // a save/load round trip — same oracle by construction
+    "ann_index_persist" -> ivfpqOracleSql,
 
     // the fitted-PQ path: two k-means rounds inside EVERY subspace
     // ((sub, code) is the cell key), then the same ADC flow as

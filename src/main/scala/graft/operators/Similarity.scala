@@ -243,6 +243,19 @@ object Similarity {
   def ivfpqTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10,
                 nCells: Int = 16, nprobe: Int = 4, m: Int = 8, nCodes: Int = 16,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (cents, cb, codes) = ivfpqBuild(emb, nCells, m, nCodes, idCol, vecCol)
+    ivfpqQuery(emb, cents, cb, codes, nQueries, k, nprobe, m, idCol, vecCol)
+  }
+
+  /** IVF-PQ index BUILD: returns the three index structures —
+    * centroids (cell, cv, cnrm), codebooks (code, sub, cv), and the
+    * code table (id, cell, sub, code). These are the persistable
+    * layout (`sources.AnnIndex` writes/reads them as parquet): per
+    * corpus vector only the code table holds state, one cell id +
+    * m codes — the billion-vector memory shape. */
+  def ivfpqBuild(emb: DataFrame, nCells: Int = 16, m: Int = 8, nCodes: Int = 16,
+                 idCol: String = "vec_id", vecCol: String = "embedding")
+      : (DataFrame, DataFrame, DataFrame) = {
     val subDim = 64 / m
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
     val cents = e.where(col("id") < nCells)
@@ -261,6 +274,23 @@ object Similarity {
       .groupBy(col("id"), col("cell"), col("sub"))
       .agg(min(struct(col("l2"), col("code"))).as("best"))
       .select(col("id"), col("cell"), col("sub"), col("best.code").as("code"))
+    (cents, cb, codes)
+  }
+
+  /** IVF-PQ QUERY against prebuilt index structures (in-memory or
+    * loaded from a persisted index — bit-identical either way): the
+    * query side probes its nprobe nearest cells carrying the coarse
+    * inner-product term, builds the per-query ADC LUT against the
+    * broadcast codebooks, and scores only the probed cells' code
+    * rows. When `codes` comes from a cell-partitioned persisted
+    * index, the broadcast probe join on `cell` dynamic-partition-
+    * prunes the scan to the probed cells. */
+  def ivfpqQuery(queries: DataFrame, cents: DataFrame, cb: DataFrame,
+                 codes: DataFrame, nQueries: Int = 5, k: Int = 10,
+                 nprobe: Int = 4, m: Int = 8,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val subDim = 64 / m
+    val e = queries.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
     // probes: nprobe nearest cells per query (cosine, as in ivfTopK),
     // carrying the coarse inner-product term
     val probeW = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cell"))

@@ -1,0 +1,77 @@
+package graft.sources
+
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted ANN index — the index-build / index-serve split the
+  * reference gets from its vector store's on-disk persistence
+  * (/root/reference/README.md:25,111: Chroma persists its index and
+  * serves queries from it). Graft's equivalent is a parquet layout
+  * of the IVF-PQ structures, so index BUILD (one heavy corpus job)
+  * and QUERY (many light jobs) run as separate applications:
+  *
+  *   layout/
+  *     centroids/   (cell, cv array<double>, cnrm)   — nCells rows
+  *     codebooks/   (code, sub, cv array<double>)    — nCodes·m rows
+  *     codes/       cell=N/ (id, sub, code)          — the corpus,
+  *                  PARTITIONED BY the IVF cell
+  *     meta/        (n_cells, n_codes, m)            — one row
+  *
+  * Partitioning `codes` by cell is the serving-path design: a query
+  * touches nprobe cells, and the broadcast probe join on `cell`
+  * dynamic-partition-prunes the scan to those directories — at
+  * billion-vector scale the query reads nprobe/nCells of the index,
+  * never the corpus. Centroids and codebooks are model-sized
+  * (KBs) and broadcast at query time.
+  *
+  * Loaded structures are cast back to the build-side types
+  * (partition-column directory values read back as strings/ints
+  * otherwise), so `load(save(build(x)))` is bit-identical to the
+  * fused in-memory path — pinned by AnnIndexSpec.
+  */
+object AnnIndex {
+
+  final case class Loaded(centroids: DataFrame, codebooks: DataFrame,
+                          codes: DataFrame, nCells: Int, nCodes: Int, m: Int)
+
+  /** Build the IVF-PQ structures over `emb` and persist them. */
+  def buildAndSave(emb: DataFrame, dir: String,
+                   nCells: Int = 16, m: Int = 8, nCodes: Int = 16,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val (cents, cb, codes) = Similarity.ivfpqBuild(emb, nCells, m, nCodes, idCol, vecCol)
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    cb.write.mode("overwrite").parquet(s"$dir/codebooks")
+    codes.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    Seq((nCells, nCodes, m)).toDF("n_cells", "n_codes", "m")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Load a persisted index; column types restored to the build
+    * shapes (`cell` comes back from directory names). */
+  def load(spark: SparkSession, dir: String): Loaded = {
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .select(col("cell").cast("long"), col("cv"), col("cnrm"))
+    val cb = spark.read.parquet(s"$dir/codebooks")
+      .select(col("code").cast("long"), col("sub").cast("int"), col("cv"))
+    val codes = spark.read.parquet(s"$dir/codes")
+      .select(col("id").cast("long"), col("cell").cast("long"),
+        col("sub").cast("int"), col("code").cast("long"))
+    Loaded(cents, cb, codes,
+      meta.getAs[Int]("n_cells"), meta.getAs[Int]("n_codes"), meta.getAs[Int]("m"))
+  }
+
+  /** Query a persisted index: load + ADC scoring over the probed
+    * cells only. Bit-identical to `Similarity.ivfpqTopK` on the
+    * same corpus and parameters. */
+  def query(spark: SparkSession, dir: String, queries: DataFrame,
+            nQueries: Int = 5, k: Int = 10, nprobe: Int = 4,
+            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val ix = load(spark, dir)
+    Similarity.ivfpqQuery(queries, ix.centroids, ix.codebooks, ix.codes,
+      nQueries, k, nprobe, ix.m, idCol, vecCol)
+  }
+}
