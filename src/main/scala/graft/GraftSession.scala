@@ -48,10 +48,13 @@ object GraftSession {
       catch { case _: org.apache.spark.sql.AnalysisException => () }
     }
     // Planner strategies can't ride a static conf onto an adopted
-    // session; the experimental hook is the runtime path. Assignment
-    // is idempotent — native-operator plans (as-of join) fail to plan
-    // without it, so it applies to BOTH built and adopted sessions.
-    spark.experimental.extraStrategies = Seq(new graft.plans.AsOfJoinStrategy)
+    // session; the experimental hook is the runtime path. Append
+    // idempotently: an adopting application's own strategies survive,
+    // and repeat getOrCreate calls (or the GraftExtensions-injected
+    // copy on built sessions) don't stack duplicates.
+    if (!spark.experimental.extraStrategies.exists(_.isInstanceOf[graft.plans.AsOfJoinStrategy]))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ new graft.plans.AsOfJoinStrategy
     spark
   }
 }

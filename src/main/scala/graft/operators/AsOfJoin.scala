@@ -58,8 +58,12 @@ object AsOfJoin {
                    probeTime: String, buildTime: String,
                    buildCols: Seq[String]): DataFrame = {
     val probeCols = probe.columns.toSeq
+    // null keys never match (same as the native exec and SQL equality
+    // join semantics) — drop null-key build rows so the window's
+    // null-key partition can't carry them onto null-key probe rows
+    val buildNn = build.filter(col(key).isNotNull)
     // side 0 = build (sorts first on time ties → inclusive <=), 1 = probe
-    val buildTagged = build.select(
+    val buildTagged = buildNn.select(
       (col(key).as(key) +: col(buildTime).as("_t") +: lit(0).as("_side") +:
         (buildCols.map(c => col(c).as(s"_b_$c")) ++
           probeCols.filterNot(_ == key).map(c => lit(null).cast(probe.schema(c).dataType).as(c)))): _*)

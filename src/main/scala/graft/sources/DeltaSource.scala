@@ -2,12 +2,43 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import java.net.{URLDecoder, URLEncoder}
+import java.net.{URI, URLDecoder, URLEncoder}
 import java.nio.charset.StandardCharsets
 import java.util.UUID
+
+/** The put-if-absent primitive behind Delta's optimistic concurrency:
+  * commit N is whoever creates `N.json` first; the loser re-reads and
+  * retries at N+1. The default implementation uses the Hadoop
+  * create-exclusive flag, which is atomic on local disk and HDFS but
+  * **NOT on S3-compatible object stores** (S3 PUT has no if-absent;
+  * two racing writers on s3a/MinIO can both "win" and corrupt the
+  * log — the same reason Delta Lake requires an external LogStore for
+  * S3). Production multi-writer use on an object store must plug in a
+  * coordination-backed store (DynamoDB-style conditional put, a lock
+  * service, or a single-writer queue); single-writer pipelines — the
+  * reference's Airflow DAG shape — are safe with the default
+  * everywhere. See also `ObjectStore.configureS3a`.
+  */
+trait CommitStore extends Serializable {
+  /** Create `path` with `content` iff it does not exist; MUST throw
+    * (leaving the log untouched) when it already does. */
+  def putIfAbsent(fs: FileSystem, path: Path, content: String): Unit
+}
+
+/** Create-exclusive commit: atomic on local/HDFS, not on s3a (see
+  * [[CommitStore]]). */
+object CreateExclusiveCommitStore extends CommitStore {
+  def putIfAbsent(fs: FileSystem, path: Path, content: String): Unit = {
+    val out = fs.create(path, /* overwrite = */ false)
+    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+}
 
 /** Delta Lake table interop — the reference's actual storage format
   * (delta-rs writes every zone as a Delta table;
@@ -21,28 +52,39 @@ import java.util.UUID
   *    parquet at-or-below the requested version plus the JSON commits
   *    after it — the standard log-replay contract: per file path, the
   *    latest add/remove action wins; surviving adds form the scan.
-  *  - `writeDelta` commits parquet data files plus a JSON log entry
-  *    (protocol + metaData on first commit; add/remove actions after)
-  *    with create-exclusive semantics on the commit file, the same
-  *    optimistic-concurrency primitive Delta itself uses.
+  *    The scan itself is ONE relation over a [[DeltaFileIndex]] built
+  *    from the add-file list — partitioned or not, any partition
+  *    count, zero filesystem listing.
+  *  - `writeDelta` commits parquet data files (optionally hive-
+  *    partitioned) plus a JSON log entry (protocol + metaData on
+  *    first commit; add/remove actions after) through a pluggable
+  *    [[CommitStore]] put-if-absent.
   *  - `checkpoint` folds the current snapshot into a
   *    `NNN.checkpoint.parquet` + `_last_checkpoint`, so replay cost
   *    stays O(commits since checkpoint), not O(table history).
+  *  - `changesSince`/`followChanges` replay the log incrementally —
+  *    the change-data-feed read over a real `_delta_log` table,
+  *    mirroring `VersionedZone.changesSince`'s cursor contract.
   *
   * Everything goes through the Hadoop FileSystem API — local disk,
-  * s3a, or any other configured scheme behave identically.
+  * s3a, or any other configured scheme behave identically (commit
+  * atomicity caveats per [[CommitStore]]).
   *
   * Scale notes: log JSON files are KB-sized regardless of data size;
   * the active-file reconstruction is a driver-side fold over log
   * actions, exactly like every Delta reader (the log carries file
-  * metadata, not data). Partition values from `add.partitionValues`
-  * are re-attached as typed literal columns per file group, so
-  * partition pruning happens before any scan: version filters never
-  * read data files at all.
+  * metadata, not data). File paths, sizes and partition values flow
+  * from the log into the FileIndex, so planning performs no listing
+  * RPCs and partition predicates prune files before any scan;
+  * version filters never read data files at all.
   */
 object DeltaSource {
 
-  private case class AddFile(path: String, partitionValues: Map[String, String])
+  private[sources] case class AddFile(
+      path: String,
+      partitionValues: Map[String, String],
+      size: Option[Long],
+      modificationTime: Option[Long])
 
   private case class Snapshot(
       version: Long,
@@ -79,6 +121,7 @@ object DeltaSource {
       StructField("path", StringType),
       StructField("partitionValues", MapType(StringType, StringType)),
       StructField("size", LongType),
+      StructField("modificationTime", LongType),
       StructField("dataChange", BooleanType)))),
     StructField("remove", StructType(Seq(
       StructField("path", StringType),
@@ -87,6 +130,23 @@ object DeltaSource {
       StructField("id", StringType),
       StructField("schemaString", StringType),
       StructField("partitionColumns", ArrayType(StringType)))))))
+
+  /** Checkpoints additionally carry the protocol action — required by
+    * the Delta spec in every checkpoint file, and what external
+    * readers (delta-rs, Delta Lake) seed their protocol check from. */
+  private val CheckpointSchema: StructType = StructType(ActionSchema :+
+    StructField("protocol", StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType)))))
+
+  private def rowToAdd(a: org.apache.spark.sql.Row): AddFile = {
+    val pv = Option(a.getAs[scala.collection.Map[String, String]]("partitionValues"))
+      .map(_.toMap).getOrElse(Map.empty[String, String])
+    AddFile(a.getAs[String]("path"), pv,
+      if (a.isNullAt(a.fieldIndex("size"))) None else Some(a.getAs[Long]("size")),
+      if (a.isNullAt(a.fieldIndex("modificationTime"))) None
+      else Some(a.getAs[Long]("modificationTime")))
+  }
 
   /** Replay the log up to `version` (latest when None): newest
     * checkpoint ≤ version seeds the state, JSON commits after it
@@ -139,11 +199,8 @@ object DeltaSource {
         }
       }
       if (!row.isNullAt(addIdx)) {
-        val a = row.getStruct(addIdx)
-        val p = a.getAs[String]("path")
-        val pv = Option(a.getAs[scala.collection.Map[String, String]]("partitionValues"))
-          .map(_.toMap).getOrElse(Map.empty[String, String])
-        if (state.get(p).forall(_._1 <= v)) state(p) = (v, Some(AddFile(p, pv)))
+        val a = rowToAdd(row.getStruct(addIdx))
+        if (state.get(a.path).forall(_._1 <= v)) state(a.path) = (v, Some(a))
       } else if (!row.isNullAt(remIdx)) {
         val p = row.getStruct(remIdx).getAs[String]("path")
         if (p != null && state.get(p).forall(_._1 <= v)) state(p) = (v, None)
@@ -156,34 +213,50 @@ object DeltaSource {
     Snapshot(target, schema, partCols, state.values.collect { case (_, Some(a)) => a }.toSeq)
   }
 
-  private def dataPath(tablePath: String, rel: String): String =
-    new Path(tablePath, URLDecoder.decode(rel, "UTF-8")).toString
+  /** Resolve an add-file path: percent-encoded table-relative by
+    * default, used as-is when it is an absolute URI (legal per the
+    * Delta spec, e.g. shallow clones / external files). */
+  private def dataPath(tablePath: String, rel: String): Path = {
+    val uri = try new URI(rel) catch { case _: Exception => null }
+    if (uri != null && uri.isAbsolute) new Path(uri)
+    else new Path(tablePath, URLDecoder.decode(rel, "UTF-8"))
+  }
 
-  /** Read a Delta table at the latest (or a pinned) version. */
+  /** Read a Delta table at the latest (or a pinned) version — ONE
+    * scan relation over the log's add-file list, any layout, any
+    * partition count ([[DeltaFileIndex]]). */
   def readDelta(spark: SparkSession, tablePath: String,
                 version: Option[Long] = None): DataFrame = {
     val snap = snapshot(spark, tablePath, version)
-    val dataSchema = StructType(snap.schema.filterNot(f => snap.partitionColumns.contains(f.name)))
     if (snap.files.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
-    } else if (snap.partitionColumns.isEmpty) {
-      spark.read.schema(dataSchema)
-        .parquet(snap.files.map(f => dataPath(tablePath, f.path)): _*)
-        .select(snap.schema.map(f => col(f.name)).toIndexedSeq: _*)
     } else {
-      // data files don't store partition columns: group files by their
-      // partition values and re-attach them as typed literals, so the
-      // partition predicate prunes whole groups before any scan
-      val groups = snap.files.groupBy(_.partitionValues)
-      groups.map { case (pv, files) =>
-        val base = spark.read.schema(dataSchema)
-          .parquet(files.map(f => dataPath(tablePath, f.path)): _*)
-        snap.partitionColumns.foldLeft(base) { (df, c) =>
-          val t = snap.schema(c).dataType
-          df.withColumn(c, lit(pv.get(c).orNull).cast(t))
-        }.select(snap.schema.map(f => col(f.name)).toIndexedSeq: _*)
-      }.reduce(_ unionByName _)
+      scanRelation(spark, tablePath, snap.schema, snap.partitionColumns,
+        snap.files.map(a => (a, Map.empty[String, String])))
     }
+  }
+
+  /** One FileSourceScan over `files`, partition values (table's plus
+    * any synthetic extras, e.g. the change feed's commit version)
+    * re-attached from the log through the FileIndex. Missing sizes
+    * fall back to one driver-side getFileStatus per file. */
+  private def scanRelation(spark: SparkSession, tablePath: String,
+                           schema: StructType, partitionColumns: Seq[String],
+                           files: Seq[(AddFile, Map[String, String])]): DataFrame = {
+    val table = new Path(tablePath)
+    lazy val fs = fsOf(spark, table)
+    val partSchema = StructType(partitionColumns.map(c => schema(c)))
+    val dataSchema = StructType(schema.filterNot(f => partitionColumns.contains(f.name)))
+    val indexed = files.map { case (a, extra) =>
+      val p = dataPath(tablePath, a.path)
+      val size = a.size.getOrElse(fs.getFileStatus(p).getLen)
+      (p, size, a.modificationTime.getOrElse(0L), a.partitionValues ++ extra)
+    }
+    val index = new DeltaFileIndex(spark, table, partSchema, indexed)
+    val relation = HadoopFsRelation(index, partSchema, dataSchema, None,
+      new ParquetFileFormat, Map.empty)(spark)
+    spark.baseRelationToDataFrame(relation)
+      .select(schema.map(f => col(f.name)).toIndexedSeq: _*)
   }
 
   private def jsonStr(s: String): String =
@@ -194,19 +267,35 @@ object DeltaSource {
       case c => c.toString
     } + "\""
 
-  private def writeText(fs: FileSystem, p: Path, text: String, overwrite: Boolean): Unit = {
-    val out = fs.create(p, overwrite)
+  private def writeText(fs: FileSystem, p: Path, text: String): Unit = {
+    val out = fs.create(p, /* overwrite = */ true)
     try out.write(text.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
 
-  /** Commit `df` as the next version of an (unpartitioned) Delta
-    * table. `overwrite = true` logically removes the previous
-    * snapshot's files in the same commit (full-snapshot replace, the
-    * reference's zone-write mode); `false` appends. The JSON commit
-    * file is created WITHOUT overwrite — two racing writers get one
-    * winner and one FileAlreadyExistsException, Delta's optimistic
-    * concurrency contract. */
-  def writeDelta(df: DataFrame, tablePath: String, overwrite: Boolean = true): Long = {
+  private def renameOrFail(fs: FileSystem, src: Path, dst: Path): Unit =
+    require(fs.rename(src, dst),
+      s"rename $src -> $dst failed (destination exists or cross-filesystem move); " +
+        "aborting before any log entry references the missing file")
+
+  /** Encode a table-relative path for an add action: percent-encode
+    * each segment, keep `/` separators literal. */
+  private def encodeRelPath(rel: String): String =
+    rel.split('/').map(URLEncoder.encode(_, "UTF-8")).mkString("/")
+
+  /** Commit `df` as the next version of a Delta table, hive-
+    * partitioned by `partitionBy` (which delta-rs and Delta Lake read
+    * natively; on an existing table the columns are inherited and
+    * must not conflict). `overwrite = true` logically removes the
+    * previous snapshot's files in the same commit (full-snapshot
+    * replace, the reference's zone-write mode); `false` appends. The
+    * JSON commit file goes through `commitStore.putIfAbsent` — two
+    * racing writers get one winner, Delta's optimistic concurrency
+    * contract (atomicity caveats per [[CommitStore]]: the default is
+    * safe on local/HDFS or under a single writer; object stores need
+    * a coordination-backed store). */
+  def writeDelta(df: DataFrame, tablePath: String, overwrite: Boolean = true,
+                 partitionBy: Seq[String] = Nil,
+                 commitStore: CommitStore = CreateExclusiveCommitStore): Long = {
     val spark = df.sparkSession
     val table = new Path(tablePath)
     val logDir = new Path(table, "_delta_log")
@@ -214,44 +303,86 @@ object DeltaSource {
     fs.mkdirs(logDir)
     val prev = latestVersion(spark, tablePath)
     val next = prev.map(_ + 1).getOrElse(0L)
+    val prevSnap = prev.map(v => snapshot(spark, tablePath, Some(v)))
+    val partCols: Seq[String] = prevSnap match {
+      case Some(s) =>
+        require(partitionBy.isEmpty || partitionBy == s.partitionColumns,
+          s"partitionBy $partitionBy conflicts with table's ${s.partitionColumns}")
+        s.partitionColumns
+      case None => partitionBy
+    }
+    require(partCols.forall(df.columns.contains),
+      s"partition columns $partCols missing from ${df.columns.toSeq}")
     val removed: Seq[String] =
-      if (overwrite && prev.nonEmpty) snapshot(spark, tablePath, prev).files.map(_.path)
-      else Nil
+      if (overwrite) prevSnap.map(_.files.map(_.path)).getOrElse(Nil) else Nil
 
-    // land data files under a unique staging dir, then move them in
+    // land data files under a unique staging dir, then move them in;
+    // a partitioned write stages the hive layout and the moves keep it
     val stage = new Path(table, s".stage-${UUID.randomUUID().toString.take(8)}")
-    df.write.mode("overwrite").parquet(stage.toString)
-    val parts = fs.listStatus(stage).toSeq.map(_.getPath)
-      .filter(_.getName.endsWith(".parquet"))
-    val adds = parts.map { p =>
+    val w = df.write.mode("overwrite")
+    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(stage.toString)
+    // recursive listStatus walk (listFiles' LocatedFileStatus needs
+    // local permission IO, which foreign wrapped schemes lack)
+    val stageQ = fs.makeQualified(stage)
+    def walk(dir: Path): Seq[Path] = fs.listStatus(dir).toSeq.flatMap { s =>
+      if (s.isDirectory) walk(s.getPath)
+      else if (s.getPath.getName.endsWith(".parquet")) Seq(s.getPath)
+      else Nil
+    }
+    val staged = walk(stageQ)
+    val adds = staged.map { p =>
+      // hive dir segments between stage root and file name carry the
+      // partition values (Spark writes them ExternalCatalogUtils-escaped)
+      val relDirs = {
+        var segs = List.empty[String]
+        var cur = p.getParent
+        while (cur != null && fs.makeQualified(cur) != stageQ) {
+          segs = cur.getName :: segs; cur = cur.getParent
+        }
+        segs
+      }
+      val pv: Map[String, String] = relDirs.map { seg =>
+        val Array(k, v) = seg.split("=", 2)
+        val dec = ExternalCatalogUtils.unescapePathName(v)
+        k -> (if (dec == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null else dec)
+      }.toMap
       val name = s"part-$next-${UUID.randomUUID().toString}.parquet"
-      fs.rename(p, new Path(table, name))
-      val size = fs.getFileStatus(new Path(table, name)).getLen
-      (name, size)
+      val relPath = (relDirs :+ name).mkString("/")
+      val dst = new Path(table, relPath)
+      fs.mkdirs(dst.getParent)
+      renameOrFail(fs, p, dst)
+      (relPath, fs.getFileStatus(dst).getLen, pv)
     }
     fs.delete(stage, true)
 
     val now = System.currentTimeMillis()
+    val partColsJson = partCols.map(jsonStr).mkString("[", ",", "]")
     val header =
       if (next == 0L) Seq(
         """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
-        s"""{"metaData":{"id":${jsonStr(UUID.randomUUID().toString)},"format":{"provider":"parquet","options":{}},"schemaString":${jsonStr(df.schema.json)},"partitionColumns":[],"configuration":{},"createdTime":$now}}""")
+        s"""{"metaData":{"id":${jsonStr(UUID.randomUUID().toString)},"format":{"provider":"parquet","options":{}},"schemaString":${jsonStr(df.schema.json)},"partitionColumns":$partColsJson,"configuration":{},"createdTime":$now}}""")
       else Seq.empty
-    val addLines = adds.map { case (name, size) =>
-      s"""{"add":{"path":${jsonStr(URLEncoder.encode(name, "UTF-8"))},"partitionValues":{},"size":$size,"modificationTime":$now,"dataChange":true}}"""
+    val addLines = adds.map { case (relPath, size, pv) =>
+      val pvJson = pv.map { case (k, v) =>
+        s"${jsonStr(k)}:${if (v == null) "null" else jsonStr(v)}"
+      }.mkString("{", ",", "}")
+      s"""{"add":{"path":${jsonStr(encodeRelPath(relPath))},"partitionValues":$pvJson,"size":$size,"modificationTime":$now,"dataChange":true}}"""
     }
     val removeLines = removed.map { p =>
       s"""{"remove":{"path":${jsonStr(p)},"deletionTimestamp":$now,"dataChange":true}}"""
     }
     val commit = new Path(logDir, f"$next%020d.json")
-    writeText(fs, commit, (header ++ removeLines ++ addLines).mkString("", "\n", "\n"),
-      overwrite = false)
+    commitStore.putIfAbsent(fs, commit,
+      (header ++ removeLines ++ addLines).mkString("", "\n", "\n"))
     next
   }
 
   /** Fold the snapshot at the latest version into a checkpoint
     * parquet + `_last_checkpoint`, bounding future replay to commits
-    * after it. */
+    * after it. The checkpoint carries the full action complement the
+    * Delta spec requires — protocol + metaData + adds with their real
+    * size/modificationTime — so external readers (delta-rs, Delta
+    * Lake) can seed from it, not just graft's own replay. */
   def checkpoint(spark: SparkSession, tablePath: String): Long = {
     val v = latestVersion(spark, tablePath).getOrElse(
       throw new IllegalArgumentException(s"not a Delta table: $tablePath"))
@@ -259,27 +390,106 @@ object DeltaSource {
     val logDir = new Path(tablePath, "_delta_log")
     val fs = fsOf(spark, logDir)
     import spark.implicits._
-    val addRows = snap.files.map(f => (f.path, f.partitionValues))
-      .toDF("path", "partitionValues")
-      .select(struct(col("path"), col("partitionValues"),
-        lit(null).cast("long").as("size"), lit(true).as("dataChange"))
-        .cast(ActionSchema("add").dataType).as("add"))
-      .withColumn("remove", lit(null).cast(ActionSchema("remove").dataType))
-      .withColumn("metaData", lit(null).cast(ActionSchema("metaData").dataType))
+    def nullCol(field: String) = lit(null).cast(CheckpointSchema(field).dataType).as(field)
+    val addRows = snap.files
+      .map(f => (f.path, f.partitionValues, f.size, f.modificationTime))
+      .toDF("path", "partitionValues", "size", "modificationTime")
+      .select(struct(col("path"), col("partitionValues"), col("size"),
+        col("modificationTime"), lit(true).as("dataChange"))
+        .cast(CheckpointSchema("add").dataType).as("add"),
+        nullCol("remove"), nullCol("metaData"), nullCol("protocol"))
     val metaRow = Seq(((snap.schema.json, snap.partitionColumns))).toDF("s", "p")
-      .select(
-        lit(null).cast(ActionSchema("add").dataType).as("add"),
-        lit(null).cast(ActionSchema("remove").dataType).as("remove"),
+      .select(nullCol("add"), nullCol("remove"),
         struct(lit(UUID.randomUUID().toString).as("id"), col("s").as("schemaString"),
-          col("p").as("partitionColumns")).as("metaData"))
+          col("p").as("partitionColumns")).as("metaData"),
+        nullCol("protocol"))
+    val protocolRow = Seq(1).toDF("x")
+      .select(nullCol("add"), nullCol("remove"), nullCol("metaData"),
+        struct(lit(1).as("minReaderVersion"), lit(2).as("minWriterVersion")).as("protocol"))
     val stage = new Path(tablePath, s".cpstage-${UUID.randomUUID().toString.take(8)}")
-    addRows.unionByName(metaRow).coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    protocolRow.unionByName(metaRow).unionByName(addRows)
+      .coalesce(1).write.mode("overwrite").parquet(stage.toString)
     val part = fs.listStatus(stage).toSeq.map(_.getPath)
       .find(_.getName.endsWith(".parquet")).get
-    fs.rename(part, new Path(logDir, f"$v%020d.checkpoint.parquet"))
+    renameOrFail(fs, part, new Path(logDir, f"$v%020d.checkpoint.parquet"))
     fs.delete(stage, true)
     writeText(fs, new Path(logDir, "_last_checkpoint"),
-      s"""{"version":$v,"size":${snap.files.size + 1}}""", overwrite = true)
+      s"""{"version":$v,"size":${snap.files.size + 2}}""")
     v
+  }
+
+  /** Adds committed in version range (`afterVersion`, `toVersion`]
+    * with dataChange=true, straight from the JSON commits. */
+  private def commitAdds(spark: SparkSession, tablePath: String,
+                         versions: Seq[Long]): Seq[(Long, AddFile)] = {
+    val logDir = new Path(tablePath, "_delta_log")
+    versions.flatMap { v =>
+      val f = new Path(logDir, f"$v%020d.json")
+      spark.read.schema(ActionSchema).json(f.toString).collect().toSeq
+        .filter(r => !r.isNullAt(r.fieldIndex("add")))
+        .map(r => r.getStruct(r.fieldIndex("add")))
+        .filter(a => a.getAs[Boolean]("dataChange"))
+        .map(a => (v, rowToAdd(a)))
+    }
+  }
+
+  /** The Delta log as an incremental change SOURCE — the cursor
+    * contract of `VersionedZone.changesSince` over a real
+    * `_delta_log` table: every commit after `cursor` contributes the
+    * rows it ADDED, tagged with `_commit_version`. Consume, persist
+    * the cursor, poll again — exactly-once per commit with a stored
+    * long. All batches ride ONE scan relation: `_commit_version` is a
+    * synthetic partition column in the [[DeltaFileIndex]], so a
+    * version predicate prunes to that commit's files without touching
+    * the rest of the feed.
+    *
+    * Append commits yield exactly the snapshot diff. A full-replace
+    * (`overwrite = true`) commit yields its complete new snapshot —
+    * consumers that upsert by key (e.g. `VersionedZone.upsertSink`)
+    * absorb either shape; removed-only rows are not replayed (the
+    * data files backing a remove may already be vacuumed, same
+    * reason Delta's own CDF materializes deletes separately). */
+  def changesSince(spark: SparkSession, tablePath: String,
+                   cursor: Option[Long]): (Option[Long], Option[DataFrame]) = {
+    val logDir = new Path(tablePath, "_delta_log")
+    val (commits, _) = logVersions(fsOf(spark, logDir), logDir)
+    val newVs = commits.filter(v => cursor.forall(v > _))
+    if (newVs.isEmpty) (cursor, None)
+    else {
+      val snap = snapshot(spark, tablePath, Some(newVs.max))
+      val adds = commitAdds(spark, tablePath, newVs)
+      if (adds.isEmpty) (Some(newVs.max), None)
+      else {
+        val schema = StructType(snap.schema :+ StructField("_commit_version", LongType))
+        val feed = scanRelation(spark, tablePath, schema,
+          snap.partitionColumns :+ "_commit_version",
+          adds.map { case (v, a) => (a, Map("_commit_version" -> v.toString)) })
+        (Some(newVs.max), Some(feed.orderBy(col("_commit_version"))))
+      }
+    }
+  }
+
+  /** Drain the Delta change feed commit-by-commit through a callback
+    * — the foreachBatch shape with the commit version as the batch id
+    * (restart-safe: re-running from the same stored cursor replays
+    * exactly the unseen commits, in order). Composes with
+    * `VersionedZone.upsertSink`-style consumers to tail a live Delta
+    * zone. */
+  def followChanges(spark: SparkSession, tablePath: String, cursor: Option[Long])
+                   (f: (Long, DataFrame) => Unit): Option[Long] = {
+    val logDir = new Path(tablePath, "_delta_log")
+    val (commits, _) = logVersions(fsOf(spark, logDir), logDir)
+    val newVs = commits.filter(v => cursor.forall(v > _))
+    newVs.foreach { v =>
+      val snap = snapshot(spark, tablePath, Some(v))
+      val adds = commitAdds(spark, tablePath, Seq(v))
+      val batch =
+        if (adds.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+        else scanRelation(spark, tablePath, snap.schema, snap.partitionColumns,
+          adds.map { case (_, a) => (a, Map.empty[String, String]) })
+      f(v, batch)
+    }
+    newVs.lastOption.orElse(cursor)
   }
 }

@@ -75,6 +75,27 @@ class AsOfJoinSpec extends SparkSpec {
     assert(native.count() == 400) // every probe row emits exactly once
   }
 
+  test("null keys never match: exec and composed agree, null-key probes emit unmatched") {
+    // null-key build rows must NOT carry onto null-key probe rows
+    // (SQL equality-join semantics; the window baseline would other-
+    // wise group all nulls into one partition and match them)
+    val probe = Seq(
+      (1L, Option(7L), ts("2024-01-01 10:00:00")),
+      (2L, Option.empty[Long], ts("2024-01-01 11:00:00")),
+      (3L, Option.empty[Long], ts("2024-01-01 12:00:00"))
+    ).toDF("probe_id", "k", "t")
+    val build = Seq(
+      (Option(7L), ts("2024-01-01 08:00:00"), "real"),
+      (Option.empty[Long], ts("2024-01-01 09:00:00"), "phantom")
+    ).toDF("k", "bt", "state")
+    val native = AsOfJoin.asof(probe, build, "k", "t", "bt", Seq("state"))
+    val composed = AsOfJoin.asofComposed(probe, build, "k", "t", "bt", Seq("state"))
+    val expect = Set((1L, "real"), (2L, null: String), (3L, null: String))
+    assert(native.select($"probe_id", $"state").as[(Long, String)].collect().toSet == expect)
+    assert(composed.select($"probe_id", $"state").as[(Long, String)].collect().toSet == expect)
+    assert(native.exceptAll(composed).isEmpty && composed.exceptAll(native).isEmpty)
+  }
+
   test("the plan is ONE merge exec over two sorted shuffles — no union, no window") {
     val probe = Seq((1L, 7L, ts("2024-01-01 10:00:00"))).toDF("probe_id", "k", "t")
     val build = Seq((7L, ts("2024-01-01 08:00:00"), "a")).toDF("k", "bt", "state")
