@@ -38,7 +38,11 @@ object Bench {
     SparkEntry.queries.headOption.foreach { case (_, fn) =>
       try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // sorted-name order: deterministic run-to-run, and dependent
+    // entries time their own phase (ann_index_build lands the
+    // persisted index before ann_index_serve is timed, so the serve
+    // number is load+query alone)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // a failed query must be VISIBLE (-1), not a fast-looking timing
       val ok = try { exec(fn(spark, sfDir)); true } catch {
@@ -56,7 +60,7 @@ object Bench {
       name -> dt
     }
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
-    val total = r3(if (results.nonEmpty) results.values.sum else 0.0)
+    val total = r3(if (results.nonEmpty) results.map(_._2).sum else 0.0)
     def jsonLine(qs: Seq[(String, Double)]): String = {
       val qj = qs.map { case (k, v) => "\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")
@@ -68,7 +72,7 @@ object Bench {
     // unparseable (BENCH_r01–r03 all did). Keep the stdout line well
     // under the window: report the total plus the slowest queries,
     // and dump the complete per-query map to stderr for humans.
-    val bySlow = results.toSeq.sortBy { case (_, v) => -v }
+    val bySlow = results.sortBy { case (_, v) => -v }
     var keep = bySlow.size
     while (keep > 1 && jsonLine(bySlow.take(keep)).length > 1500) keep -= 1
     System.err.println("BENCH FULL " + jsonLine(bySlow))

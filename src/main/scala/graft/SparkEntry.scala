@@ -57,6 +57,42 @@ object SparkEntry {
       graft.sources.DeltaSource.writeDelta(zone, tmp)
       graft.sources.DeltaSource.readDelta(s, tmp).orderBy(col("doc_id"))
     }),
+    "pipe_delta_partitioned" -> ((s, d) => {
+      // a date-partitioned-lakehouse-shaped zone: silver landed as a
+      // hive-partitioned Delta table (partitionValues in the log),
+      // read back through ONE DeltaFileIndex scan with a partition
+      // predicate — the predicate prunes files at planning time
+      val zone = Medallion.silverNormalize(Medallion.bronze(Tables.documents(s, d)))
+        .select(col("doc_id"), col("source"), col("content"), col("content_length"))
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_deltap_${math.abs(d.hashCode)}/silver_by_source"
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      graft.sources.DeltaSource.writeDelta(zone, tmp, partitionBy = Seq("source"))
+      graft.sources.DeltaSource.readDelta(s, tmp)
+        .where(col("source") === "src1")
+        .select(col("doc_id"), col("source"), col("content"), col("content_length"))
+        .orderBy(col("doc_id"))
+    }),
+    "pipe_delta_cdf" -> ((s, d) => {
+      // the Delta log as a change SOURCE: v0 lands the even half,
+      // v1 appends the odd half; a consumer whose cursor is at 0
+      // replays exactly commit 1's rows, tagged _commit_version
+      val zone = Medallion.silverNormalize(Medallion.bronze(Tables.documents(s, d)))
+        .select(col("doc_id"), col("source"), col("content"), col("content_length"))
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_deltacdf_${math.abs(d.hashCode)}/zone"
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      graft.sources.DeltaSource.writeDelta(zone.where(col("doc_id") % 2 === 0), tmp)
+      graft.sources.DeltaSource.writeDelta(zone.where(col("doc_id") % 2 =!= 0), tmp,
+        overwrite = false)
+      val (_, feed) = graft.sources.DeltaSource.changesSince(s, tmp, Some(0L))
+      feed.get
+        .select(col("doc_id"), col("source"), col("content"), col("content_length"),
+          col("_commit_version"))
+        .orderBy(col("doc_id"))
+    }),
     "pipe_gold_chunks" -> ((s, d) =>
       Medallion.pipeline(Tables.documents(s, d))
         .select(col("doc_id"), col("chunk_idx"), col("chunk"), col("chunk_length"))
@@ -239,12 +275,22 @@ object SparkEntry {
     "ann_pq_topk" -> ((s, d) => Similarity.pqTopK(Tables.embeddings(s, d))),
     "ann_pq_trained" -> ((s, d) => Similarity.pqTopKFitted(Tables.embeddings(s, d))),
     "ann_ivfpq_topk" -> ((s, d) => Similarity.ivfpqTopK(Tables.embeddings(s, d))),
-    "ann_index_persist" -> ((s, d) => {
-      // index-build/index-serve split: IVF-PQ structures persisted as
-      // a cell-partitioned parquet layout, queried after a cold load —
-      // bit-identical to the fused ann_ivfpq_topk path
+    // index-build / index-serve split (round-5 `ann_index_persist`,
+    // now two entries so the bench times the production shapes
+    // separately): BUILD is the one heavy corpus job — IVF-PQ
+    // structures persisted as a cell-partitioned parquet layout,
+    // verified from the bytes on disk; SERVE is cold load + query
+    // against the pre-built index, bit-identical to the fused
+    // ann_ivfpq_topk path, with the probe join dynamic-partition-
+    // pruning the codes scan to the probed cells.
+    "ann_index_build" -> ((s, d) => {
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft_annix_${math.abs(d.hashCode)}"
       graft.sources.AnnIndex.buildAndSave(Tables.embeddings(s, d), dir)
+      graft.sources.AnnIndex.stats(s, dir)
+    }),
+    "ann_index_serve" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_annix_${math.abs(d.hashCode)}"
+      graft.sources.AnnIndex.ensureBuilt(Tables.embeddings(s, d), dir)
       graft.sources.AnnIndex.query(s, dir, Tables.embeddings(s, d))
     }),
     "ann_ivfpq_recall" -> ((s, d) => {
@@ -892,12 +938,13 @@ object SparkEntry {
        |n AS (SELECT id, v, sqrt(${dDot("v", "v")}) AS nrm FROM e)
        |""".stripMargin
 
-  /** IVF-PQ replay, shared by the fused path (`ann_ivfpq_topk`) and
-    * the persisted-index round trip (`ann_index_persist`), which is
-    * the same computation after a save/load. */
-  private val ivfpqOracleSql: String = {
-    def dot8(a: String, b: String) =
-      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 9), i -> $a[i] * $b[i])), (x, y) -> x + y)"
+  private def dot8(a: String, b: String) =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 9), i -> $a[i] * $b[i])), (x, y) -> x + y)"
+
+  /** IVF-PQ index BUILD replay up to the `codes` CTE — shared by the
+    * fused path (`ann_ivfpq_topk`), the persisted build summary
+    * (`ann_index_build`), and the serving path (`ann_index_serve`). */
+  private val ivfpqBuildCtes: String = {
     def l2(sv: String, cv: String) =
       s"round((${dot8(sv, sv)} - 2.0 * ${dot8(sv, cv)}) + ${dot8(cv, cv)}, 6)"
     s"""$embNormCte,
@@ -916,7 +963,13 @@ object SparkEntry {
        |          row_number() OVER (PARTITION BY s.id, s.sub
        |            ORDER BY ${l2("s.sv", "cb.cv")}, cb.code) AS rnk
        |        FROM rsubs s JOIN cb ON s.sub = cb.sub),
-       |codes AS (SELECT id, cell, sub, code FROM enc WHERE rnk = 1),
+       |codes AS (SELECT id, cell, sub, code FROM enc WHERE rnk = 1)""".stripMargin
+  }
+
+  /** IVF-PQ query replay over the build CTEs — `ann_ivfpq_topk` and
+    * `ann_index_serve` (same computation after a save/load). */
+  private val ivfpqOracleSql: String = {
+    s"""$ivfpqBuildCtes,
        |p AS (SELECT n.id AS query_id, n.v AS qv, c.cell,
        |        round(${dDot("n.v", "c.cv")}, 6) AS coarse,
        |        row_number() OVER (PARTITION BY n.id
@@ -951,6 +1004,19 @@ object SparkEntry {
     "pipe_delta_roundtrip" ->
       s"""$silverCte SELECT doc_id, source, content, length(content) AS content_length
          |FROM silver0 WHERE length(content) > 50 ORDER BY doc_id""".stripMargin,
+    // partitioned landing is value-identical to the silver slice it
+    // partitions; the partition predicate selects one source
+    "pipe_delta_partitioned" ->
+      s"""$silverCte SELECT doc_id, source, content, length(content) AS content_length
+         |FROM silver0 WHERE length(content) > 50 AND source = 'src1'
+         |ORDER BY doc_id""".stripMargin,
+    // the change feed past cursor 0 is exactly the appended odd half,
+    // tagged with the committing version
+    "pipe_delta_cdf" ->
+      s"""$silverCte SELECT doc_id, source, content, length(content) AS content_length,
+         |CAST(1 AS BIGINT) AS _commit_version
+         |FROM silver0 WHERE length(content) > 50 AND doc_id % 2 <> 0
+         |ORDER BY doc_id""".stripMargin,
     // the recursive splitter replayed exactly: silver-normalized text
     // has no newlines, so the paragraph levels are identity and the
     // algorithm reduces to greedy left-folds over '. ' then ' '
@@ -1615,7 +1681,12 @@ object SparkEntry {
     "ann_ivfpq_topk" -> ivfpqOracleSql,
     // the persisted-index query IS the fused IVF-PQ computation after
     // a save/load round trip — same oracle by construction
-    "ann_index_persist" -> ivfpqOracleSql,
+    "ann_index_build" ->
+      s"""$ivfpqBuildCtes
+         |SELECT cell, count(DISTINCT id) AS n_vecs, count(*) AS n_rows,
+         |       count(DISTINCT code) AS n_codes
+         |FROM codes GROUP BY cell ORDER BY cell""".stripMargin,
+    "ann_index_serve" -> ivfpqOracleSql,
 
     // the fitted-PQ path: two k-means rounds inside EVERY subspace
     // ((sub, code) is the cell key), then the same ADC flow as

@@ -36,15 +36,22 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = fanOut(load(s, d, "lineitem"))
-  /** events.parquet carries TIMESTAMP(NANOS) which the vectorized
-    * parquet reader rejects; read nanos as long and convert to a
-    * microsecond timestamp (the generator emits µs-aligned values,
-    * so the truncation is lossless). */
+  /** `ts` arrives either as parquet timestamp[ns] (read as long under
+    * the legacy conf, ÷1000 → µs) or as timestamp[us] directly —
+    * the generator has used both physical types across rounds, so
+    * sniff the decoded type instead of assuming one. Either way the
+    * column lands as session-TZ TIMESTAMP at µs precision. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = fanOut(load(s, d, "documents"))
   def embeddings(s: SparkSession, d: String): DataFrame = fanOut(load(s, d, "embeddings"))

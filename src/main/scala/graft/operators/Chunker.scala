@@ -120,10 +120,12 @@ object Chunker {
       .orderBy(col("source"), col("block_id"))
   }
 
+  /** DataFrame form of the recursive splitter, via the native
+    * `RecursiveSplit` Catalyst expression (codegen'd; no ScalaUDF —
+    * the explode's parent project stays in WholeStageCodegen). */
   def recursive(df: DataFrame, contentCol: String,
-                size: Int = 200, overlap: Int = 10): DataFrame = {
-    val splitUdf = udf((s: String) => splitRecursive(s, size, overlap))
-    df.withColumn("chunk", explode(splitUdf(col(contentCol))))
+                size: Int = 200, overlap: Int = 10): DataFrame =
+    df.withColumn("chunk",
+        explode(graft.plans.NativeExprs.recursiveSplit(col(contentCol), size, overlap)))
       .withColumn("chunk_length", length(col("chunk")).cast("long"))
-  }
 }

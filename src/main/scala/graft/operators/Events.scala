@@ -62,11 +62,18 @@ object Events {
         col("w.end").as("session_end"), col("n_events"), col("session_value"))
       .orderBy(col("user_id"), col("session_start"))
 
-  /** Per-user stats with JSON props extraction (`props` is a JSON
-    * blob; `$.k` pulled with get_json_object — codegen'd, no UDF). */
+  /** Per-user stats with JSON props extraction. `props` is parsed
+    * ONCE with a schema'd `from_json` (Jackson parse per row, struct
+    * out) rather than per-field `get_json_object` — with several
+    * extracted fields the per-field form re-parses the blob N times;
+    * the schema'd parse is one pass no matter how many fields ride
+    * along, which is the shape that holds up when the props schema
+    * grows. */
   def userStats(events: DataFrame): DataFrame =
     events
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("k",
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).getField("k"))
       .groupBy(col("user_id"))
       .agg(
         count(lit(1)).as("n_events"),

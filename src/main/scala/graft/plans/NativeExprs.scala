@@ -157,6 +157,22 @@ object NativeExprs {
     acc
   }
 
+  /** Recursive character split (paragraph → sentence → word fallback
+    * with greedy repack and overlap carry) — delegates to the single
+    * source of truth `Chunker.splitRecursive`, so the expression, the
+    * library helper, and the DuckDB oracle replay stay value-identical. */
+  def recursiveSplitEval(s: org.apache.spark.unsafe.types.UTF8String,
+                         size: Int, overlap: Int): ArrayData = {
+    val chunks = graft.operators.Chunker.splitRecursive(s.toString, size, overlap)
+    val out = new Array[Any](chunks.length)
+    var i = 0
+    while (i < chunks.length) {
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(chunks(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def intersectSizeEval(a: ArrayData, b: ArrayData): Long = {
     val x = a.toLongArray()
     val y = b.toLongArray()
@@ -281,6 +297,25 @@ object NativeExprs {
       copy(left = l, right = r)
   }
 
+  /** Native recursive-splitter expression — replaces the last ScalaUDF
+    * in the codebase (the gold-zone reference-faithful chunker). The
+    * per-row work is inherently imperative (recursive descent +
+    * greedy repack), so the win here is plan quality, not arithmetic:
+    * no closure dispatch, no Option boxing, and the containing
+    * project/generate stays inside WholeStageCodegen instead of being
+    * fenced off by a ScalaUDF node. */
+  case class RecursiveSplit(child: Expression, size: Int, overlap: Int)
+      extends UnaryExpression {
+    require(size > overlap && overlap >= 0, "chunk size must exceed overlap")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(v: Any): Any =
+      recursiveSplitEval(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], size, overlap)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Self.recursiveSplitEval($c, $size, $overlap)")
+    override def prettyName: String = "graft_recursive_split"
+    override protected def withNewChildInternal(c: Expression): RecursiveSplit = copy(child = c)
+  }
+
   // Column wrappers
   def minhashSig(c: Column, k: Int): Column =
     GraftBridge.column(MinHashSig(GraftBridge.expression(c), k))
@@ -294,4 +329,6 @@ object NativeExprs {
     GraftBridge.column(DotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
   def intersectSize(a: Column, b: Column): Column =
     GraftBridge.column(IntersectSize(GraftBridge.expression(a), GraftBridge.expression(b)))
+  def recursiveSplit(c: Column, size: Int, overlap: Int): Column =
+    GraftBridge.column(RecursiveSplit(GraftBridge.expression(c), size, overlap))
 }

@@ -49,6 +49,33 @@ object AnnIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
+  /** Build only if the persisted layout is absent (`meta` missing) —
+    * the serving path's guard, so index-build cost never silently
+    * rides a query that is supposed to measure serving alone. */
+  def ensureBuilt(emb: DataFrame, dir: String,
+                  nCells: Int = 16, m: Int = 8, nCodes: Int = 16,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    val fs = p.getFileSystem(emb.sparkSession.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) buildAndSave(emb, dir, nCells, m, nCodes, idCol, vecCol)
+  }
+
+  /** Per-cell summary of a persisted index, read back from the SAVED
+    * layout (not the in-memory build): distinct vectors, code rows,
+    * and distinct codes per IVF cell. This is the build step's
+    * verifiable surface — cell balance is the number an operator
+    * actually watches after an index build (one empty or giant cell
+    * means the coarse quantizer is mis-fit), and reading it from disk
+    * proves the persisted bytes, not the plan that produced them. */
+  def stats(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/codes")
+      .select(col("id").cast("long"), col("cell").cast("long"), col("code").cast("long"))
+      .groupBy(col("cell"))
+      .agg(countDistinct(col("id")).as("n_vecs"),
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("code")).as("n_codes"))
+      .orderBy(col("cell"))
+
   /** Load a persisted index; column types restored to the build
     * shapes (`cell` comes back from directory names). */
   def load(spark: SparkSession, dir: String): Loaded = {

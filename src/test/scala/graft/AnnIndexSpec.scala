@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.Similarity
+import graft.sources.AnnIndex
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Persisted ANN index: the build/serve split is real (serve never
+  * rebuilds), the served results are bit-identical to the fused
+  * in-memory path, and — the layout's whole point — the serving scan
+  * dynamic-partition-prunes the cell-partitioned codes table to the
+  * probed cells instead of reading the corpus. */
+class AnnIndexSpec extends SparkSpec {
+
+  private def freshDir(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_annix_$tag").toFile
+    d.deleteOnExit()
+    d.getPath
+  }
+
+  private def allScans(p: SparkPlan): Seq[FileSourceScanExec] =
+    PlanWalk.deepCollect(p) { case s: FileSourceScanExec => s }
+
+  test("serve equals the fused IVF-PQ path after save/load") {
+    val emb = Tables.embeddings(spark, sf)
+    val dir = freshDir("serve")
+    AnnIndex.buildAndSave(emb, dir)
+    val served = AnnIndex.query(spark, dir, emb).collect().map(_.toString).toSeq
+    val fused = Similarity.ivfpqTopK(emb).collect().map(_.toString).toSeq
+    assert(served == fused)
+  }
+
+  test("ensureBuilt builds once and never rebuilds an existing layout") {
+    val emb = Tables.embeddings(spark, sf)
+    val dir = freshDir("ensure")
+    AnnIndex.ensureBuilt(emb, dir)
+    val metaFile = new java.io.File(s"$dir/meta")
+    val stamp = metaFile.listFiles().map(f => f.getName -> f.lastModified()).toMap
+    AnnIndex.ensureBuilt(emb, dir) // second call must be a no-op
+    val again = metaFile.listFiles().map(f => f.getName -> f.lastModified()).toMap
+    assert(stamp == again)
+  }
+
+  test("stats reads the persisted bytes and matches the in-memory build") {
+    val emb = Tables.embeddings(spark, sf)
+    val dir = freshDir("stats")
+    AnnIndex.buildAndSave(emb, dir)
+    import org.apache.spark.sql.functions._
+    val (_, _, codes) = Similarity.ivfpqBuild(emb)
+    val want = codes.groupBy(col("cell"))
+      .agg(countDistinct(col("id")).as("n_vecs"), count(lit(1)).as("n_rows"),
+        countDistinct(col("code")).as("n_codes"))
+      .orderBy(col("cell")).collect().map(_.toString).toSeq
+    val got = AnnIndex.stats(spark, dir).collect().map(_.toString).toSeq
+    assert(got == want)
+    // every corpus vector is in exactly one cell
+    val total = AnnIndex.stats(spark, dir)
+      .agg(sum(col("n_vecs"))).collect().head.getLong(0)
+    assert(total == emb.count())
+  }
+
+  test("the serving scan dynamic-partition-prunes codes to the probed cells") {
+    val emb = Tables.embeddings(spark, sf)
+    val dir = freshDir("dpp")
+    AnnIndex.ensureBuilt(emb, dir)
+    val q = AnnIndex.query(spark, dir, emb)
+    q.collect() // finalize the adaptive plan
+    val codesScans = allScans(q.queryExecution.executedPlan)
+      .filter(_.toString.contains("/codes"))
+    assert(codesScans.nonEmpty, q.queryExecution.executedPlan.toString)
+    // the scan must carry a dynamic partition filter on `cell` —
+    // i.e. the probe join prunes directories, it does not read the
+    // whole corpus and filter rows after the fact
+    assert(codesScans.exists(_.toString.toLowerCase.contains("dynamicpruning")),
+      codesScans.map(_.toString).mkString("\n"))
+  }
+}

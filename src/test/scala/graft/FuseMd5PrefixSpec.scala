@@ -73,7 +73,8 @@ class FuseMd5PrefixSpec extends SparkSpec {
       simhash32($"tk").as("sh"),
       hashedShingles($"tk", 3).as("hs"),
       dotProduct($"va", $"vb").as("dp"),
-      intersectSize(md5Array($"tk"), md5Array($"tk2")).as("is"))
+      intersectSize(md5Array($"tk"), md5Array($"tk2")).as("is"),
+      recursiveSplit(concat_ws("\n\n", $"tk"), 8, 2).as("rs"))
   }
 
   test("all native expressions run under forced codegen, bit-equal to interpreted") {
@@ -95,5 +96,25 @@ class FuseMd5PrefixSpec extends SparkSpec {
     val interp = run("NO_CODEGEN", "true")
     assert(gen == interp, s"codegen/interpreted divergence:\n$gen\n$interp")
     assert(gen.size == 3)
+  }
+
+  // Round 5's last UDF (Chunker.recursive) is now the native
+  // RecursiveSplit expression: pin that the gold recursive-chunk plan
+  // carries no ScalaUDF node and that the expression matches the
+  // library splitter row for row.
+  test("Chunker.recursive plans with no ScalaUDF and matches splitRecursive") {
+    val docs = Tables.documents(spark, sf).limit(50)
+    val df = graft.operators.Chunker.recursive(
+      graft.operators.Medallion.silverNormalize(graft.operators.Medallion.bronze(docs)), "content")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan)
+    assert(plan.contains("graft_recursive_split"), plan)
+    val got = df.select($"doc_id", $"chunk").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    val want = graft.operators.Medallion.silverNormalize(graft.operators.Medallion.bronze(docs))
+      .select($"doc_id", $"content").collect()
+      .flatMap(r => graft.operators.Chunker.splitRecursive(r.getString(1))
+        .map(c => (r.getLong(0), c))).toSeq.sorted
+    assert(got == want)
   }
 }
