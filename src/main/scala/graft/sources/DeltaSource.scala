@@ -236,6 +236,26 @@ object DeltaSource {
     }
   }
 
+  /** Timestamp time travel: read the newest version whose commit was
+    * made at or before `timestampMs` — resolved from the commit
+    * files' modification times, the Delta spec's timestamp→version
+    * rule (each version's timestamp is its log file's modification
+    * time; callers needing clock-skew-proof ordering should pin by
+    * version instead, same caveat as Delta itself documents). */
+  def readDeltaAsOf(spark: SparkSession, tablePath: String,
+                    timestampMs: Long): DataFrame = {
+    val logDir = new Path(tablePath, "_delta_log")
+    val fs = fsOf(spark, logDir)
+    val (commits, _) = logVersions(fs, logDir)
+    require(commits.nonEmpty, s"not a Delta table (no commits): $tablePath")
+    val eligible = commits.filter { v =>
+      fs.getFileStatus(new Path(logDir, f"$v%020d.json")).getModificationTime <= timestampMs
+    }
+    require(eligible.nonEmpty,
+      s"no commit at or before timestamp $timestampMs (earliest: ${commits.min})")
+    readDelta(spark, tablePath, Some(eligible.max))
+  }
+
   /** One FileSourceScan over `files`, partition values (table's plus
     * any synthetic extras, e.g. the change feed's commit version)
     * re-attached from the log through the FileIndex. Missing sizes

@@ -41,6 +41,26 @@ class DeltaSourceSpec extends SparkSpec {
     assert(DeltaSource.latestVersion(spark, tmp).contains(1L))
   }
 
+  test("timestamp time travel resolves to the newest commit at-or-before the instant") {
+    val tmp = Files.createTempDirectory("graft_delta").toString + "/t"
+    DeltaSource.writeDelta(Seq((1L, "x")).toDF("id", "s"), tmp)
+    val log = new java.io.File(s"$tmp/_delta_log")
+    // push commit 0 visibly into the past so the two versions'
+    // mtimes are strictly ordered without sleeping
+    val c0 = new java.io.File(log, "00000000000000000000.json")
+    val past = System.currentTimeMillis() - 60000
+    assert(c0.setLastModified(past))
+    DeltaSource.writeDelta(Seq((2L, "y")).toDF("id", "s"), tmp)
+    // between the two commits → v0; now → v1; before both → error
+    assert(DeltaSource.readDeltaAsOf(spark, tmp, past + 1000)
+      .as[(Long, String)].collect().toSet == Set((1L, "x")))
+    assert(DeltaSource.readDeltaAsOf(spark, tmp, System.currentTimeMillis())
+      .as[(Long, String)].collect().toSet == Set((2L, "y")))
+    val e = intercept[IllegalArgumentException](
+      DeltaSource.readDeltaAsOf(spark, tmp, past - 1000))
+    assert(e.getMessage.contains("no commit at or before"))
+  }
+
   test("append commits accumulate") {
     val tmp = Files.createTempDirectory("graft_delta").toString + "/t"
     DeltaSource.writeDelta(Seq((1L, "x")).toDF("id", "s"), tmp)
