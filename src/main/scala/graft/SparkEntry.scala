@@ -597,6 +597,13 @@ object SparkEntry {
     "txt_ttr" -> ((s, d) => Quality.typeTokenStats(Tables.documents(s, d))),
     "txt_ngram_novelty" -> ((s, d) => Quality.ngramNovelty(Tables.documents(s, d))),
     "emb_pca2" -> ((s, d) => Similarity.powerIterationDeflated(Tables.embeddings(s, d))),
+    "emb_whitening" -> ((s, d) => Similarity.whitenedProjection(Tables.embeddings(s, d))),
+    "ann_int8_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.recallAtK(Similarity.int8TopK(emb), Similarity.bruteTopK(emb))
+    }),
+    "rag_ndcg" -> ((s, d) =>
+      Ranking.ndcgAtK(Tables.documents(s, d), Tables.embeddings(s, d))),
     "emb_sim_hist" -> ((s, d) => Similarity.cosineHistogram(Tables.embeddings(s, d))),
     "mm_phash_dedup" -> ((s, d) =>
       Multimodal.phashPairs(Multimodal.withBinaryPayload(Tables.documents(s, d)))),
@@ -1800,6 +1807,43 @@ object SparkEntry {
          |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, word, score FROM r WHERE rnk <= 3
          |ORDER BY doc_id, rnk""".stripMargin,
 
+    // nDCG@10 of the bm25 list judged by clamped-cosine relevance;
+    // discounts spelled as ln(x)/ln(2) on both engines
+    "rag_ndcg" ->
+      s"""$embNormCte,
+         |t AS (SELECT doc_id, ${dToks("text")} AS tk FROM documents),
+         |stats AS (SELECT count(*) AS n_docs, avg(len(tk)) AS avg_len FROM t),
+         |terms AS (SELECT unnest([${Ranking.DefaultTerms.map(w => s"'$w'").mkString(",")}]) AS term),
+         |tf AS (SELECT doc_id, w AS term, dl, count(*) AS tf
+         |       FROM (SELECT doc_id, unnest(tk) AS w, CAST(len(tk) AS BIGINT) AS dl FROM t)
+         |       WHERE w IN (SELECT term FROM terms) GROUP BY 1, 2, 3),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT doc_id,
+         |         round(ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         |           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avg_len)), 6) AS term_score
+         |       FROM tf JOIN df ON tf.term = df.term CROSS JOIN stats s),
+         |bm AS (SELECT doc_id, CAST(SUM(CAST(term_score AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+         |       FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20),
+         |lex AS (SELECT doc_id, lex_rank FROM (
+         |         SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank FROM bm)
+         |       WHERE lex_rank <= 10),
+         |rel AS (SELECT q.id AS query_id, l.doc_id, l.lex_rank,
+         |         greatest(0.0, round(${dDot("q.v", "x.v")} / (q.nrm * x.nrm), 6)) AS rel
+         |       FROM lex l CROSS JOIN (SELECT * FROM n WHERE id < 3) q
+         |       JOIN n x ON x.id = l.doc_id
+         |       WHERE l.doc_id <> q.id),
+         |dcg AS (SELECT query_id,
+         |         CAST(SUM(CAST(round(rel / (ln(lex_rank + 1.0) / ln(2.0)), 6) AS DECIMAL(18,6))) AS DOUBLE) AS dcg
+         |       FROM rel GROUP BY 1),
+         |is0 AS (SELECT q.id AS query_id, b.id AS neighbor_id,
+         |         round(${dDot("q.v", "b.v")} / (q.nrm * b.nrm), 6) AS sim
+         |       FROM n q, n b WHERE q.id < 3 AND b.id <> q.id),
+         |ir0 AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM is0),
+         |idcg AS (SELECT query_id,
+         |          CAST(SUM(CAST(round(greatest(0.0, sim) / (ln(rnk + 1.0) / ln(2.0)), 6) AS DECIMAL(18,6))) AS DOUBLE) AS idcg
+         |        FROM ir0 WHERE rnk <= 10 GROUP BY 1)
+         |SELECT d.query_id, d.dcg, i.idcg, d.dcg / i.idcg AS ndcg
+         |FROM dcg d JOIN idcg i ON d.query_id = i.query_id ORDER BY d.query_id""".stripMargin,
     "rag_bm25" ->
       s"""WITH t AS (SELECT doc_id, ${dToks("text")} AS tk FROM documents),
          |stats AS (SELECT count(*) AS n_docs, avg(len(tk)) AS avg_len FROM t),
@@ -3029,6 +3073,59 @@ object SparkEntry {
          |n2 AS (SELECT sqrt(CAST(SUM(CAST(round(y2 * y2, 6) AS DECIMAL(28,6))) AS DOUBLE)) AS nrm FROM y2)
          |SELECT y2.dim, v1[y2.dim] AS v1, y2.y2, round(y2.y2 / n2.nrm, 6) AS v2
          |FROM y2 CROSS JOIN n2 CROSS JOIN v1l ORDER BY dim""".stripMargin,
+    // whitening: the pca2 replay extended with the v2 list, then
+    // per-vector projections and the RMS standardization
+    "emb_whitening" ->
+      s"""WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |s AS (SELECT v, round(${dDot("v", "list_transform(range(1, 65), i -> 1.0)")}, 6) AS s FROM e),
+         |t AS (SELECT d.dim, round(v[d.dim] * s, 6) AS term
+         |      FROM s, (SELECT unnest(range(1, 65)) AS dim) d),
+         |y AS (SELECT CAST(dim AS BIGINT) AS dim,
+         |        CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE) AS y
+         |      FROM t GROUP BY dim),
+         |nrm AS (SELECT sqrt(CAST(SUM(CAST(round(y * y, 6) AS DECIMAL(28,6))) AS DOUBLE)) AS nrm FROM y),
+         |v1l AS (SELECT list(round(y / nrm, 6) ORDER BY dim) AS v1 FROM y CROSS JOIN nrm),
+         |e2 AS (SELECT v, round(${dDot("v", "v1")}, 6) AS p FROM e CROSS JOIN v1l),
+         |d2 AS (SELECT list_transform(range(1, 65), i -> round(v[i] - p * v1[i], 6)) AS vd
+         |       FROM e2 CROSS JOIN v1l),
+         |s2 AS (SELECT vd, round(${dDot("vd", "list_transform(range(1, 65), i -> 1.0)")}, 6) AS s FROM d2),
+         |t2 AS (SELECT d.dim, round(vd[d.dim] * s, 6) AS term
+         |       FROM s2, (SELECT unnest(range(1, 65)) AS dim) d),
+         |y2 AS (SELECT CAST(dim AS BIGINT) AS dim,
+         |         CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE) AS y2
+         |       FROM t2 GROUP BY dim),
+         |n2 AS (SELECT sqrt(CAST(SUM(CAST(round(y2 * y2, 6) AS DECIMAL(28,6))) AS DOUBLE)) AS nrm FROM y2),
+         |v2l AS (SELECT list(round(y2 / n2.nrm, 6) ORDER BY dim) AS v2 FROM y2 CROSS JOIN n2),
+         |en AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |p AS (SELECT id, round(${dDot("v", "v1")}, 6) AS p1, round(${dDot("v", "v2")}, 6) AS p2
+         |      FROM en CROSS JOIN v1l CROSS JOIN v2l),
+         |sg AS (SELECT
+         |    sqrt(CAST(SUM(CAST(round(p1 * p1, 6) AS DECIMAL(28,6))) AS DOUBLE) / count(*)) AS s1,
+         |    sqrt(CAST(SUM(CAST(round(p2 * p2, 6) AS DECIMAL(28,6))) AS DOUBLE) / count(*)) AS s2
+         |  FROM p)
+         |SELECT id AS vec_id, p1, p2, round(p1 / s1, 6) AS z1, round(p2 / s2, 6) AS z2
+         |FROM p CROSS JOIN sg ORDER BY vec_id""".stripMargin,
+    // SQ8 dequantized search recall: per-dim min/max codes, rebuild,
+    // brute cosine over the dequantized corpus, recall vs exact
+    "ann_int8_recall" ->
+      s"""$embNormCte,
+         |ex0 AS (SELECT id, CAST(d.dim AS BIGINT) AS dim, v[CAST(d.dim AS INT)] AS x
+         |        FROM e, (SELECT unnest(range(1, 65)) AS dim) d),
+         |st AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM ex0 GROUP BY 1),
+         |dq AS (SELECT id, ex0.dim,
+         |    round(mn + (CASE WHEN mx = mn THEN 0
+         |                     ELSE CAST(floor((x - mn) * 255.0 / (mx - mn) + 0.5) AS BIGINT)
+         |                END) * (mx - mn) / 255.0, 6) AS xq
+         |  FROM ex0 JOIN st ON ex0.dim = st.dim),
+         |qv AS (SELECT id, list(xq ORDER BY dim) AS v FROM dq GROUP BY id),
+         |qn AS (SELECT id, v, sqrt(${dDot("v", "v")}) AS nrm FROM qv),
+         |as0 AS (SELECT q.id AS query_id, b.id AS neighbor_id,
+         |        round(${dDot("q.v", "b.v")} / (q.nrm * b.nrm), 6) AS sim
+         |      FROM qn q, qn b WHERE q.id < 5 AND b.id <> q.id),
+         |ar AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM as0),
+         |approx AS (SELECT query_id, neighbor_id FROM ar WHERE rnk <= 10),
+         |${dBruteCte("exact", 5)},
+         |${dRecallTail()}""".stripMargin,
     "emb_sim_hist" ->
       s"""WITH e AS (SELECT vec_id AS id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |n AS (SELECT id, label, v, sqrt(${dDot("v", "v")}) AS nrm FROM e),

@@ -88,6 +88,55 @@ object Ranking {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** nDCG@k of the BM25 lexical ranking, judged by vector-cosine
+    * relevance — the retrieval-quality eval a RAG pipeline runs
+    * alongside `rag_eval_mrr`: how much of the embedding model's
+    * notion of relevance does the cheap lexical ranker preserve?
+    * Graded relevance of a doc for a query is its clamped cosine to
+    * the query vector; DCG discounts by 1/log2(rank+1) down the
+    * lexical list; the ideal DCG comes from the true cosine top-k
+    * (the brute list). Per-position terms are rounded then
+    * DECIMAL-summed; nDCG stays a raw quotient. Both retrievals are
+    * the audited corpus-scale shapes; the eval itself joins two
+    * O(k)-row lists per query. */
+  def ndcgAtK(docs: DataFrame, emb: DataFrame,
+              terms: Seq[String] = DefaultTerms, nQueries: Int = 3,
+              depth: Int = 20, k: Int = 10): DataFrame = {
+    import graft.functions.VectorFunctions.{cosinePrenormed, dot, norm}
+    val lexW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bm25").desc, col("doc_id"))
+    val lex = bm25TopK(docs, terms, depth)
+      .withColumn("lex_rank", row_number().over(lexW).cast("long"))
+      .where(col("lex_rank") <= k)
+      .select(col("doc_id"), col("lex_rank"))
+    val e = emb.select(col("vec_id").as("id"), col("embedding").as("v"),
+      norm(col("embedding")).as("nrm"))
+    val q = e.where(col("id") < nQueries)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    // ln(x)/ln(2) spelled out on BOTH engines (not a native log2):
+    // identical double arithmetic, so the 6dp rounding cannot flake
+    def disc(rank: org.apache.spark.sql.Column) =
+      log(rank.cast("double") + 1.0) / log(lit(2.0))
+    val dcg = lex.crossJoin(broadcast(q))
+      .join(e, col("id") === col("doc_id"))
+      .where(col("doc_id") =!= col("query_id")) // self-hit excluded, as in brute
+      .select(col("query_id"),
+        round(greatest(lit(0.0),
+          round(cosinePrenormed(dot(col("qv"), col("v")), col("qnrm"), col("nrm")), 6))
+          / disc(col("lex_rank")), 6).as("term"))
+      .groupBy(col("query_id"))
+      .agg(sum(col("term").cast("decimal(18,6)")).cast("double").as("dcg"))
+    val idcg = graft.operators.Similarity.bruteTopK(emb, nQueries, k)
+      .select(col("query_id"),
+        round(greatest(lit(0.0), col("sim")) / disc(col("rank")), 6).as("term"))
+      .groupBy(col("query_id"))
+      .agg(sum(col("term").cast("decimal(18,6)")).cast("double").as("idcg"))
+    dcg.join(idcg, "query_id")
+      .select(col("query_id"), col("dcg"), col("idcg"),
+        (col("dcg") / col("idcg")).as("ndcg"))
+      .orderBy(col("query_id"))
+  }
+
   /** Per-document top-k TF-IDF terms (the classic keyword extractor):
     * tf and df are two partial-aggregating passes over the exploded
     * tokens; df is corpus-wide but only |vocab| rows, so it

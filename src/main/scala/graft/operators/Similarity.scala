@@ -611,13 +611,13 @@ object Similarity {
     * returned chunks aren't k near-copies: greedily pick
     * argmax λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s).
     *
-    * Scale shape: candidates are the brute top-`depth` per query
-    * (swap any ANN path in), so the greedy loop runs over
-    * O(queries·depth) rows and a depth² pairwise-sim table — corpus
-    * size never enters the iteration; each of the k rounds is a tiny
-    * anti-join + max-penalty lookup + argmax, checkpointed so plans
-    * stay flat. Scores are rounded to 6dp with ties to the lowest
-    * id: bit-stable and replayable as a recursive-CTE oracle. */
+    * Scale shape: the distributed work is what touches the corpus —
+    * candidate generation (brute top-`depth` per query; swap any ANN
+    * path in) and the pairwise-sim join. The greedy k-round loop then
+    * runs driver-side over the collected O(queries·depth) candidates
+    * and O(queries·depth²) sims — bounded by the query workload,
+    * never the corpus. Scores are rounded to 6dp with ties to the
+    * lowest id: bit-stable and replayable as a recursive-CTE oracle. */
   def mmrTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10, depth: Int = 20,
               lambda: Double = 0.7,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -636,38 +636,50 @@ object Similarity {
       .select(col("query_id"), col("pa"), col("pb"),
         round(cosinePrenormed(dot(col("av"), col("bv")), col("anrm"), col("bnrm")), 6)
           .as("sim"))
-      .localCheckpoint(true)
-    var sel = cand
-      .select(col("query_id"), col("id"), lit(0L).as("s10"), lit(0).as("step"))
-      .limit(0).localCheckpoint(true)
-    (1 to k).foreach { step =>
-      val remaining = cand.join(sel.select(col("query_id"), col("id")),
-        Seq("query_id", "id"), "left_anti")
-      val pens = psim.join(sel.select(col("query_id"), col("id").as("pb")),
-          Seq("query_id", "pb"))
-        .groupBy(col("query_id"), col("pa").as("id"))
-        .agg(max(col("sim")).as("ms"))
-      // the combined score works in EXACT integers: rel and ms are
-      // 6dp-rounded doubles, so 10⁶-scaling recovers exact longs and
-      // 7·rel₆ − 3·ms₆ selects with no floating point at all.
-      // (A double combination here is a trap twice over: λ·rel lands
-      // a half-ulp from the 10⁻⁶ grid — round() boundaries — and
-      // engines' FMA contraction differs in the raw last bit.)
-      val scored = remaining.join(pens, Seq("query_id", "id"), "left")
-        .select(col("query_id"), col("id"),
-          (lit(l10) * round(col("rel") * 1e6).cast("long") -
-            lit(10L - l10) * round(coalesce(col("ms"), lit(0.0)) * 1e6).cast("long"))
-            .as("s10"))
-      val pick = scored
-        .groupBy(col("query_id"))
-        .agg(max(struct(col("s10"), (-col("id")).as("negid"), col("id"))).as("m"))
-        .select(col("query_id"), col("m.id").as("id"), col("m.s10").as("s10"),
-          lit(step).as("step"))
-      sel = sel.unionByName(pick).localCheckpoint(true)
+    // The greedy selection runs DRIVER-SIDE over the collected
+    // candidate tables — O(queries·depth) rel rows + O(queries·depth²)
+    // sim rows, bounded by the query workload, never the corpus (the
+    // same model-sized-collect budget as the Delta log or the power-
+    // iteration eigenvector). The distributed work is what actually
+    // touches the corpus: bruteTopK and the pairwise-sim join above.
+    // (The previous formulation ran k anti-join+argmax Spark JOBS
+    // over these ≤2k rows — 21 scheduler round-trips to move KBs.)
+    //
+    // The combined score works in EXACT integers: rel and ms are
+    // 6dp-rounded doubles, so 10⁶-scaling recovers exact longs and
+    // 7·rel₆ − 3·ms₆ selects with no floating point at all.
+    // (A double combination here is a trap twice over: λ·rel lands
+    // a half-ulp from the 10⁻⁶ grid — round() boundaries — and
+    // engines' FMA contraction differs in the raw last bit.)
+    // Spark's round() is BigDecimal HALF_UP; mirror it exactly.
+    def r6l(v: Double): Long =
+      java.math.BigDecimal.valueOf(v * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    val candRows = cand.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val simMap: Map[(Long, Long, Long), Double] = psim.collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getDouble(3))).toMap
+    val out = candRows.groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+      val rel = rows.map(r => r._2 -> r._3).toMap
+      var remaining = rel.keySet
+      var selected = List.empty[Long]
+      (1 to math.min(k, remaining.size)).map { step =>
+        val (id, s10) = remaining.map { c =>
+          // no penalty before anything is selected; afterwards the
+          // TRUE max pairwise sim, which can be negative — flooring
+          // it at 0 would under-penalize anti-correlated picks
+          val ms = if (selected.isEmpty) 0.0
+                   else selected.map(s => simMap((qid, c, s))).max
+          c -> (l10 * r6l(rel(c)) - (10L - l10) * r6l(ms))
+        }.minBy { case (id, s) => (-s, id) } // max s10, ties to lowest id
+        remaining -= id
+        selected ::= id
+        (qid, id, step.toLong, s10.toDouble / 1e7)
+      }
     }
-    sel.select(col("query_id"), col("id").as("neighbor_id"),
-        col("step").cast("long").as("rank"),
-        (col("s10").cast("double") / 1e7).as("score"))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    out.toDF("query_id", "neighbor_id", "rank", "score")
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -819,6 +831,74 @@ object Similarity {
         element_at(v1, col("dim").cast("int")).as("v1"),
         col("y2"), round(col("y2") / col("nrm"), 6).as("v2"))
       .orderBy(col("dim"))
+  }
+
+  /** PCA-whitened 2-component projections — the feature a training
+    * pipeline derives before feeding embeddings to a linear probe or
+    * a drift monitor: per vector, its projection onto the top two
+    * principal directions, standardized by each component's RMS
+    * (z_i = p_i/σ_i, the whitening step). The directions come out of
+    * the deflated power iteration as two 64-value models (model-
+    * sized collects); everything per-vector is a map-only pass, and
+    * the σ aggregation ships one DECIMAL pair — corpus size never
+    * concentrates anywhere. Projections are rounded to 6dp, σ stays
+    * a raw sqrt of a DECIMAL mean, z rounds the quotient: replayable
+    * in SQL and partition-order free. */
+  def whitenedProjection(emb: DataFrame, dim: Int = 64,
+                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val pcs = powerIterationDeflated(emb, dim, idCol, vecCol)
+      .select(col("dim"), col("v1"), col("v2")).collect().sortBy(_.getLong(0))
+    val v1 = typedlit(pcs.map(_.getDouble(1)).toSeq)
+    val v2 = typedlit(pcs.map(_.getDouble(2)).toSeq)
+    val p = emb.select(col(idCol).as("vec_id"),
+      round(dot(col(vecCol), v1), 6).as("p1"),
+      round(dot(col(vecCol), v2), 6).as("p2"))
+    val sig = p.agg(
+      sqrt(sum(round(col("p1") * col("p1"), 6).cast("decimal(28,6)")).cast("double")
+        / count(lit(1))).as("s1"),
+      sqrt(sum(round(col("p2") * col("p2"), 6).cast("decimal(28,6)")).cast("double")
+        / count(lit(1))).as("s2"))
+    p.crossJoin(broadcast(sig))
+      .select(col("vec_id"), col("p1"), col("p2"),
+        round(col("p1") / col("s1"), 6).as("z1"),
+        round(col("p2") / col("s2"), 6).as("z2"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Exact top-k over the int8 scalar-quantized corpus (SQ8, the
+    * 4×-smaller index memory layout): per dimension the corpus
+    * min/max span maps each value to a 0..255 code (same codes as
+    * `quantizeInt8`); search runs on the DEQUANTIZED vectors, so
+    * this measures exactly what the codes retain. Recall vs the
+    * full-precision brute force (`ann_int8_recall`) is the
+    * quality-vs-memory number an operator reads before switching
+    * the serving index to SQ8. Stats are 64 rows (broadcast); the
+    * rebuild is one explode + grouped re-pack per vector. */
+  def int8TopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // pass 1: per-dim corpus min/max — partial aggregation ships 64
+    // rows per task regardless of corpus size; the 64-row result is
+    // a model, collected and re-broadcast as literals
+    val stats = emb
+      .select(posexplode(col(vecCol)).as(Seq("pos", "x0")))
+      .select(col("pos"), col("x0").cast("double").as("x"))
+      .groupBy(col("pos")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect().sortBy(_.getAs[Int]("pos"))
+    val mnA = typedlit(stats.map(_.getAs[Double]("mn")).toSeq)
+    val mxA = typedlit(stats.map(_.getAs[Double]("mx")).toSeq)
+    // pass 2: map-only quantize→dequantize per vector (NO re-group
+    // shuffle — the explode+collect_list formulation would inflate
+    // the corpus 64× through an exchange just to reassemble it)
+    val vq = transform(col(vecCol), (x, i) => {
+      val mn = element_at(mnA, (i + 1).cast("int"))
+      val mx = element_at(mxA, (i + 1).cast("int"))
+      round(mn +
+        when(mx === mn, lit(0L))
+          .otherwise(floor((x.cast("double") - mn) * 255.0 / (mx - mn) + 0.5)
+            .cast("long")).cast("double") *
+        (mx - mn) / 255.0, 6)
+    })
+    bruteTopK(emb.select(col(idCol), vq.as(vecCol)), nQueries, k, idCol, vecCol)
   }
 
   /** ANN by Johnson–Lindenstrauss random projection: every vector is
