@@ -74,6 +74,24 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("content"), col("content_length"))
         .orderBy(col("doc_id"))
     }),
+    "pipe_delta_optimize" -> ((s, d) => {
+      // three append slices compacted by OPTIMIZE (dataChange=false
+      // swap commit) — the read-back must be value-identical to the
+      // zone, through one post-compaction scan
+      val zone = Medallion.silverNormalize(Medallion.bronze(Tables.documents(s, d)))
+        .select(col("doc_id"), col("source"), col("content"), col("content_length"))
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_deltaopt_${math.abs(d.hashCode)}/zone"
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      graft.sources.DeltaSource.writeDelta(zone.where(col("doc_id") % 3 === 0), tmp)
+      graft.sources.DeltaSource.writeDelta(zone.where(col("doc_id") % 3 === 1), tmp,
+        overwrite = false)
+      graft.sources.DeltaSource.writeDelta(zone.where(col("doc_id") % 3 === 2), tmp,
+        overwrite = false)
+      graft.sources.DeltaSource.optimizeDelta(s, tmp)
+      graft.sources.DeltaSource.readDelta(s, tmp).orderBy(col("doc_id"))
+    }),
     "pipe_delta_cdf" -> ((s, d) => {
       // the Delta log as a change SOURCE: v0 lands the even half,
       // v1 appends the odd half; a consumer whose cursor is at 0
@@ -1017,6 +1035,11 @@ object SparkEntry {
       s"""$silverCte SELECT doc_id, source, content, length(content) AS content_length
          |FROM silver0 WHERE length(content) > 50 AND source = 'src1'
          |ORDER BY doc_id""".stripMargin,
+    // compaction is value-invisible: the optimized table reads back
+    // as the zone it landed
+    "pipe_delta_optimize" ->
+      s"""$silverCte SELECT doc_id, source, content, length(content) AS content_length
+         |FROM silver0 WHERE length(content) > 50 ORDER BY doc_id""".stripMargin,
     // the change feed past cursor 0 is exactly the appended odd half,
     // tagged with the committing version
     "pipe_delta_cdf" ->

@@ -30,7 +30,9 @@ object GraftFunctions {
     "graft_md5_array" -> (es => NativeExprs.Md5Array(es.head)),
     "graft_hashed_shingles" -> (es => NativeExprs.HashedShingles(es.head, intLit(es(1), "n"))),
     "graft_dot" -> (es => NativeExprs.DotProduct(es.head, es(1))),
-    "graft_intersect_size" -> (es => NativeExprs.IntersectSize(es.head, es(1))))
+    "graft_intersect_size" -> (es => NativeExprs.IntersectSize(es.head, es(1))),
+    "graft_recursive_split" -> (es => NativeExprs.RecursiveSplit(es.head,
+      intLit(es(1), "size"), intLit(es(2), "overlap"))))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, builder) =>

@@ -90,7 +90,8 @@ object DeltaSource {
       version: Long,
       schema: StructType,
       partitionColumns: Seq[String],
-      files: Seq[AddFile])
+      files: Seq[AddFile],
+      txns: Map[String, Long])
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -129,7 +130,10 @@ object DeltaSource {
     StructField("metaData", StructType(Seq(
       StructField("id", StringType),
       StructField("schemaString", StringType),
-      StructField("partitionColumns", ArrayType(StringType)))))))
+      StructField("partitionColumns", ArrayType(StringType))))),
+    StructField("txn", StructType(Seq(
+      StructField("appId", StringType),
+      StructField("version", LongType))))))
 
   /** Checkpoints additionally carry the protocol action — required by
     * the Delta spec in every checkpoint file, and what external
@@ -185,10 +189,21 @@ object DeltaSource {
     var metaVersion = -1L
     // newest action per path wins (paths are unique within a commit)
     val state = scala.collection.mutable.LinkedHashMap[String, (Long, Option[AddFile])]()
+    // newest txn version per appId (streaming-sink idempotency state)
+    val txns = scala.collection.mutable.HashMap[String, Long]()
     (cpActions ++ jsonActions).foreach { case (v, row) =>
       val addIdx = row.fieldIndex("add")
       val remIdx = row.fieldIndex("remove")
       val metaIdx = row.fieldIndex("metaData")
+      val txnIdx = row.fieldIndex("txn")
+      if (!row.isNullAt(txnIdx)) {
+        val t = row.getStruct(txnIdx)
+        val app = t.getAs[String]("appId")
+        if (app != null && !t.isNullAt(t.fieldIndex("version"))) {
+          val tv = t.getAs[Long]("version")
+          if (txns.get(app).forall(_ < tv)) txns(app) = tv
+        }
+      }
       if (!row.isNullAt(metaIdx)) {
         val m = row.getStruct(metaIdx)
         if (v >= metaVersion && m.getAs[String]("schemaString") != null) {
@@ -210,8 +225,16 @@ object DeltaSource {
       .map(s => DataType.fromJson(s).asInstanceOf[StructType])
       .getOrElse(throw new IllegalStateException(
         s"no metaData action found in the log of $tablePath"))
-    Snapshot(target, schema, partCols, state.values.collect { case (_, Some(a)) => a }.toSeq)
+    Snapshot(target, schema, partCols,
+      state.values.collect { case (_, Some(a)) => a }.toSeq, txns.toMap)
   }
+
+  /** Highest committed `txn` version for `appId` (the Delta spec's
+    * streaming-sink idempotency state) — None if the app never
+    * committed to this table. */
+  def lastTxnVersion(spark: SparkSession, tablePath: String, appId: String): Option[Long] =
+    latestVersion(spark, tablePath)
+      .flatMap(v => snapshot(spark, tablePath, Some(v)).txns.get(appId))
 
   /** Resolve an add-file path: percent-encoded table-relative by
     * default, used as-is when it is an absolute URI (legal per the
@@ -315,7 +338,8 @@ object DeltaSource {
     * a coordination-backed store). */
   def writeDelta(df: DataFrame, tablePath: String, overwrite: Boolean = true,
                  partitionBy: Seq[String] = Nil,
-                 commitStore: CommitStore = CreateExclusiveCommitStore): Long = {
+                 commitStore: CommitStore = CreateExclusiveCommitStore,
+                 txn: Option[(String, Long)] = None): Long = {
     val spark = df.sparkSession
     val table = new Path(tablePath)
     val logDir = new Path(table, "_delta_log")
@@ -391,10 +415,30 @@ object DeltaSource {
     val removeLines = removed.map { p =>
       s"""{"remove":{"path":${jsonStr(p)},"deletionTimestamp":$now,"dataChange":true}}"""
     }
+    val txnLines = txn.toSeq.map { case (app, v) =>
+      s"""{"txn":{"appId":${jsonStr(app)},"version":$v,"lastUpdated":$now}}"""
+    }
     val commit = new Path(logDir, f"$next%020d.json")
     commitStore.putIfAbsent(fs, commit,
-      (header ++ removeLines ++ addLines).mkString("", "\n", "\n"))
+      (header ++ txnLines ++ removeLines ++ addLines).mkString("", "\n", "\n"))
     next
+  }
+
+  /** Exactly-once foreachBatch sink into a Delta table: each
+    * micro-batch appends under a `txn` action carrying (appId,
+    * batchId), and a batch whose id is ≤ the table's recorded txn
+    * version for that app is SKIPPED — so a restarted stream that
+    * replays its last batch (the foreachBatch at-least-once
+    * contract) commits it once. Usage:
+    * `stream.writeStream.foreachBatch(DeltaSource.exactlyOnceBatchSink(table, appId) _)`.
+    */
+  def exactlyOnceBatchSink(tablePath: String, appId: String)
+                          (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val exists = latestVersion(spark, tablePath).isDefined
+    val done = if (exists) lastTxnVersion(spark, tablePath, appId) else None
+    if (!done.exists(_ >= batchId))
+      writeDelta(batch, tablePath, overwrite = false, txn = Some(appId -> batchId))
   }
 
   /** Fold the snapshot at the latest version into a checkpoint
@@ -417,25 +461,138 @@ object DeltaSource {
       .select(struct(col("path"), col("partitionValues"), col("size"),
         col("modificationTime"), lit(true).as("dataChange"))
         .cast(CheckpointSchema("add").dataType).as("add"),
-        nullCol("remove"), nullCol("metaData"), nullCol("protocol"))
+        nullCol("remove"), nullCol("metaData"), nullCol("txn"), nullCol("protocol"))
     val metaRow = Seq(((snap.schema.json, snap.partitionColumns))).toDF("s", "p")
       .select(nullCol("add"), nullCol("remove"),
         struct(lit(UUID.randomUUID().toString).as("id"), col("s").as("schemaString"),
           col("p").as("partitionColumns")).as("metaData"),
-        nullCol("protocol"))
+        nullCol("txn"), nullCol("protocol"))
     val protocolRow = Seq(1).toDF("x")
-      .select(nullCol("add"), nullCol("remove"), nullCol("metaData"),
+      .select(nullCol("add"), nullCol("remove"), nullCol("metaData"), nullCol("txn"),
         struct(lit(1).as("minReaderVersion"), lit(2).as("minWriterVersion")).as("protocol"))
+    // latest txn per appId rides the checkpoint, so sink idempotency
+    // survives log truncation past the checkpoint
+    val txnRows = snap.txns.toSeq.sortBy(_._1) match {
+      case Nil => None
+      case ts => Some(ts.toDF("a", "v")
+        .select(nullCol("add"), nullCol("remove"), nullCol("metaData"),
+          struct(col("a").as("appId"), col("v").as("version")).as("txn"),
+          nullCol("protocol")))
+    }
     val stage = new Path(tablePath, s".cpstage-${UUID.randomUUID().toString.take(8)}")
-    protocolRow.unionByName(metaRow).unionByName(addRows)
+    txnRows.foldLeft(protocolRow.unionByName(metaRow).unionByName(addRows))(_ unionByName _)
       .coalesce(1).write.mode("overwrite").parquet(stage.toString)
     val part = fs.listStatus(stage).toSeq.map(_.getPath)
       .find(_.getName.endsWith(".parquet")).get
     renameOrFail(fs, part, new Path(logDir, f"$v%020d.checkpoint.parquet"))
     fs.delete(stage, true)
     writeText(fs, new Path(logDir, "_last_checkpoint"),
-      s"""{"version":$v,"size":${snap.files.size + 2}}""")
+      s"""{"version":$v,"size":${snap.files.size + 2 + snap.txns.size}}""")
     v
+  }
+
+  /** VACUUM: physically delete data files no longer referenced by
+    * the LATEST snapshot and older than `retainMs` (mtime) — the
+    * storage-reclaim command every overwrite-heavy zone eventually
+    * needs. Consequences are the Delta-standard ones: time travel
+    * and change-feed replay to versions whose files were vacuumed
+    * stop working; the current snapshot is untouched. Staging and
+    * log directories are never touched; absolute-URI (external)
+    * add files are never deleted. Returns the deleted paths. */
+  def vacuum(spark: SparkSession, tablePath: String,
+             retainMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
+    val table = new Path(tablePath)
+    val fs = fsOf(spark, table)
+    val snap = snapshot(spark, tablePath, None)
+    val active: Set[Path] = snap.files
+      .map(a => fs.makeQualified(dataPath(tablePath, a.path))).toSet
+    val cutoff = System.currentTimeMillis() - retainMs
+    def walk(dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(dir).toSeq.flatMap { s =>
+        val n = s.getPath.getName
+        if (s.isDirectory) {
+          if (n == "_delta_log" || n.startsWith(".stage-") || n.startsWith(".cpstage-")) Nil
+          else walk(s.getPath)
+        } else if (n.endsWith(".parquet")) Seq(s)
+        else Nil
+      }
+    val doomed = walk(table).filter { s =>
+      !active.contains(fs.makeQualified(s.getPath)) && s.getModificationTime < cutoff
+    }
+    doomed.foreach(s => fs.delete(s.getPath, false))
+    doomed.map(_.getPath.toString)
+  }
+
+  /** OPTIMIZE (bin-packing compaction): rewrite the current
+    * snapshot's small files into files of ~`targetBytes`, committing
+    * the swap with `dataChange = false` on every add/remove — the
+    * log-level contract that this commit holds NO new data, so the
+    * change feed skips it (commitAdds filters on dataChange) and a
+    * streaming consumer's cursor can cross it silently. Partitioned
+    * tables compact within each partition (hive layout preserved).
+    * Returns (filesBefore, filesAfter). */
+  def optimizeDelta(spark: SparkSession, tablePath: String,
+                    targetBytes: Long = 128L * 1024 * 1024,
+                    commitStore: CommitStore = CreateExclusiveCommitStore): (Int, Int) = {
+    val table = new Path(tablePath)
+    val fs = fsOf(spark, table)
+    val snap = snapshot(spark, tablePath, None)
+    // bin-pack per partition-values group; singleton bins are left alone
+    val groups = snap.files.groupBy(_.partitionValues)
+    val rewrites = groups.toSeq.flatMap { case (pv, files) =>
+      if (files.size <= 1) Nil
+      else {
+        val bins = scala.collection.mutable.ArrayBuffer[scala.collection.mutable.ArrayBuffer[AddFile]]()
+        var cur = scala.collection.mutable.ArrayBuffer[AddFile]()
+        var curBytes = 0L
+        files.sortBy(_.path).foreach { f =>
+          val sz = f.size.getOrElse(fs.getFileStatus(dataPath(tablePath, f.path)).getLen)
+          if (cur.nonEmpty && curBytes + sz > targetBytes) {
+            bins += cur; cur = scala.collection.mutable.ArrayBuffer[AddFile](); curBytes = 0L
+          }
+          cur += f; curBytes += sz
+        }
+        if (cur.nonEmpty) bins += cur
+        bins.toSeq.filter(_.size > 1).map(b => (pv, b.toSeq))
+      }
+    }
+    if (rewrites.isEmpty) return (snap.files.size, snap.files.size)
+    val next = latestVersion(spark, tablePath).get + 1
+    val now = System.currentTimeMillis()
+    val actions = rewrites.flatMap { case (pv, bin) =>
+      // one coalesced file per bin, read directly from the bin's files
+      val data = spark.read.schema(
+        StructType(snap.schema.filterNot(f => snap.partitionColumns.contains(f.name))))
+        .parquet(bin.map(a => dataPath(tablePath, a.path).toString): _*)
+      val relDirs = snap.partitionColumns.map { c =>
+        val v = pv.getOrElse(c, null)
+        s"$c=${if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+               else ExternalCatalogUtils.escapePathName(v)}"
+      }
+      val stage = new Path(table, s".stage-${UUID.randomUUID().toString.take(8)}")
+      data.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = fs.listStatus(stage).toSeq.map(_.getPath)
+        .find(_.getName.endsWith(".parquet")).get
+      val name = s"part-$next-${UUID.randomUUID().toString}.parquet"
+      val relPath = (relDirs :+ name).mkString("/")
+      val dst = new Path(table, relPath)
+      fs.mkdirs(dst.getParent)
+      renameOrFail(fs, part, dst)
+      fs.delete(stage, true)
+      val pvJson = pv.map { case (k, v) =>
+        s"${jsonStr(k)}:${if (v == null) "null" else jsonStr(v)}"
+      }.mkString("{", ",", "}")
+      val addLine =
+        s"""{"add":{"path":${jsonStr(encodeRelPath(relPath))},"partitionValues":$pvJson,"size":${fs.getFileStatus(dst).getLen},"modificationTime":$now,"dataChange":false}}"""
+      val removeLines = bin.map(a =>
+        s"""{"remove":{"path":${jsonStr(a.path)},"deletionTimestamp":$now,"dataChange":false}}""")
+      removeLines :+ addLine
+    }
+    commitStore.putIfAbsent(fsOf(spark, table),
+      new Path(new Path(table, "_delta_log"), f"$next%020d.json"),
+      actions.mkString("", "\n", "\n"))
+    val after = snapshot(spark, tablePath, None).files.size
+    (snap.files.size, after)
   }
 
   /** Adds committed in version range (`afterVersion`, `toVersion`]

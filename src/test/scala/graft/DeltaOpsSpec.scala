@@ -1,0 +1,91 @@
+package graft
+
+import graft.sources.DeltaSource
+import java.nio.file.Files
+
+/** Delta operational commands: exactly-once streaming sink (txn
+  * actions), VACUUM, and OPTIMIZE (dataChange=false compaction the
+  * change feed must skip). */
+class DeltaOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpTable(): String =
+    Files.createTempDirectory("graft_deltaops").toString + "/t"
+
+  test("exactly-once sink: a replayed batch commits once") {
+    val t = tmpTable()
+    val sink = DeltaSource.exactlyOnceBatchSink(t, "app1") _
+    sink(Seq((1L, "a")).toDF("id", "s"), 0L)
+    sink(Seq((2L, "b")).toDF("id", "s"), 1L)
+    sink(Seq((2L, "b")).toDF("id", "s"), 1L) // restart replays batch 1
+    assert(DeltaSource.readDelta(spark, t).count() == 2)
+    assert(DeltaSource.lastTxnVersion(spark, t, "app1").contains(1L))
+    assert(DeltaSource.lastTxnVersion(spark, t, "other").isEmpty)
+    // out-of-order old batch is also refused
+    sink(Seq((9L, "z")).toDF("id", "s"), 0L)
+    assert(DeltaSource.readDelta(spark, t).count() == 2)
+  }
+
+  test("txn state survives checkpoint + log truncation") {
+    val t = tmpTable()
+    val sink = DeltaSource.exactlyOnceBatchSink(t, "appX") _
+    sink(Seq((1L, "a")).toDF("id", "s"), 0L)
+    sink(Seq((2L, "b")).toDF("id", "s"), 1L)
+    DeltaSource.checkpoint(spark, t)
+    // drop the JSON commits the checkpoint subsumes
+    val log = new java.io.File(s"$t/_delta_log")
+    log.listFiles.filter(_.getName.endsWith(".json")).foreach(_.delete())
+    assert(DeltaSource.lastTxnVersion(spark, t, "appX").contains(1L))
+    sink(Seq((2L, "b")).toDF("id", "s"), 1L) // replay after truncation
+    assert(DeltaSource.readDelta(spark, t).count() == 2)
+  }
+
+  test("vacuum deletes only unreferenced data files; the snapshot survives") {
+    val t = tmpTable()
+    DeltaSource.writeDelta(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), t)
+    DeltaSource.writeDelta(Seq((3L, "c")).toDF("id", "s"), t) // overwrite: v0 orphaned
+    def dataFiles() = new java.io.File(t).listFiles
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.getName).toSet
+    val before = dataFiles()
+    val deleted = DeltaSource.vacuum(spark, t, retainMs = -60000) // everything is "old"
+    assert(deleted.nonEmpty)
+    val after = dataFiles()
+    assert(after.subsetOf(before) && after.size < before.size)
+    assert(DeltaSource.readDelta(spark, t).as[(Long, String)].collect().toSet ==
+      Set((3L, "c")))
+  }
+
+  test("optimize compacts to fewer files, content-identical, invisible to the change feed") {
+    val t = tmpTable()
+    DeltaSource.writeDelta(Seq((1L, "a")).toDF("id", "s"), t)
+    DeltaSource.writeDelta(Seq((2L, "b")).toDF("id", "s"), t, overwrite = false)
+    DeltaSource.writeDelta(Seq((3L, "c")).toDF("id", "s"), t, overwrite = false)
+    val (cursor0, feed0) = DeltaSource.changesSince(spark, t, None)
+    assert(feed0.isDefined && cursor0.contains(2L))
+    val (nBefore, nAfter) = DeltaSource.optimizeDelta(spark, t, targetBytes = 1L << 30)
+    assert(nBefore == 3 && nAfter == 1, s"$nBefore -> $nAfter")
+    assert(DeltaSource.readDelta(spark, t).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // the compaction commit exists but carries no data change:
+    // a consumer's cursor crosses it with an empty feed
+    val (cursor1, feed1) = DeltaSource.changesSince(spark, t, cursor0)
+    assert(cursor1.contains(3L) && feed1.isEmpty)
+    // pre-optimize versions still read (compaction removes nothing physically)
+    assert(DeltaSource.readDelta(spark, t, Some(1L)).count() == 2)
+  }
+
+  test("optimize respects hive partitions") {
+    val t = tmpTable()
+    val df1 = Seq((1L, "x", "p1"), (2L, "y", "p2")).toDF("id", "s", "part")
+    val df2 = Seq((3L, "z", "p1"), (4L, "w", "p2")).toDF("id", "s", "part")
+    DeltaSource.writeDelta(df1, t, partitionBy = Seq("part"))
+    DeltaSource.writeDelta(df2, t, overwrite = false)
+    val (nb, na) = DeltaSource.optimizeDelta(spark, t, targetBytes = 1L << 30)
+    assert(nb == 4 && na == 2, s"$nb -> $na") // one file per partition
+    val back = DeltaSource.readDelta(spark, t).as[(Long, String, String)].collect().toSet
+    assert(back == Set((1L, "x", "p1"), (2L, "y", "p2"), (3L, "z", "p1"), (4L, "w", "p2")))
+    // partition pruning still works on the compacted layout
+    import org.apache.spark.sql.functions.col
+    assert(DeltaSource.readDelta(spark, t).where(col("part") === "p1").count() == 2)
+  }
+}

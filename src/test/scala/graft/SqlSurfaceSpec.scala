@@ -16,11 +16,14 @@ class SqlSurfaceSpec extends SparkSpec {
       """SELECT graft_simhash32(split(t, ' ')) AS sh,
         |       graft_dot(x, y) AS d,
         |       size(graft_hashed_shingles(split(t, ' '), 3)) AS ns,
-        |       graft_intersect_size(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS isz
+        |       graft_intersect_size(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS isz,
+        |       size(graft_recursive_split(repeat(t, 3), 8, 2)) AS nchunks
         |FROM sqlsurface""".stripMargin).head()
     assert(row.getDouble(1) == 11.0) // d = 1*3 + 2*4
     assert(row.getInt(2) == 3) // 5 tokens → 3 trigrams
     assert(row.getLong(3) == 2L)
+    assert(row.getInt(4) ==
+      graft.operators.Chunker.splitRecursive("a b c d e" * 3, 8, 2).length)
     // SQL simhash == Column-API simhash
     val viaColumn = Seq("a b c d e").toDF("t")
       .select(graft.plans.NativeExprs.simhash32(split($"t", " "))).as[Long].head()
