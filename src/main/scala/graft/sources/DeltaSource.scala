@@ -339,7 +339,8 @@ object DeltaSource {
   def writeDelta(df: DataFrame, tablePath: String, overwrite: Boolean = true,
                  partitionBy: Seq[String] = Nil,
                  commitStore: CommitStore = CreateExclusiveCommitStore,
-                 txn: Option[(String, Long)] = None): Long = {
+                 txn: Option[(String, Long)] = None,
+                 mergeSchema: Boolean = false): Long = {
     val spark = df.sparkSession
     val table = new Path(tablePath)
     val logDir = new Path(table, "_delta_log")
@@ -357,6 +358,29 @@ object DeltaSource {
     }
     require(partCols.forall(df.columns.contains),
       s"partition columns $partCols missing from ${df.columns.toSeq}")
+    // schema evolution: an overwrite REDEFINES the table schema; an
+    // append keeps it, unless mergeSchema widens it with the df's
+    // new columns (appended as nullable — older files read as null
+    // through the scan, the standard missing-column semantics).
+    // Shared columns must agree on type either way.
+    val tableSchema: StructType = prevSnap match {
+      case None => df.schema
+      case Some(s) =>
+        df.schema.filter(f => s.schema.exists(_.name == f.name)).foreach { f =>
+          require(s.schema(f.name).dataType == f.dataType,
+            s"column ${f.name}: ${f.dataType} conflicts with table's ${s.schema(f.name).dataType}")
+        }
+        if (overwrite) df.schema
+        else {
+          val extra = df.schema.filterNot(f => s.schema.exists(_.name == f.name))
+          if (extra.isEmpty) s.schema
+          else {
+            require(mergeSchema,
+              s"append adds columns ${extra.map(_.name).mkString(", ")}; pass mergeSchema = true")
+            StructType(s.schema ++ extra.map(_.copy(nullable = true)))
+          }
+        }
+    }
     val removed: Seq[String] =
       if (overwrite) prevSnap.map(_.files.map(_.path)).getOrElse(Nil) else Nil
 
@@ -401,10 +425,13 @@ object DeltaSource {
 
     val now = System.currentTimeMillis()
     val partColsJson = partCols.map(jsonStr).mkString("[", ",", "]")
+    def metaLine = s"""{"metaData":{"id":${jsonStr(UUID.randomUUID().toString)},"format":{"provider":"parquet","options":{}},"schemaString":${jsonStr(tableSchema.json)},"partitionColumns":$partColsJson,"configuration":{},"createdTime":$now}}"""
     val header =
       if (next == 0L) Seq(
-        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
-        s"""{"metaData":{"id":${jsonStr(UUID.randomUUID().toString)},"format":{"provider":"parquet","options":{}},"schemaString":${jsonStr(df.schema.json)},"partitionColumns":$partColsJson,"configuration":{},"createdTime":$now}}""")
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""", metaLine)
+      // schema changed (overwrite redefinition or mergeSchema append):
+      // the commit carries the new metaData, newest-wins on replay
+      else if (prevSnap.exists(_.schema != tableSchema)) Seq(metaLine)
       else Seq.empty
     val addLines = adds.map { case (relPath, size, pv) =>
       val pvJson = pv.map { case (k, v) =>

@@ -26,6 +26,25 @@ class DeltaOpsSpec extends SparkSpec {
     assert(DeltaSource.readDelta(spark, t).count() == 2)
   }
 
+  test("the sink rides a real writeStream.foreachBatch micro-batch stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t = tmpTable()
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L, "a"), (2L, "b"))
+    val q = mem.toDF().toDF("id", "s").writeStream
+      .foreachBatch(DeltaSource.exactlyOnceBatchSink(t, "stream1") _)
+      .start()
+    try {
+      q.processAllAvailable()
+      mem.addData((3L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(DeltaSource.readDelta(spark, t).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(DeltaSource.lastTxnVersion(spark, t, "stream1").contains(1L))
+  }
+
   test("txn state survives checkpoint + log truncation") {
     val t = tmpTable()
     val sink = DeltaSource.exactlyOnceBatchSink(t, "appX") _
@@ -72,6 +91,31 @@ class DeltaOpsSpec extends SparkSpec {
     assert(cursor1.contains(3L) && feed1.isEmpty)
     // pre-optimize versions still read (compaction removes nothing physically)
     assert(DeltaSource.readDelta(spark, t, Some(1L)).count() == 2)
+  }
+
+  test("mergeSchema append widens the table; old files read the new column as null") {
+    val t = tmpTable()
+    DeltaSource.writeDelta(Seq((1L, "a")).toDF("id", "s"), t)
+    // extra column without opting in → refused
+    val e = intercept[IllegalArgumentException](
+      DeltaSource.writeDelta(Seq((2L, "b", 9L)).toDF("id", "s", "x"), t, overwrite = false))
+    assert(e.getMessage.contains("mergeSchema"))
+    DeltaSource.writeDelta(Seq((2L, "b", 9L)).toDF("id", "s", "x"), t,
+      overwrite = false, mergeSchema = true)
+    val back = DeltaSource.readDelta(spark, t).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    assert(back == Seq((1L, "a", None), (2L, "b", Some(9L))))
+    // a type conflict on a shared column is refused outright
+    val e2 = intercept[IllegalArgumentException](
+      DeltaSource.writeDelta(Seq((3L, 5.0)).toDF("id", "s"), t, overwrite = false))
+    assert(e2.getMessage.contains("conflicts"))
+    // an overwrite REDEFINES the schema
+    DeltaSource.writeDelta(Seq((7L, true)).toDF("id", "flag"), t)
+    val redefined = DeltaSource.readDelta(spark, t)
+    assert(redefined.columns.toSeq == Seq("id", "flag"))
+    assert(redefined.collect().map(r => (r.getLong(0), r.getBoolean(1))).toSeq ==
+      Seq((7L, true)))
   }
 
   test("optimize respects hive partitions") {
