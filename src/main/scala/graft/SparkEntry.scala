@@ -465,6 +465,10 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Similarity.recallAtK(Similarity.refineTopK(emb), Similarity.bruteTopK(emb))
     }),
+    "samp_bootstrap" -> ((s, d) =>
+      Sampling.bootstrapCounts(Tables.documents(s, d))),
+    "ev_sliding_distinct" -> ((s, d) =>
+      Events.slidingDistinct(Tables.events(s, d))),
     "samp_dsir" -> ((s, d) =>
       Sampling.importanceWeights(Tables.documents(s, d))),
     "ev_rfm" -> ((s, d) => Events.rfmScores(Tables.events(s, d))),
@@ -2738,6 +2742,23 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM x GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
 
+    // hourly windows sliding 15 min: four grid offsets per event;
+    // the HLL estimate's ±5% contract is asserted, not replayed
+    "ev_sliding_distinct" ->
+      """WITH x AS (
+        |  SELECT epoch_us(ts) - epoch_us(ts) % 900000000 - s.o AS ws_us, user_id
+        |  FROM events, (SELECT unnest([0, 900000000, 1800000000, 2700000000]) AS o) s)
+        |SELECT strftime(make_timestamp(ws_us), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  count(DISTINCT user_id) AS exact_users, CAST(1 AS BIGINT) AS approx_ok
+        |FROM x GROUP BY 1 ORDER BY window_start""".stripMargin,
+    // seedless Binomial(8, 1/8) bootstrap replicates via md5 draws
+    "samp_bootstrap" ->
+      """WITH r AS (
+        |  SELECT doc_id, CAST(SUM(CASE WHEN CAST('0x' || substr(md5('b' || j || ':' || CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) % 1000 < 125
+        |                          THEN 1 ELSE 0 END) AS BIGINT) AS replicates
+        |  FROM documents, (SELECT unnest(range(0, 8)) AS j)
+        |  GROUP BY doc_id)
+        |SELECT replicates, count(*) AS n_docs FROM r GROUP BY 1 ORDER BY replicates""".stripMargin,
     "ev_anomaly" ->
       """WITH s AS (SELECT event_type,
         |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sumv,

@@ -206,4 +206,26 @@ object Sampling {
         col("llr_sum"), (col("llr_sum") / col("n_tokens")).as("avg_llr"))
       .orderBy(col("doc_id"))
   }
+
+  /** Deterministic bootstrap replicate counts: each doc draws
+    * `trials` hash-derived uniforms (md5, the engine's seedless RNG)
+    * and counts those under `thresholdPerMille`/1000 — Binomial(n,p)
+    * replicates with NO RNG state, so every executor, every retry,
+    * and the SQL oracle agree row for row. The per-doc draw is
+    * map-only; the histogram shuffle carries ≤ trials+1 groups.
+    * Bootstrap resampling at corpus scale (ensemble training splits,
+    * uncertainty estimates over quality metrics) is exactly this
+    * shape: replicate multiplicities, never materialized copies. */
+  def bootstrapCounts(docs: DataFrame, trials: Int = 8,
+                      thresholdPerMille: Int = 125): DataFrame = {
+    val reps = (0 until trials).map { j =>
+      when(HashFunctions.md5Long(
+        concat(lit(s"b$j:"), col("doc_id").cast("string"))) % 1000 < thresholdPerMille,
+        1L).otherwise(0L)
+    }.reduce(_ + _)
+    docs.select(col("doc_id"), reps.as("replicates"))
+      .groupBy(col("replicates"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("replicates"))
+  }
 }
