@@ -17,6 +17,9 @@ import org.apache.spark.sql.functions._
   *  - ratios/similarities are rounded (4–6 dp) with identical
   *    formulas and fold order on both sides;
   *  - hashes are md5-derived (identical in every engine);
+  *  - DuckDB SUM over integers yields HUGEINT (float64 through the
+  *    driver's pandas compare) — CAST every integer SUM in an oracle
+  *    to BIGINT or the dtype check fails;
   *  - timestamps are emitted as formatted strings (parquet µs vs ns
   *    physical types would otherwise differ);
   *  - every query ends in a fully deterministic ORDER BY.
