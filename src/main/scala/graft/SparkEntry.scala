@@ -374,6 +374,7 @@ object SparkEntry {
     "q_cust_no_orders" -> ((s, d) => Analytics.custNoOrders(s, d)),
     "q_type_pivot" -> ((s, d) => Analytics.eventTypePivot(s, d)),
     "q_approx_distinct" -> ((s, d) => Analytics.approxDistinct(s, d)),
+    "q_customer_deciles" -> ((s, d) => Analytics.customerDeciles(s, d)),
     "q_range_join" -> ((s, d) => Analytics.valueBands(s, d)),
     "q_above_avg" -> ((s, d) => Analytics.aboveAvgOrders(s, d)),
     "q_part_revenue" -> ((s, d) => Analytics.partBrandRevenue(s, d)),
@@ -672,6 +673,8 @@ object SparkEntry {
       nT.crossJoin(nH).select(col("n_true"), col("n_hit"),
         (col("n_hit").cast("double") / col("n_true")).as("recall"))
     }),
+    "dedup_minhash_est" -> ((s, d) =>
+      Dedup.minhashEstimation(Tables.documents(s, d))),
     "emb_hard_negatives" -> ((s, d) => Similarity.hardNegatives(Tables.embeddings(s, d))),
     "rag_eval_mrr" -> ((s, d) => Similarity.mrrAtK(Tables.embeddings(s, d))),
     "txt_interp_lm" -> ((s, d) =>
@@ -1438,6 +1441,30 @@ object SparkEntry {
          |cand AS (SELECT DISTINCT k1.id AS id_a, k2.id AS id_b
          |         FROM bandk k1 JOIN bandk k2 ON k1.bi = k2.bi AND k1.bkey = k2.bkey AND k1.id < k2.id),
          |${jaccardVerify(0.5)}""".stripMargin,
+    // estimation-quality report: matching sig components / k beside
+    // the exact Jaccard, for every banding candidate (no tau gate)
+    "dedup_minhash_est" ->
+      s"""$shingleCte,
+         |sigs AS (SELECT id, shh, list_transform(range(0, 16), s ->
+         |  list_min(list_transform(shh, m ->
+         |    ((2 * s + 1) * (m % 2147483647) + s * 7919 + 1) % 2147483647))) AS sig FROM sets),
+         |bandk AS (SELECT id, bi,
+         |  ${dHex12("array_to_string(list_slice(sig, bi * 4 + 1, bi * 4 + 4), ',')")} AS bkey
+         |  FROM sigs, (SELECT unnest(range(0, 4)) AS bi) bb),
+         |cand AS (SELECT DISTINCT k1.id AS id_a, k2.id AS id_b
+         |         FROM bandk k1 JOIN bandk k2 ON k1.bi = k2.bi AND k1.bkey = k2.bkey AND k1.id < k2.id),
+         |m AS (SELECT id_a, id_b,
+         |        CAST(list_sum(list_transform(range(1, 17),
+         |          i -> CASE WHEN x.sig[CAST(i AS INT)] = y.sig[CAST(i AS INT)] THEN 1 ELSE 0 END)) AS BIGINT) AS n_match,
+         |        CAST(len(list_intersect(x.shh, y.shh)) AS BIGINT) AS inter,
+         |        len(x.shh) AS sa, len(y.shh) AS sb
+         |      FROM cand JOIN sigs x ON x.id = id_a JOIN sigs y ON y.id = id_b),
+         |r AS (SELECT id_a, id_b, n_match,
+         |        round(CAST(n_match AS DOUBLE) / 16, 4) AS j_est,
+         |        round(CAST(inter AS DOUBLE) / CAST(sa + sb - inter AS DOUBLE), 4) AS j_exact
+         |      FROM m)
+         |SELECT id_a, id_b, n_match, j_est, j_exact, round(abs(j_est - j_exact), 4) AS abs_err
+         |FROM r ORDER BY id_a, id_b""".stripMargin,
     // the LSH candidate pipeline (identical to dedup_minhash_lsh up
     // to the jaccard gate), then exact Levenshtein on each survivor
     "dedup_edit_verify" ->
@@ -2023,6 +2050,15 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         |  CAST(1 AS BIGINT) AS approx_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_customer_deciles" ->
+      """WITH d AS (SELECT c_custkey, c_acctbal,
+        |    ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey) AS decile
+        |  FROM customer)
+        |SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n_customers,
+        |  round(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_bal,
+        |  min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal
+        |FROM d GROUP BY 1 ORDER BY decile""".stripMargin,
 
     "q_order_priority" ->
       """SELECT o_orderpriority, count(*) AS n_orders

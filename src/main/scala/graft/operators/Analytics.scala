@@ -164,6 +164,25 @@ object Analytics {
     * ±5% of exact (HLL++ at rsd=0.02 stays well inside; at gate
     * cardinalities the sparse encoding is exact). Hash-checkable
     * without pinning another engine's sketch internals. */
+  /** Customer balance deciles (NTILE) with per-decile stats — the
+    * classic distribution report. The global ntile is a single
+    * ordered window over the CUSTOMER dimension (orders of magnitude
+    * smaller than the facts, fine to sort on one partition); decile
+    * cuts over a 100 TB fact column would use approx_percentile
+    * boundaries instead (`ev_value_quantiles` is that shape). */
+  def customerDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(spark, dir)
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal").cast("decimal(18,4)")).cast("double") /
+          count(lit(1)), 4).as("avg_bal"),
+        min(col("c_acctbal")).as("min_bal"),
+        max(col("c_acctbal")).as("max_bal"))
+      .orderBy(col("decile"))
+  }
+
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("event_type"))

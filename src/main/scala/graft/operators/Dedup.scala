@@ -208,6 +208,41 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
 
+  /** MinHash estimation-quality report over the banding candidates:
+    * per pair, Ĵ = (matching signature components)/k beside the
+    * EXACT Jaccard from the full shingle sets, plus the absolute
+    * error — the metrology an operator reads before trusting
+    * signature-only dedup decisions at a τ (e.g. whether k=16 is
+    * enough, or bands are too permissive). No τ gate: every banding
+    * candidate is reported so the error is visible across the
+    * similarity range. Same blocked shapes as the dedup pipeline —
+    * nothing all-pairs. */
+  def minhashEstimation(docs: DataFrame, contentCol: String = "text",
+                        idCol: String = "doc_id", n: Int = 3, k: Int = 16,
+                        bands: Int = 4): DataFrame = {
+    val sigs = signatureTable(docs, contentCol, idCol, n, k)
+    val banded = sigs.select(col("id"),
+      posexplode(bandKeys(col("sig"), bands, k / bands)).as(Seq("band", "bkey")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a"), col("shh").as("sh_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b"), col("shh").as("sh_b")), "id_b")
+      .withColumn("n_match",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("long"))
+      .withColumn("inter", graft.plans.NativeExprs.intersectSize(col("sh_a"), col("sh_b")))
+      .select(col("id_a"), col("id_b"), col("n_match"),
+        round(col("n_match").cast("double") / k, 4).as("j_est"),
+        round(col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"), 4).as("j_exact"))
+      .withColumn("abs_err", round(abs(col("j_est") - col("j_exact")), 4))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Connected components over near-dup pairs: every doc in a dup
     * pair gets its component's minimum doc id as `cluster_id` — the
     * canonical representative, i.e. the row dedup keeps.
