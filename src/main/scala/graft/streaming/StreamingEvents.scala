@@ -49,6 +49,22 @@ object StreamingEvents {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming mirror of Events.slidingDistinct's PRODUCT half: the
+    * HLL++ distinct-user estimate per sliding window. Exact
+    * countDistinct is unsupported in streaming aggregation (it would
+    * need unbounded per-window user sets); the sketch is the part
+    * that streams — O(registers) state per window, bounded by the
+    * watermark — which is exactly why the batch query carries the
+    * estimate-vs-exact contract: it certifies offline what the live
+    * dashboard serves. */
+  def slidingDistinctStream(stream: DataFrame, sizeMinutes: Int = 60,
+                            slideMinutes: Int = 15): DataFrame =
+    stream
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), s"$sizeMinutes minutes", s"$slideMinutes minutes").as("w"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+      .select(col("w.start").as("window_start"), col("approx_users"))
+
   /** Stream-stream interval join: purchases matched to the same
     * user's clicks in the preceding hour. Both sides watermarked so
     * the join state is bounded — Spark drops buffered rows once the

@@ -159,6 +159,29 @@ class StreamingCurationSpec extends SparkSpec {
     assert(streamed.subsetOf(batched) && streamed.size > batched.size / 2)
   }
 
+  test("sliding distinct-user sketch streams; closed windows equal the batch sketch") {
+    import graft.streaming.StreamingEvents
+    import org.apache.spark.sql.functions.{approx_count_distinct, window}
+    val tmp = Files.createTempDirectory("graft_slide").toString
+    val batch = Tables.events(spark, sf)
+    batch.write.mode("overwrite").parquet(s"$tmp/in")
+    val out = StreamingEvents.slidingDistinctStream(
+      StreamingEvents.eventsStream(spark, s"$tmp/in"))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("slide").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val streamed = spark.table("slide")
+      .as[(java.sql.Timestamp, Long)].collect().toSet
+    // HLL merge is order-independent: a closed window's streaming
+    // estimate is bit-equal to the batch estimate on the same rows
+    val batched = batch
+      .groupBy(window($"ts", "60 minutes", "15 minutes").as("w"))
+      .agg(approx_count_distinct($"user_id", 0.02).as("approx_users"))
+      .select($"w.start", $"approx_users")
+      .as[(java.sql.Timestamp, Long)].collect().toSet
+    assert(streamed.subsetOf(batched) && streamed.size > batched.size / 2)
+  }
+
   test("stateful funnel matches the batch funnel count on one batch") {
     import graft.streaming.StreamingEvents
     import graft.streaming.StreamingEvents.TypedEv
