@@ -181,6 +181,7 @@ object SparkEntry {
 
     // ── data quality ────────────────────────────────────────────────
     "dq_record_counts" -> ((s, d) => Quality.recordCounts(Tables.documents(s, d))),
+    "dq_integrity_by_source" -> ((s, d) => Quality.integrityBySource(Tables.documents(s, d))),
     "dq_length_quartiles" -> ((s, d) => Quality.lengthQuartiles(Tables.documents(s, d))),
     "dq_top_words_src" -> ((s, d) => Quality.topWordsPerSource(Tables.documents(s, d))),
     "dq_length_stats" -> ((s, d) => Quality.lengthStats(Tables.documents(s, d))),
@@ -1185,6 +1186,12 @@ object SparkEntry {
 
     "dq_record_counts" ->
       "SELECT source, count(*) AS record_count FROM documents GROUP BY source ORDER BY source",
+    "dq_integrity_by_source" ->
+      """SELECT source, count(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_text,
+        |  CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_lang,
+        |  CAST(SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_mismatch
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "dq_length_quartiles" ->
       """WITH t AS (SELECT doc_id, source, length(text) AS len FROM documents),
         |q AS (SELECT source, len, ntile(4) OVER (PARTITION BY source ORDER BY len, doc_id) AS quart FROM t)

@@ -27,6 +27,24 @@ object Quality {
       max(length(col(contentCol))).cast("long").as("max_length"))
       .orderBy(col(by))
 
+  /** Per-source integrity audit — completeness (null/empty text,
+    * null lang) AND cross-column consistency: rows where the
+    * recorded `n_chars` disagrees with the actual text length. The
+    * consistency count is the interesting one: a loader that
+    * truncates text or stamps metadata from a different revision
+    * shows up here as nonzero `n_chars_mismatch` while every
+    * per-column null check stays green. One partial-aggregating
+    * pass, output rows = |sources|. */
+  def integrityBySource(docs: DataFrame): DataFrame =
+    docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("text").isNull || length(col("text")) === 0, 1L)
+        .otherwise(0L)).as("n_empty_text"),
+      sum(when(col("lang").isNull, 1L).otherwise(0L)).as("n_null_lang"),
+      sum(when(col("n_chars") =!= length(col("text")), 1L)
+        .otherwise(0L)).as("n_chars_mismatch"))
+      .orderBy(col("source"))
+
   /** Missing-value counts (duckdb_queries.py:69-82): count(*) −
     * count(col) per audited column. */
   def missingValues(docs: DataFrame, cols: Seq[String]): DataFrame = {

@@ -175,4 +175,25 @@ class PartitionInvarianceSpec extends SparkSpec {
   test("query likelihood is partition-invariant (decimal term sums)") {
     invariant("qlm")(Ranking.queryLikelihoodTopK(_))(Tables.documents(spark, sf))
   }
+
+  test("whitened projections are partition-invariant (decimal RMS, model collects)") {
+    invariant("whitening")(Similarity.whitenedProjection(_))(Tables.embeddings(spark, sf))
+  }
+
+  test("int8 dequantized top-k is partition-invariant (exact min/max stats)") {
+    invariant("int8")(Similarity.int8TopK(_))(Tables.embeddings(spark, sf))
+  }
+
+  test("minhash estimation report is partition-invariant") {
+    invariant("minhash-est")(Dedup.minhashEstimation(_))(
+      Tables.documents(spark, "/root/testdata/sf0.01"))
+  }
+
+  test("bootstrap replicate histogram is partition-invariant (seedless md5 draws)") {
+    invariant("bootstrap")(Sampling.bootstrapCounts(_))(Tables.documents(spark, sf))
+  }
+
+  test("mmr re-ranking is partition-invariant (driver greedy over rounded sims)") {
+    invariant("mmr")(Similarity.mmrTopK(_))(Tables.embeddings(spark, sf))
+  }
 }
