@@ -164,16 +164,24 @@ object Analytics {
     * ±5% of exact (HLL++ at rsd=0.02 stays well inside; at gate
     * cardinalities the sparse encoding is exact). Hash-checkable
     * without pinning another engine's sketch internals. */
-  /** Customer balance deciles (NTILE) with per-decile stats — the
-    * classic distribution report. The global ntile is a single
-    * ordered window over the CUSTOMER dimension (orders of magnitude
-    * smaller than the facts, fine to sort on one partition); decile
-    * cuts over a 100 TB fact column would use approx_percentile
-    * boundaries instead (`ev_value_quantiles` is that shape). */
+  /** Customer balance deciles (exact NTILE semantics) with
+    * per-decile stats — the classic distribution report, computed
+    * WITHOUT a global window: percentile-boundary bands on
+    * c_acctbal (one approx_percentile aggregate; boundary precision
+    * affects only balance, never the answer) → exact per-band counts
+    * → driver prefix offsets → per-band row_number + offset = exact
+    * global rank → decile by pure rank arithmetic
+    * (`Ranks.ntileFromRank`). TPC-H customer grows with SF (~15 B
+    * rows at 100 TB), so the single-reducer ntile sort is banned
+    * here just like on the facts. */
   def customerDeciles(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
-    Tables.customer(spark, dir)
-      .withColumn("decile", ntile(10).over(w).cast("long"))
+    val c = Tables.customer(spark, dir)
+    val bs = Ranks.percentileBoundaries(c, col("c_acctbal"), 32)
+    val band = Ranks.valueBands(col("c_acctbal"), bs, descending = true)
+    val (ranked, n) = Ranks.withGlobalRank(c, band,
+      Seq(col("c_acctbal").desc, col("c_custkey")), "rnk")
+    ranked
+      .withColumn("decile", Ranks.ntileFromRank("rnk", 10, n))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_customers"),
         round(sum(col("c_acctbal").cast("decimal(18,4)")).cast("double") /

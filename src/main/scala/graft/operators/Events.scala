@@ -405,16 +405,51 @@ object Events {
   /** Activity concentration (Pareto audit): the share of all events
     * generated by the top decile of users — the "is 10% of the
     * corpus 90% of the traffic?" check that decides whether per-user
-    * capping is needed before training on behavioral data. Users
-    * rank by exact (count, user_id) ntile over the O(users)
-    * aggregate; shares are integer ppm. */
+    * capping is needed before training on behavioral data. Exact
+    * NTILE semantics WITHOUT ranking users: group users into RUNS of
+    * equal event-count (rank order inside a run is user_id, which
+    * can never change a per-decile count/sum), place each run at its
+    * exact global rank interval with a cumulative window over the
+    * O(distinct count values) runs table — bounded by the max
+    * per-user count, independent of user cardinality — and split
+    * runs across decile boundaries by pure rank arithmetic. The
+    * O(users) aggregate shuffles once; nothing user-sized is ever
+    * sorted on one task. Shares are integer ppm. */
   def paretoShare(events: DataFrame): DataFrame = {
     val perUser = events.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
-    val w = Window.orderBy(col("n").desc, col("user_id"))
-    val ranked = perUser.withColumn("decile", ntile(10).over(w).cast("long"))
-    ranked.groupBy(col("decile"))
-      .agg(count(lit(1)).as("n_users"), sum(col("n")).as("n_events"))
-      .crossJoin(broadcast(perUser.agg(sum(col("n")).as("total"))))
+    val perVal = perUser.groupBy(col("n")).agg(count(lit(1)).as("c"))
+    val tot = perUser.agg(count(lit(1)).as("nu"), sum(col("n")).as("total"))
+    // runs table: O(distinct n) rows — same allowlisted class as an
+    // O(days) window
+    val w = Window.orderBy(col("n").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val runs = perVal
+      .withColumn("r1", sum(col("c")).over(w))
+      .withColumn("r0", col("r1") - col("c") + 1)
+      .crossJoin(broadcast(tot))
+      .selectExpr("n", "r0", "r1", "total",
+        "nu DIV 10 AS q", "nu % 10 AS rem")
+      .selectExpr("n", "r0", "r1", "total", "q", "rem",
+        "rem * (q + 1) AS thr")
+    // NTILE(10) of the run's first and last rank, then one row per
+    // covered decile with the overlap length k
+    val d = runs.selectExpr("n", "r0", "r1", "total", "q", "rem", "thr",
+        "CASE WHEN q = 0 THEN r0 WHEN r0 <= thr THEN (r0 - 1) DIV (q + 1) + 1 " +
+          "ELSE rem + (r0 - 1 - thr) DIV q + 1 END AS d0",
+        "CASE WHEN q = 0 THEN r1 WHEN r1 <= thr THEN (r1 - 1) DIV (q + 1) + 1 " +
+          "ELSE rem + (r1 - 1 - thr) DIV q + 1 END AS d1")
+      .selectExpr("n", "r0", "r1", "total", "q", "rem", "thr",
+        "explode(sequence(d0, d1)) AS decile")
+      .selectExpr("n", "r0", "r1", "decile", "total",
+        "CASE WHEN decile <= rem THEN (decile - 1) * (q + 1) + 1 " +
+          "ELSE thr + (decile - 1 - rem) * q + 1 END AS lo",
+        "CASE WHEN decile <= rem THEN decile * (q + 1) " +
+          "ELSE thr + (decile - rem) * q END AS hi")
+      .selectExpr("n", "decile", "total",
+        "least(r1, hi) - greatest(r0, lo) + 1 AS k")
+    d.groupBy(col("decile"))
+      .agg(sum(col("k")).as("n_users"), sum(col("k") * col("n")).as("n_events"),
+        max(col("total")).as("total"))
       .select(col("decile"), col("n_users"), col("n_events"),
         expr("n_events * 1000000 div total").as("share_ppm"))
       .orderBy(col("decile"))
@@ -458,12 +493,18 @@ object Events {
     * first `fromType` event to the first `toType` event at-or-after
     * it; reported as count/min/median/max over converting users. The
     * median is percentile_disc-style — the actual element at rank
-    * ⌈n/2⌉ under the fully tie-broken (delta, user_id) order — so it
-    * is integer-exact, never interpolated. The per-user reduction is
-    * two filtered aggregations; only the O(converting users) delta
-    * table sees the ranking window. */
+    * ⌈n/2⌉ — so it is integer-exact, never interpolated. (The rank's
+    * nominal (delta, user_id) tie-break can never change the VALUE
+    * at the rank, so it needs no ordering by user.) The per-user
+    * reduction is two filtered aggregations; the median resolves by
+    * rank-by-counting (`Ranks.selectAtRank`: percentile-banded
+    * counts narrowing the candidate range, final bounded
+    * TakeOrdered) — no global window touches the O(converting
+    * users) delta table. */
   def timeToConvert(events: DataFrame, fromType: String = "view",
                     toType: String = "purchase"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
     val e = events.select(col("user_id"), col("event_type"),
       expr("unix_micros(ts)").as("us"))
     val v = e.where(col("event_type") === fromType)
@@ -472,14 +513,16 @@ object Events {
       .join(v, "user_id").where(col("us") >= col("v_us"))
       .groupBy(col("user_id"))
       .agg((min(col("us")) - min(col("v_us"))).as("delta"))
-    val w = Window.orderBy(col("delta"), col("user_id"))
-    val ranked = deltas.withColumn("rn", row_number().over(w).cast("long"))
+      .persist()
     val tot = deltas.agg(count(lit(1)).as("n_users"),
       min(col("delta")).as("min_us"), max(col("delta")).as("max_us"))
-    val med = ranked.crossJoin(broadcast(tot))
-      .where(col("rn") === expr("(n_users + 1) div 2"))
-      .select(col("delta").as("median_us"))
-    tot.crossJoin(med)
+    val n = tot.head().getLong(0)
+    val med =
+      if (n == 0) Seq.empty[Long].toDF("median_us")
+      else Seq(Ranks.selectAtRank(deltas, "delta", (n + 1) / 2))
+        .toDF("median_us")
+    deltas.unpersist()
+    tot.crossJoin(broadcast(med))
       .select(col("n_users"), col("min_us"), col("median_us"), col("max_us"))
   }
 

@@ -446,9 +446,14 @@ object Quality {
   /** Zipf's-law fit over the corpus vocabulary: OLS slope of
     * ln(freq) against ln(rank) — natural text sits near −1; heavy
     * boilerplate or deduplication damage shows up as a bent tail.
-    * One token-count shuffle; the rank window runs over the O(vocab)
-    * counts (note: a global window — at extreme vocab swap in a
-    * two-phase rank). Per-term products are rounded then
+    * One token-count shuffle; ranks are then generated WITHOUT
+    * sorting the vocabulary: the OLS sums only need the multiset of
+    * (rank, cnt) pairs, and every word of a given cnt occupies a
+    * contiguous rank run — so group to RUNS of equal cnt (a
+    * cumulative window over O(distinct cnt) ≤ O(√tokens) rows),
+    * then explode each run's rank range in 64k chunks, re-spread by
+    * chunk so the cnt=1 mega-run parallelizes. Word-level tie-break
+    * never reaches the sums. Per-term products are rounded then
     * DECIMAL-summed; the slope's a·b−c·d combination is emitted
     * through STAGED product columns and rounded to 4dp (the raw
     * combined double is FMA-contraction-unstable across engines —
@@ -457,8 +462,19 @@ object Quality {
     val freq = docs.select(explode(tokens(lower(col(contentCol)))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
     val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("cnt").desc, col("w"))
-    val terms = freq.withColumn("rnk", row_number().over(w))
+      .orderBy(col("cnt").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val runs = freq.groupBy(col("cnt")).agg(count(lit(1)).as("c"))
+      .withColumn("r1", sum(col("c")).over(w))
+      .withColumn("r0", col("r1") - col("c") + 1)
+    val chunk = 65536
+    val ranks = runs
+      .selectExpr("cnt", "r1", s"explode(sequence(r0, r1, $chunk)) AS cs")
+      .repartition(col("cs"), col("cnt"))
+      .selectExpr("cnt",
+        s"explode(sequence(cs, least(cs + ${chunk - 1}, r1))) AS rnk")
+    val terms = ranks
       .select(round(log(col("rnk").cast("double")), 6).as("x"),
         round(log(col("cnt").cast("double")), 6).as("y"))
       .select(col("x"), col("y"),
@@ -755,18 +771,24 @@ object Quality {
 
   /** CCNet-style perplexity bucketing: documents split into
     * head/middle/tail tertiles by their unigram-LM cross-entropy
-    * (Wenzek et al. 2020 keep the head, drop the tail). ntile over a
-    * fully tie-broken order (entropy, doc_id) is deterministic;
-    * per-bucket stats aggregate the O(docs) scored table. The rank
-    * window carries three longs per doc — fine to ~1e9 docs; beyond
-    * that swap the exact ntile for entropy-boundary banding (the
-    * ev_rfm pattern), which needs no global order. */
+    * (Wenzek et al. 2020 keep the head, drop the tail). Exact
+    * NTILE(3) semantics under the fully tie-broken (entropy, doc_id)
+    * order, computed WITHOUT a global window: entropy-boundary bands
+    * (one approx_percentile aggregate — precision affects only
+    * balance) → exact per-band counts → driver prefix offsets →
+    * per-band row_number + offset → tertile by rank arithmetic
+    * (`Ranks.ntileFromRank`). The scored table is persisted across
+    * the two phase-1 aggregates, then released. */
   def perplexityBuckets(docs: DataFrame, contentCol: String = "text"): DataFrame = {
     val scored = unigramCrossEntropy(docs, contentCol)
       .where(col("cross_entropy").isNotNull)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("cross_entropy"), col("doc_id"))
-    scored.withColumn("bucket", ntile(3).over(w).cast("long"))
+      .persist()
+    val bs = Ranks.percentileBoundaries(scored, col("cross_entropy"), 32)
+    val band = Ranks.valueBands(col("cross_entropy"), bs)
+    val (ranked, n) = Ranks.withGlobalRank(scored, band,
+      Seq(col("cross_entropy"), col("doc_id")), "rnk")
+    scored.unpersist()
+    ranked.withColumn("bucket", Ranks.ntileFromRank("rnk", 3, n))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),

@@ -132,10 +132,13 @@ object Sampling {
     * near-equal TOKEN mass — the data-parallel sharding that keeps
     * every trainer rank fed evenly (doc-count round-robin skews by
     * doc length). shard = ⌊start·N / total⌋ in exact integer math
-    * over the exclusive running sum. The global hash-order window
-    * is the cost: at extreme scale swap in the classic two-phase
-    * form (per-partition token sums → driver prefix offsets), same
-    * assignment. Returns the per-shard summary. */
+    * over the exclusive running sum, computed with the classic
+    * two-phase prefix form (`Ranks.withGlobalPrefixSum`): md5-prefix
+    * bands (4096 order-preserving buckets — lowercase fixed-width
+    * hex, so lexicographic == numeric prefix order) → per-band token
+    * sums collected as a ≤4096-row model → per-band running-sum
+    * window + band offset. No single task ever sorts the corpus.
+    * Returns the per-shard summary. */
   def shardAssign(docs: DataFrame, nShards: Int = 8,
                   contentCol: String = "text", keyCol: String = "doc_id",
                   salt: String = "shard"): DataFrame = {
@@ -143,14 +146,14 @@ object Sampling {
     val t = docs.select(col(keyCol).as("id"),
       tokenCount(col(contentCol)).as("n_tok"),
       md5(concat(lit(s"$salt:"), col(keyCol))).as("h"))
-    val total = t.agg(sum(col("n_tok")).as("total"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("h"))
-    t.withColumn("cum", sum(col("n_tok")).over(w))
-      .crossJoin(broadcast(total))
-      // integer `div`, not `/`: Spark's / is always fractional and a
-      // float detour could misround at extreme token totals
-      .select(col("id"), col("n_tok"),
-        expr(s"((cum - n_tok) * $nShards) div total").cast("long").as("shard"))
+    val band = expr("conv(substring(h, 1, 3), 16, 10)").cast("long")
+    val (p, total) =
+      Ranks.withGlobalPrefixSum(t, band, Seq(col("h")), col("n_tok"), "excl")
+    // integer `div`, not `/`: Spark's / is always fractional and a
+    // float detour could misround at extreme token totals
+    p.select(col("id"), col("n_tok"),
+        expr(s"(excl * $nShards) div ${math.max(total, 1L)}L")
+          .cast("long").as("shard"))
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
       .orderBy(col("shard"))

@@ -218,4 +218,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(dataShuffles(df) <= 3)
     assert(count(df, _.isInstanceOf[SortMergeJoinExec]) == 0)
   }
+
+  test("sweep: no query plans a global (empty-partition) window over unbounded input") {
+    // Window.orderBy with no partition key funnels its entire input
+    // through ONE task's sort — banned for anything that grows with
+    // the corpus/SF (the pipe_shard_assign / q_customer_deciles /
+    // ev_pareto / ev_time_to_convert / txt_ppl_buckets family was
+    // rewritten to two-phase banded ranks for exactly this reason).
+    // The allowlist is the provably bounded-input family:
+    //   ev_cum_users  — windows the O(active days) daily rollup
+    //   ev_pareto     — windows the O(distinct per-user counts) runs
+    //                   table, bounded by max events/user
+    //   rag_hybrid,
+    //   rag_ndcg      — window an already-top-`depth` (≤20-row)
+    //                   lexical list
+    //   txt_bpe_pairs — windows ≤26² letter-pair rows
+    //   txt_zipf_fit  — windows the O(distinct word counts) runs
+    //                   table, ≤ O(√tokens) by the pigeonhole bound
+    // Anything new that plans a global window must either partition
+    // it or argue its way onto this list.
+    val allow = Set("ev_cum_users", "ev_pareto", "rag_hybrid", "rag_ndcg",
+      "txt_bpe_pairs", "txt_zipf_fit")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val globals = collectAll(physical(fn(spark, sf))).count {
+        case w: org.apache.spark.sql.execution.window.WindowExec =>
+          w.partitionSpec.isEmpty
+        case _ => false
+      }
+      if (globals > 0 && !allow(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"global-window plans outside the allowlist: $offenders")
+  }
 }
