@@ -22,6 +22,11 @@ object GraftSession {
     "spark.sql.autoBroadcastJoinThreshold" -> (64L * 1024 * 1024).toString,
     "spark.sql.parquet.filterPushdown" -> "true",
     "spark.sql.parquet.aggregatePushdown" -> "true",
+    // int64-micros timestamps (not INT96): footers then carry real
+    // min/max stats — the Delta writer's per-file `stats` and any
+    // engine's row-group skipping depend on them — and delta-rs /
+    // DuckDB read int64 natively
+    "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS",
     // static conf: only binds when the session is BUILT with it (the
     // adopted-session path below swallows the runtime-set failure);
     // brings the graft_* SQL functions and the FuseMd5Prefix rule

@@ -3,10 +3,23 @@ package graft.sources
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Cast, Expression, Literal, Predicate}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Not, Or, Predicate}
+import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
-import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.types.{DataType, StringType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-file column statistics parsed from a Delta add action's
+  * `stats` JSON ({"numRecords":N,"minValues":{..},"maxValues":{..},
+  * "nullCount":{..}} — the delta-rs / Delta-spec field). Values keep
+  * their canonical STRING form here and are cast to the filter
+  * attribute's type at evaluation time (one Cast per file×predicate
+  * at planning time — trivial next to a scan). */
+private[sources] case class FileStats(
+    numRecords: Option[Long],
+    minValues: Map[String, String],
+    maxValues: Map[String, String],
+    nullCount: Map[String, Long])
 
 /** A [[FileIndex]] over a Delta snapshot's add-file list — the
   * single-relation read path for (possibly partitioned) Delta tables.
@@ -29,6 +42,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * and the whole table is ONE `FileSourceScan` relation regardless of
   * partition count.
   *
+  * `listFiles` additionally DATA-SKIPS: each pushed data filter is
+  * evaluated conservatively against the add actions' per-file
+  * min/max/nullCount stats (may-contain semantics: a file is dropped
+  * only when the stats PROVE no row can match; files without stats
+  * or predicates outside the supported shapes always survive). On a
+  * clustered table this prunes the scan to the value range the
+  * predicate touches — the biggest I/O lever a lakehouse reader has.
+  *
   * Partition values arrive as the log's string map and are cast to
   * the declared partition schema types here (same coercion the
   * writer's directory-name round trip would give), `null`/absent maps
@@ -38,38 +59,115 @@ private[sources] class DeltaFileIndex(
     spark: SparkSession,
     table: Path,
     override val partitionSchema: StructType,
-    addFiles: Seq[(Path, Long, Long, Map[String, String])])
+    addFiles: Seq[(Path, Long, Long, Map[String, String])],
+    fileStats: Map[Path, FileStats] = Map.empty)
   extends FileIndex {
 
-  private def castPartValue(raw: Option[String], dt: org.apache.spark.sql.types.DataType): Any =
+  private def castString(raw: String, dt: DataType): Any =
+    Cast(Literal(UTF8String.fromString(raw), StringType), dt, Option("UTC")).eval(null)
+
+  private def castPartValue(raw: Option[String], dt: DataType): Any =
     raw match {
       case None | Some(null) => null
-      case Some(s) =>
-        Cast(Literal(UTF8String.fromString(s), StringType), dt, Option("UTC")).eval(null)
+      case Some(s) => castString(s, dt)
     }
 
   /** One directory entry per distinct partition-value tuple; file
     * statuses are fabricated from log metadata (no FS calls). */
-  private val dirs: Seq[PartitionDirectory] = {
-    addFiles
+  private def directories(files: Seq[(Path, Long, Long, Map[String, String])])
+      : Seq[PartitionDirectory] =
+    files
       .groupBy(_._4)
       .iterator
-      .map { case (pv, files) =>
+      .map { case (pv, fs) =>
         val values = InternalRow.fromSeq(
           partitionSchema.map(f => castPartValue(pv.get(f.name), f.dataType)))
-        val statuses = files.map { case (p, size, modTime, _) =>
+        val statuses = fs.map { case (p, size, modTime, _) =>
           new FileStatus(size, false, 1, 128L * 1024 * 1024, modTime, p)
         }
         PartitionDirectory(values, statuses.toArray)
       }
       .toSeq
-  }
+
+  private val dirs: Seq[PartitionDirectory] = directories(addFiles)
 
   override def rootPaths: Seq[Path] = Seq(table)
 
+  // ---------------------------------------------------------------
+  // stats-based data skipping (conservative three-valued logic:
+  // `true` = the file MAY contain matching rows)
+  // ---------------------------------------------------------------
+
+  private def bounds(s: FileStats, a: AttributeReference): Option[(Any, Any)] =
+    for {
+      mnRaw <- s.minValues.get(a.name)
+      mxRaw <- s.maxValues.get(a.name)
+      mn = castString(mnRaw, a.dataType)
+      mx = castString(mxRaw, a.dataType)
+      if mn != null && mx != null
+    } yield (mn, mx)
+
+  private def ordering(dt: DataType): Ordering[Any] =
+    TypeUtils.getInterpretedOrdering(dt).asInstanceOf[Ordering[Any]]
+
+  /** May rows in a file with stats `s` satisfy `e`? Unsupported
+    * shapes answer `true` (never skip on uncertainty). */
+  private def mayMatch(s: FileStats, e: Expression): Boolean = e match {
+    case And(l, r) => mayMatch(s, l) && mayMatch(s, r)
+    case Or(l, r) => mayMatch(s, l) || mayMatch(s, r)
+    case IsNotNull(a: AttributeReference) =>
+      // skippable only when the stats prove the column is ALL null
+      !(s.numRecords.nonEmpty &&
+        s.nullCount.get(a.name).exists(_ >= s.numRecords.get))
+    case IsNull(a: AttributeReference) =>
+      !s.nullCount.get(a.name).contains(0L)
+    case Not(IsNull(a: AttributeReference)) => mayMatch(s, IsNotNull(a))
+    case EqualTo(a: AttributeReference, Literal(v, _)) if v != null => contains(s, a, v)
+    case EqualTo(Literal(v, _), a: AttributeReference) if v != null => contains(s, a, v)
+    case LessThan(a: AttributeReference, Literal(v, _)) if v != null =>
+      bounds(s, a).forall { case (mn, _) => ordering(a.dataType).lt(mn, v) }
+    case LessThan(Literal(v, _), a: AttributeReference) if v != null =>
+      mayMatch(s, GreaterThan(a, Literal(v, a.dataType)))
+    case LessThanOrEqual(a: AttributeReference, Literal(v, _)) if v != null =>
+      bounds(s, a).forall { case (mn, _) => ordering(a.dataType).lteq(mn, v) }
+    case LessThanOrEqual(Literal(v, _), a: AttributeReference) if v != null =>
+      mayMatch(s, GreaterThanOrEqual(a, Literal(v, a.dataType)))
+    case GreaterThan(a: AttributeReference, Literal(v, _)) if v != null =>
+      bounds(s, a).forall { case (_, mx) => ordering(a.dataType).gt(mx, v) }
+    case GreaterThan(Literal(v, _), a: AttributeReference) if v != null =>
+      mayMatch(s, LessThan(a, Literal(v, a.dataType)))
+    case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) if v != null =>
+      bounds(s, a).forall { case (_, mx) => ordering(a.dataType).gteq(mx, v) }
+    case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) if v != null =>
+      mayMatch(s, LessThanOrEqual(a, Literal(v, a.dataType)))
+    case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+      vs.exists {
+        case Literal(v, _) if v != null => contains(s, a, v)
+        case _ => false // a null IN-list element matches no row
+      }
+    case _ => true
+  }
+
+  private def contains(s: FileStats, a: AttributeReference, v: Any): Boolean =
+    bounds(s, a).forall { case (mn, mx) =>
+      val ord = ordering(a.dataType)
+      ord.lteq(mn, v) && ord.gteq(mx, v)
+    }
+
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    if (partitionFilters.isEmpty || partitionSchema.isEmpty) dirs
+    // 1. data skipping on per-file stats
+    val files =
+      if (dataFilters.isEmpty || fileStats.isEmpty) addFiles
+      else {
+        val pred = dataFilters.reduce(And)
+        addFiles.filter { case (p, _, _, _) =>
+          fileStats.get(p).forall(st => mayMatch(st, pred))
+        }
+      }
+    val base = if (files eq addFiles) dirs else directories(files)
+    // 2. partition pruning
+    if (partitionFilters.isEmpty || partitionSchema.isEmpty) base
     else {
       val resolver = spark.sessionState.conf.resolver
       val bound = partitionFilters.reduce(And).transform {
@@ -80,7 +178,7 @@ private[sources] class DeltaFileIndex(
       }
       val predicate = Predicate.create(bound)
       predicate.initialize(0)
-      dirs.filter(d => predicate.eval(d.values))
+      base.filter(d => predicate.eval(d.values))
     }
   }
 

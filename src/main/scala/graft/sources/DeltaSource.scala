@@ -84,7 +84,8 @@ object DeltaSource {
       path: String,
       partitionValues: Map[String, String],
       size: Option[Long],
-      modificationTime: Option[Long])
+      modificationTime: Option[Long],
+      stats: Option[String] = None)
 
   private case class Snapshot(
       version: Long,
@@ -123,7 +124,8 @@ object DeltaSource {
       StructField("partitionValues", MapType(StringType, StringType)),
       StructField("size", LongType),
       StructField("modificationTime", LongType),
-      StructField("dataChange", BooleanType)))),
+      StructField("dataChange", BooleanType),
+      StructField("stats", StringType)))),
     StructField("remove", StructType(Seq(
       StructField("path", StringType),
       StructField("dataChange", BooleanType)))),
@@ -149,7 +151,8 @@ object DeltaSource {
     AddFile(a.getAs[String]("path"), pv,
       if (a.isNullAt(a.fieldIndex("size"))) None else Some(a.getAs[Long]("size")),
       if (a.isNullAt(a.fieldIndex("modificationTime"))) None
-      else Some(a.getAs[Long]("modificationTime")))
+      else Some(a.getAs[Long]("modificationTime")),
+      Option(a.getAs[String]("stats")))
   }
 
   /** Replay the log up to `version` (latest when None): newest
@@ -269,20 +272,167 @@ object DeltaSource {
                     timestampMs: Long): DataFrame = {
     val logDir = new Path(tablePath, "_delta_log")
     val fs = fsOf(spark, logDir)
-    val (commits, _) = logVersions(fs, logDir)
-    require(commits.nonEmpty, s"not a Delta table (no commits): $tablePath")
+    val (commits, checkpoints) = logVersions(fs, logDir)
+    require(commits.nonEmpty || checkpoints.nonEmpty,
+      s"not a Delta table (no commits): $tablePath")
     val eligible = commits.filter { v =>
       fs.getFileStatus(new Path(logDir, f"$v%020d.json")).getModificationTime <= timestampMs
     }
-    require(eligible.nonEmpty,
-      s"no commit at or before timestamp $timestampMs (earliest: ${commits.min})")
-    readDelta(spark, tablePath, Some(eligible.max))
+    if (eligible.nonEmpty) readDelta(spark, tablePath, Some(eligible.max))
+    else {
+      // JSON commits may have been truncated past a checkpoint (the
+      // DeltaOpsSpec VACUUM/trim state): the table is still readable
+      // at checkpoint versions, resolved by the checkpoint file's own
+      // mtime — same timestamp→version rule, one level down
+      val cpEligible = checkpoints.filter { v =>
+        fs.listStatus(logDir).toSeq.exists { st =>
+          st.isFile &&
+            CheckpointRe.findFirstMatchIn(st.getPath.getName).exists(_.group(1).toLong == v) &&
+            st.getModificationTime <= timestampMs
+        }
+      }
+      require(cpEligible.nonEmpty,
+        s"no commit or checkpoint at or before timestamp $timestampMs " +
+          s"(earliest: ${(commits ++ checkpoints).min})")
+      readDelta(spark, tablePath, Some(cpEligible.max))
+    }
   }
+
+  // ---------------------------------------------------------------
+  // per-file column statistics (the Delta add action's `stats` JSON)
+  // ---------------------------------------------------------------
+
+  /** Render one parquet-footer statistics value as the canonical
+    * JSON fragment for the add action's `stats` field: numerics as
+    * JSON numbers, strings as JSON strings, timestamps/dates as ISO
+    * strings (the form [[DeltaFileIndex]] casts back at skip time,
+    * and close to what delta-rs writes). None for types without a
+    * sound footer representation — skipped, never guessed. */
+  private def statValueJson(v: Any, f: StructField,
+                            prim: org.apache.parquet.schema.PrimitiveType): Option[String] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    f.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => Some(v.toString)
+      case FloatType | DoubleType =>
+        val d = v.toString.toDouble
+        if (d.isNaN || d.isInfinite) None else Some(v.toString)
+      case BooleanType => Some(v.toString)
+      case StringType =>
+        Some(jsonStr(v.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8))
+      case DateType =>
+        Some(jsonStr(java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong).toString))
+      case TimestampType =>
+        prim.getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            val micros = t.getUnit match {
+              case LogicalTypeAnnotation.TimeUnit.MICROS => v.asInstanceOf[Long]
+              case LogicalTypeAnnotation.TimeUnit.MILLIS => v.asInstanceOf[Long] * 1000L
+              case LogicalTypeAnnotation.TimeUnit.NANOS => v.asInstanceOf[Long] / 1000L
+            }
+            val secs = Math.floorDiv(micros, 1000000L)
+            val frac = Math.floorMod(micros, 1000000L)
+            val ts = java.time.LocalDateTime.ofEpochSecond(secs, frac.toInt * 1000,
+              java.time.ZoneOffset.UTC)
+            Some(jsonStr(ts.format(java.time.format.DateTimeFormatter
+              .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))))
+          case _ => None // INT96 and friends carry no usable stats
+        }
+      case _ => None
+    }
+  }
+
+  /** Compute the add action's `stats` JSON for a landed parquet file
+    * from its FOOTER alone (no data read — same cost class as the
+    * getFileStatus beside it): numRecords, per-column min/max (when
+    * every row group has sound stats) and nullCount. Any surprise —
+    * missing footer stats, unsupported type — degrades to omitting
+    * that column, never to a wrong bound. */
+  private def statsJsonFor(spark: SparkSession, file: Path,
+                           dataSchema: StructType): Option[String] = {
+    try {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file,
+        spark.sparkContext.hadoopConfiguration)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val blocks = reader.getFooter.getBlocks
+        import scala.jdk.CollectionConverters._
+        val numRecords = blocks.asScala.map(_.getRowCount).sum
+        val mins = scala.collection.mutable.LinkedHashMap[String, String]()
+        val maxs = scala.collection.mutable.LinkedHashMap[String, String]()
+        val nulls = scala.collection.mutable.LinkedHashMap[String, Long]()
+        dataSchema.foreach { f =>
+          val chunks = blocks.asScala.flatMap(
+            _.getColumns.asScala.filter(_.getPath.toDotString == f.name))
+          if (chunks.nonEmpty && chunks.forall(c =>
+              c.getStatistics != null && !c.getStatistics.isEmpty &&
+                c.getStatistics.isNumNullsSet)) {
+            nulls(f.name) = chunks.map(_.getStatistics.getNumNulls).sum
+            if (chunks.forall(_.getStatistics.hasNonNullValue)) {
+              val prim = chunks.head.getPrimitiveType
+              val ord = prim.comparator
+                .asInstanceOf[java.util.Comparator[Any]]
+              val mn = chunks.map(_.getStatistics.genericGetMin.asInstanceOf[Any])
+                .reduce((a, b) => if (ord.compare(a, b) <= 0) a else b)
+              val mx = chunks.map(_.getStatistics.genericGetMax.asInstanceOf[Any])
+                .reduce((a, b) => if (ord.compare(a, b) >= 0) a else b)
+              for {
+                mnJ <- statValueJson(mn, f, prim)
+                mxJ <- statValueJson(mx, f, prim)
+              } {
+                mins(f.name) = mnJ
+                maxs(f.name) = mxJ
+              }
+            }
+          }
+        }
+        def obj(m: scala.collection.Map[String, String]): String =
+          m.map { case (k, v) => s"${jsonStr(k)}:$v" }.mkString("{", ",", "}")
+        Some(s"""{"numRecords":$numRecords,"minValues":${obj(mins)},""" +
+          s""""maxValues":${obj(maxs)},"nullCount":${obj(nulls.map {
+            case (k, v) => k -> v.toString })}}""")
+      } finally reader.close()
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    }
+  }
+
+  /** Parse an add action's `stats` JSON into the skip-time model;
+    * values stay strings (cast lazily against the filter's type).
+    * Malformed stats parse to None — never skip on bad metadata. */
+  private def parseStats(json: Option[String]): Option[FileStats] =
+    json.flatMap { s =>
+      try {
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val node = mapper.readTree(s)
+        def strMap(field: String): Map[String, String] = {
+          val n = node.path(field)
+          if (!n.isObject) Map.empty
+          else {
+            import scala.jdk.CollectionConverters._
+            n.fields().asScala.filterNot(_.getValue.isNull)
+              .map(e => e.getKey -> e.getValue.asText).toMap
+          }
+        }
+        val nulls = {
+          val n = node.path("nullCount")
+          if (!n.isObject) Map.empty[String, Long]
+          else {
+            import scala.jdk.CollectionConverters._
+            n.fields().asScala.filter(_.getValue.canConvertToLong)
+              .map(e => e.getKey -> e.getValue.asLong).toMap
+          }
+        }
+        val num = if (node.path("numRecords").canConvertToLong)
+          Some(node.path("numRecords").asLong) else None
+        Some(FileStats(num, strMap("minValues"), strMap("maxValues"), nulls))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
 
   /** One FileSourceScan over `files`, partition values (table's plus
     * any synthetic extras, e.g. the change feed's commit version)
-    * re-attached from the log through the FileIndex. Missing sizes
-    * fall back to one driver-side getFileStatus per file. */
+    * re-attached from the log through the FileIndex, per-file stats
+    * parsed into the index for data skipping. Missing sizes fall
+    * back to one driver-side getFileStatus per file. */
   private def scanRelation(spark: SparkSession, tablePath: String,
                            schema: StructType, partitionColumns: Seq[String],
                            files: Seq[(AddFile, Map[String, String])]): DataFrame = {
@@ -295,7 +445,10 @@ object DeltaSource {
       val size = a.size.getOrElse(fs.getFileStatus(p).getLen)
       (p, size, a.modificationTime.getOrElse(0L), a.partitionValues ++ extra)
     }
-    val index = new DeltaFileIndex(spark, table, partSchema, indexed)
+    val stats: Map[Path, FileStats] = files.iterator.flatMap { case (a, _) =>
+      parseStats(a.stats).map(st => dataPath(tablePath, a.path) -> st)
+    }.toMap
+    val index = new DeltaFileIndex(spark, table, partSchema, indexed, stats)
     val relation = HadoopFsRelation(index, partSchema, dataSchema, None,
       new ParquetFileFormat, Map.empty)(spark)
     spark.baseRelationToDataFrame(relation)
@@ -384,8 +537,52 @@ object DeltaSource {
     val removed: Seq[String] =
       if (overwrite) prevSnap.map(_.files.map(_.path)).getOrElse(Nil) else Nil
 
-    // land data files under a unique staging dir, then move them in;
-    // a partitioned write stages the hive layout and the moves keep it
+    val dataSchema = StructType(tableSchema.filterNot(f => partCols.contains(f.name)))
+    val adds = stageFiles(df, table, fs, partCols, next, dataSchema)
+
+    val now = System.currentTimeMillis()
+    val partColsJson = partCols.map(jsonStr).mkString("[", ",", "]")
+    def metaLine = s"""{"metaData":{"id":${jsonStr(UUID.randomUUID().toString)},"format":{"provider":"parquet","options":{}},"schemaString":${jsonStr(tableSchema.json)},"partitionColumns":$partColsJson,"configuration":{},"createdTime":$now}}"""
+    val header =
+      if (next == 0L) Seq(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""", metaLine)
+      // schema changed (overwrite redefinition or mergeSchema append):
+      // the commit carries the new metaData, newest-wins on replay
+      else if (prevSnap.exists(_.schema != tableSchema)) Seq(metaLine)
+      else Seq.empty
+    val addLines = adds.map(a => addLine(a, now, dataChange = true))
+    val removeLines = removed.map { p =>
+      s"""{"remove":{"path":${jsonStr(p)},"deletionTimestamp":$now,"dataChange":true}}"""
+    }
+    val txnLines = txn.toSeq.map { case (app, v) =>
+      s"""{"txn":{"appId":${jsonStr(app)},"version":$v,"lastUpdated":$now}}"""
+    }
+    commitWithRetry(spark, fs, tablePath, next,
+      header ++ txnLines ++ removeLines ++ addLines,
+      pureAppend = removed.isEmpty && header.isEmpty, commitStore)
+  }
+
+  /** A staged-and-moved data file ready to commit. */
+  private case class StagedAdd(relPath: String, size: Long,
+                               partitionValues: Map[String, String],
+                               stats: Option[String])
+
+  private def addLine(a: StagedAdd, now: Long, dataChange: Boolean): String = {
+    val pvJson = a.partitionValues.map { case (k, v) =>
+      s"${jsonStr(k)}:${if (v == null) "null" else jsonStr(v)}"
+    }.mkString("{", ",", "}")
+    val statsJson = a.stats.map(s => s""","stats":${jsonStr(s)}""").getOrElse("")
+    s"""{"add":{"path":${jsonStr(encodeRelPath(a.relPath))},"partitionValues":$pvJson,"size":${a.size},"modificationTime":$now,"dataChange":$dataChange$statsJson}}"""
+  }
+
+  /** Land `df`'s data files under a unique staging dir, then move
+    * them into the table (a partitioned write stages the hive layout
+    * and the moves keep it); per-file min/max/nullCount stats come
+    * from the landed parquet FOOTERS (no data re-read). */
+  private def stageFiles(df: DataFrame, table: Path, fs: FileSystem,
+                         partCols: Seq[String], next: Long,
+                         dataSchema: StructType): Seq[StagedAdd] = {
+    val spark = df.sparkSession
     val stage = new Path(table, s".stage-${UUID.randomUUID().toString.take(8)}")
     val w = df.write.mode("overwrite")
     (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(stage.toString)
@@ -419,36 +616,63 @@ object DeltaSource {
       val dst = new Path(table, relPath)
       fs.mkdirs(dst.getParent)
       renameOrFail(fs, p, dst)
-      (relPath, fs.getFileStatus(dst).getLen, pv)
+      StagedAdd(relPath, fs.getFileStatus(dst).getLen, pv,
+        statsJsonFor(spark, dst, dataSchema))
     }
     fs.delete(stage, true)
+    adds
+  }
 
-    val now = System.currentTimeMillis()
-    val partColsJson = partCols.map(jsonStr).mkString("[", ",", "]")
-    def metaLine = s"""{"metaData":{"id":${jsonStr(UUID.randomUUID().toString)},"format":{"provider":"parquet","options":{}},"schemaString":${jsonStr(tableSchema.json)},"partitionColumns":$partColsJson,"configuration":{},"createdTime":$now}}"""
-    val header =
-      if (next == 0L) Seq(
-        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""", metaLine)
-      // schema changed (overwrite redefinition or mergeSchema append):
-      // the commit carries the new metaData, newest-wins on replay
-      else if (prevSnap.exists(_.schema != tableSchema)) Seq(metaLine)
-      else Seq.empty
-    val addLines = adds.map { case (relPath, size, pv) =>
-      val pvJson = pv.map { case (k, v) =>
-        s"${jsonStr(k)}:${if (v == null) "null" else jsonStr(v)}"
-      }.mkString("{", ",", "}")
-      s"""{"add":{"path":${jsonStr(encodeRelPath(relPath))},"partitionValues":$pvJson,"size":$size,"modificationTime":$now,"dataChange":true}}"""
+  /** Delta's optimistic-concurrency loop around the put-if-absent
+    * commit: try version `first`; on losing the race, re-read the log
+    * tail and either RETRY at the tail's next version — safe exactly
+    * when this commit is a pure append (adds only, no metadata
+    * change: fresh files are disjoint from everything a concurrent
+    * writer did) and no interleaved commit changed metaData/protocol
+    * (the append's schema assumption would be stale) — or ABORT with
+    * `ConcurrentModificationException` when this commit removes files
+    * or redefines metadata, because its read snapshot is now stale
+    * and the caller must re-resolve (re-run the overwrite/merge).
+    * This is the Delta protocol's winner/loser contract: two
+    * non-conflicting appenders both land, at consecutive versions. */
+  private def commitWithRetry(spark: SparkSession, fs: FileSystem, tablePath: String,
+                              first: Long, lines: Seq[String], pureAppend: Boolean,
+                              commitStore: CommitStore, maxAttempts: Int = 20): Long = {
+    val logDir = new Path(tablePath, "_delta_log")
+    var attempt = first
+    var tries = 0
+    while (tries < maxAttempts) {
+      tries += 1
+      try {
+        commitStore.putIfAbsent(fs, new Path(logDir, f"$attempt%020d.json"),
+          lines.mkString("", "\n", "\n"))
+        return attempt
+      } catch {
+        case e: Exception =>
+          val latest = latestVersion(spark, tablePath).getOrElse(-1L)
+          // the version we raced for is still absent: the store
+          // failed for its own reasons — surface that, don't loop
+          if (latest < attempt) throw e
+          if (!pureAppend)
+            throw new java.util.ConcurrentModificationException(
+              s"commit $attempt of $tablePath lost to a concurrent writer and is not a " +
+                s"pure append (it removes files or changes metadata); its read snapshot " +
+                s"is stale — re-run against version $latest")
+          val metaChanged = (attempt to latest).exists { v =>
+            spark.read.schema(CheckpointSchema)
+              .json(new Path(logDir, f"$v%020d.json").toString).collect()
+              .exists(r => !r.isNullAt(r.fieldIndex("metaData")) ||
+                !r.isNullAt(r.fieldIndex("protocol")))
+          }
+          if (metaChanged)
+            throw new java.util.ConcurrentModificationException(
+              s"append to $tablePath lost to a concurrent METADATA change at or below " +
+                s"version $latest; re-validate the schema and retry")
+          attempt = latest + 1
+      }
     }
-    val removeLines = removed.map { p =>
-      s"""{"remove":{"path":${jsonStr(p)},"deletionTimestamp":$now,"dataChange":true}}"""
-    }
-    val txnLines = txn.toSeq.map { case (app, v) =>
-      s"""{"txn":{"appId":${jsonStr(app)},"version":$v,"lastUpdated":$now}}"""
-    }
-    val commit = new Path(logDir, f"$next%020d.json")
-    commitStore.putIfAbsent(fs, commit,
-      (header ++ txnLines ++ removeLines ++ addLines).mkString("", "\n", "\n"))
-    next
+    throw new IllegalStateException(
+      s"gave up committing to $tablePath after $maxAttempts attempts (livelock?)")
   }
 
   /** Exactly-once foreachBatch sink into a Delta table: each
@@ -483,10 +707,10 @@ object DeltaSource {
     import spark.implicits._
     def nullCol(field: String) = lit(null).cast(CheckpointSchema(field).dataType).as(field)
     val addRows = snap.files
-      .map(f => (f.path, f.partitionValues, f.size, f.modificationTime))
-      .toDF("path", "partitionValues", "size", "modificationTime")
+      .map(f => (f.path, f.partitionValues, f.size, f.modificationTime, f.stats))
+      .toDF("path", "partitionValues", "size", "modificationTime", "stats")
       .select(struct(col("path"), col("partitionValues"), col("size"),
-        col("modificationTime"), lit(true).as("dataChange"))
+        col("modificationTime"), lit(true).as("dataChange"), col("stats"))
         .cast(CheckpointSchema("add").dataType).as("add"),
         nullCol("remove"), nullCol("metaData"), nullCol("txn"), nullCol("protocol"))
     val metaRow = Seq(((snap.schema.json, snap.partitionColumns))).toDF("s", "p")
@@ -586,10 +810,11 @@ object DeltaSource {
     if (rewrites.isEmpty) return (snap.files.size, snap.files.size)
     val next = latestVersion(spark, tablePath).get + 1
     val now = System.currentTimeMillis()
+    val dataSchema =
+      StructType(snap.schema.filterNot(f => snap.partitionColumns.contains(f.name)))
     val actions = rewrites.flatMap { case (pv, bin) =>
       // one coalesced file per bin, read directly from the bin's files
-      val data = spark.read.schema(
-        StructType(snap.schema.filterNot(f => snap.partitionColumns.contains(f.name))))
+      val data = spark.read.schema(dataSchema)
         .parquet(bin.map(a => dataPath(tablePath, a.path).toString): _*)
       val relDirs = snap.partitionColumns.map { c =>
         val v = pv.getOrElse(c, null)
@@ -606,18 +831,15 @@ object DeltaSource {
       fs.mkdirs(dst.getParent)
       renameOrFail(fs, part, dst)
       fs.delete(stage, true)
-      val pvJson = pv.map { case (k, v) =>
-        s"${jsonStr(k)}:${if (v == null) "null" else jsonStr(v)}"
-      }.mkString("{", ",", "}")
-      val addLine =
-        s"""{"add":{"path":${jsonStr(encodeRelPath(relPath))},"partitionValues":$pvJson,"size":${fs.getFileStatus(dst).getLen},"modificationTime":$now,"dataChange":false}}"""
+      val add = addLine(StagedAdd(relPath, fs.getFileStatus(dst).getLen, pv,
+        statsJsonFor(spark, dst, dataSchema)), now, dataChange = false)
       val removeLines = bin.map(a =>
         s"""{"remove":{"path":${jsonStr(a.path)},"deletionTimestamp":$now,"dataChange":false}}""")
-      removeLines :+ addLine
+      removeLines :+ add
     }
-    commitStore.putIfAbsent(fsOf(spark, table),
-      new Path(new Path(table, "_delta_log"), f"$next%020d.json"),
-      actions.mkString("", "\n", "\n"))
+    // compaction removes files, so a lost race aborts (stale snapshot)
+    commitWithRetry(spark, fs, tablePath, next, actions,
+      pureAppend = false, commitStore)
     val after = snapshot(spark, tablePath, None).files.size
     (snap.files.size, after)
   }
@@ -695,5 +917,107 @@ object DeltaSource {
       f(v, batch)
     }
     newVs.lastOption.orElse(cursor)
+  }
+
+  /** Delta-native MERGE (copy-on-write upsert): land `updates` into a
+    * real `_delta_log` table as ONE commit of remove(touched files) +
+    * add(rewritten files) — how a lakehouse actually maintains its
+    * silver zone (semantics equal to `pipe_upsert`'s engine-portable
+    * window form: rows matching on `keyCols` are replaced, the rest
+    * inserted; `updates` carries at most one row per key).
+    *
+    * Only files PROVABLY holding a matching key are rewritten: the
+    * touched set comes from one distributed semi-join of the current
+    * snapshot (tagged with `input_file_name`) against the update
+    * keys, collected as a ≤#files list — data never reaches the
+    * driver. Untouched files ride along unchanged, partitionValues
+    * preserved (survivor rows rewrite through the same hive staging
+    * as `writeDelta`). Losing a commit race aborts with
+    * `ConcurrentModificationException` (the touched-file set is
+    * stale), per the Delta conflict rules. Returns the committed
+    * version. */
+  def mergeDelta(spark: SparkSession, tablePath: String, updates: DataFrame,
+                 keyCols: Seq[String],
+                 commitStore: CommitStore = CreateExclusiveCommitStore): Long = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val snap = snapshot(spark, tablePath, None)
+    keyCols.foreach(c => require(snap.schema.exists(_.name == c),
+      s"key column $c not in table schema ${snap.schema.fieldNames.toSeq}"))
+    snap.schema.foreach(f => require(updates.columns.contains(f.name),
+      s"updates missing table column ${f.name} (merge does not evolve schema)"))
+    val upd = updates.select(
+      snap.schema.map(f => col(f.name).cast(f.dataType)).toIndexedSeq: _*)
+    val table = new Path(tablePath)
+    val fs = fsOf(spark, table)
+
+    val cur = scanRelation(spark, tablePath, snap.schema, snap.partitionColumns,
+      snap.files.map(a => (a, Map.empty[String, String])))
+    val touchedPaths: Set[String] = cur
+      .withColumn("__file", org.apache.spark.sql.functions.input_file_name())
+      .join(upd.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
+      .select(col("__file")).distinct()
+      .collect().map(r => new Path(r.getString(0)).toUri.getPath).toSet
+    val touched = snap.files.filter(a =>
+      touchedPaths.contains(fs.makeQualified(dataPath(tablePath, a.path)).toUri.getPath))
+
+    val newData =
+      if (touched.isEmpty) upd
+      else scanRelation(spark, tablePath, snap.schema, snap.partitionColumns,
+        touched.map(a => (a, Map.empty[String, String])))
+        .join(upd.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+        .unionByName(upd)
+
+    val next = snap.version + 1
+    val dataSchema =
+      StructType(snap.schema.filterNot(f => snap.partitionColumns.contains(f.name)))
+    val adds = stageFiles(newData, table, fs, snap.partitionColumns, next, dataSchema)
+    val now = System.currentTimeMillis()
+    val removeLines = touched.map(a =>
+      s"""{"remove":{"path":${jsonStr(a.path)},"deletionTimestamp":$now,"dataChange":true}}""")
+    val addLines = adds.map(a => addLine(a, now, dataChange = true))
+    commitWithRetry(spark, fs, tablePath, next, removeLines ++ addLines,
+      pureAppend = touched.isEmpty, commitStore)
+  }
+
+  private val CursorRe = """cursor-(\d+)""".r
+
+  /** The stored cursor of a checkpointed change-feed consumer — the
+    * highest fully-consumed commit version, or None for a fresh
+    * consumer. */
+  def readCursor(spark: SparkSession, checkpointDir: String): Option[Long] = {
+    val dir = new Path(checkpointDir)
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case CursorRe(v) => v.toLong }
+      .sorted.lastOption
+  }
+
+  /** Restart-safe change-feed consumption — `followChanges` with a
+    * CHECKPOINTED cursor, the Trigger.AvailableNow shape: drain every
+    * commit past the stored cursor through `f` in order, persisting
+    * the cursor AFTER each commit as a `cursor-{v}` marker file (a
+    * new marker is created before older ones are pruned, so a crash
+    * at ANY point never loses the high-water mark). A consumer that
+    * crashes between versions resumes at exactly the unseen commits;
+    * a crash INSIDE `f` replays that one commit — the foreachBatch
+    * at-least-once boundary, upgraded to exactly-once end-to-end by
+    * an idempotent sink (e.g. `exactlyOnceBatchSink`'s txn guard with
+    * the commit version as the batch id). Returns the new cursor. */
+  def followChangesCheckpointed(spark: SparkSession, tablePath: String,
+                                checkpointDir: String)
+                               (f: (Long, DataFrame) => Unit): Option[Long] = {
+    val dir = new Path(checkpointDir)
+    val fs = fsOf(spark, dir)
+    fs.mkdirs(dir)
+    val start = readCursor(spark, checkpointDir)
+    followChanges(spark, tablePath, start) { (v, batch) =>
+      f(v, batch)
+      writeText(fs, new Path(dir, s"cursor-$v"), v.toString)
+      fs.listStatus(dir).toSeq.map(_.getPath)
+        .filter(p => CursorRe.findFirstMatchIn(p.getName).exists(_.group(1).toLong < v))
+        .foreach(p => fs.delete(p, false))
+    }
+    readCursor(spark, checkpointDir)
   }
 }

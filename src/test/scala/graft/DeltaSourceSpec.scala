@@ -58,7 +58,7 @@ class DeltaSourceSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet == Set((2L, "y")))
     val e = intercept[IllegalArgumentException](
       DeltaSource.readDeltaAsOf(spark, tmp, past - 1000))
-    assert(e.getMessage.contains("no commit at or before"))
+    assert(e.getMessage.contains("no commit or checkpoint at or before"))
   }
 
   test("append commits accumulate") {
