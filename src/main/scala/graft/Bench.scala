@@ -38,6 +38,16 @@ object Bench {
     SparkEntry.queries.headOption.foreach { case (_, fn) =>
       try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
+    // prime build-once zones (ZoneCache) at the TARGET sf before the
+    // timed loop, so pipe_delta_* read-path timings never absorb the
+    // one-time zone materialization for this corpus
+    Seq("pipe_delta_roundtrip", "pipe_delta_partitioned",
+        "pipe_delta_optimize", "pipe_delta_cdf", "pipe_delta_zorder",
+        "pipe_delta_timetravel").foreach { n =>
+      SparkEntry.queries.get(n).foreach { fn =>
+        try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
+      }
+    }
     // sorted-name order: deterministic run-to-run, and dependent
     // entries time their own phase (ann_index_build lands the
     // persisted index before ann_index_serve is timed, so the serve

@@ -544,4 +544,76 @@ object Events {
         count(lit(1)).over(w).as("n_in_window"))
       .orderBy(col("user_id"), col("event_id"))
   }
+
+  /** Strict per-step funnel completions: the greedy earliest
+    * view → click → purchase chain where EACH step follows the
+    * previous within `stepGapMinutes` (default 24 h, the same window
+    * `funnel` uses per stage) — one row per completing user
+    * with the chain timestamps and total duration (`funnel` reports
+    * stage counts with a loose per-stage window; this is the per-user
+    * completion record with a tight inter-step constraint).
+    *
+    * Same scale shape as `funnel`: each stage is one filtered
+    * aggregate joined to the PREVIOUS stage's user table, which
+    * shrinks monotonically — so each join broadcasts the
+    * converted-user side against the event stream. Durations are
+    * exact integer microseconds. */
+  def windowedFunnel(events: DataFrame, stepGapMinutes: Int = 1440): DataFrame = {
+    val gapUs = stepGapMinutes * 60L * 1000000L
+    val e = events.select(col("user_id"), col("event_type"),
+      expr("unix_micros(ts)").as("us"))
+    val v = e.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
+    val c = e.where(col("event_type") === "click").as("e")
+      .join(broadcast(v).as("v"), col("e.user_id") === col("v.user_id") &&
+        col("e.us") > col("v_us") && col("e.us") <= col("v_us") + lit(gapUs))
+      .groupBy(col("e.user_id").as("user_id"))
+      .agg(min(col("v_us")).as("v_us"), min(col("e.us")).as("c_us"))
+    val p = e.where(col("event_type") === "purchase").as("e2")
+      .join(broadcast(c).as("c"), col("e2.user_id") === col("c.user_id") &&
+        col("e2.us") > col("c_us") && col("e2.us") <= col("c_us") + lit(gapUs))
+      .groupBy(col("e2.user_id").as("user_id"))
+      .agg(min(col("v_us")).as("v_us"), min(col("c_us")).as("c_us"),
+        min(col("e2.us")).as("p_us"))
+    p.select(col("user_id"),
+        date_format(expr("timestamp_micros(v_us)"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("view_ts"),
+        date_format(expr("timestamp_micros(c_us)"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"),
+        date_format(expr("timestamp_micros(p_us)"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"),
+        (col("p_us") - col("v_us")).as("funnel_us"))
+      .orderBy(col("user_id"))
+  }
+
+  /** CUSUM changepoint per event type over the daily count series:
+    * the day where the one-sided cumulative sum of deviations from
+    * the series mean peaks — the classic Page test statistic, the
+    * "when did this metric shift?" monitor.
+    *
+    * Computed by the prefix identity S_t = P_t − min_{j≤t} P_j with
+    * P the running sum of (count − mean): two windows PARTITIONED BY
+    * event type over the O(days) daily rollup — never the raw
+    * stream, and no global window. Deviations fold in day order on
+    * both engines, so the doubles are bit-stable; output rounds to
+    * 4 dp. */
+  def cusumChangepoint(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg((sum(col("n")).cast("double") / count(lit(1))).as("mean_n"),
+        count(lit(1)).as("n_days"))
+    val wRun = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = daily.join(broadcast(stats), "event_type")
+      .withColumn("p", sum(col("n").cast("double") - col("mean_n")).over(wRun))
+      // the prefix min must include the EMPTY prefix (P_0 = 0), else
+      // an all-positive series would lose its own head start
+      .withColumn("s", col("p") - least(lit(0.0), min(col("p")).over(wRun)))
+    val wTop = Window.partitionBy(col("event_type"))
+      .orderBy(col("s").desc, col("day"))
+    scored.withColumn("rnk", row_number().over(wTop))
+      .where(col("rnk") === 1)
+      .select(col("event_type"), col("n_days"), col("day").as("changepoint_day"),
+        round(col("s"), 4).as("max_cusum"))
+      .orderBy(col("event_type"))
+  }
 }

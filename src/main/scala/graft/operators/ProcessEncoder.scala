@@ -44,16 +44,28 @@ object ProcessTextEncoder {
   /** One live session per distinct command per JVM. */
   private val pool = new ConcurrentHashMap[Seq[String], Session]()
 
-  private def session(command: Seq[String]): Session =
-    pool.computeIfAbsent(command, c => new Session(c))
+  private def session(command: Seq[String]): Session = {
+    // A dead child must not pin its pool slot: evict-on-dead here (and in
+    // roundTrip's null-read path) so the next encode respawns the runner.
+    val s = pool.computeIfAbsent(command, c => new Session(c))
+    if (s.alive) s
+    else {
+      pool.remove(command, s)
+      pool.computeIfAbsent(command, c => new Session(c))
+    }
+  }
+
+  private[graft] def evict(s: Session): Unit = pool.remove(s.command, s)
 
   /** Visible for tests: number of live sessions in this JVM. */
   private[graft] def liveSessions: Int = pool.size()
 
-  private[graft] final class Session(command: Seq[String]) {
+  private[graft] final class Session(val command: Seq[String]) {
     private val proc = {
       val pb = new ProcessBuilder(command: _*)
-      pb.redirectErrorStream(false)
+      // stderr must not be left attached to an undrained pipe: a chatty
+      // runner fills the ~64KB pipe buffer and blocks mid-batch.
+      pb.redirectError(ProcessBuilder.Redirect.DISCARD)
       val p = pb.start()
       sys.addShutdownHook { p.destroy() }
       p
@@ -78,19 +90,44 @@ object ProcessTextEncoder {
       b.toString
     }
 
+    /** Write and read CONCURRENTLY: a batch whose request bytes exceed
+      * the OS pipe capacity (~64KB each way) would deadlock a
+      * write-all-then-read-all loop — the child blocks writing replies
+      * we aren't reading while we block writing requests it isn't
+      * reading. A writer thread keeps the request side moving while
+      * this thread consumes replies as they arrive, so in-flight bytes
+      * are bounded by the pipes, not the batch.
+      */
     def roundTrip(batch: Seq[String], dim: Int): Seq[Array[Float]] = synchronized {
-      batch.foreach { t => toProc.write(escape(t)); toProc.newLine() }
-      toProc.flush()
-      batch.map { t =>
-        val line = fromProc.readLine()
-        if (line == null)
-          throw new IllegalStateException(
-            s"encoder process ${command.head} died mid-batch (text: ${t.take(40)}…)")
-        val vec = line.trim.split("\\s+").map(_.toFloat)
-        require(vec.length == dim,
-          s"encoder process returned ${vec.length} values, expected $dim: '$line'")
-        vec
-      }
+      @volatile var writeError: Throwable = null
+      val writer = new Thread(() => {
+        try {
+          batch.foreach { t => toProc.write(escape(t)); toProc.newLine() }
+          toProc.flush()
+        } catch { case t: Throwable => writeError = t }
+      }, s"graft-encoder-writer-${command.head}")
+      writer.setDaemon(true)
+      writer.start()
+      try {
+        batch.map { t =>
+          val line = fromProc.readLine()
+          if (line == null) {
+            // Evict so the NEXT call respawns instead of hitting a corpse forever.
+            ProcessTextEncoder.evict(this)
+            throw new IllegalStateException(
+              s"encoder process ${command.head} died mid-batch (text: ${t.take(40)}…)" +
+                (if (writeError != null) s"; write side failed: ${writeError.getMessage}" else ""))
+          }
+          val vec = line.trim.split("\\s+").map(_.toFloat)
+          require(vec.length == dim,
+            s"encoder process returned ${vec.length} values, expected $dim: '$line'")
+          vec
+        }
+      } finally writer.join()
     }
+
+    private[graft] def alive: Boolean = proc.isAlive
+
+    private[graft] def destroy(): Unit = proc.destroy()
   }
 }

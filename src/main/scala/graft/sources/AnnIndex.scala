@@ -35,6 +35,11 @@ object AnnIndex {
   final case class Loaded(centroids: DataFrame, codebooks: DataFrame,
                           codes: DataFrame, nCells: Int, nCodes: Int, m: Int)
 
+  /** Metadata-only fingerprint of the corpus behind `emb` — see
+    * [[ZoneCache.corpusFingerprint]]. */
+  private[graft] def corpusFingerprint(emb: DataFrame): String =
+    ZoneCache.corpusFingerprint(emb)
+
   /** Build the IVF-PQ structures over `emb` and persist them. */
   def buildAndSave(emb: DataFrame, dir: String,
                    nCells: Int = 16, m: Int = 8, nCodes: Int = 16,
@@ -45,19 +50,29 @@ object AnnIndex {
     codes.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/codes")
     val spark = emb.sparkSession
     import spark.implicits._
-    Seq((nCells, nCodes, m)).toDF("n_cells", "n_codes", "m")
+    Seq((nCells, nCodes, m, corpusFingerprint(emb)))
+      .toDF("n_cells", "n_codes", "m", "corpus_fp")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
-  /** Build only if the persisted layout is absent (`meta` missing) —
-    * the serving path's guard, so index-build cost never silently
-    * rides a query that is supposed to measure serving alone. */
+  /** Build only if the persisted layout is absent OR stale — the
+    * serving path's guard, so index-build cost never silently rides a
+    * query that is supposed to measure serving alone. Staleness is
+    * decided by the corpus fingerprint stamped into `meta` at build
+    * time: a regenerated corpus at the same path (new files, new
+    * mtimes) no longer serves a stale index. */
   def ensureBuilt(emb: DataFrame, dir: String,
                   nCells: Int = 16, m: Int = 8, nCodes: Int = 16,
                   idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = emb.sparkSession
     val p = new org.apache.hadoop.fs.Path(s"$dir/meta")
-    val fs = p.getFileSystem(emb.sparkSession.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) buildAndSave(emb, dir, nCells, m, nCodes, idCol, vecCol)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fresh = fs.exists(p) && {
+      val meta = spark.read.parquet(s"$dir/meta")
+      meta.columns.contains("corpus_fp") &&
+        meta.head().getAs[String]("corpus_fp") == corpusFingerprint(emb)
+    }
+    if (!fresh) buildAndSave(emb, dir, nCells, m, nCodes, idCol, vecCol)
   }
 
   /** Per-cell summary of a persisted index, read back from the SAVED

@@ -844,6 +844,51 @@ object DeltaSource {
     (snap.files.size, after)
   }
 
+  /** OPTIMIZE ZORDER BY — rewrite the table clustered on the Morton
+    * interleave of two numeric columns into `nFiles` files, as a
+    * `dataChange=false` swap commit (reads see the same rows before
+    * and after; the change feed skips it). The rewritten files carry
+    * TIGHT per-file min/max stats on BOTH dimensions, so
+    * [[DeltaFileIndex]]'s data skipping prunes box predicates on
+    * either column — the measured payoff of `pipe_zorder_skipping`
+    * landed inside the Delta path itself.
+    *
+    * Scale: one range-shuffle of the table (repartitionByRange on the
+    * z-value samples boundaries, so output files are balanced even
+    * under skew), then a map-side sort per file. On a partitioned
+    * table the clustering happens within each hive partition
+    * (stageFiles re-splits by partition dirs). Returns
+    * (filesBefore, filesAfter). */
+  def optimizeZOrder(spark: SparkSession, tablePath: String,
+                     zCols: (String, String), nFiles: Int = 8,
+                     bits: Int = 16,
+                     commitStore: CommitStore = CreateExclusiveCommitStore): (Int, Int) = {
+    val table = new Path(tablePath)
+    val fs = fsOf(spark, table)
+    val snap = snapshot(spark, tablePath, None)
+    if (snap.files.isEmpty) return (0, 0)
+    val cur = scanRelation(spark, tablePath, snap.schema, snap.partitionColumns,
+      snap.files.map(a => (a, Map.empty[String, String])))
+    val zc = graft.operators.Layout.zorderValue(
+      col(zCols._1).cast("int"), col(zCols._2).cast("int"), bits)
+    val clustered = cur.withColumn("__graft_z", zc)
+      .repartitionByRange(nFiles, col("__graft_z"))
+      .sortWithinPartitions("__graft_z")
+      .drop("__graft_z")
+    val next = snap.version + 1
+    val dataSchema =
+      StructType(snap.schema.filterNot(f => snap.partitionColumns.contains(f.name)))
+    val adds = stageFiles(clustered, table, fs, snap.partitionColumns, next, dataSchema)
+    val now = System.currentTimeMillis()
+    val removeLines = snap.files.map(a =>
+      s"""{"remove":{"path":${jsonStr(a.path)},"deletionTimestamp":$now,"dataChange":false}}""")
+    val addLines = adds.map(a => addLine(a, now, dataChange = false))
+    // a layout swap removes files, so a lost race aborts (stale snapshot)
+    commitWithRetry(spark, fs, tablePath, next, removeLines ++ addLines,
+      pureAppend = false, commitStore)
+    (snap.files.size, adds.size)
+  }
+
   /** Adds committed in version range (`afterVersion`, `toVersion`]
     * with dataChange=true, straight from the JSON commits. */
   private def commitAdds(spark: SparkSession, tablePath: String,

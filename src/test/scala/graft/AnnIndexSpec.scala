@@ -42,6 +42,24 @@ class AnnIndexSpec extends SparkSpec {
     assert(stamp == again)
   }
 
+  test("ensureBuilt rebuilds when the corpus behind the path changed") {
+    // a layout stamped from one corpus must not serve another: the
+    // fingerprint in meta flips and ensureBuilt rebuilds in place
+    val emb = Tables.embeddings(spark, sf)
+    val other = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val dir = freshDir("stale")
+    AnnIndex.ensureBuilt(emb, dir)
+    val before = spark.read.parquet(s"$dir/meta").head().getAs[String]("corpus_fp")
+    AnnIndex.ensureBuilt(other, dir) // different corpus → rebuild
+    val after = spark.read.parquet(s"$dir/meta").head().getAs[String]("corpus_fp")
+    assert(before != after)
+    // and the rebuilt index is the OTHER corpus's (row count tells)
+    val nVecs = AnnIndex.stats(spark, dir)
+      .agg(org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.col("n_vecs")))
+      .collect().head.getLong(0)
+    assert(nVecs == other.count())
+  }
+
   test("stats reads the persisted bytes and matches the in-memory build") {
     val emb = Tables.embeddings(spark, sf)
     val dir = freshDir("stats")

@@ -50,4 +50,32 @@ class ProcessEncoderSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](enc.encode(Seq("abc")))
     assert(e.getMessage.contains("expected 3"))
   }
+
+  test("a batch larger than OS pipe capacity round-trips (no write-all deadlock)") {
+    // ~400 texts × ~600 bytes ≈ 240KB of request bytes — several times
+    // the ~64KB pipe buffer. A write-everything-then-read loop hangs
+    // here; the writer-thread roundTrip must not.
+    val enc = ProcessTextEncoder(awkModel, dim = 2)
+    val texts = (1 to 400).map(i => s"t$i " + ("word " * 120).trim)
+    val got = enc.encode(texts)
+    assert(got.length == 400)
+    texts.zip(got).foreach { case (t, v) =>
+      assert(v.toSeq == Seq(t.length.toFloat, 121f), t.take(10))
+    }
+  }
+
+  test("a dead runner is evicted and the next encode respawns it") {
+    // `head -1` answers one line then exits: the first call succeeds,
+    // the child dies, and without eviction every later call would
+    // throw 'died mid-batch' forever.
+    val oneShot = Seq("sh", "-c", "head -1 | awk '{printf \"%d %d\\n\", length($0), NF}'")
+    val enc = ProcessTextEncoder(oneShot, dim = 2)
+    assert(enc.encode(Seq("abc")).head.toSeq == Seq(3f, 1f))
+    // the child exits after its single reply; a two-text batch now
+    // hits the corpse (or its already-evicted slot) and fails…
+    intercept[IllegalStateException](enc.encode(Seq("first", "second")))
+    // …but the pool slot was evicted, so a fresh single-line batch
+    // respawns and succeeds
+    assert(enc.encode(Seq("wxyz")).head.toSeq == Seq(4f, 1f))
+  }
 }

@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.TrainingMix
+import org.apache.spark.sql.functions._
+
+/** Mixture planning invariants: budget allocations sum EXACTLY to the
+  * budget and track token mass; √-smoothing upsamples small sources
+  * and downsamples large ones; curriculum ranks are a permutation
+  * ordered by phase. */
+class TrainingMixSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Tables.documents(spark, sf)
+
+  test("token budget: allocations sum exactly to the budget, ordered by mass") {
+    val out = TrainingMix.tokenBudget(docs, budget = 99991L) // prime: forces remainders
+    val rows = out.collect()
+    assert(rows.map(_.getAs[Long]("alloc_tokens")).sum == 99991L)
+    // allocation is monotone in token mass up to the ±1 bump
+    val byTok = rows.sortBy(_.getAs[Long]("n_tokens"))
+    byTok.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("alloc_tokens") <= b.getAs[Long]("alloc_tokens") + 1)
+      case _ =>
+    }
+    // every source with tokens gets a non-negative allocation
+    assert(rows.forall(_.getAs[Long]("alloc_tokens") >= 0))
+  }
+
+  test("mixture weights: √-smoothing compresses the spread, weights sum to ~1") {
+    val rows = TrainingMix.mixtureWeights(docs).collect()
+    val wSum = rows.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(wSum - 1.0) < 1e-4, s"weights sum to $wSum")
+    // smallest source is upsampled, largest downsampled
+    val bySz = rows.sortBy(_.getAs[Long]("n_tokens"))
+    assert(bySz.head.getAs[Double]("sampling_factor") >= 1.0)
+    assert(bySz.last.getAs[Double]("sampling_factor") <= 1.0)
+  }
+
+  test("curriculum: ranks are a 1..N permutation, phases in order") {
+    val out = TrainingMix.curriculum(docs).collect()
+    val ranks = out.map(_.getAs[Long]("curriculum_rank")).sorted
+    assert(ranks.toSeq == (1L to out.length).toSeq)
+    // ranks respect phase order: every phase-1 doc before every phase-2 doc, etc.
+    val byRank = out.sortBy(_.getAs[Long]("curriculum_rank"))
+    val phases = byRank.map(_.getAs[Long]("phase"))
+    assert(phases.toSeq == phases.sorted.toSeq)
+  }
+
+  test("curriculum rank is partition-invariant (banded, no global window)") {
+    val a = TrainingMix.curriculum(docs)
+    val b = TrainingMix.curriculum(docs.repartition(13))
+    assert(a.collect().map(_.toString).toSeq == b.collect().map(_.toString).toSeq)
+  }
+}
