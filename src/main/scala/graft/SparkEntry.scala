@@ -188,6 +188,22 @@ object SparkEntry {
       graft.sources.DeltaSource.readDelta(s, tmp, version = Some(0L))
         .orderBy(col("doc_id"))
     }),
+    "pipe_delta_restore" -> ((s, d) => {
+      // RESTORE: roll the table back to v0 as a NEW metadata-only
+      // commit (removes of v1's files, history preserved) — the
+      // LATEST state then reads as exactly what v0 landed. Fresh
+      // table per run: the restore commit is the thing under test.
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_deltar_${math.abs(d.hashCode)}/zone"
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val zone = silverZone(s, d)
+      graft.sources.DeltaSource.writeDelta(zone.where(col("doc_id") % 2 === 0), tmp)
+      graft.sources.DeltaSource.writeDelta(zone.where(col("doc_id") % 2 =!= 0), tmp,
+        overwrite = false)
+      graft.sources.DeltaSource.restoreDelta(s, tmp, 0L)
+      graft.sources.DeltaSource.readDelta(s, tmp).orderBy(col("doc_id"))
+    }),
     "pipe_gold_chunks" -> ((s, d) =>
       Medallion.pipeline(Tables.documents(s, d))
         .select(col("doc_id"), col("chunk_idx"), col("chunk"), col("chunk_length"))
@@ -356,6 +372,8 @@ object SparkEntry {
     "ann_lsh_topk" -> ((s, d) => Similarity.lshTopK(Tables.embeddings(s, d))),
     "ann_ivf_topk" -> ((s, d) => Similarity.ivfTopK(Tables.embeddings(s, d))),
     "emb_cluster_sizes" -> ((s, d) => Similarity.clusterSizes(Tables.embeddings(s, d))),
+    "emb_cluster_purity" -> ((s, d) => Similarity.clusterPurity(Tables.embeddings(s, d))),
+    "emb_dim_corr" -> ((s, d) => Similarity.dimCorrelation(Tables.embeddings(s, d))),
     "emb_infer_chunks" -> ((s, d) =>
       // gold chunks → batched encoder → embeddings, one map-only pass
       // (the reference's Embeddings stage; stub model, exact oracle)
@@ -374,6 +392,8 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Similarity.recallAtK(Similarity.ivfTopK(emb), Similarity.bruteTopK(emb))
     }),
+    "ann_recall_curve" -> ((s, d) =>
+      Similarity.recallCurve(Tables.embeddings(s, d))),
     "ann_pq_topk" -> ((s, d) => Similarity.pqTopK(Tables.embeddings(s, d))),
     "ann_pq_trained" -> ((s, d) => Similarity.pqTopKFitted(Tables.embeddings(s, d))),
     "ann_ivfpq_topk" -> ((s, d) => Similarity.ivfpqTopK(Tables.embeddings(s, d))),
@@ -1163,6 +1183,11 @@ object SparkEntry {
       s"""$silverCte SELECT doc_id, source, content, length(content) AS content_length
          |FROM silver0 WHERE length(content) > 50 AND doc_id % 2 = 0
          |ORDER BY doc_id""".stripMargin,
+    // after RESTORE to v0, the LATEST state reads as v0's rows
+    "pipe_delta_restore" ->
+      s"""$silverCte SELECT doc_id, source, content, length(content) AS content_length
+         |FROM silver0 WHERE length(content) > 50 AND doc_id % 2 = 0
+         |ORDER BY doc_id""".stripMargin,
     // the write entry proves the landed bytes via a read-back
     // aggregate over the committed table
     "pipe_delta_write" ->
@@ -1825,6 +1850,33 @@ object SparkEntry {
          |${dIvfProbe("approx", "ivfc")},
          |${dBruteCte("exact", 5)},
          |${dRecallTail()}""".stripMargin,
+    // the same probe chain instantiated per nprobe level against one
+    // shared brute-force truth — the recall-vs-nprobe tuning curve
+    "ann_recall_curve" -> {
+      def lvl(l: Int) = {
+        val pfx = s"L$l"
+        s"""${dIvfProbe(pfx, "ivfc", 5, 10, l)},
+           |${pfx}h AS (SELECT a.query_id, count(*) AS n_hits
+           |       FROM $pfx a JOIN exact x ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+           |       GROUP BY 1),
+           |${pfx}rc AS (SELECT qs.query_id, CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 10 AS recall
+           |       FROM qs LEFT JOIN ${pfx}h h ON qs.query_id = h.query_id),
+           |${pfx}row AS (SELECT CAST($l AS BIGINT) AS nprobe, count(*) AS n_queries,
+           |       CAST(SUM(CAST(recall AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_recall
+           |       FROM ${pfx}rc)""".stripMargin
+      }
+      s"""$embNormCte,
+         |ivfc AS (SELECT id AS cell, v AS cv, nrm AS cnrm FROM n WHERE id < 16),
+         |${dBruteCte("exact", 5)},
+         |qs AS (SELECT DISTINCT query_id FROM exact),
+         |${lvl(1)},
+         |${lvl(2)},
+         |${lvl(4)},
+         |${lvl(8)}
+         |SELECT * FROM L1row UNION ALL SELECT * FROM L2row
+         |UNION ALL SELECT * FROM L4row UNION ALL SELECT * FROM L8row
+         |ORDER BY nprobe""".stripMargin
+    },
     "ann_ivf_trained_recall" ->
       s"""$embNormCte,
          |tc0 AS (SELECT id AS cell, v AS cv, nrm AS cnrm FROM n WHERE id < 16),
@@ -1979,6 +2031,47 @@ object SparkEntry {
          |SELECT cell, count(*) AS n_members, min(id) AS min_id,
          |  round(CAST(SUM(CAST(csim AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_sim
          |FROM a WHERE rnk = 1 GROUP BY cell ORDER BY cell""".stripMargin,
+    // same seeded assignment as emb_cluster_sizes; majority label per
+    // cell with ties to the smallest label
+    "emb_cluster_purity" ->
+      s"""$embNormCte,
+         |c AS (SELECT id AS cell, v AS cv, nrm AS cnrm FROM n WHERE id < 16),
+         |a AS (SELECT n.id, c.cell,
+         |        row_number() OVER (PARTITION BY n.id
+         |          ORDER BY round(${dDot("n.v", "c.cv")} / (n.nrm * c.cnrm), 6) DESC, c.cell) AS rnk
+         |      FROM n CROSS JOIN c),
+         |asg AS (SELECT id, cell FROM a WHERE rnk = 1),
+         |lab AS (SELECT asg.cell, e.label, count(*) AS cnt
+         |        FROM asg JOIN embeddings e ON asg.id = e.vec_id GROUP BY 1, 2),
+         |tot AS (SELECT cell, CAST(SUM(cnt) AS BIGINT) AS n_members FROM lab GROUP BY 1),
+         |top AS (SELECT cell, label AS top_label, cnt,
+         |          row_number() OVER (PARTITION BY cell ORDER BY cnt DESC, label) AS r
+         |        FROM lab)
+         |SELECT t.cell, t.n_members, CAST(p.top_label AS BIGINT) AS top_label,
+         |  round(CAST(p.cnt AS DOUBLE) / t.n_members, 4) AS purity
+         |FROM tot t JOIN top p ON t.cell = p.cell AND p.r = 1
+         |ORDER BY t.cell""".stripMargin,
+    // exact DECIMAL co-moments over 6-dp-rounded values; the final
+    // Pearson formula is one double expression on both engines
+    "emb_dim_corr" ->
+      """WITH p AS (SELECT i.i, j.j
+        |  FROM (SELECT unnest(range(1, 9)) AS i) i,
+        |       (SELECT unnest(range(1, 9)) AS j) j WHERE j.j > i.i),
+        |x AS (SELECT p.i, p.j,
+        |        round(CAST(embedding[p.i] AS DOUBLE), 6) AS x,
+        |        round(CAST(embedding[p.j] AS DOUBLE), 6) AS y
+        |      FROM embeddings, p),
+        |a AS (SELECT i, j, CAST(count(*) AS BIGINT) AS n,
+        |        SUM(CAST(x AS DECIMAL(18,6))) AS sx, SUM(CAST(y AS DECIMAL(18,6))) AS sy,
+        |        SUM(CAST(round(x * x, 6) AS DECIMAL(18,6))) AS sxx,
+        |        SUM(CAST(round(y * y, 6) AS DECIMAL(18,6))) AS syy,
+        |        SUM(CAST(round(x * y, 6) AS DECIMAL(18,6))) AS sxy
+        |      FROM x GROUP BY 1, 2)
+        |SELECT CAST(i AS BIGINT) AS dim_i, CAST(j AS BIGINT) AS dim_j, n,
+        |  round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |         (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4) AS corr
+        |FROM a ORDER BY dim_i, dim_j""".stripMargin,
 
     "emb_kmeans_update" ->
       s"""$embNormCte,

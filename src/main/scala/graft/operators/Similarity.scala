@@ -570,6 +570,106 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Recall@k as a FUNCTION of nprobe — the tuning curve an ANN
+    * operator actually reads before fixing a serving config. One
+    * corpus pass: cells are assigned once, queries rank ALL probe
+    * candidates once up to max(levels), and every candidate is
+    * scored ONCE carrying its cell's probe rank; each level then
+    * re-ranks its crank-filtered slice of that one scored table
+    * (O(queries·candidates) rows, ReuseExchange dedups the shared
+    * subtree) against one shared brute-force truth. Union is over
+    * the |levels| summary rows only. */
+  def recallCurve(emb: DataFrame, nQueries: Int = 5, k: Int = 10,
+                  nCells: Int = 16, levels: Seq[Int] = Seq(1, 2, 4, 8),
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val maxProbe = levels.max
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+    val assigned = assignCells(e, nCells).select(col("id"), col("v"), col("nrm"), col("cell"))
+    val probeW = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cell"))
+    val probes = e.where(col("id") < nQueries)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+      .join(broadcast(e.where(col("id") < nCells)
+        .select(col("id").as("cell"), col("v").as("cv"), col("nrm").as("cnrm"))), lit(true))
+      .select(col("query_id"), col("qv"), col("qnrm"), col("cell"),
+        round(cosinePrenormed(dot(col("qv"), col("cv")), col("qnrm"), col("cnrm")), 6).as("csim"))
+      .withColumn("crank", row_number().over(probeW))
+      .where(col("crank") <= maxProbe)
+      .select(col("query_id"), col("qv"), col("qnrm"), col("cell"), col("crank"))
+    val scored = assigned.join(broadcast(probes),
+        probes("cell") === assigned("cell") && col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"), col("crank"),
+        round(cosinePrenormed(dot(col("qv"), col("v")), col("qnrm"), col("nrm")), 6).as("sim"))
+    val exact = bruteTopK(emb, nQueries, k, idCol, vecCol)
+    levels.sorted.map { lvl =>
+      recallAtK(rankTopK(scored.where(col("crank") <= lvl), k), exact, k)
+        .select(lit(lvl.toLong).as("nprobe"), col("n_queries"), col("avg_recall"))
+    }.reduce(_ unionByName _).orderBy(col("nprobe"))
+  }
+
+  /** Label purity per IVF cell — the clustering-quality audit the
+    * `embeddings.label` column exists for: per cell, the member
+    * count, the majority label (ties → smallest label) and its
+    * share. A pure cell means the coarse quantizer respects the
+    * label structure; a 1/|labels| cell means it ignores it. Same
+    * seeded assignment as `clusterSizes` (oracle-replayable); one
+    * extra (cell,label)-keyed aggregation over the assignment. */
+  def clusterPurity(emb: DataFrame, nCells: Int = 16,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+    val assigned = assignCells(e, nCells).select(col("id"), col("cell"))
+    val lab = assigned.join(emb.select(col(idCol).as("id"), col("label")), "id")
+    lab.groupBy(col("cell"), col("label")).agg(count(lit(1)).as("n"))
+      .groupBy(col("cell"))
+      .agg(sum(col("n")).as("n_members"),
+        max(struct(col("n"), (-col("label")).cast("long").as("neg"),
+          col("label"))).as("m"))
+      .select(col("cell"), col("n_members"),
+        col("m.label").cast("long").as("top_label"),
+        round(col("m.n").cast("double") / col("n_members"), 4).as("purity"))
+      .orderBy(col("cell"))
+  }
+
+  /** Pearson correlation between embedding dimensions (first `dims`
+    * dims, all pairs i<j) — the redundancy audit that says whether a
+    * cheaper projection (PCA/MRL/JL) will be nearly lossless. Exact
+    * arithmetic: per-pair co-moments Σx, Σy, Σx², Σy², Σxy sum
+    * 6-dp-rounded values through DECIMAL (order-independent), and the
+    * final correlation is one double formula — bit-stable on any
+    * partitioning and in the oracle. One corpus pass explodes
+    * dims(dims−1)/2 pairs per row map-side; partial aggregation
+    * reduces them before the one tiny shuffle. */
+  def dimCorrelation(emb: DataFrame, dims: Int = 8,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val pairs = for (i <- 1 to dims; j <- (i + 1) to dims) yield (i, j)
+    val pairArr = array(pairs.map { case (i, j) =>
+      struct(lit(i).as("i"), lit(j).as("j"))
+    }: _*)
+    val d6 = "decimal(18,6)"
+    val exploded = emb
+      .select(explode(pairArr).as("p"), col(vecCol).as("v"))
+      .select(col("p.i").as("i"), col("p.j").as("j"),
+        round(element_at(col("v"), col("p.i")).cast("double"), 6).as("x"),
+        round(element_at(col("v"), col("p.j")).cast("double"), 6).as("y"))
+    exploded.groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast(d6)).as("sx"), sum(col("y").cast(d6)).as("sy"),
+        // products round to 6 dp BEFORE the decimal cast so both
+        // engines land the identical decimal (cast-rounding of a raw
+        // 12-dp product could tie-break differently)
+        sum(round(col("x") * col("x"), 6).cast(d6)).as("sxx"),
+        sum(round(col("y") * col("y"), 6).cast(d6)).as("syy"),
+        sum(round(col("x") * col("y"), 6).cast(d6)).as("sxy"))
+      .select(col("i").cast("long").as("dim_i"), col("j").cast("long").as("dim_j"),
+        col("n"),
+        round((col("n") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          sqrt((col("n") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) *
+            (col("n") * col("syy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double"))), 4).as("corr"))
+      .orderBy(col("dim_i"), col("dim_j"))
+  }
+
   /** Two-stage refine retrieval — the production ANN serving shape:
     * a cheap PQ/ADC pass over the code table nominates `candK`
     * candidates per query, then ONLY those candidates are re-scored

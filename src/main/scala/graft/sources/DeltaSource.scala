@@ -1024,6 +1024,49 @@ object DeltaSource {
       pureAppend = touched.isEmpty, commitStore)
   }
 
+  /** RESTORE the table to the state it had at `version` — a new
+    * commit that removes every current file absent from the target
+    * snapshot and re-adds every target file missing from the current
+    * one (delta-rs/Delta RESTORE semantics: history is preserved, the
+    * restore is itself a versioned, revertible commit). Files shared
+    * by both snapshots are untouched; data files are only referenced,
+    * never rewritten, so restore is METADATA-ONLY — O(log) driver
+    * work regardless of table size. Requires the target files to
+    * still exist (i.e. not vacuumed), per the protocol. Returns the
+    * committed version. */
+  def restoreDelta(spark: SparkSession, tablePath: String, version: Long,
+                   commitStore: CommitStore = CreateExclusiveCommitStore): Long = {
+    val cur = snapshot(spark, tablePath, None)
+    val tgt = snapshot(spark, tablePath, Some(version))
+    val table = new Path(tablePath)
+    val fs = fsOf(spark, table)
+    tgt.files.foreach { a =>
+      require(fs.exists(dataPath(tablePath, a.path)),
+        s"cannot restore to version $version: data file ${a.path} was vacuumed")
+    }
+    val curPaths = cur.files.map(_.path).toSet
+    val tgtPaths = tgt.files.map(_.path).toSet
+    val now = System.currentTimeMillis()
+    val removeLines = cur.files.filterNot(a => tgtPaths.contains(a.path)).map(a =>
+      s"""{"remove":{"path":${jsonStr(a.path)},"deletionTimestamp":$now,"dataChange":true}}""")
+    val addLines = tgt.files.filterNot(a => curPaths.contains(a.path))
+      .map { a =>
+        // a.path is verbatim from the log (already URL-encoded) — emit
+        // it as-is; addLine would double-encode it
+        val pvJson = a.partitionValues.map { case (k, v) =>
+          s"${jsonStr(k)}:${if (v == null) "null" else jsonStr(v)}"
+        }.mkString("{", ",", "}")
+        val sz = a.size.getOrElse(fs.getFileStatus(dataPath(tablePath, a.path)).getLen)
+        val statsJson = a.stats.map(s => s""","stats":${jsonStr(s)}""").getOrElse("")
+        s"""{"add":{"path":${jsonStr(a.path)},"partitionValues":$pvJson,"size":$sz,"modificationTime":$now,"dataChange":true$statsJson}}"""
+      }
+    val next = cur.version + 1
+    // a restore removes files, so a lost race aborts (stale snapshot)
+    commitWithRetry(spark, fs, tablePath, next, removeLines ++ addLines,
+      pureAppend = false, commitStore)
+    next
+  }
+
   private val CursorRe = """cursor-(\d+)""".r
 
   /** The stored cursor of a checkpointed change-feed consumer — the
