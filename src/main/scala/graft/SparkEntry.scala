@@ -204,6 +204,23 @@ object SparkEntry {
       graft.sources.DeltaSource.restoreDelta(s, tmp, 0L)
       graft.sources.DeltaSource.readDelta(s, tmp).orderBy(col("doc_id"))
     }),
+    "pipe_incremental_silver" -> ((s, d) => {
+      // incremental ≡ batch: bronze lands in two commits; silver is
+      // maintained ONLY by draining the change feed through
+      // normalize + MERGE behind a checkpointed cursor — and must
+      // read back as the full batch recompute (the oracle)
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_incr_${math.abs(d.hashCode)}"
+      graft.sources.ZoneCache.ensure(Tables.documents(s, d), root) {
+        val br = Medallion.bronze(Tables.documents(s, d))
+          .select(col("doc_id"), col("source"), col("content"), col("content_length"))
+        graft.sources.DeltaSource.writeDelta(br.where(col("doc_id") % 2 === 0),
+          s"$root/bronze")
+        graft.sources.DeltaSource.writeDelta(br.where(col("doc_id") % 2 =!= 0),
+          s"$root/bronze", overwrite = false)
+        Medallion.incrementalSilver(s, s"$root/bronze", s"$root/silver", s"$root/_ckpt")
+      }
+      graft.sources.DeltaSource.readDelta(s, s"$root/silver").orderBy(col("doc_id"))
+    }),
     "pipe_gold_chunks" -> ((s, d) =>
       Medallion.pipeline(Tables.documents(s, d))
         .select(col("doc_id"), col("chunk_idx"), col("chunk"), col("chunk_length"))
@@ -281,6 +298,8 @@ object SparkEntry {
     "dq_duplicate_rows" -> ((s, d) => Quality.duplicateRows(Tables.documents(s, d))),
     "dq_word_freq" -> ((s, d) => Quality.wordFrequency(Tables.documents(s, d))),
     "dq_top_sources" -> ((s, d) => Quality.topSourcesByLength(Tables.documents(s, d))),
+    "dq_expectations" -> ((s, d) =>
+      Quality.expectationReport(Tables.documents(s, d), Quality.defaultExpectations)),
 
     // ── text analysis ───────────────────────────────────────────────
     "txt_token_count" -> ((s, d) =>
@@ -1188,6 +1207,26 @@ object SparkEntry {
       s"""$silverCte SELECT doc_id, source, content, length(content) AS content_length
          |FROM silver0 WHERE length(content) > 50 AND doc_id % 2 = 0
          |ORDER BY doc_id""".stripMargin,
+    // feed-maintained silver must equal the batch recompute
+    "pipe_incremental_silver" ->
+      s"""$silverCte SELECT doc_id, source, content, length(content) AS content_length
+         |FROM silver0 WHERE length(content) > 50 ORDER BY doc_id""".stripMargin,
+    // per-rule violation counts; a null predicate is a violation
+    "dq_expectations" ->
+      """WITH f AS (SELECT
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN NOT COALESCE(text IS NOT NULL, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS f_text,
+        |  CAST(SUM(CASE WHEN NOT COALESCE(length(text) >= 100, FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS f_len,
+        |  CAST(SUM(CASE WHEN NOT COALESCE(lang IN ('en','de','fr','es'), FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS f_lang,
+        |  CAST(SUM(CASE WHEN NOT COALESCE(n_chars = length(text), FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS f_chars
+        |  FROM documents)
+        |SELECT rule, n_rows, n_fail, round(CAST(n_fail AS DOUBLE) / n_rows, 4) AS fail_rate
+        |FROM (
+        |  SELECT 'text_not_null' AS rule, n_rows, f_text AS n_fail FROM f
+        |  UNION ALL SELECT 'min_length_100', n_rows, f_len FROM f
+        |  UNION ALL SELECT 'latin_lang', n_rows, f_lang FROM f
+        |  UNION ALL SELECT 'n_chars_consistent', n_rows, f_chars FROM f)
+        |ORDER BY rule""".stripMargin,
     // the write entry proves the landed bytes via a read-back
     // aggregate over the committed table
     "pipe_delta_write" ->

@@ -823,4 +823,47 @@ object Quality {
         coalesce(col("novel_ppm"), lit(1000000L)).as("novel_ppm"))
       .orderBy(col("doc_id"))
   }
+
+  /** The default expectation suite for the documents corpus —
+    * the named row-level contracts a curation zone declares. */
+  def defaultExpectations: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+    "text_not_null" -> col("text").isNotNull,
+    "min_length_100" -> (length(col("text")) >= 100),
+    "latin_lang" -> col("lang").isin("en", "de", "fr", "es"),
+    "n_chars_consistent" -> (col("n_chars") === length(col("text"))))
+
+  /** Declarative data EXPECTATIONS (the Delta Live Tables pattern):
+    * evaluate named rule predicates per row and tag each row with the
+    * sorted list of rules it violates — empty list = clean row. A
+    * null predicate result counts as a violation (SQL three-valued
+    * logic must not smuggle bad rows past a gate). Map-only. */
+  def expectations(df: DataFrame,
+                   rules: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    val flags = array(rules.map { case (name, pred) =>
+      when(!coalesce(pred, lit(false)), lit(name))
+    }: _*)
+    df.withColumn("failed_rules", array_sort(filter(flags, x => x.isNotNull)))
+  }
+
+  /** Per-rule violation report over `rules`: one row per rule with
+    * the corpus size, violation count, and violation rate — the
+    * quality dashboard a curation zone publishes next to its data.
+    * ONE aggregate pass (a conditional sum per rule), then the
+    * single result row unpivots to O(rules) output rows. */
+  def expectationReport(df: DataFrame,
+                        rules: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    val flagged = expectations(df, rules)
+    val aggs = count(lit(1)).as("n_rows") +:
+      rules.map { case (name, _) =>
+        sum(array_contains(col("failed_rules"), name).cast("long")).as(s"f_$name")
+      }
+    val one = flagged.agg(aggs.head, aggs.tail: _*)
+    val stacked = rules.map { case (name, _) =>
+      s"'$name', f_$name"
+    }.mkString(", ")
+    one.selectExpr("n_rows", s"stack(${rules.size}, $stacked) AS (rule, n_fail)")
+      .select(col("rule"), col("n_rows"), col("n_fail"),
+        round(col("n_fail").cast("double") / col("n_rows"), 4).as("fail_rate"))
+      .orderBy(col("rule"))
+  }
 }
