@@ -204,6 +204,25 @@ object SparkEntry {
       graft.sources.DeltaSource.restoreDelta(s, tmp, 0L)
       graft.sources.DeltaSource.readDelta(s, tmp).orderBy(col("doc_id"))
     }),
+    "pipe_delta_clone" -> ((s, d) => {
+      // SHALLOW CLONE of the change-feed zone: a new table whose v0
+      // log references the source's data files by absolute URI (zero
+      // bytes copied) — and reads back as the full source snapshot.
+      // The clone commit is the thing under test: fresh dst per run.
+      val src = s"${System.getProperty("java.io.tmpdir")}/graft_deltacdf_${math.abs(d.hashCode)}/zone"
+      graft.sources.ZoneCache.ensure(Tables.documents(s, d), src) {
+        val zone = silverZone(s, d)
+        graft.sources.DeltaSource.writeDelta(zone.where(col("doc_id") % 2 === 0), src)
+        graft.sources.DeltaSource.writeDelta(zone.where(col("doc_id") % 2 =!= 0), src,
+          overwrite = false)
+      }
+      val dst = s"${System.getProperty("java.io.tmpdir")}/graft_deltacl_${math.abs(d.hashCode)}/clone"
+      val p = new org.apache.hadoop.fs.Path(dst)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      graft.sources.DeltaSource.cloneDelta(s, src, dst)
+      graft.sources.DeltaSource.readDelta(s, dst).orderBy(col("doc_id"))
+    }),
     "pipe_incremental_silver" -> ((s, d) => {
       // incremental ≡ batch: bronze lands in two commits; silver is
       // maintained ONLY by draining the change feed through
@@ -300,6 +319,8 @@ object SparkEntry {
     "dq_top_sources" -> ((s, d) => Quality.topSourcesByLength(Tables.documents(s, d))),
     "dq_expectations" -> ((s, d) =>
       Quality.expectationReport(Tables.documents(s, d), Quality.defaultExpectations)),
+    "txt_code_detect" -> ((s, d) => Quality.codeDetect(Tables.documents(s, d))),
+    "mm_shard_plan" -> ((s, d) => Multimodal.shardPlan(Tables.documents(s, d))),
 
     // ── text analysis ───────────────────────────────────────────────
     "txt_token_count" -> ((s, d) =>
@@ -1207,10 +1228,46 @@ object SparkEntry {
       s"""$silverCte SELECT doc_id, source, content, length(content) AS content_length
          |FROM silver0 WHERE length(content) > 50 AND doc_id % 2 = 0
          |ORDER BY doc_id""".stripMargin,
+    // the shallow clone reads as the full source snapshot
+    "pipe_delta_clone" ->
+      s"""$silverCte SELECT doc_id, source, content, length(content) AS content_length
+         |FROM silver0 WHERE length(content) > 50 ORDER BY doc_id""".stripMargin,
     // feed-maintained silver must equal the batch recompute
     "pipe_incremental_silver" ->
       s"""$silverCte SELECT doc_id, source, content, length(content) AS content_length
          |FROM silver0 WHERE length(content) > 50 ORDER BY doc_id""".stripMargin,
+    // symbol-char ratio + distinct-keyword hits, blended and clamped
+    "txt_code_detect" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text, ${dToks("lower(text)")} AS tk,
+         |    round(CAST(length(text) - length(regexp_replace(text, '[{}()\\[\\]=<>;]', '', 'g')) AS DOUBLE)
+         |          / length(text), 4) AS symbol_ratio
+         |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+         |k AS (SELECT doc_id, symbol_ratio,
+         |  CAST(len(list_filter(['def','class','return','import','for','while','if','function','var','let','const'],
+         |       x -> list_contains(tk, x))) AS BIGINT) AS kw_hits
+         |  FROM t)
+         |SELECT doc_id, symbol_ratio, kw_hits,
+         |  round(least(1.0, symbol_ratio * 20) * 0.6 +
+         |        least(1.0, CAST(kw_hits AS DOUBLE) / 3.0) * 0.4, 4) AS code_score
+         |FROM k ORDER BY doc_id""".stripMargin,
+    // per-mime running byte sum (exclusive) packed into 8KB shards
+    "mm_shard_plan" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image/jpeg'
+        |         WHEN doc_id % 3 = 1 THEN 'audio/wav'
+        |         ELSE 'video/mp4' END AS mime,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |    md5('shard:' || doc_id) AS sk
+        |  FROM documents WHERE text IS NOT NULL),
+        |p AS (SELECT *, COALESCE(SUM(byte_len) OVER (PARTITION BY mime ORDER BY sk, doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS acc
+        |      FROM m)
+        |SELECT mime, CAST(acc // 8192 AS BIGINT) AS shard_id,
+        |  CAST(count(*) AS BIGINT) AS n_assets,
+        |  CAST(SUM(byte_len) AS BIGINT) AS shard_bytes
+        |FROM p GROUP BY 1, 2 ORDER BY mime, shard_id""".stripMargin,
     // per-rule violation counts; a null predicate is a violation
     "dq_expectations" ->
       """WITH f AS (SELECT

@@ -202,4 +202,34 @@ object Multimodal {
       .where(col("ham") <= maxHam)
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** Byte-budget shard plan per modality: assets are md5-shuffled
+    * within their mime group and packed into ~`budgetBytes` shards by
+    * a running byte sum — the batch plan a GPU decode/feature fleet
+    * consumes (each shard is one work unit of bounded bytes).
+    *
+    * The running sum is the two-phase banded prefix sum
+    * ([[graft.operators.Ranks.withGlobalPrefixSum]]) over the order
+    * (mime, shuffle-key): fully parallel, no empty-partition window,
+    * corpus-scale safe. Per-mime relative offsets come from one
+    * O(mimes) aggregate joined back as a broadcast. */
+  def shardPlan(docs: DataFrame, budgetBytes: Long = 8192L): DataFrame = {
+    val media = withBinaryPayload(docs.where(col("text").isNotNull))
+      .select(col("doc_id"), col("mime"), col("byte_len"),
+        md5(concat(lit("shard:"), col("doc_id"))).as("sk"))
+    // band monotone in the (mime, sk) sort order: mime index by the
+    // groups' lexicographic order × 16 + the first shuffle-hex digit
+    val mimeIdx = when(col("mime") === "audio/wav", 0L)
+      .when(col("mime") === "image/jpeg", 1L).otherwise(2L)
+    val band = mimeIdx * 16 +
+      conv(substring(col("sk"), 1, 1), 16, 10).cast("long")
+    val (pref, _) = graft.operators.Ranks.withGlobalPrefixSum(media, band,
+      Seq(col("mime"), col("sk"), col("doc_id")), col("byte_len"), "acc")
+    val starts = pref.groupBy(col("mime")).agg(min(col("acc")).as("start"))
+    pref.join(broadcast(starts), "mime")
+      .withColumn("shard_id", expr(s"(acc - start) DIV $budgetBytes"))
+      .groupBy(col("mime"), col("shard_id"))
+      .agg(count(lit(1)).as("n_assets"), sum(col("byte_len")).as("shard_bytes"))
+      .orderBy(col("mime"), col("shard_id"))
+  }
 }

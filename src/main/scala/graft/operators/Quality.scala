@@ -824,6 +824,30 @@ object Quality {
       .orderBy(col("doc_id"))
   }
 
+  /** Code-vs-prose heuristic — the curation signal that routes
+    * source-code documents to a code pipeline (different tokenizer,
+    * different dedup) instead of the prose one. Two deterministic
+    * surface features: the ratio of code-ish symbol characters
+    * and the count of distinct programming keywords present; the
+    * score blends both, clamped. Map-only, oracle-replayable. */
+  def codeDetect(docs: DataFrame): DataFrame = {
+    val kws = Seq("def", "class", "return", "import", "for",
+      "while", "if", "function", "var", "let", "const")
+    val sym = length(col("text")) -
+      length(regexp_replace(col("text"), "[{}()\\[\\]=<>;]", ""))
+    val symRatio = round(sym.cast("double") / length(col("text")), 4)
+    val tk = tokens(lower(col("text")))
+    val kwHits = size(filter(array(kws.map(lit): _*),
+      k => array_contains(tk, k))).cast("long")
+    docs.where(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"),
+        symRatio.as("symbol_ratio"),
+        kwHits.as("kw_hits"),
+        round(least(lit(1.0), symRatio * 20) * 0.6 +
+          least(lit(1.0), kwHits.cast("double") / 3.0) * 0.4, 4).as("code_score"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The default expectation suite for the documents corpus —
     * the named row-level contracts a curation zone declares. */
   def defaultExpectations: Seq[(String, org.apache.spark.sql.Column)] = Seq(

@@ -1067,6 +1067,46 @@ object DeltaSource {
     next
   }
 
+  /** SHALLOW CLONE: create a NEW Delta table whose v0 log references
+    * the source snapshot's data files by ABSOLUTE URI — zero data
+    * copied, O(log) driver work, any table size. The clone is
+    * immediately writable and fully independent: its commits stage
+    * fresh files under its own root and never touch the source
+    * (copy-on-write applies from the first write). Stats and
+    * partitionValues carry over, so data skipping and partition
+    * pruning work on the clone from birth. Caveat per the Delta CLONE
+    * contract: VACUUM on the source deletes files the clone still
+    * references — pin or snapshot before vacuuming a cloned-from
+    * table. Returns the clone's version (0). */
+  def cloneDelta(spark: SparkSession, srcPath: String, dstPath: String,
+                 version: Option[Long] = None,
+                 commitStore: CommitStore = CreateExclusiveCommitStore): Long = {
+    val snap = snapshot(spark, srcPath, version)
+    val dst = new Path(dstPath)
+    val fs = fsOf(spark, dst)
+    require(latestVersion(spark, dstPath).isEmpty,
+      s"clone destination $dstPath already has a Delta log")
+    fs.mkdirs(new Path(dst, "_delta_log"))
+    val srcFs = fsOf(spark, new Path(srcPath))
+    val now = System.currentTimeMillis()
+    val partColsJson = snap.partitionColumns.map(jsonStr).mkString("[", ",", "]")
+    val metaLine = s"""{"metaData":{"id":${jsonStr(UUID.randomUUID().toString)},"format":{"provider":"parquet","options":{}},"schemaString":${jsonStr(snap.schema.json)},"partitionColumns":$partColsJson,"configuration":{},"createdTime":$now}}"""
+    val addLines = snap.files.map { a =>
+      val abs = srcFs.makeQualified(dataPath(srcPath, a.path)).toUri.toString
+      val pvJson = a.partitionValues.map { case (k, v) =>
+        s"${jsonStr(k)}:${if (v == null) "null" else jsonStr(v)}"
+      }.mkString("{", ",", "}")
+      val sz = a.size.getOrElse(srcFs.getFileStatus(dataPath(srcPath, a.path)).getLen)
+      val statsJson = a.stats.map(s => s""","stats":${jsonStr(s)}""").getOrElse("")
+      s"""{"add":{"path":${jsonStr(abs)},"partitionValues":$pvJson,"size":$sz,"modificationTime":$now,"dataChange":true$statsJson}}"""
+    }
+    commitWithRetry(spark, fs, dstPath, 0L,
+      Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""", metaLine)
+        ++ addLines,
+      pureAppend = false, commitStore)
+    0L
+  }
+
   private val CursorRe = """cursor-(\d+)""".r
 
   /** The stored cursor of a checkpointed change-feed consumer — the

@@ -22,6 +22,18 @@ object StreamingCuration {
   def gopherKeep(stream: DataFrame): DataFrame =
     stream.where(Quality.gopherKeepExpr())
 
+  /** Streaming expectations gate (the DLT pattern live): tag each
+    * streamed row with its violated rules — `Quality.expectations`
+    * is a map-only Column expression, so the SAME rule definitions
+    * run batch or streaming with identical verdicts. Split the
+    * output on `size(failed_rules) = 0` to route clean rows to the
+    * zone and violations to a quarantine sink. No state, no
+    * watermark. */
+  def expectationsGate(stream: DataFrame,
+                       rules: Seq[(String, org.apache.spark.sql.Column)] =
+                         Quality.defaultExpectations): DataFrame =
+    Quality.expectations(stream, rules)
+
   case class WordCount(word: String, n: Long)
 
   /** Stateful running word counts over a document stream (the
