@@ -781,6 +781,7 @@ object SparkEntry {
     "ev_range_frame" -> ((s, d) => Events.rangeFrameSum(Tables.events(s, d))),
     "ev_windowed_funnel" -> ((s, d) => Events.windowedFunnel(Tables.events(s, d))),
     "ev_cusum" -> ((s, d) => Events.cusumChangepoint(Tables.events(s, d))),
+    "ev_forecast_backtest" -> ((s, d) => Events.forecastBacktest(Tables.events(s, d))),
     "rag_qlm" -> ((s, d) => Ranking.queryLikelihoodTopK(Tables.documents(s, d))),
     "ev_heavy_hitters" -> ((s, d) => Sketches.cmsHeavyHitters(Tables.events(s, d))),
     "ann_jl_topk" -> ((s, d) => Similarity.jlTopK(Tables.embeddings(s, d))),
@@ -3716,6 +3717,19 @@ object SparkEntry {
         |  strftime(make_timestamp(p_us), '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
         |  CAST(p_us - v_us AS BIGINT) AS funnel_us
         |FROM p ORDER BY user_id""".stripMargin,
+    // seasonal-naive (lag-7) backtest: exact integer MAE numerators,
+    // per-day relative errors round-then-DECIMAL-sum
+    "ev_forecast_backtest" ->
+      """WITH daily AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT *, lag(n, 7) OVER (PARTITION BY event_type ORDER BY day) AS pred
+        |      FROM daily)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days_scored,
+        |  round(CAST(SUM(abs(n - pred)) AS DOUBLE) / count(*), 4) AS mae,
+        |  round(CAST(SUM(CAST(round(CAST(abs(n - pred) AS DOUBLE) / n, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |        / count(*), 6) AS mape
+        |FROM p WHERE pred IS NOT NULL GROUP BY 1 ORDER BY event_type""".stripMargin,
     // Page's CUSUM via the prefix identity S_t = P_t − min(0, min P);
     // deviations fold in day order on both engines (bit-stable)
     "ev_cusum" ->

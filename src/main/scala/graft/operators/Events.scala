@@ -583,6 +583,32 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** Seasonal-naive forecast backtest per event type: predict each
+    * day's count with the count 7 days of data earlier (the
+    * same-weekday naive baseline every real forecast must beat) and
+    * score MAE / MAPE over the scorable days. Exact integer errors
+    * summed as integers, one rounded division at the end; lag runs
+    * per type over the O(days) daily rollup — never the raw stream.
+    * The baseline number a metrics team publishes BEFORE trying a
+    * model: if a learned forecaster cannot beat this MAE, ship the
+    * lag. */
+  def forecastBacktest(events: DataFrame, season: Int = 7): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    daily.withColumn("pred", lag(col("n"), season).over(w))
+      .where(col("pred").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days_scored"),
+        round(sum(abs(col("n") - col("pred"))).cast("double") / count(lit(1)), 4)
+          .as("mae"),
+        // per-day relative errors round-then-DECIMAL-sum (order-free)
+        round(sum(round(abs(col("n") - col("pred")).cast("double") / col("n"), 6)
+          .cast("decimal(18,6)")).cast("double") / count(lit(1)), 6).as("mape"))
+      .orderBy(col("event_type"))
+  }
+
   /** CUSUM changepoint per event type over the daily count series:
     * the day where the one-sided cumulative sum of deviations from
     * the series mean peaks — the classic Page test statistic, the

@@ -96,4 +96,21 @@ class ExplainCostSpec extends SparkSpec {
     graft.sources.AnnIndex.ensureBuilt(emb, dir)
     auditBroadcasts(graft.sources.AnnIndex.query(spark, dir, emb), forcedRowBound = 640)
   }
+
+  test("round-7 forced broadcasts are model-sized at runtime") {
+    // recall curve: probes = nQueries × max(levels) rows; the per-band
+    // offset table is ≤ #bands rows
+    auditBroadcasts(Similarity.recallCurve(Tables.embeddings(spark, sf)),
+      forcedRowBound = 5L * 8)
+    // windowed funnel: stage tables shrink monotonically (≤ users)
+    val events = Tables.events(spark, sf)
+    val users = events.select(col("user_id")).distinct().count()
+    auditBroadcasts(Events.windowedFunnel(events), forcedRowBound = users)
+    // cusum: the per-type stats model is O(event types)
+    auditBroadcasts(Events.cusumChangepoint(events), forcedRowBound = 8)
+    // shard plan: the per-mime start-offset table is O(mimes)
+    auditBroadcasts(
+      graft.multimodal.Multimodal.shardPlan(Tables.documents(spark, sf)),
+      forcedRowBound = 3)
+  }
 }

@@ -63,6 +63,29 @@ class Round7EventsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("seasonal-naive backtest: a perfectly weekly series scores MAE 0") {
+    // 21 days with counts cycling by day-of-week: the lag-7 forecast
+    // is exact, so MAE and MAPE are both 0 over the 14 scorable days
+    val rows = (0 until 21).flatMap { d =>
+      val n = (d % 7) + 1
+      (1 to n).map(i => (d * 100L + i, 1L,
+        ts(f"2024-01-${d + 1}%02d 12:00:00"), "view"))
+    }
+    val got = Events.forecastBacktest(
+      rows.toDF("event_id", "user_id", "ts", "event_type")).collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[Long]("n_days_scored") == 14)
+    assert(got.head.getAs[Double]("mae") == 0.0)
+    assert(got.head.getAs[Double]("mape") == 0.0)
+  }
+
+  test("seasonal-naive backtest is partition-invariant") {
+    val ev = Tables.events(spark, sf)
+    val a = Events.forecastBacktest(ev).collect().map(_.toString).toSeq
+    val b = Events.forecastBacktest(ev.repartition(17)).collect().map(_.toString).toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("windowed funnel is partition-invariant") {
     val ev = Tables.events(spark, sf)
     val a = Events.windowedFunnel(ev).collect().map(_.toString).toSeq
