@@ -43,7 +43,8 @@ object Bench {
     // one-time zone materialization for this corpus
     Seq("pipe_delta_roundtrip", "pipe_delta_partitioned",
         "pipe_delta_optimize", "pipe_delta_cdf", "pipe_delta_zorder",
-        "pipe_delta_timetravel", "pipe_incremental_silver").foreach { n =>
+        "pipe_delta_timetravel", "pipe_delta_dv",
+        "pipe_incremental_silver").foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
       }

@@ -173,6 +173,25 @@ object SparkEntry {
           col("content_length"))
         .orderBy(col("doc_id"))
     }),
+    "pipe_delta_dv" -> ((s, d) => {
+      // merge-on-read DELETE via deletion vectors: two erasure waves
+      // (every 5th doc, then all short docs) land as DV commits —
+      // ZERO data files rewritten, write cost O(deleted rows) — and
+      // the timed read applies the DVs through a broadcast anti-join
+      // on (file, row_index). The second wave UNIONS into the first's
+      // descriptors; OPTIMIZE would purge them (DeltaDvSpec).
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_deltadv_${math.abs(d.hashCode)}/zone"
+      graft.sources.ZoneCache.ensure(Tables.documents(s, d), tmp) {
+        graft.sources.DeltaSource.writeDelta(
+          silverZone(s, d).repartition(4, col("doc_id")), tmp)
+        graft.sources.DeltaSource.deleteDelta(s, tmp, col("doc_id") % 5 === 0)
+        graft.sources.DeltaSource.deleteDelta(s, tmp, col("content_length") < 120)
+      }
+      graft.sources.DeltaSource.readDelta(s, tmp)
+        .select(col("doc_id"), col("source"), md5(col("content")).as("content_hash"),
+          col("content_length"))
+        .orderBy(col("doc_id"))
+    }),
     "pipe_delta_timetravel" -> ((s, d) => {
       // version time travel over the change-feed zone (shared cached
       // build): v0 landed the even half, v1 appended the odd half —
@@ -1219,6 +1238,14 @@ object SparkEntry {
          |  UNION ALL SELECT * FROM upd)
          |SELECT doc_id, source, md5(content) AS content_hash, content_length
          |FROM merged ORDER BY doc_id""".stripMargin,
+    // DV deletes are row-exact: the surviving set is silver minus
+    // both erasure predicates, with no file-granularity bleed
+    "pipe_delta_dv" ->
+      s"""$silverCte SELECT doc_id, source, md5(content) AS content_hash,
+         |length(content) AS content_length
+         |FROM silver0 WHERE length(content) > 50
+         |AND doc_id % 5 <> 0 AND length(content) >= 120
+         |ORDER BY doc_id""".stripMargin,
     // AS OF version 0 is exactly the even half v0 landed
     "pipe_delta_timetravel" ->
       s"""$silverCte SELECT doc_id, source, content, length(content) AS content_length

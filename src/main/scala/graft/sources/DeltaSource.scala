@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.execution.datasources.HadoopFsRelation
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -80,12 +80,26 @@ object CreateExclusiveCommitStore extends CommitStore {
   */
 object DeltaSource {
 
+  /** The add action's deletionVector descriptor (Delta spec's
+    * DeletionVectorDescriptor, the subset graft writes): `path` is
+    * the table-relative sidecar holding the deleted (file, row_index)
+    * pairs, `cardinality` the number of rows THIS file has marked
+    * deleted. Deviations from the spec, documented: the bitmap
+    * serialization is a parquet pair list rather than a RoaringBitmap
+    * `.bin` (no roaring dependency in scope), and the path is
+    * table-relative under storageType "p" (the spec uses absolute
+    * there) so tables stay relocatable — external Delta readers would
+    * need the roaring codec anyway, so the log SHAPE is what is kept
+    * compatible. */
+  private[sources] case class DvDesc(path: String, cardinality: Long)
+
   private[sources] case class AddFile(
       path: String,
       partitionValues: Map[String, String],
       size: Option[Long],
       modificationTime: Option[Long],
-      stats: Option[String] = None)
+      stats: Option[String] = None,
+      dv: Option[DvDesc] = None)
 
   private case class Snapshot(
       version: Long,
@@ -125,7 +139,11 @@ object DeltaSource {
       StructField("size", LongType),
       StructField("modificationTime", LongType),
       StructField("dataChange", BooleanType),
-      StructField("stats", StringType)))),
+      StructField("stats", StringType),
+      StructField("deletionVector", StructType(Seq(
+        StructField("storageType", StringType),
+        StructField("pathOrInlineDv", StringType),
+        StructField("cardinality", LongType))))))),
     StructField("remove", StructType(Seq(
       StructField("path", StringType),
       StructField("dataChange", BooleanType)))),
@@ -148,11 +166,23 @@ object DeltaSource {
   private def rowToAdd(a: org.apache.spark.sql.Row): AddFile = {
     val pv = Option(a.getAs[scala.collection.Map[String, String]]("partitionValues"))
       .map(_.toMap).getOrElse(Map.empty[String, String])
+    val dv = {
+      val i = a.fieldIndex("deletionVector")
+      if (a.isNullAt(i)) None
+      else {
+        val d = a.getStruct(i)
+        val p = d.getAs[String]("pathOrInlineDv")
+        if (p == null) None
+        else Some(DvDesc(p,
+          if (d.isNullAt(d.fieldIndex("cardinality"))) 0L
+          else d.getAs[Long]("cardinality")))
+      }
+    }
     AddFile(a.getAs[String]("path"), pv,
       if (a.isNullAt(a.fieldIndex("size"))) None else Some(a.getAs[Long]("size")),
       if (a.isNullAt(a.fieldIndex("modificationTime"))) None
       else Some(a.getAs[Long]("modificationTime")),
-      Option(a.getAs[String]("stats")))
+      Option(a.getAs[String]("stats")), dv)
   }
 
   /** Replay the log up to `version` (latest when None): newest
@@ -433,9 +463,13 @@ object DeltaSource {
     * re-attached from the log through the FileIndex, per-file stats
     * parsed into the index for data skipping. Missing sizes fall
     * back to one driver-side getFileStatus per file. */
-  private def scanRelation(spark: SparkSession, tablePath: String,
-                           schema: StructType, partitionColumns: Seq[String],
-                           files: Seq[(AddFile, Map[String, String])]): DataFrame = {
+  /** The raw single-relation scan over an explicit add-file list —
+    * no column projection, so `_metadata` (file_path, row_index) is
+    * still selectable by callers that need row identity (the
+    * deletion-vector machinery). */
+  private def scanRelationBase(spark: SparkSession, tablePath: String,
+                               schema: StructType, partitionColumns: Seq[String],
+                               files: Seq[(AddFile, Map[String, String])]): DataFrame = {
     val table = new Path(tablePath)
     lazy val fs = fsOf(spark, table)
     val partSchema = StructType(partitionColumns.map(c => schema(c)))
@@ -452,7 +486,61 @@ object DeltaSource {
     val relation = HadoopFsRelation(index, partSchema, dataSchema, None,
       new ParquetFileFormat, Map.empty)(spark)
     spark.baseRelationToDataFrame(relation)
-      .select(schema.map(f => col(f.name)).toIndexedSeq: _*)
+  }
+
+  /** Schema of a deletion-vector sidecar: the data file's BASENAME
+    * (unique within a table — every staged file carries a fresh UUID)
+    * and the physical row index marked deleted. One sidecar can pack
+    * the DVs of many files from the same DELETE commit. */
+  private val DvPairSchema: StructType = StructType(Seq(
+    StructField("dv_file", StringType, nullable = false),
+    StructField("row_index", LongType, nullable = false)))
+
+  /** Tag scan rows with their physical identity: file basename +
+    * parquet row index, via the file-source `_metadata` column. */
+  private def withFileIdentity(df: DataFrame): DataFrame = df
+    .withColumn("__graft_dv_file",
+      element_at(split(col("_metadata.file_path"), "/"), -1))
+    .withColumn("__graft_dv_ri", col("_metadata.row_index"))
+
+  /** The (dv_file, row_index) exclusion pairs applicable to the given
+    * add set — each sidecar's pairs restricted to the files whose
+    * CURRENT descriptor references that sidecar (an older sidecar may
+    * still hold pairs for a file that has since been restored or
+    * re-deleted; only the descriptor on the live add speaks for the
+    * file). None when no file carries a DV. */
+  private def dvPairsFor(spark: SparkSession, tablePath: String,
+                         files: Seq[AddFile]): Option[DataFrame] = {
+    val dvFiles = files.filter(_.dv.nonEmpty)
+    if (dvFiles.isEmpty) None
+    else Some(dvFiles.groupBy(_.dv.get.path).map { case (sidecar, adds) =>
+      val names = adds.map(a => dataPath(tablePath, a.path).getName)
+      spark.read.schema(DvPairSchema)
+        .parquet(dataPath(tablePath, sidecar).toString)
+        .where(col("dv_file").isin(names: _*))
+    }.reduce(_ unionByName _))
+  }
+
+  /** Drop rows marked deleted: broadcast anti-join on (file basename,
+    * row_index). Scale note: the pair count is the number of
+    * not-yet-compacted deleted rows — bounded by the OPTIMIZE cadence
+    * (compaction materializes deletes and purges DVs), the same
+    * assumption Delta's own DV read path makes when it broadcasts the
+    * file→bitmap map. */
+  private def minusDv(df: DataFrame, pairs: DataFrame): DataFrame =
+    df.join(broadcast(pairs),
+      df("__graft_dv_file") === pairs("dv_file") &&
+        df("__graft_dv_ri") === pairs("row_index"), "left_anti")
+
+  private def scanRelation(spark: SparkSession, tablePath: String,
+                           schema: StructType, partitionColumns: Seq[String],
+                           files: Seq[(AddFile, Map[String, String])]): DataFrame = {
+    val base = scanRelationBase(spark, tablePath, schema, partitionColumns, files)
+    val out = schema.map(f => col(f.name)).toIndexedSeq
+    dvPairsFor(spark, tablePath, files.map(_._1)) match {
+      case None => base.select(out: _*)
+      case Some(pairs) => minusDv(withFileIdentity(base), pairs).select(out: _*)
+    }
   }
 
   private def jsonStr(s: String): String =
@@ -566,6 +654,22 @@ object DeltaSource {
   private case class StagedAdd(relPath: String, size: Long,
                                partitionValues: Map[String, String],
                                stats: Option[String])
+
+  private def dvJson(d: Option[DvDesc]): String = d.map(dv =>
+    s""","deletionVector":{"storageType":"p","pathOrInlineDv":${jsonStr(dv.path)},"cardinality":${dv.cardinality}}""")
+    .getOrElse("")
+
+  /** Re-emit an EXISTING add (path verbatim from the log — already
+    * URL-encoded; addLine would double-encode it), optionally with a
+    * replacement deletion-vector descriptor. */
+  private def reAddLine(a: AddFile, sz: Long, now: Long, dataChange: Boolean,
+                        dv: Option[DvDesc]): String = {
+    val pvJson = a.partitionValues.map { case (k, v) =>
+      s"${jsonStr(k)}:${if (v == null) "null" else jsonStr(v)}"
+    }.mkString("{", ",", "}")
+    val statsJson = a.stats.map(s => s""","stats":${jsonStr(s)}""").getOrElse("")
+    s"""{"add":{"path":${jsonStr(a.path)},"partitionValues":$pvJson,"size":$sz,"modificationTime":$now,"dataChange":$dataChange$statsJson${dvJson(dv)}}}"""
+  }
 
   private def addLine(a: StagedAdd, now: Long, dataChange: Boolean): String = {
     val pvJson = a.partitionValues.map { case (k, v) =>
@@ -707,10 +811,17 @@ object DeltaSource {
     import spark.implicits._
     def nullCol(field: String) = lit(null).cast(CheckpointSchema(field).dataType).as(field)
     val addRows = snap.files
-      .map(f => (f.path, f.partitionValues, f.size, f.modificationTime, f.stats))
-      .toDF("path", "partitionValues", "size", "modificationTime", "stats")
+      .map(f => (f.path, f.partitionValues, f.size, f.modificationTime, f.stats,
+        f.dv.map(_.path).orNull, f.dv.map(_.cardinality).getOrElse(0L)))
+      .toDF("path", "partitionValues", "size", "modificationTime", "stats",
+        "dvPath", "dvCard")
       .select(struct(col("path"), col("partitionValues"), col("size"),
-        col("modificationTime"), lit(true).as("dataChange"), col("stats"))
+        col("modificationTime"), lit(true).as("dataChange"), col("stats"),
+        // deletion vectors ride the checkpoint, so row-level deletes
+        // survive log truncation past it
+        when(col("dvPath").isNotNull,
+          struct(lit("p").as("storageType"), col("dvPath").as("pathOrInlineDv"),
+            col("dvCard").as("cardinality"))).as("deletionVector"))
         .cast(CheckpointSchema("add").dataType).as("add"),
         nullCol("remove"), nullCol("metaData"), nullCol("txn"), nullCol("protocol"))
     val metaRow = Seq(((snap.schema.json, snap.partitionColumns))).toDF("s", "p")
@@ -755,8 +866,12 @@ object DeltaSource {
     val table = new Path(tablePath)
     val fs = fsOf(spark, table)
     val snap = snapshot(spark, tablePath, None)
-    val active: Set[Path] = snap.files
-      .map(a => fs.makeQualified(dataPath(tablePath, a.path))).toSet
+    val active: Set[Path] = (snap.files
+      .map(a => fs.makeQualified(dataPath(tablePath, a.path))) ++
+      // deletion-vector sidecars referenced by live adds are part of
+      // the snapshot: vacuuming one would resurrect deleted rows
+      snap.files.flatMap(_.dv)
+        .map(d => fs.makeQualified(dataPath(tablePath, d.path)))).toSet
     val cutoff = System.currentTimeMillis() - retainMs
     def walk(dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
       fs.listStatus(dir).toSeq.flatMap { s =>
@@ -788,10 +903,13 @@ object DeltaSource {
     val table = new Path(tablePath)
     val fs = fsOf(spark, table)
     val snap = snapshot(spark, tablePath, None)
-    // bin-pack per partition-values group; singleton bins are left alone
+    // bin-pack per partition-values group; singleton bins are left
+    // alone UNLESS the file carries a deletion vector — rewriting it
+    // materializes the deletes and purges the DV (the REORG/PURGE
+    // half of compaction)
     val groups = snap.files.groupBy(_.partitionValues)
     val rewrites = groups.toSeq.flatMap { case (pv, files) =>
-      if (files.size <= 1) Nil
+      if (files.size <= 1 && !files.exists(_.dv.nonEmpty)) Nil
       else {
         val bins = scala.collection.mutable.ArrayBuffer[scala.collection.mutable.ArrayBuffer[AddFile]]()
         var cur = scala.collection.mutable.ArrayBuffer[AddFile]()
@@ -804,7 +922,8 @@ object DeltaSource {
           cur += f; curBytes += sz
         }
         if (cur.nonEmpty) bins += cur
-        bins.toSeq.filter(_.size > 1).map(b => (pv, b.toSeq))
+        bins.toSeq.filter(b => b.size > 1 || b.exists(_.dv.nonEmpty))
+          .map(b => (pv, b.toSeq))
       }
     }
     if (rewrites.isEmpty) return (snap.files.size, snap.files.size)
@@ -813,9 +932,13 @@ object DeltaSource {
     val dataSchema =
       StructType(snap.schema.filterNot(f => snap.partitionColumns.contains(f.name)))
     val actions = rewrites.flatMap { case (pv, bin) =>
-      // one coalesced file per bin, read directly from the bin's files
-      val data = spark.read.schema(dataSchema)
-        .parquet(bin.map(a => dataPath(tablePath, a.path).toString): _*)
+      // one coalesced file per bin — read DV-AWARE (scanRelation
+      // applies deletion vectors), so compaction materializes deletes
+      // instead of resurrecting them; a raw parquet read here would
+      // silently undo every DV'd delete under dataChange=false
+      val data = scanRelation(spark, tablePath, snap.schema, snap.partitionColumns,
+        bin.map(a => (a, Map.empty[String, String])))
+        .select(dataSchema.map(f => col(f.name)).toIndexedSeq: _*)
       val relDirs = snap.partitionColumns.map { c =>
         val v = pv.getOrElse(c, null)
         s"$c=${if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
@@ -995,15 +1118,20 @@ object DeltaSource {
     val table = new Path(tablePath)
     val fs = fsOf(spark, table)
 
-    val cur = scanRelation(spark, tablePath, snap.schema, snap.partitionColumns,
-      snap.files.map(a => (a, Map.empty[String, String])))
-    val touchedPaths: Set[String] = cur
-      .withColumn("__file", org.apache.spark.sql.functions.input_file_name())
+    // file identity comes from the scan-level `_metadata` column
+    // (projected before any DV anti-join — input_file_name() cannot
+    // cross a join, and basenames are unique within a table)
+    val filesArg = snap.files.map(a => (a, Map.empty[String, String]))
+    val base = withFileIdentity(
+      scanRelationBase(spark, tablePath, snap.schema, snap.partitionColumns, filesArg))
+    val live = dvPairsFor(spark, tablePath, snap.files)
+      .map(minusDv(base, _)).getOrElse(base)
+    val touchedNames: Set[String] = live
       .join(upd.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
-      .select(col("__file")).distinct()
-      .collect().map(r => new Path(r.getString(0)).toUri.getPath).toSet
+      .select(col("__graft_dv_file")).distinct()
+      .collect().map(_.getString(0)).toSet
     val touched = snap.files.filter(a =>
-      touchedPaths.contains(fs.makeQualified(dataPath(tablePath, a.path)).toUri.getPath))
+      touchedNames.contains(dataPath(tablePath, a.path).getName))
 
     val newData =
       if (touched.isEmpty) upd
@@ -1022,6 +1150,91 @@ object DeltaSource {
     val addLines = adds.map(a => addLine(a, now, dataChange = true))
     commitWithRetry(spark, fs, tablePath, next, removeLines ++ addLines,
       pureAppend = touched.isEmpty, commitStore)
+  }
+
+  /** Merge-on-read DELETE via deletion vectors: mark the rows
+    * matching `condition` deleted WITHOUT rewriting any data file —
+    * the write cost is O(deleted rows), not O(touched files' bytes),
+    * which is why every modern lakehouse routes point/GDPR deletes
+    * through DVs instead of copy-on-write. One commit per call:
+    * remove+re-add of each file holding a matched row, the re-add
+    * carrying a deletionVector descriptor whose sidecar packs this
+    * commit's (file, row_index) pairs; a file whose EVERY live row
+    * matched (proven by stats numRecords) is dropped outright. A
+    * second delete UNIONS into a fresh sidecar (descriptor
+    * replacement, old sidecars become garbage for VACUUM once
+    * unreferenced). Reads apply DVs via a broadcast anti-join on
+    * (file, row_index); OPTIMIZE materializes deletes and purges
+    * descriptors. Stats on a DV'd file stay the PHYSICAL bounds —
+    * loose for data skipping (conservative, never wrong), exact for
+    * numRecords accounting.
+    *
+    * Scale: matching runs as one distributed scan over the current
+    * snapshot (DV-applied, so already-deleted rows can't re-match);
+    * the driver sees only per-file counts (≤ #files rows). Rows
+    * matched already deleted → no-op, no commit. Losing the commit
+    * race aborts (the file set is stale), per the Delta conflict
+    * rules for anything that removes files. Returns the committed
+    * (or, for a no-op, current) version. */
+  def deleteDelta(spark: SparkSession, tablePath: String, condition: Column,
+                  commitStore: CommitStore = CreateExclusiveCommitStore): Long = {
+    val snap = snapshot(spark, tablePath, None)
+    if (snap.files.isEmpty) return snap.version
+    val table = new Path(tablePath)
+    val fs = fsOf(spark, table)
+    val filesArg = snap.files.map(a => (a, Map.empty[String, String]))
+    val base = withFileIdentity(
+      scanRelationBase(spark, tablePath, snap.schema, snap.partitionColumns, filesArg))
+    val live = dvPairsFor(spark, tablePath, snap.files)
+      .map(minusDv(base, _)).getOrElse(base)
+    val matched = live.where(condition)
+      .select(col("__graft_dv_file").as("dv_file"),
+        col("__graft_dv_ri").as("row_index"))
+    // per-file fresh-delete counts — model-sized collect (≤ #files)
+    val freshCounts: Map[String, Long] = matched.groupBy("dv_file").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (freshCounts.isEmpty) return snap.version
+    def nameOf(a: AddFile): String = dataPath(tablePath, a.path).getName
+    val affected = snap.files.filter(a => freshCounts.contains(nameOf(a)))
+    val newCard: Map[String, Long] = affected.map { a =>
+      nameOf(a) -> (freshCounts(nameOf(a)) + a.dv.map(_.cardinality).getOrElse(0L))
+    }.toMap
+    // full-file deletion is only PROVEN when stats carry numRecords
+    val dropped: Set[String] = affected.filter { a =>
+      parseStats(a.stats).flatMap(_.numRecords).contains(newCard(nameOf(a)))
+    }.map(nameOf).toSet
+    val kept = affected.filterNot(a => dropped(nameOf(a)))
+    val sidecarRel = s"deletion_vector_${UUID.randomUUID().toString}.parquet"
+    if (kept.nonEmpty) {
+      val keptNames = kept.map(nameOf)
+      val persist0 = matched.where(col("dv_file").isin(keptNames: _*))
+      // carry the kept files' EXISTING pairs into the new sidecar —
+      // the descriptor on the re-add replaces the old one wholesale
+      val persist = dvPairsFor(spark, tablePath, kept.filter(_.dv.nonEmpty))
+        .map(persist0.unionByName(_)).getOrElse(persist0)
+      // one sidecar file per delete commit (the spec's packed form);
+      // DV volume is bounded by the OPTIMIZE cadence, so the single
+      // writer is a model-sized sink, not a data-sized one
+      val stage = new Path(table, s".stage-${UUID.randomUUID().toString.take(8)}")
+      persist.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = fs.listStatus(stage).toSeq.map(_.getPath)
+        .find(_.getName.endsWith(".parquet")).get
+      renameOrFail(fs, part, new Path(table, sidecarRel))
+      fs.delete(stage, true)
+    }
+    val now = System.currentTimeMillis()
+    // removes precede the same-path re-adds in the commit: replay
+    // folds actions in line order, newest-per-path wins within a
+    // version, so the re-add (with its DV) survives
+    val removeLines = affected.map(a =>
+      s"""{"remove":{"path":${jsonStr(a.path)},"deletionTimestamp":$now,"dataChange":true}}""")
+    val addLines = kept.map { a =>
+      val sz = a.size.getOrElse(fs.getFileStatus(dataPath(tablePath, a.path)).getLen)
+      reAddLine(a, sz, now, dataChange = true,
+        Some(DvDesc(sidecarRel, newCard(nameOf(a)))))
+    }
+    commitWithRetry(spark, fs, tablePath, snap.version + 1,
+      removeLines ++ addLines, pureAppend = false, commitStore)
   }
 
   /** RESTORE the table to the state it had at `version` — a new
@@ -1043,22 +1256,25 @@ object DeltaSource {
     tgt.files.foreach { a =>
       require(fs.exists(dataPath(tablePath, a.path)),
         s"cannot restore to version $version: data file ${a.path} was vacuumed")
+      a.dv.foreach(d => require(fs.exists(dataPath(tablePath, d.path)),
+        s"cannot restore to version $version: deletion vector ${d.path} was vacuumed"))
     }
-    val curPaths = cur.files.map(_.path).toSet
+    // a file is "unchanged" only when BOTH snapshots agree on its
+    // deletion vector — a file shared by path but DV'd differently
+    // (a delete landed after `version`) must be re-pointed to the
+    // target's descriptor, which is part of the state being restored
+    val curState = cur.files.map(a => a.path -> a.dv).toMap
     val tgtPaths = tgt.files.map(_.path).toSet
     val now = System.currentTimeMillis()
-    val removeLines = cur.files.filterNot(a => tgtPaths.contains(a.path)).map(a =>
+    val removeLines = cur.files.filter(a =>
+      !tgtPaths.contains(a.path) ||
+        tgt.files.exists(t => t.path == a.path && t.dv != a.dv)).map(a =>
       s"""{"remove":{"path":${jsonStr(a.path)},"deletionTimestamp":$now,"dataChange":true}}""")
-    val addLines = tgt.files.filterNot(a => curPaths.contains(a.path))
+    val addLines = tgt.files
+      .filterNot(a => curState.get(a.path).contains(a.dv))
       .map { a =>
-        // a.path is verbatim from the log (already URL-encoded) — emit
-        // it as-is; addLine would double-encode it
-        val pvJson = a.partitionValues.map { case (k, v) =>
-          s"${jsonStr(k)}:${if (v == null) "null" else jsonStr(v)}"
-        }.mkString("{", ",", "}")
         val sz = a.size.getOrElse(fs.getFileStatus(dataPath(tablePath, a.path)).getLen)
-        val statsJson = a.stats.map(s => s""","stats":${jsonStr(s)}""").getOrElse("")
-        s"""{"add":{"path":${jsonStr(a.path)},"partitionValues":$pvJson,"size":$sz,"modificationTime":$now,"dataChange":true$statsJson}}"""
+        reAddLine(a, sz, now, dataChange = true, a.dv)
       }
     val next = cur.version + 1
     // a restore removes files, so a lost race aborts (stale snapshot)
@@ -1098,7 +1314,13 @@ object DeltaSource {
       }.mkString("{", ",", "}")
       val sz = a.size.getOrElse(srcFs.getFileStatus(dataPath(srcPath, a.path)).getLen)
       val statsJson = a.stats.map(s => s""","stats":${jsonStr(s)}""").getOrElse("")
-      s"""{"add":{"path":${jsonStr(abs)},"partitionValues":$pvJson,"size":$sz,"modificationTime":$now,"dataChange":true$statsJson}}"""
+      // a DV sidecar is referenced by absolute URI too (same CLONE
+      // rule as the data file it guards — zero bytes copied, and the
+      // same source-VACUUM caveat applies)
+      val dvAbs = a.dv.map(d =>
+        DvDesc(srcFs.makeQualified(dataPath(srcPath, d.path)).toUri.toString,
+          d.cardinality))
+      s"""{"add":{"path":${jsonStr(abs)},"partitionValues":$pvJson,"size":$sz,"modificationTime":$now,"dataChange":true$statsJson${dvJson(dvAbs)}}}"""
     }
     commitWithRetry(spark, fs, dstPath, 0L,
       Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""", metaLine)
