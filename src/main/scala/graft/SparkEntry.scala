@@ -800,6 +800,8 @@ object SparkEntry {
     "ev_range_frame" -> ((s, d) => Events.rangeFrameSum(Tables.events(s, d))),
     "ev_windowed_funnel" -> ((s, d) => Events.windowedFunnel(Tables.events(s, d))),
     "ev_cusum" -> ((s, d) => Events.cusumChangepoint(Tables.events(s, d))),
+    "ev_survival_km" -> ((s, d) => Events.survivalKm(Tables.events(s, d))),
+    "ev_autocorr" -> ((s, d) => Events.autocorrDaily(Tables.events(s, d))),
     "ev_forecast_backtest" -> ((s, d) => Events.forecastBacktest(Tables.events(s, d))),
     "rag_qlm" -> ((s, d) => Ranking.queryLikelihoodTopK(Tables.documents(s, d))),
     "ev_heavy_hitters" -> ((s, d) => Sketches.cmsHeavyHitters(Tables.events(s, d))),
@@ -811,6 +813,16 @@ object SparkEntry {
     "emb_dim_stats" -> ((s, d) => Similarity.dimStats(Tables.embeddings(s, d))),
     "dq_benford" -> ((s, d) => Analytics.benfordDigits(s, d)),
     "q_approx_percentile" -> ((s, d) => Analytics.approxPercentile(s, d)),
+    "q_exact_median" -> ((s, d) =>
+      // exact per-group median with NO per-group global sort: banded
+      // rank-by-counting (Ranks.exactMedianByGroup) — the scale-safe
+      // form of percentile_cont for the few-huge-groups regime
+      graft.operators.Ranks.exactMedianByGroup(
+        Tables.orders(s, d).select(col("o_orderpriority"), col("o_totalprice")),
+        "o_orderpriority", "o_totalprice")
+        .select(col("o_orderpriority"),
+          round(col("median"), 2).as("median_price"))
+        .orderBy(col("o_orderpriority"))),
     "txt_html_strip" -> ((s, d) => Quality.htmlStrip(Tables.documents(s, d))),
     "mm_keyframes" -> ((s, d) =>
       Multimodal.keyframes(Multimodal.withBinaryPayload(Tables.documents(s, d)))),
@@ -3782,6 +3794,49 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER
         |        (PARTITION BY event_type ORDER BY s DESC, day) AS rnk FROM s2)
         |WHERE rnk = 1 ORDER BY event_type""".stripMargin,
+    "ev_survival_km" ->
+      """WITH spans AS (
+        |  SELECT user_id, CAST(min(ts) AS DATE) AS first_d, CAST(max(ts) AS DATE) AS last_d
+        |  FROM events GROUP BY 1),
+        |endd AS (SELECT CAST(max(ts) AS DATE) AS end_day FROM events),
+        |lifed AS (
+        |  SELECT date_diff('day', first_d, last_d) AS lifetime_d,
+        |         CASE WHEN date_diff('day', last_d, end_day) <= 7 THEN 1 ELSE 0 END AS censored
+        |  FROM spans CROSS JOIN endd),
+        |perday AS (
+        |  SELECT CAST(lifetime_d AS BIGINT) AS lifetime_d,
+        |         CAST(count(*) AS BIGINT) AS total,
+        |         CAST(sum(censored) AS BIGINT) AS c,
+        |         CAST(count(*) - sum(censored) AS BIGINT) AS d
+        |  FROM lifed GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM lifed),
+        |curve AS (
+        |  SELECT lifetime_d, d, c,
+        |         n_users - coalesce(sum(total) OVER
+        |           (ORDER BY lifetime_d ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS at_risk
+        |  FROM perday CROSS JOIN tot)
+        |SELECT lifetime_d, CAST(at_risk AS BIGINT) AS at_risk, d AS deaths, c AS censored,
+        |       round(CASE WHEN max(CASE WHEN d = at_risk THEN 1 ELSE 0 END) OVER
+        |                    (ORDER BY lifetime_d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+        |             THEN 0.0
+        |             ELSE exp(sum(CASE WHEN d < at_risk THEN ln(1 - CAST(d AS DOUBLE) / at_risk) ELSE 0.0 END) OVER
+        |                    (ORDER BY lifetime_d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) END, 4) AS survival
+        |FROM curve ORDER BY lifetime_d""".stripMargin,
+    "ev_autocorr" ->
+      """WITH daily AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS x
+        |  FROM events GROUP BY 1),
+        |idx AS (SELECT day, x, row_number() OVER (ORDER BY day) AS rn FROM daily),
+        |ks AS (SELECT CAST(unnest(generate_series(1, 7)) AS BIGINT) AS lag_k),
+        |pairs AS (
+        |  SELECT ks.lag_k, a.x AS x, b.x AS y
+        |  FROM idx a CROSS JOIN ks JOIN idx b ON b.rn = a.rn - ks.lag_k)
+        |SELECT lag_k, CAST(count(*) AS BIGINT) AS n_pairs, round(corr(x, y), 4) AS acf
+        |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_exact_median" ->
+      """SELECT o_orderpriority, round(median(o_totalprice), 2) AS median_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "rag_qlm" ->
       s"""WITH t AS (SELECT doc_id, ${dToks("text")} AS tk FROM documents),
          |tok AS (SELECT doc_id, unnest(tk) AS w FROM t),

@@ -642,4 +642,89 @@ object Events {
         round(col("s"), 4).as("max_cusum"))
       .orderBy(col("event_type"))
   }
+
+  /** Kaplan–Meier survival curve over user LIFETIMES (days between a
+    * user's first and last event): S(t) = Π_{u≤t} (1 − d_u/n_u),
+    * the standard product-limit estimator with right censoring —
+    * users whose last event falls within `censorDays` of the corpus
+    * end are censored (still alive), not churned. The churn question
+    * every retention dashboard actually asks ("what fraction of
+    * users survive past day t?"), answered correctly in the presence
+    * of users who simply haven't had time to churn yet.
+    *
+    * Scale shape: one groupBy(user) rollup (corpus-scale, fully
+    * parallel), then everything runs on the O(distinct lifetime
+    * days) table — the global windows are over that bounded rollup,
+    * never the stream (the `ev_cum_users` allowlist family). The
+    * hazard products fold in day order on both engines (sequential
+    * window), so exp(Σ ln) is stable to well past the 4 dp output
+    * rounding. A day that kills EVERY remaining at-risk user drives
+    * S to exactly 0 via the zero-factor flag (ln(0) never
+    * evaluates). */
+  def survivalKm(events: DataFrame, censorDays: Int = 7): DataFrame = {
+    val spans = events.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+    val end = events.agg(max(col("ts")).cast("date").as("end_day"),
+      count(lit(1)).as("_ignore"))
+      .select(col("end_day"))
+    val lifed = spans.crossJoin(broadcast(end))
+      .select(
+        datediff(col("last_ts").cast("date"), col("first_ts").cast("date"))
+          .cast("long").as("lifetime_d"),
+        when(datediff(col("end_day"), col("last_ts").cast("date")) <= censorDays,
+          lit(1L)).otherwise(lit(0L)).as("censored"))
+    val perDay = lifed.groupBy(col("lifetime_d"))
+      .agg(count(lit(1)).as("total"), sum(col("censored")).as("c"),
+        (count(lit(1)) - sum(col("censored"))).as("d"))
+    val tot = lifed.agg(count(lit(1)).as("n_users"))
+    val wPrior = Window.orderBy(col("lifetime_d"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy(col("lifetime_d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDay.crossJoin(broadcast(tot))
+      .withColumn("at_risk",
+        col("n_users") - coalesce(sum(col("total")).over(wPrior), lit(0L)))
+      .withColumn("factor",
+        lit(1.0) - col("d").cast("double") / col("at_risk"))
+      .withColumn("cum_ln",
+        sum(when(col("factor") > 0, log(col("factor"))).otherwise(lit(0.0)))
+          .over(wCum))
+      .withColumn("died_out",
+        max(when(col("factor") === 0, lit(1)).otherwise(lit(0))).over(wCum))
+      .select(col("lifetime_d"), col("at_risk"), col("d").as("deaths"),
+        col("c").as("censored"),
+        round(when(col("died_out") === 1, lit(0.0)).otherwise(exp(col("cum_ln"))), 4)
+          .as("survival"))
+      .orderBy(col("lifetime_d"))
+  }
+
+  /** Lag-k autocorrelation (k = 1..`maxLag`) of the daily event-value
+    * series — the seasonality detector behind `ev_forecast_backtest`'s
+    * lag-7 choice: a spike at k=7 IS the weekly cycle. Pearson
+    * correlation between the series and its k-shifted self, one
+    * coefficient per lag.
+    *
+    * Scale shape: one corpus-scale daily rollup (value summed as
+    * DECIMAL so the per-day totals are order-exact), then lags and
+    * correlations run on the O(days) series — the lag windows are
+    * global but provably bounded (`ev_cum_users` family); the k
+    * lagged copies explode O(days·maxLag) rows, still model-sized. */
+  def autocorrDaily(events: DataFrame, maxLag: Int = 7): DataFrame = {
+    val daily = events
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(sum(col("value").cast("decimal(18,4)")).cast("double").as("x"))
+    val w = Window.orderBy(col("day"))
+    val lagged = daily.select(
+      (col("day") +: col("x") +:
+        (1 to maxLag).map(k => lag(col("x"), k).over(w).as(s"__l$k"))): _*)
+    val stacked = lagged.select(explode(array(
+      (1 to maxLag).map(k =>
+        struct(lit(k).cast("long").as("lag_k"), col("x"), col(s"__l$k").as("y"))): _*))
+      .as("s"))
+      .select(col("s.lag_k"), col("s.x"), col("s.y"))
+      .where(col("y").isNotNull)
+    stacked.groupBy(col("lag_k"))
+      .agg(count(lit(1)).as("n_pairs"), round(corr(col("x"), col("y")), 4).as("acf"))
+      .orderBy(col("lag_k"))
+  }
 }

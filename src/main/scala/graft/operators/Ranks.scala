@@ -155,4 +155,59 @@ object Ranks {
     }
     cur.orderBy(col("v")).limit(kk.toInt).agg(max(col("v"))).head().getLong(0)
   }
+
+  /** Exact per-group median (SQL `median` semantics: the mean of the
+    * two middle values when the group count is even) with NO
+    * per-group global sort — the per-group generalization of
+    * `selectAtRank`, for the few-huge-groups regime where
+    * `Window.partitionBy(group).orderBy(v)` would still push ~n/G
+    * rows through single tasks.
+    *
+    * One banding pass (global percentile boundaries), one
+    * (groups × bands)-row count aggregate collected as the model,
+    * driver arithmetic to find each group's two middle ranks and the
+    * band+offset holding them, then a row_number window over ONLY the
+    * rows of the ≤2 needed (group, band) cells — ~2/bands of the
+    * input, each cell a separate window partition. Group keys are
+    * compared as strings (the lookup join key); numeric group
+    * columns should be cast/formatted by the caller. */
+  def exactMedianByGroup(df: DataFrame, groupCol: String, valueCol: String,
+                         bands: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val src = df.select(col(groupCol).cast("string").as("__g"),
+      col(valueCol).cast("double").as("__v"))
+    val bounds = percentileBoundaries(src, col("__v"), bands)
+    val banded = src.withColumn("__band", valueBands(col("__v"), bounds))
+    // model-sized: |groups| × bands rows
+    val counts = banded.groupBy(col("__g"), col("__band")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val targets: Seq[(String, Long, Long)] = counts.groupBy(_._1).toSeq.flatMap {
+      case (g, rows) =>
+        val sorted = rows.sortBy(_._2)
+        val n = sorted.map(_._3).sum
+        val mids = Seq((n + 1) / 2, n / 2 + 1).distinct
+        var prefix = 0L
+        val wanted = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+        sorted.foreach { case (_, band, c) =>
+          mids.foreach { m =>
+            if (m > prefix && m <= prefix + c) wanted += ((g, band, m - prefix))
+          }
+          prefix += c
+        }
+        wanted
+    }
+    val lookup = targets.toDF("__g", "__band", "__need")
+    val cells = lookup.select(col("__g"), col("__band")).distinct()
+    val w = Window.partitionBy(col("__g"), col("__band")).orderBy(col("__v"))
+    // ties need no tiebreaker: the k-th smallest VALUE is invariant
+    // under any ordering of equal values
+    banded.join(broadcast(cells), Seq("__g", "__band"))
+      .withColumn("__r", row_number().over(w))
+      .join(broadcast(lookup.withColumnRenamed("__need", "__r")),
+        Seq("__g", "__band", "__r"))
+      .groupBy(col("__g"))
+      .agg(avg(col("__v")).as("median"))
+      .withColumnRenamed("__g", groupCol)
+  }
 }

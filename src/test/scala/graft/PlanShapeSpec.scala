@@ -235,10 +235,13 @@ class PlanShapeSpec extends SparkSpec {
     //   txt_bpe_pairs — windows ≤26² letter-pair rows
     //   txt_zipf_fit  — windows the O(distinct word counts) runs
     //                   table, ≤ O(√tokens) by the pigeonhole bound
+    //   ev_survival_km — windows the O(distinct lifetime days)
+    //                   rollup, ≤ O(calendar days)
+    //   ev_autocorr   — lag windows over the O(days) daily series
     // Anything new that plans a global window must either partition
     // it or argue its way onto this list.
     val allow = Set("ev_cum_users", "ev_pareto", "rag_hybrid", "rag_ndcg",
-      "txt_bpe_pairs", "txt_zipf_fit")
+      "txt_bpe_pairs", "txt_zipf_fit", "ev_survival_km", "ev_autocorr")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val globals = collectAll(physical(fn(spark, sf))).count {
         case w: org.apache.spark.sql.execution.window.WindowExec =>
