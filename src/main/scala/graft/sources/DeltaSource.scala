@@ -101,7 +101,7 @@ object DeltaSource {
       stats: Option[String] = None,
       dv: Option[DvDesc] = None)
 
-  private case class Snapshot(
+  private[sources] case class Snapshot(
       version: Long,
       schema: StructType,
       partitionColumns: Seq[String],
@@ -189,7 +189,7 @@ object DeltaSource {
     * checkpoint ≤ version seeds the state, JSON commits after it
     * apply on top; per path the action with the highest version
     * wins, and only adds survive. */
-  private def snapshot(spark: SparkSession, tablePath: String,
+  private[sources] def snapshot(spark: SparkSession, tablePath: String,
                        version: Option[Long]): Snapshot = {
     val logDir = new Path(tablePath, "_delta_log")
     val fs = fsOf(spark, logDir)
@@ -532,7 +532,7 @@ object DeltaSource {
       df("__graft_dv_file") === pairs("dv_file") &&
         df("__graft_dv_ri") === pairs("row_index"), "left_anti")
 
-  private def scanRelation(spark: SparkSession, tablePath: String,
+  private[sources] def scanRelation(spark: SparkSession, tablePath: String,
                            schema: StructType, partitionColumns: Seq[String],
                            files: Seq[(AddFile, Map[String, String])]): DataFrame = {
     val base = scanRelationBase(spark, tablePath, schema, partitionColumns, files)
@@ -1014,7 +1014,7 @@ object DeltaSource {
 
   /** Adds committed in version range (`afterVersion`, `toVersion`]
     * with dataChange=true, straight from the JSON commits. */
-  private def commitAdds(spark: SparkSession, tablePath: String,
+  private[sources] def commitAdds(spark: SparkSession, tablePath: String,
                          versions: Seq[Long]): Seq[(Long, AddFile)] = {
     val logDir = new Path(tablePath, "_delta_log")
     versions.flatMap { v =>
