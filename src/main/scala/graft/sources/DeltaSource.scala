@@ -106,7 +106,8 @@ object DeltaSource {
       schema: StructType,
       partitionColumns: Seq[String],
       files: Seq[AddFile],
-      txns: Map[String, Long])
+      txns: Map[String, Long],
+      configuration: Map[String, String] = Map.empty)
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -150,7 +151,8 @@ object DeltaSource {
     StructField("metaData", StructType(Seq(
       StructField("id", StringType),
       StructField("schemaString", StringType),
-      StructField("partitionColumns", ArrayType(StringType))))),
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType))))),
     StructField("txn", StructType(Seq(
       StructField("appId", StringType),
       StructField("version", LongType))))))
@@ -219,6 +221,7 @@ object DeltaSource {
 
     var schemaString: Option[String] = None
     var partCols: Seq[String] = Nil
+    var config: Map[String, String] = Map.empty
     var metaVersion = -1L
     // newest action per path wins (paths are unique within a commit)
     val state = scala.collection.mutable.LinkedHashMap[String, (Long, Option[AddFile])]()
@@ -244,6 +247,8 @@ object DeltaSource {
           schemaString = Option(m.getAs[String]("schemaString"))
           partCols = Option(m.getAs[scala.collection.Seq[String]]("partitionColumns"))
             .map(_.toSeq).getOrElse(Nil)
+          config = Option(m.getAs[scala.collection.Map[String, String]]("configuration"))
+            .map(_.toMap).getOrElse(Map.empty)
         }
       }
       if (!row.isNullAt(addIdx)) {
@@ -259,7 +264,7 @@ object DeltaSource {
       .getOrElse(throw new IllegalStateException(
         s"no metaData action found in the log of $tablePath"))
     Snapshot(target, schema, partCols,
-      state.values.collect { case (_, Some(a)) => a }.toSeq, txns.toMap)
+      state.values.collect { case (_, Some(a)) => a }.toSeq, txns.toMap, config)
   }
 
   /** Highest committed `txn` version for `appId` (the Delta spec's
@@ -551,6 +556,33 @@ object DeltaSource {
       case c => c.toString
     } + "\""
 
+  private def configJson(cfg: Map[String, String]): String =
+    cfg.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }
+      .mkString("{", ",", "}")
+
+  /** CHECK constraints declared on the table (the Delta writer-
+    * protocol `delta.constraints.<name>` table properties). */
+  def checkConstraintsOf(spark: SparkSession, tablePath: String): Map[String, String] =
+    snapshot(spark, tablePath, None).configuration.collect {
+      case (k, v) if k.startsWith("delta.constraints.") =>
+        k.stripPrefix("delta.constraints.") -> v
+    }
+
+  /** Enforce CHECK constraints on a batch about to land: a row
+    * violates a constraint when the expression evaluates to FALSE
+    * (NULL passes, the SQL-standard CHECK semantics Delta uses).
+    * One filter+limit job per write, only when constraints exist;
+    * throws before anything is staged or committed. */
+  private def enforceConstraints(df: DataFrame,
+                                 constraints: Map[String, String]): Unit =
+    constraints.toSeq.sortBy(_._1).foreach { case (name, sqlExpr) =>
+      val bad = df.where(!coalesce(expr(sqlExpr), lit(true))).limit(1).count()
+      if (bad > 0) throw new IllegalStateException(
+        s"CHECK constraint $name ($sqlExpr) violated by the incoming batch; " +
+          "nothing was committed")
+    }
+
   private def writeText(fs: FileSystem, p: Path, text: String): Unit = {
     val out = fs.create(p, /* overwrite = */ true)
     try out.write(text.getBytes(StandardCharsets.UTF_8)) finally out.close()
@@ -625,12 +657,18 @@ object DeltaSource {
     val removed: Seq[String] =
       if (overwrite) prevSnap.map(_.files.map(_.path)).getOrElse(Nil) else Nil
 
+    val tableConfig = prevSnap.map(_.configuration).getOrElse(Map.empty)
+    enforceConstraints(df, tableConfig.collect {
+      case (k, v) if k.startsWith("delta.constraints.") =>
+        k.stripPrefix("delta.constraints.") -> v
+    })
+
     val dataSchema = StructType(tableSchema.filterNot(f => partCols.contains(f.name)))
     val adds = stageFiles(df, table, fs, partCols, next, dataSchema)
 
     val now = System.currentTimeMillis()
     val partColsJson = partCols.map(jsonStr).mkString("[", ",", "]")
-    def metaLine = s"""{"metaData":{"id":${jsonStr(UUID.randomUUID().toString)},"format":{"provider":"parquet","options":{}},"schemaString":${jsonStr(tableSchema.json)},"partitionColumns":$partColsJson,"configuration":{},"createdTime":$now}}"""
+    def metaLine = s"""{"metaData":{"id":${jsonStr(UUID.randomUUID().toString)},"format":{"provider":"parquet","options":{}},"schemaString":${jsonStr(tableSchema.json)},"partitionColumns":$partColsJson,"configuration":${configJson(tableConfig)},"createdTime":$now}}"""
     val header =
       if (next == 0L) Seq(
         """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""", metaLine)
@@ -648,6 +686,54 @@ object DeltaSource {
     commitWithRetry(spark, fs, tablePath, next,
       header ++ txnLines ++ removeLines ++ addLines,
       pureAppend = removed.isEmpty && header.isEmpty, commitStore)
+  }
+
+  /** ALTER TABLE SET/UNSET TBLPROPERTIES as a metaData-only commit:
+    * the new configuration (merged `set`, minus `unset`) rides a
+    * fresh metaData action — O(log) driver work, no data touched.
+    * Newest-metaData-wins on replay, same as schema evolution.
+    * Returns the committed version. */
+  def setTableProperties(spark: SparkSession, tablePath: String,
+                         set: Map[String, String],
+                         unset: Seq[String] = Nil,
+                         commitStore: CommitStore = CreateExclusiveCommitStore): Long = {
+    val snap = snapshot(spark, tablePath, None)
+    val table = new Path(tablePath)
+    val fs = fsOf(spark, table)
+    val cfg = (snap.configuration ++ set) -- unset
+    val now = System.currentTimeMillis()
+    val partColsJson = snap.partitionColumns.map(jsonStr).mkString("[", ",", "]")
+    val metaLine = s"""{"metaData":{"id":${jsonStr(UUID.randomUUID().toString)},"format":{"provider":"parquet","options":{}},"schemaString":${jsonStr(snap.schema.json)},"partitionColumns":$partColsJson,"configuration":${configJson(cfg)},"createdTime":$now}}"""
+    // a metadata change conflicts with everything, so a lost race aborts
+    commitWithRetry(spark, fs, tablePath, snap.version + 1, Seq(metaLine),
+      pureAppend = false, commitStore)
+  }
+
+  /** ADD CONSTRAINT <name> CHECK (<sqlExpr>): validates the EXISTING
+    * table data first (one distributed scan; a constraint the
+    * current rows already violate is refused, per Delta), then
+    * commits the `delta.constraints.<name>` property. Every later
+    * `writeDelta`/`mergeDelta` batch is checked before landing —
+    * FALSE rows abort the write, NULL passes (SQL CHECK
+    * semantics). */
+  def addCheckConstraint(spark: SparkSession, tablePath: String,
+                         name: String, sqlExpr: String,
+                         commitStore: CommitStore = CreateExclusiveCommitStore): Long = {
+    val existingBad = readDelta(spark, tablePath)
+      .where(!coalesce(expr(sqlExpr), lit(true))).limit(1).count()
+    require(existingBad == 0,
+      s"cannot add CHECK constraint $name ($sqlExpr): existing rows violate it")
+    setTableProperties(spark, tablePath,
+      Map(s"delta.constraints.$name" -> sqlExpr), Nil, commitStore)
+  }
+
+  /** DROP CONSTRAINT <name> (no-op error if absent). */
+  def dropCheckConstraint(spark: SparkSession, tablePath: String, name: String,
+                          commitStore: CommitStore = CreateExclusiveCommitStore): Long = {
+    val key = s"delta.constraints.$name"
+    require(snapshot(spark, tablePath, None).configuration.contains(key),
+      s"no CHECK constraint named $name on $tablePath")
+    setTableProperties(spark, tablePath, Map.empty, Seq(key), commitStore)
   }
 
   /** A staged-and-moved data file ready to commit. */
@@ -824,10 +910,12 @@ object DeltaSource {
             col("dvCard").as("cardinality"))).as("deletionVector"))
         .cast(CheckpointSchema("add").dataType).as("add"),
         nullCol("remove"), nullCol("metaData"), nullCol("txn"), nullCol("protocol"))
-    val metaRow = Seq(((snap.schema.json, snap.partitionColumns))).toDF("s", "p")
+    val metaRow = Seq((snap.schema.json, snap.partitionColumns, snap.configuration))
+      .toDF("s", "p", "cfg")
       .select(nullCol("add"), nullCol("remove"),
         struct(lit(UUID.randomUUID().toString).as("id"), col("s").as("schemaString"),
-          col("p").as("partitionColumns")).as("metaData"),
+          col("p").as("partitionColumns"), col("cfg").as("configuration"))
+          .cast(CheckpointSchema("metaData").dataType).as("metaData"),
         nullCol("txn"), nullCol("protocol"))
     val protocolRow = Seq(1).toDF("x")
       .select(nullCol("add"), nullCol("remove"), nullCol("metaData"), nullCol("txn"),
@@ -1115,6 +1203,10 @@ object DeltaSource {
       s"updates missing table column ${f.name} (merge does not evolve schema)"))
     val upd = updates.select(
       snap.schema.map(f => col(f.name).cast(f.dataType)).toIndexedSeq: _*)
+    enforceConstraints(upd, snap.configuration.collect {
+      case (k, v) if k.startsWith("delta.constraints.") =>
+        k.stripPrefix("delta.constraints.") -> v
+    })
     val table = new Path(tablePath)
     val fs = fsOf(spark, table)
 
@@ -1306,7 +1398,8 @@ object DeltaSource {
     val srcFs = fsOf(spark, new Path(srcPath))
     val now = System.currentTimeMillis()
     val partColsJson = snap.partitionColumns.map(jsonStr).mkString("[", ",", "]")
-    val metaLine = s"""{"metaData":{"id":${jsonStr(UUID.randomUUID().toString)},"format":{"provider":"parquet","options":{}},"schemaString":${jsonStr(snap.schema.json)},"partitionColumns":$partColsJson,"configuration":{},"createdTime":$now}}"""
+    // table properties (incl. CHECK constraints) carry to the clone
+    val metaLine = s"""{"metaData":{"id":${jsonStr(UUID.randomUUID().toString)},"format":{"provider":"parquet","options":{}},"schemaString":${jsonStr(snap.schema.json)},"partitionColumns":$partColsJson,"configuration":${configJson(snap.configuration)},"createdTime":$now}}"""
     val addLines = snap.files.map { a =>
       val abs = srcFs.makeQualified(dataPath(srcPath, a.path)).toUri.toString
       val pvJson = a.partitionValues.map { case (k, v) =>
