@@ -802,6 +802,10 @@ object SparkEntry {
     "ev_cusum" -> ((s, d) => Events.cusumChangepoint(Tables.events(s, d))),
     "ev_survival_km" -> ((s, d) => Events.survivalKm(Tables.events(s, d))),
     "ev_autocorr" -> ((s, d) => Events.autocorrDaily(Tables.events(s, d))),
+    "q_orders_backlog" -> ((s, d) =>
+      Analytics.ordersBacklog(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "samp_epoch_plan" -> ((s, d) =>
+      graft.operators.TrainingMix.epochPlan(Tables.documents(s, d))),
     "ev_forecast_backtest" -> ((s, d) => Events.forecastBacktest(Tables.events(s, d))),
     "rag_qlm" -> ((s, d) => Ranking.queryLikelihoodTopK(Tables.documents(s, d))),
     "ev_heavy_hitters" -> ((s, d) => Sketches.cmsHeavyHitters(Tables.events(s, d))),
@@ -3837,6 +3841,39 @@ object SparkEntry {
     "q_exact_median" ->
       """SELECT o_orderpriority, round(median(o_totalprice), 2) AS median_price
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_orders_backlog" ->
+      """WITH spans AS (
+        |  SELECT o.o_orderkey, strftime(o.o_orderdate, '%Y-%m') AS om,
+        |         strftime(max(l.l_shipdate), '%Y-%m') AS cm
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 2),
+        |opened AS (SELECT om AS month, CAST(count(*) AS BIGINT) AS opened FROM spans GROUP BY 1),
+        |closed AS (SELECT cm AS month, CAST(count(*) AS BIGINT) AS closed FROM spans GROUP BY 1),
+        |months AS (SELECT month FROM opened UNION SELECT month FROM closed),
+        |j AS (
+        |  SELECT m.month, coalesce(o.opened, 0) AS opened, coalesce(c.closed, 0) AS closed
+        |  FROM months m LEFT JOIN opened o USING (month) LEFT JOIN closed c USING (month))
+        |SELECT month, CAST(opened AS BIGINT) AS opened, CAST(closed AS BIGINT) AS closed,
+        |       CAST(sum(opened - closed) OVER
+        |         (ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS backlog
+        |FROM j ORDER BY month""".stripMargin,
+    "samp_epoch_plan" ->
+      s"""WITH per AS (
+         |  SELECT source, CAST(SUM(len(${dToks("text")})) AS BIGINT) AS n_tokens
+         |  FROM documents WHERE text IS NOT NULL GROUP BY source),
+         |sw AS (SELECT *, CAST(round(sqrt(CAST(n_tokens AS DOUBLE)), 6) AS DECIMAL(18,6)) AS sw
+         |       FROM per),
+         |tot AS (SELECT SUM(sw) AS total_sw FROM sw),
+         |wts AS (
+         |  SELECT source, n_tokens,
+         |         round(CAST(sw AS DOUBLE) / CAST(total_sw AS DOUBLE), 6) AS weight
+         |  FROM sw, tot),
+         |tgt AS (
+         |  SELECT *, CAST(floor(weight * 1000000) AS BIGINT) AS target_tokens FROM wts)
+         |SELECT source, n_tokens, weight, target_tokens,
+         |       round(CAST(target_tokens AS DOUBLE) / n_tokens, 4) AS epochs,
+         |       CAST(floor(CAST(target_tokens AS DOUBLE) / n_tokens) AS BIGINT) AS full_passes
+         |FROM tgt ORDER BY source""".stripMargin,
     "rag_qlm" ->
       s"""WITH t AS (SELECT doc_id, ${dToks("text")} AS tk FROM documents),
          |tok AS (SELECT doc_id, unnest(tk) AS w FROM t),

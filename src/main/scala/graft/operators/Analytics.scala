@@ -543,4 +543,32 @@ object Analytics {
         col("n_orders"))
       .orderBy(col("custkey"), col("version"))
   }
+
+  /** Orders-in-flight backlog by month: an order opens at
+    * o_orderdate and closes when its LAST line ships; the backlog at
+    * a month's end is cumulative(opened) − cumulative(closed) — the
+    * interval-counting shape behind every WIP/inventory dashboard.
+    *
+    * Scale: one groupBy(orderkey) rollup of lineitem (corpus-scale,
+    * shuffles on the join key it already needs) joined to orders,
+    * reduced immediately to the O(months) open/close rollup; the
+    * cumulative window runs over months only (bounded — the
+    * `ev_cum_users` allowlist family). */
+  def ordersBacklog(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val spans = lineitem.groupBy(col("l_orderkey"))
+      .agg(max(col("l_shipdate")).as("close_ts"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("om"),
+        date_format(col("close_ts"), "yyyy-MM").as("cm"))
+    val opened = spans.groupBy(col("om").as("month")).agg(count(lit(1)).as("opened"))
+    val closed = spans.groupBy(col("cm").as("month")).agg(count(lit(1)).as("closed"))
+    val w = Window.orderBy(col("month"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    opened.join(closed, Seq("month"), "full_outer")
+      .select(col("month"), coalesce(col("opened"), lit(0L)).as("opened"),
+        coalesce(col("closed"), lit(0L)).as("closed"))
+      .withColumn("backlog", sum(col("opened") - col("closed")).over(w))
+      .orderBy(col("month"))
+  }
 }

@@ -88,6 +88,31 @@ object TrainingMix {
       .orderBy(col("source"))
   }
 
+  /** Epochs-per-source plan under a global token budget: the
+    * smoothed (α=0.5) mixture weight fixes each source's token
+    * TARGET, and target/available is the number of PASSES over that
+    * source — >1 means the small source repeats across epochs
+    * (upsampling), <1 means the giant source is subsampled inside
+    * one pass. The LLaMA-style sampling-ratio table a dataloader
+    * consumes. Model-sized end to end (one row per source); weight
+    * rounds to 6 dp BEFORE the target multiply so the integer floor
+    * is bit-identical on both engines. */
+  def epochPlan(docs: DataFrame, budget: Long = 1000000L): DataFrame = {
+    val per = perSource(docs)
+    val sw = round(sqrt(col("n_tokens").cast("double")), 6).cast("decimal(18,6)")
+    val withSw = per.withColumn("sw", sw)
+    val tot = withSw.agg(sum(col("sw")).as("total_sw"))
+    withSw.crossJoin(broadcast(tot))
+      .withColumn("weight",
+        round(col("sw").cast("double") / col("total_sw").cast("double"), 6))
+      .withColumn("target_tokens", floor(col("weight") * budget).cast("long"))
+      .select(col("source"), col("n_tokens"), col("weight"), col("target_tokens"),
+        round(col("target_tokens").cast("double") / col("n_tokens"), 4).as("epochs"),
+        floor(col("target_tokens").cast("double") / col("n_tokens"))
+          .cast("long").as("full_passes"))
+      .orderBy(col("source"))
+  }
+
   /** Length-curriculum order: documents banded into difficulty
     * phases by fixed length thresholds (easy < `easyMax`, medium <
     * `midMax`, hard), then given ONE global training order — phases

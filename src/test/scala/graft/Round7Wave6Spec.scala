@@ -108,6 +108,38 @@ class Round7Wave6Spec extends SparkSpec {
     assert((1 to 6).forall(k => acf(k.toLong) < 0.99))
   }
 
+  // ── ordersBacklog / epochPlan ──────────────────────────────────
+
+  test("ordersBacklog: backlog is cumulative(opened) − cumulative(closed) and ends at 0") {
+    val got = graft.operators.Analytics.ordersBacklog(
+      Tables.orders(spark, sf), Tables.lineitem(spark, sf)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    var cum = 0L
+    got.foreach { case (_, o, c, b) => cum += o - c; assert(b == cum) }
+    // every order with lineitems eventually ships its last line
+    assert(got.last._4 == 0L)
+    assert(got.map(_._4).max > 0L)
+  }
+
+  test("epochPlan: targets follow √-smoothed weights; epochs = target/available") {
+    val got = graft.operators.TrainingMix.epochPlan(
+      Tables.documents(spark, sf), budget = 500000L).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (tok, w, tgt, ep, fp) = (r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5))
+      assert(tgt == math.floor(w * 500000L).toLong)
+      assert(math.abs(ep - math.floor(tgt.toDouble / tok * 10000) / 10000.0) < 1.1e-4)
+      assert(fp == math.floor(tgt.toDouble / tok).toLong)
+    }
+    // smoothing upsamples the smallest source relative to its share
+    val withShare = got.map(r => (r.getLong(1), r.getDouble(2)))
+    val totalTok = withShare.map(_._1).sum.toDouble
+    val smallest = withShare.minBy(_._1)
+    assert(smallest._2 > smallest._1 / totalTok,
+      "√-smoothing must over-weight the smallest source")
+  }
+
   test("autocorrDaily pair counts shrink by one per extra lag") {
     val ev = Tables.events(spark, sf)
     val got = Events.autocorrDaily(ev).collect()
