@@ -45,13 +45,37 @@ import org.apache.spark.sql.types.StructType
   * plans only the files its commits added — the same incremental
   * cost as the polling consumer, but scheduled, checkpointed, and
   * rate-controllable by the engine. */
-class DeltaStreamSourceProvider extends StreamSourceProvider with DataSourceRegister {
+class DeltaStreamSourceProvider extends StreamSourceProvider
+  with org.apache.spark.sql.sources.StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-delta"
 
   private def pathOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-delta source requires a table path: .load(path) or .option(\"path\", ...)"))
+
+  /** The matching SINK: `stream.writeStream.format("graft-delta")
+    * .option("checkpointLocation", ...).start(tablePath)`. Append
+    * mode appends each micro-batch as a Delta commit; Complete mode
+    * overwrites the snapshot per batch. Exactly-once: every commit
+    * carries a `txn` action keyed (txnAppId, batchId) — a replayed
+    * batch (the foreachBatch at-least-once boundary after a crash)
+    * is SKIPPED when the table already recorded its id, the same
+    * guard as `exactlyOnceBatchSink`, now behind the engine's own
+    * checkpoint/restart machinery. `txnAppId` defaults to a
+    * path-derived id; set it explicitly when two independent queries
+    * write the same table. */
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val tbl = pathOf(parameters)
+    val appId = parameters.getOrElse("txnAppId",
+      s"graft-delta-sink-${Integer.toHexString(tbl.hashCode)}")
+    val complete = outputMode == org.apache.spark.sql.streaming.OutputMode.Complete()
+    new DeltaStreamSink(tbl, appId, complete, partitionColumns)
+  }
 
   override def sourceSchema(sqlContext: SQLContext,
                             schema: Option[StructType],
@@ -131,4 +155,24 @@ class DeltaStreamSource(spark: SparkSession, tablePath: String,
   override def stop(): Unit = ()
 
   override def toString: String = s"DeltaStreamSource[$tablePath]"
+}
+
+class DeltaStreamSink(tablePath: String, appId: String, complete: Boolean,
+                      partitionColumns: Seq[String])
+  extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
+    val spark = data.sparkSession
+    // a replayed batch id is already in the table's txn state → skip
+    val exists = DeltaSource.latestVersion(spark, tablePath).isDefined
+    val done = if (exists) DeltaSource.lastTxnVersion(spark, tablePath, appId) else None
+    if (!done.exists(_ >= batchId)) {
+      val batch = org.apache.spark.sql.graft.GraftSqlShims.rebatch(data)
+      DeltaSource.writeDelta(batch, tablePath, overwrite = complete,
+        partitionBy = if (exists) Nil else partitionColumns,
+        txn = Some(appId -> batchId))
+    }
+  }
+
+  override def toString: String = s"DeltaStreamSink[$tablePath]"
 }

@@ -30,6 +30,18 @@ object GraftSqlShims {
     ofRows(df.sparkSession, plan)
   }
 
+  /** Re-plan a v1 `Sink.addBatch` DataFrame as an ordinary batch:
+    * the incoming Dataset carries the streaming execution's
+    * incremental plan, which batch writers must not re-analyze —
+    * the standard v1-sink rebatching (what Delta Lake's own v1
+    * DeltaSink does): take the already-planned InternalRow RDD and
+    * wrap it as a fresh batch DataFrame of the same schema. */
+  def rebatch(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
+
   /** An empty streaming-flagged batch of the given schema. */
   def emptyStreaming(spark: SparkSession,
                      schema: org.apache.spark.sql.types.StructType): DataFrame =

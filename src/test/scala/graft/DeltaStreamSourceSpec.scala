@@ -95,4 +95,46 @@ class DeltaStreamSourceSpec extends SparkSpec {
     val got = drain(tbl, ckpt, Map("startingVersion" -> "1"))
     assert(got.flatMap(_._2).map(_._1).sorted == (100L until 200L))
   }
+
+  // ── the matching graft-delta SINK ──────────────────────────────
+
+  test("delta-to-delta pipeline: source -> transform -> sink, exactly once across reruns") {
+    val src = mkTable()
+    val dst = tmpDir("dst") + "/t"
+    val ckpt = tmpDir("ckpt")
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-delta").load(src)
+        .withColumn("v2", col("k") * 10)
+        .writeStream.format("graft-delta")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start(dst)
+      q.awaitTermination(120000)
+    }
+    run()
+    val got1 = DeltaSource.readDelta(spark, dst)
+    assert(got1.count() == 200)
+    assert(got1.where(col("v2") =!= col("k") * 10).count() == 0)
+    // rerun with nothing new: no duplicates, no extra commits
+    val v1 = DeltaSource.latestVersion(spark, dst)
+    run()
+    assert(DeltaSource.readDelta(spark, dst).count() == 200)
+    assert(DeltaSource.latestVersion(spark, dst) == v1)
+    // append upstream; only the delta flows through
+    DeltaSource.writeDelta(
+      spark.range(200, 230).selectExpr("id", "id % 7 as k"), src,
+      overwrite = false)
+    run()
+    assert(DeltaSource.readDelta(spark, dst).count() == 230)
+  }
+
+  test("a replayed batch id commits once (txn guard in the sink)") {
+    val dst = tmpDir("replay") + "/t"
+    val sink = new graft.sources.DeltaStreamSink(dst, "app1", complete = false, Nil)
+    val batch = spark.range(0, 50).selectExpr("id", "id % 7 as k")
+    sink.addBatch(0L, batch.toDF())
+    sink.addBatch(0L, batch.toDF()) // crash-replay of the same id
+    sink.addBatch(1L, batch.toDF()) // a genuinely new batch appends
+    assert(DeltaSource.readDelta(spark, dst).count() == 100)
+  }
 }
