@@ -472,13 +472,41 @@ object DeltaSource {
     * no column projection, so `_metadata` (file_path, row_index) is
     * still selectable by callers that need row identity (the
     * deletion-vector machinery). */
+  // ---------------------------------------------------------------
+  // column mapping (the Delta `delta.columnMapping.mode = name`
+  // protocol): parquet files and per-file stats are keyed by a
+  // field's PHYSICAL name, carried in the schema field metadata;
+  // renames and drops touch only the metaData action
+  // ---------------------------------------------------------------
+
+  private val PhysicalNameKey = "delta.columnMapping.physicalName"
+
+  private[sources] def physicalName(f: StructField): String =
+    if (f.metadata.contains(PhysicalNameKey)) f.metadata.getString(PhysicalNameKey)
+    else f.name
+
+  private def withPhysicalName(f: StructField, phys: String): StructField =
+    f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+      .putString(PhysicalNameKey, phys).build())
+
+  /** Rename `df`'s logical columns to their physical names for a
+    * parquet write (identity on unmapped tables). */
+  private def toPhysical(df: DataFrame, schema: StructType): DataFrame =
+    df.select(schema.map(f => col(f.name).as(physicalName(f))).toIndexedSeq: _*)
+
   private def scanRelationBase(spark: SparkSession, tablePath: String,
                                schema: StructType, partitionColumns: Seq[String],
                                files: Seq[(AddFile, Map[String, String])]): DataFrame = {
     val table = new Path(tablePath)
     lazy val fs = fsOf(spark, table)
-    val partSchema = StructType(partitionColumns.map(c => schema(c)))
-    val dataSchema = StructType(schema.filterNot(f => partitionColumns.contains(f.name)))
+    // the relation reads the files' PHYSICAL column names (identical
+    // to the logical ones unless column mapping has renamed fields);
+    // the trailing projection re-aliases to the logical view, which
+    // metadata columns survive (Project propagates metadataOutput)
+    val partSchema = StructType(partitionColumns.map(c =>
+      { val f = schema(c); f.copy(name = physicalName(f)) }))
+    val dataSchema = StructType(schema.filterNot(f => partitionColumns.contains(f.name))
+      .map(f => f.copy(name = physicalName(f))))
     val indexed = files.map { case (a, extra) =>
       val p = dataPath(tablePath, a.path)
       val size = a.size.getOrElse(fs.getFileStatus(p).getLen)
@@ -491,6 +519,7 @@ object DeltaSource {
     val relation = HadoopFsRelation(index, partSchema, dataSchema, None,
       new ParquetFileFormat, Map.empty)(spark)
     spark.baseRelationToDataFrame(relation)
+      .select(schema.map(f => col(physicalName(f)).as(f.name)).toIndexedSeq: _*)
   }
 
   /** Schema of a deletion-vector sidecar: the data file's BASENAME
@@ -636,6 +665,18 @@ object DeltaSource {
     // new columns (appended as nullable — older files read as null
     // through the scan, the standard missing-column semantics).
     // Shared columns must agree on type either way.
+    // under column mapping, a column carried across schema changes
+    // keeps its physical name and a NEW column gets a FRESH col-uuid
+    // — re-adding a dropped column's logical name must NOT resurrect
+    // the old files' values
+    val mappingOn = prevSnap.exists(
+      _.configuration.get("delta.columnMapping.mode").contains("name"))
+    def carryPhysical(f: StructField, prevSchema: StructType): StructField =
+      if (!mappingOn) f
+      else prevSchema.find(_.name == f.name) match {
+        case Some(pf) => withPhysicalName(f, physicalName(pf))
+        case None => withPhysicalName(f, s"col-${UUID.randomUUID().toString}")
+      }
     val tableSchema: StructType = prevSnap match {
       case None => df.schema
       case Some(s) =>
@@ -643,14 +684,15 @@ object DeltaSource {
           require(s.schema(f.name).dataType == f.dataType,
             s"column ${f.name}: ${f.dataType} conflicts with table's ${s.schema(f.name).dataType}")
         }
-        if (overwrite) df.schema
+        if (overwrite) StructType(df.schema.map(f => carryPhysical(f, s.schema)))
         else {
           val extra = df.schema.filterNot(f => s.schema.exists(_.name == f.name))
           if (extra.isEmpty) s.schema
           else {
             require(mergeSchema,
               s"append adds columns ${extra.map(_.name).mkString(", ")}; pass mergeSchema = true")
-            StructType(s.schema ++ extra.map(_.copy(nullable = true)))
+            StructType(s.schema ++
+              extra.map(f => carryPhysical(f.copy(nullable = true), s.schema)))
           }
         }
     }
@@ -663,8 +705,7 @@ object DeltaSource {
         k.stripPrefix("delta.constraints.") -> v
     })
 
-    val dataSchema = StructType(tableSchema.filterNot(f => partCols.contains(f.name)))
-    val adds = stageFiles(df, table, fs, partCols, next, dataSchema)
+    val adds = stageFiles(df, table, fs, partCols, next, tableSchema)
 
     val now = System.currentTimeMillis()
     val partColsJson = partCols.map(jsonStr).mkString("[", ",", "]")
@@ -736,6 +777,77 @@ object DeltaSource {
     setTableProperties(spark, tablePath, Map.empty, Seq(key), commitStore)
   }
 
+  private def commitMetadata(spark: SparkSession, tablePath: String,
+                             schema: StructType, partitionColumns: Seq[String],
+                             cfg: Map[String, String],
+                             commitStore: CommitStore): Long = {
+    val snap = snapshot(spark, tablePath, None)
+    val table = new Path(tablePath)
+    val fs = fsOf(spark, table)
+    val now = System.currentTimeMillis()
+    val partColsJson = partitionColumns.map(jsonStr).mkString("[", ",", "]")
+    val metaLine = s"""{"metaData":{"id":${jsonStr(UUID.randomUUID().toString)},"format":{"provider":"parquet","options":{}},"schemaString":${jsonStr(schema.json)},"partitionColumns":$partColsJson,"configuration":${configJson(cfg)},"createdTime":$now}}"""
+    commitWithRetry(spark, fs, tablePath, snap.version + 1, Seq(metaLine),
+      pureAppend = false, commitStore)
+  }
+
+  /** Turn on column mapping (`delta.columnMapping.mode = name`):
+    * every field is stamped with its CURRENT name as the physical
+    * name, so existing files keep matching; from here on, renames
+    * and drops are metaData-only commits and new columns get fresh
+    * `col-<uuid>` physical names. One O(log) commit, no data
+    * touched. */
+  def enableColumnMapping(spark: SparkSession, tablePath: String,
+                          commitStore: CommitStore = CreateExclusiveCommitStore): Long = {
+    val snap = snapshot(spark, tablePath, None)
+    require(!snap.configuration.get("delta.columnMapping.mode").contains("name"),
+      s"column mapping already enabled on $tablePath")
+    val newSchema = StructType(snap.schema.map(f => withPhysicalName(f, physicalName(f))))
+    commitMetadata(spark, tablePath, newSchema, snap.partitionColumns,
+      snap.configuration + ("delta.columnMapping.mode" -> "name"), commitStore)
+  }
+
+  /** ALTER TABLE RENAME COLUMN — metaData-only under column mapping:
+    * the logical name changes, the physical name (what the parquet
+    * files and per-file stats are keyed by) stays, so ZERO data is
+    * rewritten and data skipping keeps working on the renamed
+    * column. Partition columns are refused (their names are baked
+    * into the hive layout and the log's partitionValues keys). */
+  def renameColumn(spark: SparkSession, tablePath: String,
+                   oldName: String, newName: String,
+                   commitStore: CommitStore = CreateExclusiveCommitStore): Long = {
+    val snap = snapshot(spark, tablePath, None)
+    require(snap.configuration.get("delta.columnMapping.mode").contains("name"),
+      s"renameColumn requires column mapping: call enableColumnMapping($tablePath) first")
+    require(snap.schema.exists(_.name == oldName), s"no column $oldName")
+    require(!snap.schema.exists(_.name == newName), s"column $newName already exists")
+    require(!snap.partitionColumns.contains(oldName),
+      s"partition column $oldName cannot be renamed")
+    val newSchema = StructType(snap.schema.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f))
+    commitMetadata(spark, tablePath, newSchema, snap.partitionColumns,
+      snap.configuration, commitStore)
+  }
+
+  /** ALTER TABLE DROP COLUMN — metaData-only under column mapping:
+    * the field leaves the logical schema; the bytes stay in the
+    * files (readers prune them) until the next rewrite. Re-adding
+    * the same logical name later gets a FRESH physical column, so
+    * the dropped values never resurrect. */
+  def dropColumn(spark: SparkSession, tablePath: String, name: String,
+                 commitStore: CommitStore = CreateExclusiveCommitStore): Long = {
+    val snap = snapshot(spark, tablePath, None)
+    require(snap.configuration.get("delta.columnMapping.mode").contains("name"),
+      s"dropColumn requires column mapping: call enableColumnMapping($tablePath) first")
+    require(snap.schema.exists(_.name == name), s"no column $name")
+    require(!snap.partitionColumns.contains(name),
+      s"partition column $name cannot be dropped")
+    require(snap.schema.size > 1, "cannot drop the last column")
+    commitMetadata(spark, tablePath,
+      StructType(snap.schema.filterNot(_.name == name)), snap.partitionColumns,
+      snap.configuration, commitStore)
+  }
+
   /** A staged-and-moved data file ready to commit. */
   private case class StagedAdd(relPath: String, size: Long,
                                partitionValues: Map[String, String],
@@ -768,14 +880,27 @@ object DeltaSource {
   /** Land `df`'s data files under a unique staging dir, then move
     * them into the table (a partitioned write stages the hive layout
     * and the moves keep it); per-file min/max/nullCount stats come
-    * from the landed parquet FOOTERS (no data re-read). */
+    * from the landed parquet FOOTERS (no data re-read). Files, hive
+    * partition dirs and stats are all keyed by PHYSICAL column names
+    * (identical to logical unless column mapping renamed fields);
+    * `partCols` arrives logical and is mapped here. */
   private def stageFiles(df: DataFrame, table: Path, fs: FileSystem,
                          partCols: Seq[String], next: Long,
-                         dataSchema: StructType): Seq[StagedAdd] = {
+                         tableSchema: StructType): Seq[StagedAdd] = {
     val spark = df.sparkSession
+    // rename the df's columns to physical; columns outside the table
+    // schema (none in practice) pass through untouched
+    val physDf = df.select(df.columns.map { c =>
+      tableSchema.find(_.name == c)
+        .map(f => col(c).as(physicalName(f))).getOrElse(col(c))
+    }.toIndexedSeq: _*)
+    val physPartCols = partCols.map(c => physicalName(tableSchema(c)))
+    val dataSchema = StructType(
+      tableSchema.filterNot(f => partCols.contains(f.name))
+        .map(f => f.copy(name = physicalName(f))))
     val stage = new Path(table, s".stage-${UUID.randomUUID().toString.take(8)}")
-    val w = df.write.mode("overwrite")
-    (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w).parquet(stage.toString)
+    val w = physDf.write.mode("overwrite")
+    (if (physPartCols.nonEmpty) w.partitionBy(physPartCols: _*) else w).parquet(stage.toString)
     // recursive listStatus walk (listFiles' LocatedFileStatus needs
     // local permission IO, which foreign wrapped schemes lack)
     val stageQ = fs.makeQualified(stage)
@@ -1019,14 +1144,16 @@ object DeltaSource {
     val now = System.currentTimeMillis()
     val dataSchema =
       StructType(snap.schema.filterNot(f => snap.partitionColumns.contains(f.name)))
+    val physDataSchema = StructType(dataSchema.map(f => f.copy(name = physicalName(f))))
     val actions = rewrites.flatMap { case (pv, bin) =>
       // one coalesced file per bin — read DV-AWARE (scanRelation
       // applies deletion vectors), so compaction materializes deletes
       // instead of resurrecting them; a raw parquet read here would
-      // silently undo every DV'd delete under dataChange=false
+      // silently undo every DV'd delete under dataChange=false.
+      // Written back under PHYSICAL names (column-mapping parity).
       val data = scanRelation(spark, tablePath, snap.schema, snap.partitionColumns,
         bin.map(a => (a, Map.empty[String, String])))
-        .select(dataSchema.map(f => col(f.name)).toIndexedSeq: _*)
+        .select(dataSchema.map(f => col(f.name).as(physicalName(f))).toIndexedSeq: _*)
       val relDirs = snap.partitionColumns.map { c =>
         val v = pv.getOrElse(c, null)
         s"$c=${if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
@@ -1043,7 +1170,7 @@ object DeltaSource {
       renameOrFail(fs, part, dst)
       fs.delete(stage, true)
       val add = addLine(StagedAdd(relPath, fs.getFileStatus(dst).getLen, pv,
-        statsJsonFor(spark, dst, dataSchema)), now, dataChange = false)
+        statsJsonFor(spark, dst, physDataSchema)), now, dataChange = false)
       val removeLines = bin.map(a =>
         s"""{"remove":{"path":${jsonStr(a.path)},"deletionTimestamp":$now,"dataChange":false}}""")
       removeLines :+ add
@@ -1087,9 +1214,7 @@ object DeltaSource {
       .sortWithinPartitions("__graft_z")
       .drop("__graft_z")
     val next = snap.version + 1
-    val dataSchema =
-      StructType(snap.schema.filterNot(f => snap.partitionColumns.contains(f.name)))
-    val adds = stageFiles(clustered, table, fs, snap.partitionColumns, next, dataSchema)
+    val adds = stageFiles(clustered, table, fs, snap.partitionColumns, next, snap.schema)
     val now = System.currentTimeMillis()
     val removeLines = snap.files.map(a =>
       s"""{"remove":{"path":${jsonStr(a.path)},"deletionTimestamp":$now,"dataChange":false}}""")
@@ -1233,9 +1358,7 @@ object DeltaSource {
         .unionByName(upd)
 
     val next = snap.version + 1
-    val dataSchema =
-      StructType(snap.schema.filterNot(f => snap.partitionColumns.contains(f.name)))
-    val adds = stageFiles(newData, table, fs, snap.partitionColumns, next, dataSchema)
+    val adds = stageFiles(newData, table, fs, snap.partitionColumns, next, snap.schema)
     val now = System.currentTimeMillis()
     val removeLines = touched.map(a =>
       s"""{"remove":{"path":${jsonStr(a.path)},"deletionTimestamp":$now,"dataChange":true}}""")
