@@ -107,7 +107,8 @@ object DeltaSource {
       partitionColumns: Seq[String],
       files: Seq[AddFile],
       txns: Map[String, Long],
-      configuration: Map[String, String] = Map.empty)
+      configuration: Map[String, String] = Map.empty,
+      protocol: Protocol = DefaultProtocol)
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -155,15 +156,41 @@ object DeltaSource {
       StructField("configuration", MapType(StringType, StringType))))),
     StructField("txn", StructType(Seq(
       StructField("appId", StringType),
-      StructField("version", LongType))))))
-
-  /** Checkpoints additionally carry the protocol action — required by
-    * the Delta spec in every checkpoint file, and what external
-    * readers (delta-rs, Delta Lake) seed their protocol check from. */
-  private val CheckpointSchema: StructType = StructType(ActionSchema :+
+      StructField("version", LongType)))),
     StructField("protocol", StructType(Seq(
       StructField("minReaderVersion", IntegerType),
-      StructField("minWriterVersion", IntegerType)))))
+      StructField("minWriterVersion", IntegerType),
+      StructField("readerFeatures", ArrayType(StringType)),
+      StructField("writerFeatures", ArrayType(StringType)))))))
+
+  /** Checkpoints carry the same action complement (the protocol
+    * action is required in every checkpoint per the spec). */
+  private val CheckpointSchema: StructType = ActionSchema
+
+  /** The protocol state of a table: version gates plus (3,7)-style
+    * table-feature lists. */
+  private[sources] case class Protocol(minReader: Int, minWriter: Int,
+                                       readerFeatures: Set[String],
+                                       writerFeatures: Set[String])
+
+  private val DefaultProtocol = Protocol(1, 2, Set.empty, Set.empty)
+
+  /** Reader features this implementation actually understands — a
+    * table REQUIRING anything else must be refused, not misread
+    * (e.g. a reader ignoring deletionVectors would resurrect every
+    * deleted row). */
+  private val SupportedReaderFeatures = Set("deletionVectors", "columnMapping")
+  private val MaxReaderVersion = 3
+
+  private def protocolLine(p: Protocol): String = {
+    val rf = if (p.minReader >= 3)
+      s""","readerFeatures":${p.readerFeatures.toSeq.sorted.map(jsonStr).mkString("[", ",", "]")}"""
+    else ""
+    val wf = if (p.minWriter >= 7)
+      s""","writerFeatures":${p.writerFeatures.toSeq.sorted.map(jsonStr).mkString("[", ",", "]")}"""
+    else ""
+    s"""{"protocol":{"minReaderVersion":${p.minReader},"minWriterVersion":${p.minWriter}$rf$wf}}"""
+  }
 
   private def rowToAdd(a: org.apache.spark.sql.Row): AddFile = {
     val pv = Option(a.getAs[scala.collection.Map[String, String]]("partitionValues"))
@@ -223,6 +250,8 @@ object DeltaSource {
     var partCols: Seq[String] = Nil
     var config: Map[String, String] = Map.empty
     var metaVersion = -1L
+    var protocol: Protocol = DefaultProtocol
+    var protoVersion = -1L
     // newest action per path wins (paths are unique within a commit)
     val state = scala.collection.mutable.LinkedHashMap[String, (Long, Option[AddFile])]()
     // newest txn version per appId (streaming-sink idempotency state)
@@ -232,6 +261,19 @@ object DeltaSource {
       val remIdx = row.fieldIndex("remove")
       val metaIdx = row.fieldIndex("metaData")
       val txnIdx = row.fieldIndex("txn")
+      val protoIdx = row.fieldIndex("protocol")
+      if (!row.isNullAt(protoIdx) && v >= protoVersion) {
+        val pr = row.getStruct(protoIdx)
+        if (!pr.isNullAt(pr.fieldIndex("minReaderVersion"))) {
+          protoVersion = v
+          def feats(field: String): Set[String] =
+            if (pr.isNullAt(pr.fieldIndex(field))) Set.empty
+            else pr.getAs[scala.collection.Seq[String]](field).toSet
+          protocol = Protocol(pr.getAs[Int]("minReaderVersion"),
+            pr.getAs[Int]("minWriterVersion"),
+            feats("readerFeatures"), feats("writerFeatures"))
+        }
+      }
       if (!row.isNullAt(txnIdx)) {
         val t = row.getStruct(txnIdx)
         val app = t.getAs[String]("appId")
@@ -263,8 +305,22 @@ object DeltaSource {
       .map(s => DataType.fromJson(s).asInstanceOf[StructType])
       .getOrElse(throw new IllegalStateException(
         s"no metaData action found in the log of $tablePath"))
+    // honor the protocol gate: misreading a table whose required
+    // reader features we lack (e.g. ignoring deletionVectors) would
+    // silently return WRONG rows — refuse instead, like any
+    // spec-compliant reader
+    require(protocol.minReader <= MaxReaderVersion,
+      s"$tablePath requires minReaderVersion ${protocol.minReader}; " +
+        s"this reader supports up to $MaxReaderVersion")
+    if (protocol.minReader >= 3) {
+      val unsupported = protocol.readerFeatures -- SupportedReaderFeatures
+      require(unsupported.isEmpty,
+        s"$tablePath requires reader features $unsupported; " +
+          s"supported: $SupportedReaderFeatures")
+    }
     Snapshot(target, schema, partCols,
-      state.values.collect { case (_, Some(a)) => a }.toSeq, txns.toMap, config)
+      state.values.collect { case (_, Some(a)) => a }.toSeq, txns.toMap, config,
+      protocol)
   }
 
   /** Highest committed `txn` version for `appId` (the Delta spec's
@@ -711,8 +767,7 @@ object DeltaSource {
     val partColsJson = partCols.map(jsonStr).mkString("[", ",", "]")
     def metaLine = s"""{"metaData":{"id":${jsonStr(UUID.randomUUID().toString)},"format":{"provider":"parquet","options":{}},"schemaString":${jsonStr(tableSchema.json)},"partitionColumns":$partColsJson,"configuration":${configJson(tableConfig)},"createdTime":$now}}"""
     val header =
-      if (next == 0L) Seq(
-        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""", metaLine)
+      if (next == 0L) Seq(protocolLine(DefaultProtocol), metaLine)
       // schema changed (overwrite redefinition or mergeSchema append):
       // the commit carries the new metaData, newest-wins on replay
       else if (prevSnap.exists(_.schema != tableSchema)) Seq(metaLine)
@@ -777,17 +832,32 @@ object DeltaSource {
     setTableProperties(spark, tablePath, Map.empty, Seq(key), commitStore)
   }
 
+  /** The protocol after requiring `feature` (reader+writer table
+    * feature): (3,7) with the feature listed, merging any features
+    * the current protocol already names. Legacy version gates that
+    * imply the feature are honored without upgrade. */
+  private def protocolWith(cur: Protocol, feature: String,
+                           legacyOk: Protocol => Boolean): Protocol =
+    if (legacyOk(cur) || (cur.minReader >= 3 && cur.readerFeatures(feature))) cur
+    else Protocol(3, 7,
+      cur.readerFeatures + feature ++
+        (if (cur.minReader >= 2) Set("columnMapping") else Set.empty),
+      cur.writerFeatures + feature ++
+        (if (cur.minWriter >= 5) Set("columnMapping") else Set.empty))
+
   private def commitMetadata(spark: SparkSession, tablePath: String,
                              schema: StructType, partitionColumns: Seq[String],
                              cfg: Map[String, String],
-                             commitStore: CommitStore): Long = {
+                             commitStore: CommitStore,
+                             newProtocol: Option[Protocol] = None): Long = {
     val snap = snapshot(spark, tablePath, None)
     val table = new Path(tablePath)
     val fs = fsOf(spark, table)
     val now = System.currentTimeMillis()
     val partColsJson = partitionColumns.map(jsonStr).mkString("[", ",", "]")
     val metaLine = s"""{"metaData":{"id":${jsonStr(UUID.randomUUID().toString)},"format":{"provider":"parquet","options":{}},"schemaString":${jsonStr(schema.json)},"partitionColumns":$partColsJson,"configuration":${configJson(cfg)},"createdTime":$now}}"""
-    commitWithRetry(spark, fs, tablePath, snap.version + 1, Seq(metaLine),
+    val protoLines = newProtocol.filter(_ != snap.protocol).map(protocolLine).toSeq
+    commitWithRetry(spark, fs, tablePath, snap.version + 1, protoLines :+ metaLine,
       pureAppend = false, commitStore)
   }
 
@@ -803,8 +873,20 @@ object DeltaSource {
     require(!snap.configuration.get("delta.columnMapping.mode").contains("name"),
       s"column mapping already enabled on $tablePath")
     val newSchema = StructType(snap.schema.map(f => withPhysicalName(f, physicalName(f))))
+    // protocol gate: legacy (2,5) implies column mapping; a (3,7)
+    // table lists it as a feature instead
+    val proto =
+      if (snap.protocol.minReader >= 3)
+        snap.protocol.copy(
+          readerFeatures = snap.protocol.readerFeatures + "columnMapping",
+          writerFeatures = snap.protocol.writerFeatures + "columnMapping")
+      else if (snap.protocol.minReader >= 2 && snap.protocol.minWriter >= 5)
+        snap.protocol
+      else Protocol(2 max snap.protocol.minReader, 5 max snap.protocol.minWriter,
+        snap.protocol.readerFeatures, snap.protocol.writerFeatures)
     commitMetadata(spark, tablePath, newSchema, snap.partitionColumns,
-      snap.configuration + ("delta.columnMapping.mode" -> "name"), commitStore)
+      snap.configuration + ("delta.columnMapping.mode" -> "name"), commitStore,
+      Some(proto))
   }
 
   /** ALTER TABLE RENAME COLUMN — metaData-only under column mapping:
@@ -1042,9 +1124,15 @@ object DeltaSource {
           col("p").as("partitionColumns"), col("cfg").as("configuration"))
           .cast(CheckpointSchema("metaData").dataType).as("metaData"),
         nullCol("txn"), nullCol("protocol"))
-    val protocolRow = Seq(1).toDF("x")
+    val p = snap.protocol
+    val protocolRow = Seq((p.minReader, p.minWriter,
+      p.readerFeatures.toSeq.sorted, p.writerFeatures.toSeq.sorted))
+      .toDF("mr", "mw", "rf", "wf")
       .select(nullCol("add"), nullCol("remove"), nullCol("metaData"), nullCol("txn"),
-        struct(lit(1).as("minReaderVersion"), lit(2).as("minWriterVersion")).as("protocol"))
+        struct(col("mr").as("minReaderVersion"), col("mw").as("minWriterVersion"),
+          when(col("mr") >= 3, col("rf")).as("readerFeatures"),
+          when(col("mw") >= 7, col("wf")).as("writerFeatures"))
+          .cast(CheckpointSchema("protocol").dataType).as("protocol"))
     // latest txn per appId rides the checkpoint, so sink idempotency
     // survives log truncation past the checkpoint
     val txnRows = snap.txns.toSeq.sortBy(_._1) match {
@@ -1448,8 +1536,17 @@ object DeltaSource {
       reAddLine(a, sz, now, dataChange = true,
         Some(DvDesc(sidecarRel, newCard(nameOf(a)))))
     }
+    // the first DV descriptor gates the protocol up to (3,7) with the
+    // deletionVectors feature IN THE SAME COMMIT — an external reader
+    // that would ignore DVs (and resurrect rows) must refuse instead
+    val protoLines =
+      if (kept.isEmpty) Nil
+      else {
+        val proto = protocolWith(snap.protocol, "deletionVectors", _ => false)
+        if (proto == snap.protocol) Nil else Seq(protocolLine(proto))
+      }
     commitWithRetry(spark, fs, tablePath, snap.version + 1,
-      removeLines ++ addLines, pureAppend = false, commitStore)
+      protoLines ++ removeLines ++ addLines, pureAppend = false, commitStore)
   }
 
   /** RESTORE the table to the state it had at `version` — a new
@@ -1539,8 +1636,7 @@ object DeltaSource {
       s"""{"add":{"path":${jsonStr(abs)},"partitionValues":$pvJson,"size":$sz,"modificationTime":$now,"dataChange":true$statsJson${dvJson(dvAbs)}}}"""
     }
     commitWithRetry(spark, fs, dstPath, 0L,
-      Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""", metaLine)
-        ++ addLines,
+      Seq(protocolLine(snap.protocol), metaLine) ++ addLines,
       pureAppend = false, commitStore)
     0L
   }
