@@ -95,16 +95,25 @@ class DeltaStreamSourceProvider extends StreamSourceProvider
     val spark = sqlContext.sparkSession
     val tbl = pathOf(parameters)
     val starting = parameters.get("startingVersion").map(_.toLong).getOrElse(0L)
-    new DeltaStreamSource(spark, tbl, starting)
+    val maxCommits = parameters.get("maxCommitsPerBatch").map(_.toLong)
+    new DeltaStreamSource(spark, tbl, starting, maxCommits)
   }
 }
 
 class DeltaStreamSource(spark: SparkSession, tablePath: String,
-                        startingVersion: Long) extends Source {
+                        startingVersion: Long,
+                        maxCommitsPerBatch: Option[Long] = None) extends Source {
 
   private val snap0 = DeltaSource.snapshot(spark, tablePath, None)
 
   override val schema: StructType = snap0.schema
+
+  /** Highest commit already handed to getBatch — the admission-
+    * control cursor behind `maxCommitsPerBatch`: a backfill over a
+    * deep log proceeds in bounded batches instead of one giant
+    * catch-up plan. Restart-safe because the engine replays its
+    * checkpointed range through getBatch first, which re-seeds this. */
+  @volatile private var lastPlanned: Option[Long] = None
 
   private def ver(o: Offset): Long = o match {
     case l: LongOffset => l.offset
@@ -114,11 +123,19 @@ class DeltaStreamSource(spark: SparkSession, tablePath: String,
   override def getOffset: Option[Offset] =
     DeltaSource.latestVersion(spark, tablePath)
       .filter(_ >= startingVersion)
-      .map(LongOffset(_))
+      .map { latest =>
+        val capped = maxCommitsPerBatch match {
+          case Some(n) =>
+            math.min(latest, lastPlanned.getOrElse(startingVersion - 1) + n)
+          case None => latest
+        }
+        LongOffset(capped)
+      }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val lo = start.map(ver).getOrElse(startingVersion - 1)
     val hi = ver(end)
+    lastPlanned = Some(math.max(hi, lastPlanned.getOrElse(Long.MinValue)))
     val logDir = new Path(tablePath, "_delta_log")
     val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val commits = {

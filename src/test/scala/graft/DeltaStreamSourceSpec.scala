@@ -128,6 +128,32 @@ class DeltaStreamSourceSpec extends SparkSpec {
     assert(DeltaSource.readDelta(spark, dst).count() == 230)
   }
 
+  test("maxCommitsPerBatch bounds a deep-log backfill into multiple batches") {
+    val tbl = tmpDir("deep") + "/t"
+    (0 until 6).foreach { i =>
+      DeltaSource.writeDelta(
+        spark.range(i * 10, i * 10 + 10).selectExpr("id", "id % 7 as k"), tbl,
+        overwrite = i == 0)
+    }
+    val buf = scala.collection.mutable.ArrayBuffer[Int]()
+    val q = spark.readStream.format("graft-delta")
+      .option("maxCommitsPerBatch", "2")
+      .load(tbl)
+      .writeStream
+      .option("checkpointLocation", tmpDir("ckpt"))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = batch.count().toInt
+        buf.synchronized { buf += n }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    assert(buf.sum == 60)
+    assert(buf.count(_ > 0) == 3, s"6 commits at 2/batch must drain in 3 batches, got $buf")
+    assert(buf.filter(_ > 0).forall(_ == 20))
+  }
+
   test("a replayed batch id commits once (txn guard in the sink)") {
     val dst = tmpDir("replay") + "/t"
     val sink = new graft.sources.DeltaStreamSink(dst, "app1", complete = false, Nil)
