@@ -102,23 +102,70 @@ class DeltaStreamSourceProvider extends StreamSourceProvider
 
 class DeltaStreamSource(spark: SparkSession, tablePath: String,
                         startingVersion: Long,
-                        maxCommitsPerBatch: Option[Long] = None) extends Source {
+                        maxCommitsPerBatch: Option[Long] = None) extends Source
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit}
 
   private val snap0 = DeltaSource.snapshot(spark, tablePath, None)
 
   override val schema: StructType = snap0.schema
 
   /** Highest commit already handed to getBatch — the admission-
-    * control cursor behind `maxCommitsPerBatch`: a backfill over a
-    * deep log proceeds in bounded batches instead of one giant
-    * catch-up plan. Restart-safe because the engine replays its
-    * checkpointed range through getBatch first, which re-seeds this. */
+    * control cursor behind `maxCommitsPerBatch` on the legacy
+    * `getOffset` path: a backfill over a deep log proceeds in bounded
+    * batches instead of one giant catch-up plan. Restart-safe because
+    * the engine replays its checkpointed range through getBatch
+    * first, which re-seeds this. (The engine prefers the
+    * admission-control `latestOffset(start, limit)` below, where the
+    * cap is computed from the ENGINE's own start offset instead.) */
   @volatile private var lastPlanned: Option[Long] = None
+
+  /** Log end pinned at `prepareForTriggerAvailableNow` time: a
+    * Trigger.AvailableNow run drains exactly the commits present when
+    * it started — in bounded batches when `maxCommitsPerBatch` is set
+    * — then terminates, ignoring commits that land mid-drain (the
+    * AvailableNow contract). Without this trait the engine fell back
+    * to ONE batch at the current getOffset, which under a commit cap
+    * would silently strand everything past the first `n` commits. */
+  @volatile private var availableNowTarget: Option[Option[Long]] = None
 
   private def ver(o: Offset): Long = o match {
     case l: LongOffset => l.offset
     case other => other.json.trim.toLong // SerializedOffset from the checkpoint log
   }
+
+  private def verV2(o: OffsetV2): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.trim.toLong
+  }
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(
+      DeltaSource.latestVersion(spark, tablePath).filter(_ >= startingVersion))
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** Admission-control offset resolution (the path the engine uses
+    * for every trigger once this trait is present): end = min(log
+    * end, AvailableNow pin, start + maxCommitsPerBatch). Returning
+    * `start` unchanged signals "no new data" and, under AvailableNow,
+    * terminates the drain. */
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val base = Option(start).map(verV2).getOrElse(startingVersion - 1)
+    val latest = availableNowTarget match {
+      case Some(pinned) => pinned // AvailableNow: the log end at prepare time
+      case None => DeltaSource.latestVersion(spark, tablePath).filter(_ >= startingVersion)
+    }
+    val capped = latest.map { l =>
+      maxCommitsPerBatch.fold(l)(n => math.min(l, base + n))
+    }
+    capped.filter(_ > base).map(LongOffset(_)).getOrElse(start)
+  }
+
+  override def reportLatestOffset(): OffsetV2 =
+    DeltaSource.latestVersion(spark, tablePath).filter(_ >= startingVersion)
+      .map(LongOffset(_)).orNull
 
   override def getOffset: Option[Offset] =
     DeltaSource.latestVersion(spark, tablePath)

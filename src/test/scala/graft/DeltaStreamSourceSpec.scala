@@ -154,6 +154,35 @@ class DeltaStreamSourceSpec extends SparkSpec {
     assert(buf.filter(_ > 0).forall(_ == 20))
   }
 
+  test("Trigger.AvailableNow drains a capped backfill COMPLETELY, then terminates") {
+    // Under the single-batch fallback (no SupportsTriggerAvailableNow)
+    // a maxCommitsPerBatch cap would strand all but the first n
+    // commits: the engine would run one capped batch and stop. The
+    // trait pins the log end at start and loops batches to it.
+    val tbl = tmpDir("anow") + "/t"
+    (0 until 6).foreach { i =>
+      DeltaSource.writeDelta(
+        spark.range(i * 10, i * 10 + 10).selectExpr("id", "id % 7 as k"), tbl,
+        overwrite = i == 0)
+    }
+    val buf = scala.collection.mutable.ArrayBuffer[Int]()
+    val q = spark.readStream.format("graft-delta")
+      .option("maxCommitsPerBatch", "2")
+      .load(tbl)
+      .writeStream
+      .option("checkpointLocation", tmpDir("anowckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = batch.count().toInt
+        buf.synchronized { buf += n }
+        ()
+      }
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow query must self-terminate")
+    assert(buf.sum == 60, s"the drain must cover ALL 6 commits, got $buf")
+    assert(buf.count(_ > 0) == 3, s"6 commits at 2/batch = 3 batches, got $buf")
+  }
+
   test("a replayed batch id commits once (txn guard in the sink)") {
     val dst = tmpDir("replay") + "/t"
     val sink = new graft.sources.DeltaStreamSink(dst, "app1", complete = false, Nil)
