@@ -21,6 +21,20 @@ private[sources] case class FileStats(
     maxValues: Map[String, String],
     nullCount: Map[String, Long])
 
+/** A generated PARTITION column whose expression is a recognized
+  * MONOTONE NON-DECREASING map of one data column (e.g.
+  * `date = CAST(ts AS DATE)`): a range predicate on the source
+  * column then implies a range predicate on the partition column —
+  * `ts >= L` implies `date >= date(L)` — which [[DeltaFileIndex]]
+  * derives at planning time so a query that only mentions `ts` still
+  * prunes date partitions. `toPart` maps a source-typed literal to a
+  * partition-typed one (evaluated once per predicate, driver-side). */
+private[sources] case class GenPartRule(
+    partCol: String,
+    partType: DataType,
+    srcCol: String,
+    toPart: Any => Any)
+
 /** A [[FileIndex]] over a Delta snapshot's add-file list — the
   * single-relation read path for (possibly partitioned) Delta tables.
   *
@@ -60,7 +74,8 @@ private[sources] class DeltaFileIndex(
     table: Path,
     override val partitionSchema: StructType,
     addFiles: Seq[(Path, Long, Long, Map[String, String])],
-    fileStats: Map[Path, FileStats] = Map.empty)
+    fileStats: Map[Path, FileStats] = Map.empty,
+    genParts: Seq[GenPartRule] = Nil)
   extends FileIndex {
 
   private def castString(raw: String, dt: DataType): Any =
@@ -154,6 +169,59 @@ private[sources] class DeltaFileIndex(
       ord.lteq(mn, v) && ord.gteq(mx, v)
     }
 
+  // ---------------------------------------------------------------
+  // derived partition filters from generated partition columns
+  // ---------------------------------------------------------------
+
+  private def partAttr(g: GenPartRule): AttributeReference =
+    AttributeReference(g.partCol, g.partType, nullable = true)()
+
+  private def ruleFor(name: String): Option[GenPartRule] =
+    genParts.find(_.srcCol == name)
+
+  /** A partition predicate IMPLIED by data filter `e` through the
+    * monotone generation maps (None when nothing can be derived —
+    * never wrong, only incomplete). `ts > L` weakens to
+    * `p >= toPart(L)` because distinct timestamps can share a
+    * partition value. */
+  private def derivePartFilter(e: Expression): Option[Expression] = e match {
+    case And(l, r) => (derivePartFilter(l), derivePartFilter(r)) match {
+      case (Some(a), Some(b)) => Some(And(a, b))
+      case (a, b) => a.orElse(b)
+    }
+    case Or(l, r) => for { a <- derivePartFilter(l); b <- derivePartFilter(r) } yield Or(a, b)
+    case EqualTo(a: AttributeReference, Literal(v, _)) if v != null => eqPart(a, v)
+    case EqualTo(Literal(v, _), a: AttributeReference) if v != null => eqPart(a, v)
+    case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) if v != null => lowPart(a, v)
+    case GreaterThan(a: AttributeReference, Literal(v, _)) if v != null => lowPart(a, v)
+    case LessThanOrEqual(Literal(v, _), a: AttributeReference) if v != null => lowPart(a, v)
+    case LessThan(Literal(v, _), a: AttributeReference) if v != null => lowPart(a, v)
+    case LessThanOrEqual(a: AttributeReference, Literal(v, _)) if v != null => highPart(a, v)
+    case LessThan(a: AttributeReference, Literal(v, _)) if v != null => highPart(a, v)
+    case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) if v != null => highPart(a, v)
+    case GreaterThan(Literal(v, _), a: AttributeReference) if v != null => highPart(a, v)
+    case In(a: AttributeReference, vs) if vs.nonEmpty && vs.forall {
+      case Literal(v, _) => v != null
+      case _ => false
+    } =>
+      ruleFor(a.name).map { g =>
+        val parts = vs.map { case Literal(v, _) => Literal.create(g.toPart(v), g.partType) }
+        In(partAttr(g), parts.distinct)
+      }
+    case _ => None
+  }
+
+  private def eqPart(a: AttributeReference, v: Any): Option[Expression] =
+    ruleFor(a.name).map(g => EqualTo(partAttr(g), Literal.create(g.toPart(v), g.partType)))
+
+  private def lowPart(a: AttributeReference, v: Any): Option[Expression] =
+    ruleFor(a.name).map(g =>
+      GreaterThanOrEqual(partAttr(g), Literal.create(g.toPart(v), g.partType)))
+
+  private def highPart(a: AttributeReference, v: Any): Option[Expression] =
+    ruleFor(a.name).map(g =>
+      LessThanOrEqual(partAttr(g), Literal.create(g.toPart(v), g.partType)))
+
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     // 1. data skipping on per-file stats
@@ -166,11 +234,17 @@ private[sources] class DeltaFileIndex(
         }
       }
     val base = if (files eq addFiles) dirs else directories(files)
+    // 1b. partition filters DERIVED from data filters through
+    // generated partition columns (a query mentioning only the
+    // source column still prunes partitions)
+    val derived =
+      if (genParts.isEmpty) Nil else dataFilters.flatMap(derivePartFilter)
+    val allPartFilters = partitionFilters ++ derived
     // 2. partition pruning
-    if (partitionFilters.isEmpty || partitionSchema.isEmpty) base
+    if (allPartFilters.isEmpty || partitionSchema.isEmpty) base
     else {
       val resolver = spark.sessionState.conf.resolver
-      val bound = partitionFilters.reduce(And).transform {
+      val bound = allPartFilters.reduce(And).transform {
         case a: AttributeReference =>
           val idx = partitionSchema.fieldNames.indexWhere(n => resolver(n, a.name))
           require(idx >= 0, s"partition filter references non-partition column ${a.name}")

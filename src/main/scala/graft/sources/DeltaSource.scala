@@ -537,6 +537,34 @@ object DeltaSource {
 
   private val PhysicalNameKey = "delta.columnMapping.physicalName"
 
+  /** Schema-metadata key carrying a generated column's SQL expression
+    * (the Delta-spec generated-columns field). */
+  private[sources] val GenExprKey = "delta.generationExpression"
+
+  /** name -> generation SQL for every generated column in `schema`. */
+  private[sources] def generationExpressions(schema: StructType): Map[String, String] =
+    schema.flatMap(f =>
+      if (f.metadata.contains(GenExprKey))
+        Some(f.name -> f.metadata.getString(GenExprKey))
+      else None).toMap
+
+  /** Generated columns declared on the table. */
+  def generationExpressionsOf(spark: SparkSession, tablePath: String): Map[String, String] =
+    generationExpressions(snapshot(spark, tablePath, None).schema)
+
+  /** Declare a GENERATED ALWAYS AS column on a batch about to CREATE
+    * (or overwrite-redefine) a table: computes `sqlExpr` and stamps
+    * the expression into the field's schema metadata, where it
+    * rides the log's schemaString. Every later `writeDelta` fills
+    * the column when the caller omits it and REFUSES batches that
+    * supply disagreeing values; a generated PARTITION column
+    * additionally lets the reader derive partition pruning from
+    * predicates on the source column (see [[DeltaFileIndex]]). */
+  def withGeneratedColumn(df: DataFrame, name: String, sqlExpr: String): DataFrame = {
+    val meta = new MetadataBuilder().putString(GenExprKey, sqlExpr).build()
+    df.select(df.columns.map(col).toIndexedSeq :+ expr(sqlExpr).as(name, meta): _*)
+  }
+
   private[sources] def physicalName(f: StructField): String =
     if (f.metadata.contains(PhysicalNameKey)) f.metadata.getString(PhysicalNameKey)
     else f.name
@@ -549,6 +577,52 @@ object DeltaSource {
     * parquet write (identity on unmapped tables). */
   private def toPhysical(df: DataFrame, schema: StructType): DataFrame =
     df.select(schema.map(f => col(f.name).as(physicalName(f))).toIndexedSeq: _*)
+
+  /** The source column of a generation expression this reader can
+    * treat as MONOTONE NON-DECREASING for partition-filter
+    * derivation: `CAST(c AS DATE)` / `to_date(c)` over a timestamp.
+    * Anything else derives nothing (safe, just not pruned). */
+  private def monotoneGenSource(spark: SparkSession, sqlExpr: String): Option[String] = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+    import org.apache.spark.sql.catalyst.expressions.{Cast => CCast}
+    try spark.sessionState.sqlParser.parseExpression(sqlExpr) match {
+      case c: CCast if c.dataType == DateType => c.child match {
+        case a: UnresolvedAttribute if a.nameParts.length == 1 => Some(a.name)
+        case _ => None
+      }
+      case f: UnresolvedFunction
+        if f.nameParts.map(_.toLowerCase) == Seq("to_date") && f.arguments.length == 1 =>
+        f.arguments.head match {
+          case a: UnresolvedAttribute if a.nameParts.length == 1 => Some(a.name)
+          case _ => None
+        }
+      case _ => None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Derived-pruning rules for generated DATE partition columns whose
+    * source is a timestamp data column (see [[GenPartRule]]). Keys
+    * are PHYSICAL names — what the scan's filters and partition
+    * schema actually carry. */
+  private def genPartRules(spark: SparkSession, schema: StructType,
+                           partitionColumns: Seq[String]): Seq[GenPartRule] = {
+    val tz = spark.sessionState.conf.sessionLocalTimeZone
+    schema.filter(f => partitionColumns.contains(f.name) &&
+        f.metadata.contains(GenExprKey) && f.dataType == DateType)
+      .flatMap { f =>
+        monotoneGenSource(spark, f.metadata.getString(GenExprKey)).flatMap { srcName =>
+          schema.find(s => s.name == srcName &&
+              (s.dataType == TimestampType || s.dataType == TimestampNTZType) &&
+              !partitionColumns.contains(s.name))
+            .map { src =>
+              GenPartRule(physicalName(f), f.dataType, physicalName(src),
+                v => org.apache.spark.sql.catalyst.expressions.Cast(
+                  org.apache.spark.sql.catalyst.expressions.Literal.create(v, src.dataType),
+                  f.dataType, Option(tz)).eval(null))
+            }
+        }
+      }
+  }
 
   private def scanRelationBase(spark: SparkSession, tablePath: String,
                                schema: StructType, partitionColumns: Seq[String],
@@ -571,7 +645,8 @@ object DeltaSource {
     val stats: Map[Path, FileStats] = files.iterator.flatMap { case (a, _) =>
       parseStats(a.stats).map(st => dataPath(tablePath, a.path) -> st)
     }.toMap
-    val index = new DeltaFileIndex(spark, table, partSchema, indexed, stats)
+    val index = new DeltaFileIndex(spark, table, partSchema, indexed, stats,
+      genPartRules(spark, schema, partitionColumns))
     val relation = HadoopFsRelation(index, partSchema, dataSchema, None,
       new ParquetFileFormat, Map.empty)(spark)
     spark.baseRelationToDataFrame(relation)
@@ -707,6 +782,32 @@ object DeltaSource {
     val prev = latestVersion(spark, tablePath)
     val next = prev.map(_ + 1).getOrElse(0L)
     val prevSnap = prev.map(v => snapshot(spark, tablePath, Some(v)))
+    // generated columns: fill absent ones from their stored
+    // expressions (metadata carried so an overwrite redefinition
+    // keeps the declaration), and refuse batches whose SUPPLIED
+    // values disagree with the expression — one filter+limit job per
+    // supplied generated column, only when the table declares any
+    val genExprs: Map[String, String] =
+      prevSnap.map(s => generationExpressions(s.schema))
+        .getOrElse(generationExpressions(df.schema))
+    val dfIn = genExprs.toSeq.sortBy(_._1).foldLeft(df) { case (d, (name, e)) =>
+      if (d.columns.contains(name)) d
+      else {
+        val pf = prevSnap.getOrElse(throw new IllegalStateException(
+          s"generated column $name missing from a table-creating batch")).schema(name)
+        d.select(d.columns.map(col).toIndexedSeq :+
+          expr(e).cast(pf.dataType).as(name, pf.metadata): _*)
+      }
+    }
+    genExprs.toSeq.sortBy(_._1).foreach { case (name, e) =>
+      if (df.columns.contains(name)) {
+        val dt = prevSnap.map(_.schema(name).dataType).getOrElse(df.schema(name).dataType)
+        val bad = dfIn.where(!(col(name) <=> expr(e).cast(dt))).limit(1).count()
+        if (bad > 0) throw new IllegalStateException(
+          s"generated column $name: supplied values disagree with its expression ($e); " +
+            "nothing was committed")
+      }
+    }
     val partCols: Seq[String] = prevSnap match {
       case Some(s) =>
         require(partitionBy.isEmpty || partitionBy == s.partitionColumns,
@@ -714,8 +815,8 @@ object DeltaSource {
         s.partitionColumns
       case None => partitionBy
     }
-    require(partCols.forall(df.columns.contains),
-      s"partition columns $partCols missing from ${df.columns.toSeq}")
+    require(partCols.forall(dfIn.columns.contains),
+      s"partition columns $partCols missing from ${dfIn.columns.toSeq}")
     // schema evolution: an overwrite REDEFINES the table schema; an
     // append keeps it, unless mergeSchema widens it with the df's
     // new columns (appended as nullable — older files read as null
@@ -733,16 +834,25 @@ object DeltaSource {
         case Some(pf) => withPhysicalName(f, physicalName(pf))
         case None => withPhysicalName(f, s"col-${UUID.randomUUID().toString}")
       }
+    // an overwrite redefinition keeps a generated column's declared
+    // expression even when the caller's field lost the metadata
+    def carryGenMeta(f: StructField, prevSchema: StructType): StructField =
+      if (f.metadata.contains(GenExprKey)) f
+      else prevSchema.find(pf => pf.name == f.name && pf.metadata.contains(GenExprKey))
+        .map(pf => f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+          .putString(GenExprKey, pf.metadata.getString(GenExprKey)).build()))
+        .getOrElse(f)
     val tableSchema: StructType = prevSnap match {
-      case None => df.schema
+      case None => dfIn.schema
       case Some(s) =>
-        df.schema.filter(f => s.schema.exists(_.name == f.name)).foreach { f =>
+        dfIn.schema.filter(f => s.schema.exists(_.name == f.name)).foreach { f =>
           require(s.schema(f.name).dataType == f.dataType,
             s"column ${f.name}: ${f.dataType} conflicts with table's ${s.schema(f.name).dataType}")
         }
-        if (overwrite) StructType(df.schema.map(f => carryPhysical(f, s.schema)))
+        if (overwrite)
+          StructType(dfIn.schema.map(f => carryPhysical(carryGenMeta(f, s.schema), s.schema)))
         else {
-          val extra = df.schema.filterNot(f => s.schema.exists(_.name == f.name))
+          val extra = dfIn.schema.filterNot(f => s.schema.exists(_.name == f.name))
           if (extra.isEmpty) s.schema
           else {
             require(mergeSchema,
@@ -756,22 +866,31 @@ object DeltaSource {
       if (overwrite) prevSnap.map(_.files.map(_.path)).getOrElse(Nil) else Nil
 
     val tableConfig = prevSnap.map(_.configuration).getOrElse(Map.empty)
-    enforceConstraints(df, tableConfig.collect {
+    enforceConstraints(dfIn, tableConfig.collect {
       case (k, v) if k.startsWith("delta.constraints.") =>
         k.stripPrefix("delta.constraints.") -> v
     })
 
-    val adds = stageFiles(df, table, fs, partCols, next, tableSchema)
+    val adds = stageFiles(dfIn, table, fs, partCols, next, tableSchema)
 
     val now = System.currentTimeMillis()
     val partColsJson = partCols.map(jsonStr).mkString("[", ",", "]")
     def metaLine = s"""{"metaData":{"id":${jsonStr(UUID.randomUUID().toString)},"format":{"provider":"parquet","options":{}},"schemaString":${jsonStr(tableSchema.json)},"partitionColumns":$partColsJson,"configuration":${configJson(tableConfig)},"createdTime":$now}}"""
+    // a schema declaring generated columns needs the writer gate:
+    // legacy minWriter >= 4, or the generatedColumns feature on (x,7)
+    val baseProto = prevSnap.map(_.protocol).getOrElse(DefaultProtocol)
+    val wantProto =
+      if (generationExpressions(tableSchema).isEmpty) baseProto
+      else if (baseProto.minWriter >= 7)
+        baseProto.copy(writerFeatures = baseProto.writerFeatures + "generatedColumns")
+      else if (baseProto.minWriter >= 4) baseProto
+      else baseProto.copy(minWriter = 4)
     val header =
-      if (next == 0L) Seq(protocolLine(DefaultProtocol), metaLine)
+      if (next == 0L) Seq(protocolLine(wantProto), metaLine)
       // schema changed (overwrite redefinition or mergeSchema append):
       // the commit carries the new metaData, newest-wins on replay
-      else if (prevSnap.exists(_.schema != tableSchema)) Seq(metaLine)
-      else Seq.empty
+      else (if (wantProto != baseProto) Seq(protocolLine(wantProto)) else Seq.empty) ++
+        (if (prevSnap.exists(_.schema != tableSchema)) Seq(metaLine) else Seq.empty)
     val addLines = adds.map(a => addLine(a, now, dataChange = true))
     val removeLines = removed.map { p =>
       s"""{"remove":{"path":${jsonStr(p)},"deletionTimestamp":$now,"dataChange":true}}"""
