@@ -565,6 +565,60 @@ object DeltaSource {
     df.select(df.columns.map(col).toIndexedSeq :+ expr(sqlExpr).as(name, meta): _*)
   }
 
+  /** Schema-metadata keys for identity columns (the Delta-spec
+    * `delta.identity.*` fields). */
+  private[sources] val IdStartKey = "delta.identity.start"
+  private[sources] val IdStepKey = "delta.identity.step"
+  private[sources] val IdWatermarkKey = "delta.identity.highWaterMark"
+
+  private[sources] def identityFields(schema: StructType): Seq[StructField] =
+    schema.filter(_.metadata.contains(IdStepKey))
+
+  /** (start, step, highWaterMark) declared on the table's identity
+    * columns, keyed by column name. */
+  def identityColumnsOf(spark: SparkSession, tablePath: String)
+      : Map[String, (Long, Long, Option[Long])] =
+    identityFields(snapshot(spark, tablePath, None).schema).map { f =>
+      f.name -> (f.metadata.getLong(IdStartKey), f.metadata.getLong(IdStepKey),
+        if (f.metadata.contains(IdWatermarkKey)) Some(f.metadata.getLong(IdWatermarkKey))
+        else None)
+    }.toMap
+
+  /** Declare a GENERATED ALWAYS AS IDENTITY column on a batch about
+    * to CREATE a table. The writer assigns every value: this helper
+    * adds a null placeholder carrying the `delta.identity.*`
+    * declaration, `writeDelta` replaces it with fresh values above
+    * the high watermark, and any batch SUPPLYING its own values is
+    * refused (GENERATED ALWAYS semantics). Values are unique and
+    * follow start/step; gaps across batches are allowed by the spec
+    * (ours are dense per batch). */
+  def withIdentityColumn(df: DataFrame, name: String,
+                         start: Long = 1L, step: Long = 1L): DataFrame = {
+    require(step != 0L, "identity step must be non-zero")
+    val meta = new MetadataBuilder()
+      .putLong(IdStartKey, start).putLong(IdStepKey, step).build()
+    df.select(df.columns.map(col).toIndexedSeq :+
+      lit(null).cast(LongType).as(name, meta): _*)
+  }
+
+  /** Assign dense identity values `firstValue, firstValue + step, …`
+    * — the scale-safe two-phase shape: `zipWithIndex` runs one
+    * per-partition COUNT job, computes prefix offsets driver-side
+    * (O(#partitions)), and assigns map-side. No shuffle, no global
+    * window, no single reducer at any batch size. */
+  private def assignIdentity(df: DataFrame, field: StructField,
+                             firstValue: Long, step: Long): DataFrame = {
+    val spark = df.sparkSession
+    val others = df.schema.filterNot(_.name == field.name)
+    val base = df.select(others.map(f => col(f.name)).toIndexedSeq: _*)
+    val outSchema = StructType(others :+
+      StructField(field.name, LongType, nullable = false, field.metadata))
+    val rdd = base.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (firstValue + step * i))
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   private[sources] def physicalName(f: StructField): String =
     if (f.metadata.contains(PhysicalNameKey)) f.metadata.getString(PhysicalNameKey)
     else f.name
@@ -808,6 +862,25 @@ object DeltaSource {
             "nothing was committed")
       }
     }
+    // identity columns: GENERATED ALWAYS — the writer assigns every
+    // value (dense above the high watermark, two-phase map-side);
+    // a batch supplying its own non-null values is refused
+    val idFields: Seq[StructField] =
+      prevSnap.map(s => identityFields(s.schema)).getOrElse(identityFields(dfIn.schema))
+    val dfId = idFields.sortBy(_.name).foldLeft(dfIn) { case (d, pf) =>
+      require(pf.dataType == LongType,
+        s"identity column ${pf.name} must be BIGINT, got ${pf.dataType}")
+      if (d.columns.contains(pf.name) &&
+          d.where(col(pf.name).isNotNull).limit(1).count() > 0)
+        throw new IllegalStateException(
+          s"identity column ${pf.name} is GENERATED ALWAYS; remove the supplied " +
+            "values (nothing was committed)")
+      val step = pf.metadata.getLong(IdStepKey)
+      val watermark =
+        if (pf.metadata.contains(IdWatermarkKey)) pf.metadata.getLong(IdWatermarkKey)
+        else pf.metadata.getLong(IdStartKey) - step
+      assignIdentity(d, pf, watermark + step, step)
+    }
     val partCols: Seq[String] = prevSnap match {
       case Some(s) =>
         require(partitionBy.isEmpty || partitionBy == s.partitionColumns,
@@ -815,8 +888,8 @@ object DeltaSource {
         s.partitionColumns
       case None => partitionBy
     }
-    require(partCols.forall(dfIn.columns.contains),
-      s"partition columns $partCols missing from ${dfIn.columns.toSeq}")
+    require(partCols.forall(dfId.columns.contains),
+      s"partition columns $partCols missing from ${dfId.columns.toSeq}")
     // schema evolution: an overwrite REDEFINES the table schema; an
     // append keeps it, unless mergeSchema widens it with the df's
     // new columns (appended as nullable — older files read as null
@@ -834,25 +907,34 @@ object DeltaSource {
         case Some(pf) => withPhysicalName(f, physicalName(pf))
         case None => withPhysicalName(f, s"col-${UUID.randomUUID().toString}")
       }
-    // an overwrite redefinition keeps a generated column's declared
-    // expression even when the caller's field lost the metadata
+    // an overwrite redefinition keeps a generated/identity column's
+    // declaration even when the caller's field lost the metadata
     def carryGenMeta(f: StructField, prevSchema: StructType): StructField =
-      if (f.metadata.contains(GenExprKey)) f
-      else prevSchema.find(pf => pf.name == f.name && pf.metadata.contains(GenExprKey))
-        .map(pf => f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
-          .putString(GenExprKey, pf.metadata.getString(GenExprKey)).build()))
-        .getOrElse(f)
+      prevSchema.find(_.name == f.name) match {
+        case Some(pf) =>
+          val mb = new MetadataBuilder().withMetadata(f.metadata)
+          if (!f.metadata.contains(GenExprKey) && pf.metadata.contains(GenExprKey))
+            mb.putString(GenExprKey, pf.metadata.getString(GenExprKey))
+          if (!f.metadata.contains(IdStepKey) && pf.metadata.contains(IdStepKey)) {
+            mb.putLong(IdStartKey, pf.metadata.getLong(IdStartKey))
+            mb.putLong(IdStepKey, pf.metadata.getLong(IdStepKey))
+            if (pf.metadata.contains(IdWatermarkKey))
+              mb.putLong(IdWatermarkKey, pf.metadata.getLong(IdWatermarkKey))
+          }
+          f.copy(metadata = mb.build())
+        case None => f
+      }
     val tableSchema: StructType = prevSnap match {
-      case None => dfIn.schema
+      case None => dfId.schema
       case Some(s) =>
-        dfIn.schema.filter(f => s.schema.exists(_.name == f.name)).foreach { f =>
+        dfId.schema.filter(f => s.schema.exists(_.name == f.name)).foreach { f =>
           require(s.schema(f.name).dataType == f.dataType,
             s"column ${f.name}: ${f.dataType} conflicts with table's ${s.schema(f.name).dataType}")
         }
         if (overwrite)
-          StructType(dfIn.schema.map(f => carryPhysical(carryGenMeta(f, s.schema), s.schema)))
+          StructType(dfId.schema.map(f => carryPhysical(carryGenMeta(f, s.schema), s.schema)))
         else {
-          val extra = dfIn.schema.filterNot(f => s.schema.exists(_.name == f.name))
+          val extra = dfId.schema.filterNot(f => s.schema.exists(_.name == f.name))
           if (extra.isEmpty) s.schema
           else {
             require(mergeSchema,
@@ -866,31 +948,56 @@ object DeltaSource {
       if (overwrite) prevSnap.map(_.files.map(_.path)).getOrElse(Nil) else Nil
 
     val tableConfig = prevSnap.map(_.configuration).getOrElse(Map.empty)
-    enforceConstraints(dfIn, tableConfig.collect {
+    enforceConstraints(dfId, tableConfig.collect {
       case (k, v) if k.startsWith("delta.constraints.") =>
         k.stripPrefix("delta.constraints.") -> v
     })
 
-    val adds = stageFiles(dfIn, table, fs, partCols, next, tableSchema)
+    val adds = stageFiles(dfId, table, fs, partCols, next, tableSchema)
+
+    // identity high watermark advances with the commit's own metaData,
+    // read from the staged files' FOOTER stats (no extra job): the
+    // farthest assigned value in step direction
+    val finalSchema: StructType =
+      if (idFields.isEmpty) tableSchema
+      else StructType(tableSchema.map { f =>
+        if (!f.metadata.contains(IdStepKey)) f
+        else {
+          val step = f.metadata.getLong(IdStepKey)
+          val phys = physicalName(f)
+          val assigned = adds.flatMap(a => parseStats(a.stats)).flatMap { st =>
+            (if (step > 0) st.maxValues else st.minValues).get(phys).map(_.toLong)
+          }
+          val wm = (if (f.metadata.contains(IdWatermarkKey))
+              Seq(f.metadata.getLong(IdWatermarkKey)) else Seq.empty) ++ assigned
+          if (wm.isEmpty) f
+          else f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+            .putLong(IdWatermarkKey, if (step > 0) wm.max else wm.min).build())
+        }
+      })
 
     val now = System.currentTimeMillis()
     val partColsJson = partCols.map(jsonStr).mkString("[", ",", "]")
-    def metaLine = s"""{"metaData":{"id":${jsonStr(UUID.randomUUID().toString)},"format":{"provider":"parquet","options":{}},"schemaString":${jsonStr(tableSchema.json)},"partitionColumns":$partColsJson,"configuration":${configJson(tableConfig)},"createdTime":$now}}"""
-    // a schema declaring generated columns needs the writer gate:
-    // legacy minWriter >= 4, or the generatedColumns feature on (x,7)
+    def metaLine = s"""{"metaData":{"id":${jsonStr(UUID.randomUUID().toString)},"format":{"provider":"parquet","options":{}},"schemaString":${jsonStr(finalSchema.json)},"partitionColumns":$partColsJson,"configuration":${configJson(tableConfig)},"createdTime":$now}}"""
+    // a schema declaring generated/identity columns needs the writer
+    // gate: legacy minWriter >= 4 / >= 6, or the matching feature on
+    // a (x,7) table
     val baseProto = prevSnap.map(_.protocol).getOrElse(DefaultProtocol)
-    val wantProto =
-      if (generationExpressions(tableSchema).isEmpty) baseProto
-      else if (baseProto.minWriter >= 7)
-        baseProto.copy(writerFeatures = baseProto.writerFeatures + "generatedColumns")
-      else if (baseProto.minWriter >= 4) baseProto
-      else baseProto.copy(minWriter = 4)
+    def gate(p: Protocol, present: Boolean, legacyMin: Int, feature: String): Protocol =
+      if (!present) p
+      else if (p.minWriter >= 7) p.copy(writerFeatures = p.writerFeatures + feature)
+      else if (p.minWriter >= legacyMin) p
+      else p.copy(minWriter = legacyMin)
+    val wantProto = gate(
+      gate(baseProto, generationExpressions(finalSchema).nonEmpty, 4, "generatedColumns"),
+      idFields.nonEmpty, 6, "identityColumns")
     val header =
       if (next == 0L) Seq(protocolLine(wantProto), metaLine)
-      // schema changed (overwrite redefinition or mergeSchema append):
-      // the commit carries the new metaData, newest-wins on replay
+      // schema changed (overwrite redefinition, mergeSchema append,
+      // or an identity watermark advance): the commit carries the new
+      // metaData, newest-wins on replay
       else (if (wantProto != baseProto) Seq(protocolLine(wantProto)) else Seq.empty) ++
-        (if (prevSnap.exists(_.schema != tableSchema)) Seq(metaLine) else Seq.empty)
+        (if (prevSnap.exists(_.schema != finalSchema)) Seq(metaLine) else Seq.empty)
     val addLines = adds.map(a => addLine(a, now, dataChange = true))
     val removeLines = removed.map { p =>
       s"""{"remove":{"path":${jsonStr(p)},"deletionTimestamp":$now,"dataChange":true}}"""
