@@ -44,7 +44,8 @@ object Bench {
     Seq("pipe_delta_roundtrip", "pipe_delta_partitioned",
         "pipe_delta_optimize", "pipe_delta_cdf", "pipe_delta_zorder",
         "pipe_delta_timetravel", "pipe_delta_dv",
-        "pipe_incremental_silver").foreach { n =>
+        "pipe_incremental_silver", "pipe_delta_generated",
+        "pipe_delta_identity").foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
       }

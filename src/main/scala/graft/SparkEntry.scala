@@ -259,6 +259,54 @@ object SparkEntry {
       }
       graft.sources.DeltaSource.readDelta(s, s"$root/silver").orderBy(col("doc_id"))
     }),
+    "pipe_delta_generated" -> ((s, d) => {
+      // GENERATED date partition column: events land partitioned by
+      // d = CAST(ts AS DATE) (the declaration rides the schemaString;
+      // the writer computes the column). The timed read filters on
+      // ts ONLY — the reader derives the date-partition bounds from
+      // the monotone generation expression, so partitions prune
+      // without the query ever naming the partition column.
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_deltag_${math.abs(d.hashCode)}/events_by_day"
+      graft.sources.ZoneCache.ensure(Tables.events(s, d), tmp) {
+        graft.sources.DeltaSource.writeDelta(
+          graft.sources.DeltaSource.withGeneratedColumn(
+            Tables.events(s, d)
+              .select(col("event_id"), col("ts"), col("user_id"),
+                col("event_type"), col("value")),
+            "d", "CAST(ts AS DATE)"),
+          tmp, partitionBy = Seq("d"))
+      }
+      graft.sources.DeltaSource.readDelta(s, tmp)
+        .where(col("ts") >= lit("2024-01-08 06:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-15 18:00:00").cast("timestamp"))
+        .groupBy(col("d").cast("string").as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+        .orderBy(col("day"))
+    }),
+    "pipe_delta_identity" -> ((s, d) => {
+      // GENERATED ALWAYS AS IDENTITY surrogate keys on the silver
+      // zone: the writer assigns row ids via the two-phase
+      // zipWithIndex shape (per-partition counts + prefix offsets,
+      // no global window) and tracks the high watermark in the
+      // commit's metaData from footer stats. Dense 1..n assignment
+      // makes uniqueness+density ORACLE-CHECKABLE without fixing
+      // which row got which id: n distinct ids, min 1, max n, sum
+      // n(n+1)/2.
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_deltaid_${math.abs(d.hashCode)}/zone"
+      graft.sources.ZoneCache.ensure(Tables.documents(s, d), tmp) {
+        graft.sources.DeltaSource.writeDelta(
+          graft.sources.DeltaSource.withIdentityColumn(silverZone(s, d), "row_id"),
+          tmp)
+      }
+      graft.sources.DeltaSource.readDelta(s, tmp)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("row_id")).as("n_ids"),
+          min(col("row_id")).as("min_id"),
+          max(col("row_id")).as("max_id"),
+          sum(col("row_id")).as("sum_id"))
+    }),
     "pipe_gold_chunks" -> ((s, d) =>
       Medallion.pipeline(Tables.documents(s, d))
         .select(col("doc_id"), col("chunk_idx"), col("chunk"), col("chunk_length"))
@@ -1280,6 +1328,25 @@ object SparkEntry {
     "pipe_incremental_silver" ->
       s"""$silverCte SELECT doc_id, source, content, length(content) AS content_length
          |FROM silver0 WHERE length(content) > 50 ORDER BY doc_id""".stripMargin,
+    // the generated date partition is value-identical to computing
+    // CAST(ts AS DATE) over the raw events in the same ts range
+    "pipe_delta_generated" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-08 06:00:00'
+        |  AND ts < TIMESTAMP '2024-01-15 18:00:00'
+        |GROUP BY 1 ORDER BY day""".stripMargin,
+    // identity assignment is dense 1..n over the silver zone: the
+    // invariants (distinct count, min, max, Gauss sum) pin it
+    // without fixing which row received which id
+    "pipe_delta_identity" ->
+      s"""$silverCte, nn AS (
+         |  SELECT count(*) AS c FROM silver0 WHERE length(content) > 50)
+         |SELECT c AS n_rows, c AS n_ids, CAST(1 AS BIGINT) AS min_id,
+         |  c AS max_id, CAST(c * (c + 1) // 2 AS BIGINT) AS sum_id
+         |FROM nn""".stripMargin,
     // symbol-char ratio + distinct-keyword hits, blended and clamped
     "txt_code_detect" ->
       s"""WITH t AS (
