@@ -367,7 +367,11 @@ object DeltaSource {
     require(commits.nonEmpty || checkpoints.nonEmpty,
       s"not a Delta table (no commits): $tablePath")
     val eligible = commits.filter { v =>
-      fs.getFileStatus(new Path(logDir, f"$v%020d.json")).getModificationTime <= timestampMs
+      // authoritative order: the commit's own inCommitTimestamp when
+      // the table stamps one; the log file's mtime otherwise
+      inCommitTimestampOf(fs, logDir, v).getOrElse(
+        fs.getFileStatus(new Path(logDir, f"$v%020d.json")).getModificationTime
+      ) <= timestampMs
     }
     if (eligible.nonEmpty) readDelta(spark, tablePath, Some(eligible.max))
     else {
@@ -1031,6 +1035,46 @@ object DeltaSource {
       pureAppend = false, commitStore)
   }
 
+  /** Turn on in-commit timestamps (`delta.enableInCommitTimestamps`):
+    * from the enabling commit onward, each commit's authoritative
+    * timestamp is the strictly-monotone `commitInfo.inCommitTimestamp`
+    * it carries — not the log file's mtime, which object stores may
+    * rewrite (copies, lifecycle transitions) and clocks may skew
+    * backwards. `readDeltaAsOf` prefers the ICT wherever present.
+    * The enabling commit records the enablement version/timestamp
+    * properties and upgrades the writer protocol to (x,7) with the
+    * inCommitTimestamp feature (enumerating the features the table
+    * already uses, per the feature-listing rule). */
+  def enableInCommitTimestamps(spark: SparkSession, tablePath: String,
+                               commitStore: CommitStore = CreateExclusiveCommitStore): Long = {
+    val snap = snapshot(spark, tablePath, None)
+    require(!snap.configuration.get("delta.enableInCommitTimestamps").contains("true"),
+      s"in-commit timestamps already enabled on $tablePath")
+    val v = snap.version + 1
+    val cfg = snap.configuration ++ Map(
+      "delta.enableInCommitTimestamps" -> "true",
+      "delta.inCommitTimestampEnablementVersion" -> v.toString,
+      "delta.inCommitTimestampEnablementTimestamp" ->
+        System.currentTimeMillis().toString)
+    val feats = Set("inCommitTimestamp") ++
+      (if (cfg.get("delta.columnMapping.mode").contains("name")) Set("columnMapping")
+       else Set.empty[String]) ++
+      (if (generationExpressions(snap.schema).nonEmpty) Set("generatedColumns")
+       else Set.empty[String]) ++
+      (if (identityFields(snap.schema).nonEmpty) Set("identityColumns")
+       else Set.empty[String]) ++
+      (if (cfg.keys.exists(_.startsWith("delta.constraints."))) Set("checkConstraints")
+       else Set.empty[String])
+    val proto =
+      if (snap.protocol.minWriter >= 7)
+        snap.protocol.copy(
+          writerFeatures = snap.protocol.writerFeatures + "inCommitTimestamp")
+      else Protocol(snap.protocol.minReader, 7,
+        snap.protocol.readerFeatures, snap.protocol.writerFeatures ++ feats)
+    commitMetadata(spark, tablePath, snap.schema, snap.partitionColumns, cfg,
+      commitStore, Some(proto))
+  }
+
   /** ADD CONSTRAINT <name> CHECK (<sqlExpr>): validates the EXISTING
     * table data first (one distributed scan; a constraint the
     * current rows already violate is refused, per Delta), then
@@ -1258,17 +1302,58 @@ object DeltaSource {
     * and the caller must re-resolve (re-run the overwrite/merge).
     * This is the Delta protocol's winner/loser contract: two
     * non-conflicting appenders both land, at consecutive versions. */
+  /** The `commitInfo.inCommitTimestamp` of commit `v`, if present
+    * (first line of the commit JSON — the spec requires commitInfo
+    * first when the feature is active). */
+  private[sources] def inCommitTimestampOf(fs: FileSystem, logDir: Path,
+                                           v: Long): Option[Long] =
+    try {
+      val p = new Path(logDir, f"$v%020d.json")
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val first =
+          try new java.io.BufferedReader(
+            new java.io.InputStreamReader(in, StandardCharsets.UTF_8)).readLine()
+          finally in.close()
+        if (first == null) None
+        else {
+          val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(first)
+          val t = node.path("commitInfo").path("inCommitTimestamp")
+          if (t.isNumber) Some(t.asLong) else None
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   private def commitWithRetry(spark: SparkSession, fs: FileSystem, tablePath: String,
                               first: Long, lines: Seq[String], pureAppend: Boolean,
                               commitStore: CommitStore, maxAttempts: Int = 20): Long = {
     val logDir = new Path(tablePath, "_delta_log")
+    // in-commit timestamps: once the table property is on (detected
+    // from this commit's own metaData line, or transitively from the
+    // previous commit carrying an ICT), every commit leads with a
+    // commitInfo whose inCommitTimestamp is strictly monotone —
+    // wall-clock-skew-proof and object-store-mtime-proof. Recomputed
+    // per retry attempt: a new predecessor means a new floor.
+    val ictByLines = lines.exists(_.contains(
+      "\"delta.enableInCommitTimestamps\":\"true\""))
+    def withIct(attempt: Long): Seq[String] = {
+      val prevIct =
+        if (attempt == 0) None else inCommitTimestampOf(fs, logDir, attempt - 1)
+      if (!ictByLines && prevIct.isEmpty) lines
+      else {
+        val t = math.max(System.currentTimeMillis(),
+          prevIct.map(_ + 1).getOrElse(Long.MinValue))
+        s"""{"commitInfo":{"inCommitTimestamp":$t,"timestamp":$t}}""" +: lines
+      }
+    }
     var attempt = first
     var tries = 0
     while (tries < maxAttempts) {
       tries += 1
       try {
         commitStore.putIfAbsent(fs, new Path(logDir, f"$attempt%020d.json"),
-          lines.mkString("", "\n", "\n"))
+          withIct(attempt).mkString("", "\n", "\n"))
         return attempt
       } catch {
         case e: Exception =>
