@@ -542,6 +542,8 @@ object SparkEntry {
     "rag_bm25" -> ((s, d) => Ranking.bm25TopK(Tables.documents(s, d))),
     "rag_hybrid" -> ((s, d) =>
       Ranking.hybridTopK(Tables.documents(s, d), Tables.embeddings(s, d))),
+    "rag_rerank" -> ((s, d) =>
+      Ranking.rerankTopK(Tables.documents(s, d), Tables.embeddings(s, d))),
     "txt_tfidf_topterms" -> ((s, d) => Ranking.tfidfTopTerms(Tables.documents(s, d))),
 
     // RAG retrieval (reference /ask flow): query embedding → top-k
@@ -2427,6 +2429,36 @@ object SparkEntry {
          |rr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rnk FROM f)
          |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id, vec_rank, lex_rank, rrf
          |FROM rr WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+
+    // two-stage retrieve-then-rerank: BM25 recall stage (corpus
+    // scale), blended bm25+cosine precision stage over the depth-20
+    // candidates only
+    "rag_rerank" ->
+      s"""WITH t AS (SELECT doc_id, ${dToks("text")} AS tk FROM documents),
+         |stats AS (SELECT count(*) AS n_docs, avg(len(tk)) AS avg_len FROM t),
+         |terms AS (SELECT unnest([${Ranking.DefaultTerms.map(w => s"'$w'").mkString(",")}]) AS term),
+         |tf AS (SELECT doc_id, w AS term, dl, count(*) AS tf
+         |       FROM (SELECT doc_id, unnest(tk) AS w, CAST(len(tk) AS BIGINT) AS dl FROM t)
+         |       WHERE w IN (SELECT term FROM terms) GROUP BY 1, 2, 3),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |bsc AS (SELECT doc_id,
+         |         round(ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         |           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avg_len)), 6) AS term_score
+         |       FROM tf JOIN df ON tf.term = df.term CROSS JOIN stats s),
+         |lex0 AS (SELECT doc_id, CAST(SUM(CAST(term_score AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+         |         FROM bsc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20),
+         |bs AS (SELECT min(bm25) AS bmin, max(bm25) AS bmax FROM lex0),
+         |e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n AS (SELECT id, v, sqrt(${dDot("v", "v")}) AS nrm FROM e),
+         |q AS (SELECT id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE id < 3),
+         |sc AS (SELECT q.query_id, l.doc_id,
+         |        round((CASE WHEN bs.bmax = bs.bmin THEN 1.0
+         |               ELSE (l.bm25 - bs.bmin) / (bs.bmax - bs.bmin) END) * 0.5
+         |          + 0.5 * round(${dDot("qv", "n.v")} / (qnrm * n.nrm), 6), 6) AS rerank_score
+         |       FROM lex0 l JOIN n ON n.id = l.doc_id CROSS JOIN q CROSS JOIN bs),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rerank_score DESC, doc_id) AS rnk FROM sc)
+         |SELECT query_id, CAST(rnk AS BIGINT) AS "rank", doc_id, rerank_score
+         |FROM r WHERE rnk <= 10 ORDER BY query_id, "rank"""".stripMargin,
 
     "rag_retrieve" ->
       s"""$embNormCte,

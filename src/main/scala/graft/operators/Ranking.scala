@@ -137,6 +137,47 @@ object Ranking {
       .orderBy(col("query_id"))
   }
 
+  /** Two-stage retrieve-then-rerank (the production serving shape:
+    * cheap recall stage over the corpus, expensive precision stage
+    * over candidates only). Stage 1 is the corpus-scale BM25 top-
+    * `depth`; stage 2 re-scores ONLY those `depth` candidates per
+    * query with a blended cross-score — min-max-normalized BM25
+    * averaged with query-document cosine — so the costly scorer
+    * touches O(queries × depth) rows no matter the corpus size (the
+    * same cost asymmetry a neural cross-encoder has; the blend is
+    * its deterministic stand-in, wired so a ProcessTextEncoder-style
+    * scorer can replace the cosine term). The candidate list
+    * broadcasts into the embedding join; the rerank window is over
+    * queries × depth rows, bounded by construction. Cosine rounded
+    * 6dp before blending, blend rounded 6dp — oracle-replayable on
+    * any partitioning. */
+  def rerankTopK(docs: DataFrame, emb: DataFrame,
+                 terms: Seq[String] = DefaultTerms, nQueries: Int = 3,
+                 depth: Int = 20, k: Int = 10): DataFrame = {
+    import graft.functions.VectorFunctions.{dot, norm}
+    val cands = bm25TopK(docs, terms, depth) // doc_id, bm25 (depth rows)
+    val bstats = cands.agg(min(col("bm25")).as("bmin"), max(col("bm25")).as("bmax"))
+    val n = emb.select(col("vec_id").as("doc_id"), col("embedding").as("v"),
+      norm(col("embedding")).as("nrm"))
+    val q = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        norm(col("embedding")).as("qnrm"))
+    val nb = when(col("bmax") === col("bmin"), lit(1.0))
+      .otherwise((col("bm25") - col("bmin")) / (col("bmax") - col("bmin")))
+    val cosR = round(dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")), 6)
+    val scored = n.join(broadcast(cands), "doc_id")
+      .crossJoin(broadcast(q))
+      .crossJoin(broadcast(bstats))
+      .select(col("query_id"), col("doc_id"), col("bm25"),
+        round(nb * lit(0.5) + lit(0.5) * cosR, 6).as("rerank_score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("rerank_score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("rerank_score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Per-document top-k TF-IDF terms (the classic keyword extractor):
     * tf and df are two partial-aggregating passes over the exploded
     * tokens; df is corpus-wide but only |vocab| rows, so it

@@ -29,6 +29,11 @@ class PartitionInvarianceSpec extends SparkSpec {
     invariant("bm25")(Ranking.bm25TopK(_))(Tables.documents(spark, sf))
   }
 
+  test("rerank is partition-invariant (rounded blend over bounded candidates)") {
+    val emb = Tables.embeddings(spark, sf)
+    invariant("rerank")(d => Ranking.rerankTopK(d, emb))(Tables.documents(spark, sf))
+  }
+
   test("lloyd update is partition-invariant (per-dim decimal means)") {
     invariant("lloyd")(Similarity.lloydUpdate(_))(Tables.embeddings(spark, sf))
   }
