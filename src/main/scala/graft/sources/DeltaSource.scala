@@ -1009,10 +1009,27 @@ object DeltaSource {
     val txnLines = txn.toSeq.map { case (app, v) =>
       s"""{"txn":{"appId":${jsonStr(app)},"version":$v,"lastUpdated":$now}}"""
     }
-    commitWithRetry(spark, fs, tablePath, next,
+    val committed = commitWithRetry(spark, fs, tablePath, next,
       header ++ txnLines ++ removeLines ++ addLines,
       pureAppend = removed.isEmpty && header.isEmpty, commitStore)
+    maybeAutoCheckpoint(spark, tablePath, committed, tableConfig)
+    committed
   }
+
+  /** Honor `delta.checkpointInterval = N`: fold a checkpoint after
+    * every Nth commit, bounding replay cost for all readers without
+    * anyone scheduling maintenance. Only when the property is set —
+    * explicit `checkpoint()` remains available either way. Failure
+    * to checkpoint never fails the write (the commit is already
+    * durable; the next interval hit retries). */
+  private def maybeAutoCheckpoint(spark: SparkSession, tablePath: String,
+                                  committed: Long, cfg: Map[String, String]): Unit =
+    cfg.get("delta.checkpointInterval").flatMap(s => scala.util.Try(s.toInt).toOption)
+      .filter(_ > 0).foreach { n =>
+        if (committed > 0 && committed % n == 0)
+          try checkpoint(spark, tablePath)
+          catch { case scala.util.control.NonFatal(_) => () }
+      }
 
   /** ALTER TABLE SET/UNSET TBLPROPERTIES as a metaData-only commit:
     * the new configuration (merged `set`, minus `unset`) rides a
@@ -1762,8 +1779,10 @@ object DeltaSource {
     val removeLines = touched.map(a =>
       s"""{"remove":{"path":${jsonStr(a.path)},"deletionTimestamp":$now,"dataChange":true}}""")
     val addLines = adds.map(a => addLine(a, now, dataChange = true))
-    commitWithRetry(spark, fs, tablePath, next, removeLines ++ addLines,
-      pureAppend = touched.isEmpty, commitStore)
+    val committed = commitWithRetry(spark, fs, tablePath, next,
+      removeLines ++ addLines, pureAppend = touched.isEmpty, commitStore)
+    maybeAutoCheckpoint(spark, tablePath, committed, snap.configuration)
+    committed
   }
 
   /** Merge-on-read DELETE via deletion vectors: mark the rows

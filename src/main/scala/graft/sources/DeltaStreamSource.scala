@@ -96,13 +96,15 @@ class DeltaStreamSourceProvider extends StreamSourceProvider
     val tbl = pathOf(parameters)
     val starting = parameters.get("startingVersion").map(_.toLong).getOrElse(0L)
     val maxCommits = parameters.get("maxCommitsPerBatch").map(_.toLong)
-    new DeltaStreamSource(spark, tbl, starting, maxCommits)
+    val maxBytes = parameters.get("maxBytesPerBatch").map(_.toLong)
+    new DeltaStreamSource(spark, tbl, starting, maxCommits, maxBytes)
   }
 }
 
 class DeltaStreamSource(spark: SparkSession, tablePath: String,
                         startingVersion: Long,
-                        maxCommitsPerBatch: Option[Long] = None) extends Source
+                        maxCommitsPerBatch: Option[Long] = None,
+                        maxBytesPerBatch: Option[Long] = None) extends Source
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit}
@@ -151,6 +153,12 @@ class DeltaStreamSource(spark: SparkSession, tablePath: String,
     * end, AvailableNow pin, start + maxCommitsPerBatch). Returning
     * `start` unchanged signals "no new data" and, under AvailableNow,
     * terminates the drain. */
+  /** Bytes a commit's dataChange adds reference (from the log's add
+    * sizes — no file IO). Drives the `maxBytesPerBatch` cap. */
+  private def commitBytes(v: Long): Long =
+    DeltaSource.commitAdds(spark, tablePath, Seq(v))
+      .map(_._2.size.getOrElse(0L)).sum
+
   override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
     val base = Option(start).map(verV2).getOrElse(startingVersion - 1)
     val latest = availableNowTarget match {
@@ -160,7 +168,24 @@ class DeltaStreamSource(spark: SparkSession, tablePath: String,
     val capped = latest.map { l =>
       maxCommitsPerBatch.fold(l)(n => math.min(l, base + n))
     }
-    capped.filter(_ > base).map(LongOffset(_)).getOrElse(start)
+    // byte cap on top of the commit cap: walk forward accumulating
+    // add sizes; the FIRST commit is always admitted (progress even
+    // when one commit alone exceeds the budget)
+    val sized = (capped, maxBytesPerBatch) match {
+      case (Some(top), Some(mb)) =>
+        var h = base
+        var acc = 0L
+        var v = base + 1
+        var full = false
+        while (v <= top && !full) {
+          val b = commitBytes(v)
+          if (h == base || acc + b <= mb) { h = v; acc += b; v += 1 }
+          else full = true
+        }
+        Some(h)
+      case _ => capped
+    }
+    sized.filter(_ > base).map(LongOffset(_)).getOrElse(start)
   }
 
   override def reportLatestOffset(): OffsetV2 =

@@ -12,6 +12,25 @@ class DeltaOpsSpec extends SparkSpec {
   private def tmpTable(): String =
     Files.createTempDirectory("graft_deltaops").toString + "/t"
 
+  test("delta.checkpointInterval auto-checkpoints every Nth commit") {
+    val tbl = tmpTable()
+    DeltaSource.writeDelta(spark.range(5).toDF("id"), tbl)
+    DeltaSource.setTableProperties(spark, tbl,
+      Map("delta.checkpointInterval" -> "3"))
+    // commits 2..7: versions 3 and 6 should fold checkpoints
+    (0 until 5).foreach { i =>
+      DeltaSource.writeDelta(spark.range(i * 5, i * 5 + 5).toDF("id"), tbl,
+        overwrite = false)
+    }
+    val logDir = java.nio.file.Paths.get(tbl, "_delta_log")
+    val cps = java.nio.file.Files.list(logDir).toArray.map(_.toString)
+      .filter(_.contains("checkpoint")).sorted
+    assert(cps.exists(_.contains("00000000000000000003.checkpoint")) &&
+      cps.exists(_.contains("00000000000000000006.checkpoint")),
+      s"expected auto-checkpoints at v3 and v6, got ${cps.toSeq}")
+    assert(DeltaSource.readDelta(spark, tbl).count() == 30)
+  }
+
   test("exactly-once sink: a replayed batch commits once") {
     val t = tmpTable()
     val sink = DeltaSource.exactlyOnceBatchSink(t, "app1") _

@@ -154,6 +154,33 @@ class DeltaStreamSourceSpec extends SparkSpec {
     assert(buf.filter(_ > 0).forall(_ == 20))
   }
 
+  test("maxBytesPerBatch admits one commit per batch under a tiny budget") {
+    val tbl = tmpDir("bytes") + "/t"
+    (0 until 4).foreach { i =>
+      DeltaSource.writeDelta(
+        spark.range(i * 10, i * 10 + 10).selectExpr("id", "id % 5 as k"), tbl,
+        overwrite = i == 0)
+    }
+    val buf = scala.collection.mutable.ArrayBuffer[Int]()
+    val q = spark.readStream.format("graft-delta")
+      // every commit exceeds 1 byte, so each batch admits exactly the
+      // FIRST pending commit (the progress guarantee)
+      .option("maxBytesPerBatch", "1")
+      .load(tbl)
+      .writeStream
+      .option("checkpointLocation", tmpDir("bytesckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = batch.count().toInt
+        buf.synchronized { buf += n }
+        ()
+      }
+      .start()
+    assert(q.awaitTermination(120000))
+    assert(buf.sum == 40, s"drain must cover all 4 commits, got $buf")
+    assert(buf.count(_ > 0) == 4, s"1-byte budget = one commit per batch, got $buf")
+  }
+
   test("Trigger.AvailableNow drains a capped backfill COMPLETELY, then terminates") {
     // Under the single-batch fallback (no SupportsTriggerAvailableNow)
     // a maxCommitsPerBatch cap would strand all but the first n
