@@ -636,48 +636,81 @@ object DeltaSource {
   private def toPhysical(df: DataFrame, schema: StructType): DataFrame =
     df.select(schema.map(f => col(f.name).as(physicalName(f))).toIndexedSeq: _*)
 
-  /** The source column of a generation expression this reader can
-    * treat as MONOTONE NON-DECREASING for partition-filter
-    * derivation: `CAST(c AS DATE)` / `to_date(c)` over a timestamp.
-    * Anything else derives nothing (safe, just not pruned). */
-  private def monotoneGenSource(spark: SparkSession, sqlExpr: String): Option[String] = {
+  /** A generation expression this reader can treat as MONOTONE
+    * NON-DECREASING for partition-filter derivation, as (source
+    * column, the equivalent Catalyst builder from a source-typed
+    * child): `CAST(c AS DATE)` / `to_date(c)`, `date_trunc(unit, c)`,
+    * and `year(c)` over a timestamp — the shapes Delta's own
+    * generated-column optimization recognizes. Anything else derives
+    * nothing (safe, just not pruned). */
+  private def monotoneGenShape(spark: SparkSession, sqlExpr: String)
+      : Option[(String, org.apache.spark.sql.catalyst.expressions.Expression =>
+                        org.apache.spark.sql.catalyst.expressions.Expression)] = {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
-    import org.apache.spark.sql.catalyst.expressions.{Cast => CCast}
+    import org.apache.spark.sql.catalyst.expressions.{Cast => CCast, Expression => CExpr}
+    import org.apache.spark.sql.catalyst.expressions.{Literal => CLit, TruncTimestamp, Year}
+    def attr1(e: CExpr): Option[String] = e match {
+      case a: UnresolvedAttribute if a.nameParts.length == 1 => Some(a.name)
+      case _ => None
+    }
     try spark.sessionState.sqlParser.parseExpression(sqlExpr) match {
-      case c: CCast if c.dataType == DateType => c.child match {
-        case a: UnresolvedAttribute if a.nameParts.length == 1 => Some(a.name)
-        case _ => None
-      }
-      case f: UnresolvedFunction
-        if f.nameParts.map(_.toLowerCase) == Seq("to_date") && f.arguments.length == 1 =>
-        f.arguments.head match {
-          case a: UnresolvedAttribute if a.nameParts.length == 1 => Some(a.name)
+      case c: CCast if c.dataType == DateType =>
+        attr1(c.child).map(n => (n, (ch: CExpr) => CCast(ch, DateType)))
+      case f: UnresolvedFunction if f.arguments.nonEmpty =>
+        f.nameParts.map(_.toLowerCase) match {
+          case Seq("to_date") if f.arguments.length == 1 =>
+            attr1(f.arguments.head).map(n => (n, (ch: CExpr) => CCast(ch, DateType)))
+          case Seq("date_trunc") if f.arguments.length == 2 =>
+            (f.arguments(0), attr1(f.arguments(1))) match {
+              case (CLit(u, StringType), Some(n)) =>
+                // monotone grains only (DOW/WEEK floor backwards non-
+                // uniformly but remain non-decreasing too; keep the
+                // calendar-aligned set for clarity)
+                val unit = String.valueOf(u).toUpperCase
+                if (Set("YEAR", "QUARTER", "MONTH", "WEEK", "DAY",
+                    "HOUR", "MINUTE").contains(unit))
+                  Some((n, (ch: CExpr) =>
+                    TruncTimestamp(CLit.create(unit, StringType), ch)))
+                else None
+              case _ => None
+            }
+          case Seq("year") if f.arguments.length == 1 =>
+            attr1(f.arguments.head).map(n => (n, (ch: CExpr) => Year(CCast(ch, DateType))))
           case _ => None
         }
       case _ => None
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** Derived-pruning rules for generated DATE partition columns whose
+  /** Derived-pruning rules for generated partition columns whose
     * source is a timestamp data column (see [[GenPartRule]]). Keys
     * are PHYSICAL names — what the scan's filters and partition
     * schema actually carry. */
   private def genPartRules(spark: SparkSession, schema: StructType,
                            partitionColumns: Seq[String]): Seq[GenPartRule] = {
     val tz = spark.sessionState.conf.sessionLocalTimeZone
-    schema.filter(f => partitionColumns.contains(f.name) &&
-        f.metadata.contains(GenExprKey) && f.dataType == DateType)
+    schema.filter(f => partitionColumns.contains(f.name) && f.metadata.contains(GenExprKey))
       .flatMap { f =>
-        monotoneGenSource(spark, f.metadata.getString(GenExprKey)).flatMap { srcName =>
-          schema.find(s => s.name == srcName &&
-              (s.dataType == TimestampType || s.dataType == TimestampNTZType) &&
-              !partitionColumns.contains(s.name))
-            .map { src =>
-              GenPartRule(physicalName(f), f.dataType, physicalName(src),
-                v => org.apache.spark.sql.catalyst.expressions.Cast(
-                  org.apache.spark.sql.catalyst.expressions.Literal.create(v, src.dataType),
-                  f.dataType, Option(tz)).eval(null))
-            }
+        monotoneGenShape(spark, f.metadata.getString(GenExprKey)).flatMap {
+          case (srcName, build) =>
+            schema.find(s => s.name == srcName &&
+                (s.dataType == TimestampType || s.dataType == TimestampNTZType) &&
+                !partitionColumns.contains(s.name))
+              .flatMap { src =>
+                import org.apache.spark.sql.catalyst.expressions.{Literal => CLit}
+                import org.apache.spark.sql.catalyst.expressions.TimeZoneAwareExpression
+                def resolveTz(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+                  e.transform {
+                    case t: TimeZoneAwareExpression if t.timeZoneId.isEmpty =>
+                      t.withTimeZone(tz)
+                  }
+                val probe = resolveTz(build(CLit.create(null, src.dataType)))
+                // the declared partition type must match the shape's
+                // result type, or the derived literal would be wrong
+                if (probe.dataType != f.dataType) None
+                else Some(GenPartRule(physicalName(f), f.dataType, physicalName(src),
+                  v => resolveTz(build(CLit.create(v, src.dataType))).eval(null)))
+              }
         }
       }
   }

@@ -133,6 +133,42 @@ class DeltaGeneratedSpec extends SparkSpec {
     assert(scanFiles(eq.select(count(lit(1)))) <= total / 2)
   }
 
+  test("date_trunc HOUR partitions prune from a ts range; year(ts) partitions prune too") {
+    // hour-grain: 100 hourly rows → 100 hour partitions
+    val hrTbl = tmpDir("hr")
+    val src = spark.range(100).selectExpr(
+      "id",
+      "TIMESTAMP'2024-03-01 00:00:00' + make_interval(0,0,0,0,CAST(id AS INT),0,0) as ts")
+    DeltaSource.writeDelta(
+      DeltaSource.withGeneratedColumn(src, "h", "date_trunc('HOUR', ts)"),
+      hrTbl, partitionBy = Seq("h"))
+    val total = scanFiles(DeltaSource.readDelta(spark, hrTbl).select(sum(col("id"))))
+    val sixHours = DeltaSource.readDelta(spark, hrTbl)
+      .where(col("ts") >= lit("2024-03-02 00:30:00").cast("timestamp") &&
+        col("ts") < lit("2024-03-02 06:30:00").cast("timestamp"))
+    assert(sixHours.count() == 6)
+    val pruned = scanFiles(sixHours.select(sum(col("id"))))
+    assert(pruned <= 7 && pruned < total,
+      s"hour-grain derived pruning: $pruned of $total files scanned")
+
+    // year-grain: 4 rows across 4 years
+    val yrTbl = tmpDir("yr")
+    val ysrc = spark.range(4).selectExpr(
+      "id",
+      "TIMESTAMP'2021-06-15 12:00:00' + make_interval(CAST(id AS INT),0,0,0,0,0,0) as ts")
+    DeltaSource.writeDelta(
+      DeltaSource.withGeneratedColumn(ysrc, "y", "year(ts)"),
+      yrTbl, partitionBy = Seq("y"))
+    val yTotal = scanFiles(DeltaSource.readDelta(spark, yrTbl).select(sum(col("id"))))
+    assert(yTotal >= 4)
+    val oneYear = DeltaSource.readDelta(spark, yrTbl)
+      .where(col("ts") >= lit("2023-01-01 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-01 00:00:00").cast("timestamp"))
+    assert(oneYear.count() == 1)
+    assert(scanFiles(oneYear.select(count(lit(1)))) == 1,
+      "year(ts) derived pruning must isolate one year partition")
+  }
+
   test("derived pruning never drops matching rows across day boundaries") {
     val tbl = mkPartitioned()
     // window straddling two partitions, half-open on both styles

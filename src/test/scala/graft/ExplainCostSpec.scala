@@ -112,5 +112,11 @@ class ExplainCostSpec extends SparkSpec {
     auditBroadcasts(
       graft.multimodal.Multimodal.shardPlan(Tables.documents(spark, sf)),
       forcedRowBound = 3)
+    // rerank: candidates (depth), queries (nQueries), min-max stats (1)
+    // all broadcast model-sized; the corpus is touched only by the
+    // recall stage and the candidate-filtered embedding join
+    auditBroadcasts(
+      graft.operators.Ranking.rerankTopK(Tables.documents(spark, sf), Tables.embeddings(spark, sf)),
+      forcedRowBound = 20)
   }
 }
