@@ -45,7 +45,7 @@ object Bench {
         "pipe_delta_optimize", "pipe_delta_cdf", "pipe_delta_zorder",
         "pipe_delta_timetravel", "pipe_delta_dv",
         "pipe_incremental_silver", "pipe_delta_generated",
-        "pipe_delta_identity").foreach { n =>
+        "pipe_delta_identity", "pipe_delta_cdc").foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
       }

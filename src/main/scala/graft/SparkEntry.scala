@@ -259,6 +259,32 @@ object SparkEntry {
       }
       graft.sources.DeltaSource.readDelta(s, s"$root/silver").orderBy(col("doc_id"))
     }),
+    "pipe_delta_cdc" -> ((s, d) => {
+      // the REAL Change Data Feed: a CDF-enabled MERGE materializes
+      // _change_data files (cdc actions), and the feed read returns
+      // true update pre/post images plus inserts — no snapshot
+      // diffing. ZoneCache-built; the timed path reads the cdc
+      // parquet through changesCdf.
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_deltacdc_${math.abs(d.hashCode)}/zone"
+      graft.sources.ZoneCache.ensure(Tables.documents(s, d), tmp) {
+        val zone = silverZone(s, d)
+        graft.sources.DeltaSource.writeDelta(zone.repartition(4, col("doc_id")), tmp)
+        graft.sources.DeltaSource.setTableProperties(s, tmp,
+          Map("delta.enableChangeDataFeed" -> "true"))
+        val upd = zone.where(col("doc_id") % 7 === 0)
+          .select(col("doc_id"), col("source"), upper(col("content")).as("content"),
+            col("content_length"))
+          .unionByName(zone.where(col("doc_id") % 13 === 0)
+            .select((-col("doc_id") - 1).as("doc_id"), lit("src_new").as("source"),
+              col("content"), col("content_length")))
+        graft.sources.DeltaSource.mergeDelta(s, tmp, upd, Seq("doc_id"))
+      }
+      val (_, feed) = graft.sources.DeltaSource.changesCdf(s, tmp, Some(1L))
+      feed.get
+        .select(col("doc_id"), col("source"), md5(col("content")).as("content_hash"),
+          col("content_length"), col("_change_type"))
+        .orderBy(col("doc_id"), col("_change_type"))
+    }),
     "pipe_delta_generated" -> ((s, d) => {
       // GENERATED date partition column: events land partitioned by
       // d = CAST(ts AS DATE) (the declaration rides the schemaString;
@@ -1330,6 +1356,33 @@ object SparkEntry {
     "pipe_incremental_silver" ->
       s"""$silverCte SELECT doc_id, source, content, length(content) AS content_length
          |FROM silver0 WHERE length(content) > 50 ORDER BY doc_id""".stripMargin,
+    // the merge's change feed: preimages are the matched silver rows,
+    // postimages their replacements, inserts the never-seen keys
+    "pipe_delta_cdc" ->
+      s"""$silverCte, base AS (
+         |  SELECT doc_id, source, content, length(content) AS content_length
+         |  FROM silver0 WHERE length(content) > 50),
+         |upd AS (
+         |  SELECT doc_id, source, upper(content) AS content, content_length
+         |  FROM base WHERE doc_id % 7 = 0
+         |  UNION ALL
+         |  SELECT -doc_id - 1 AS doc_id, 'src_new' AS source, content, content_length
+         |  FROM base WHERE doc_id % 13 = 0),
+         |ch AS (
+         |  SELECT b.doc_id, b.source, b.content, b.content_length,
+         |         'update_preimage' AS _change_type
+         |  FROM base b WHERE b.doc_id IN (SELECT doc_id FROM upd)
+         |  UNION ALL
+         |  SELECT u.doc_id, u.source, u.content, u.content_length,
+         |         'update_postimage' AS _change_type
+         |  FROM upd u WHERE u.doc_id IN (SELECT doc_id FROM base)
+         |  UNION ALL
+         |  SELECT u.doc_id, u.source, u.content, u.content_length,
+         |         'insert' AS _change_type
+         |  FROM upd u WHERE u.doc_id NOT IN (SELECT doc_id FROM base))
+         |SELECT doc_id, source, md5(content) AS content_hash, content_length,
+         |  _change_type
+         |FROM ch ORDER BY doc_id, _change_type""".stripMargin,
     // the generated date partition is value-identical to computing
     // CAST(ts AS DATE) over the raw events in the same ts range
     "pipe_delta_generated" ->

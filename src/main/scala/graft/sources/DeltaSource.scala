@@ -1020,13 +1020,8 @@ object DeltaSource {
     // gate: legacy minWriter >= 4 / >= 6, or the matching feature on
     // a (x,7) table
     val baseProto = prevSnap.map(_.protocol).getOrElse(DefaultProtocol)
-    def gate(p: Protocol, present: Boolean, legacyMin: Int, feature: String): Protocol =
-      if (!present) p
-      else if (p.minWriter >= 7) p.copy(writerFeatures = p.writerFeatures + feature)
-      else if (p.minWriter >= legacyMin) p
-      else p.copy(minWriter = legacyMin)
-    val wantProto = gate(
-      gate(baseProto, generationExpressions(finalSchema).nonEmpty, 4, "generatedColumns"),
+    val wantProto = writerGate(
+      writerGate(baseProto, generationExpressions(finalSchema).nonEmpty, 4, "generatedColumns"),
       idFields.nonEmpty, 6, "identityColumns")
     val header =
       if (next == 0L) Seq(protocolLine(wantProto), metaLine)
@@ -1156,6 +1151,16 @@ object DeltaSource {
     * feature): (3,7) with the feature listed, merging any features
     * the current protocol already names. Legacy version gates that
     * imply the feature are honored without upgrade. */
+  /** Writer-protocol gate for a feature with a legacy minWriter
+    * version: no-op unless `present`; (x,7) tables list the feature,
+    * legacy tables bump minWriter. */
+  private def writerGate(p: Protocol, present: Boolean,
+                         legacyMin: Int, feature: String): Protocol =
+    if (!present) p
+    else if (p.minWriter >= 7) p.copy(writerFeatures = p.writerFeatures + feature)
+    else if (p.minWriter >= legacyMin) p
+    else p.copy(minWriter = legacyMin)
+
   private def protocolWith(cur: Protocol, feature: String,
                            legacyOk: Protocol => Boolean): Protocol =
     if (legacyOk(cur) || (cur.minReader >= 3 && cur.readerFeatures(feature))) cur
@@ -1749,6 +1754,131 @@ object DeltaSource {
     newVs.lastOption.orElse(cursor)
   }
 
+  // ---------------------------------------------------------------
+  // Change Data Feed (delta.enableChangeDataFeed): materialized
+  // per-row change files under _change_data/, referenced by cdc
+  // actions — update pre/post images and deletes become readable
+  // without diffing snapshots
+  // ---------------------------------------------------------------
+
+  private def cdfEnabled(cfg: Map[String, String]): Boolean =
+    cfg.get("delta.enableChangeDataFeed").contains("true")
+
+  private def cdcLine(relPath: String, size: Long): String =
+    s"""{"cdc":{"path":${jsonStr(encodeRelPath(relPath))},"partitionValues":{},"size":$size,"dataChange":false}}"""
+
+  /** Land change rows (table columns + `_change_type`) as
+    * `_change_data/cdc-*.parquet` files. All columns — including
+    * partition columns — are written IN-FILE and `partitionValues`
+    * stays empty on the cdc action (graft's own CDF reader reads the
+    * files directly; noted as a deviation from hive-partitioned cdc
+    * staging). Empty change sets stage nothing. */
+  private def stageCdcFiles(changes: DataFrame, table: Path,
+                            fs: FileSystem): Seq[(String, Long)] = {
+    if (changes.isEmpty) Nil
+    else {
+      val stage = new Path(table, s".stage-${UUID.randomUUID().toString.take(8)}")
+      changes.write.mode("overwrite").parquet(stage.toString)
+      fs.mkdirs(new Path(table, "_change_data"))
+      val parts = fs.listStatus(stage).toSeq.map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+      val out = parts.map { p =>
+        val rel = s"_change_data/cdc-${UUID.randomUUID().toString}.parquet"
+        val dst = new Path(table, rel)
+        renameOrFail(fs, p, dst)
+        rel -> fs.getFileStatus(dst).getLen
+      }
+      fs.delete(stage, true)
+      out
+    }
+  }
+
+  /** The change feed of commits AFTER `since` (all when None), as
+    * (new cursor, feed): table columns + `_change_type`
+    * (insert / update_preimage / update_postimage / delete) +
+    * `_commit_version`. Commits carrying cdc actions (CDF-enabled
+    * MERGE / DELETE) read their materialized change files — updates
+    * arrive as true pre/post image pairs. Commits without cdc
+    * actions DERIVE: dataChange adds replay as `insert` through the
+    * normal scan relation, dataChange removes replay as `delete` by
+    * scanning the removed files at their pre-commit snapshot state
+    * (DV-applied, partition values restored) — the Delta-spec
+    * derivation rule, so plain appends and overwrites feed changes
+    * with zero write-side cost. dataChange=false layout swaps are
+    * invisible. */
+  def changesCdf(spark: SparkSession, tablePath: String,
+                 since: Option[Long]): (Option[Long], Option[DataFrame]) = {
+    val logDir = new Path(tablePath, "_delta_log")
+    val fs = fsOf(spark, logDir)
+    val (commits, _) = logVersions(fs, logDir)
+    val newVs = commits.filter(v => since.forall(v > _)).sorted
+    if (newVs.isEmpty) return (since, None)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val feeds: Seq[DataFrame] = newVs.flatMap { v =>
+      val snap = snapshot(spark, tablePath, Some(v))
+      val outCols = snap.schema.map(f => col(f.name)) :+ col("_change_type")
+      // driver-side parse of the (small) commit file: cdc paths,
+      // dataChange add paths, dataChange remove paths
+      val in = fs.open(new Path(logDir, f"$v%020d.json"))
+      val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        finally in.close()
+      var cdcPaths = List.empty[String]
+      var addPaths = Set.empty[String]
+      var removePaths = Set.empty[String]
+      text.linesIterator.filter(_.nonEmpty).foreach { line =>
+        val node = mapper.readTree(line)
+        val cdc = node.path("cdc")
+        val add = node.path("add")
+        val rem = node.path("remove")
+        if (cdc.isObject) cdcPaths ::= cdc.path("path").asText()
+        else if (add.isObject && add.path("dataChange").asBoolean(false))
+          addPaths += add.path("path").asText()
+        else if (rem.isObject && rem.path("dataChange").asBoolean(false))
+          removePaths += rem.path("path").asText()
+      }
+      if (cdcPaths.nonEmpty) {
+        // materialized change data speaks for the whole commit
+        val files = cdcPaths.reverse.map(p =>
+          dataPath(tablePath, URLDecoder.decode(p, "UTF-8")).toString)
+        Some(spark.read.parquet(files: _*)
+          .select(outCols: _*).withColumn("_commit_version", lit(v)))
+      } else {
+        // a path both removed and re-added in one commit (a DV
+        // delete, a restore re-point) nets to its ROW-level diff;
+        // disjoint paths derive directly
+        val overlap = addPaths intersect removePaths
+        val prev = if (v == 0) None else Some(snapshot(spark, tablePath, Some(v - 1)))
+        def scanOf(s: Snapshot, paths: Set[String]) = {
+          val fsel = s.files.filter(a => paths.contains(a.path))
+          if (fsel.isEmpty) None
+          else Some(scanRelation(spark, tablePath, s.schema, s.partitionColumns,
+            fsel.map(a => (a, Map.empty[String, String])))
+            .select(snap.schema.map(f => col(f.name)).toIndexedSeq: _*))
+        }
+        val inserts = scanOf(snap, addPaths -- overlap)
+          .map(_.withColumn("_change_type", lit("insert")))
+        val deletes = prev.flatMap(p => scanOf(p, removePaths -- overlap))
+          .map(_.withColumn("_change_type", lit("delete")))
+        val diffed = prev.flatMap { p =>
+          (scanOf(p, overlap), scanOf(snap, overlap)) match {
+            case (Some(old), Some(cur)) =>
+              val gone = old.exceptAll(cur).withColumn("_change_type", lit("delete"))
+              val born = cur.exceptAll(old).withColumn("_change_type", lit("insert"))
+              Some(gone.unionByName(born))
+            case (Some(old), None) =>
+              Some(old.withColumn("_change_type", lit("delete")))
+            case _ => None
+          }
+        }
+        val both = inserts.toSeq ++ deletes.toSeq ++ diffed.toSeq
+        if (both.isEmpty) None
+        else Some(both.reduce(_ unionByName _)
+          .select(outCols: _*).withColumn("_commit_version", lit(v)))
+      }
+    }
+    (Some(newVs.max), feeds.reduceOption(_ unionByName _))
+  }
+
   /** Delta-native MERGE (copy-on-write upsert): land `updates` into a
     * real `_delta_log` table as ONE commit of remove(touched files) +
     * add(rewritten files) — how a lakehouse actually maintains its
@@ -1808,12 +1938,45 @@ object DeltaSource {
 
     val next = snap.version + 1
     val adds = stageFiles(newData, table, fs, snap.partitionColumns, next, snap.schema)
+    // CDF: materialize this merge's row-level changes — old values of
+    // matched keys (preimage), their replacements (postimage), and
+    // the never-seen keys (insert) — one extra pass over the TOUCHED
+    // files only, never the whole table
+    val cdcAdds: Seq[(String, Long)] =
+      if (!cdfEnabled(snap.configuration)) Nil
+      else {
+        val outCols = snap.schema.map(f => col(f.name)) :+ col("_change_type")
+        val updKeys = upd.select(keyCols.map(col): _*).distinct()
+        val oldTouched =
+          if (touched.isEmpty) None
+          else Some(scanRelation(spark, tablePath, snap.schema, snap.partitionColumns,
+            touched.map(a => (a, Map.empty[String, String]))))
+        val pre = oldTouched.map(_.join(updKeys, keyCols, "left_semi")
+          .withColumn("_change_type", lit("update_preimage")))
+        val matchedKeys = oldTouched.map(
+          _.select(keyCols.map(col): _*).distinct().join(updKeys, keyCols, "left_semi"))
+        val post = matchedKeys.map(mk => upd.join(mk, keyCols, "left_semi")
+          .withColumn("_change_type", lit("update_postimage")))
+        val ins = matchedKeys match {
+          case Some(mk) => upd.join(mk, keyCols, "left_anti")
+          case None => upd
+        }
+        val changes = (pre.toSeq ++ post.toSeq :+
+          ins.withColumn("_change_type", lit("insert")))
+          .map(_.select(outCols: _*)).reduce(_ unionByName _)
+        stageCdcFiles(changes, table, fs)
+      }
+    val cdfProto = writerGate(snap.protocol, cdcAdds.nonEmpty, 4, "changeDataFeed")
+    val protoLines =
+      if (cdfProto == snap.protocol) Nil else Seq(protocolLine(cdfProto))
     val now = System.currentTimeMillis()
     val removeLines = touched.map(a =>
       s"""{"remove":{"path":${jsonStr(a.path)},"deletionTimestamp":$now,"dataChange":true}}""")
     val addLines = adds.map(a => addLine(a, now, dataChange = true))
+    val cdcLines = cdcAdds.map { case (rel, sz) => cdcLine(rel, sz) }
     val committed = commitWithRetry(spark, fs, tablePath, next,
-      removeLines ++ addLines, pureAppend = touched.isEmpty, commitStore)
+      protoLines ++ removeLines ++ addLines ++ cdcLines,
+      pureAppend = touched.isEmpty && protoLines.isEmpty, commitStore)
     maybeAutoCheckpoint(spark, tablePath, committed, snap.configuration)
     committed
   }
@@ -1902,14 +2065,28 @@ object DeltaSource {
     // the first DV descriptor gates the protocol up to (3,7) with the
     // deletionVectors feature IN THE SAME COMMIT — an external reader
     // that would ignore DVs (and resurrect rows) must refuse instead
-    val protoLines =
-      if (kept.isEmpty) Nil
-      else {
-        val proto = protocolWith(snap.protocol, "deletionVectors", _ => false)
-        if (proto == snap.protocol) Nil else Seq(protocolLine(proto))
-      }
-    commitWithRetry(spark, fs, tablePath, snap.version + 1,
-      protoLines ++ removeLines ++ addLines, pureAppend = false, commitStore)
+    // CDF: the deleted rows themselves, full values, one extra pass
+    // over the MATCHED rows only
+    val cdcAdds: Seq[(String, Long)] =
+      if (!cdfEnabled(snap.configuration)) Nil
+      else stageCdcFiles(
+        live.where(condition)
+          .select(snap.schema.map(f => col(f.name)).toIndexedSeq: _*)
+          .withColumn("_change_type", lit("delete")),
+        table, fs)
+    val protoLines = {
+      val dvProto =
+        if (kept.isEmpty) snap.protocol
+        else protocolWith(snap.protocol, "deletionVectors", _ => false)
+      val proto = writerGate(dvProto, cdcAdds.nonEmpty, 4, "changeDataFeed")
+      if (proto == snap.protocol) Nil else Seq(protocolLine(proto))
+    }
+    val cdcLines = cdcAdds.map { case (rel, sz) => cdcLine(rel, sz) }
+    val committed = commitWithRetry(spark, fs, tablePath, snap.version + 1,
+      protoLines ++ removeLines ++ addLines ++ cdcLines,
+      pureAppend = false, commitStore)
+    maybeAutoCheckpoint(spark, tablePath, committed, snap.configuration)
+    committed
   }
 
   /** RESTORE the table to the state it had at `version` — a new

@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.Files
+import graft.sources.DeltaSource
+import org.apache.spark.sql.functions._
+
+/** Change-Data-Feed contracts (`delta.enableChangeDataFeed` + cdc
+  * actions + `_change_data/` files): a CDF MERGE materializes true
+  * update pre/post images and inserts; a CDF DELETE materializes the
+  * deleted rows; commits WITHOUT cdc actions derive their changes
+  * (adds→insert, removes→delete, same-path rewrites→row diff); the
+  * writer gate rides the first cdc commit; layout swaps stay
+  * invisible. */
+class DeltaCdfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpTable(): String =
+    Files.createTempDirectory("graft_cdf").toString + "/t"
+
+  private def mk(): String = {
+    val tbl = tmpTable()
+    DeltaSource.writeDelta(
+      spark.range(10).selectExpr("id as k", "CAST(id * 10 AS LONG) as v"), tbl)
+    DeltaSource.setTableProperties(spark, tbl,
+      Map("delta.enableChangeDataFeed" -> "true"))
+    tbl
+  }
+
+  private def feedAfter(tbl: String, v: Long) =
+    DeltaSource.changesCdf(spark, tbl, Some(v))._2.get
+
+  test("a CDF merge materializes pre/post images and inserts") {
+    val tbl = mk()
+    val vBefore = DeltaSource.latestVersion(spark, tbl).get
+    // update k=3 (v 30 -> 300), insert k=100
+    DeltaSource.mergeDelta(spark, tbl,
+      Seq((3L, 300L), (100L, 1000L)).toDF("k", "v"), Seq("k"))
+    val log = Files.readString(java.nio.file.Paths.get(
+      tbl, "_delta_log", f"${vBefore + 1}%020d.json"))
+    assert(log.contains("\"cdc\""), "merge commit must carry cdc actions")
+    val ch = feedAfter(tbl, vBefore)
+      .select(col("k"), col("v"), col("_change_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(ch == Set(
+      (3L, 30L, "update_preimage"),
+      (3L, 300L, "update_postimage"),
+      (100L, 1000L, "insert")), s"got $ch")
+  }
+
+  test("a CDF DV delete materializes the deleted rows with full values") {
+    val tbl = mk()
+    val vBefore = DeltaSource.latestVersion(spark, tbl).get
+    DeltaSource.deleteDelta(spark, tbl, col("k") % 4 === 0)
+    val ch = feedAfter(tbl, vBefore)
+      .select(col("k"), col("v"), col("_change_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(ch == Set((0L, 0L, "delete"), (4L, 40L, "delete"), (8L, 80L, "delete")),
+      s"got $ch")
+    // the table itself no longer holds them
+    assert(DeltaSource.readDelta(spark, tbl).count() == 7)
+  }
+
+  test("the changeDataFeed writer gate rides the first cdc commit") {
+    val tbl = mk()
+    val v = DeltaSource.latestVersion(spark, tbl).get + 1
+    DeltaSource.mergeDelta(spark, tbl, Seq((1L, 11L)).toDF("k", "v"), Seq("k"))
+    val log = Files.readString(java.nio.file.Paths.get(
+      tbl, "_delta_log", f"$v%020d.json"))
+    assert(log.contains("\"protocol\""), "first cdc commit must gate the protocol")
+  }
+
+  test("commits without cdc actions derive: appends insert, DV deletes diff, optimize invisible") {
+    val tbl = tmpTable() // CDF never enabled: everything derives
+    DeltaSource.writeDelta(
+      spark.range(6).selectExpr("id as k", "id as v"), tbl)
+    val all0 = feedAfter(tbl, -1L)
+    assert(all0.where(col("_change_type") =!= "insert").count() == 0)
+    assert(all0.count() == 6)
+    // append derives inserts
+    DeltaSource.writeDelta(spark.range(6, 9).selectExpr("id as k", "id as v"),
+      tbl, overwrite = false)
+    val app = feedAfter(tbl, 0L)
+    assert(app.select(col("k"), col("_change_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((6L, "insert"), (7L, "insert"), (8L, "insert")))
+    // DV delete without CDF: same-path remove+re-add nets to the diff
+    val v1 = DeltaSource.latestVersion(spark, tbl).get
+    DeltaSource.deleteDelta(spark, tbl, col("k") === 2)
+    val del = feedAfter(tbl, v1)
+    assert(del.select(col("k"), col("_change_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet == Set((2L, "delete")))
+    // optimize is dataChange=false → invisible
+    val v2 = DeltaSource.latestVersion(spark, tbl).get
+    DeltaSource.optimizeDelta(spark, tbl)
+    assert(DeltaSource.changesCdf(spark, tbl, Some(v2))._2.forall(_.isEmpty))
+  }
+
+  test("an overwrite derives deletes of the old snapshot plus inserts of the new") {
+    val tbl = tmpTable()
+    DeltaSource.writeDelta(spark.range(4).selectExpr("id as k", "id as v"), tbl)
+    DeltaSource.writeDelta(spark.range(100, 102).selectExpr("id as k", "id as v"),
+      tbl, overwrite = true)
+    val ch = feedAfter(tbl, 0L)
+      .select(col("k"), col("_change_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(ch == Set((0L, "delete"), (1L, "delete"), (2L, "delete"), (3L, "delete"),
+      (100L, "insert"), (101L, "insert")), s"got $ch")
+  }
+}
