@@ -820,6 +820,40 @@ object DeltaSource {
         k.stripPrefix("delta.constraints.") -> v
     }
 
+  /** `delta.appendOnly = true` (the writer-protocol appendOnly
+    * invariant): any commit that would REMOVE data from the table is
+    * refused — overwrites, merges touching existing keys, deletes,
+    * restores. Appends, metadata commits and dataChange=false layout
+    * swaps stay legal. */
+  private def refuseIfAppendOnly(cfg: Map[String, String], op: String,
+                                 removesData: Boolean): Unit =
+    if (removesData && cfg.get("delta.appendOnly").contains("true"))
+      throw new IllegalStateException(
+        s"$op would remove data from an appendOnly table (delta.appendOnly = true); " +
+          "nothing was committed")
+
+  /** NOT NULL invariants (writer protocol minWriter 2): a
+    * non-nullable field in the table schema refuses batches carrying
+    * NULL in that column. Enforced INLINE in the staging write's own
+    * projection (`raise_error` guard per row) — zero extra passes at
+    * any batch size; a violation fails the stage job before anything
+    * is committed. */
+  private def withNotNullGuards(df: DataFrame, schema: StructType): DataFrame = {
+    val guarded = schema.filter(f => !f.nullable && df.columns.contains(f.name))
+      .map(_.name).toSet
+    if (guarded.isEmpty) df
+    else df.select(df.columns.map { c =>
+      if (!guarded.contains(c)) col(c)
+      else {
+        val dt = df.schema(c).dataType
+        when(col(c).isNull, raise_error(lit(
+          s"NOT NULL invariant violated: column $c received null values; " +
+            "nothing was committed")).cast(dt))
+          .otherwise(col(c)).as(c)
+      }
+    }.toIndexedSeq: _*)
+  }
+
   /** Enforce CHECK constraints on a batch about to land: a row
     * violates a constraint when the expression evaluates to FALSE
     * (NULL passes, the SQL-standard CHECK semantics Delta uses).
@@ -985,12 +1019,15 @@ object DeltaSource {
       if (overwrite) prevSnap.map(_.files.map(_.path)).getOrElse(Nil) else Nil
 
     val tableConfig = prevSnap.map(_.configuration).getOrElse(Map.empty)
+    refuseIfAppendOnly(tableConfig, "overwrite (full-snapshot replace)",
+      removesData = removed.nonEmpty)
     enforceConstraints(dfId, tableConfig.collect {
       case (k, v) if k.startsWith("delta.constraints.") =>
         k.stripPrefix("delta.constraints.") -> v
     })
 
-    val adds = stageFiles(dfId, table, fs, partCols, next, tableSchema)
+    val adds = stageFiles(withNotNullGuards(dfId, tableSchema), table, fs,
+      partCols, next, tableSchema)
 
     // identity high watermark advances with the commit's own metaData,
     // read from the staged files' FOOTER stats (no extra job): the
@@ -1807,11 +1844,13 @@ object DeltaSource {
     * with zero write-side cost. dataChange=false layout swaps are
     * invisible. */
   def changesCdf(spark: SparkSession, tablePath: String,
-                 since: Option[Long]): (Option[Long], Option[DataFrame]) = {
+                 since: Option[Long],
+                 until: Option[Long] = None): (Option[Long], Option[DataFrame]) = {
     val logDir = new Path(tablePath, "_delta_log")
     val fs = fsOf(spark, logDir)
     val (commits, _) = logVersions(fs, logDir)
-    val newVs = commits.filter(v => since.forall(v > _)).sorted
+    val newVs = commits
+      .filter(v => since.forall(v > _) && until.forall(v <= _)).sorted
     if (newVs.isEmpty) return (since, None)
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val feeds: Seq[DataFrame] = newVs.flatMap { v =>
@@ -1936,8 +1975,11 @@ object DeltaSource {
         .join(upd.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
         .unionByName(upd)
 
+    refuseIfAppendOnly(snap.configuration, "MERGE over existing keys",
+      removesData = touched.nonEmpty)
     val next = snap.version + 1
-    val adds = stageFiles(newData, table, fs, snap.partitionColumns, next, snap.schema)
+    val adds = stageFiles(withNotNullGuards(newData, snap.schema), table, fs,
+      snap.partitionColumns, next, snap.schema)
     // CDF: materialize this merge's row-level changes — old values of
     // matched keys (preimage), their replacements (postimage), and
     // the never-seen keys (insert) — one extra pass over the TOUCHED
@@ -2008,6 +2050,7 @@ object DeltaSource {
   def deleteDelta(spark: SparkSession, tablePath: String, condition: Column,
                   commitStore: CommitStore = CreateExclusiveCommitStore): Long = {
     val snap = snapshot(spark, tablePath, None)
+    refuseIfAppendOnly(snap.configuration, "DELETE", removesData = true)
     if (snap.files.isEmpty) return snap.version
     val table = new Path(tablePath)
     val fs = fsOf(spark, table)
@@ -2102,6 +2145,7 @@ object DeltaSource {
   def restoreDelta(spark: SparkSession, tablePath: String, version: Long,
                    commitStore: CommitStore = CreateExclusiveCommitStore): Long = {
     val cur = snapshot(spark, tablePath, None)
+    refuseIfAppendOnly(cur.configuration, "RESTORE", removesData = true)
     val tgt = snapshot(spark, tablePath, Some(version))
     val table = new Path(tablePath)
     val fs = fsOf(spark, table)

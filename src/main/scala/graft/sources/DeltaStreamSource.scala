@@ -77,6 +77,9 @@ class DeltaStreamSourceProvider extends StreamSourceProvider
     new DeltaStreamSink(tbl, appId, complete, partitionColumns)
   }
 
+  private def cdfMode(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").contains("true")
+
   override def sourceSchema(sqlContext: SQLContext,
                             schema: Option[StructType],
                             providerName: String,
@@ -84,7 +87,14 @@ class DeltaStreamSourceProvider extends StreamSourceProvider
     val spark = sqlContext.sparkSession
     val tbl = pathOf(parameters)
     val snap = DeltaSource.snapshot(spark, tbl, None)
-    (shortName(), schema.getOrElse(snap.schema))
+    val base = schema.getOrElse(snap.schema)
+    val out = if (!cdfMode(parameters)) base
+      else StructType(base.fields.toSeq :+
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType) :+
+        org.apache.spark.sql.types.StructField("_commit_version",
+          org.apache.spark.sql.types.LongType))
+    (shortName(), out)
   }
 
   override def createSource(sqlContext: SQLContext,
@@ -97,21 +107,29 @@ class DeltaStreamSourceProvider extends StreamSourceProvider
     val starting = parameters.get("startingVersion").map(_.toLong).getOrElse(0L)
     val maxCommits = parameters.get("maxCommitsPerBatch").map(_.toLong)
     val maxBytes = parameters.get("maxBytesPerBatch").map(_.toLong)
-    new DeltaStreamSource(spark, tbl, starting, maxCommits, maxBytes)
+    new DeltaStreamSource(spark, tbl, starting, maxCommits, maxBytes,
+      cdf = cdfMode(parameters))
   }
 }
 
 class DeltaStreamSource(spark: SparkSession, tablePath: String,
                         startingVersion: Long,
                         maxCommitsPerBatch: Option[Long] = None,
-                        maxBytesPerBatch: Option[Long] = None) extends Source
+                        maxBytesPerBatch: Option[Long] = None,
+                        cdf: Boolean = false) extends Source
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit}
 
   private val snap0 = DeltaSource.snapshot(spark, tablePath, None)
 
-  override val schema: StructType = snap0.schema
+  override val schema: StructType =
+    if (!cdf) snap0.schema
+    else StructType(snap0.schema.fields.toSeq :+
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType) :+
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType))
 
   /** Highest commit already handed to getBatch — the admission-
     * control cursor behind `maxCommitsPerBatch` on the legacy
@@ -208,6 +226,7 @@ class DeltaStreamSource(spark: SparkSession, tablePath: String,
     val lo = start.map(ver).getOrElse(startingVersion - 1)
     val hi = ver(end)
     lastPlanned = Some(math.max(hi, lastPlanned.getOrElse(Long.MinValue)))
+    if (cdf) return getCdfBatch(lo, hi)
     val logDir = new Path(tablePath, "_delta_log")
     val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val commits = {
@@ -238,6 +257,27 @@ class DeltaStreamSource(spark: SparkSession, tablePath: String,
       }
     }
   }
+
+  /** The commit range's CHANGE FEED as the micro-batch (`.option(
+    * "readChangeFeed", "true")`): rows carry `_change_type` +
+    * `_commit_version`. Materialized cdc files (CDF-enabled MERGE /
+    * DELETE commits) read directly; other commits derive per the
+    * spec rule (see [[DeltaSource.changesCdf]]). Streaming-flag
+    * scope: the table's own scan leaves (DeltaFileIndex) and the
+    * `_change_data` reads; DV sidecar lookups stay static. */
+  private def getCdfBatch(lo: Long, hi: Long): DataFrame =
+    DeltaSource.changesCdf(spark, tablePath, Some(lo), Some(hi))._2 match {
+      case None =>
+        org.apache.spark.sql.graft.GraftSqlShims.emptyStreaming(spark, schema)
+      case Some(feed) =>
+        org.apache.spark.sql.graft.GraftSqlShims.asStreaming(
+          feed.select(schema.map(f => col(f.name)).toIndexedSeq: _*)) {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.isInstanceOf[DeltaFileIndex] ||
+              h.location.rootPaths.forall(_.toString.contains("/_change_data/"))
+          case _ => false
+        }
+    }
 
   override def commit(end: Offset): Unit = ()
 

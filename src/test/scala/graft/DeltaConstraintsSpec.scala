@@ -22,6 +22,51 @@ class DeltaConstraintsSpec extends SparkSpec {
     tbl
   }
 
+  test("delta.appendOnly refuses overwrite / merge-touching / delete / restore, allows appends") {
+    import org.apache.spark.sql.functions.col
+    val tbl = mkTable()
+    DeltaSource.setTableProperties(spark, tbl, Map("delta.appendOnly" -> "true"))
+    // appends stay legal
+    DeltaSource.writeDelta(
+      spark.range(100, 110).selectExpr("id", "id * 2 as v"), tbl, overwrite = false)
+    assert(DeltaSource.readDelta(spark, tbl).count() == 109)
+    val vNow = DeltaSource.latestVersion(spark, tbl).get
+    def refused(op: => Any): Unit = {
+      val e = intercept[IllegalStateException](op)
+      assert(e.getMessage.contains("appendOnly"))
+      assert(DeltaSource.latestVersion(spark, tbl).contains(vNow))
+    }
+    refused(DeltaSource.writeDelta(
+      spark.range(3).selectExpr("id", "id as v"), tbl, overwrite = true))
+    refused(DeltaSource.mergeDelta(spark, tbl,
+      spark.range(1, 2).selectExpr("id", "id * 99 as v"), Seq("id")))
+    refused(DeltaSource.deleteDelta(spark, tbl, col("id") < 5))
+    refused(DeltaSource.restoreDelta(spark, tbl, 0L))
+    // a merge of ONLY new keys is a pure append: legal
+    DeltaSource.mergeDelta(spark, tbl,
+      spark.range(500, 503).selectExpr("id", "id as v"), Seq("id"))
+    assert(DeltaSource.readDelta(spark, tbl).count() == 112)
+  }
+
+  test("NOT NULL invariants refuse null values inline, before any commit") {
+    import spark.implicits._
+    val tbl = tmpDir("nn")
+    // spark.range's id is non-nullable in the declared schema
+    DeltaSource.writeDelta(spark.range(5).selectExpr("id", "id as v"), tbl)
+    val vBefore = DeltaSource.latestVersion(spark, tbl).get
+    val nullIds = Seq[(Option[Long], Long)]((Some(7L), 7L), (None, 8L))
+      .toDF("id", "v")
+    val e = intercept[Exception] {
+      DeltaSource.writeDelta(nullIds, tbl, overwrite = false)
+    }
+    assert(e.getMessage.contains("NOT NULL invariant") ||
+      Option(e.getCause).exists(_.getMessage.contains("NOT NULL invariant")),
+      s"unexpected failure: $e")
+    assert(DeltaSource.latestVersion(spark, tbl).contains(vBefore),
+      "a violating batch must not commit")
+    assert(DeltaSource.readDelta(spark, tbl).count() == 5)
+  }
+
   test("addCheckConstraint refuses a constraint existing rows violate") {
     val tbl = mkTable()
     val e = intercept[IllegalArgumentException] {

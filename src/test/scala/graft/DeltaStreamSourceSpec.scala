@@ -210,6 +210,41 @@ class DeltaStreamSourceSpec extends SparkSpec {
     assert(buf.count(_ > 0) == 3, s"6 commits at 2/batch = 3 batches, got $buf")
   }
 
+  test("readChangeFeed streams true pre/post images and derived inserts") {
+    import spark.implicits._
+    val tbl = tmpDir("cdf") + "/t"
+    DeltaSource.writeDelta(
+      spark.range(5).selectExpr("id as k", "id * 10 as v"), tbl) // v0: derive inserts
+    DeltaSource.setTableProperties(spark, tbl,
+      Map("delta.enableChangeDataFeed" -> "true")) // v1: metadata only
+    DeltaSource.mergeDelta(spark, tbl,
+      Seq((2L, 222L), (50L, 500L)).toDF("k", "v"), Seq("k")) // v2: cdc
+    DeltaSource.deleteDelta(spark, tbl,
+      org.apache.spark.sql.functions.col("k") === 0L) // v3: cdc
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Long, String, Long)]()
+    val q = spark.readStream.format("graft-delta")
+      .option("readChangeFeed", "true")
+      .load(tbl)
+      .writeStream
+      .option("checkpointLocation", tmpDir("cdfckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = batch.collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getString(2), r.getLong(3)))
+        buf.synchronized { buf ++= rows }
+        ()
+      }
+      .start()
+    assert(q.awaitTermination(120000))
+    val got = buf.toSet
+    val inserts0 = (0L until 5L).map(i => (i, i * 10, "insert", 0L)).toSet
+    assert(got == inserts0 ++ Set(
+      (2L, 20L, "update_preimage", 2L),
+      (2L, 222L, "update_postimage", 2L),
+      (50L, 500L, "insert", 2L),
+      (0L, 0L, "delete", 3L)), s"got $got")
+  }
+
   test("a replayed batch id commits once (txn guard in the sink)") {
     val dst = tmpDir("replay") + "/t"
     val sink = new graft.sources.DeltaStreamSink(dst, "app1", complete = false, Nil)
