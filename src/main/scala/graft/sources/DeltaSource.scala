@@ -1076,7 +1076,8 @@ object DeltaSource {
     }
     val committed = commitWithRetry(spark, fs, tablePath, next,
       header ++ txnLines ++ removeLines ++ addLines,
-      pureAppend = removed.isEmpty && header.isEmpty, commitStore)
+      pureAppend = removed.isEmpty && header.isEmpty, commitStore,
+      ictKnown = Some(tableConfig.get("delta.enableInCommitTimestamps").contains("true")))
     maybeAutoCheckpoint(spark, tablePath, committed, tableConfig)
     committed
   }
@@ -1417,9 +1418,15 @@ object DeltaSource {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** `ictKnown`: Some(enabled) when the caller already read the table
+    * config (saves the per-commit predecessor sniff — one fewer
+    * object-store GET on every commit of a non-ICT table); None falls
+    * back to detecting from this commit's own metaData line or the
+    * previous commit's ICT. */
   private def commitWithRetry(spark: SparkSession, fs: FileSystem, tablePath: String,
                               first: Long, lines: Seq[String], pureAppend: Boolean,
-                              commitStore: CommitStore, maxAttempts: Int = 20): Long = {
+                              commitStore: CommitStore, maxAttempts: Int = 20,
+                              ictKnown: Option[Boolean] = None): Long = {
     val logDir = new Path(tablePath, "_delta_log")
     // in-commit timestamps: once the table property is on (detected
     // from this commit's own metaData line, or transitively from the
@@ -1430,9 +1437,10 @@ object DeltaSource {
     val ictByLines = lines.exists(_.contains(
       "\"delta.enableInCommitTimestamps\":\"true\""))
     def withIct(attempt: Long): Seq[String] = {
+      if (ictKnown.contains(false) && !ictByLines) return lines
       val prevIct =
         if (attempt == 0) None else inCommitTimestampOf(fs, logDir, attempt - 1)
-      if (!ictByLines && prevIct.isEmpty) lines
+      if (!ictByLines && prevIct.isEmpty && !ictKnown.contains(true)) lines
       else {
         val t = math.max(System.currentTimeMillis(),
           prevIct.map(_ + 1).getOrElse(Long.MinValue))
@@ -2018,7 +2026,8 @@ object DeltaSource {
     val cdcLines = cdcAdds.map { case (rel, sz) => cdcLine(rel, sz) }
     val committed = commitWithRetry(spark, fs, tablePath, next,
       protoLines ++ removeLines ++ addLines ++ cdcLines,
-      pureAppend = touched.isEmpty && protoLines.isEmpty, commitStore)
+      pureAppend = touched.isEmpty && protoLines.isEmpty, commitStore,
+      ictKnown = Some(snap.configuration.get("delta.enableInCommitTimestamps").contains("true")))
     maybeAutoCheckpoint(spark, tablePath, committed, snap.configuration)
     committed
   }
@@ -2127,7 +2136,8 @@ object DeltaSource {
     val cdcLines = cdcAdds.map { case (rel, sz) => cdcLine(rel, sz) }
     val committed = commitWithRetry(spark, fs, tablePath, snap.version + 1,
       protoLines ++ removeLines ++ addLines ++ cdcLines,
-      pureAppend = false, commitStore)
+      pureAppend = false, commitStore,
+      ictKnown = Some(snap.configuration.get("delta.enableInCommitTimestamps").contains("true")))
     maybeAutoCheckpoint(spark, tablePath, committed, snap.configuration)
     committed
   }
