@@ -95,6 +95,55 @@ class DeltaCdfSpec extends SparkSpec {
     assert(DeltaSource.changesCdf(spark, tbl, Some(v2))._2.forall(_.isEmpty))
   }
 
+  test("CDC replication: the change feed rebuilds a replica through updates and deletes") {
+    // the full stack end to end: source table evolves (insert /
+    // update / delete), a streaming readChangeFeed consumer applies
+    // each batch to a REPLICA via merge + delete, and the replica
+    // converges to the source byte-for-byte
+    val src = mk()
+    DeltaSource.mergeDelta(spark, src,
+      Seq((3L, 333L), (77L, 770L)).toDF("k", "v"), Seq("k"))
+    DeltaSource.deleteDelta(spark, src, col("k").isin(1L, 5L))
+    DeltaSource.writeDelta(Seq((200L, 2L)).toDF("k", "v"), src, overwrite = false)
+
+    val replica = tmpTable()
+    val q = spark.readStream.format("graft-delta")
+      .option("readChangeFeed", "true")
+      .load(src)
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("graft_cdfrepl").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // apply in commit order; preimages are informational
+        batch.select(col("k"), col("v"), col("_change_type"), col("_commit_version"))
+          .collect().groupBy(_.getLong(3)).toSeq.sortBy(_._1).foreach {
+            case (_, rows) =>
+              val upserts = rows.filter(r =>
+                r.getString(2) == "insert" || r.getString(2) == "update_postimage")
+                .map(r => (r.getLong(0), r.getLong(1))).toSeq
+              val deletes = rows.filter(_.getString(2) == "delete")
+                .map(_.getLong(0)).toSeq
+              val exists = DeltaSource.latestVersion(spark, replica).isDefined
+              if (upserts.nonEmpty) {
+                val df = upserts.toDF("k", "v")
+                if (!exists) DeltaSource.writeDelta(df, replica)
+                else DeltaSource.mergeDelta(spark, replica, df, Seq("k"))
+              }
+              if (deletes.nonEmpty && DeltaSource.latestVersion(spark, replica).isDefined)
+                DeltaSource.deleteDelta(spark, replica, col("k").isin(deletes: _*))
+          }
+        ()
+      }
+      .start()
+    assert(q.awaitTermination(180000))
+    val srcRows = DeltaSource.readDelta(spark, src)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val repRows = DeltaSource.readDelta(spark, replica)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(repRows == srcRows,
+      s"replica diverged: missing ${srcRows -- repRows}, extra ${repRows -- srcRows}")
+  }
+
   test("an overwrite derives deletes of the old snapshot plus inserts of the new") {
     val tbl = tmpTable()
     DeltaSource.writeDelta(spark.range(4).selectExpr("id as k", "id as v"), tbl)
