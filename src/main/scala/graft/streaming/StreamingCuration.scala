@@ -123,4 +123,90 @@ object StreamingCuration {
       .withColumn("content_hash", md5(col(contentCol)))
       .withWatermark(eventTimeCol, horizon)
       .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Cross-batch NEAR-dup gate — the incremental-crawl pattern: each
+    * micro-batch of new documents is deduped against the ACCUMULATED
+    * signature zone (a Delta table of every kept document's hashed
+    * shingles + MinHash signature), not just within itself, and the
+    * survivors' signatures append to the zone so the next batch sees
+    * them. No batch ever recomputes the corpus.
+    *
+    * Scale shape per batch: the batch's banded keys BROADCAST into
+    * the zone's banded scan (the corpus side stays map-side, zero
+    * zone shuffle); only candidate ids come back; the exact-Jaccard
+    * verify touches candidate rows alone (the zone side reduced by a
+    * broadcast semi-join on candidate ids). Batch-internal pairs go
+    * through the same banding self-join — batch-sized, cheap.
+    *
+    * Exactly-once: survivors append under a `txn` (appId, batchId)
+    * guard — a crash-replayed batch is skipped, so the zone never
+    * double-counts. A doc with a verified match (to the zone or to a
+    * LOWER-id doc in its own batch) reports `is_dup = true` with its
+    * matched id; survivors report false. */
+  def incrementalMinhashDedup(batch: DataFrame, batchId: Long, sigZone: String,
+                              contentCol: String = "text", idCol: String = "doc_id",
+                              n: Int = 3, k: Int = 16, bands: Int = 4,
+                              tau: Double = 0.5,
+                              appId: String = "graft-incr-dedup"): DataFrame = {
+    import graft.functions.HashFunctions.bandKeys
+    import graft.operators.Dedup
+    import graft.sources.DeltaSource
+    val spark = batch.sparkSession
+    require(k % bands == 0, "k must divide into bands")
+    val done = if (DeltaSource.latestVersion(spark, sigZone).isDefined)
+      DeltaSource.lastTxnVersion(spark, sigZone, appId) else None
+    val sigB = Dedup.signatureTable(batch, contentCol, idCol, n, k)
+      .select(col("id"), col("shh"), col("sig")).localCheckpoint(true)
+    def banded(sigs: DataFrame) = sigs.select(col("id"),
+      posexplode(bandKeys(col("sig"), bands, k / bands)).as(Seq("band", "bkey")))
+    val bandB = banded(sigB)
+    val zoneExists = DeltaSource.latestVersion(spark, sigZone).isDefined
+    // candidates vs the zone: batch side broadcasts, corpus side
+    // never shuffles
+    val candZ = if (!zoneExists) None else {
+      val bandZ = banded(DeltaSource.readDelta(spark, sigZone))
+      // id_a =!= id_b: a crash-REPLAYED batch finds its own already-
+      // appended signatures in the zone; the self-pair must not turn
+      // yesterday's survivor into today's duplicate
+      Some(bandZ.join(
+          broadcast(bandB.select(col("band"), col("bkey"), col("id").as("id_b"))),
+          Seq("band", "bkey"))
+        .where(col("id") =!= col("id_b"))
+        .select(col("id").as("id_a"), col("id_b")).distinct())
+    }
+    // batch-internal candidates: lower id wins
+    val candB = bandB.as("a").join(broadcast(bandB.as("b")),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    val cand = candZ.map(_.unionByName(candB)).getOrElse(candB)
+    // verify shingle sets: zone side reduced to candidate ids first
+    val zoneSets = candZ.map { cz =>
+      DeltaSource.readDelta(spark, sigZone)
+        .join(broadcast(cz.select(col("id_a").as("id")).distinct()), Seq("id"), "left_semi")
+        .select(col("id"), col("shh"))
+    }
+    val sets = zoneSets.map(_.unionByName(sigB.select(col("id"), col("shh"))))
+      .getOrElse(sigB.select(col("id"), col("shh")))
+    val verified = cand
+      .join(sets.select(col("id").as("id_a"), col("shh").as("sh_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("shh").as("sh_b")), "id_b")
+      .withColumn("inter", graft.plans.NativeExprs.intersectSize(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"), 4))
+      .where(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val dupOf = verified.groupBy(col("id_b").as("id"))
+      .agg(min(col("id_a")).as("matched_id"))
+    val verdict = sigB.select(col("id"))
+      .join(dupOf, Seq("id"), "left")
+      .select(col("id"), col("matched_id").isNotNull.as("is_dup"), col("matched_id"))
+      .localCheckpoint(true)
+    val survivors = sigB.join(
+      verdict.where(!col("is_dup")).select(col("id")), Seq("id"), "left_semi")
+    if (!done.exists(_ >= batchId))
+      DeltaSource.writeDelta(survivors, sigZone, overwrite = false,
+        txn = Some(appId -> batchId))
+    verdict
+  }
 }

@@ -8,6 +8,71 @@ import java.nio.file.Files
 class StreamingCurationSpec extends SparkSpec {
   import spark.implicits._
 
+  test("incremental minhash dedup: batches dedup against the accumulated zone, replay-safe") {
+    import spark.implicits._
+    import graft.sources.DeltaSource
+    val zone = Files.createTempDirectory("graft_incrdedup").toString + "/sigs"
+    val textA = "the quick brown fox jumps over the lazy dog while seven wizards watch quietly"
+    val textB = "entirely different content about distributed query engines and shuffle planning"
+    val textD = "a third unrelated document discussing parquet footers and column statistics"
+    val textE = "yet another unique passage on watermarks and stateful stream processing"
+
+    // batch 0: two unique docs -> both survive
+    val v0 = StreamingCuration.incrementalMinhashDedup(
+      Seq((1L, textA), (2L, textB)).toDF("doc_id", "text"), 0L, zone)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(v0 == Map(1L -> false, 2L -> false))
+    assert(DeltaSource.readDelta(spark, zone).count() == 2)
+
+    // batch 1: 3 duplicates A (cross-batch, vs the ZONE), 4 unique,
+    // 5 unique, 6 duplicates 5 (batch-internal)
+    val b1 = Seq((3L, textA), (4L, textD), (5L, textE), (6L, textE))
+      .toDF("doc_id", "text")
+    val v1 = StreamingCuration.incrementalMinhashDedup(b1, 1L, zone)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(v1 == Set((3L, true, 1L), (4L, false, -1L),
+      (5L, false, -1L), (6L, true, 5L)), s"got $v1")
+    assert(DeltaSource.readDelta(spark, zone).count() == 4) // 1,2,4,5
+
+    // crash-replay of batch 1: zone unchanged (txn guard), verdict
+    // identical (self-pairs excluded)
+    val v1r = StreamingCuration.incrementalMinhashDedup(b1, 1L, zone)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(v1r == Map(3L -> true, 4L -> false, 5L -> false, 6L -> true))
+    assert(DeltaSource.readDelta(spark, zone).count() == 4,
+      "a replayed batch must not re-append survivors")
+  }
+
+  test("incremental dedup runs behind a real stream (graft-delta source, bounded batches)") {
+    import spark.implicits._
+    import graft.sources.DeltaSource
+    val root = Files.createTempDirectory("graft_incrstream").toString
+    val docs = s"$root/docs"
+    val zone = s"$root/sigs"
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val t2 = "completely different words populate this second document entirely"
+    DeltaSource.writeDelta(Seq((10L, t1)).toDF("doc_id", "text"), docs)
+    DeltaSource.writeDelta(Seq((20L, t1), (30L, t2)).toDF("doc_id", "text"),
+      docs, overwrite = false)
+    val q = spark.readStream.format("graft-delta")
+      .option("maxCommitsPerBatch", "1")
+      .load(docs)
+      .writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        StreamingCuration.incrementalMinhashDedup(batch, batchId, zone).collect()
+        ()
+      }
+      .start()
+    assert(q.awaitTermination(120000))
+    // 10 survives batch 0; 20 (dup of 10, CROSS-batch) dropped; 30 survives
+    val kept = DeltaSource.readDelta(spark, zone)
+      .select(col("id")).collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(10L, 30L), s"zone holds $kept")
+  }
+
   test("materialized signature table reproduces minhash pairs bit-exactly") {
     val docs = Tables.documents(spark, sf)
     val direct = Dedup.minhashLshPairs(docs)
