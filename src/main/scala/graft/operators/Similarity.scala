@@ -277,6 +277,32 @@ object Similarity {
     (cents, cb, codes)
   }
 
+  /** Encode vectors against FROZEN index models (the incremental-
+    * maintenance primitive): assign each vector to its nearest
+    * EXISTING centroid and quantize the residual against the
+    * EXISTING codebooks — exactly `ivfpqBuild`'s code-table step
+    * with the models supplied instead of fit (keep the expression
+    * shapes in lockstep with ivfpqBuild: encode(build-corpus) must
+    * stay bit-identical to build's own code table). One map-side
+    * pass over the NEW vectors; centroids/codebooks broadcast;
+    * nothing touches the existing corpus. */
+  def ivfpqEncode(emb: DataFrame, cents: DataFrame, cb: DataFrame, m: Int = 8,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val subDim = 64 / m
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+    val withRes = assignTo(e, cents)
+      .join(broadcast(cents.select(col("cell"), col("cv"))), "cell")
+      .select(col("id"), col("cell"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("v"))
+    subVectors(withRes, m, subDim, "sv")
+      .join(withRes.select(col("id"), col("cell")), "id")
+      .join(broadcast(cb), "sub")
+      .select(col("id"), col("cell"), col("sub"), col("code"), pqL2.as("l2"))
+      .groupBy(col("id"), col("cell"), col("sub"))
+      .agg(min(struct(col("l2"), col("code"))).as("best"))
+      .select(col("id"), col("cell"), col("sub"), col("best.code").as("code"))
+  }
+
   /** IVF-PQ QUERY against prebuilt index structures (in-memory or
     * loaded from a persisted index — bit-identical either way): the
     * query side probes its nprobe nearest cells carrying the coarse

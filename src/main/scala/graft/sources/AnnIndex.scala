@@ -75,6 +75,44 @@ object AnnIndex {
     if (!fresh) buildAndSave(emb, dir, nCells, m, nCodes, idCol, vecCol)
   }
 
+  /** Append NEW vectors into the persisted layout WITHOUT a rebuild —
+    * index maintenance at serving scale: centroids and codebooks stay
+    * FROZEN (retraining is a scheduled rebuild, the standard IVF
+    * contract), the new vectors encode against them in one map-side
+    * pass (models broadcast), and their code rows append into the
+    * cell partitions — cost O(new vectors), never O(index). The
+    * serving path sees them immediately (same cell-partitioned scan,
+    * DPP intact). Idempotent per increment: the increment's id is
+    * recorded in meta's applied chain, and a replayed append
+    * (crash-retry, re-run notebook) is SKIPPED. The default id is
+    * the increment's FILE fingerprint — right when every increment
+    * is a fresh file drop (the crawl pattern); pass `incrementId`
+    * explicitly when increments are views carved from shared files
+    * (file fingerprints would collide and skip real work). */
+  def appendIncremental(newEmb: DataFrame, dir: String,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        incrementId: Option[String] = None): Boolean = {
+    val spark = newEmb.sparkSession
+    import spark.implicits._
+    val fp = incrementId.getOrElse(corpusFingerprint(newEmb))
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val applied: Seq[String] =
+      if (meta.schema.fieldNames.contains("applied_fps"))
+        Option(meta.getAs[String]("applied_fps")).map(_.split(",").toSeq).getOrElse(Nil)
+      else Nil
+    if (applied.contains(fp)) false
+    else {
+      val ix = load(spark, dir)
+      Similarity.ivfpqEncode(newEmb, ix.centroids, ix.codebooks, ix.m, idCol, vecCol)
+        .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+      Seq((ix.nCells, ix.nCodes, ix.m, meta.getAs[String]("corpus_fp"),
+        (applied :+ fp).mkString(",")))
+        .toDF("n_cells", "n_codes", "m", "corpus_fp", "applied_fps")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+      true
+    }
+  }
+
   /** Per-cell summary of a persisted index, read back from the SAVED
     * layout (not the in-memory build): distinct vectors, code rows,
     * and distinct codes per IVF cell. This is the build step's

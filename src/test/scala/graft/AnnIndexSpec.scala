@@ -93,4 +93,51 @@ class AnnIndexSpec extends SparkSpec {
     assert(codesScans.exists(_.toString.toLowerCase.contains("dynamicpruning")),
       codesScans.map(_.toString).mkString("\n"))
   }
+
+  test("appendIncremental: new vectors serve without a rebuild; replays are skipped") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf)
+    val dir = freshDir("incr")
+    // build on the LOW half only, then append the high half
+    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val cut = maxId / 2
+    AnnIndex.buildAndSave(emb.where(col("vec_id") <= cut), dir)
+    val before = spark.read.parquet(s"$dir/codes")
+      .select(col("id")).distinct().count()
+    val applied = AnnIndex.appendIncremental(
+      emb.where(col("vec_id") > cut), dir, incrementId = Some("inc-1"))
+    assert(applied, "first append must run")
+    val after = spark.read.parquet(s"$dir/codes")
+      .select(col("id")).distinct().count()
+    assert(after == emb.count(), s"index must now cover the corpus ($before -> $after)")
+    // frozen models: encoding the build corpus against the loaded
+    // models reproduces the persisted code rows bit-exactly
+    val ix = AnnIndex.load(spark, dir)
+    val reEnc = Similarity.ivfpqEncode(
+      emb.where(col("vec_id") <= cut), ix.centroids, ix.codebooks, ix.m)
+      .collect().map(_.toString).sorted.toSeq
+    val persisted = ix.codes
+      .join(emb.where(col("vec_id") <= cut).select(col("vec_id").as("id")), Seq("id"),
+        "left_semi")
+      .select(col("id"), col("cell"), col("sub"), col("code"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(reEnc == persisted, "append must not disturb existing code rows")
+    // serving over the appended layout is bit-identical to the fused
+    // in-memory query over (build codes ∪ encoded increment) — the
+    // appended rows participate exactly like built ones
+    val inMem = Similarity.ivfpqQuery(emb, ix.centroids, ix.codebooks,
+      Similarity.ivfpqEncode(emb.where(col("vec_id") <= cut),
+          ix.centroids, ix.codebooks, ix.m)
+        .unionByName(Similarity.ivfpqEncode(emb.where(col("vec_id") > cut),
+          ix.centroids, ix.codebooks, ix.m)),
+      m = ix.m).collect().map(_.toString).toSeq
+    val served = AnnIndex.query(spark, dir, emb).collect().map(_.toString).toSeq
+    assert(served == inMem, "served results must equal the fused union path")
+    // a crash-replayed increment is skipped: no duplicate code rows
+    val replay = AnnIndex.appendIncremental(
+      emb.where(col("vec_id") > cut), dir, incrementId = Some("inc-1"))
+    assert(!replay, "replayed increment must be skipped")
+    assert(spark.read.parquet(s"$dir/codes").count() ==
+      after * ix.m, "no duplicate code rows after a replay")
+  }
 }
