@@ -24,6 +24,27 @@ object StreamingPipeline {
     Chunker.fixedStride(silver, "content")
   }
 
+  /** Continuous embedding inference — the reference's Embeddings
+    * stage run as a stream: each micro-batch of gold chunks drives
+    * the pluggable `TextEncoder` through the SAME one-pass
+    * mapPartitions batch shape as the batch operator (map-only, so
+    * it lifts to Structured Streaming unchanged), and the vectors
+    * land in a Delta embedding zone through the exactly-once
+    * graft-delta sink — a crash-replayed micro-batch commits once.
+    * Start with `.start(zonePath)`. Downstream, each committed batch
+    * can maintain the serving index via
+    * `AnnIndex.appendIncremental(batch, dir, incrementId = batchId)`
+    * — chunks → embeddings → ANN index, continuously, with no
+    * rebuild anywhere. */
+  def embedToZone(chunks: DataFrame, encoder: graft.operators.TextEncoder,
+                  textCol: String, keyCols: Seq[String],
+                  checkpointDir: String, batchSize: Int = 64): DataStreamWriter[Row] =
+    graft.operators.Embedder.embed(chunks, textCol, keyCols, encoder, batchSize)
+      .writeStream
+      .format("graft-delta")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+
   /** Continuous write into the lakehouse gold zone. */
   def sinkParquet(gold: DataFrame, outDir: String, checkpointDir: String): DataStreamWriter[Row] =
     gold.writeStream

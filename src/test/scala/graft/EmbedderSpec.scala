@@ -90,4 +90,43 @@ class EmbedderSpec extends SparkSpec {
     assert(vec.schema("embedding").dataType ==
       Tables.embeddings(spark, sf).schema("embedding").dataType)
   }
+
+  test("streaming inference: chunk stream -> encoder -> exactly-once zone -> incremental index") {
+    import graft.sources.{AnnIndex, DeltaSource}
+    import graft.streaming.StreamingPipeline
+    val spark2 = spark
+    import spark2.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_embstream").toString
+    val chunksTbl = s"$root/chunks"
+    val zone = s"$root/embzone"
+    // two commits of chunks -> two bounded micro-batches
+    val texts = (0 until 40).map(i => (i.toLong, s"chunk number $i with some text"))
+    DeltaSource.writeDelta(texts.take(25).toDF("chunk_id", "chunk"), chunksTbl)
+    DeltaSource.writeDelta(texts.drop(25).toDF("chunk_id", "chunk"), chunksTbl,
+      overwrite = false)
+    val stream = spark.readStream.format("graft-delta")
+      .option("maxCommitsPerBatch", "1").load(chunksTbl)
+    val q = StreamingPipeline.embedToZone(stream, StubTextEncoder(8),
+      "chunk", Seq("chunk_id"), s"$root/ckpt").start(zone)
+    assert(q.awaitTermination(120000))
+    // the zone equals the batch operator over the full table
+    val streamed = DeltaSource.readDelta(spark, zone)
+      .select(col("chunk_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
+    val batch = Embedder.embed(texts.toDF("chunk_id", "chunk"),
+      "chunk", Seq("chunk_id"), StubTextEncoder(8))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
+    assert(streamed == batch, "streamed zone must equal the batch computation")
+    // continuous index maintenance: build on batch 0's vectors, then
+    // append batch 1's from the zone change feed
+    val ixDir = s"$root/annix"
+    val zoneEmb = DeltaSource.readDelta(spark, zone)
+      .select(col("chunk_id").as("vec_id"), col("embedding"))
+    AnnIndex.buildAndSave(zoneEmb.where(col("vec_id") < 25), ixDir)
+    assert(AnnIndex.appendIncremental(zoneEmb.where(col("vec_id") >= 25), ixDir,
+      incrementId = Some("batch-1")))
+    val covered = spark.read.parquet(s"$ixDir/codes")
+      .select(col("id")).distinct().count()
+    assert(covered == 40, s"index must cover every streamed chunk, got $covered")
+  }
 }
