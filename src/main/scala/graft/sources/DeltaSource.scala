@@ -1573,6 +1573,68 @@ object DeltaSource {
     * stop working; the current snapshot is untouched. Staging and
     * log directories are never touched; absolute-URI (external)
     * add files are never deleted. Returns the deleted paths. */
+  /** Table history, newest first: per commit its version,
+    * authoritative timestamp (the commitInfo inCommitTimestamp when
+    * stamped, the log file's mtime otherwise), and action counts —
+    * the DESCRIBE HISTORY surface an operator reads before a
+    * restore/time-travel. Driver-side O(commits) small reads; commits
+    * truncated past a checkpoint no longer appear (their history is
+    * folded). */
+  def history(spark: SparkSession, tablePath: String): DataFrame = {
+    val logDir = new Path(tablePath, "_delta_log")
+    val fs = fsOf(spark, logDir)
+    val (commits, _) = logVersions(fs, logDir)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    import spark.implicits._
+    commits.sorted(Ordering[Long].reverse).map { v =>
+      val p = new Path(logDir, f"$v%020d.json")
+      val in = fs.open(p)
+      val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        finally in.close()
+      var (adds, removes, cdcs, meta, proto, txns) = (0L, 0L, 0L, 0L, 0L, 0L)
+      var ict: Option[Long] = None
+      text.linesIterator.filter(_.nonEmpty).foreach { line =>
+        val n = mapper.readTree(line)
+        if (n.path("add").isObject) adds += 1
+        if (n.path("remove").isObject) removes += 1
+        if (n.path("cdc").isObject) cdcs += 1
+        if (n.path("metaData").isObject) meta += 1
+        if (n.path("protocol").isObject) proto += 1
+        if (n.path("txn").isObject) txns += 1
+        val t = n.path("commitInfo").path("inCommitTimestamp")
+        if (t.isNumber) ict = Some(t.asLong)
+      }
+      (v, ict.getOrElse(fs.getFileStatus(p).getModificationTime),
+        adds, removes, cdcs, meta, proto, txns)
+    }.toDF("version", "timestamp", "n_adds", "n_removes", "n_cdc",
+      "n_metadata", "n_protocol", "n_txn")
+  }
+
+  /** The log-side sibling of VACUUM (`delta.logRetentionDuration`
+    * semantics): delete commit JSONs that are BOTH older than the
+    * retention window AND folded into a checkpoint (strictly below
+    * the newest checkpoint version — the replay path never needs
+    * them; time travel to those versions expires with them, which is
+    * exactly the retention contract). `_last_checkpoint` and every
+    * commit at or after the newest checkpoint survive regardless of
+    * age. Returns the deleted versions. */
+  def cleanupExpiredLogs(spark: SparkSession, tablePath: String,
+                         retainMs: Long = 30L * 24 * 3600 * 1000): Seq[Long] = {
+    val logDir = new Path(tablePath, "_delta_log")
+    val fs = fsOf(spark, logDir)
+    val (commits, checkpoints) = logVersions(fs, logDir)
+    val newestCp = checkpoints.sorted.lastOption.getOrElse(return Nil)
+    val cutoff = System.currentTimeMillis() - retainMs
+    val doomed = commits.filter { v =>
+      v < newestCp && {
+        val p = new Path(logDir, f"$v%020d.json")
+        fs.getFileStatus(p).getModificationTime < cutoff
+      }
+    }.sorted
+    doomed.foreach(v => fs.delete(new Path(logDir, f"$v%020d.json"), false))
+    doomed
+  }
+
   def vacuum(spark: SparkSession, tablePath: String,
              retainMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
     val table = new Path(tablePath)

@@ -31,6 +31,40 @@ class DeltaOpsSpec extends SparkSpec {
     assert(DeltaSource.readDelta(spark, tbl).count() == 30)
   }
 
+  test("history lists commits newest-first with action counts and authoritative timestamps") {
+    val tbl = tmpTable()
+    DeltaSource.writeDelta(spark.range(5).toDF("id"), tbl)
+    DeltaSource.writeDelta(spark.range(5, 8).toDF("id"), tbl, overwrite = false)
+    DeltaSource.enableInCommitTimestamps(spark, tbl)
+    DeltaSource.writeDelta(spark.range(8, 9).toDF("id"), tbl, overwrite = false)
+    val h = DeltaSource.history(spark, tbl).collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(3L, 2L, 1L, 0L), "newest first")
+    val ts = h.map(_.getLong(1)).reverse.toSeq
+    assert(ts == ts.sorted, "timestamps non-decreasing across the log")
+    assert(h.find(_.getLong(0) == 2L).get.getAs[Long]("n_metadata") == 1L)
+    assert(h.find(_.getLong(0) == 3L).get.getAs[Long]("n_adds") >= 1L)
+  }
+
+  test("cleanupExpiredLogs deletes only checkpoint-folded expired commits; replay survives") {
+    val tbl = tmpTable()
+    (0 until 5).foreach { i =>
+      DeltaSource.writeDelta(spark.range(i * 3, i * 3 + 3).toDF("id"), tbl,
+        overwrite = i == 0)
+    }
+    // no checkpoint yet: nothing is reclaimable at any age
+    assert(DeltaSource.cleanupExpiredLogs(spark, tbl, retainMs = 0L).isEmpty)
+    DeltaSource.checkpoint(spark, tbl) // at v4
+    val gone = DeltaSource.cleanupExpiredLogs(spark, tbl, retainMs = 0L)
+    assert(gone == Seq(0L, 1L, 2L, 3L), s"expected v0-v3 reclaimed, got $gone")
+    // the table replays from the checkpoint + surviving commits
+    assert(DeltaSource.readDelta(spark, tbl).count() == 15)
+    // a retention window keeps young commits even below the checkpoint
+    DeltaSource.writeDelta(spark.range(100, 101).toDF("id"), tbl, overwrite = false)
+    DeltaSource.checkpoint(spark, tbl)
+    assert(DeltaSource.cleanupExpiredLogs(spark, tbl,
+      retainMs = 24L * 3600 * 1000).isEmpty, "young commits must survive retention")
+  }
+
   test("exactly-once sink: a replayed batch commits once") {
     val t = tmpTable()
     val sink = DeltaSource.exactlyOnceBatchSink(t, "app1") _
