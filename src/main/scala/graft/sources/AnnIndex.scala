@@ -103,8 +103,37 @@ object AnnIndex {
     if (applied.contains(fp)) false
     else {
       val ix = load(spark, dir)
+      // crash safety: a retry after a crash between the data landing
+      // and the meta update must not leave DUPLICATE code rows
+      // (ADC scoring would double-count them). Every file of this
+      // increment carries a name derived from its id; the retry
+      // sweeps leftovers of the crashed attempt before moving fresh
+      // ones, so the (data, meta) pair is effectively atomic.
+      val fp8 = java.security.MessageDigest.getInstance("MD5")
+        .digest(fp.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+      val codesRoot = new org.apache.hadoop.fs.Path(s"$dir/codes")
+      val fs = codesRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(codesRoot).filter(_.isDirectory).foreach { cellDir =>
+        fs.listStatus(cellDir.getPath)
+          .filter(_.getPath.getName.startsWith(s"inc-$fp8-"))
+          .foreach(st => fs.delete(st.getPath, false))
+      }
+      val stage = new org.apache.hadoop.fs.Path(s"$dir/.incstage-$fp8")
       Similarity.ivfpqEncode(newEmb, ix.centroids, ix.codebooks, ix.m, idCol, vecCol)
-        .write.mode("append").partitionBy("cell").parquet(s"$dir/codes")
+        .write.mode("overwrite").partitionBy("cell").parquet(stage.toString)
+      var seq = 0
+      fs.listStatus(stage).filter(_.isDirectory).foreach { cellDir =>
+        val dstDir = new org.apache.hadoop.fs.Path(codesRoot, cellDir.getPath.getName)
+        fs.mkdirs(dstDir)
+        fs.listStatus(cellDir.getPath)
+          .filter(_.getPath.getName.endsWith(".parquet")).foreach { st =>
+            require(fs.rename(st.getPath,
+              new org.apache.hadoop.fs.Path(dstDir, s"inc-$fp8-$seq.parquet")),
+              s"move failed for increment file ${st.getPath}")
+            seq += 1
+          }
+      }
+      fs.delete(stage, true)
       Seq((ix.nCells, ix.nCodes, ix.m, meta.getAs[String]("corpus_fp"),
         (applied :+ fp).mkString(",")))
         .toDF("n_cells", "n_codes", "m", "corpus_fp", "applied_fps")

@@ -133,11 +133,24 @@ class AnnIndexSpec extends SparkSpec {
       m = ix.m).collect().map(_.toString).toSeq
     val served = AnnIndex.query(spark, dir, emb).collect().map(_.toString).toSeq
     assert(served == inMem, "served results must equal the fused union path")
-    // a crash-replayed increment is skipped: no duplicate code rows
+    // a replayed increment is skipped: no duplicate code rows
     val replay = AnnIndex.appendIncremental(
       emb.where(col("vec_id") > cut), dir, incrementId = Some("inc-1"))
     assert(!replay, "replayed increment must be skipped")
     assert(spark.read.parquet(s"$dir/codes").count() ==
       after * ix.m, "no duplicate code rows after a replay")
+    // a CRASHED attempt (data landed, meta update lost) retries
+    // cleanly: the retry sweeps the orphaned increment files first
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    Seq((meta.getAs[Int]("n_cells"), meta.getAs[Int]("n_codes"), meta.getAs[Int]("m"),
+      meta.getAs[String]("corpus_fp"), ""))
+      .toDF("n_cells", "n_codes", "m", "corpus_fp", "applied_fps")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    assert(AnnIndex.appendIncremental(
+      emb.where(col("vec_id") > cut), dir, incrementId = Some("inc-1")),
+      "retry after a crashed attempt must run")
+    assert(spark.read.parquet(s"$dir/codes").count() == after * ix.m,
+      "crash retry must not duplicate the increment's code rows")
   }
 }
