@@ -1912,7 +1912,14 @@ object DeltaSource {
     * (DV-applied, partition values restored) — the Delta-spec
     * derivation rule, so plain appends and overwrites feed changes
     * with zero write-side cost. dataChange=false layout swaps are
-    * invisible. */
+    * invisible.
+    *
+    * Driver cost: one small log read plus up to two snapshot replays
+    * per commit in range — O(range × log) driver work, the same cost
+    * class as `followChanges`; executors only ever touch the
+    * commits' own files. Consume incrementally (the streaming
+    * `readChangeFeed` path batches by commit ranges) rather than
+    * re-reading a deep range repeatedly. */
   def changesCdf(spark: SparkSession, tablePath: String,
                  since: Option[Long],
                  until: Option[Long] = None): (Option[Long], Option[DataFrame]) = {

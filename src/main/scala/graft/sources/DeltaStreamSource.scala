@@ -172,10 +172,26 @@ class DeltaStreamSource(spark: SparkSession, tablePath: String,
     * `start` unchanged signals "no new data" and, under AvailableNow,
     * terminates the drain. */
   /** Bytes a commit's dataChange adds reference (from the log's add
-    * sizes — no file IO). Drives the `maxBytesPerBatch` cap. */
-  private def commitBytes(v: Long): Long =
-    DeltaSource.commitAdds(spark, tablePath, Seq(v))
-      .map(_._2.size.getOrElse(0L)).sum
+    * sizes). Drives the `maxBytesPerBatch` cap. Parsed DRIVER-side
+    * (commit files are small) — a Spark job per pending commit per
+    * trigger would swamp the scheduler on a deep backfill. */
+  private def commitBytes(v: Long): Long = {
+    val p = new Path(tablePath, f"_delta_log/$v%020d.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else {
+      val in = fs.open(p)
+      val text = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      text.linesIterator.filter(_.nonEmpty).map { line =>
+        val add = mapper.readTree(line).path("add")
+        if (add.isObject && add.path("dataChange").asBoolean(false))
+          add.path("size").asLong(0L)
+        else 0L
+      }.sum
+    }
+  }
 
   override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
     val base = Option(start).map(verV2).getOrElse(startingVersion - 1)

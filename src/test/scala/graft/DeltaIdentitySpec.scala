@@ -104,6 +104,32 @@ class DeltaIdentitySpec extends SparkSpec {
     assert(r.getLong(0) == 140 && r.getLong(1) == 140 && r.getLong(2) == 140L)
   }
 
+  test("identity survives the streaming sink: ids continue across micro-batches") {
+    val src = tmpDir("ssrc")
+    val dst = tmpDir("sdst")
+    // identity table pre-created; the stream appends WITHOUT the column
+    DeltaSource.writeDelta(
+      DeltaSource.withIdentityColumn(
+        spark.range(10).selectExpr("id as k"), "row_id"),
+      dst)
+    DeltaSource.writeDelta(spark.range(100, 110).selectExpr("id as k"), src)
+    DeltaSource.writeDelta(spark.range(110, 115).selectExpr("id as k"), src,
+      overwrite = false)
+    val q = spark.readStream.format("graft-delta")
+      .option("maxCommitsPerBatch", "1")
+      .load(src)
+      .writeStream.format("graft-delta")
+      .option("checkpointLocation", tmpDir("sckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(dst)
+    assert(q.awaitTermination(120000))
+    val r = DeltaSource.readDelta(spark, dst)
+      .agg(count(lit(1)), countDistinct(col("row_id")), max(col("row_id")))
+      .collect()(0)
+    assert(r.getLong(0) == 25 && r.getLong(1) == 25 && r.getLong(2) == 25L,
+      "streamed batches must extend the id sequence densely and uniquely")
+  }
+
   test("an overwrite keeps the declaration and restarts numbering from its watermark") {
     val tbl = mk()
     // caller's overwrite batch: no identity column, no metadata
