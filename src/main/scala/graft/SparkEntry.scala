@@ -870,6 +870,7 @@ object SparkEntry {
     "mm_phash_dedup" -> ((s, d) =>
       Multimodal.phashPairs(Multimodal.withBinaryPayload(Tables.documents(s, d)))),
     "txt_bpe_pairs" -> ((s, d) => Quality.bpePairStats(Tables.documents(s, d))),
+    "txt_bpe_train" -> ((s, d) => graft.operators.Bpe.bpeTrain(Tables.documents(s, d))),
     "txt_ppl_buckets" -> ((s, d) => Quality.perplexityBuckets(Tables.documents(s, d))),
     "dedup_substrings" -> ((s, d) => Dedup.substringRuns(Tables.documents(s, d))),
     "pipe_scd2" -> ((s, d) => Analytics.scd2Priority(s, d)),
@@ -3827,6 +3828,40 @@ object SparkEntry {
          |r AS (SELECT *, row_number() OVER (ORDER BY pair_freq DESC, pair) AS rnk FROM pr)
          |SELECT CAST(rnk AS BIGINT) AS rnk, pair, pair_freq, n_word_types
          |FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
+    // the BPE TRAINER: four unrolled merge rounds — each round picks
+    // the max-count adjacent pair (ties: count desc, left, right)
+    // and applies the merge as a delimiter-wrapped literal replace,
+    // byte-identical to the engine's loop
+    "txt_bpe_train" -> {
+      def round(i: Int): String = {
+        val prev = s"s${i - 1}"
+        s"""tk$i AS (SELECT freq, string_split(trim(seq, '|'), '||') AS tk FROM $prev),
+           |p$i AS (SELECT freq, unnest(list_transform(range(1, len(tk)),
+           |    j -> {'a': tk[j], 'b': tk[j + 1]})) AS p FROM tk$i),
+           |c$i AS (SELECT p.a AS a, p.b AS b, CAST(sum(freq) AS BIGINT) AS n
+           |  FROM p$i GROUP BY 1, 2),
+           |m$i AS (SELECT a, b, n FROM c$i ORDER BY n DESC, a, b LIMIT 1),
+           |s$i AS (SELECT freq,
+           |    replace(seq, '|' || m.a || '||' || m.b || '|',
+           |      '|' || m.a || m.b || '|') AS seq
+           |  FROM $prev, m$i m)""".stripMargin
+      }
+      s"""WITH v AS (SELECT w, count(*) AS freq
+         |  FROM (SELECT unnest(${dToks("lower(text)")}) AS w FROM documents)
+         |  WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY 1),
+         |s0 AS (SELECT freq, regexp_replace(w, '(.)', '|\\1|', 'g') AS seq FROM v),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)},
+         |${round(4)}
+         |SELECT step, "left", "right", merged, n FROM (
+         |  SELECT CAST(1 AS BIGINT) AS step, a AS "left", b AS "right",
+         |    a || b AS merged, n FROM m1
+         |  UNION ALL SELECT 2, a, b, a || b, n FROM m2
+         |  UNION ALL SELECT 3, a, b, a || b, n FROM m3
+         |  UNION ALL SELECT 4, a, b, a || b, n FROM m4)
+         |ORDER BY step""".stripMargin
+    },
     "txt_ppl_buckets" ->
       s"""WITH tk AS (SELECT doc_id, unnest(${dToks("text")}) AS tok FROM documents),
          |cnt AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY 1),
