@@ -871,6 +871,8 @@ object SparkEntry {
       Multimodal.phashPairs(Multimodal.withBinaryPayload(Tables.documents(s, d)))),
     "txt_bpe_pairs" -> ((s, d) => Quality.bpePairStats(Tables.documents(s, d))),
     "txt_bpe_train" -> ((s, d) => graft.operators.Bpe.bpeTrain(Tables.documents(s, d))),
+    "txt_bpe_segment" -> ((s, d) =>
+      graft.operators.Bpe.bpeSegmentStats(Tables.documents(s, d))),
     "txt_ppl_buckets" -> ((s, d) => Quality.perplexityBuckets(Tables.documents(s, d))),
     "dedup_substrings" -> ((s, d) => Dedup.substringRuns(Tables.documents(s, d))),
     "pipe_scd2" -> ((s, d) => Analytics.scd2Priority(s, d)),
@@ -949,6 +951,33 @@ object SparkEntry {
   // Shared fragments (single-quoted strings are regex-literal in SQL).
   private def dToks(x: String) =
     s"list_filter(string_split_regex(trim($x), '\\s+'), t -> length(t) > 0)"
+
+  /** The 4-round BPE training chain shared by the txt_bpe_train /
+    * txt_bpe_segment oracles (unrolled — per round: pair counts,
+    * deterministic winner, delimiter-wrapped literal merge). */
+  private def dBpeRound(i: Int): String = {
+    val prev = s"s${i - 1}"
+    s"""tk$i AS (SELECT freq, string_split(trim(seq, '|'), '||') AS tk FROM $prev),
+       |p$i AS (SELECT freq, unnest(list_transform(range(1, len(tk)),
+       |    j -> {'a': tk[j], 'b': tk[j + 1]})) AS p FROM tk$i),
+       |c$i AS (SELECT p.a AS a, p.b AS b, CAST(sum(freq) AS BIGINT) AS n
+       |  FROM p$i GROUP BY 1, 2),
+       |m$i AS (SELECT a, b, n FROM c$i ORDER BY n DESC, a, b LIMIT 1),
+       |s$i AS (SELECT freq,
+       |    replace(seq, '|' || m.a || '||' || m.b || '|',
+       |      '|' || m.a || m.b || '|') AS seq
+       |  FROM $prev, m$i m)""".stripMargin
+  }
+
+  private lazy val dBpeChain: String =
+    s"""WITH v AS (SELECT w, count(*) AS freq
+       |  FROM (SELECT unnest(${dToks("lower(text)")}) AS w FROM documents)
+       |  WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY 1),
+       |s0 AS (SELECT freq, regexp_replace(w, '(.)', '|\\1|', 'g') AS seq FROM v),
+       |${dBpeRound(1)},
+       |${dBpeRound(2)},
+       |${dBpeRound(3)},
+       |${dBpeRound(4)}""".stripMargin
   private def dNorm(x: String) =
     s"trim(regexp_replace(lower(regexp_replace($x, '[^\\w\\d\\s.,!?;:\\-()]', ' ', 'g')), '\\s+', ' ', 'g'))"
   private def dShingles(tk: String) =
@@ -3832,36 +3861,25 @@ object SparkEntry {
     // the max-count adjacent pair (ties: count desc, left, right)
     // and applies the merge as a delimiter-wrapped literal replace,
     // byte-identical to the engine's loop
-    "txt_bpe_train" -> {
-      def round(i: Int): String = {
-        val prev = s"s${i - 1}"
-        s"""tk$i AS (SELECT freq, string_split(trim(seq, '|'), '||') AS tk FROM $prev),
-           |p$i AS (SELECT freq, unnest(list_transform(range(1, len(tk)),
-           |    j -> {'a': tk[j], 'b': tk[j + 1]})) AS p FROM tk$i),
-           |c$i AS (SELECT p.a AS a, p.b AS b, CAST(sum(freq) AS BIGINT) AS n
-           |  FROM p$i GROUP BY 1, 2),
-           |m$i AS (SELECT a, b, n FROM c$i ORDER BY n DESC, a, b LIMIT 1),
-           |s$i AS (SELECT freq,
-           |    replace(seq, '|' || m.a || '||' || m.b || '|',
-           |      '|' || m.a || m.b || '|') AS seq
-           |  FROM $prev, m$i m)""".stripMargin
-      }
-      s"""WITH v AS (SELECT w, count(*) AS freq
-         |  FROM (SELECT unnest(${dToks("lower(text)")}) AS w FROM documents)
-         |  WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY 1),
-         |s0 AS (SELECT freq, regexp_replace(w, '(.)', '|\\1|', 'g') AS seq FROM v),
-         |${round(1)},
-         |${round(2)},
-         |${round(3)},
-         |${round(4)}
+    "txt_bpe_train" ->
+      s"""$dBpeChain
          |SELECT step, "left", "right", merged, n FROM (
          |  SELECT CAST(1 AS BIGINT) AS step, a AS "left", b AS "right",
          |    a || b AS merged, n FROM m1
          |  UNION ALL SELECT 2, a, b, a || b, n FROM m2
          |  UNION ALL SELECT 3, a, b, a || b, n FROM m3
          |  UNION ALL SELECT 4, a, b, a || b, n FROM m4)
-         |ORDER BY step""".stripMargin
-    },
+         |ORDER BY step""".stripMargin,
+    // what the trained merges BUY: corpus symbols before (chars) vs
+    // after (BPE tokens) under the same 4-round chain
+    "txt_bpe_segment" ->
+      s"""$dBpeChain,
+         |fin AS (SELECT freq, len(string_split(trim(seq, '|'), '||')) AS ntok FROM s4)
+         |SELECT a.n_word_types, a.n_words, a.sym_before, b.sym_after,
+         |  round(CAST(b.sym_after AS DOUBLE) / a.sym_before, 6) AS compression
+         |FROM (SELECT count(*) AS n_word_types, CAST(sum(freq) AS BIGINT) AS n_words,
+         |        CAST(sum(freq * length(w)) AS BIGINT) AS sym_before FROM v) a,
+         |     (SELECT CAST(sum(freq * ntok) AS BIGINT) AS sym_after FROM fin) b""".stripMargin,
     "txt_ppl_buckets" ->
       s"""WITH tk AS (SELECT doc_id, unnest(${dToks("text")}) AS tok FROM documents),
          |cnt AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY 1),

@@ -66,4 +66,47 @@ object Bpe {
     }
     merges.toSeq.toDF("step", "left", "right", "merged", "n")
   }
+
+  /** Segmentation quality of the trained merges: run the same
+    * training loop, then measure what the merge table BUYS — symbols
+    * per corpus before (characters) vs after (BPE tokens), the
+    * compression number a tokenizer is judged by. One aggregate over
+    * the final vocabulary; corpus still touched exactly once. */
+  def bpeSegmentStats(docs: DataFrame, nMerges: Int = 4,
+                      contentCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val vocab0 = docs
+      .select(explode(tokens(lower(col(contentCol)))).as("w"))
+      .where(col("w").rlike("^[a-z]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .withColumn("seq", regexp_replace(col("w"), "(.)", "|$1|"))
+      .localCheckpoint(true)
+    var vocab = vocab0
+    (1 to nMerges).foreach { _ =>
+      val tk = split(expr("trim(BOTH '|' FROM seq)"), "\\|\\|")
+      val withTk = vocab.select(col("freq"), tk.as("tk")).where(size(col("tk")) >= 2)
+      val top = withTk.select(col("freq"),
+        explode(zip_with(
+          slice(col("tk"), lit(1), size(col("tk")) - 1),
+          slice(col("tk"), lit(2), size(col("tk")) - 1),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        vocab = vocab.withColumn("seq",
+          expr(s"replace(seq, '|$a||$b|', '|$a$b|')"))
+      }
+    }
+    val ntok = size(split(expr("trim(BOTH '|' FROM seq)"), "\\|\\|")).cast("long")
+    vocab.agg(
+      count(lit(1)).as("n_word_types"),
+      sum(col("freq")).as("n_words"),
+      sum(col("freq") * length(col("w"))).as("sym_before"),
+      sum(col("freq") * ntok).as("sym_after"))
+      .select(col("n_word_types"), col("n_words"), col("sym_before"), col("sym_after"),
+        round(col("sym_after").cast("double") / col("sym_before"), 6).as("compression"))
+  }
 }
