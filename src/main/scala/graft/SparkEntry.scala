@@ -400,6 +400,17 @@ object SparkEntry {
 
     // ── data quality ────────────────────────────────────────────────
     "dq_record_counts" -> ((s, d) => Quality.recordCounts(Tables.documents(s, d))),
+    "dq_referential" -> ((s, d) =>
+      // the pre-publish FK audit across the star schema's spine
+      Analytics.referentialOrphans("lineitem->orders",
+          Tables.lineitem(s, d), "l_orderkey", Tables.orders(s, d), "o_orderkey")
+        .unionByName(Analytics.referentialOrphans("lineitem->part",
+          Tables.lineitem(s, d), "l_partkey", Tables.part(s, d), "p_partkey"))
+        .unionByName(Analytics.referentialOrphans("lineitem->supplier",
+          Tables.lineitem(s, d), "l_suppkey", Tables.supplier(s, d), "s_suppkey"))
+        .unionByName(Analytics.referentialOrphans("orders->customer",
+          Tables.orders(s, d), "o_custkey", Tables.customer(s, d), "c_custkey"))
+        .orderBy(col("relationship"))),
     "dq_integrity_by_source" -> ((s, d) => Quality.integrityBySource(Tables.documents(s, d))),
     "dq_length_quartiles" -> ((s, d) => Quality.lengthQuartiles(Tables.documents(s, d))),
     "dq_top_words_src" -> ((s, d) => Quality.topWordsPerSource(Tables.documents(s, d))),
@@ -1622,6 +1633,25 @@ object SparkEntry {
 
     "dq_record_counts" ->
       "SELECT source, count(*) AS record_count FROM documents GROUP BY source ORDER BY source",
+    "dq_referential" -> {
+      def rel(name: String, child: String, ck: String,
+              parent: String, pk: String): String =
+        s"""SELECT '$name' AS relationship,
+           |  (SELECT count(*) FROM $child) AS n_children,
+           |  (SELECT count(*) FROM $child c LEFT JOIN
+           |     (SELECT DISTINCT $pk FROM $parent) p ON c.$ck = p.$pk
+           |   WHERE p.$pk IS NULL) AS n_orphans,
+           |  round(CAST((SELECT count(*) FROM $child c LEFT JOIN
+           |     (SELECT DISTINCT $pk FROM $parent) p ON c.$ck = p.$pk
+           |   WHERE p.$pk IS NULL) AS DOUBLE) /
+           |    (SELECT count(*) FROM $child), 6) AS orphan_rate""".stripMargin
+      Seq(
+        rel("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        rel("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        rel("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        rel("orders->customer", "orders", "o_custkey", "customer", "c_custkey"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY relationship")
+    },
     "dq_integrity_by_source" ->
       """SELECT source, count(*) AS n_rows,
         |  CAST(SUM(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_text,

@@ -571,4 +571,23 @@ object Analytics {
       .withColumn("backlog", sum(col("opened") - col("closed")).over(w))
       .orderBy(col("month"))
   }
+
+  /** Referential-integrity audit for one FK relationship: child rows
+    * whose key has no parent (the orphan count every load pipeline
+    * checks before publishing). Scale shape: the parent side reduces
+    * to DISTINCT keys before the anti-join — dimension-sized parents
+    * broadcast, fact-sized ones shuffle once on the key, and the
+    * child is never scanned twice (both aggregates ride one plan). */
+  def referentialOrphans(name: String, child: DataFrame, childKey: String,
+                         parent: DataFrame, parentKey: String): DataFrame = {
+    val total = child.agg(count(lit(1)).as("n_children"))
+    val orphans = child
+      .join(parent.select(col(parentKey)).distinct(),
+        child(childKey) === col(parentKey), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    total.crossJoin(orphans)
+      .select(lit(name).as("relationship"), col("n_children"), col("n_orphans"),
+        round(col("n_orphans").cast("double") / col("n_children"), 6)
+          .as("orphan_rate"))
+  }
 }

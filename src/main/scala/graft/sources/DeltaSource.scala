@@ -1610,6 +1610,45 @@ object DeltaSource {
       "n_metadata", "n_protocol", "n_txn")
   }
 
+  /** Metadata-only table profile from the log's per-file stats:
+    * per column the table-wide min/max (canonical string form) and
+    * total null count, plus row/file accounting — ZERO data files
+    * read, which at 100 TB is the difference between a profile that
+    * runs in milliseconds and a full scan. Columns missing stats in
+    * some file report `n_files_with_stats < n_files` and
+    * conservative (possibly absent) bounds — never a wrong bound.
+    * DV-marked rows are still counted in numRecords (physical
+    * bounds, same contract as data skipping). */
+  def statsProfile(spark: SparkSession, tablePath: String): DataFrame = {
+    val snap = snapshot(spark, tablePath, None)
+    val parsed = snap.files.map(a => parseStats(a.stats))
+    val nFiles = snap.files.size.toLong
+    val nRecords = parsed.flatMap(_.flatMap(_.numRecords)).sum
+    import spark.implicits._
+    snap.schema.map { f =>
+      val phys = physicalName(f)
+      val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+        .getInterpretedOrdering(f.dataType).asInstanceOf[Ordering[Any]]
+      def castS(raw: String): Any =
+        org.apache.spark.sql.catalyst.expressions.Cast(
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            org.apache.spark.unsafe.types.UTF8String.fromString(raw), StringType),
+          f.dataType, Option("UTC")).eval(null)
+      val perFile = parsed.flatten.map { st =>
+        (st.minValues.get(phys), st.maxValues.get(phys), st.nullCount.get(phys))
+      }
+      val mins = perFile.flatMap(_._1).map(r => (r, castS(r))).filter(_._2 != null)
+      val maxs = perFile.flatMap(_._2).map(r => (r, castS(r))).filter(_._2 != null)
+      val withStats = perFile.count(t => t._1.nonEmpty || t._2.nonEmpty || t._3.nonEmpty)
+      (f.name,
+        if (mins.isEmpty) null else mins.minBy(_._2)(ord)._1,
+        if (maxs.isEmpty) null else maxs.maxBy(_._2)(ord)._1,
+        perFile.flatMap(_._3).sum,
+        withStats.toLong, nFiles, nRecords)
+    }.toDF("column", "min_value", "max_value", "null_count",
+      "n_files_with_stats", "n_files", "n_records")
+  }
+
   /** The log-side sibling of VACUUM (`delta.logRetentionDuration`
     * semantics): delete commit JSONs that are BOTH older than the
     * retention window AND folded into a checkpoint (strictly below

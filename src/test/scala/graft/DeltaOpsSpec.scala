@@ -31,6 +31,31 @@ class DeltaOpsSpec extends SparkSpec {
     assert(DeltaSource.readDelta(spark, tbl).count() == 30)
   }
 
+  test("statsProfile profiles the table from metadata alone (data files deletable)") {
+    import org.apache.spark.sql.functions.col
+    val tbl = tmpTable()
+    DeltaSource.writeDelta(
+      spark.range(1000).selectExpr("id as k",
+        "CASE WHEN id % 10 = 0 THEN NULL ELSE id * 2 END as v",
+        "concat('row-', lpad(CAST(id AS STRING), 4, '0')) as s")
+        .repartition(4, col("k")), tbl)
+    val prof = DeltaSource.statsProfile(spark, tbl)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(prof("k").getString(1) == "0" && prof("k").getString(2) == "999")
+    assert(prof("v").getLong(3) == 100, "null count from footer stats")
+    assert(prof("s").getString(1) == "row-0000" && prof("s").getString(2) == "row-0999")
+    assert(prof("k").getLong(6) == 1000, "numRecords accounting")
+    // the proof it is metadata-only: delete every DATA file, profile again
+    val dir = new org.apache.hadoop.fs.Path(tbl)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(dir).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .foreach(s => fs.delete(s.getPath, false))
+    val again = DeltaSource.statsProfile(spark, tbl)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(again("k").getString(2) == "999",
+      "profile must come from the log, not the data files")
+  }
+
   test("history lists commits newest-first with action counts and authoritative timestamps") {
     val tbl = tmpTable()
     DeltaSource.writeDelta(spark.range(5).toDF("id"), tbl)
