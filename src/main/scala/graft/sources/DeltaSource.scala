@@ -1993,8 +1993,7 @@ object DeltaSource {
       }
       if (cdcPaths.nonEmpty) {
         // materialized change data speaks for the whole commit
-        val files = cdcPaths.reverse.map(p =>
-          dataPath(tablePath, URLDecoder.decode(p, "UTF-8")).toString)
+        val files = cdcPaths.reverse.map(p => dataPath(tablePath, p).toString)
         Some(spark.read.parquet(files: _*)
           .select(outCols: _*).withColumn("_commit_version", lit(v)))
       } else {
