@@ -267,25 +267,32 @@ object Similarity {
         zip_with(col("v"), col("cv"), (a, b) => a - b).as("v"))
     val cb = subVectors(withRes.where(col("id") < nCodes), m, subDim, "cv")
       .select(col("id").as("code"), col("sub"), col("cv"))
-    val codes = subVectors(withRes, m, subDim, "sv")
+    (cents, cb, codesFrom(withRes, cb, m, subDim))
+  }
+
+  /** The shared code-table step: quantize residual sub-vectors
+    * against the given codebooks. ONE implementation behind both
+    * `ivfpqBuild` (models just fit) and `ivfpqEncode` (models
+    * frozen), so encode(build-corpus) == build's code table is
+    * structural, not a convention. */
+  private def codesFrom(withRes: DataFrame, cb: DataFrame,
+                        m: Int, subDim: Int): DataFrame =
+    subVectors(withRes, m, subDim, "sv")
       .join(withRes.select(col("id"), col("cell")), "id")
       .join(broadcast(cb), "sub")
       .select(col("id"), col("cell"), col("sub"), col("code"), pqL2.as("l2"))
       .groupBy(col("id"), col("cell"), col("sub"))
       .agg(min(struct(col("l2"), col("code"))).as("best"))
       .select(col("id"), col("cell"), col("sub"), col("best.code").as("code"))
-    (cents, cb, codes)
-  }
 
   /** Encode vectors against FROZEN index models (the incremental-
     * maintenance primitive): assign each vector to its nearest
     * EXISTING centroid and quantize the residual against the
-    * EXISTING codebooks — exactly `ivfpqBuild`'s code-table step
-    * with the models supplied instead of fit (keep the expression
-    * shapes in lockstep with ivfpqBuild: encode(build-corpus) must
-    * stay bit-identical to build's own code table). One map-side
-    * pass over the NEW vectors; centroids/codebooks broadcast;
-    * nothing touches the existing corpus. */
+    * EXISTING codebooks — the same `codesFrom` pipeline
+    * `ivfpqBuild` runs, so encode(build-corpus) is bit-identical to
+    * build's own code table by construction. One map-side pass over
+    * the NEW vectors; centroids/codebooks broadcast; nothing touches
+    * the existing corpus. */
   def ivfpqEncode(emb: DataFrame, cents: DataFrame, cb: DataFrame, m: Int = 8,
                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val subDim = 64 / m
@@ -294,13 +301,7 @@ object Similarity {
       .join(broadcast(cents.select(col("cell"), col("cv"))), "cell")
       .select(col("id"), col("cell"),
         zip_with(col("v"), col("cv"), (a, b) => a - b).as("v"))
-    subVectors(withRes, m, subDim, "sv")
-      .join(withRes.select(col("id"), col("cell")), "id")
-      .join(broadcast(cb), "sub")
-      .select(col("id"), col("cell"), col("sub"), col("code"), pqL2.as("l2"))
-      .groupBy(col("id"), col("cell"), col("sub"))
-      .agg(min(struct(col("l2"), col("code"))).as("best"))
-      .select(col("id"), col("cell"), col("sub"), col("best.code").as("code"))
+    codesFrom(withRes, cb, m, subDim)
   }
 
   /** IVF-PQ QUERY against prebuilt index structures (in-memory or

@@ -545,6 +545,15 @@ object DeltaSource {
     * (the Delta-spec generated-columns field). */
   private[sources] val GenExprKey = "delta.generationExpression"
 
+  /** Session timezone the generation expression was DECLARED under
+    * (graft extension): time-dependent expressions (CAST AS DATE,
+    * date_trunc, year) are only deterministic per zone, so the
+    * declared zone travels with the column — writers under a
+    * different session zone are refused (their fill would disagree
+    * with the stored rows), and the reader's derived partition
+    * pruning maps literals under the DECLARED zone, not its own. */
+  private[sources] val GenTzKey = "graft.generation.timeZone"
+
   /** name -> generation SQL for every generated column in `schema`. */
   private[sources] def generationExpressions(schema: StructType): Map[String, String] =
     schema.flatMap(f =>
@@ -565,7 +574,9 @@ object DeltaSource {
     * additionally lets the reader derive partition pruning from
     * predicates on the source column (see [[DeltaFileIndex]]). */
   def withGeneratedColumn(df: DataFrame, name: String, sqlExpr: String): DataFrame = {
-    val meta = new MetadataBuilder().putString(GenExprKey, sqlExpr).build()
+    val meta = new MetadataBuilder().putString(GenExprKey, sqlExpr)
+      .putString(GenTzKey, df.sparkSession.sessionState.conf.sessionLocalTimeZone)
+      .build()
     df.select(df.columns.map(col).toIndexedSeq :+ expr(sqlExpr).as(name, meta): _*)
   }
 
@@ -688,9 +699,12 @@ object DeltaSource {
     * schema actually carry. */
   private def genPartRules(spark: SparkSession, schema: StructType,
                            partitionColumns: Seq[String]): Seq[GenPartRule] = {
-    val tz = spark.sessionState.conf.sessionLocalTimeZone
     schema.filter(f => partitionColumns.contains(f.name) && f.metadata.contains(GenExprKey))
       .flatMap { f =>
+        // the zone the VALUES were computed under; session zone only
+        // for legacy declarations that predate the stamp
+        val tz = if (f.metadata.contains(GenTzKey)) f.metadata.getString(GenTzKey)
+          else spark.sessionState.conf.sessionLocalTimeZone
         monotoneGenShape(spark, f.metadata.getString(GenExprKey)).flatMap {
           case (srcName, build) =>
             schema.find(s => s.name == srcName &&
@@ -854,6 +868,47 @@ object DeltaSource {
     }.toIndexedSeq: _*)
   }
 
+  /** Advance identity high watermarks in `schema` from the staged
+    * adds' FOOTER stats (the farthest value in step direction; no
+    * data re-read). Fallback when min/max could not be read: derive
+    * from numRecords and the round's first assigned value (dense
+    * assignment; for merges this may over-advance past survivor
+    * rows, which only creates spec-legal gaps). If rows landed and
+    * neither is provable, REFUSE — a silently stale watermark means
+    * duplicate GENERATED ALWAYS keys on the next append. */
+  private def advanceIdentityWatermarks(schema: StructType, adds: Seq[StagedAdd],
+                                        idFirstValue: Map[String, Long]): StructType =
+    if (identityFields(schema).isEmpty) schema
+    else StructType(schema.map { f =>
+      if (!f.metadata.contains(IdStepKey)) f
+      else {
+        val step = f.metadata.getLong(IdStepKey)
+        val phys = physicalName(f)
+        val assigned = adds.flatMap(a => parseStats(a.stats)).flatMap { st =>
+          (if (step > 0) st.maxValues else st.minValues).get(phys).map(_.toLong)
+        }
+        val derived: Seq[Long] =
+          if (assigned.nonEmpty) assigned
+          else {
+            val counts = adds.map(a => parseStats(a.stats).flatMap(_.numRecords))
+            val n = counts.flatten.sum
+            if (counts.nonEmpty && counts.exists(_.isEmpty))
+              throw new IllegalStateException(
+                s"cannot advance identity watermark for ${f.name}: staged files " +
+                  "carry no readable footer stats; refusing the commit rather " +
+                  "than risking duplicate identity values")
+            else if (n > 0 && idFirstValue.contains(f.name))
+              Seq(idFirstValue(f.name) + step * (n - 1))
+            else Seq.empty
+          }
+        val wm = (if (f.metadata.contains(IdWatermarkKey))
+            Seq(f.metadata.getLong(IdWatermarkKey)) else Seq.empty) ++ derived
+        if (wm.isEmpty) f
+        else f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+          .putLong(IdWatermarkKey, if (step > 0) wm.max else wm.min).build())
+      }
+    })
+
   /** Enforce CHECK constraints on a batch about to land: a row
     * violates a constraint when the expression evaluates to FALSE
     * (NULL passes, the SQL-standard CHECK semantics Delta uses).
@@ -915,6 +970,16 @@ object DeltaSource {
     val genExprs: Map[String, String] =
       prevSnap.map(s => generationExpressions(s.schema))
         .getOrElse(generationExpressions(df.schema))
+    prevSnap.map(_.schema).getOrElse(df.schema)
+      .filter(f => f.metadata.contains(GenExprKey) && f.metadata.contains(GenTzKey))
+      .foreach { f =>
+        val declared = f.metadata.getString(GenTzKey)
+        val session = spark.sessionState.conf.sessionLocalTimeZone
+        require(declared == session,
+          s"generated column ${f.name} was declared under session timezone " +
+            s"$declared; this session uses $session — the fill would disagree " +
+            "with the stored rows. Set spark.sql.session.timeZone accordingly.")
+      }
     val dfIn = genExprs.toSeq.sortBy(_._1).foldLeft(df) { case (d, (name, e)) =>
       if (d.columns.contains(name)) d
       else {
@@ -938,6 +1003,7 @@ object DeltaSource {
     // a batch supplying its own non-null values is refused
     val idFields: Seq[StructField] =
       prevSnap.map(s => identityFields(s.schema)).getOrElse(identityFields(dfIn.schema))
+    val idFirstValue = scala.collection.mutable.Map.empty[String, Long]
     val dfId = idFields.sortBy(_.name).foldLeft(dfIn) { case (d, pf) =>
       require(pf.dataType == LongType,
         s"identity column ${pf.name} must be BIGINT, got ${pf.dataType}")
@@ -950,6 +1016,7 @@ object DeltaSource {
       val watermark =
         if (pf.metadata.contains(IdWatermarkKey)) pf.metadata.getLong(IdWatermarkKey)
         else pf.metadata.getLong(IdStartKey) - step
+      idFirstValue(pf.name) = watermark + step
       assignIdentity(d, pf, watermark + step, step)
     }
     val partCols: Seq[String] = prevSnap match {
@@ -984,8 +1051,11 @@ object DeltaSource {
       prevSchema.find(_.name == f.name) match {
         case Some(pf) =>
           val mb = new MetadataBuilder().withMetadata(f.metadata)
-          if (!f.metadata.contains(GenExprKey) && pf.metadata.contains(GenExprKey))
+          if (!f.metadata.contains(GenExprKey) && pf.metadata.contains(GenExprKey)) {
             mb.putString(GenExprKey, pf.metadata.getString(GenExprKey))
+            if (pf.metadata.contains(GenTzKey))
+              mb.putString(GenTzKey, pf.metadata.getString(GenTzKey))
+          }
           if (!f.metadata.contains(IdStepKey) && pf.metadata.contains(IdStepKey)) {
             mb.putLong(IdStartKey, pf.metadata.getLong(IdStartKey))
             mb.putLong(IdStepKey, pf.metadata.getLong(IdStepKey))
@@ -1033,22 +1103,7 @@ object DeltaSource {
     // read from the staged files' FOOTER stats (no extra job): the
     // farthest assigned value in step direction
     val finalSchema: StructType =
-      if (idFields.isEmpty) tableSchema
-      else StructType(tableSchema.map { f =>
-        if (!f.metadata.contains(IdStepKey)) f
-        else {
-          val step = f.metadata.getLong(IdStepKey)
-          val phys = physicalName(f)
-          val assigned = adds.flatMap(a => parseStats(a.stats)).flatMap { st =>
-            (if (step > 0) st.maxValues else st.minValues).get(phys).map(_.toLong)
-          }
-          val wm = (if (f.metadata.contains(IdWatermarkKey))
-              Seq(f.metadata.getLong(IdWatermarkKey)) else Seq.empty) ++ assigned
-          if (wm.isEmpty) f
-          else f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
-            .putLong(IdWatermarkKey, if (step > 0) wm.max else wm.min).build())
-        }
-      })
+      advanceIdentityWatermarks(tableSchema, adds, idFirstValue.toMap)
 
     val now = System.currentTimeMillis()
     val partColsJson = partCols.map(jsonStr).mkString("[", ",", "]")
@@ -1147,6 +1202,12 @@ object DeltaSource {
       (if (identityFields(snap.schema).nonEmpty) Set("identityColumns")
        else Set.empty[String]) ++
       (if (cfg.keys.exists(_.startsWith("delta.constraints."))) Set("checkConstraints")
+       else Set.empty[String]) ++
+      (if (cfg.get("delta.enableChangeDataFeed").contains("true")) Set("changeDataFeed")
+       else Set.empty[String]) ++
+      (if (cfg.get("delta.appendOnly").contains("true")) Set("appendOnly")
+       else Set.empty[String]) ++
+      (if (snap.schema.exists(!_.nullable)) Set("invariants")
        else Set.empty[String])
     val proto =
       if (snap.protocol.minWriter >= 7)
@@ -1627,7 +1688,9 @@ object DeltaSource {
     import spark.implicits._
     snap.schema.map { f =>
       val phys = physicalName(f)
-      val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+      // built lazily: non-orderable types (maps) never carry stats,
+      // so the ordering must not be constructed for them
+      lazy val ord = org.apache.spark.sql.catalyst.util.TypeUtils
         .getInterpretedOrdering(f.dataType).asInstanceOf[Ordering[Any]]
       def castS(raw: String): Any =
         org.apache.spark.sql.catalyst.expressions.Cast(
@@ -1921,22 +1984,27 @@ object DeltaSource {
     * staging). Empty change sets stage nothing. */
   private def stageCdcFiles(changes: DataFrame, table: Path,
                             fs: FileSystem): Seq[(String, Long)] = {
-    if (changes.isEmpty) Nil
-    else {
-      val stage = new Path(table, s".stage-${UUID.randomUUID().toString.take(8)}")
-      changes.write.mode("overwrite").parquet(stage.toString)
-      fs.mkdirs(new Path(table, "_change_data"))
-      val parts = fs.listStatus(stage).toSeq.map(_.getPath)
-        .filter(_.getName.endsWith(".parquet"))
-      val out = parts.map { p =>
-        val rel = s"_change_data/cdc-${UUID.randomUUID().toString}.parquet"
-        val dst = new Path(table, rel)
-        renameOrFail(fs, p, dst)
-        rel -> fs.getFileStatus(dst).getLen
+    // cache spans the emptiness probe AND the write — the pre/post
+    // image join pipeline runs once, not twice
+    val cached = changes.cache()
+    try {
+      if (cached.isEmpty) Nil
+      else {
+        val stage = new Path(table, s".stage-${UUID.randomUUID().toString.take(8)}")
+        cached.write.mode("overwrite").parquet(stage.toString)
+        fs.mkdirs(new Path(table, "_change_data"))
+        val parts = fs.listStatus(stage).toSeq.map(_.getPath)
+          .filter(_.getName.endsWith(".parquet"))
+        val out = parts.map { p =>
+          val rel = s"_change_data/cdc-${UUID.randomUUID().toString}.parquet"
+          val dst = new Path(table, rel)
+          renameOrFail(fs, p, dst)
+          rel -> fs.getFileStatus(dst).getLen
+        }
+        fs.delete(stage, true)
+        out
       }
-      fs.delete(stage, true)
-      out
-    }
+    } finally cached.unpersist(false)
   }
 
   /** The change feed of commits AFTER `since` (all when None), as
@@ -2057,10 +2125,41 @@ object DeltaSource {
     val snap = snapshot(spark, tablePath, None)
     keyCols.foreach(c => require(snap.schema.exists(_.name == c),
       s"key column $c not in table schema ${snap.schema.fieldNames.toSeq}"))
-    snap.schema.foreach(f => require(updates.columns.contains(f.name),
-      s"updates missing table column ${f.name} (merge does not evolve schema)"))
-    val upd = updates.select(
-      snap.schema.map(f => col(f.name).cast(f.dataType)).toIndexedSeq: _*)
+    // auto-maintained columns play by writeDelta's rules here too:
+    // generated columns fill when omitted and refuse disagreement;
+    // identity columns must NOT be supplied — matched rows keep their
+    // existing ids, inserts get fresh ones above the watermark
+    val genExprs = generationExpressions(snap.schema)
+    val idFs = identityFields(snap.schema)
+    val idNames = idFs.map(_.name).toSet
+    keyCols.foreach(c => require(!idNames(c),
+      s"cannot MERGE on identity column $c (GENERATED ALWAYS)"))
+    idNames.foreach { n =>
+      if (updates.columns.contains(n) &&
+          updates.where(col(n).isNotNull).limit(1).count() > 0)
+        throw new IllegalStateException(
+          s"identity column $n is GENERATED ALWAYS; remove it from the merge " +
+            "updates (nothing was committed)")
+    }
+    snap.schema.filterNot(f => idNames(f.name) ||
+        (genExprs.contains(f.name) && !updates.columns.contains(f.name)))
+      .foreach(f => require(updates.columns.contains(f.name),
+        s"updates missing table column ${f.name} (merge does not evolve schema)"))
+    val updFilled = genExprs.toSeq.sortBy(_._1).foldLeft(updates) { case (d, (name, e)) =>
+      val dt = snap.schema(name).dataType
+      if (!d.columns.contains(name))
+        d.select(d.columns.map(col).toIndexedSeq :+ expr(e).cast(dt).as(name): _*)
+      else {
+        val bad = d.where(!(col(name) <=> expr(e).cast(dt))).limit(1).count()
+        if (bad > 0) throw new IllegalStateException(
+          s"generated column $name: supplied values disagree with its expression " +
+            s"($e); nothing was committed")
+        d
+      }
+    }
+    val nonIdSchema = StructType(snap.schema.filterNot(f => idNames(f.name)))
+    val upd = updFilled.select(
+      nonIdSchema.map(f => col(f.name).cast(f.dataType)).toIndexedSeq: _*)
     enforceConstraints(upd, snap.configuration.collect {
       case (k, v) if k.startsWith("delta.constraints.") =>
         k.stripPrefix("delta.constraints.") -> v
@@ -2083,43 +2182,61 @@ object DeltaSource {
     val touched = snap.files.filter(a =>
       touchedNames.contains(dataPath(tablePath, a.path).getName))
 
-    val newData =
-      if (touched.isEmpty) upd
-      else scanRelation(spark, tablePath, snap.schema, snap.partitionColumns,
-        touched.map(a => (a, Map.empty[String, String])))
-        .join(upd.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
-        .unionByName(upd)
+    val idFirstValue = scala.collection.mutable.Map.empty[String, Long]
+    val oldTouched =
+      if (touched.isEmpty) None
+      else Some(scanRelation(spark, tablePath, snap.schema, snap.partitionColumns,
+        touched.map(a => (a, Map.empty[String, String]))))
+    val updKeysDf = upd.select(keyCols.map(col): _*).distinct()
+    val fullCols = snap.schema.map(f => col(f.name)).toIndexedSeq
+    // the three merge pieces, all carrying the FULL table schema:
+    //  - survivors: touched-file rows whose key was not updated
+    //  - replaced:  update rows for existing keys — identity columns
+    //    come from the OLD row (joined back by key), never reassigned
+    //  - inserts:   update rows for never-seen keys — identity
+    //    columns assigned fresh above the watermark
+    val survivors = oldTouched.map(
+      _.join(updKeysDf, keyCols, "left_anti").select(fullCols: _*))
+    val matchedKeyIds = oldTouched.map(
+      _.select((keyCols ++ idNames.toSeq.sorted).map(col): _*).distinct())
+    val replaced = matchedKeyIds.map(mi =>
+      upd.join(mi, keyCols, "inner").select(fullCols: _*))
+    val insertsNoId = matchedKeyIds match {
+      case Some(mi) =>
+        upd.join(mi.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+      case None => upd
+    }
+    val inserts = idFs.sortBy(_.name).foldLeft(insertsNoId) { case (d, pf) =>
+      val step = pf.metadata.getLong(IdStepKey)
+      val watermark =
+        if (pf.metadata.contains(IdWatermarkKey)) pf.metadata.getLong(IdWatermarkKey)
+        else pf.metadata.getLong(IdStartKey) - step
+      idFirstValue(pf.name) = watermark + step
+      assignIdentity(d, pf, watermark + step, step)
+    }.select(fullCols: _*)
+    val newData: DataFrame =
+      (survivors.toSeq ++ replaced.toSeq :+ inserts).reduce(_ unionByName _)
 
     refuseIfAppendOnly(snap.configuration, "MERGE over existing keys",
       removesData = touched.nonEmpty)
     val next = snap.version + 1
     val adds = stageFiles(withNotNullGuards(newData, snap.schema), table, fs,
       snap.partitionColumns, next, snap.schema)
+    // identity watermark advances with this commit's own metaData
+    val mergedSchema = advanceIdentityWatermarks(snap.schema, adds, idFirstValue.toMap)
     // CDF: materialize this merge's row-level changes — old values of
     // matched keys (preimage), their replacements (postimage), and
-    // the never-seen keys (insert) — one extra pass over the TOUCHED
-    // files only, never the whole table
+    // the never-seen keys (insert) — built from the SAME pieces the
+    // landed data came from, so cdc ids match the zone's
     val cdcAdds: Seq[(String, Long)] =
       if (!cdfEnabled(snap.configuration)) Nil
       else {
-        val outCols = snap.schema.map(f => col(f.name)) :+ col("_change_type")
-        val updKeys = upd.select(keyCols.map(col): _*).distinct()
-        val oldTouched =
-          if (touched.isEmpty) None
-          else Some(scanRelation(spark, tablePath, snap.schema, snap.partitionColumns,
-            touched.map(a => (a, Map.empty[String, String]))))
-        val pre = oldTouched.map(_.join(updKeys, keyCols, "left_semi")
+        val outCols = fullCols :+ col("_change_type")
+        val pre = oldTouched.map(_.join(updKeysDf, keyCols, "left_semi")
           .withColumn("_change_type", lit("update_preimage")))
-        val matchedKeys = oldTouched.map(
-          _.select(keyCols.map(col): _*).distinct().join(updKeys, keyCols, "left_semi"))
-        val post = matchedKeys.map(mk => upd.join(mk, keyCols, "left_semi")
-          .withColumn("_change_type", lit("update_postimage")))
-        val ins = matchedKeys match {
-          case Some(mk) => upd.join(mk, keyCols, "left_anti")
-          case None => upd
-        }
+        val post = replaced.map(_.withColumn("_change_type", lit("update_postimage")))
         val changes = (pre.toSeq ++ post.toSeq :+
-          ins.withColumn("_change_type", lit("insert")))
+          inserts.withColumn("_change_type", lit("insert")))
           .map(_.select(outCols: _*)).reduce(_ unionByName _)
         stageCdcFiles(changes, table, fs)
       }
@@ -2127,13 +2244,19 @@ object DeltaSource {
     val protoLines =
       if (cdfProto == snap.protocol) Nil else Seq(protocolLine(cdfProto))
     val now = System.currentTimeMillis()
+    val metaLines =
+      if (mergedSchema == snap.schema) Nil
+      else {
+        val partColsJson = snap.partitionColumns.map(jsonStr).mkString("[", ",", "]")
+        Seq(s"""{"metaData":{"id":${jsonStr(UUID.randomUUID().toString)},"format":{"provider":"parquet","options":{}},"schemaString":${jsonStr(mergedSchema.json)},"partitionColumns":$partColsJson,"configuration":${configJson(snap.configuration)},"createdTime":$now}}""")
+      }
     val removeLines = touched.map(a =>
       s"""{"remove":{"path":${jsonStr(a.path)},"deletionTimestamp":$now,"dataChange":true}}""")
     val addLines = adds.map(a => addLine(a, now, dataChange = true))
     val cdcLines = cdcAdds.map { case (rel, sz) => cdcLine(rel, sz) }
     val committed = commitWithRetry(spark, fs, tablePath, next,
-      protoLines ++ removeLines ++ addLines ++ cdcLines,
-      pureAppend = touched.isEmpty && protoLines.isEmpty, commitStore,
+      protoLines ++ metaLines ++ removeLines ++ addLines ++ cdcLines,
+      pureAppend = touched.isEmpty && protoLines.isEmpty && metaLines.isEmpty, commitStore,
       ictKnown = Some(snap.configuration.get("delta.enableInCommitTimestamps").contains("true")))
     maybeAutoCheckpoint(spark, tablePath, committed, snap.configuration)
     committed

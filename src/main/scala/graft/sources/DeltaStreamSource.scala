@@ -131,15 +131,6 @@ class DeltaStreamSource(spark: SparkSession, tablePath: String,
       org.apache.spark.sql.types.StructField("_commit_version",
         org.apache.spark.sql.types.LongType))
 
-  /** Highest commit already handed to getBatch — the admission-
-    * control cursor behind `maxCommitsPerBatch` on the legacy
-    * `getOffset` path: a backfill over a deep log proceeds in bounded
-    * batches instead of one giant catch-up plan. Restart-safe because
-    * the engine replays its checkpointed range through getBatch
-    * first, which re-seeds this. (The engine prefers the
-    * admission-control `latestOffset(start, limit)` below, where the
-    * cap is computed from the ENGINE's own start offset instead.) */
-  @volatile private var lastPlanned: Option[Long] = None
 
   /** Log end pinned at `prepareForTriggerAvailableNow` time: a
     * Trigger.AvailableNow run drains exactly the commits present when
@@ -174,8 +165,17 @@ class DeltaStreamSource(spark: SparkSession, tablePath: String,
   /** Bytes a commit's dataChange adds reference (from the log's add
     * sizes). Drives the `maxBytesPerBatch` cap. Parsed DRIVER-side
     * (commit files are small) — a Spark job per pending commit per
-    * trigger would swamp the scheduler on a deep backfill. */
-  private def commitBytes(v: Long): Long = {
+    * trigger would swamp the scheduler on a deep backfill — and
+    * MEMOIZED: commit files are immutable, and without the cache a
+    * byte-capped drain re-reads every pending commit on every
+    * trigger (O(n^2) log reads over a deep backlog). */
+  private val commitBytesCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, java.lang.Long]()
+
+  private def commitBytes(v: Long): Long =
+    commitBytesCache.computeIfAbsent(v, _ => computeCommitBytes(v))
+
+  private def computeCommitBytes(v: Long): Long = {
     val p = new Path(tablePath, f"_delta_log/$v%020d.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) 0L
@@ -226,22 +226,20 @@ class DeltaStreamSource(spark: SparkSession, tablePath: String,
     DeltaSource.latestVersion(spark, tablePath).filter(_ >= startingVersion)
       .map(LongOffset(_)).orNull
 
+  /** Legacy v1 offset resolution — UNCAPPED by design: the engine
+    * resolves offsets through the admission-control `latestOffset`
+    * above (where the caps are computed from the ENGINE's own start
+    * offset); a cap here would have to be tracked source-side, and a
+    * source-side cursor regresses below the checkpointed offset
+    * after a clean restart, re-emitting committed commits. */
   override def getOffset: Option[Offset] =
     DeltaSource.latestVersion(spark, tablePath)
       .filter(_ >= startingVersion)
-      .map { latest =>
-        val capped = maxCommitsPerBatch match {
-          case Some(n) =>
-            math.min(latest, lastPlanned.getOrElse(startingVersion - 1) + n)
-          case None => latest
-        }
-        LongOffset(capped)
-      }
+      .map(LongOffset(_))
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val lo = start.map(ver).getOrElse(startingVersion - 1)
     val hi = ver(end)
-    lastPlanned = Some(math.max(hi, lastPlanned.getOrElse(Long.MinValue)))
     if (cdf) return getCdfBatch(lo, hi)
     val logDir = new Path(tablePath, "_delta_log")
     val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -169,6 +169,27 @@ class DeltaGeneratedSpec extends SparkSpec {
       "year(ts) derived pruning must isolate one year partition")
   }
 
+  test("MERGE fills an omitted generated column and refuses disagreement") {
+    import spark.implicits._
+    val tbl = mkPartitioned()
+    // merge WITHOUT the generated column: filled from the expression
+    DeltaSource.mergeDelta(spark, tbl,
+      Seq((500L, java.sql.Timestamp.valueOf("2024-03-20 08:00:00")))
+        .toDF("id", "ts"), Seq("id"))
+    val got = DeltaSource.readDelta(spark, tbl)
+      .where(col("id") === 500).select(col("d").cast("string")).head().getString(0)
+    assert(got == "2024-03-20", "merge must compute the generated column")
+    // merge WITH a disagreeing value: refused before anything lands
+    val vBefore = DeltaSource.latestVersion(spark, tbl).get
+    val e = intercept[IllegalStateException] {
+      DeltaSource.mergeDelta(spark, tbl,
+        Seq((501L, java.sql.Timestamp.valueOf("2024-03-20 08:00:00"),
+          java.sql.Date.valueOf("2020-01-01"))).toDF("id", "ts", "d"), Seq("id"))
+    }
+    assert(e.getMessage.contains("generated column d"))
+    assert(DeltaSource.latestVersion(spark, tbl).contains(vBefore))
+  }
+
   test("derived pruning never drops matching rows across day boundaries") {
     val tbl = mkPartitioned()
     // window straddling two partitions, half-open on both styles

@@ -104,6 +104,36 @@ class DeltaIdentitySpec extends SparkSpec {
     assert(r.getLong(0) == 140 && r.getLong(1) == 140 && r.getLong(2) == 140L)
   }
 
+  test("MERGE: matched rows keep their ids, inserts get fresh ones, watermark advances") {
+    import spark.implicits._
+    val tbl = mk() // ids 1..100 on k = 0..99
+    val idOfK3 = DeltaSource.readDelta(spark, tbl)
+      .where(col("k") === 3).select(col("row_id")).head().getLong(0)
+    // update k=3, insert k=500 — identity column NOT supplied
+    DeltaSource.mergeDelta(spark, tbl,
+      Seq((3L, 999L), (500L, 1L)).toDF("k", "v"), Seq("k"))
+    val after = DeltaSource.readDelta(spark, tbl)
+    assert(after.where(col("k") === 3).select(col("row_id")).head().getLong(0)
+      == idOfK3, "matched rows must keep their existing id")
+    val newId = after.where(col("k") === 500).select(col("row_id")).head().getLong(0)
+    assert(newId == 101L, s"insert must take the next id above the watermark, got $newId")
+    assert(after.agg(countDistinct(col("row_id"))).head().getLong(0) == 101)
+    assert(DeltaSource.identityColumnsOf(spark, tbl)("row_id")._3.exists(_ >= 101L),
+      "merge must advance the watermark in its own commit")
+    // and the NEXT append continues correctly past the merge's ids
+    DeltaSource.writeDelta(spark.range(600, 603).selectExpr("id as k", "id as v"),
+      tbl, overwrite = false)
+    assert(DeltaSource.readDelta(spark, tbl)
+      .agg(countDistinct(col("row_id"))).head().getLong(0) == 104,
+      "post-merge appends must not reuse merge-assigned ids")
+    // supplying identity values to a merge is refused
+    val e = intercept[IllegalStateException] {
+      DeltaSource.mergeDelta(spark, tbl,
+        Seq((7L, 1L, 9999L)).toDF("k", "v", "row_id"), Seq("k"))
+    }
+    assert(e.getMessage.contains("GENERATED ALWAYS"))
+  }
+
   test("identity survives the streaming sink: ids continue across micro-batches") {
     val src = tmpDir("ssrc")
     val dst = tmpDir("sdst")
