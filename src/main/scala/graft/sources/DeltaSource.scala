@@ -7,6 +7,7 @@ import org.apache.spark.sql.execution.datasources.HadoopFsRelation
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.roaringbitmap.longlong.Roaring64NavigableMap
 
 import java.net.{URI, URLDecoder, URLEncoder}
 import java.nio.charset.StandardCharsets
@@ -80,18 +81,18 @@ object CreateExclusiveCommitStore extends CommitStore {
   */
 object DeltaSource {
 
-  /** The add action's deletionVector descriptor (Delta spec's
-    * DeletionVectorDescriptor, the subset graft writes): `path` is
-    * the table-relative sidecar holding the deleted (file, row_index)
-    * pairs, `cardinality` the number of rows THIS file has marked
-    * deleted. Deviations from the spec, documented: the bitmap
-    * serialization is a parquet pair list rather than a RoaringBitmap
-    * `.bin` (no roaring dependency in scope), and the path is
-    * table-relative under storageType "p" (the spec uses absolute
-    * there) so tables stay relocatable — external Delta readers would
-    * need the roaring codec anyway, so the log SHAPE is what is kept
-    * compatible. */
-  private[sources] case class DvDesc(path: String, cardinality: Long)
+  /** The add action's deletionVector descriptor (the Delta spec's
+    * DeletionVectorDescriptor): `storageType` "u" (UUID-named sidecar
+    * under the table root, `pathOrInlineDv` = optional prefix +
+    * 20-char Base85 UUID), "p" (path verbatim — absolute URI or
+    * table-relative), or "i" (bitmap data inlined as Base85).
+    * `offset` locates the vector inside its sidecar, `sizeInBytes`
+    * is the bitmap data's length, `cardinality` the number of rows
+    * THIS file has marked deleted. Bitmap bytes are the portable
+    * RoaringBitmapArray form — see [[DeletionVectors]]. */
+  private[sources] case class DvDesc(storageType: String, pathOrInlineDv: String,
+                                     offset: Option[Int], sizeInBytes: Int,
+                                     cardinality: Long)
 
   private[sources] case class AddFile(
       path: String,
@@ -145,6 +146,8 @@ object DeltaSource {
       StructField("deletionVector", StructType(Seq(
         StructField("storageType", StringType),
         StructField("pathOrInlineDv", StringType),
+        StructField("offset", IntegerType),
+        StructField("sizeInBytes", IntegerType),
         StructField("cardinality", LongType))))))),
     StructField("remove", StructType(Seq(
       StructField("path", StringType),
@@ -201,8 +204,13 @@ object DeltaSource {
       else {
         val d = a.getStruct(i)
         val p = d.getAs[String]("pathOrInlineDv")
-        if (p == null) None
-        else Some(DvDesc(p,
+        val st = d.getAs[String]("storageType")
+        if (p == null || st == null) None
+        else Some(DvDesc(st, p,
+          if (d.isNullAt(d.fieldIndex("offset"))) None
+          else Some(d.getAs[Int]("offset")),
+          if (d.isNullAt(d.fieldIndex("sizeInBytes"))) 0
+          else d.getAs[Int]("sizeInBytes"),
           if (d.isNullAt(d.fieldIndex("cardinality"))) 0L
           else d.getAs[Long]("cardinality")))
       }
@@ -229,8 +237,19 @@ object DeltaSource {
     require(target <= maxAvail, s"version $target not in log (latest: $maxAvail)")
     val cp = checkpoints.filter(_ <= target).sorted.lastOption
     val replayCommits = commits.filter(v => v <= target && cp.forall(v > _))
-    require(cp.nonEmpty || commits.headOption.contains(0L) || replayCommits.nonEmpty,
-      s"log is empty up to version $target under $tablePath")
+    // Contiguity (Delta's validateDeltaVersions rule): the commits
+    // replayed on top of the seed checkpoint must cover (cp, target]
+    // without gaps — after log cleanup, a surviving OLDER checkpoint
+    // plus missing commits would otherwise silently reconstruct the
+    // older state and label it `target`. Error instead.
+    val coverFrom = cp.map(_ + 1).getOrElse(0L)
+    val have = replayCommits.toSet
+    val missing = (coverFrom to target).filterNot(have)
+    require(missing.isEmpty,
+      s"cannot reconstruct version $target of $tablePath: commit(s) " +
+        s"${missing.take(5).mkString(", ")}${if (missing.size > 5) ", …" else ""} " +
+        s"are missing from the log (expired by cleanupExpiredLogs?); " +
+        s"nearest seed checkpoint: ${cp.map(_.toString).getOrElse("none")}")
 
     // Checkpoint rows carry the same action structs as JSON commits.
     val cpActions: Seq[(Long, org.apache.spark.sql.Row)] = cp match {
@@ -758,14 +777,6 @@ object DeltaSource {
       .select(schema.map(f => col(physicalName(f)).as(f.name)).toIndexedSeq: _*)
   }
 
-  /** Schema of a deletion-vector sidecar: the data file's BASENAME
-    * (unique within a table — every staged file carries a fresh UUID)
-    * and the physical row index marked deleted. One sidecar can pack
-    * the DVs of many files from the same DELETE commit. */
-  private val DvPairSchema: StructType = StructType(Seq(
-    StructField("dv_file", StringType, nullable = false),
-    StructField("row_index", LongType, nullable = false)))
-
   /** Tag scan rows with their physical identity: file basename +
     * parquet row index, via the file-source `_metadata` column. */
   private def withFileIdentity(df: DataFrame): DataFrame = df
@@ -773,44 +784,108 @@ object DeltaSource {
       element_at(split(col("_metadata.file_path"), "/"), -1))
     .withColumn("__graft_dv_ri", col("_metadata.row_index"))
 
-  /** The (dv_file, row_index) exclusion pairs applicable to the given
-    * add set — each sidecar's pairs restricted to the files whose
-    * CURRENT descriptor references that sidecar (an older sidecar may
-    * still hold pairs for a file that has since been restored or
-    * re-deleted; only the descriptor on the live add speaks for the
-    * file). None when no file carries a DV. */
-  private def dvPairsFor(spark: SparkSession, tablePath: String,
-                         files: Seq[AddFile]): Option[DataFrame] = {
-    val dvFiles = files.filter(_.dv.nonEmpty)
-    if (dvFiles.isEmpty) None
-    else Some(dvFiles.groupBy(_.dv.get.path).map { case (sidecar, adds) =>
-      val names = adds.map(a => dataPath(tablePath, a.path).getName)
-      spark.read.schema(DvPairSchema)
-        .parquet(dataPath(tablePath, sidecar).toString)
-        .where(col("dv_file").isin(names: _*))
-    }.reduce(_ unionByName _))
+  /** Resolve a descriptor's on-disk sidecar path (None for inline
+    * "i" vectors, which carry their bytes in the descriptor). */
+  private[sources] def dvPath(tablePath: String, d: DvDesc): Option[Path] =
+    d.storageType match {
+      case "u" =>
+        val uuid = DeletionVectors.decodeUUID(d.pathOrInlineDv.takeRight(20))
+        val prefix = d.pathOrInlineDv.dropRight(20)
+        val name = s"deletion_vector_$uuid.bin"
+        Some(if (prefix.isEmpty) new Path(tablePath, name)
+             else new Path(new Path(tablePath, prefix), name))
+      case "p" => Some(dataPath(tablePath, d.pathOrInlineDv))
+      case "i" => None
+      case other => throw new IllegalStateException(
+        s"unsupported deletion-vector storageType '$other'")
+    }
+
+  /** One vector's serialized bitmap data (magic + portable roaring),
+    * checksum-verified; `offset` defaults to 1 (right after the
+    * sidecar's version byte) when the descriptor omits it. */
+  private def dvBlobBytes(fs: FileSystem, tablePath: String, d: DvDesc): Array[Byte] =
+    dvPath(tablePath, d) match {
+      case None => DeletionVectors.decodeBase85(d.pathOrInlineDv)
+      case Some(p) =>
+        DeletionVectors.readBlob(fs, p, d.offset.getOrElse(1), d.sizeInBytes)
+    }
+
+  /** Broadcast-side DV probe: bitmaps stay SERIALIZED for transport
+    * (the compressed portable form, O(compressed bits) — ~100 MB per
+    * ~1e9 deletions) and inflate lazily ONCE per executor. */
+  private[sources] class DvProbe(bytes: Map[String, Array[Byte]]) extends Serializable {
+    @transient private lazy val maps: Map[String, Roaring64NavigableMap] =
+      bytes.map { case (k, v) => k -> DeletionVectors.deserializeBitmap(v) }
+    def deleted(file: String, ri: Long): Boolean =
+      maps.get(file).exists(_.contains(ri))
   }
 
-  /** Drop rows marked deleted: broadcast anti-join on (file basename,
-    * row_index). Scale note: the pair count is the number of
-    * not-yet-compacted deleted rows — bounded by the OPTIMIZE cadence
-    * (compaction materializes deletes and purges DVs), the same
-    * assumption Delta's own DV read path makes when it broadcasts the
-    * file→bitmap map. */
-  private def minusDv(df: DataFrame, pairs: DataFrame): DataFrame =
-    df.join(broadcast(pairs),
-      df("__graft_dv_file") === pairs("dv_file") &&
-        df("__graft_dv_ri") === pairs("row_index"), "left_anti")
+  /** Broadcast ceiling for the DV probe: above either bound, the
+    * driver stops loading sidecars and the deleted rows are removed
+    * by a SHUFFLED anti-join instead (executors inflate each file's
+    * bitmap and explode it to pairs — nothing row-scale ever sits on
+    * one node). Compaction (`optimizeDelta`) purges DVs, so a table
+    * on a normal OPTIMIZE cadence stays far under these bounds. */
+  private[sources] var DvBroadcastMaxBytes: Long = 128L * 1024 * 1024
+  private[sources] var DvBroadcastMaxFiles: Int = 4096
+
+  /** Fallback pair list for huge DV sets: one executor task group
+    * inflates each descriptor and streams its row indexes out. */
+  private def dvPairsDistributed(spark: SparkSession, tablePath: String,
+                                 dvFiles: Seq[AddFile]): DataFrame = {
+    import spark.implicits._
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val descs: Seq[(String, DvDesc)] =
+      dvFiles.map(a => (dataPath(tablePath, a.path).getName, a.dv.get))
+    spark.createDataset(descs)
+      .repartition(math.max(1, math.min(descs.size, 64)))
+      .flatMap { case (name, d) =>
+        val fs = new Path(tablePath).getFileSystem(serConf.value)
+        val bm = DeletionVectors.deserializeBitmap(dvBlobBytes(fs, tablePath, d))
+        val it = bm.getLongIterator
+        new Iterator[(String, Long)] {
+          def hasNext: Boolean = it.hasNext
+          def next(): (String, Long) = (name, it.next())
+        }
+      }.toDF("dv_file", "row_index")
+  }
+
+  /** Drop the rows marked deleted from a file-identity-tagged scan.
+    * Normal path: the file→bitmap map travels as ONE model-sized
+    * broadcast and each scan task probes it row-side — per-file DV
+    * application, the same shape as Delta's own read path (never a
+    * row-per-deleted-row relation through an exchange). Above the
+    * broadcast ceiling: shuffled anti-join on exploded pairs. */
+  private def applyDv(spark: SparkSession, tablePath: String,
+                      tagged: DataFrame, files: Seq[AddFile]): DataFrame = {
+    val dvFiles = files.filter(_.dv.nonEmpty)
+    if (dvFiles.isEmpty) return tagged
+    val totalBytes = dvFiles.map(_.dv.get.sizeInBytes.toLong).sum
+    if (dvFiles.size <= DvBroadcastMaxFiles && totalBytes <= DvBroadcastMaxBytes) {
+      val fs = fsOf(spark, new Path(tablePath))
+      val bytes: Map[String, Array[Byte]] = dvFiles.map { a =>
+        dataPath(tablePath, a.path).getName -> dvBlobBytes(fs, tablePath, a.dv.get)
+      }.toMap
+      val probe = spark.sparkContext.broadcast(new DvProbe(bytes))
+      val keep = udf((f: String, ri: Long) => !probe.value.deleted(f, ri))
+      tagged.where(keep(col("__graft_dv_file"), col("__graft_dv_ri")))
+    } else {
+      val pairs = dvPairsDistributed(spark, tablePath, dvFiles)
+      tagged.join(pairs,
+        tagged("__graft_dv_file") === pairs("dv_file") &&
+          tagged("__graft_dv_ri") === pairs("row_index"), "left_anti")
+    }
+  }
 
   private[sources] def scanRelation(spark: SparkSession, tablePath: String,
                            schema: StructType, partitionColumns: Seq[String],
                            files: Seq[(AddFile, Map[String, String])]): DataFrame = {
     val base = scanRelationBase(spark, tablePath, schema, partitionColumns, files)
     val out = schema.map(f => col(f.name)).toIndexedSeq
-    dvPairsFor(spark, tablePath, files.map(_._1)) match {
-      case None => base.select(out: _*)
-      case Some(pairs) => minusDv(withFileIdentity(base), pairs).select(out: _*)
-    }
+    if (files.forall(_._1.dv.isEmpty)) base.select(out: _*)
+    else applyDv(spark, tablePath, withFileIdentity(base), files.map(_._1))
+      .select(out: _*)
   }
 
   private def jsonStr(s: String): String =
@@ -1195,20 +1270,7 @@ object DeltaSource {
       "delta.inCommitTimestampEnablementTimestamp" ->
         System.currentTimeMillis().toString)
     val feats = Set("inCommitTimestamp") ++
-      (if (cfg.get("delta.columnMapping.mode").contains("name")) Set("columnMapping")
-       else Set.empty[String]) ++
-      (if (generationExpressions(snap.schema).nonEmpty) Set("generatedColumns")
-       else Set.empty[String]) ++
-      (if (identityFields(snap.schema).nonEmpty) Set("identityColumns")
-       else Set.empty[String]) ++
-      (if (cfg.keys.exists(_.startsWith("delta.constraints."))) Set("checkConstraints")
-       else Set.empty[String]) ++
-      (if (cfg.get("delta.enableChangeDataFeed").contains("true")) Set("changeDataFeed")
-       else Set.empty[String]) ++
-      (if (cfg.get("delta.appendOnly").contains("true")) Set("appendOnly")
-       else Set.empty[String]) ++
-      (if (snap.schema.exists(!_.nullable)) Set("invariants")
-       else Set.empty[String])
+      impliedWriterFeatures(snap.protocol, snap.schema, cfg)
     val proto =
       if (snap.protocol.minWriter >= 7)
         snap.protocol.copy(
@@ -1260,14 +1322,49 @@ object DeltaSource {
     else if (p.minWriter >= legacyMin) p
     else p.copy(minWriter = legacyMin)
 
+  /** Writer features implied by a legacy (pre-table-features)
+    * protocol PLUS the table's actual state — per the Delta
+    * table-features rule, any upgrade to minWriter 7 must ENUMERATE
+    * everything the legacy version numbers switched on implicitly;
+    * an external writer honoring only the listed features would
+    * otherwise stop enforcing the omitted invariants. */
+  private def impliedWriterFeatures(p: Protocol, schema: StructType,
+                                    cfg: Map[String, String]): Set[String] = {
+    val byVersion: Set[String] =
+      (if (p.minWriter >= 2) Set("appendOnly", "invariants") else Set.empty[String]) ++
+      (if (p.minWriter >= 3) Set("checkConstraints") else Set.empty[String]) ++
+      (if (p.minWriter >= 4) Set("changeDataFeed", "generatedColumns")
+       else Set.empty[String]) ++
+      (if (p.minWriter >= 5) Set("columnMapping") else Set.empty[String]) ++
+      (if (p.minWriter >= 6) Set("identityColumns") else Set.empty[String])
+    val byState: Set[String] =
+      (if (cfg.get("delta.columnMapping.mode").contains("name")) Set("columnMapping")
+       else Set.empty[String]) ++
+      (if (generationExpressions(schema).nonEmpty) Set("generatedColumns")
+       else Set.empty[String]) ++
+      (if (identityFields(schema).nonEmpty) Set("identityColumns")
+       else Set.empty[String]) ++
+      (if (cfg.keys.exists(_.startsWith("delta.constraints."))) Set("checkConstraints")
+       else Set.empty[String]) ++
+      (if (cfg.get("delta.enableChangeDataFeed").contains("true")) Set("changeDataFeed")
+       else Set.empty[String]) ++
+      (if (cfg.get("delta.appendOnly").contains("true")) Set("appendOnly")
+       else Set.empty[String]) ++
+      (if (schema.exists(!_.nullable)) Set("invariants") else Set.empty[String]) ++
+      (if (cfg.get("delta.enableInCommitTimestamps").contains("true"))
+         Set("inCommitTimestamp") else Set.empty[String])
+    byVersion ++ byState
+  }
+
   private def protocolWith(cur: Protocol, feature: String,
-                           legacyOk: Protocol => Boolean): Protocol =
+                           legacyOk: Protocol => Boolean,
+                           schema: StructType, cfg: Map[String, String]): Protocol =
     if (legacyOk(cur) || (cur.minReader >= 3 && cur.readerFeatures(feature))) cur
     else Protocol(3, 7,
       cur.readerFeatures + feature ++
-        (if (cur.minReader >= 2) Set("columnMapping") else Set.empty),
-      cur.writerFeatures + feature ++
-        (if (cur.minWriter >= 5) Set("columnMapping") else Set.empty))
+        (if (cur.minReader >= 2 || cfg.get("delta.columnMapping.mode").contains("name"))
+           Set("columnMapping") else Set.empty),
+      cur.writerFeatures + feature ++ impliedWriterFeatures(cur, schema, cfg))
 
   private def commitMetadata(spark: SparkSession, tablePath: String,
                              schema: StructType, partitionColumns: Seq[String],
@@ -1359,9 +1456,10 @@ object DeltaSource {
                                partitionValues: Map[String, String],
                                stats: Option[String])
 
-  private def dvJson(d: Option[DvDesc]): String = d.map(dv =>
-    s""","deletionVector":{"storageType":"p","pathOrInlineDv":${jsonStr(dv.path)},"cardinality":${dv.cardinality}}""")
-    .getOrElse("")
+  private def dvJson(d: Option[DvDesc]): String = d.map { dv =>
+    val off = dv.offset.map(o => s""""offset":$o,""").getOrElse("")
+    s""","deletionVector":{"storageType":${jsonStr(dv.storageType)},"pathOrInlineDv":${jsonStr(dv.pathOrInlineDv)},$off"sizeInBytes":${dv.sizeInBytes},"cardinality":${dv.cardinality}}"""
+  }.getOrElse("")
 
   /** Re-emit an EXISTING add (path verbatim from the log — already
     * URL-encoded; addLine would double-encode it), optionally with a
@@ -1577,15 +1675,18 @@ object DeltaSource {
     def nullCol(field: String) = lit(null).cast(CheckpointSchema(field).dataType).as(field)
     val addRows = snap.files
       .map(f => (f.path, f.partitionValues, f.size, f.modificationTime, f.stats,
-        f.dv.map(_.path).orNull, f.dv.map(_.cardinality).getOrElse(0L)))
+        f.dv.map(_.storageType).orNull, f.dv.map(_.pathOrInlineDv).orNull,
+        f.dv.flatMap(_.offset), f.dv.map(_.sizeInBytes).getOrElse(0),
+        f.dv.map(_.cardinality).getOrElse(0L)))
       .toDF("path", "partitionValues", "size", "modificationTime", "stats",
-        "dvPath", "dvCard")
+        "dvStorage", "dvPath", "dvOffset", "dvSize", "dvCard")
       .select(struct(col("path"), col("partitionValues"), col("size"),
         col("modificationTime"), lit(true).as("dataChange"), col("stats"),
         // deletion vectors ride the checkpoint, so row-level deletes
         // survive log truncation past it
         when(col("dvPath").isNotNull,
-          struct(lit("p").as("storageType"), col("dvPath").as("pathOrInlineDv"),
+          struct(col("dvStorage").as("storageType"), col("dvPath").as("pathOrInlineDv"),
+            col("dvOffset").as("offset"), col("dvSize").as("sizeInBytes"),
             col("dvCard").as("cardinality"))).as("deletionVector"))
         .cast(CheckpointSchema("add").dataType).as("add"),
         nullCol("remove"), nullCol("metaData"), nullCol("txn"), nullCol("protocol"))
@@ -1717,9 +1818,13 @@ object DeltaSource {
     * retention window AND folded into a checkpoint (strictly below
     * the newest checkpoint version — the replay path never needs
     * them; time travel to those versions expires with them, which is
-    * exactly the retention contract). `_last_checkpoint` and every
-    * commit at or after the newest checkpoint survive regardless of
-    * age. Returns the deleted versions. */
+    * exactly the retention contract). SUPERSEDED checkpoints older
+    * than the window are deleted with their commits — a surviving
+    * older checkpoint would otherwise invite time travel into the
+    * cleaned range, which `snapshot`'s contiguity check now refuses
+    * but is better not to offer at all. `_last_checkpoint` and every
+    * file at or after the newest checkpoint survive regardless of
+    * age. Returns the deleted commit versions. */
   def cleanupExpiredLogs(spark: SparkSession, tablePath: String,
                          retainMs: Long = 30L * 24 * 3600 * 1000): Seq[Long] = {
     val logDir = new Path(tablePath, "_delta_log")
@@ -1734,6 +1839,14 @@ object DeltaSource {
       }
     }.sorted
     doomed.foreach(v => fs.delete(new Path(logDir, f"$v%020d.json"), false))
+    // superseded checkpoint parquets (all parts of a multi-part
+    // checkpoint match CheckpointRe for the same version)
+    fs.listStatus(logDir).toSeq.filter(_.isFile).foreach { s =>
+      val keep = CheckpointRe.findFirstMatchIn(s.getPath.getName).forall { m =>
+        m.group(1).toLong >= newestCp || s.getModificationTime >= cutoff
+      }
+      if (!keep) fs.delete(s.getPath, false)
+    }
     doomed
   }
 
@@ -1746,8 +1859,8 @@ object DeltaSource {
       .map(a => fs.makeQualified(dataPath(tablePath, a.path))) ++
       // deletion-vector sidecars referenced by live adds are part of
       // the snapshot: vacuuming one would resurrect deleted rows
-      snap.files.flatMap(_.dv)
-        .map(d => fs.makeQualified(dataPath(tablePath, d.path)))).toSet
+      snap.files.flatMap(_.dv).flatMap(d => dvPath(tablePath, d))
+        .map(fs.makeQualified)).toSet
     val cutoff = System.currentTimeMillis() - retainMs
     def walk(dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
       fs.listStatus(dir).toSeq.flatMap { s =>
@@ -1755,7 +1868,7 @@ object DeltaSource {
         if (s.isDirectory) {
           if (n == "_delta_log" || n.startsWith(".stage-") || n.startsWith(".cpstage-")) Nil
           else walk(s.getPath)
-        } else if (n.endsWith(".parquet")) Seq(s)
+        } else if (n.endsWith(".parquet") || n.endsWith(".bin")) Seq(s)
         else Nil
       }
     val doomed = walk(table).filter { s =>
@@ -2073,9 +2186,23 @@ object DeltaSource {
         def scanOf(s: Snapshot, paths: Set[String]) = {
           val fsel = s.files.filter(a => paths.contains(a.path))
           if (fsel.isEmpty) None
-          else Some(scanRelation(spark, tablePath, s.schema, s.partitionColumns,
-            fsel.map(a => (a, Map.empty[String, String])))
-            .select(snap.schema.map(f => col(f.name)).toIndexedSeq: _*))
+          else {
+            val scanned = scanRelation(spark, tablePath, s.schema, s.partitionColumns,
+              fsel.map(a => (a, Map.empty[String, String])))
+            // project through the SCANNED version's schema into the
+            // current one by PHYSICAL name — a commit that both
+            // changes data and renames/drops a column (a column-
+            // mapping alter batched with a write) must keep the feed
+            // readable: renamed columns map across, columns absent
+            // at the scanned version surface as nulls
+            val byPhys = s.schema.map(f => physicalName(f) -> f.name).toMap
+            Some(scanned.select(snap.schema.map { f =>
+              byPhys.get(physicalName(f)) match {
+                case Some(old) => col(old).cast(f.dataType).as(f.name)
+                case None => lit(null).cast(f.dataType).as(f.name)
+              }
+            }.toIndexedSeq: _*))
+          }
         }
         val inserts = scanOf(snap, addPaths -- overlap)
           .map(_.withColumn("_change_type", lit("insert")))
@@ -2173,8 +2300,7 @@ object DeltaSource {
     val filesArg = snap.files.map(a => (a, Map.empty[String, String]))
     val base = withFileIdentity(
       scanRelationBase(spark, tablePath, snap.schema, snap.partitionColumns, filesArg))
-    val live = dvPairsFor(spark, tablePath, snap.files)
-      .map(minusDv(base, _)).getOrElse(base)
+    val live = applyDv(spark, tablePath, base, snap.files)
     val touchedNames: Set[String] = live
       .join(upd.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
       .select(col("__graft_dv_file")).distinct()
@@ -2296,43 +2422,75 @@ object DeltaSource {
     val filesArg = snap.files.map(a => (a, Map.empty[String, String]))
     val base = withFileIdentity(
       scanRelationBase(spark, tablePath, snap.schema, snap.partitionColumns, filesArg))
-    val live = dvPairsFor(spark, tablePath, snap.files)
-      .map(minusDv(base, _)).getOrElse(base)
-    val matched = live.where(condition)
-      .select(col("__graft_dv_file").as("dv_file"),
-        col("__graft_dv_ri").as("row_index"))
-    // per-file fresh-delete counts — model-sized collect (≤ #files)
-    val freshCounts: Map[String, Long] = matched.groupBy("dv_file").count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    if (freshCounts.isEmpty) return snap.version
+    val live = applyDv(spark, tablePath, base, snap.files)
+    // Evaluate `condition` exactly ONCE: the matched row set feeds
+    // BOTH the new deletion vectors and the CDF delete rows, and is
+    // pinned by an eager localCheckpoint so a non-deterministic
+    // condition (e.g. a rand()-based sampling delete) cannot commit
+    // change-data rows inconsistent with the vectors written.
+    // O(matched rows this commit) executor-local storage.
+    val matchedRows = live.where(condition)
+      .select((snap.schema.map(f => col(f.name)) ++
+        Seq(col("__graft_dv_file"), col("__graft_dv_ri"))).toIndexedSeq: _*)
+      .localCheckpoint(true)
+    // Per-file fresh bitmaps built DISTRIBUTED — rows shuffle once on
+    // their file key and stream into a roaring bitmap per file; only
+    // the COMPRESSED bitmap bytes reach the driver (O(files ×
+    // compressed bits), never raw row pairs).
+    import spark.implicits._
+    val fresh: Map[String, Array[Byte]] = matchedRows
+      .select(col("__graft_dv_file").as("f"), col("__graft_dv_ri").as("ri"))
+      .repartition(col("f")).sortWithinPartitions("f", "ri")
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
+        var cur: String = null
+        var bm: Roaring64NavigableMap = null
+        it.foreach { case (f, ri) =>
+          if (f != cur) {
+            if (cur != null) out += cur -> DeletionVectors.serializeBitmap(bm)
+            cur = f
+            bm = DeletionVectors.emptyBitmap()
+          }
+          bm.addLong(ri)
+        }
+        if (cur != null) out += cur -> DeletionVectors.serializeBitmap(bm)
+        out.iterator
+      }.collect().toMap
+    if (fresh.isEmpty) return snap.version
     def nameOf(a: AddFile): String = dataPath(tablePath, a.path).getName
-    val affected = snap.files.filter(a => freshCounts.contains(nameOf(a)))
-    val newCard: Map[String, Long] = affected.map { a =>
-      nameOf(a) -> (freshCounts(nameOf(a)) + a.dv.map(_.cardinality).getOrElse(0L))
+    val affected = snap.files.filter(a => fresh.contains(nameOf(a)))
+    // union each file's fresh bitmap with its existing vector — the
+    // descriptor on the re-add replaces the old one wholesale
+    val merged: Map[String, Roaring64NavigableMap] = affected.map { a =>
+      val bm = DeletionVectors.deserializeBitmap(fresh(nameOf(a)))
+      a.dv.foreach { d =>
+        bm.or(DeletionVectors.deserializeBitmap(dvBlobBytes(fs, tablePath, d)))
+      }
+      nameOf(a) -> bm
     }.toMap
+    val newCard: Map[String, Long] =
+      merged.map { case (k, v) => k -> v.getLongCardinality }
     // full-file deletion is only PROVEN when stats carry numRecords
     val dropped: Set[String] = affected.filter { a =>
       parseStats(a.stats).flatMap(_.numRecords).contains(newCard(nameOf(a)))
     }.map(nameOf).toSet
     val kept = affected.filterNot(a => dropped(nameOf(a)))
-    val sidecarRel = s"deletion_vector_${UUID.randomUUID().toString}.parquet"
-    if (kept.nonEmpty) {
-      val keptNames = kept.map(nameOf)
-      val persist0 = matched.where(col("dv_file").isin(keptNames: _*))
-      // carry the kept files' EXISTING pairs into the new sidecar —
-      // the descriptor on the re-add replaces the old one wholesale
-      val persist = dvPairsFor(spark, tablePath, kept.filter(_.dv.nonEmpty))
-        .map(persist0.unionByName(_)).getOrElse(persist0)
-      // one sidecar file per delete commit (the spec's packed form);
-      // DV volume is bounded by the OPTIMIZE cadence, so the single
-      // writer is a model-sized sink, not a data-sized one
-      val stage = new Path(table, s".stage-${UUID.randomUUID().toString.take(8)}")
-      persist.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-      val part = fs.listStatus(stage).toSeq.map(_.getPath)
-        .find(_.getName.endsWith(".parquet")).get
-      renameOrFail(fs, part, new Path(table, sidecarRel))
-      fs.delete(stage, true)
-    }
+    // pack the kept files' bitmaps into ONE spec-format .bin sidecar
+    // for the commit (immutable; older sidecars become VACUUM
+    // garbage once superseded)
+    val keptDescs: Map[String, DvDesc] =
+      if (kept.isEmpty) Map.empty
+      else {
+        val uuid = UUID.randomUUID()
+        val blobs = kept.map(a => DeletionVectors.serializeBitmap(merged(nameOf(a))))
+        val offsets = DeletionVectors.writeSidecar(
+          fs, new Path(table, s"deletion_vector_$uuid.bin"), blobs)
+        kept.lazyZip(blobs).lazyZip(offsets).map { (a, blob, off) =>
+          nameOf(a) -> DvDesc("u", DeletionVectors.encodeUUID(uuid),
+            Some(off), blob.length, newCard(nameOf(a)))
+        }.toMap
+      }
     val now = System.currentTimeMillis()
     // removes precede the same-path re-adds in the commit: replay
     // folds actions in line order, newest-per-path wins within a
@@ -2341,25 +2499,25 @@ object DeltaSource {
       s"""{"remove":{"path":${jsonStr(a.path)},"deletionTimestamp":$now,"dataChange":true}}""")
     val addLines = kept.map { a =>
       val sz = a.size.getOrElse(fs.getFileStatus(dataPath(tablePath, a.path)).getLen)
-      reAddLine(a, sz, now, dataChange = true,
-        Some(DvDesc(sidecarRel, newCard(nameOf(a)))))
+      reAddLine(a, sz, now, dataChange = true, Some(keptDescs(nameOf(a))))
     }
     // the first DV descriptor gates the protocol up to (3,7) with the
     // deletionVectors feature IN THE SAME COMMIT — an external reader
     // that would ignore DVs (and resurrect rows) must refuse instead
-    // CDF: the deleted rows themselves, full values, one extra pass
-    // over the MATCHED rows only
+    // CDF: the deleted rows themselves, full values, read back from
+    // the SAME pinned row set the vectors came from
     val cdcAdds: Seq[(String, Long)] =
       if (!cdfEnabled(snap.configuration)) Nil
       else stageCdcFiles(
-        live.where(condition)
+        matchedRows
           .select(snap.schema.map(f => col(f.name)).toIndexedSeq: _*)
           .withColumn("_change_type", lit("delete")),
         table, fs)
     val protoLines = {
       val dvProto =
         if (kept.isEmpty) snap.protocol
-        else protocolWith(snap.protocol, "deletionVectors", _ => false)
+        else protocolWith(snap.protocol, "deletionVectors", _ => false,
+          snap.schema, snap.configuration)
       val proto = writerGate(dvProto, cdcAdds.nonEmpty, 4, "changeDataFeed")
       if (proto == snap.protocol) Nil else Seq(protocolLine(proto))
     }
@@ -2392,8 +2550,8 @@ object DeltaSource {
     tgt.files.foreach { a =>
       require(fs.exists(dataPath(tablePath, a.path)),
         s"cannot restore to version $version: data file ${a.path} was vacuumed")
-      a.dv.foreach(d => require(fs.exists(dataPath(tablePath, d.path)),
-        s"cannot restore to version $version: deletion vector ${d.path} was vacuumed"))
+      a.dv.flatMap(d => dvPath(tablePath, d)).foreach(p => require(fs.exists(p),
+        s"cannot restore to version $version: deletion vector $p was vacuumed"))
     }
     // a file is "unchanged" only when BOTH snapshots agree on its
     // deletion vector — a file shared by path but DV'd differently
@@ -2453,10 +2611,15 @@ object DeltaSource {
       val statsJson = a.stats.map(s => s""","stats":${jsonStr(s)}""").getOrElse("")
       // a DV sidecar is referenced by absolute URI too (same CLONE
       // rule as the data file it guards — zero bytes copied, and the
-      // same source-VACUUM caveat applies)
-      val dvAbs = a.dv.map(d =>
-        DvDesc(srcFs.makeQualified(dataPath(srcPath, d.path)).toUri.toString,
-          d.cardinality))
+      // same source-VACUUM caveat applies); inline vectors carry
+      // their bytes in the descriptor and copy verbatim
+      val dvAbs = a.dv.map { d =>
+        dvPath(srcPath, d) match {
+          case None => d
+          case Some(p) => d.copy(storageType = "p",
+            pathOrInlineDv = srcFs.makeQualified(p).toUri.toString)
+        }
+      }
       s"""{"add":{"path":${jsonStr(abs)},"partitionValues":$pvJson,"size":$sz,"modificationTime":$now,"dataChange":true$statsJson${dvJson(dvAbs)}}}"""
     }
     commitWithRetry(spark, fs, dstPath, 0L,

@@ -252,7 +252,13 @@ class DeltaStreamSource(spark: SparkSession, tablePath: String,
         s.stripSuffix(".json").toLong
       }.distinct.sorted.filter(v => v > lo && v <= hi)
     }
+    // Dedupe by path, newest commit wins: a range spanning a file's
+    // original append AND a later re-add of the same path (a DV
+    // delete's re-point, a restore) must list the file ONCE — with
+    // the newest descriptor (whose deletion vector the scan applies)
+    // — or every surviving row is emitted twice.
     val adds = DeltaSource.commitAdds(spark, tablePath, commits)
+      .groupBy(_._2.path).valuesIterator.map(_.maxBy(_._1)).toSeq.sortBy(_._1)
     if (adds.isEmpty)
       org.apache.spark.sql.graft.GraftSqlShims.emptyStreaming(spark, schema)
     else {

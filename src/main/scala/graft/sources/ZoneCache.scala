@@ -21,16 +21,23 @@ import org.apache.spark.sql.DataFrame
   */
 object ZoneCache {
 
+  /** Bumped whenever the engine's on-disk zone format changes (e.g.
+    * the deletion-vector sidecar serialization moving to the spec's
+    * roaring `.bin` form) — a zone built by an older engine build
+    * must rebuild, not be misread. */
+  private val FormatEpoch = "2"
+
   /** Metadata-only fingerprint of the corpus behind `src`: md5 over
-    * the sorted (path, len, mtime) listing of its input files. No
-    * data is read; any file added/removed/rewritten flips the value. */
+    * the sorted (path, len, mtime) listing of its input files plus
+    * the engine format epoch. No data is read; any file added/
+    * removed/rewritten (or a format change) flips the value. */
   def corpusFingerprint(src: DataFrame): String = {
     val conf = src.sparkSession.sparkContext.hadoopConfiguration
-    val listing = src.inputFiles.sorted.map { f =>
+    val listing = (s"format-epoch $FormatEpoch" +: src.inputFiles.sorted.map { f =>
       val p = new Path(f)
       val st = p.getFileSystem(conf).getFileStatus(p)
       s"$f ${st.getLen} ${st.getModificationTime}"
-    }.mkString("\n")
+    }).mkString("\n")
     java.security.MessageDigest.getInstance("MD5")
       .digest(listing.getBytes(StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString

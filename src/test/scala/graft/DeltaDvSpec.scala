@@ -62,7 +62,12 @@ class DeltaDvSpec extends SparkSpec {
     assert(sidecars(tbl).size == 1, "one packed sidecar per delete commit")
     val log = logText(tbl, 1)
     assert(log.contains("\"deletionVector\""))
-    assert(log.contains("\"storageType\":\"p\""))
+    // spec descriptor shape: UUID-named sidecar ("u"), base85 name,
+    // offset + sizeInBytes + cardinality all present
+    assert(log.contains("\"storageType\":\"u\""))
+    assert(log.contains("\"offset\":"))
+    assert(log.contains("\"sizeInBytes\":"))
+    assert(log.contains("\"cardinality\":"))
     // remove precedes the same-path re-add (spec commit shape)
     assert(log.indexOf("\"remove\"") < log.indexOf("\"add\""))
     val got = DeltaSource.readDelta(spark, tbl)
