@@ -30,13 +30,45 @@ import org.apache.spark.sql.functions._
   * delimiter cannot collide with symbol text. */
 object Bpe {
 
-  /** The shared training loop: returns the merge log AND the final
-    * vocabulary (w, freq, seq) it produced — one implementation
-    * behind the trainer and the segmentation stats, so the
-    * compression number is always measured against the merges the
-    * trainer actually learned. */
+  /** Candidates fetched per round — bounds the driver collect; the
+    * batch accept rule below never needs more than it can see. */
+  private val TopK = 64
+
+  /** The shared training loop: returns the merge log, the final
+    * vocabulary (w, freq, seq) it produced, and the number of Spark
+    * ROUNDS it took — one implementation behind the trainer and the
+    * segmentation stats, so the compression number is always
+    * measured against the merges the trainer actually learned.
+    *
+    * Batched rounds, EXACT canonical sequence: each round collects
+    * the top-K pairs in canonical order (count desc, left asc,
+    * right asc) and accepts a maximal PREFIX of that ranking whose
+    * members are pairwise symbol-disjoint. The prefix property makes
+    * this provably equal to the one-merge-at-a-time sequence:
+    *
+    *  - every pair ranked above an accepted candidate is itself
+    *    accepted (prefix), so the canonical argmax at each position
+    *    is among {the candidate, pairs affected by earlier accepted
+    *    merges, pairs newly created by them};
+    *  - affected OLD pairs only lose occurrences, so they cannot
+    *    rise above a candidate they already ranked below;
+    *  - a NEW pair (x, ab) created by an accepted merge (a,b) has
+    *    count ≤ the old count of (x,a) — a pair that shares symbol
+    *    `a`, hence is NOT accepted, hence ranks BELOW the candidate
+    *    (prefix again), i.e. its count is ≤ the candidate's;
+    *  - acceptance therefore also STOPS when that inequality cannot
+    *    be made strict from what the round can see: some non-
+    *    accepted pair sharing a symbol with the accepted set ties
+    *    the candidate's count (a new pair could tie and win the
+    *    lexicographic break), or the K-th count ties it (the unseen
+    *    tail could hide such a pair).
+    *
+    * Accepted merges touch disjoint symbols, so their replaces
+    * compose into ONE projection per round; rounds collapse ~K-fold
+    * on natural text where top pairs rarely collide, while a 32k-
+    * merge production vocabulary no longer means 32k Spark jobs. */
   private def trainLoop(docs: DataFrame, nMerges: Int, contentCol: String)
-      : (Seq[(Long, String, String, String, Long)], DataFrame) = {
+      : (Seq[(Long, String, String, String, Long)], DataFrame, Int) = {
     val vocab0 = docs
       .select(explode(tokens(lower(col(contentCol)))).as("w"))
       .where(col("w").rlike("^[a-z]+$"))
@@ -45,7 +77,8 @@ object Bpe {
       .localCheckpoint(true) // corpus touched once; rounds run on the vocab
     var vocab = vocab0
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
-    (1 to nMerges).foreach { step =>
+    var rounds = 0
+    while (merges.size < nMerges) {
       val tk = split(expr("trim(BOTH '|' FROM seq)"), "\\|\\|")
       val withTk = vocab.select(col("freq"), tk.as("tk")).where(size(col("tk")) >= 2)
       val top = withTk.select(col("freq"),
@@ -56,15 +89,55 @@ object Bpe {
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("freq")).as("n"))
         .orderBy(col("n").desc, col("a"), col("b"))
-        .limit(1).collect()
-      if (top.nonEmpty) {
-        val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-        merges += ((step.toLong, a, b, a + b, n))
-        vocab = vocab.withColumn("seq",
-          expr(s"replace(seq, '|$a||$b|', '|$a$b|')"))
+        .limit(TopK).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (top.isEmpty) return (merges.toSeq, vocab, rounds)
+      rounds += 1
+      val sawAllPairs = top.length < TopK
+      val tailCount = top.last._3
+      val accepted = scala.collection.mutable.ArrayBuffer(top.head)
+      // applying merge (a,b) can only shrink pairs ( · ,a) — their
+      // `a` may be consumed by a following b — and pairs (b, · ) —
+      // their `b` may be consumed by a preceding a; and any NEW pair
+      // it creates, (x,ab) or (ab,y), is count-bounded by one of
+      // those same pairs. Pairs (a, y≠b) and (x≠a, b) are untouched.
+      var leftsMerged = Set(top.head._1)  // a's: pairs ending in one are at risk
+      var rightsMerged = Set(top.head._2) // b's: pairs starting with one are at risk
+      def atRisk(pa: String, pb: String): Boolean =
+        leftsMerged(pb) || rightsMerged(pa)
+      var stopped = false
+      var j = 1
+      while (!stopped && j < top.length &&
+             accepted.size < nMerges - merges.size) {
+        val (a, b, n) = top(j)
+        // the candidate's own count must be provably unchanged
+        val conflict = atRisk(a, b)
+        // tie risk: a non-accepted at-risk pair (seen here, or
+        // possibly hiding below rank K) matches n — a new pair
+        // bounded by it could tie and win the lex break
+        lazy val eqRisk =
+          top.exists { case p @ (pa, pb, pn) =>
+            pn == n && !accepted.contains(p) && atRisk(pa, pb)
+          } || (!sawAllPairs && tailCount == n)
+        if (conflict || eqRisk) stopped = true
+        else {
+          accepted += top(j)
+          leftsMerged = leftsMerged + a
+          rightsMerged = rightsMerged + b
+        }
+        j += 1
       }
+      // disjoint symbols: the replaces commute; compose them into one
+      // projection and one vocab pass for the whole batch
+      val replaced = accepted.foldLeft("seq") { case (e, (a, b, _)) =>
+        s"replace($e, '|$a||$b|', '|$a$b|')"
+      }
+      accepted.foreach { case (a, b, n) =>
+        merges += (((merges.size + 1).toLong, a, b, a + b, n))
+      }
+      vocab = vocab.withColumn("seq", expr(replaced))
     }
-    (merges.toSeq, vocab)
+    (merges.toSeq, vocab, rounds)
   }
 
   /** The merge table (step, left, right, merged, n) — the artifact a
@@ -77,13 +150,25 @@ object Bpe {
       .toDF("step", "left", "right", "merged", "n")
   }
 
+  /** The merge table plus the number of Spark rounds the batched
+    * trainer took — the scheduling-cost number (rounds ≪ merges on
+    * natural text; a sequential trainer would pay one round per
+    * merge). */
+  def bpeTrainWithRounds(docs: DataFrame, nMerges: Int = 4,
+                         contentCol: String = "text"): (DataFrame, Int) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (merges, _, rounds) = trainLoop(docs, nMerges, contentCol)
+    (merges.toDF("step", "left", "right", "merged", "n"), rounds)
+  }
+
   /** Segmentation quality of the trained merges: symbols per corpus
     * before (characters) vs after (BPE tokens), the compression
     * number a tokenizer is judged by. One aggregate over the final
     * vocabulary; corpus still touched exactly once. */
   def bpeSegmentStats(docs: DataFrame, nMerges: Int = 4,
                       contentCol: String = "text"): DataFrame = {
-    val (_, vocab) = trainLoop(docs, nMerges, contentCol)
+    val (_, vocab, _) = trainLoop(docs, nMerges, contentCol)
     val ntok = size(split(expr("trim(BOTH '|' FROM seq)"), "\\|\\|")).cast("long")
     vocab.agg(
       count(lit(1)).as("n_word_types"),

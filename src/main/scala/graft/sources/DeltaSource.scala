@@ -20,11 +20,14 @@ import java.util.UUID
   * **NOT on S3-compatible object stores** (S3 PUT has no if-absent;
   * two racing writers on s3a/MinIO can both "win" and corrupt the
   * log — the same reason Delta Lake requires an external LogStore for
-  * S3). Production multi-writer use on an object store must plug in a
-  * coordination-backed store (DynamoDB-style conditional put, a lock
-  * service, or a single-writer queue); single-writer pipelines — the
-  * reference's Airflow DAG shape — are safe with the default
-  * everywhere. See also `ObjectStore.configureS3a`.
+  * S3). Production multi-writer use on an object store plugs in
+  * [[CoordinatedCommitStore]] — arbitration through a separate
+  * CAS-capable coordination root, the S3DynamoDBLogStore
+  * architecture, with write-ahead entries and crash recovery —
+  * or any other coordination-backed implementation of this trait.
+  * Single-writer pipelines — the reference's Airflow DAG shape — are
+  * safe with the default everywhere. See also
+  * `ObjectStore.configureS3a`.
   */
 trait CommitStore extends Serializable {
   /** Create `path` with `content` iff it does not exist; MUST throw
@@ -636,21 +639,35 @@ object DeltaSource {
   }
 
   /** Assign dense identity values `firstValue, firstValue + step, …`
-    * — the scale-safe two-phase shape: `zipWithIndex` runs one
-    * per-partition COUNT job, computes prefix offsets driver-side
-    * (O(#partitions)), and assigns map-side. No shuffle, no global
-    * window, no single reducer at any batch size. */
-  private def assignIdentity(df: DataFrame, field: StructField,
+    * — the scale-safe two-phase shape, fully COLUMNAR: one
+    * per-partition COUNT job (map-side partial agg, #partitions rows
+    * shuffled), prefix offsets computed driver-side (O(#partitions))
+    * and pushed back as a literal map, then a map-side projection
+    * `firstValue + step × (offset(pid) + row-in-partition)` where
+    * row-in-partition falls out of `monotonically_increasing_id`'s
+    * encoding (pid in the upper bits). No shuffle of data rows, no
+    * global window, no RDD round-trip — the batch never leaves
+    * Tungsten rows. Same determinism assumption as the classic
+    * zipWithIndex shape: both jobs enumerate the same partitions
+    * (the staged batch is a deterministic plan). */
+  private[sources] def assignIdentity(df: DataFrame, field: StructField,
                              firstValue: Long, step: Long): DataFrame = {
-    val spark = df.sparkSession
     val others = df.schema.filterNot(_.name == field.name)
     val base = df.select(others.map(f => col(f.name)).toIndexedSeq: _*)
-    val outSchema = StructType(others :+
-      StructField(field.name, LongType, nullable = false, field.metadata))
-    val rdd = base.rdd.zipWithIndex().map { case (r, i) =>
-      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (firstValue + step * i))
+    val counts: Seq[(Int, Long)] = base
+      .groupBy(spark_partition_id().as("__pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      counts.sortBy(_._1).map { case (p, c) => val o = acc; acc += c; p -> o }.toMap
     }
-    spark.createDataFrame(rdd, outSchema)
+    val rowInPart =
+      monotonically_increasing_id() - shiftleft(spark_partition_id().cast(LongType), 33)
+    val value =
+      lit(firstValue) + lit(step) *
+        (element_at(typedLit(offsets), spark_partition_id()) + rowInPart)
+    base.select((others.map(f => col(f.name)) :+
+      value.cast(LongType).as(field.name, field.metadata)).toIndexedSeq: _*)
   }
 
   private[sources] def physicalName(f: StructField): String =
@@ -2086,33 +2103,68 @@ object DeltaSource {
   private def cdfEnabled(cfg: Map[String, String]): Boolean =
     cfg.get("delta.enableChangeDataFeed").contains("true")
 
-  private def cdcLine(relPath: String, size: Long): String =
-    s"""{"cdc":{"path":${jsonStr(encodeRelPath(relPath))},"partitionValues":{},"size":$size,"dataChange":false}}"""
+  private def cdcLine(relPath: String, pv: Map[String, String], size: Long): String = {
+    val pvJson = pv.map { case (k, v) =>
+      s"${jsonStr(k)}:${if (v == null) "null" else jsonStr(v)}"
+    }.mkString("{", ",", "}")
+    s"""{"cdc":{"path":${jsonStr(encodeRelPath(relPath))},"partitionValues":$pvJson,"size":$size,"dataChange":false}}"""
+  }
 
-  /** Land change rows (table columns + `_change_type`) as
-    * `_change_data/cdc-*.parquet` files. All columns — including
-    * partition columns — are written IN-FILE and `partitionValues`
-    * stays empty on the cdc action (graft's own CDF reader reads the
-    * files directly; noted as a deviation from hive-partitioned cdc
-    * staging). Empty change sets stage nothing. */
-  private def stageCdcFiles(changes: DataFrame, table: Path,
-                            fs: FileSystem): Seq[(String, Long)] = {
+  /** Land change rows (table columns + `_change_type`) under the
+    * spec's `_change_data/` layout: files are hive-partitioned by
+    * the TABLE's partition columns, partition values ride the cdc
+    * action's `partitionValues` (not the file), and data columns are
+    * stored under their physical names — the same staging contract
+    * as the table's own add files, so an external CDF reader
+    * consumes the feed like any partitioned scan. `_change_type`
+    * stays in-file per the spec; `_commit_version`/`_commit_
+    * timestamp` are derived by the reader from the commit, never
+    * stored. Empty change sets stage nothing. */
+  private def stageCdcFiles(changes: DataFrame, table: Path, fs: FileSystem,
+                            tableSchema: StructType,
+                            partCols: Seq[String]): Seq[(String, Map[String, String], Long)] = {
     // cache spans the emptiness probe AND the write — the pre/post
     // image join pipeline runs once, not twice
     val cached = changes.cache()
     try {
       if (cached.isEmpty) Nil
       else {
+        val physDf = cached.select(cached.columns.map { c =>
+          tableSchema.find(_.name == c)
+            .map(f => col(c).as(physicalName(f))).getOrElse(col(c))
+        }.toIndexedSeq: _*)
+        val physPartCols = partCols.map(c => physicalName(tableSchema(c)))
         val stage = new Path(table, s".stage-${UUID.randomUUID().toString.take(8)}")
-        cached.write.mode("overwrite").parquet(stage.toString)
+        val w = physDf.write.mode("overwrite")
+        (if (physPartCols.nonEmpty) w.partitionBy(physPartCols: _*) else w)
+          .parquet(stage.toString)
         fs.mkdirs(new Path(table, "_change_data"))
-        val parts = fs.listStatus(stage).toSeq.map(_.getPath)
-          .filter(_.getName.endsWith(".parquet"))
-        val out = parts.map { p =>
-          val rel = s"_change_data/cdc-${UUID.randomUUID().toString}.parquet"
+        val stageQ = fs.makeQualified(stage)
+        def walk(dir: Path): Seq[Path] = fs.listStatus(dir).toSeq.flatMap { s =>
+          if (s.isDirectory) walk(s.getPath)
+          else if (s.getPath.getName.endsWith(".parquet")) Seq(s.getPath)
+          else Nil
+        }
+        val out = walk(stageQ).map { p =>
+          val relDirs = {
+            var segs = List.empty[String]
+            var cur = p.getParent
+            while (cur != null && fs.makeQualified(cur) != stageQ) {
+              segs = cur.getName :: segs; cur = cur.getParent
+            }
+            segs
+          }
+          val pv: Map[String, String] = relDirs.map { seg =>
+            val Array(k, v) = seg.split("=", 2)
+            val dec = ExternalCatalogUtils.unescapePathName(v)
+            k -> (if (dec == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null else dec)
+          }.toMap
+          val rel = ("_change_data" +: relDirs :+
+            s"cdc-${UUID.randomUUID().toString}.parquet").mkString("/")
           val dst = new Path(table, rel)
+          fs.mkdirs(dst.getParent)
           renameOrFail(fs, p, dst)
-          rel -> fs.getFileStatus(dst).getLen
+          (rel, pv, fs.getFileStatus(dst).getLen)
         }
         fs.delete(stage, true)
         out
@@ -2158,7 +2210,7 @@ object DeltaSource {
       val in = fs.open(new Path(logDir, f"$v%020d.json"))
       val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
         finally in.close()
-      var cdcPaths = List.empty[String]
+      var cdcFiles = List.empty[(String, Map[String, String])]
       var addPaths = Set.empty[String]
       var removePaths = Set.empty[String]
       text.linesIterator.filter(_.nonEmpty).foreach { line =>
@@ -2166,16 +2218,36 @@ object DeltaSource {
         val cdc = node.path("cdc")
         val add = node.path("add")
         val rem = node.path("remove")
-        if (cdc.isObject) cdcPaths ::= cdc.path("path").asText()
+        if (cdc.isObject) {
+          val pvNode = cdc.path("partitionValues")
+          val pv = if (!pvNode.isObject) Map.empty[String, String]
+            else {
+              val it = pvNode.fields()
+              val b = Map.newBuilder[String, String]
+              while (it.hasNext) {
+                val e = it.next()
+                b += e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())
+              }
+              b.result()
+            }
+          cdcFiles ::= (cdc.path("path").asText(), pv)
+        }
         else if (add.isObject && add.path("dataChange").asBoolean(false))
           addPaths += add.path("path").asText()
         else if (rem.isObject && rem.path("dataChange").asBoolean(false))
           removePaths += rem.path("path").asText()
       }
-      if (cdcPaths.nonEmpty) {
-        // materialized change data speaks for the whole commit
-        val files = cdcPaths.reverse.map(p => dataPath(tablePath, p).toString)
-        Some(spark.read.parquet(files: _*)
+      if (cdcFiles.nonEmpty) {
+        // materialized change data speaks for the whole commit; the
+        // files are hive-partitioned like the table's own adds, so
+        // partition columns come back from the cdc actions'
+        // partitionValues through the same indexed-scan path
+        val cdcSchema = StructType(snap.schema :+
+          StructField("_change_type", StringType))
+        val adds = cdcFiles.reverse.map { case (p, pv) =>
+          (AddFile(p, pv, None, None), Map.empty[String, String])
+        }
+        Some(scanRelationBase(spark, tablePath, cdcSchema, snap.partitionColumns, adds)
           .select(outCols: _*).withColumn("_commit_version", lit(v)))
       } else {
         // a path both removed and re-added in one commit (a DV
@@ -2354,7 +2426,7 @@ object DeltaSource {
     // matched keys (preimage), their replacements (postimage), and
     // the never-seen keys (insert) — built from the SAME pieces the
     // landed data came from, so cdc ids match the zone's
-    val cdcAdds: Seq[(String, Long)] =
+    val cdcAdds: Seq[(String, Map[String, String], Long)] =
       if (!cdfEnabled(snap.configuration)) Nil
       else {
         val outCols = fullCols :+ col("_change_type")
@@ -2364,7 +2436,7 @@ object DeltaSource {
         val changes = (pre.toSeq ++ post.toSeq :+
           inserts.withColumn("_change_type", lit("insert")))
           .map(_.select(outCols: _*)).reduce(_ unionByName _)
-        stageCdcFiles(changes, table, fs)
+        stageCdcFiles(changes, table, fs, snap.schema, snap.partitionColumns)
       }
     val cdfProto = writerGate(snap.protocol, cdcAdds.nonEmpty, 4, "changeDataFeed")
     val protoLines =
@@ -2379,7 +2451,7 @@ object DeltaSource {
     val removeLines = touched.map(a =>
       s"""{"remove":{"path":${jsonStr(a.path)},"deletionTimestamp":$now,"dataChange":true}}""")
     val addLines = adds.map(a => addLine(a, now, dataChange = true))
-    val cdcLines = cdcAdds.map { case (rel, sz) => cdcLine(rel, sz) }
+    val cdcLines = cdcAdds.map { case (rel, pv, sz) => cdcLine(rel, pv, sz) }
     val committed = commitWithRetry(spark, fs, tablePath, next,
       protoLines ++ metaLines ++ removeLines ++ addLines ++ cdcLines,
       pureAppend = touched.isEmpty && protoLines.isEmpty && metaLines.isEmpty, commitStore,
@@ -2506,13 +2578,13 @@ object DeltaSource {
     // that would ignore DVs (and resurrect rows) must refuse instead
     // CDF: the deleted rows themselves, full values, read back from
     // the SAME pinned row set the vectors came from
-    val cdcAdds: Seq[(String, Long)] =
+    val cdcAdds: Seq[(String, Map[String, String], Long)] =
       if (!cdfEnabled(snap.configuration)) Nil
       else stageCdcFiles(
         matchedRows
           .select(snap.schema.map(f => col(f.name)).toIndexedSeq: _*)
           .withColumn("_change_type", lit("delete")),
-        table, fs)
+        table, fs, snap.schema, snap.partitionColumns)
     val protoLines = {
       val dvProto =
         if (kept.isEmpty) snap.protocol
@@ -2521,7 +2593,7 @@ object DeltaSource {
       val proto = writerGate(dvProto, cdcAdds.nonEmpty, 4, "changeDataFeed")
       if (proto == snap.protocol) Nil else Seq(protocolLine(proto))
     }
-    val cdcLines = cdcAdds.map { case (rel, sz) => cdcLine(rel, sz) }
+    val cdcLines = cdcAdds.map { case (rel, pv, sz) => cdcLine(rel, pv, sz) }
     val committed = commitWithRetry(spark, fs, tablePath, snap.version + 1,
       protoLines ++ removeLines ++ addLines ++ cdcLines,
       pureAppend = false, commitStore,

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Bpe
+import org.apache.spark.sql.functions._
 
 /** BPE trainer: canonical merge sequence on the textbook fixture,
   * deterministic tie-breaks, partition invariance. */
@@ -28,5 +29,58 @@ class BpeSpec extends SparkSpec {
     val one = Bpe.bpeTrain(docs.coalesce(1), 3).collect().map(_.toString).toSeq
     val many = Bpe.bpeTrain(docs.repartition(7), 3).collect().map(_.toString).toSeq
     assert(one == many && one.nonEmpty)
+  }
+
+  /** The one-merge-at-a-time textbook algorithm, driver-side, same
+    * tokenization and tie-breaks — the ground truth the batched
+    * trainer must reproduce merge for merge. */
+  private def sequentialReference(vocab: Seq[(String, Long)], nMerges: Int)
+      : Seq[(Long, String, String, String, Long)] = {
+    var words: Seq[(Array[String], Long)] =
+      vocab.map { case (w, f) => (w.map(_.toString).toArray, f) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var step = 1L
+    while (step <= nMerges) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) { counts((syms(i), syms(i + 1))) += f; i += 1 }
+      }
+      if (counts.isEmpty) return merges.toSeq
+      val ((a, b), n) = counts.toSeq.minBy { case ((x, y), c) => (-c, x, y) }
+      merges += ((step, a, b, a + b, n))
+      words = words.map { case (syms, f) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+            out += a + b; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        (out.toArray, f)
+      }
+      step += 1
+    }
+    merges.toSeq
+  }
+
+  test("batched rounds reproduce the sequential merge sequence exactly (256 merges)") {
+    val docs = Tables.documents(spark, sf)
+    // same vocabulary the trainer derives (same tokenization rule)
+    val vocab = docs
+      .select(explode(graft.functions.TextFunctions.tokens(lower(col("text")))).as("w"))
+      .where(col("w").rlike("^[a-z]+$"))
+      .groupBy("w").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val expected = sequentialReference(vocab, 256)
+    val (gotDf, rounds) = Bpe.bpeTrainWithRounds(docs, nMerges = 256)
+    val got = gotDf.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getString(2), r.getString(3), r.getLong(4))).toSeq
+    assert(got == expected,
+      s"first divergence: ${got.zip(expected).indexWhere { case (g, e) => g != e }}")
+    info(s"256 merges in $rounds batched rounds")
+    assert(rounds < 256 / 2,
+      s"batching should collapse rounds well below one-per-merge; took $rounds for 256")
   }
 }

@@ -155,4 +155,41 @@ class DeltaCdfSpec extends SparkSpec {
     assert(ch == Set((0L, "delete"), (1L, "delete"), (2L, "delete"), (3L, "delete"),
       (100L, "insert"), (101L, "insert")), s"got $ch")
   }
+
+  test("spec layout: cdc files are hive-partitioned, partition values in the action not the file") {
+    val tbl = tmpTable()
+    DeltaSource.writeDelta(
+      spark.range(20).selectExpr("id as k", "id % 2 as part", "id * 10 as v"),
+      tbl, partitionBy = Seq("part"))
+    DeltaSource.setTableProperties(spark, tbl,
+      Map("delta.enableChangeDataFeed" -> "true"))
+    val vBefore = DeltaSource.latestVersion(spark, tbl).get
+    DeltaSource.deleteDelta(spark, tbl, col("k") < 4)
+    // the cdc action carries partitionValues and points under the
+    // partitioned _change_data layout
+    val log = Files.readString(java.nio.file.Paths.get(
+      tbl, "_delta_log", f"${vBefore + 1}%020d.json"))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val cdcNodes = log.linesIterator.filter(_.nonEmpty).map(mapper.readTree)
+      .filter(_.path("cdc").isObject).map(_.path("cdc")).toSeq
+    assert(cdcNodes.nonEmpty)
+    val pvs = cdcNodes.map(n => n.path("partitionValues").path("part").asText()).toSet
+    assert(pvs == Set("0", "1"), s"got $pvs")
+    cdcNodes.foreach { n =>
+      val p = n.path("path").asText()
+      assert(p.startsWith("_change_data/"), p)
+      assert(p.contains("part=") || p.contains("part%3D"),
+        s"cdc file should live under a hive partition dir: $p")
+    }
+    // the staged file itself holds only data columns + _change_type
+    val onePath = java.net.URLDecoder.decode(cdcNodes.head.path("path").asText(), "UTF-8")
+    val raw = spark.read.parquet(s"$tbl/$onePath")
+    assert(raw.columns.toSet == Set("k", "v", "_change_type"),
+      s"partition column must NOT be materialized in-file: ${raw.columns.toSeq}")
+    // and the feed reconstructs partition values through the action
+    val ch = feedAfter(tbl, vBefore)
+      .select(col("k"), col("part"), col("v"), col("_change_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(ch == (0L until 4L).map(k => (k, k % 2, k * 10, "delete")).toSet, s"got $ch")
+  }
 }
