@@ -538,6 +538,13 @@ object SparkEntry {
     }),
     "ann_recall_curve" -> ((s, d) =>
       Similarity.recallCurve(Tables.embeddings(s, d))),
+    // graph index (NSW/HNSW family): LSH-local links + tree backbone,
+    // beam-searched from a fixed entry point — the serving-path index
+    "ann_graph_topk" -> ((s, d) => Similarity.graphTopK(Tables.embeddings(s, d))),
+    "ann_graph_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.recallAtK(Similarity.graphTopK(emb), Similarity.bruteTopK(emb))
+    }),
     "ann_pq_topk" -> ((s, d) => Similarity.pqTopK(Tables.embeddings(s, d))),
     "ann_pq_trained" -> ((s, d) => Similarity.pqTopKFitted(Tables.embeddings(s, d))),
     "ann_ivfpq_topk" -> ((s, d) => Similarity.ivfpqTopK(Tables.embeddings(s, d))),
@@ -1127,6 +1134,59 @@ object SparkEntry {
        |  FROM ${pfx}cand cand JOIN n q ON q.id = cand.query_id JOIN n x ON x.id = cand.neighbor_id),
        |${pfx}r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM ${pfx}s),
        |$pfx AS (SELECT query_id, neighbor_id FROM ${pfx}r WHERE rnk <= $k)""".stripMargin
+
+  /** The small-world graph index replayed exactly — edges (LSH-local
+    * top-m links with seed family "g{t}:" + the u↔⌊u/2⌋ tree
+    * backbone) and a `steps`-round beam search from node 0; ends at
+    * CTE `gs$steps` = the last round's scored candidate set, which
+    * both the topk and recall oracles rank. */
+  private def dGraphCtes(nq: Int = 5, m: Int = 8,
+                         tables: Int = 4, beam: Int = 32, steps: Int = 8,
+                         entries: Int = 16) = {
+    def step(i: Int) = {
+      val prev = if (i == 1) "gb0" else s"gb${i - 1}"
+      s"""gc$i AS (SELECT DISTINCT query_id, node FROM (
+         |  SELECT query_id, node FROM $prev
+         |  UNION ALL
+         |  SELECT b.query_id, e.dst AS node FROM $prev b JOIN gedges e ON b.node = e.src)),
+         |gs$i AS (SELECT c.query_id, c.node,
+         |    round(${dDot("q.qv", "x.v")} / (q.qnrm * x.nrm), 6) AS sim
+         |  FROM gc$i c JOIN n x ON x.id = c.node JOIN gq q ON q.query_id = c.query_id),
+         |gb$i AS (SELECT query_id, node FROM (
+         |    SELECT query_id, node, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, node) AS rnk FROM gs$i)
+         |  WHERE rnk <= $beam)""".stripMargin
+    }
+    s"""gnb AS (SELECT COALESCE((SELECT MIN(b) FROM range(4, 25) t(b),
+       |    (SELECT count(*) AS cnt FROM n) c
+       |    WHERE pow(2, CAST(b AS DOUBLE)) >= c.cnt / 48.0), 24) AS nb),
+       |gplanes AS (
+       |  SELECT t, s, list_transform(range(0, 64),
+       |    i -> CAST(CAST('0x' || substr(md5('g' || t || ':' || s || ':' || i), 1, 12) AS BIGINT) AS DOUBLE) / 281474976710656.0 - 0.5) AS pv
+       |  FROM (SELECT unnest(range(0, $tables)) AS t),
+       |       (SELECT unnest(range(0, (SELECT nb FROM gnb))) AS s)),
+       |gbits AS (
+       |  SELECT n.id, p.t, p.s,
+       |    CASE WHEN ${dDot("n.v", "p.pv")} > 0 THEN 1 << s ELSE 0 END AS bit
+       |  FROM n CROSS JOIN gplanes p),
+       |gbkt AS (SELECT id, t, SUM(bit) AS bucket FROM gbits GROUP BY 1, 2),
+       |gpair AS (SELECT DISTINCT a.id AS src, b.id AS dst
+       |  FROM gbkt a JOIN gbkt b ON a.t = b.t AND a.bucket = b.bucket AND a.id <> b.id),
+       |gsim AS (SELECT p.src, p.dst,
+       |    round(${dDot("s.v", "d.v")} / (s.nrm * d.nrm), 6) AS sim
+       |  FROM gpair p JOIN n s ON s.id = p.src JOIN n d ON d.id = p.dst),
+       |glocal AS (SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY sim DESC, dst) AS rnk FROM gsim)
+       |  WHERE rnk <= $m),
+       |gtree AS (SELECT id AS src, CAST(floor(id / 2) AS BIGINT) AS dst FROM n WHERE id > 0
+       |  UNION ALL SELECT CAST(floor(id / 2) AS BIGINT) AS src, id AS dst FROM n WHERE id > 0),
+       |gedges AS (SELECT DISTINCT src, dst FROM (
+       |  SELECT * FROM glocal
+       |  UNION ALL SELECT dst AS src, src AS dst FROM glocal
+       |  UNION ALL SELECT * FROM gtree)),
+       |gq AS (SELECT id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE id < $nq),
+       |gb0 AS (SELECT gq.query_id, n.id AS node FROM gq CROSS JOIN n WHERE n.id < $entries),
+       |${(1 to steps).map(step).mkString(",\n")}""".stripMargin
+  }
 
   /** One Lloyd assignment+update round, prefixed (recall-oracle twin
     * of ann_ivf_trained's lloydRound). */
@@ -2199,6 +2259,27 @@ object SparkEntry {
          |UNION ALL SELECT * FROM L4row UNION ALL SELECT * FROM L8row
          |ORDER BY nprobe""".stripMargin
     },
+
+    // the graph index replayed exactly: LSH-local edges + tree
+    // backbone, then the 4-round beam walk from node 0; the final
+    // candidate set ranks with the engine's (sim DESC, node) breaks
+    "ann_graph_topk" ->
+      s"""$embNormCte,
+         |${dGraphCtes()},
+         |gr AS (SELECT query_id, node AS neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, node) AS rnk
+         |  FROM gs8 WHERE node <> query_id)
+         |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", sim
+         |FROM gr WHERE rnk <= 10 ORDER BY query_id, "rank"""".stripMargin,
+    "ann_graph_recall" ->
+      s"""$embNormCte,
+         |${dGraphCtes()},
+         |gr AS (SELECT query_id, node AS neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, node) AS rnk
+         |  FROM gs8 WHERE node <> query_id),
+         |approx AS (SELECT query_id, neighbor_id FROM gr WHERE rnk <= 10),
+         |${dBruteCte("exact", 5)},
+         |${dRecallTail()}""".stripMargin,
     "ann_ivf_trained_recall" ->
       s"""$embNormCte,
          |tc0 AS (SELECT id AS cell, v AS cv, nrm AS cnrm FROM n WHERE id < 16),

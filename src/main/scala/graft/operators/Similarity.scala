@@ -1142,4 +1142,119 @@ object Similarity {
       .select(col("bucket"), (col("bucket").cast("double") / 10).as("lo"), col("n_pairs"))
       .orderBy(col("bucket"))
   }
+
+  /** Deterministic small-world graph over the corpus — the modern
+    * serving-path index family (NSW/HNSW, Malkov & Yashunin) re-
+    * expressed for Spark determinism and oracle replay:
+    *
+    *  - LOCAL links: each node's top-`m` cosine neighbors among its
+    *    multi-table LSH bucket mates (the same hyperplane machinery
+    *    as `lshTopK`, seed family "g{t}:") — candidate generation is
+    *    bucket-bounded (≈ n·tables·n/2^nbits pair evaluations with a
+    *    map-side top-m before any exchange), never all-pairs;
+    *  - LONG-RANGE links: the binary-tree backbone u ↔ ⌊u/2⌋ —
+    *    O(log n) hops from the fixed entry point (node 0) to any
+    *    node, the deterministic flattened stand-in for HNSW's upper
+    *    layers.
+    *
+    * Returns DISTINCT directed edges (src, dst): O(n·(m+2)) rows,
+    * partitionable by src — the billion-vector layout is this edge
+    * list bucketed on src next to the vectors. */
+  def graphEdges(emb: DataFrame, m: Int = 8, nbits: Int = -1, tables: Int = 4,
+                 dim: Int = 64,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // nbits scales with the corpus so bucket OCCUPANCY stays ~48
+    // regardless of n — the candidate-pair count stays O(n·48·tables)
+    // instead of O(n²/2^nbits); a fixed nbits would make the build
+    // quadratic again at the next scale-up (one metadata-fast count)
+    val bits =
+      if (nbits > 0) nbits
+      else {
+        // smallest b in [4, 24] with 2^b ≥ n/48 — exact integer/
+        // double comparison, no libm log (whose last-ulp rounding
+        // could disagree with the oracle's at exact powers of two)
+        val target = emb.count() / 48.0
+        var b = 4
+        while ((1L << b) < target && b < 24) b += 1
+        b
+      }
+    val buckets = (0 until tables).map { t =>
+      signBucket(col(vecCol), hyperplanes(bits, dim, seed = s"g$t:")).as(s"bkt_$t")
+    }
+    val e = emb
+      .select((col(idCol).as("id") +: col(vecCol).as("v") +:
+        norm(col(vecCol)).as("nrm") +: buckets): _*)
+      .select(col("id"), col("v"), col("nrm"),
+        posexplode(array((0 until tables).map(t => col(s"bkt_$t")): _*))
+          .as(Seq("tbl", "bucket")))
+    val rhs = e.select(col("tbl").as("tbl2"), col("bucket").as("bucket2"),
+      col("id").as("dst"), col("v").as("dv"), col("nrm").as("dnrm"))
+    val scored = e.join(rhs,
+        col("tbl") === col("tbl2") && col("bucket") === col("bucket2") &&
+          col("id") =!= col("dst"))
+      .select(col("id").as("src"), col("dst"),
+        round(cosinePrenormed(dot(col("v"), col("dv")), col("nrm"), col("dnrm")), 6)
+          .as("sim"))
+      .dropDuplicates("src", "dst")
+    val local = scored.groupBy(col("src"))
+      .agg(graft.plans.TopKAgg.topK(col("sim"), col("dst"), m).as("top"))
+      .select(col("src"), explode(col("top")).as("t"))
+      .select(col("src"), col("t.id").as("dst"))
+    // local links run BOTH ways (u→top-m(u) plus the reverses) — the
+    // NSW navigability trick: a node popular as a neighbor becomes
+    // reachable from its whole in-neighborhood, not just its own list
+    val localBoth = local.unionAll(
+      local.select(col("dst").as("src"), col("src").as("dst")))
+    val ids = emb.select(col(idCol).cast("long").as("id")).where(col("id") > 0)
+    val half = floor(col("id") / 2).cast("long")
+    val tree = ids.select(col("id").as("src"), half.as("dst"))
+      .unionAll(ids.select(half.as("src"), col("id").as("dst")))
+    localBoth.unionAll(tree).distinct()
+  }
+
+  /** Greedy beam search over [[graphEdges]]: the beam seeds from
+    * `entries` scattered entry points (the lowest ids — the same
+    * deterministic seed family the IVF paths quantize against), then
+    * `steps` rounds of expand-neighbors → score → keep the `beam`
+    * best (sim DESC, node ASC; the beam re-includes itself, so it is
+    * monotone), and the last round's candidate set minus the query
+    * itself ranks as the answer. Each step joins a queries×beam
+    * driving side (model-sized, BROADCAST) against the edge list —
+    * at a billion vectors a search touches O(steps·beam·degree)
+    * candidates per query, never the corpus. */
+  def graphTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10,
+                m: Int = 8, nbits: Int = -1, tables: Int = 4,
+                beam: Int = 32, steps: Int = 8, entries: Int = 16, dim: Int = 64,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val edges = graphEdges(emb, m, nbits, tables, dim, idCol, vecCol)
+      .localCheckpoint(true) // walked `steps` times; built once
+    val corpus = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("nrm"))
+    val q = corpus.where(col("id") < nQueries)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    var beamDf = q.select(col("query_id"))
+      .crossJoin(corpus.where(col("id") < entries).select(col("id").as("node")))
+    var scored: DataFrame = null
+    (1 to steps).foreach { _ =>
+      val cand = beamDf.unionByName(
+        broadcast(beamDf).join(edges, beamDf("node") === edges("src"))
+          .select(col("query_id"), col("dst").as("node")))
+        .dropDuplicates("query_id", "node")
+      scored = corpus.join(broadcast(cand), col("node") === col("id"))
+        .join(broadcast(q), Seq("query_id"))
+        .select(col("query_id"), col("node"),
+          round(cosinePrenormed(dot(col("qv"), col("v")), col("qnrm"), col("nrm")), 6)
+            .as("sim"))
+      beamDf = scored.groupBy(col("query_id"))
+        .agg(graft.plans.TopKAgg.topK(col("sim"), col("node"), beam).as("top"))
+        .select(col("query_id"), explode(col("top")).as("t"))
+        .select(col("query_id"), col("t.id").as("node"))
+        // pin each round's beam (≤ queries×beam rows): the iterative
+        // plan would otherwise embed the previous round TWICE per
+        // step (union + join) and analysis cost grows 2^steps
+        .localCheckpoint(true)
+    }
+    rankTopK(scored.where(col("node") =!= col("query_id"))
+      .select(col("query_id"), col("node").as("neighbor_id"), col("sim")), k)
+  }
 }
