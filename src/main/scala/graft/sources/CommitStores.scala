@@ -2,43 +2,64 @@ package graft.sources
 
 import java.nio.charset.StandardCharsets
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileAlreadyExistsException, FileSystem, Path}
 
 /** Conditional-put commit arbitration through a SEPARATE
   * coordination filesystem — the architecture of Delta's
   * S3DynamoDBLogStore, with a filesystem playing DynamoDB's role:
   * the winner of version N is whoever CREATES the coordination entry
-  * `<coordDir>/<table-key>/N.json` first (create-exclusive, atomic
-  * on local disk / HDFS / any CAS-capable store), and only then is
-  * the data-side `_delta_log/N.json` written — with overwrite
-  * allowed, because arbitration has already decided. This makes
-  * multi-writer commits safe when the TABLE lives on a filesystem
-  * whose create-exclusive is not atomic (s3a/MinIO — see
-  * [[CommitStore]]), as long as all writers share one coordination
-  * root on a store that is.
+  * `<coordDir>/<table-key>/N.json` first (create-exclusive — atomic
+  * on local disk / HDFS / any CAS-capable store; a plain rename
+  * would NOT arbitrate on POSIX, where rename replaces an existing
+  * destination). Only then is the data-side `_delta_log/N.json`
+  * written — with overwrite allowed, because arbitration has already
+  * decided. This makes multi-writer commits safe when the TABLE
+  * lives on a filesystem whose create-exclusive is not atomic
+  * (s3a/MinIO — see [[CommitStore]]), as long as all writers share
+  * one coordination root on a store that is.
+  *
+  * Entry integrity: the claim (file creation) and the content write
+  * are not one atomic step, so every entry ends with a completeness
+  * FOOTER line. An entry without the footer is torn or in-flight:
+  * recovery skips it, and a conflicting writer polls briefly for the
+  * footer before copying (a live winner finishes in milliseconds).
+  * A writer that dies INSIDE the KB-scale entry write leaves a
+  * claimed-but-torn entry — conflicting writers surface a
+  * descriptive error instead of guessing (operator resolution:
+  * delete the torn entry); the window is microseconds per commit.
   *
   * Write-ahead durability: the entry carries the FULL commit content
   * (commit JSONs are KB-scale regardless of table size). A writer
-  * that crashes after winning arbitration but before landing the
-  * data-side file leaves a durable entry; every subsequent
-  * `putIfAbsent` against the same table — and any reader calling
-  * [[recoverLog]] — first copies over entries whose data-side file
-  * is missing, so a won commit is never lost. A LOSING writer also
-  * performs that copy for the version it lost before reporting the
-  * conflict, so its own retry loop immediately sees the winner in
-  * the log.
+  * that crashes after the entry completed but before landing the
+  * data-side file leaves a durable entry; the NEXT writer that races
+  * for that version loses to the entry, copies it over to the data
+  * side itself, and retries at the following version — so a won
+  * commit always surfaces before anything commits above it. A
+  * reader can force the same back-fill with [[CoordinatedCommitStore
+  * .recoverLog]].
   *
-  * Entry hygiene: entries whose data-side file exists and that sit
-  * more than `retainEntries` versions behind the newest are deleted
-  * opportunistically — the coordination dir stays O(retainEntries)
-  * regardless of table history.
+  * Hot-path cost: one data-side existence probe + one entry create
+  * per commit. The coordination dir is only LISTED on the conflict
+  * path and on the periodic prune (every `PruneEvery`-th version),
+  * so a healthy single-writer stream pays no O(history) requests.
+  * Entries whose data-side file exists and that sit more than
+  * `retainEntries` versions behind the newest are pruned — the dir
+  * stays O(retainEntries) regardless of history.
   *
   * The data-side copy uses overwrite=true with IDENTICAL bytes from
-  * any party (winner or recoverers), so replays are idempotent; on a
-  * real object store each copy is one atomic PUT.
+  * any party (winner or recoverers), so replays are idempotent; a
+  * version whose data-side file already exists is REFUSED before
+  * arbitration (per the [[CommitStore]] contract — a pruned entry or
+  * pre-adoption history must never be silently rewritten).
   */
-class CoordinatedCommitStore(coordDir: String, retainEntries: Int = 100)
+class CoordinatedCommitStore(coordDir: String, retainEntries: Int = 100,
+                             tornPollMaxMs: Long = 10000L)
     extends CommitStore {
+
+  import CoordinatedCommitStore.Footer
+
+  private val PruneEvery = 16
+  private val TornPollMs = 50L
 
   /** Coordination subdirectory for one table's log: keyed by an md5
     * of the log directory's URI (stable across writers, collision-
@@ -50,26 +71,27 @@ class CoordinatedCommitStore(coordDir: String, retainEntries: Int = 100)
     new Path(coordDir, key)
   }
 
-  private def readAll(fs: FileSystem, p: Path): String = {
-    val in = fs.open(p)
-    try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
-  }
-
   private def writeFile(fs: FileSystem, p: Path, content: String,
                         overwrite: Boolean): Unit = {
     val out = fs.create(p, overwrite)
     try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
 
-  /** Copy every coordination entry whose data-side commit file is
-    * missing into the log (idempotent), and prune old satisfied
-    * entries. Writers run this before each attempt; a READER of a
-    * multi-writer table on a non-atomic store should run it (via the
-    * companion's [[CoordinatedCommitStore.recoverLog]]) before
-    * trusting the log listing, mirroring S3DynamoDBLogStore's
-    * read-side fixup. */
+  /** The entry's commit content iff its completeness footer landed;
+    * None for a torn or still-being-written entry. */
+  private def readEntry(cfs: FileSystem, e: Path): Option[String] = {
+    val in = cfs.open(e)
+    val raw = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+      finally in.close()
+    if (raw.endsWith(Footer)) Some(raw.dropRight(Footer.length)) else None
+  }
+
+  /** Copy every COMPLETE coordination entry whose data-side commit
+    * file is missing into the log (idempotent), and optionally prune
+    * old satisfied entries. Runs on the conflict path and from the
+    * read-side fixup — never on the healthy commit path. */
   private def recoverAndPrune(dataFs: FileSystem, cfs: FileSystem,
-                              dir: Path, logDir: Path): Unit = {
+                              dir: Path, logDir: Path, prune: Boolean): Unit = {
     if (!cfs.exists(dir)) return
     val entries = cfs.listStatus(dir).toSeq.filter(_.isFile)
       .map(_.getPath).filter(_.getName.endsWith(".json"))
@@ -77,9 +99,9 @@ class CoordinatedCommitStore(coordDir: String, retainEntries: Int = 100)
     entries.foreach { e =>
       val dataSide = new Path(logDir, e.getName)
       if (!dataFs.exists(dataSide))
-        writeFile(dataFs, dataSide, readAll(cfs, e), overwrite = true)
+        readEntry(cfs, e).foreach(c => writeFile(dataFs, dataSide, c, overwrite = true))
     }
-    if (entries.size > retainEntries)
+    if (prune && entries.size > retainEntries)
       entries.dropRight(retainEntries).foreach { e =>
         if (dataFs.exists(new Path(logDir, e.getName))) cfs.delete(e, false)
       }
@@ -87,53 +109,75 @@ class CoordinatedCommitStore(coordDir: String, retainEntries: Int = 100)
 
   override def putIfAbsent(fs: FileSystem, path: Path, content: String): Unit = {
     val logDir = path.getParent
+    // the CommitStore contract: an existing commit MUST be refused —
+    // including versions whose entry was pruned long ago and
+    // pre-adoption history that never had entries. Never overwrite.
+    if (fs.exists(path))
+      throw new FileAlreadyExistsException(s"commit $path already exists")
     val dir = tableDir(logDir)
     val cfs = dir.getFileSystem(fs.getConf)
     cfs.mkdirs(dir)
-    recoverAndPrune(fs, cfs, dir, logDir)
     val entry = new Path(dir, path.getName)
     try {
-      // the arbitration point: atomic on the COORDINATION store
-      writeFile(cfs, entry, content, overwrite = false)
+      // the arbitration point — create-exclusive on the COORDINATION
+      // store; the footer marks the content complete
+      writeFile(cfs, entry, content + Footer, overwrite = false)
     } catch {
       case e: Exception =>
         // lost the race — land the winner's content on the data side
         // so the caller's retry loop sees it in the log immediately
-        if (cfs.exists(entry) && !fs.exists(path))
-          writeFile(fs, path, readAll(cfs, entry), overwrite = true)
+        // (this is also how a crashed winner's commit surfaces). A
+        // footer-less entry is polled briefly: a live winner closes
+        // its KB-scale write in milliseconds.
+        if (cfs.exists(entry) && !fs.exists(path)) {
+          var waited = 0L
+          var won = readEntry(cfs, entry)
+          while (won.isEmpty && waited < tornPollMaxMs) {
+            Thread.sleep(TornPollMs)
+            waited += TornPollMs
+            won = readEntry(cfs, entry)
+          }
+          won match {
+            case Some(c) => writeFile(fs, path, c, overwrite = true)
+            case None => throw new IllegalStateException(
+              s"coordination entry $entry is torn (claimed, never completed); " +
+                "its writer likely died mid-entry — delete the entry to release " +
+                s"the version", e)
+          }
+        }
+        recoverAndPrune(fs, cfs, dir, logDir, prune = false)
         throw e
     }
     // arbitration won: the data-side write may overwrite (a stale
     // recovery copy of OUR OWN entry at worst — identical bytes)
     writeFile(fs, path, content, overwrite = true)
+    // amortized hygiene: prune satisfied entries every few versions
+    val version = path.getName.stripSuffix(".json").toLong
+    if (version % PruneEvery == 0)
+      recoverAndPrune(fs, cfs, dir, logDir, prune = true)
+  }
+
+  /** Read-side fixup: back-fill any won-but-uncopied commits of
+    * `tablePath` from the coordination root into its `_delta_log`. */
+  private[sources] def recover(fs: FileSystem, tablePath: String): Unit = {
+    val logDir = new Path(tablePath, "_delta_log")
+    val dir = tableDir(logDir)
+    recoverAndPrune(fs, dir.getFileSystem(fs.getConf), dir, logDir, prune = false)
   }
 }
 
 object CoordinatedCommitStore {
+  /** Completeness footer terminating every coordination entry. */
+  private[sources] val Footer = "\n#graft-commit-complete\n"
+
   /** Read-side fixup: back-fill any won-but-uncopied commits of
     * `tablePath` from the coordination root into its `_delta_log`.
     * Call before reading a multi-writer table on a non-atomic
     * store. */
   def recoverLog(spark: org.apache.spark.sql.SparkSession, tablePath: String,
                  coordDir: String): Unit = {
-    val store = new CoordinatedCommitStore(coordDir)
-    val logDir = new Path(tablePath, "_delta_log")
-    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // recovery is putIfAbsent's preamble; an impossible version never
-    // creates an entry, so this only back-fills and prunes
-    val dir = store.tableDir(logDir)
-    val cfs = dir.getFileSystem(fs.getConf)
-    if (!cfs.exists(dir)) return
-    cfs.listStatus(dir).toSeq.filter(_.isFile).map(_.getPath)
-      .filter(_.getName.endsWith(".json")).foreach { e =>
-        val dataSide = new Path(logDir, e.getName)
-        if (!fs.exists(dataSide)) {
-          val in = cfs.open(e)
-          val content = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
-            finally in.close()
-          val out = fs.create(dataSide, true)
-          try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
-        }
-      }
+    val fs = new Path(tablePath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    new CoordinatedCommitStore(coordDir).recover(fs, tablePath)
   }
 }

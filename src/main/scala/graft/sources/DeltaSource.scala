@@ -811,7 +811,15 @@ object DeltaSource {
         val name = s"deletion_vector_$uuid.bin"
         Some(if (prefix.isEmpty) new Path(tablePath, name)
              else new Path(new Path(tablePath, prefix), name))
-      case "p" => Some(dataPath(tablePath, d.pathOrInlineDv))
+      case "p" =>
+        // fail CLEARLY on round-7-era parquet pair-list sidecars
+        // rather than misparsing them as roaring .bin (the size word
+        // would read parquet magic and every scan would CRC-error)
+        require(!d.pathOrInlineDv.endsWith(".parquet"),
+          s"legacy parquet pair-list deletion vector (${d.pathOrInlineDv}): this " +
+            "build reads only the Delta spec's roaring .bin format; materialize " +
+            "the deletes (OPTIMIZE) with the build that wrote them before upgrading")
+        Some(dataPath(tablePath, d.pathOrInlineDv))
       case "i" => None
       case other => throw new IllegalStateException(
         s"unsupported deletion-vector storageType '$other'")
@@ -830,9 +838,13 @@ object DeltaSource {
   /** Broadcast-side DV probe: bitmaps stay SERIALIZED for transport
     * (the compressed portable form, O(compressed bits) — ~100 MB per
     * ~1e9 deletions) and inflate lazily ONCE per executor. */
-  private[sources] class DvProbe(bytes: Map[String, Array[Byte]]) extends Serializable {
-    @transient private lazy val maps: Map[String, Roaring64NavigableMap] =
-      bytes.map { case (k, v) => k -> DeletionVectors.deserializeBitmap(v) }
+  private[sources] class DvProbe(@volatile private var bytes: Map[String, Array[Byte]])
+      extends Serializable {
+    @transient private lazy val maps: Map[String, Roaring64NavigableMap] = {
+      val m = bytes.map { case (k, v) => k -> DeletionVectors.deserializeBitmap(v) }
+      bytes = null // executor-local: drop the serialized copy once inflated
+      m
+    }
     def deleted(file: String, ri: Long): Boolean =
       maps.get(file).exists(_.contains(ri))
   }
@@ -1856,13 +1868,25 @@ object DeltaSource {
       }
     }.sorted
     doomed.foreach(v => fs.delete(new Path(logDir, f"$v%020d.json"), false))
-    // superseded checkpoint parquets (all parts of a multi-part
-    // checkpoint match CheckpointRe for the same version)
+    // a superseded checkpoint may only go when NO surviving commit
+    // still uses it as its replay seed — versions v with cp ≤ v <
+    // (next surviving checkpoint) seed from cp, and deleting it
+    // would break the contiguity contract for versions deliberately
+    // RETAINED above it (their own JSONs are younger than the
+    // window, but their seed would be gone)
+    val (liveCommits, liveCps) = logVersions(fs, logDir)
+    val cpsAsc = liveCps.sorted
+    val deletableCps: Set[Long] = cpsAsc.filter(_ < newestCp).filter { cp =>
+      val nextCp = cpsAsc.find(_ > cp).getOrElse(newestCp)
+      !liveCommits.exists(v => v >= cp && v < nextCp)
+    }.toSet
+    // all parts of a multi-part checkpoint match CheckpointRe for
+    // the same version and go together
     fs.listStatus(logDir).toSeq.filter(_.isFile).foreach { s =>
-      val keep = CheckpointRe.findFirstMatchIn(s.getPath.getName).forall { m =>
-        m.group(1).toLong >= newestCp || s.getModificationTime >= cutoff
+      val drop = CheckpointRe.findFirstMatchIn(s.getPath.getName).exists { m =>
+        deletableCps(m.group(1).toLong) && s.getModificationTime < cutoff
       }
-      if (!keep) fs.delete(s.getPath, false)
+      if (drop) fs.delete(s.getPath, false)
     }
     doomed
   }
@@ -2241,14 +2265,30 @@ object DeltaSource {
         // materialized change data speaks for the whole commit; the
         // files are hive-partitioned like the table's own adds, so
         // partition columns come back from the cdc actions'
-        // partitionValues through the same indexed-scan path
+        // partitionValues through the same indexed-scan path.
+        // LEGACY gate: a partitioned table whose cdc action carries
+        // no partitionValues was staged by the old layout (partition
+        // columns in-file) — read those files directly, or their
+        // partitions would come back NULL.
         val cdcSchema = StructType(snap.schema :+
           StructField("_change_type", StringType))
-        val adds = cdcFiles.reverse.map { case (p, pv) =>
-          (AddFile(p, pv, None, None), Map.empty[String, String])
+        val (legacy, modern) = cdcFiles.reverse.partition { case (_, pv) =>
+          snap.partitionColumns.nonEmpty && pv.isEmpty
         }
-        Some(scanRelationBase(spark, tablePath, cdcSchema, snap.partitionColumns, adds)
-          .select(outCols: _*).withColumn("_commit_version", lit(v)))
+        val modernDf =
+          if (modern.isEmpty) None
+          else Some(scanRelationBase(spark, tablePath, cdcSchema,
+            snap.partitionColumns,
+            modern.map { case (p, pv) => (AddFile(p, pv, None, None),
+              Map.empty[String, String]) })
+            .select(outCols: _*))
+        val legacyDf =
+          if (legacy.isEmpty) None
+          else Some(spark.read
+            .parquet(legacy.map(f => dataPath(tablePath, f._1).toString): _*)
+            .select(outCols: _*))
+        Some((modernDf.toSeq ++ legacyDf.toSeq).reduce(_ unionByName _)
+          .withColumn("_commit_version", lit(v)))
       } else {
         // a path both removed and re-added in one commit (a DV
         // delete, a restore re-point) nets to its ROW-level diff;

@@ -252,17 +252,27 @@ class DeltaStreamSource(spark: SparkSession, tablePath: String,
         s.stripSuffix(".json").toLong
       }.distinct.sorted.filter(v => v > lo && v <= hi)
     }
-    // Dedupe by path, newest commit wins: a range spanning a file's
-    // original append AND a later re-add of the same path (a DV
-    // delete's re-point, a restore) must list the file ONCE — with
-    // the newest descriptor (whose deletion vector the scan applies)
-    // — or every surviving row is emitted twice.
-    val adds = DeltaSource.commitAdds(spark, tablePath, commits)
+    // Normalize the range's adds against the END-of-range state:
+    //  - dedupe by path, newest commit wins — a range spanning a
+    //    file's original append AND a later re-add of the same path
+    //    (a DV delete's re-point, a restore) must list the file
+    //    ONCE, with the newest descriptor;
+    //  - drop paths absent from snapshot(hi) — a file fully removed
+    //    later in the range (a DELETE that dropped it outright) must
+    //    not leak its deleted rows into the sink, consistently with
+    //    how a DV'd survivor file emits survivors only.
+    val rawAdds = DeltaSource.commitAdds(spark, tablePath, commits)
       .groupBy(_._2.path).valuesIterator.map(_.maxBy(_._1)).toSeq.sortBy(_._1)
-    if (adds.isEmpty)
+    if (rawAdds.isEmpty)
       org.apache.spark.sql.graft.GraftSqlShims.emptyStreaming(spark, schema)
     else {
       val snap = DeltaSource.snapshot(spark, tablePath, Some(hi))
+      val liveAtHi = snap.files.map(a => a.path -> a).toMap
+      val adds = rawAdds.flatMap { case (v, a) =>
+        liveAtHi.get(a.path).map(live => (v, live))
+      }
+      if (adds.isEmpty)
+        return org.apache.spark.sql.graft.GraftSqlShims.emptyStreaming(spark, schema)
       // the batch rides the normal scan relation (pushdown, pruning,
       // DV filtering all reused), re-rooted with the streaming flag
       // the v1 getBatch contract requires — on the DeltaFileIndex

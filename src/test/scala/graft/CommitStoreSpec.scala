@@ -84,6 +84,8 @@ class CommitStoreSpec extends SparkSpec {
     assert(DeltaSource.readDelta(spark, tbl).count() == 10)
   }
 
+  private val Footer = "\n#graft-commit-complete\n"
+
   test("a version lost to a racing writer surfaces as a retry, not a corrupt log") {
     val root = Files.createTempDirectory("graft_coord4").toString
     val tbl = root + "/tbl"
@@ -98,9 +100,61 @@ class CommitStoreSpec extends SparkSpec {
     val cfs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     cfs.mkdirs(dir)
     val out = cfs.create(new Path(dir, f"${1L}%020d.json"), false)
-    try out.write(entryContent.getBytes("UTF-8")) finally out.close()
+    try out.write((entryContent + Footer).getBytes("UTF-8")) finally out.close()
     DeltaSource.writeDelta(spark.range(2, 4).toDF("id"), tbl,
       overwrite = false, commitStore = store)
     assert(DeltaSource.latestVersion(spark, tbl).contains(2L))
+  }
+
+  test("an existing data-side commit is refused even when its entry was pruned") {
+    // a stale writer racing for a version whose coordination entry is
+    // long gone (pruned, or pre-adoption history) must never rewrite
+    // the committed file — the CommitStore contract
+    val root = Files.createTempDirectory("graft_coord5").toString
+    val tbl = root + "/tbl"
+    val store = new CoordinatedCommitStore(root + "/_coord")
+    DeltaSource.writeDelta(spark.range(0, 2).toDF("id"), tbl) // default store: no entry
+    val fs = fsOf(tbl)
+    val v0 = new Path(tbl, f"_delta_log/${0L}%020d.json")
+    val before = {
+      val in = fs.open(v0)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    intercept[org.apache.hadoop.fs.FileAlreadyExistsException] {
+      store.putIfAbsent(fs, v0, "{\"overwritten\":true}\n")
+    }
+    val after = {
+      val in = fs.open(v0)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    assert(after == before, "the committed file must be untouched")
+  }
+
+  test("a torn (footer-less) entry is never recovered and surfaces a descriptive error") {
+    val root = Files.createTempDirectory("graft_coord6").toString
+    val tbl = root + "/tbl"
+    val coord = root + "/_coord"
+    val store = new CoordinatedCommitStore(coord, tornPollMaxMs = 200L)
+    DeltaSource.writeDelta(spark.range(0, 2).toDF("id"), tbl, commitStore = store)
+    // simulate a writer that died INSIDE its entry write: claimed,
+    // no completeness footer
+    val dir = store.tableDir(new Path(tbl, "_delta_log"))
+    val cfs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    cfs.mkdirs(dir)
+    val out = cfs.create(new Path(dir, f"${1L}%020d.json"), false)
+    try out.write("{\"add\":".getBytes("UTF-8")) finally out.close()
+    // read-side fixup must NOT copy the torn entry into the log
+    CoordinatedCommitStore.recoverLog(spark, tbl, coord)
+    assert(DeltaSource.latestVersion(spark, tbl).contains(0L))
+    // a conflicting writer polls, then explains instead of guessing
+    val e = intercept[Exception] {
+      DeltaSource.writeDelta(spark.range(2, 4).toDF("id"), tbl,
+        overwrite = false, commitStore = store)
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(_.getMessage != null) &&
+      chain(e).exists(t => Option(t.getMessage).exists(_.contains("torn"))),
+      s"expected a torn-entry explanation, got $e")
   }
 }

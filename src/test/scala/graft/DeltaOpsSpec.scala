@@ -90,6 +90,39 @@ class DeltaOpsSpec extends SparkSpec {
       retainMs = 24L * 3600 * 1000).isEmpty, "young commits must survive retention")
   }
 
+  test("cleanup keeps a superseded checkpoint that retained commits still seed from") {
+    val tbl = tmpTable()
+    (0 until 3).foreach { i =>
+      DeltaSource.writeDelta(spark.range(i * 3, i * 3 + 3).toDF("id"), tbl,
+        overwrite = i == 0)
+    }
+    DeltaSource.checkpoint(spark, tbl) // checkpoint at v2
+    DeltaSource.writeDelta(spark.range(100, 103).toDF("id"), tbl,
+      overwrite = false) // v3 — seeds from checkpoint 2
+    DeltaSource.writeDelta(spark.range(103, 106).toDF("id"), tbl,
+      overwrite = false) // v4
+    DeltaSource.checkpoint(spark, tbl) // checkpoint at v4 (newest)
+    // age everything EXCEPT the v3 commit (it stays in-retention);
+    // retainMs=0 would doom every old file, so backdate selectively
+    val fs = new org.apache.hadoop.fs.Path(tbl)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logDir = new org.apache.hadoop.fs.Path(tbl, "_delta_log")
+    val old = System.currentTimeMillis() - 60L * 24 * 3600 * 1000
+    fs.listStatus(logDir).toSeq.filter(_.isFile).foreach { s =>
+      if (!s.getPath.getName.startsWith(f"${3L}%020d"))
+        fs.setTimes(s.getPath, old, -1)
+    }
+    val gone = DeltaSource.cleanupExpiredLogs(spark, tbl,
+      retainMs = 30L * 24 * 3600 * 1000)
+    assert(gone == Seq(0L, 1L, 2L), s"expired commits reclaimed, got $gone")
+    // checkpoint 2 must SURVIVE: the retained v3 commit seeds from it
+    assert(fs.listStatus(logDir).toSeq.map(_.getPath.getName)
+      .exists(_.startsWith(f"${2L}%020d.checkpoint")),
+      "checkpoint 2 is v3's replay seed and must not be deleted")
+    // and time travel to the retained version still works
+    assert(DeltaSource.readDelta(spark, tbl, Some(3L)).count() == 12)
+  }
+
   test("exactly-once sink: a replayed batch commits once") {
     val t = tmpTable()
     val sink = DeltaSource.exactlyOnceBatchSink(t, "app1") _

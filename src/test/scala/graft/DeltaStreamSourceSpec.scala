@@ -89,6 +89,20 @@ class DeltaStreamSourceSpec extends SparkSpec {
       s"delete commit must replay only surviving rows, got ${got.take(5)}")
   }
 
+  test("a batch spanning append + full-file delete emits nothing from the dropped file") {
+    // two disjoint clustered files; a delete that wipes ONE file
+    // entirely (remove without re-add) inside the same batch range —
+    // the dropped file's rows must not leak into the sink
+    val tbl = tmpDir("drop") + "/t"
+    DeltaSource.writeDelta(
+      spark.range(0, 100).selectExpr("id", "id % 7 as k")
+        .repartitionByRange(2, col("id")).sortWithinPartitions("id"), tbl) // v0
+    DeltaSource.deleteDelta(spark, tbl, col("id") < 50) // v1: one file dropped
+    val got = drain(tbl, tmpDir("ckpt")).flatMap(_._2).map(_._1)
+    assert(got.sorted == (50L until 100L),
+      s"dropped file's rows leaked: ${got.filter(_ < 50).take(5)}")
+  }
+
   test("startingVersion begins mid-log") {
     val tbl = mkTable()
     val ckpt = tmpDir("ckpt")
