@@ -588,6 +588,9 @@ object SparkEntry {
       Ranking.hybridTopK(Tables.documents(s, d), Tables.embeddings(s, d))),
     "rag_rerank" -> ((s, d) =>
       Ranking.rerankTopK(Tables.documents(s, d), Tables.embeddings(s, d))),
+    // Rocchio pseudo-relevance feedback: feedback top-5 → top-3
+    // expansion terms at half weight → one more weighted BM25 pass
+    "rag_prf" -> ((s, d) => Ranking.prfTopK(Tables.documents(s, d))),
     "txt_tfidf_topterms" -> ((s, d) => Ranking.tfidfTopTerms(Tables.documents(s, d))),
 
     // RAG retrieval (reference /ask flow): query embedding → top-k
@@ -642,6 +645,13 @@ object SparkEntry {
     "txt_repetition" -> ((s, d) => Quality.repetition(Tables.documents(s, d))),
     "txt_readability" -> ((s, d) => Quality.readability(Tables.documents(s, d))),
     "dq_drift" -> ((s, d) => Quality.lengthDrift(Tables.documents(s, d))),
+    // exact two-sample KS (banded-prefix CDFs) + categorical
+    // association — the rigorous halves of the drift/profile suite
+    "dq_ks_exact" -> ((s, d) => Quality.ksExact(Tables.documents(s, d))),
+    "dq_cramers_v" -> ((s, d) => Quality.cramersV(Tables.documents(s, d))),
+    // Welch's t on hash-split variants' purchase value, one
+    // map-side-combinable moment shuffle
+    "ev_abtest" -> ((s, d) => Events.abTest(Tables.events(s, d))),
     "q_cube" -> ((s, d) =>
       Tables.events(s, d)
         .cube(col("event_type"), to_date(col("ts")).cast("string").as("day"))
@@ -878,6 +888,8 @@ object SparkEntry {
     "txt_ngram_novelty" -> ((s, d) => Quality.ngramNovelty(Tables.documents(s, d))),
     "emb_pca2" -> ((s, d) => Similarity.powerIterationDeflated(Tables.embeddings(s, d))),
     "emb_whitening" -> ((s, d) => Similarity.whitenedProjection(Tables.embeddings(s, d))),
+    // all-but-the-top isotropy correction, searched in the corrected space
+    "emb_abtt" -> ((s, d) => Similarity.abttTopK(Tables.embeddings(s, d))),
     "ann_int8_recall" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.recallAtK(Similarity.int8TopK(emb), Similarity.bruteTopK(emb))
@@ -2521,6 +2533,74 @@ object SparkEntry {
         |  abs(CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb) AS gap
         |FROM c ORDER BY k""".stripMargin,
 
+    // exact KS: per-length counts, inclusive cumulative CDFs, max gap
+    // (tie-break smaller length), Smirnov critical value at α=0.05
+    "dq_ks_exact" ->
+      """WITH l AS (SELECT source AS src, CAST(length(text) AS BIGINT) AS len
+        |           FROM documents WHERE source IN ('src0','src1')),
+        |p AS (SELECT len,
+        |        count(*) FILTER (WHERE src = 'src0') AS ca,
+        |        count(*) FILTER (WHERE src = 'src1') AS cb
+        |      FROM l GROUP BY len),
+        |t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM p),
+        |c AS (SELECT len, SUM(ca) OVER (ORDER BY len) AS cum_a,
+        |        SUM(cb) OVER (ORDER BY len) AS cum_b FROM p),
+        |g AS (SELECT len, abs(CAST(cum_a AS DOUBLE) / na - CAST(cum_b AS DOUBLE) / nb) AS gap
+        |      FROM c CROSS JOIN t)
+        |SELECT round(gap, 6) AS d_stat, len AS at_len,
+        |       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |       round(1.358 * sqrt(CAST(na + nb AS DOUBLE) / (na * nb)), 6) AS crit_95
+        |FROM g CROSS JOIN t ORDER BY gap DESC, len LIMIT 1""".stripMargin,
+
+    // Cramér's V: observed R×C table, margins, expected counts
+    // (integer-product doubles), χ² terms 6dp-rounded + DECIMAL-summed
+    "dq_cramers_v" ->
+      """WITH obs AS (SELECT source, lang, count(*) AS o FROM documents
+        |             WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2),
+        |rm AS (SELECT source, SUM(o) AS rs FROM obs GROUP BY 1),
+        |cm AS (SELECT lang, SUM(o) AS cs FROM obs GROUP BY 1),
+        |t AS (SELECT SUM(o) AS n FROM obs),
+        |cells AS (SELECT rm.source, cm.lang, COALESCE(obs.o, 0) AS o,
+        |            CAST(rs AS DOUBLE) * cs / n AS e
+        |          FROM rm CROSS JOIN cm
+        |          LEFT JOIN obs ON rm.source = obs.source AND cm.lang = obs.lang
+        |          CROSS JOIN t),
+        |s AS (SELECT CAST(SUM(CAST(round((o - e) * (o - e) / e, 6) AS DECIMAL(18,6))) AS DOUBLE) AS chi2,
+        |        count(DISTINCT source) AS r, count(DISTINCT lang) AS c
+        |      FROM cells)
+        |SELECT round(chi2, 6) AS chi2,
+        |       CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+        |       CAST(t.n AS BIGINT) AS n,
+        |       round(sqrt(chi2 / t.n / least(r - 1, c - 1)), 6) AS cramers_v
+        |FROM s CROSS JOIN t""".stripMargin,
+
+    // Welch's t A/B test: exact decimal moments per parity variant,
+    // means/variances/t in fixed double arithmetic off the sums
+    "ev_abtest" ->
+      """WITH p AS (SELECT user_id % 2 AS variant, CAST(value AS DECIMAL(18,4)) AS x
+        |           FROM events WHERE event_type = 'purchase'),
+        |a AS (SELECT variant, count(*) AS n, SUM(x) AS sx,
+        |        SUM(CAST(x * x AS DECIMAL(28,8))) AS sxx FROM p GROUP BY variant),
+        |o AS (SELECT max(CASE WHEN variant = 0 THEN n END) AS n0,
+        |        max(CASE WHEN variant = 0 THEN sx END) AS sx0,
+        |        max(CASE WHEN variant = 0 THEN sxx END) AS sxx0,
+        |        max(CASE WHEN variant = 1 THEN n END) AS n1,
+        |        max(CASE WHEN variant = 1 THEN sx END) AS sx1,
+        |        max(CASE WHEN variant = 1 THEN sxx END) AS sxx1 FROM a),
+        |d AS (SELECT n0, n1,
+        |        CAST(sx0 AS DOUBLE) / n0 AS m0, CAST(sx1 AS DOUBLE) / n1 AS m1,
+        |        (CAST(sxx0 AS DOUBLE) - CAST(sx0 AS DOUBLE) * CAST(sx0 AS DOUBLE) / n0)
+        |          / (n0 - 1) / n0 AS se0,
+        |        (CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * CAST(sx1 AS DOUBLE) / n1)
+        |          / (n1 - 1) / n1 AS se1
+        |      FROM o)
+        |SELECT CAST(n0 AS BIGINT) AS n_control, round(m0, 6) AS mean_control,
+        |       CAST(n1 AS BIGINT) AS n_treatment, round(m1, 6) AS mean_treatment,
+        |       round((m1 - m0) / sqrt(se0 + se1), 6) AS t_stat,
+        |       round((se0 + se1) * (se0 + se1) /
+        |             (se0 * se0 / (n0 - 1) + se1 * se1 / (n1 - 1)), 4) AS welch_dof
+        |FROM d""".stripMargin,
+
     "txt_tfidf_topterms" ->
       s"""WITH t AS (SELECT doc_id, ${dToks("lower(text)")} AS tk FROM documents),
          |stats AS (SELECT count(*) AS n_docs FROM t),
@@ -2653,6 +2733,49 @@ object SparkEntry {
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rerank_score DESC, doc_id) AS rnk FROM sc)
          |SELECT query_id, CAST(rnk AS BIGINT) AS "rank", doc_id, rerank_score
          |FROM r WHERE rnk <= 10 ORDER BY query_id, "rank"""".stripMargin,
+
+    // Rocchio PRF: the bm25 chain at LIMIT 5 is stage 1; expansion
+    // terms score fb-tf × ln(N/df) (df corpus-wide); stage 2 re-runs
+    // the bm25 chain over the weighted union term table, the weight
+    // applied in exact DECIMAL (scale-7 product, no second rounding)
+    "rag_prf" ->
+      s"""WITH t AS (SELECT doc_id, ${dToks("text")} AS tk FROM documents),
+         |stats AS (SELECT count(*) AS n_docs, avg(len(tk)) AS avg_len FROM t),
+         |terms AS (SELECT unnest([${Ranking.DefaultTerms.map(w => s"'$w'").mkString(",")}]) AS term),
+         |toks AS (SELECT doc_id, w, dl FROM
+         |           (SELECT doc_id, unnest(tk) AS w, CAST(len(tk) AS BIGINT) AS dl FROM t)),
+         |tf AS (SELECT doc_id, w AS term, dl, count(*) AS tf FROM toks
+         |       WHERE w IN (SELECT term FROM terms) GROUP BY 1, 2, 3),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |bsc AS (SELECT doc_id,
+         |         round(ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         |           * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avg_len)), 6) AS term_score
+         |       FROM tf JOIN df ON tf.term = df.term CROSS JOIN stats s),
+         |fb AS (SELECT doc_id, CAST(SUM(CAST(term_score AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+         |       FROM bsc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 5),
+         |fbtf AS (SELECT w, count(*) AS fb_tf FROM toks
+         |         WHERE doc_id IN (SELECT doc_id FROM fb) AND length(w) > 3
+         |           AND w NOT IN (SELECT term FROM terms) GROUP BY w),
+         |dfx AS (SELECT w, count(*) AS df FROM
+         |          (SELECT DISTINCT doc_id, toks.w FROM toks JOIN fbtf ON toks.w = fbtf.w)
+         |        GROUP BY w),
+         |exp0 AS (SELECT fbtf.w, round(fb_tf * ln(CAST(s.n_docs AS DOUBLE) / dfx.df), 6) AS score
+         |         FROM fbtf JOIN dfx ON fbtf.w = dfx.w CROSS JOIN stats s
+         |         ORDER BY score DESC, fbtf.w LIMIT 3),
+         |allterms AS (SELECT term AS w, CAST(1.0 AS DECIMAL(2,1)) AS weight FROM terms
+         |             UNION ALL SELECT w, CAST(0.5 AS DECIMAL(2,1)) FROM exp0),
+         |tf2 AS (SELECT doc_id, toks.w, dl, weight, count(*) AS tf
+         |        FROM toks JOIN allterms ON toks.w = allterms.w GROUP BY 1, 2, 3, 4),
+         |df2 AS (SELECT w, count(*) AS df FROM tf2 GROUP BY w),
+         |sc2 AS (SELECT doc_id, weight,
+         |         round(ln((s.n_docs - df2.df + 0.5) / (df2.df + 0.5) + 1.0)
+         |           * (tf2.tf * 2.2) / (tf2.tf + 1.2 * (0.25 + 0.75 * tf2.dl / s.avg_len)), 6) AS term_score
+         |       FROM tf2 JOIN df2 ON tf2.w = df2.w CROSS JOIN stats s),
+         |agg AS (SELECT doc_id, CAST(SUM(CAST(term_score AS DECIMAL(18,6)) * weight) AS DOUBLE) AS prf
+         |        FROM sc2 GROUP BY doc_id ORDER BY prf DESC, doc_id LIMIT 10)
+         |SELECT CAST(row_number() OVER (ORDER BY prf DESC, doc_id) AS BIGINT) AS "rank",
+         |       doc_id, prf
+         |FROM agg ORDER BY "rank"""".stripMargin,
 
     "rag_retrieve" ->
       s"""$embNormCte,
@@ -3888,6 +4011,36 @@ object SparkEntry {
          |  FROM p)
          |SELECT id AS vec_id, p1, p2, round(p1 / s1, 6) AS z1, round(p2 / s2, 6) AS z2
          |FROM p CROSS JOIN sg ORDER BY vec_id""".stripMargin,
+    // all-but-the-top: per-dim mean (6dp terms, DECIMAL sum, raw
+    // quotient), one power-iteration matvec on the CENTERED corpus,
+    // projection removal, brute cosine top-5 in the corrected space
+    "emb_abtt" ->
+      s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |mu0 AS (SELECT d.dim AS dim, CAST(SUM(CAST(round(v[d.dim], 6) AS DECIMAL(18,6))) AS DOUBLE)
+         |            / count(*) AS m
+         |        FROM e, (SELECT unnest(range(1, 65)) AS dim) d GROUP BY d.dim),
+         |mul AS (SELECT list(m ORDER BY dim) AS mu FROM mu0),
+         |c AS (SELECT id, list_transform(range(1, 65), i -> round(v[i] - mu[i], 6)) AS vc
+         |      FROM e CROSS JOIN mul),
+         |s AS (SELECT id, vc, round(${dDot("vc", "list_transform(range(1, 65), i -> 1.0)")}, 6) AS s FROM c),
+         |t AS (SELECT d.dim, round(vc[d.dim] * s, 6) AS term
+         |      FROM s, (SELECT unnest(range(1, 65)) AS dim) d),
+         |y AS (SELECT CAST(dim AS BIGINT) AS dim,
+         |        CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE) AS y
+         |      FROM t GROUP BY dim),
+         |nrm AS (SELECT sqrt(CAST(SUM(CAST(round(y * y, 6) AS DECIMAL(28,6))) AS DOUBLE)) AS nrm FROM y),
+         |ul AS (SELECT list(round(y / nrm, 6) ORDER BY dim) AS u FROM y CROSS JOIN nrm),
+         |pr AS (SELECT id, vc, round(${dDot("vc", "u")}, 6) AS p FROM c CROSS JOIN ul),
+         |w0 AS (SELECT id, list_transform(range(1, 65), i -> round(vc[i] - p * u[i], 6)) AS w
+         |       FROM pr CROSS JOIN ul),
+         |n2 AS (SELECT id, w, sqrt(${dDot("w", "w")}) AS nrm FROM w0),
+         |q AS (SELECT id AS query_id, w AS qv, nrm AS qnrm FROM n2 WHERE id < 3),
+         |sim AS (SELECT query_id, n2.id AS neighbor_id,
+         |          round(${dDot("qv", "n2.w")} / (qnrm * n2.nrm), 6) AS sim
+         |        FROM q, n2 WHERE n2.id <> query_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM sim)
+         |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", sim
+         |FROM r WHERE rnk <= 5 ORDER BY query_id, "rank"""".stripMargin,
     // SQ8 dequantized search recall: per-dim min/max codes, rebuild,
     // brute cosine over the dequantized corpus, recall vs exact
     "ann_int8_recall" ->

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -726,5 +726,52 @@ object Events {
     stacked.groupBy(col("lag_k"))
       .agg(count(lit(1)).as("n_pairs"), round(corr(col("x"), col("y")), 4).as("acf"))
       .orderBy(col("lag_k"))
+  }
+
+  /** Welch's t-test A/B comparison of purchase value between
+    * hash-split variants: users land in control/treatment by
+    * user_id parity (the deterministic stand-in for an assignment
+    * column) and the per-variant revenue means are compared with
+    * the unequal-variance t statistic t = (m₁−m₀)/√(s₀²/n₀+s₁²/n₁)
+    * and its Welch–Satterthwaite degrees of freedom. Scale shape:
+    * the corpus collapses to two rows of (count, Σx, Σx²) moments in
+    * ONE fully map-side-combinable shuffle — no per-user grouping,
+    * no second pass; the pivot is single-row conditional
+    * aggregation. Determinism: values quantize to DECIMAL(18,4) and
+    * the moments are EXACT decimal sums (order-independent on any
+    * partitioning); means/variances/t derive from those exact sums
+    * in fixed double arithmetic, so the oracle replay is
+    * bit-identical — a naive distributed var_samp over doubles
+    * would not be. */
+  def abTest(events: DataFrame): DataFrame = {
+    val purch = events.where(col("event_type") === "purchase")
+      .select(pmod(col("user_id"), lit(2)).cast("long").as("variant"),
+        col("value").cast("decimal(18,4)").as("x"))
+    val variants = purch.groupBy(col("variant")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"),
+      sum((col("x") * col("x")).cast("decimal(28,8)")).as("sxx"))
+    val one = variants.agg(
+      max(when(col("variant") === 0, col("n"))).as("n0"),
+      max(when(col("variant") === 0, col("sx"))).as("sx0"),
+      max(when(col("variant") === 0, col("sxx"))).as("sxx0"),
+      max(when(col("variant") === 1, col("n"))).as("n1"),
+      max(when(col("variant") === 1, col("sx"))).as("sx1"),
+      max(when(col("variant") === 1, col("sxx"))).as("sxx1"))
+    def mean(sx: Column, n: Column) = sx.cast("double") / n
+    def variance(sxx: Column, sx: Column, n: Column) =
+      (sxx.cast("double") - sx.cast("double") * sx.cast("double") / n) / (n - 1)
+    val m0 = mean(col("sx0"), col("n0"))
+    val m1 = mean(col("sx1"), col("n1"))
+    val se0 = variance(col("sxx0"), col("sx0"), col("n0")) / col("n0")
+    val se1 = variance(col("sxx1"), col("sx1"), col("n1")) / col("n1")
+    one.select(col("n0").cast("long").as("n_control"),
+        round(m0, 6).as("mean_control"),
+        col("n1").cast("long").as("n_treatment"),
+        round(m1, 6).as("mean_treatment"),
+        round((m1 - m0) / sqrt(se0 + se1), 6).as("t_stat"),
+        round((se0 + se1) * (se0 + se1) /
+          (se0 * se0 / (col("n0") - 1) + se1 * se1 / (col("n1") - 1)), 4)
+          .as("welch_dof"))
   }
 }

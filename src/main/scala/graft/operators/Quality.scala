@@ -184,6 +184,79 @@ object Quality {
       .orderBy(col("k"))
   }
 
+  /** EXACT two-sample Kolmogorov-Smirnov test between two sources'
+    * content-length distributions — the rigorous companion to the
+    * gridded `lengthDrift`: D = sup over the ACTUAL observed values
+    * of |F_A − F_B|, not a 20-bin approximation. Scale shape: one
+    * groupBy collapses the corpus to O(distinct lengths) rows, then
+    * the exact global CDFs come from `Ranks.withGlobalPrefixSum`
+    * (banded two-phase prefix — one model-sized sum per band to the
+    * driver, per-band windows; NEVER a global single-partition
+    * window), so the whole test is two small jobs over the
+    * length-histogram table regardless of corpus size. CDF values
+    * are integer quotients (bit-stable in any engine); the max gap
+    * tie-breaks on the smaller length. Returns one row: the D
+    * statistic, the length where it is attained, both sample sizes,
+    * and the α=0.05 critical value c(α)·√((n_a+n_b)/(n_a·n_b)),
+    * c(0.05)=1.358 (Smirnov's asymptotic form). */
+  def ksExact(docs: DataFrame, srcA: String = "src0", srcB: String = "src1",
+              contentCol: String = "text", by: String = "source"): DataFrame = {
+    val lens = docs.where(col(by).isin(srcA, srcB))
+      .select(col(by).as("src"), length(col(contentCol)).cast("long").as("len"))
+    val perLen = lens.groupBy(col("len")).agg(
+      count(when(col("src") === srcA, 1)).as("ca"),
+      count(when(col("src") === srcB, 1)).as("cb"))
+    // band = len DIV 64: order-preserving in len, O(maxLen/64) bands
+    val (pa, na) = Ranks.withGlobalPrefixSum(
+      perLen, expr("len DIV 64"), Seq(col("len")), col("ca"), "xa")
+    val (pb, nb) = Ranks.withGlobalPrefixSum(
+      pa, expr("len DIV 64"), Seq(col("len")), col("cb"), "xb")
+    val gap = abs((col("xa") + col("ca")).cast("double") / lit(na) -
+      (col("xb") + col("cb")).cast("double") / lit(nb))
+    pb.withColumn("gap", gap)
+      .orderBy(col("gap").desc, col("len"))
+      .limit(1)
+      .select(round(col("gap"), 6).as("d_stat"), col("len").as("at_len"),
+        lit(na).as("n_a"), lit(nb).as("n_b"),
+        round(lit(1.358) * sqrt(lit((na + nb).toDouble) / lit(na.toDouble * nb)), 6)
+          .as("crit_95"))
+  }
+
+  /** Cramér's V association between two categorical columns (source ×
+    * lang): the contingency-table effect size a curation pipeline
+    * checks before stratifying one dimension by another (V≈0 means
+    * the strata are independent and one can be dropped). The corpus
+    * collapses to the R×C observed table in ONE partial-aggregating
+    * shuffle; margins, expected counts, and χ² run over that
+    * model-sized table (zero-count cells included via the margins
+    * cross join — χ² needs their expected mass). Expected counts are
+    * exact integer products/quotients in double; χ² terms are
+    * 6dp-rounded then DECIMAL-summed (order-independent). Returns one
+    * row: χ², degrees of freedom, n, and V = √(χ²/n/min(R−1,C−1)). */
+  def cramersV(docs: DataFrame, a: String = "source", b: String = "lang"): DataFrame = {
+    val obs = docs.where(col(a).isNotNull && col(b).isNotNull)
+      .groupBy(col(a), col(b)).agg(count(lit(1)).as("o"))
+    val rowM = obs.groupBy(col(a)).agg(sum(col("o")).as("rs"))
+    val colM = obs.groupBy(col(b)).agg(sum(col("o")).as("cs"))
+    val tot = obs.agg(sum(col("o")).as("n"))
+    val cells = rowM.crossJoin(broadcast(colM))
+      .join(obs, Seq(a, b), "left")
+      .na.fill(0L, Seq("o"))
+      .crossJoin(broadcast(tot))
+      .withColumn("e", col("rs").cast("double") * col("cs") / col("n"))
+      .withColumn("term",
+        round((col("o") - col("e")) * (col("o") - col("e")) / col("e"), 6))
+    cells
+      .agg(sum(col("term").cast("decimal(18,6)")).cast("double").as("chi2"),
+        countDistinct(col(a)).as("r"), countDistinct(col(b)).as("c"),
+        max(col("n")).as("n"))
+      .select(round(col("chi2"), 6).as("chi2"),
+        ((col("r") - 1) * (col("c") - 1)).cast("long").as("dof"),
+        col("n").cast("long").as("n"),
+        round(sqrt(col("chi2") / col("n") /
+          least(col("r") - 1, col("c") - 1)), 6).as("cramers_v"))
+  }
+
   /** Top sources by average content length (duckdb_queries.py:150-159). */
   def topSourcesByLength(docs: DataFrame, contentCol: String = "text",
                          by: String = "source", k: Int = 5): DataFrame =

@@ -223,6 +223,77 @@ object Ranking {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Pseudo-relevance feedback (Rocchio-style query expansion, the
+    * classic two-pass retrieval refinement): retrieve a small
+    * feedback set with the original query, mine it for the terms
+    * that best characterize it, and re-retrieve with the expanded
+    * weighted query. Stage 1 is `bm25TopK` at depth `fbDocs`; the
+    * expansion candidates are the feedback docs' own tokens scored
+    * tf-in-feedback × ln(N/df) with df over the WHOLE corpus (the
+    * feedback vocabulary is tiny, so the corpus-side df pass is a
+    * map-side semi-join filter + one partial agg, O(matches)); the
+    * top `expandK` become extra query terms at weight
+    * `expandWeight`, originals keep weight 1. Stage 2 is one more
+    * BM25 pass over the corpus with the combined term table
+    * broadcast. Per-term scores are rounded 6dp then weighted in
+    * EXACT DECIMAL (scale-7 product — never a second double
+    * rounding, whose half-ulp ties engines break differently) and
+    * DECIMAL-summed: order-independent and oracle-replayable. */
+  def prfTopK(docs: DataFrame, terms: Seq[String] = DefaultTerms,
+              fbDocs: Int = 5, expandK: Int = 3, minLen: Int = 3,
+              topK: Int = 10, contentCol: String = "text",
+              idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    val t = docs.select(col(idCol).as("doc_id"), tokens(col(contentCol)).as("tk"))
+    val stats = t.agg(count(lit(1)).as("n_docs"), avg(size(col("tk"))).as("avg_len"))
+    val fb = bm25TopK(docs, terms, fbDocs, contentCol, idCol)
+      .select(col("doc_id"))
+    val toks = t.select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+      explode(col("tk")).as("w"))
+    // expansion candidates: feedback-set term mass, corpus idf
+    val fbTf = toks.join(broadcast(fb), "doc_id")
+      .where(length(col("w")) > minLen && !col("w").isin(terms: _*))
+      .groupBy(col("w")).agg(count(lit(1)).as("fb_tf"))
+    val dfAll = toks.join(broadcast(fbTf.select(col("w"))), "w")
+      .select(col("doc_id"), col("w")).distinct()
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val expansion = fbTf.join(broadcast(dfAll), "w")
+      .crossJoin(broadcast(stats.select(col("n_docs"))))
+      .select(col("w"),
+        round(col("fb_tf") * log(col("n_docs").cast("double") / col("df")), 6)
+          .as("score"))
+      .orderBy(col("score").desc, col("w"))
+      .limit(expandK)
+      .select(col("w"), lit("0.5").cast("decimal(2,1)").as("weight"))
+    val original = spark.createDataFrame(terms.map(Tuple1(_))).toDF("w")
+      .select(col("w"), lit("1.0").cast("decimal(2,1)").as("weight"))
+    val termTable = original.unionByName(expansion)
+    // stage 2: weighted BM25 over the combined term table
+    val tf2 = toks.join(broadcast(termTable), "w")
+      .groupBy(col("doc_id"), col("w"), col("dl"), col("weight"))
+      .agg(count(lit(1)).as("tf"))
+    val df2 = tf2.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val idf = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val termScore = round(
+      idf * (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avg_len"))), 6)
+    val scored = tf2.join(broadcast(df2), "w")
+      .crossJoin(broadcast(stats))
+      .withColumn("term_score", termScore)
+      .groupBy(col("doc_id"))
+      // DECIMAL(18,6) × DECIMAL(2,1) is exact at scale 7: the weight
+      // never re-rounds a rounded double
+      .agg(sum(col("term_score").cast("decimal(18,6)") * col("weight"))
+        .cast("double").as("prf"))
+      .orderBy(col("prf").desc, col("doc_id"))
+      .limit(topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("prf").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("doc_id"), col("prf"))
+      .orderBy(col("rank"))
+  }
+
   /** Query-likelihood retrieval with Dirichlet smoothing (Zhai &
     * Lafferty 2004) — the LM alternative to BM25:
     * score(d) = Σ_t ln((tf(t,d) + µ·cf(t)/T) / (|d| + µ)).

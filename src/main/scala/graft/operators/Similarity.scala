@@ -992,6 +992,66 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** All-but-the-top embedding postprocessing (Mu & Viswanath,
+    * ICLR 2018) — the standard isotropy fix a retrieval pipeline
+    * applies before indexing: subtract the corpus mean, then remove
+    * the projection onto the dominant principal direction (where
+    * frequency artifacts concentrate), and search in the corrected
+    * space. The mean and the top component are 64-value MODELS
+    * (driver-collected, like the other fitted quantizers); every
+    * per-vector step — centering, projection removal, scoring — is a
+    * map-only pass over the corpus with the models as literals, and
+    * the search itself is the audited broadcast-queries brute shape,
+    * so the postprocessing adds ZERO shuffles at any corpus size.
+    * All vector arithmetic follows the 6dp-round-then-DECIMAL-sum
+    * discipline: bit-identical on any partitioning and in the DuckDB
+    * replay. Returns each query's top-k neighbors in ABTT space. */
+  def abttTopK(emb: DataFrame, dim: Int = 64, nQueries: Int = 3, k: Int = 5,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e0 = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // per-dimension corpus mean: 6dp-rounded terms, exact DECIMAL
+    // sum, raw quotient (no re-round — small-count quotients sit on
+    // half-ulp ties engines break differently)
+    val muRows = e0.select(posexplode(col("v")).as(Seq("pos", "x")))
+      .select(col("pos"), round(col("x").cast("double"), 6).as("x"))
+      .groupBy(col("pos"))
+      .agg((sum(col("x").cast("decimal(18,6)")).cast("double") / count(lit(1))).as("m"))
+      .collect()
+    val mu = typedlit(muRows.sortBy(_.getInt(0)).map(_.getDouble(1)).toSeq)
+    val centered = e0.withColumn("vc", zip_with(col("v"), mu,
+      (x, m) => round(x.cast("double") - m, 6)))
+    // top principal direction of the CENTERED corpus: one power-
+    // iteration matvec from the ones vector (the powerIteration
+    // shape, on vc)
+    val ones = typedlit(Seq.fill(dim)(1.0))
+    val y = centered
+      .withColumn("s", round(dot(col("vc"), ones), 6))
+      .select(col("s"), posexplode(col("vc")).as(Seq("pos", "x0")))
+      .select((col("pos") + 1).cast("long").as("dim"),
+        round(col("x0") * col("s"), 6).as("term"))
+      .groupBy(col("dim"))
+      .agg(sum(col("term").cast("decimal(18,6)")).cast("double").as("y"))
+    val nrm = y.agg(sqrt(sum(round(col("y") * col("y"), 6)
+      .cast("decimal(28,6)")).cast("double")).as("nrm"))
+    val uRows = y.crossJoin(broadcast(nrm))
+      .select(col("dim"), round(col("y") / col("nrm"), 6).as("u")).collect()
+    val u = typedlit(uRows.sortBy(_.getLong(0)).map(_.getDouble(1)).toSeq)
+    // remove the component: w = vc − (vc·u)u, then brute cosine
+    // top-k in the corrected space
+    val proj = centered
+      .withColumn("p", round(dot(col("vc"), u), 6))
+      .withColumn("w", zip_with(col("vc"), u,
+        (x, uu) => round(x - col("p") * uu, 6)))
+      .select(col("id"), col("w"), norm(col("w")).as("nrm"))
+    val q = proj.where(col("id") < nQueries)
+      .select(col("id").as("query_id"), col("w").as("qv"), col("nrm").as("qnrm"))
+    val scored = proj.join(broadcast(q), col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        round(cosinePrenormed(dot(col("qv"), col("w")), col("qnrm"), col("nrm")), 6)
+          .as("sim"))
+    rankTopK(scored, k)
+  }
+
   /** Exact top-k over the int8 scalar-quantized corpus (SQ8, the
     * 4×-smaller index memory layout): per dimension the corpus
     * min/max span maps each value to a 0..255 code (same codes as

@@ -239,11 +239,13 @@ class PlanShapeSpec extends SparkSpec {
     //                   rollup, ≤ O(calendar days)
     //   ev_autocorr   — lag windows over the O(days) daily series
     //   q_orders_backlog — cumsum over the O(months) rollup
+    //   rag_prf       — ranks its already-top-10 (LIMIT-bounded)
+    //                   stage-2 result
     // Anything new that plans a global window must either partition
     // it or argue its way onto this list.
     val allow = Set("ev_cum_users", "ev_pareto", "rag_hybrid", "rag_ndcg",
       "txt_bpe_pairs", "txt_zipf_fit", "ev_survival_km", "ev_autocorr",
-      "q_orders_backlog")
+      "q_orders_backlog", "rag_prf")
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val globals = collectAll(physical(fn(spark, sf))).count {
         case w: org.apache.spark.sql.execution.window.WindowExec =>
