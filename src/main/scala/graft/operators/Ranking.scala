@@ -227,8 +227,10 @@ object Ranking {
     * classic two-pass retrieval refinement): retrieve a small
     * feedback set with the original query, mine it for the terms
     * that best characterize it, and re-retrieve with the expanded
-    * weighted query. Stage 1 is `bm25TopK` at depth `fbDocs`; the
-    * expansion candidates are the feedback docs' own tokens scored
+    * weighted query. The corpus is tokenized ONCE into a pinned
+    * token zone every stage reads. Stage 1 is the `bm25TopK` formula
+    * at depth `fbDocs` over that zone; the expansion candidates are
+    * the feedback docs' own tokens (length ≥ `minLen`) scored
     * tf-in-feedback × ln(N/df) with df over the WHOLE corpus (the
     * feedback vocabulary is tiny, so the corpus-side df pass is a
     * map-side semi-join filter + one partial agg, O(matches)); the
@@ -240,19 +242,31 @@ object Ranking {
     * rounding, whose half-ulp ties engines break differently) and
     * DECIMAL-summed: order-independent and oracle-replayable. */
   def prfTopK(docs: DataFrame, terms: Seq[String] = DefaultTerms,
-              fbDocs: Int = 5, expandK: Int = 3, minLen: Int = 3,
+              fbDocs: Int = 5, expandK: Int = 3, minLen: Int = 4,
               topK: Int = 10, contentCol: String = "text",
               idCol: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
+    // tokenize ONCE: the pinned token zone feeds every later stage
+    // (feedback retrieval, term mining, corpus df, the weighted
+    // second pass) — PRF is inherently multi-pass, so one
+    // materialization replaces four full-corpus tokenization passes
     val t = docs.select(col(idCol).as("doc_id"), tokens(col(contentCol)).as("tk"))
+      .localCheckpoint()
     val stats = t.agg(count(lit(1)).as("n_docs"), avg(size(col("tk"))).as("avg_len"))
-    val fb = bm25TopK(docs, terms, fbDocs, contentCol, idCol)
-      .select(col("doc_id"))
     val toks = t.select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
       explode(col("tk")).as("w"))
-    // expansion candidates: feedback-set term mass, corpus idf
+    val original = spark.createDataFrame(terms.map(Tuple1(_))).toDF("w")
+      .select(col("w"), lit("1.0").cast("decimal(2,1)").as("weight"))
+    // stage 1: the plain BM25 feedback set (weight-1 term table —
+    // the ×1.0 DECIMAL product is exact, so scores match bm25TopK)
+    val fb = weightedBm25(toks, stats, original, "bm25")
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(fbDocs)
+      .select(col("doc_id"))
+    // expansion candidates: feedback-set term mass, corpus idf;
+    // minLen is the inclusive minimum expansion-term length
     val fbTf = toks.join(broadcast(fb), "doc_id")
-      .where(length(col("w")) > minLen && !col("w").isin(terms: _*))
+      .where(length(col("w")) >= minLen && !col("w").isin(terms: _*))
       .groupBy(col("w")).agg(count(lit(1)).as("fb_tf"))
     val dfAll = toks.join(broadcast(fbTf.select(col("w"))), "w")
       .select(col("doc_id"), col("w")).distinct()
@@ -265,26 +279,8 @@ object Ranking {
       .orderBy(col("score").desc, col("w"))
       .limit(expandK)
       .select(col("w"), lit("0.5").cast("decimal(2,1)").as("weight"))
-    val original = spark.createDataFrame(terms.map(Tuple1(_))).toDF("w")
-      .select(col("w"), lit("1.0").cast("decimal(2,1)").as("weight"))
-    val termTable = original.unionByName(expansion)
     // stage 2: weighted BM25 over the combined term table
-    val tf2 = toks.join(broadcast(termTable), "w")
-      .groupBy(col("doc_id"), col("w"), col("dl"), col("weight"))
-      .agg(count(lit(1)).as("tf"))
-    val df2 = tf2.groupBy(col("w")).agg(count(lit(1)).as("df"))
-    val idf = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
-    val termScore = round(
-      idf * (col("tf") * lit(2.2)) /
-        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avg_len"))), 6)
-    val scored = tf2.join(broadcast(df2), "w")
-      .crossJoin(broadcast(stats))
-      .withColumn("term_score", termScore)
-      .groupBy(col("doc_id"))
-      // DECIMAL(18,6) × DECIMAL(2,1) is exact at scale 7: the weight
-      // never re-rounds a rounded double
-      .agg(sum(col("term_score").cast("decimal(18,6)") * col("weight"))
-        .cast("double").as("prf"))
+    val scored = weightedBm25(toks, stats, original.unionByName(expansion), "prf")
       .orderBy(col("prf").desc, col("doc_id"))
       .limit(topK)
     val w = org.apache.spark.sql.expressions.Window
@@ -292,6 +288,31 @@ object Ranking {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .select(col("rank"), col("doc_id"), col("prf"))
       .orderBy(col("rank"))
+  }
+
+  /** BM25 doc scores over a precomputed (doc_id, dl, w) token table
+    * and a broadcast (w, weight) term table — `bm25TopK`'s formula
+    * with per-term weights: each 6dp-rounded term score multiplies
+    * its DECIMAL(2,1) weight (exact at scale 7 — never a second
+    * double rounding, whose half-ulp ties engines break differently)
+    * and DECIMAL-sums per doc: order-independent and
+    * oracle-replayable. */
+  private def weightedBm25(toks: DataFrame, stats: DataFrame,
+                           termTable: DataFrame, scoreName: String): DataFrame = {
+    val tf = toks.join(broadcast(termTable), "w")
+      .groupBy(col("doc_id"), col("w"), col("dl"), col("weight"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val idf = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val termScore = round(
+      idf * (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avg_len"))), 6)
+    tf.join(broadcast(df), "w")
+      .crossJoin(broadcast(stats))
+      .withColumn("term_score", termScore)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("term_score").cast("decimal(18,6)") * col("weight"))
+        .cast("double").as(scoreName))
   }
 
   /** Query-likelihood retrieval with Dirichlet smoothing (Zhai &

@@ -121,11 +121,27 @@ object DeltaSource {
   private val CheckpointRe = """(\d{20})\.checkpoint(?:\.\d+\.\d+)?\.parquet""".r
 
   /** (commit versions, checkpoint versions) present in the log. */
+  private val CheckpointSingleRe = """(\d{20})\.checkpoint\.parquet""".r
+  private val CheckpointPartRe = """(\d{20})\.checkpoint\.(\d+)\.(\d+)\.parquet""".r
+
   private def logVersions(fs: FileSystem, logDir: Path): (Seq[Long], Seq[Long]) = {
     if (!fs.exists(logDir)) return (Seq.empty, Seq.empty)
     val names = fs.listStatus(logDir).toSeq.filter(_.isFile).map(_.getPath.getName)
     val commits = names.collect { case CommitRe(v) => v.toLong }.distinct.sorted
-    val checkpoints = names.collect { case CheckpointRe(v) => v.toLong }.distinct.sorted
+    // A checkpoint version only counts with a COMPLETE file set: the
+    // single-file form, or every part 1..n of the multi-part form
+    // (consistent totals). A torn set — a failed/partial cleanup, a
+    // crash mid-write — must not be offered as a replay seed: seeding
+    // from surviving parts would silently drop the missing parts'
+    // files from the reconstructed state.
+    val single = names.collect { case CheckpointSingleRe(v) => v.toLong }
+    val complete = names.collect { case CheckpointPartRe(v, i, n) =>
+      (v.toLong, i.toInt, n.toInt)
+    }.groupBy(_._1).collect {
+      case (v, g) if g.map(_._3).distinct.sizeIs == 1 &&
+        g.map(_._2).toSet == (1 to g.head._3).toSet => v
+    }
+    val checkpoints = (single ++ complete).distinct.sorted
     (commits, checkpoints)
   }
 
@@ -258,8 +274,14 @@ object DeltaSource {
     val cpActions: Seq[(Long, org.apache.spark.sql.Row)] = cp match {
       case None => Seq.empty
       case Some(v) =>
-        val files = fs.listStatus(logDir).toSeq.map(_.getPath)
+        val all = fs.listStatus(logDir).toSeq.map(_.getPath)
           .filter(p => CheckpointRe.findFirstMatchIn(p.getName).exists(_.group(1).toLong == v))
+        // prefer the single-file form: stray parts of an abandoned
+        // multi-part attempt at the same version must not be co-read
+        val files = all.filter(p => CheckpointSingleRe.findFirstMatchIn(p.getName).nonEmpty) match {
+          case s if s.nonEmpty => s
+          case _ => all
+        }
         spark.read.schema(ActionSchema).parquet(files.map(_.toString): _*)
           .collect().toSeq.map(r => (v, r))
     }
@@ -837,14 +859,19 @@ object DeltaSource {
 
   /** Broadcast-side DV probe: bitmaps stay SERIALIZED for transport
     * (the compressed portable form, O(compressed bits) — ~100 MB per
-    * ~1e9 deletions) and inflate lazily ONCE per executor. */
-  private[sources] class DvProbe(@volatile private var bytes: Map[String, Array[Byte]])
+    * ~1e9 deletions) and inflate lazily ONCE per executor. The
+    * serialized copy is deliberately KEPT after inflation: the block
+    * manager may re-serialize the broadcast value under memory
+    * pressure (MEMORY_AND_DISK eviction re-serializes the LIVE
+    * object, and in local mode the value block IS this instance), so
+    * nulling `bytes` post-inflate would persist a husk that NPEs on
+    * the next reinflation. Worst case both forms coexist under the
+    * 128 MB broadcast cap — bounded, and correctness beats the
+    * saving. */
+  private[sources] class DvProbe(private val bytes: Map[String, Array[Byte]])
       extends Serializable {
-    @transient private lazy val maps: Map[String, Roaring64NavigableMap] = {
-      val m = bytes.map { case (k, v) => k -> DeletionVectors.deserializeBitmap(v) }
-      bytes = null // executor-local: drop the serialized copy once inflated
-      m
-    }
+    @transient private lazy val maps: Map[String, Roaring64NavigableMap] =
+      bytes.map { case (k, v) => k -> DeletionVectors.deserializeBitmap(v) }
     def deleted(file: String, ri: Long): Boolean =
       maps.get(file).exists(_.contains(ri))
   }
@@ -1359,7 +1386,12 @@ object DeltaSource {
     * otherwise stop enforcing the omitted invariants. */
   private def impliedWriterFeatures(p: Protocol, schema: StructType,
                                     cfg: Map[String, String]): Set[String] = {
-    val byVersion: Set[String] =
+    // A protocol already at minWriter 7 ENUMERATES its features —
+    // nothing is version-implied, and re-deriving the full legacy
+    // ladder from "7 >= n" would pollute the upgraded protocol with
+    // features the table never used (external writers must implement
+    // every listed feature, so over-listing breaks interop).
+    val byVersion: Set[String] = if (p.minWriter >= 7) Set.empty else
       (if (p.minWriter >= 2) Set("appendOnly", "invariants") else Set.empty[String]) ++
       (if (p.minWriter >= 3) Set("checkConstraints") else Set.empty[String]) ++
       (if (p.minWriter >= 4) Set("changeDataFeed", "generatedColumns")
@@ -1390,8 +1422,11 @@ object DeltaSource {
                            schema: StructType, cfg: Map[String, String]): Protocol =
     if (legacyOk(cur) || (cur.minReader >= 3 && cur.readerFeatures(feature))) cur
     else Protocol(3, 7,
+      // legacy minReader 2 implied column mapping; a minReader-3
+      // protocol already enumerates its reader features (merged via
+      // cur.readerFeatures), so only the config can add it there
       cur.readerFeatures + feature ++
-        (if (cur.minReader >= 2 || cfg.get("delta.columnMapping.mode").contains("name"))
+        (if (cur.minReader == 2 || cfg.get("delta.columnMapping.mode").contains("name"))
            Set("columnMapping") else Set.empty),
       cur.writerFeatures + feature ++ impliedWriterFeatures(cur, schema, cfg))
 
@@ -1880,14 +1915,20 @@ object DeltaSource {
       val nextCp = cpsAsc.find(_ > cp).getOrElse(newestCp)
       !liveCommits.exists(v => v >= cp && v < nextCp)
     }.toSet
-    // all parts of a multi-part checkpoint match CheckpointRe for
-    // the same version and go together
-    fs.listStatus(logDir).toSeq.filter(_.isFile).foreach { s =>
-      val drop = CheckpointRe.findFirstMatchIn(s.getPath.getName).exists { m =>
-        deletableCps(m.group(1).toLong) && s.getModificationTime < cutoff
+    // all parts of a multi-part checkpoint go together, and the
+    // eligibility decision is per GROUP (every part past the cutoff)
+    // so one young part keeps the whole set; if a delete still tears
+    // a group mid-way (crash, transient fs error), the read side's
+    // completeness check in logVersions ignores the torn remainder
+    // rather than seeding from it
+    fs.listStatus(logDir).toSeq.filter(_.isFile)
+      .flatMap(s => CheckpointRe.findFirstMatchIn(s.getPath.getName)
+        .map(m => (m.group(1).toLong, s)))
+      .groupBy(_._1)
+      .foreach { case (v, group) =>
+        if (deletableCps(v) && group.forall(_._2.getModificationTime < cutoff))
+          group.foreach { case (_, s) => fs.delete(s.getPath, false) }
       }
-      if (drop) fs.delete(s.getPath, false)
-    }
     doomed
   }
 
@@ -2055,6 +2096,37 @@ object DeltaSource {
         .filter(a => a.getAs[Boolean]("dataChange"))
         .map(a => (v, rowToAdd(a)))
     }
+  }
+
+  /** Per-commit LAYOUT rewrites among `versions`: the paths each
+    * commit removed with an EXPLICIT dataChange=false and the files
+    * it added with dataChange=false — OPTIMIZE / Z-order swaps,
+    * content-preserving by contract. The streaming source uses these
+    * to chase an in-range append whose file a later swap compacted
+    * away before the range's end: the appended rows live on in the
+    * swap's target files. A remove that omits dataChange counts as
+    * dataChange=true (the spec default) so an external log's real
+    * delete is never misread as a rewrite. */
+  private[sources] def commitRewrites(spark: SparkSession, tablePath: String,
+                         versions: Seq[Long]): Seq[(Long, Set[String], Seq[AddFile])] = {
+    val logDir = new Path(tablePath, "_delta_log")
+    versions.sorted.map { v =>
+      val rows = spark.read.schema(ActionSchema)
+        .json(new Path(logDir, f"$v%020d.json").toString).collect().toSeq
+      def explicitFalse(s: org.apache.spark.sql.Row): Boolean = {
+        val i = s.fieldIndex("dataChange")
+        !s.isNullAt(i) && !s.getBoolean(i)
+      }
+      val removed = rows.filter(r => !r.isNullAt(r.fieldIndex("remove")))
+        .map(r => r.getStruct(r.fieldIndex("remove")))
+        .filter(explicitFalse)
+        .map(_.getAs[String]("path")).toSet
+      val added = rows.filter(r => !r.isNullAt(r.fieldIndex("add")))
+        .map(r => r.getStruct(r.fieldIndex("add")))
+        .filter(explicitFalse)
+        .map(rowToAdd)
+      (v, removed, added)
+    }.filter { case (_, rm, ad) => rm.nonEmpty && ad.nonEmpty }
   }
 
   /** The Delta log as an incremental change SOURCE — the cursor

@@ -257,10 +257,16 @@ class DeltaStreamSource(spark: SparkSession, tablePath: String,
     //    file's original append AND a later re-add of the same path
     //    (a DV delete's re-point, a restore) must list the file
     //    ONCE, with the newest descriptor;
-    //  - drop paths absent from snapshot(hi) — a file fully removed
-    //    later in the range (a DELETE that dropped it outright) must
-    //    not leak its deleted rows into the sink, consistently with
-    //    how a DV'd survivor file emits survivors only.
+    //  - drop paths absent from snapshot(hi) whose removal CHANGED
+    //    data — a DELETE that dropped the file outright must not
+    //    leak its deleted rows into the sink, consistently with
+    //    how a DV'd survivor file emits survivors only;
+    //  - but a path a later dataChange=false layout swap (OPTIMIZE /
+    //    Z-order) compacted away is NOT deleted data: its rows live
+    //    on in the swap's target files, so the chase below follows
+    //    the rewrite chain to the files live at hi — otherwise an
+    //    append+optimize pair inside one batch silently loses the
+    //    appended rows.
     val rawAdds = DeltaSource.commitAdds(spark, tablePath, commits)
       .groupBy(_._2.path).valuesIterator.map(_.maxBy(_._1)).toSeq.sortBy(_._1)
     if (rawAdds.isEmpty)
@@ -268,9 +274,28 @@ class DeltaStreamSource(spark: SparkSession, tablePath: String,
     else {
       val snap = DeltaSource.snapshot(spark, tablePath, Some(hi))
       val liveAtHi = snap.files.map(a => a.path -> a).toMap
-      val adds = rawAdds.flatMap { case (v, a) =>
-        liveAtHi.get(a.path).map(live => (v, live))
+      val live = rawAdds.flatMap { case (v, a) =>
+        liveAtHi.get(a.path).map(l => (v, l))
       }
+      val lost = rawAdds.filterNot { case (_, a) => liveAtHi.contains(a.path) }
+      // Swap targets merge many source files, so a chased target can
+      // also carry rows already emitted in an earlier batch —
+      // at-least-once on compaction overlap, the same contract as
+      // Delta's own ignoreChanges re-emission.
+      val chased = if (lost.isEmpty) Nil else {
+        val rewrites = DeltaSource.commitRewrites(spark, tablePath, commits)
+        val emitted = scala.collection.mutable.Set[String](live.map(_._2.path): _*)
+        def chase(path: String, fromV: Long): Seq[DeltaSource.AddFile] =
+          rewrites.find { case (v, rm, _) => v > fromV && rm.contains(path) } match {
+            case Some((v, _, targets)) => targets.flatMap { t =>
+              if (!emitted.add(t.path)) Nil
+              else liveAtHi.get(t.path).map(Seq(_)).getOrElse(chase(t.path, v))
+            }
+            case None => Nil // removed with dataChange=true: a real delete
+          }
+        lost.flatMap { case (v, a) => chase(a.path, v).map((v, _)) }
+      }
+      val adds = live ++ chased
       if (adds.isEmpty)
         return org.apache.spark.sql.graft.GraftSqlShims.emptyStreaming(spark, schema)
       // the batch rides the normal scan relation (pushdown, pruning,

@@ -123,6 +123,43 @@ class DeltaOpsSpec extends SparkSpec {
     assert(DeltaSource.readDelta(spark, tbl, Some(3L)).count() == 12)
   }
 
+  test("a torn multi-part checkpoint is never used as a replay seed") {
+    // adopted-table shape: the checkpoint is split into parts
+    // 1..n; losing a part (crashed cleanup, transient delete
+    // failure) must surface as an explicit error when the missing
+    // commits can no longer replay — NOT as a silently smaller table
+    val tbl = tmpTable()
+    DeltaSource.writeDelta(spark.range(0, 3).toDF("id"), tbl) // v0
+    DeltaSource.writeDelta(spark.range(3, 6).toDF("id"), tbl,
+      overwrite = false) // v1
+    DeltaSource.checkpoint(spark, tbl) // single-file checkpoint at v1
+    val conf = spark.sparkContext.hadoopConfiguration
+    val logDir = new org.apache.hadoop.fs.Path(tbl, "_delta_log")
+    val fs = logDir.getFileSystem(conf)
+    val single = new org.apache.hadoop.fs.Path(logDir, f"${1L}%020d.checkpoint.parquet")
+    val part1 = new org.apache.hadoop.fs.Path(logDir,
+      f"${1L}%020d.checkpoint.0000000001.0000000002.parquet")
+    val part2 = new org.apache.hadoop.fs.Path(logDir,
+      f"${1L}%020d.checkpoint.0000000002.0000000002.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(fs, single, fs, part1, false, conf)
+    org.apache.hadoop.fs.FileUtil.copy(fs, single, fs, part2, false, conf)
+    fs.delete(single, false)
+    // a COMPLETE part set seeds fine
+    assert(DeltaSource.readDelta(spark, tbl).count() == 6)
+    // tear it and expire the pre-checkpoint commit, as a crashed
+    // cleanup would leave things
+    fs.delete(part2, false)
+    fs.delete(new org.apache.hadoop.fs.Path(logDir, f"${0L}%020d.json"), false)
+    val e = intercept[IllegalArgumentException] {
+      DeltaSource.readDelta(spark, tbl).count()
+    }
+    assert(e.getMessage.contains("missing from the log"),
+      s"torn checkpoint must error on unreplayable state, got: ${e.getMessage}")
+    // restoring the part heals the seed
+    org.apache.hadoop.fs.FileUtil.copy(fs, part1, fs, part2, false, conf)
+    assert(DeltaSource.readDelta(spark, tbl).count() == 6)
+  }
+
   test("exactly-once sink: a replayed batch commits once") {
     val t = tmpTable()
     val sink = DeltaSource.exactlyOnceBatchSink(t, "app1") _

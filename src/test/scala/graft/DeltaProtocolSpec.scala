@@ -57,6 +57,29 @@ class DeltaProtocolSpec extends SparkSpec {
     assert(got.count() == 40)
   }
 
+  test("upgrading an already-(x,7) table does not re-derive the legacy feature ladder") {
+    // ICT first (protocol goes to minWriter 7 listing only what the
+    // legacy (1,2) start + state implied), then a DV delete: the DV
+    // upgrade must ADD deletionVectors, not pollute the list with
+    // changeDataFeed/generatedColumns/columnMapping/identityColumns
+    // the table never used — external writers must implement every
+    // listed feature, so over-listing shuts them out.
+    val tbl = tmpDir("ladder")
+    DeltaSource.writeDelta(spark.range(0, 60).selectExpr("id", "id % 5 as k"), tbl)
+    DeltaSource.enableInCommitTimestamps(spark, tbl) // v1: -> (1,7)
+    DeltaSource.deleteDelta(spark, tbl, col("k") === 2) // v2: -> (3,7)+DV
+    val l = logText(tbl, 2)
+    assert(l.contains("\"protocol\""), "the DV delete must carry the upgrade")
+    for (f <- Seq("changeDataFeed", "generatedColumns", "columnMapping",
+        "identityColumns", "checkConstraints"))
+      assert(!l.contains(f),
+        s"feature $f was never used by this table but got listed:\n$l")
+    for (f <- Seq("deletionVectors", "inCommitTimestamp"))
+      assert(l.contains(f), s"active feature $f must stay listed:\n$l")
+    // the table still reads and the delete took effect
+    assert(DeltaSource.readDelta(spark, tbl).count() == 48)
+  }
+
   test("a table requiring an unsupported reader feature is refused, not misread") {
     val tbl = tmpDir("alien")
     DeltaSource.writeDelta(spark.range(0, 10).toDF("id"), tbl)

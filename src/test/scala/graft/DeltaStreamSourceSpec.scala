@@ -103,6 +103,29 @@ class DeltaStreamSourceSpec extends SparkSpec {
       s"dropped file's rows leaked: ${got.filter(_ < 50).take(5)}")
   }
 
+  test("a batch spanning append + OPTIMIZE still delivers the appended rows once") {
+    // the appends' files are compacted away (dataChange=false swap)
+    // before the batch's end version: the source must chase the
+    // rewrite to the compacted file instead of emitting nothing
+    val tbl = mkTable() // v0: 0-99, v1: 100-199
+    DeltaSource.optimizeDelta(spark, tbl, targetBytes = 1L << 30) // v2: swap
+    val got = drain(tbl, tmpDir("ckpt")).flatMap(_._2).map(_._1)
+    assert(got.sorted == (0L until 200L),
+      s"append+optimize in one batch lost/duplicated rows: n=${got.size}")
+  }
+
+  test("a chained rewrite (optimize twice) still resolves to the live file") {
+    val tbl = mkTable()
+    DeltaSource.optimizeDelta(spark, tbl, targetBytes = 1L << 30) // v2
+    DeltaSource.writeDelta(
+      spark.range(200, 230).selectExpr("id", "id % 7 as k"), tbl,
+      overwrite = false) // v3
+    DeltaSource.optimizeDelta(spark, tbl, targetBytes = 1L << 30) // v4: rewrites again
+    val got = drain(tbl, tmpDir("ckpt")).flatMap(_._2).map(_._1)
+    assert(got.sorted == (0L until 230L),
+      s"chained rewrites must chase to the final live file: n=${got.size}")
+  }
+
   test("startingVersion begins mid-log") {
     val tbl = mkTable()
     val ckpt = tmpDir("ckpt")
