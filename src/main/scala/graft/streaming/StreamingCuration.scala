@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.operators.Quality
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
@@ -208,5 +208,71 @@ object StreamingCuration {
       DeltaSource.writeDelta(survivors, sigZone, overwrite = false,
         txn = Some(appId -> batchId))
     verdict
+  }
+
+  /** Streaming PSI drift monitor — the incremental half of the
+    * `dq_drift`/`dq_ks_exact` suite: a FROZEN reference distribution
+    * is compared against every event-time window of the live stream,
+    * flagging windows whose population shifted. The reference fit is
+    * one batch pass (approx-percentile bin edges + per-bin shares),
+    * collected as a model; PSI per window is
+    * Σ (p_obs − p_ref)·ln(p_obs/p_ref) over those bins, with
+    * add-one (Laplace) smoothing on BOTH sides so empty bins stay
+    * finite.
+    *
+    * Scale shape: the bin edges are LITERALS in the streaming plan —
+    * no stream-static join, no second stateful operator — so each
+    * window aggregates to ONE row of per-bin conditional counts and
+    * state is O(open windows · bins) at any stream rate; output is
+    * append-mode behind the watermark, ready for a `graft-delta`
+    * sink. The industry threshold convention: PSI < 0.1 stable,
+    * 0.1-0.25 moderate shift, > 0.25 action — `alertAt` defaults
+    * into that band. */
+  def psiDriftStream(stream: DataFrame, reference: DataFrame,
+                     valueCol: String = "value", tsCol: String = "ts",
+                     bins: Int = 10, windowSize: String = "1 hour",
+                     watermark: String = "2 hours",
+                     alertAt: Double = 0.2): DataFrame = {
+    require(bins >= 2, s"need at least 2 bins, got $bins")
+    // reference model: interior quantile edges (deduped — heavy
+    // point masses collapse edges) and smoothed per-bin shares
+    val rawEdges = reference
+      .agg(percentile_approx(col(valueCol).cast("double"),
+        array((1 until bins).map(i => lit(i.toDouble / bins)): _*),
+        lit(10000)).as("es"))
+      .head().getSeq[Double](0).toSeq.distinct.sorted
+    // bin index = number of edges strictly below the value
+    def binOf(c: Column): Column =
+      rawEdges.foldLeft(lit(0)) { (acc, e) =>
+        acc + when(c > lit(e), 1).otherwise(0)
+      }
+    val nBins = rawEdges.size + 1
+    val refCounts = reference
+      .groupBy(binOf(col(valueCol).cast("double")).as("bin"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val refTotal = refCounts.valuesIterator.sum
+    val refShare: Int => Double = b =>
+      (refCounts.getOrElse(b, 0L) + 1.0) / (refTotal + nBins)
+    // per window: one row of conditional per-bin counts
+    val aggCols = count(lit(1)).as("n") +:
+      (0 until nBins).map(b =>
+        sum(when(binOf(col(valueCol).cast("double")) === b, 1L)
+          .otherwise(0L)).as(s"__c$b"))
+    val binned = stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowSize))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val psi = (0 until nBins).map { b =>
+      val po = (col(s"__c$b") + lit(1.0)) / (col("n") + lit(nBins))
+      val pr = lit(refShare(b))
+      (po - pr) * log(po / pr)
+    }.reduce(_ + _)
+    binned.select(
+      col("window.start").as("window_start"),
+      col("window.end").as("window_end"),
+      col("n"),
+      round(psi, 6).as("psi"),
+      (psi > lit(alertAt)).as("alert"))
   }
 }

@@ -375,4 +375,43 @@ class StreamingCurationSpec extends SparkSpec {
       .select($"doc_id").as[Long].collect().toSet
     assert(streamedIds == batchIds && batchIds.nonEmpty)
   }
+
+  test("psi drift monitor: an in-distribution window scores 0, a shifted window alerts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val reference = (1 to 100).map(_.toDouble).toDF("value")
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    val stream = mem.toDF().toDF("ts", "value")
+    val out = StreamingCuration.psiDriftStream(stream, reference,
+      windowSize = "1 hour", watermark = "0 seconds")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("psi_drift").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    try {
+      // window A [00:00,01:00): EXACTLY the reference distribution;
+      // window B [01:00,02:00): shifted far above every bin edge
+      mem.addData((1 to 100).map(v => (ts(30), v.toDouble)): _*)
+      mem.addData((1 to 100).map(v => (ts(90), v + 1000.0)): _*)
+      q.processAllAvailable()
+      // two closer events: each advances the watermark so the prior
+      // window can emit at the following trigger
+      mem.addData((ts(150), 1.0)); q.processAllAvailable()
+      mem.addData((ts(300), 1.0)); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("psi_drift")
+      .select($"window_start", $"n", $"psi", $"alert")
+      .as[(java.sql.Timestamp, Long, Double, Boolean)].collect()
+      .sortBy(_._1.getTime).toSeq
+    // windows A and B plus the first closer event's own window
+    assert(rows.size >= 2, s"both data windows must close and emit, got $rows")
+    val (wa, wb) = (rows(0), rows(1))
+    // same data as the reference → observed == reference share in
+    // every bin (identical binning on both sides) → PSI exactly 0
+    assert(wa._2 == 100L && wa._3 == 0.0 && !wa._4,
+      s"in-distribution window must score PSI 0, got $wa")
+    // everything lands in the top bin → strong shift, alert fires
+    assert(wb._2 == 100L && wb._3 > 0.25 && wb._4,
+      s"shifted window must alert, got $wb")
+  }
 }
