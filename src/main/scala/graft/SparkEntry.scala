@@ -777,6 +777,14 @@ object SparkEntry {
     "txt_js_divergence" -> ((s, d) =>
       Quality.jsDivergence(Tables.documents(s, d))),
     "txt_zipf_fit" -> ((s, d) => Quality.zipfFit(Tables.documents(s, d))),
+    // Heaps'-law vocab growth: first-occurrence trick + banded prefix
+    "txt_heaps_fit" -> ((s, d) => Quality.heapsFit(Tables.documents(s, d))),
+    // per-source HLL sketches unioned without a second corpus pass
+    "dq_hll_union" -> ((s, d) => Quality.hllUnionAudit(Tables.documents(s, d))),
+    // Fano factor of per-doc term counts: content words clump
+    "txt_burstiness" -> ((s, d) => Quality.burstiness(Tables.documents(s, d))),
+    // Kish effective sample size of source-balancing weights
+    "samp_neff" -> ((s, d) => Sampling.effectiveSampleSize(Tables.documents(s, d))),
     "txt_oov_rate" -> ((s, d) => Quality.oovRate(Tables.documents(s, d))),
     // classifier-eval shape: langid confusion matrix against the
     // labeled lang column (which cells are confused tells you which
@@ -3134,6 +3142,72 @@ object SparkEntry {
          |SELECT n AS n_vocab, sx, sy, sxy, sxx,
          |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope
          |FROM sums""".stripMargin,
+    // Heaps' law: first doc per word type -> per-doc new types ->
+    // cumulative (N, V) points -> log-log OLS (zipf discipline; K
+    // exponentiates the 4dp-rounded slope in both engines)
+    "txt_heaps_fit" ->
+      s"""WITH t AS (SELECT doc_id, ${dToks("lower(text)")} AS tk FROM documents),
+         |toks AS (SELECT doc_id, unnest(tk) AS w FROM t),
+         |fd AS (SELECT w, min(doc_id) AS doc_id FROM toks GROUP BY w),
+         |nv AS (SELECT doc_id, count(*) AS nv FROM fd GROUP BY doc_id),
+         |dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM t),
+         |pd AS (SELECT dl.doc_id, dl.dl, COALESCE(nv.nv, 0) AS nv
+         |       FROM dl LEFT JOIN nv ON dl.doc_id = nv.doc_id),
+         |c AS (SELECT doc_id, SUM(dl) OVER (ORDER BY doc_id) AS bign,
+         |        SUM(nv) OVER (ORDER BY doc_id) AS v FROM pd),
+         |pts AS (SELECT round(ln(CAST(bign AS DOUBLE)), 6) AS x,
+         |          round(ln(CAST(v AS DOUBLE)), 6) AS y
+         |        FROM c WHERE bign > 0 AND v > 0),
+         |p2 AS (SELECT x, y, round(x * y, 6) AS xy, round(x * x, 6) AS xx FROM pts),
+         |s AS (SELECT count(*) AS n,
+         |        CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+         |        CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+         |        CAST(SUM(CAST(xy AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+         |        CAST(SUM(CAST(xx AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+         |      FROM p2)
+         |SELECT CAST(n AS BIGINT) AS n_points,
+         |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS heaps_beta,
+         |  round(exp((sy - round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) * sx) / n), 4)
+         |    AS heaps_k
+         |FROM s""".stripMargin,
+
+    // the estimate CONTRACT, not the engine-specific estimate
+    // (q_approx_distinct pattern)
+    "dq_hll_union" ->
+      """SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |       count(DISTINCT text) AS exact_docs,
+        |       CAST(1 AS BIGINT) AS union_ok
+        |FROM documents""".stripMargin,
+
+    // burstiness: per-doc tf, exact integer moments per term,
+    // zero-docs enter the variance algebraically
+    "txt_burstiness" ->
+      s"""WITH t AS (SELECT doc_id, ${dToks("lower(text)")} AS tk FROM documents),
+         |nd AS (SELECT count(*) AS n FROM t),
+         |tf AS (SELECT doc_id, w, count(*) AS c FROM
+         |         (SELECT doc_id, unnest(tk) AS w FROM t)
+         |       WHERE length(w) >= 3 GROUP BY doc_id, w),
+         |pt AS (SELECT w, count(*) AS df, SUM(c) AS sc, SUM(c * c) AS scc
+         |       FROM tf GROUP BY w),
+         |top AS (SELECT * FROM pt CROSS JOIN nd ORDER BY sc DESC, w LIMIT 20)
+         |SELECT w, CAST(sc AS BIGINT) AS total_tf, CAST(df AS BIGINT) AS df,
+         |       round(CAST(sc AS DOUBLE) / n, 6) AS mean_tf,
+         |       round(((CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * sc / n) / (n - 1))
+         |         / (CAST(sc AS DOUBLE) / n), 6) AS fano
+         |FROM top ORDER BY total_tf DESC, w""".stripMargin,
+
+    // Kish n_eff from the per-source count table alone
+    "samp_neff" ->
+      """WITH c AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+        |t AS (SELECT SUM(n_s) AS n, count(*) AS s FROM c),
+        |w AS (SELECT CAST(SUM(CAST(round(n_s * pow(CAST(n AS DOUBLE) / s / n_s, 2), 6)
+        |        AS DECIMAL(28,6))) AS DOUBLE) AS sw2
+        |      FROM c CROSS JOIN t)
+        |SELECT CAST(t.n AS BIGINT) AS n_docs, CAST(t.s AS BIGINT) AS n_sources,
+        |       round(t.n * t.n / sw2, 4) AS n_eff,
+        |       round(t.n / (t.n * t.n / sw2), 6) AS deff
+        |FROM w CROSS JOIN t""".stripMargin,
+
     "q_monthly_cum" ->
       """WITH monthly AS (SELECT c.c_mktsegment,
         |    strftime(o.o_orderdate, '%Y-%m') AS month,

@@ -563,6 +563,114 @@ object Quality {
         (col("n") * col("sxx") - col("sx") * col("sx")), 4).as("zipf_slope"))
   }
 
+  /** Heaps'-law fit V = K·N^β of vocabulary growth — Zipf's
+    * companion law, the corpus-size planning tool (how big does the
+    * vocab get at 10× the tokens?). The distributed trick: a word
+    * type is "new" exactly once, at its FIRST document, so
+    * min(doc_id) per word (ONE shuffle) turns the inherently
+    * sequential "distinct-so-far" scan into per-doc new-type counts;
+    * the cumulative (N, V) growth points then come from the banded
+    * two-phase prefix sum over the O(docs) per-doc table — never a
+    * single-partition window, never a second corpus pass. β and K
+    * fit by log-log OLS under the `zipfFit` discipline: 6dp-rounded
+    * staged products, DECIMAL sums, 4dp outputs (K uses the
+    * 4dp-rounded β so both engines exponentiate the same number). */
+  def heapsFit(docs: DataFrame, contentCol: String = "text",
+               idCol: String = "doc_id"): DataFrame = {
+    val t = docs.select(col(idCol).as("doc_id"),
+      tokens(lower(col(contentCol))).as("tk"))
+    val toks = t.select(col("doc_id"), explode(col("tk")).as("w"))
+    val firstDoc = toks.groupBy(col("w")).agg(min(col("doc_id")).as("doc_id"))
+    val nv = firstDoc.groupBy(col("doc_id")).agg(count(lit(1)).as("nv"))
+    val dl = t.select(col("doc_id"), size(col("tk")).cast("long").as("dl"))
+    val perDoc = dl.join(nv, Seq("doc_id"), "left").na.fill(0L, Seq("nv"))
+    val band = expr("doc_id DIV 1024")
+    val (p1, _) = Ranks.withGlobalPrefixSum(
+      perDoc, band, Seq(col("doc_id")), col("dl"), "xn")
+    val (p2, _) = Ranks.withGlobalPrefixSum(
+      p1, band, Seq(col("doc_id")), col("nv"), "xv")
+    val pts = p2
+      .select((col("xn") + col("dl")).as("bign"), (col("xv") + col("nv")).as("v"))
+      .where(col("bign") > 0 && col("v") > 0)
+      .select(round(log(col("bign").cast("double")), 6).as("x"),
+        round(log(col("v").cast("double")), 6).as("y"))
+      .select(col("x"), col("y"),
+        round(col("x") * col("y"), 6).as("xy"),
+        round(col("x") * col("x"), 6).as("xx"))
+    val sums = pts.agg(count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(18,6)")).cast("double").as("sx"),
+      sum(col("y").cast("decimal(18,6)")).cast("double").as("sy"),
+      sum(col("xy").cast("decimal(18,6)")).cast("double").as("sxy"),
+      sum(col("xx").cast("decimal(18,6)")).cast("double").as("sxx"))
+    val beta = round((col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx")), 4)
+    sums.select(col("n").cast("long").as("n_points"),
+      beta.as("heaps_beta"),
+      round(exp((col("sy") - beta * col("sx")) / col("n")), 4).as("heaps_k"))
+  }
+
+  /** Per-term burstiness (Fano factor of per-doc counts, Church &
+    * Gale): content words CLUMP — a doc that says "parquet" once
+    * says it again — while function words spread evenly; the
+    * variance-to-mean ratio of a term's per-doc count separates the
+    * two and flags boilerplate (ratio ≫ 1 with high df = repeated
+    * template text). Zero-count docs enter the variance via the
+    * algebraic form Σ(c−m)² = Σc² − (Σc)²/N, so only the (doc, term)
+    * matches are ever materialized: one tf shuffle, one per-term
+    * rollup of EXACT integer moments (Σc, Σc² as longs), then
+    * model-sized double arithmetic for the top-`k` terms. */
+  def burstiness(docs: DataFrame, k: Int = 20, minLen: Int = 3,
+                 contentCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val t = docs.select(col(idCol).as("doc_id"),
+      tokens(lower(col(contentCol))).as("tk"))
+    val nDocs = t.agg(count(lit(1)).as("n"))
+    val tf = t.select(col("doc_id"), explode(col("tk")).as("w"))
+      .where(length(col("w")) >= minLen)
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    val perTerm = tf.groupBy(col("w")).agg(
+      count(lit(1)).as("df"),
+      sum(col("c")).as("sc"),
+      sum(col("c") * col("c")).as("scc"))
+    val mean = col("sc").cast("double") / col("n")
+    val variance = (col("scc").cast("double") -
+      col("sc").cast("double") * col("sc") / col("n")) / (col("n") - 1)
+    perTerm.crossJoin(broadcast(nDocs))
+      .orderBy(col("sc").desc, col("w"))
+      .limit(k)
+      .select(col("w"), col("sc").cast("long").as("total_tf"),
+        col("df").cast("long").as("df"),
+        round(mean, 6).as("mean_tf"),
+        round(variance / mean, 6).as("fano"))
+      .orderBy(col("total_tf").desc, col("w"))
+  }
+
+  /** Mergeable distinct-count audit via HLL sketch UNION: each
+    * source builds its own HyperLogLog sketch of content (one
+    * partial-aggregating shuffle — sketches merge associatively, so
+    * partitions combine map-side), the per-source sketches union
+    * WITHOUT revisiting any data, and the union's estimate is
+    * checked against the exact corpus-wide distinct. This is the
+    * 100 TB distinct-count shape: per-shard sketches of kilobytes
+    * each, unioned on the driver-side of one exchange, where an
+    * exact global countDistinct would shuffle every distinct value.
+    * Emits the estimate CONTRACT (within `tol`), not the
+    * engine-specific estimate — the `q_approx_distinct`
+    * determinism pattern. */
+  def hllUnionAudit(docs: DataFrame, contentCol: String = "text",
+                    by: String = "source", tol: Double = 0.05): DataFrame = {
+    val perSrc = docs.groupBy(col(by))
+      .agg(hll_sketch_agg(col(contentCol)).as("sk"))
+    val unioned = perSrc.agg(
+      count(lit(1)).as("n_sources"),
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = docs.agg(countDistinct(col(contentCol)).as("exact_docs"))
+    unioned.crossJoin(exact).select(
+      col("n_sources").cast("long").as("n_sources"),
+      col("exact_docs").cast("long").as("exact_docs"),
+      when(abs(col("est") - col("exact_docs")) <=
+        lit(tol) * col("exact_docs"), 1L).otherwise(0L).as("union_ok"))
+  }
+
   /** Token-count histogram in power-of-two bins: the one-glance
     * length-distribution profile a curation run starts from. The
     * bucket is floor(log2(n)) computed EXACTLY as the bit length of

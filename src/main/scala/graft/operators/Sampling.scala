@@ -231,4 +231,34 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("replicates"))
   }
+
+  /** Effective sample size of source-balancing importance weights —
+    * the diagnostic a weighted-mixture training run checks BEFORE
+    * paying for an epoch: reweighting every source to a uniform
+    * target share gives each doc w = (N/S)/n_src, and
+    * n_eff = (Σw)²/Σw² says how many i.i.d. docs the weighted corpus
+    * is actually worth (Kish 1965); deff = N/n_eff is the variance
+    * inflation. A corpus already balanced scores n_eff = N; one
+    * dominated by a single source collapses toward S·(smallest
+    * share)·N. Scale shape: Σw and Σw² factor through the per-source
+    * count table — Σ_s n_s·w_s and Σ_s n_s·w_s² — so after ONE
+    * partial-agg count shuffle everything is model-sized arithmetic
+    * on exact integer counts; no per-doc weight column ever
+    * materializes. */
+  def effectiveSampleSize(docs: DataFrame, by: String = "source"): DataFrame = {
+    val counts = docs.groupBy(col(by)).agg(count(lit(1)).as("n_s"))
+    val tot = counts.agg(sum(col("n_s")).as("n"), count(lit(1)).as("s"))
+    // w_s = (N/S)/n_s; Σw = Σ n_s·w_s = N exactly; Σw² = Σ n_s·w_s²
+    val sw2 = counts.crossJoin(broadcast(tot))
+      .select((col("n_s") *
+        pow(col("n").cast("double") / col("s") / col("n_s"), 2)).as("t"),
+        col("n"), col("s"))
+      .groupBy(col("n"), col("s"))
+      .agg(sum(round(col("t"), 6).cast("decimal(28,6)")).cast("double").as("sw2"))
+    val neff = col("n") * col("n") / col("sw2")
+    sw2.select(col("n").cast("long").as("n_docs"),
+      col("s").cast("long").as("n_sources"),
+      round(neff, 4).as("n_eff"),
+      round(col("n") / neff, 6).as("deff"))
+  }
 }
