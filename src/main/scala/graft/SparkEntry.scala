@@ -3177,7 +3177,7 @@ object SparkEntry {
       """SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
         |       count(DISTINCT text) AS exact_docs,
         |       CAST(1 AS BIGINT) AS union_ok
-        |FROM documents""".stripMargin,
+        |FROM documents WHERE source IS NOT NULL""".stripMargin,
 
     // burstiness: per-doc tf, exact integer moments per term,
     // zero-docs enter the variance algebraically

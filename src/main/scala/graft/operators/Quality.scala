@@ -583,7 +583,11 @@ object Quality {
     val firstDoc = toks.groupBy(col("w")).agg(min(col("doc_id")).as("doc_id"))
     val nv = firstDoc.groupBy(col("doc_id")).agg(count(lit(1)).as("nv"))
     val dl = t.select(col("doc_id"), size(col("tk")).cast("long").as("dl"))
+    // pin the O(docs) per-doc table: both banded prefix calls and
+    // the final fit job would otherwise each re-tokenize the corpus
+    // through this lineage (the rag_prf lesson)
     val perDoc = dl.join(nv, Seq("doc_id"), "left").na.fill(0L, Seq("nv"))
+      .localCheckpoint()
     val band = expr("doc_id DIV 1024")
     val (p1, _) = Ranks.withGlobalPrefixSum(
       perDoc, band, Seq(col("doc_id")), col("dl"), "xn")
@@ -658,12 +662,16 @@ object Quality {
     * determinism pattern. */
   def hllUnionAudit(docs: DataFrame, contentCol: String = "text",
                     by: String = "source", tol: Double = 0.05): DataFrame = {
-    val perSrc = docs.groupBy(col(by))
+    // null-source docs are outside the audit on BOTH sides (the
+    // oracle's count(DISTINCT source) ignores nulls; keeping them in
+    // the sketches but not the source count would skew the contract)
+    val scoped = docs.where(col(by).isNotNull)
+    val perSrc = scoped.groupBy(col(by))
       .agg(hll_sketch_agg(col(contentCol)).as("sk"))
     val unioned = perSrc.agg(
       count(lit(1)).as("n_sources"),
       hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
-    val exact = docs.agg(countDistinct(col(contentCol)).as("exact_docs"))
+    val exact = scoped.agg(countDistinct(col(contentCol)).as("exact_docs"))
     unioned.crossJoin(exact).select(
       col("n_sources").cast("long").as("n_sources"),
       col("exact_docs").cast("long").as("exact_docs"),

@@ -255,7 +255,10 @@ object Ranking {
     val stats = t.agg(count(lit(1)).as("n_docs"), avg(size(col("tk"))).as("avg_len"))
     val toks = t.select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
       explode(col("tk")).as("w"))
-    val original = spark.createDataFrame(terms.map(Tuple1(_))).toDF("w")
+    // distinct: bm25TopK's isin() filter dedupes repeated query
+    // terms implicitly; the join against this table must too, or a
+    // duplicated term would double its tf
+    val original = spark.createDataFrame(terms.distinct.map(Tuple1(_))).toDF("w")
       .select(col("w"), lit("1.0").cast("decimal(2,1)").as("weight"))
     // stage 1: the plain BM25 feedback set (weight-1 term table —
     // the ×1.0 DECIMAL product is exact, so scores match bm25TopK)

@@ -1921,12 +1921,19 @@ object DeltaSource {
     // a group mid-way (crash, transient fs error), the read side's
     // completeness check in logVersions ignores the torn remainder
     // rather than seeding from it
+    // torn groups (versions logVersions refuses as seeds — crashed
+    // multi-part attempts, half-deleted sets) are garbage once aged:
+    // left alone they accumulate forever AND block a future complete
+    // retry at the same version (the distinct-totals check would see
+    // the stray part's conflicting count)
+    val liveCpSet = liveCps.toSet
     fs.listStatus(logDir).toSeq.filter(_.isFile)
       .flatMap(s => CheckpointRe.findFirstMatchIn(s.getPath.getName)
         .map(m => (m.group(1).toLong, s)))
       .groupBy(_._1)
       .foreach { case (v, group) =>
-        if (deletableCps(v) && group.forall(_._2.getModificationTime < cutoff))
+        if ((deletableCps(v) || !liveCpSet(v)) &&
+            group.forall(_._2.getModificationTime < cutoff))
           group.foreach { case (_, s) => fs.delete(s.getPath, false) }
       }
     doomed
@@ -2086,17 +2093,8 @@ object DeltaSource {
   /** Adds committed in version range (`afterVersion`, `toVersion`]
     * with dataChange=true, straight from the JSON commits. */
   private[sources] def commitAdds(spark: SparkSession, tablePath: String,
-                         versions: Seq[Long]): Seq[(Long, AddFile)] = {
-    val logDir = new Path(tablePath, "_delta_log")
-    versions.flatMap { v =>
-      val f = new Path(logDir, f"$v%020d.json")
-      spark.read.schema(ActionSchema).json(f.toString).collect().toSeq
-        .filter(r => !r.isNullAt(r.fieldIndex("add")))
-        .map(r => r.getStruct(r.fieldIndex("add")))
-        .filter(a => a.getAs[Boolean]("dataChange"))
-        .map(a => (v, rowToAdd(a)))
-    }
-  }
+                         versions: Seq[Long]): Seq[(Long, AddFile)] =
+    addsFrom(commitActionRows(spark, tablePath, versions))
 
   /** Per-commit LAYOUT rewrites among `versions`: the paths each
     * commit removed with an EXPLICIT dataChange=false and the files
@@ -2107,27 +2105,45 @@ object DeltaSource {
     * swap's target files. A remove that omits dataChange counts as
     * dataChange=true (the spec default) so an external log's real
     * delete is never misread as a rewrite. */
-  private[sources] def commitRewrites(spark: SparkSession, tablePath: String,
-                         versions: Seq[Long]): Seq[(Long, Set[String], Seq[AddFile])] = {
+  /** Each version's commit JSON parsed once — the shared substrate
+    * for `addsFrom`/`rewritesFrom`, so a caller needing both (the
+    * streaming source) pays ONE log read per commit, not two. */
+  private[sources] def commitActionRows(spark: SparkSession, tablePath: String,
+                         versions: Seq[Long]): Seq[(Long, Seq[org.apache.spark.sql.Row])] = {
     val logDir = new Path(tablePath, "_delta_log")
     versions.sorted.map { v =>
-      val rows = spark.read.schema(ActionSchema)
+      v -> spark.read.schema(ActionSchema)
         .json(new Path(logDir, f"$v%020d.json").toString).collect().toSeq
+    }
+  }
+
+  /** The dataChange=true adds among parsed commit rows. */
+  private[sources] def addsFrom(
+      rows: Seq[(Long, Seq[org.apache.spark.sql.Row])]): Seq[(Long, AddFile)] =
+    rows.flatMap { case (v, rs) =>
+      rs.filter(r => !r.isNullAt(r.fieldIndex("add")))
+        .map(r => r.getStruct(r.fieldIndex("add")))
+        .filter(a => a.getAs[Boolean]("dataChange"))
+        .map(a => (v, rowToAdd(a)))
+    }
+
+  private[sources] def rewritesFrom(
+      rows: Seq[(Long, Seq[org.apache.spark.sql.Row])]): Seq[(Long, Set[String], Seq[AddFile])] =
+    rows.map { case (v, rs) =>
       def explicitFalse(s: org.apache.spark.sql.Row): Boolean = {
         val i = s.fieldIndex("dataChange")
         !s.isNullAt(i) && !s.getBoolean(i)
       }
-      val removed = rows.filter(r => !r.isNullAt(r.fieldIndex("remove")))
+      val removed = rs.filter(r => !r.isNullAt(r.fieldIndex("remove")))
         .map(r => r.getStruct(r.fieldIndex("remove")))
         .filter(explicitFalse)
         .map(_.getAs[String]("path")).toSet
-      val added = rows.filter(r => !r.isNullAt(r.fieldIndex("add")))
+      val added = rs.filter(r => !r.isNullAt(r.fieldIndex("add")))
         .map(r => r.getStruct(r.fieldIndex("add")))
         .filter(explicitFalse)
         .map(rowToAdd)
       (v, removed, added)
     }.filter { case (_, rm, ad) => rm.nonEmpty && ad.nonEmpty }
-  }
 
   /** The Delta log as an incremental change SOURCE — the cursor
     * contract of `VersionedZone.changesSince` over a real

@@ -267,7 +267,10 @@ class DeltaStreamSource(spark: SparkSession, tablePath: String,
     //    the rewrite chain to the files live at hi — otherwise an
     //    append+optimize pair inside one batch silently loses the
     //    appended rows.
-    val rawAdds = DeltaSource.commitAdds(spark, tablePath, commits)
+    // each commit JSON parses ONCE; adds and (if needed) rewrite
+    // chains both derive from the same parsed rows
+    val actionRows = DeltaSource.commitActionRows(spark, tablePath, commits)
+    val rawAdds = DeltaSource.addsFrom(actionRows)
       .groupBy(_._2.path).valuesIterator.map(_.maxBy(_._1)).toSeq.sortBy(_._1)
     if (rawAdds.isEmpty)
       org.apache.spark.sql.graft.GraftSqlShims.emptyStreaming(spark, schema)
@@ -283,7 +286,7 @@ class DeltaStreamSource(spark: SparkSession, tablePath: String,
       // at-least-once on compaction overlap, the same contract as
       // Delta's own ignoreChanges re-emission.
       val chased = if (lost.isEmpty) Nil else {
-        val rewrites = DeltaSource.commitRewrites(spark, tablePath, commits)
+        val rewrites = DeltaSource.rewritesFrom(actionRows)
         val emitted = scala.collection.mutable.Set[String](live.map(_._2.path): _*)
         def chase(path: String, fromV: Long): Seq[DeltaSource.AddFile] =
           rewrites.find { case (v, rm, _) => v > fromV && rm.contains(path) } match {

@@ -236,11 +236,15 @@ object StreamingCuration {
     require(bins >= 2, s"need at least 2 bins, got $bins")
     // reference model: interior quantile edges (deduped — heavy
     // point masses collapse edges) and smoothed per-bin shares
-    val rawEdges = reference
+    val edgeRow = reference
       .agg(percentile_approx(col(valueCol).cast("double"),
         array((1 until bins).map(i => lit(i.toDouble / bins)): _*),
         lit(10000)).as("es"))
-      .head().getSeq[Double](0).toSeq.distinct.sorted
+      .head()
+    require(!edgeRow.isNullAt(0),
+      s"reference distribution is empty (no non-null '$valueCol' rows) — " +
+        "fit the baseline before monitoring against it")
+    val rawEdges = edgeRow.getSeq[Double](0).toSeq.distinct.sorted
     // bin index = number of edges strictly below the value
     def binOf(c: Column): Column =
       rawEdges.foldLeft(lit(0)) { (acc, e) =>
@@ -254,12 +258,14 @@ object StreamingCuration {
     val refTotal = refCounts.valuesIterator.sum
     val refShare: Int => Double = b =>
       (refCounts.getOrElse(b, 0L) + 1.0) / (refTotal + nBins)
-    // per window: one row of conditional per-bin counts
+    // per window: one row of conditional per-bin counts — the bin
+    // projects ONCE per row (O(edges) comparisons), the conditional
+    // sums test the projected index (O(bins)), not O(bins·edges)
     val aggCols = count(lit(1)).as("n") +:
       (0 until nBins).map(b =>
-        sum(when(binOf(col(valueCol).cast("double")) === b, 1L)
-          .otherwise(0L)).as(s"__c$b"))
+        sum(when(col("__bin") === b, 1L).otherwise(0L)).as(s"__c$b"))
     val binned = stream
+      .withColumn("__bin", binOf(col(valueCol).cast("double")))
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowSize))
       .agg(aggCols.head, aggCols.tail: _*)
@@ -268,11 +274,14 @@ object StreamingCuration {
       val pr = lit(refShare(b))
       (po - pr) * log(po / pr)
     }.reduce(_ + _)
+    // alert tests the SAME rounded value the row emits, so the
+    // output can never contradict itself at the threshold
+    val psiR = round(psi, 6)
     binned.select(
       col("window.start").as("window_start"),
       col("window.end").as("window_end"),
       col("n"),
-      round(psi, 6).as("psi"),
-      (psi > lit(alertAt)).as("alert"))
+      psiR.as("psi"),
+      (psiR > lit(alertAt)).as("alert"))
   }
 }

@@ -160,6 +160,30 @@ class DeltaOpsSpec extends SparkSpec {
     assert(DeltaSource.readDelta(spark, tbl).count() == 6)
   }
 
+  test("cleanup reclaims aged stray parts of a crashed checkpoint attempt") {
+    val tbl = tmpTable()
+    DeltaSource.writeDelta(spark.range(0, 3).toDF("id"), tbl) // v0
+    DeltaSource.writeDelta(spark.range(3, 6).toDF("id"), tbl,
+      overwrite = false) // v1
+    DeltaSource.checkpoint(spark, tbl) // valid single-file cp at v1
+    val conf = spark.sparkContext.hadoopConfiguration
+    val logDir = new org.apache.hadoop.fs.Path(tbl, "_delta_log")
+    val fs = logDir.getFileSystem(conf)
+    // a crashed multi-part attempt left one part at v0 — logVersions
+    // refuses it as a seed, so without explicit reclamation it would
+    // survive every cleanup forever
+    val stray = new org.apache.hadoop.fs.Path(logDir,
+      f"${0L}%020d.checkpoint.0000000001.0000000003.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(logDir, f"${1L}%020d.checkpoint.parquet"),
+      fs, stray, false, conf)
+    val old = System.currentTimeMillis() - 60L * 24 * 3600 * 1000
+    fs.setTimes(stray, old, -1)
+    DeltaSource.cleanupExpiredLogs(spark, tbl, retainMs = 30L * 24 * 3600 * 1000)
+    assert(!fs.exists(stray), "aged torn-attempt garbage must be reclaimed")
+    assert(DeltaSource.readDelta(spark, tbl).count() == 6)
+  }
+
   test("exactly-once sink: a replayed batch commits once") {
     val t = tmpTable()
     val sink = DeltaSource.exactlyOnceBatchSink(t, "app1") _
