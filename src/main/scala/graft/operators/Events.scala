@@ -199,17 +199,40 @@ object Events {
     * sparse mode, so windows holding a handful of users see ±1-2
     * even at rsd=0.02, where a relative-only bound is vacuous.
     * Exact and sketch ride the same single shuffle. */
+  /** Distinct users per sliding window. The naive shape replicates
+    * every EVENT into its size/slide containing windows before the
+    * distinct agg; here the corpus first dedupes to (slide-slice,
+    * user) pairs — one shuffle of the RAW rows at slide granularity,
+    * map-side combinable — and only those already-deduped pairs
+    * replicate into the k overlapping windows. Same result (a user
+    * spanning two slices of one window dedupes again in the final
+    * per-window distinct; HLL estimates are duplicate-insensitive),
+    * but the expensive exchange carries |distinct slice-user| rows
+    * instead of k×|events|. Window starts follow Spark's epoch-
+    * aligned window() semantics: start = floor(ts/slide)·slide −
+    * j·slide for j < k. */
   def slidingDistinct(events: DataFrame, sizeMinutes: Int = 60,
-                      slideMinutes: Int = 15): DataFrame =
-    events
-      .groupBy(window(col("ts"), s"$sizeMinutes minutes", s"$slideMinutes minutes").as("w"))
+                      slideMinutes: Int = 15): DataFrame = {
+    require(sizeMinutes % slideMinutes == 0,
+      s"size ($sizeMinutes) must be a multiple of slide ($slideMinutes)")
+    val k = sizeMinutes / slideMinutes
+    val slideSec = slideMinutes * 60L
+    val slice = (floor(unix_timestamp(col("ts")) / slideSec) * slideSec)
+      .cast("long").as("slice")
+    val su = events.select(slice, col("user_id")).distinct()
+    su
+      .select(explode(sequence(lit(0L), lit(k - 1L))).as("j"),
+        col("slice"), col("user_id"))
+      .groupBy((col("slice") - col("j") * slideSec).as("ws"))
       .agg(countDistinct(col("user_id")).as("exact_users"),
         approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
-      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+      .select(date_format(timestamp_seconds(col("ws")), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"),
         col("exact_users"),
         (abs(col("approx_users") - col("exact_users")) <=
           col("exact_users") * 0.05 + 3).cast("long").as("approx_ok"))
       .orderBy(col("window_start"))
+  }
 
   /** Top event-type trigrams across user streams (path mining): two
     * lag windows per user, then one count aggregation over the path
