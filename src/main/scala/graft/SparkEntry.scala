@@ -982,7 +982,11 @@ object SparkEntry {
       Dedup.winnowingFingerprints(Tables.documents(s, d))),
     "dedup_fp_matches" -> ((s, d) =>
       Dedup.winnowingMatches(Tables.documents(s, d))),
-    "ev_stationary" -> ((s, d) => Events.stationaryStep(Tables.events(s, d)))
+    "ev_stationary" -> ((s, d) => Events.stationaryStep(Tables.events(s, d))),
+    "txt_unigram_train" -> ((s, d) =>
+      graft.operators.Unigram.unigramTrain(Tables.documents(s, d))),
+    "txt_unigram_segment" -> ((s, d) =>
+      graft.operators.Unigram.unigramSegmentStats(Tables.documents(s, d)))
   )
 
   // ════ DuckDB oracle SQL ════════════════════════════════════════════
@@ -1016,6 +1020,71 @@ object SparkEntry {
        |${dBpeRound(2)},
        |${dBpeRound(3)},
        |${dBpeRound(4)}""".stripMargin
+
+  /** One unigram-LM Viterbi pass as a recursive path-enumeration CTE
+    * (all segmentations into inventory pieces; the winner CTE picks
+    * min (cost, path) per word — exactly the engine's tie-break). */
+  private def dUniPaths(p: String, c: String): String =
+    s"""$p AS (
+       |  SELECT w, freq, CAST(0 AS BIGINT) AS pos,
+       |    CAST(0 AS DECIMAL(18,6)) AS cost, '' AS path FROM uwf
+       |  UNION ALL
+       |  SELECT p.w, p.freq, CAST(p.pos + length(c.piece) AS BIGINT) AS pos,
+       |    CAST(p.cost + c.pcost AS DECIMAL(18,6)) AS cost,
+       |    p.path || ' ' || c.piece AS path
+       |  FROM $p p JOIN $c c
+       |    ON c.piece = substr(p.w, CAST(p.pos + 1 AS INT), CAST(length(c.piece) AS INT))
+       |  WHERE p.pos + length(c.piece) <= length(p.w))""".stripMargin
+
+  private def dUniWinners(wn: String, p: String): String =
+    s"""$wn AS (SELECT w, freq, cost, ltrim(path) AS path FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY w ORDER BY cost, path) AS rn
+       |    FROM $p WHERE pos = length(w)) WHERE rn = 1)""".stripMargin
+
+  /** E-step counts + Laplace M-step (characters always kept). */
+  private def dUniMstep(k: String, kept: String, tv: String, cN: String,
+                        wn: String): String =
+    s"""$k AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+       |    SELECT freq, unnest(string_split(path, ' ')) AS piece FROM $wn) GROUP BY 1),
+       |$kept AS (SELECT u.piece, COALESCE(k.cnt, 0) AS cnt
+       |  FROM (SELECT piece FROM $k UNION SELECT piece FROM uchars) u
+       |  LEFT JOIN $k k ON u.piece = k.piece),
+       |$tv AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t, count(*) AS v FROM $kept),
+       |$cN AS (SELECT piece,
+       |    CAST(round(-ln(CAST(cnt + 1 AS DOUBLE) / (t + v)), 6) AS DECIMAL(18,6)) AS pcost
+       |  FROM $kept CROSS JOIN $tv)""".stripMargin
+
+  /** The two-iteration hard-EM unigram trainer chain shared by the
+    * txt_unigram_train / txt_unigram_segment oracles — seed inventory
+    * (substrings 1..4, minCount 100, characters always kept), then
+    * Viterbi E-step → Laplace M-step twice, replaying
+    * operators/Unigram.scala step for step. */
+  private lazy val dUnigramChain: String =
+    s"""WITH RECURSIVE uwf AS (SELECT w, count(*) AS freq
+       |  FROM (SELECT unnest(${dToks("lower(text)")}) AS w FROM documents)
+       |  WHERE regexp_matches(w, '^[a-z]+$$') AND length(w) <= 12 GROUP BY 1),
+       |upos AS (SELECT freq, w, CAST(unnest(range(1, length(w) + 1)) AS INT) AS i FROM uwf),
+       |uocc AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS occ FROM (
+       |    SELECT freq, substr(w, i, l.l) AS piece
+       |    FROM upos CROSS JOIN (SELECT CAST(unnest([1, 2, 3, 4]) AS INT) AS l) l
+       |    WHERE i + l.l - 1 <= length(w)) GROUP BY 1),
+       |useed AS (SELECT piece, occ FROM uocc WHERE length(piece) = 1 OR occ >= 100),
+       |uchars AS (SELECT piece FROM useed WHERE length(piece) = 1),
+       |utot AS (SELECT CAST(SUM(occ) AS BIGINT) AS t FROM useed),
+       |uc1 AS (SELECT piece,
+       |    CAST(round(-ln(CAST(occ AS DOUBLE) / t), 6) AS DECIMAL(18,6)) AS pcost
+       |  FROM useed CROSS JOIN utot),
+       |${dUniPaths("up1", "uc1")},
+       |${dUniWinners("uw1", "up1")},
+       |${dUniMstep("uk1", "ukept1", "utv1", "uc2", "uw1")},
+       |${dUniPaths("up2", "uc2")},
+       |${dUniWinners("uw2", "up2")},
+       |uk2 AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+       |    SELECT freq, unnest(string_split(path, ' ')) AS piece FROM uw2) GROUP BY 1),
+       |ukept2 AS (SELECT u.piece, COALESCE(k.cnt, 0) AS cnt
+       |  FROM (SELECT piece FROM uk2 UNION SELECT piece FROM uchars) u
+       |  LEFT JOIN uk2 k ON u.piece = k.piece),
+       |utv2 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t, count(*) AS v FROM ukept2)""".stripMargin
   private def dNorm(x: String) =
     s"trim(regexp_replace(lower(regexp_replace($x, '[^\\w\\d\\s.,!?;:\\-()]', ' ', 'g')), '\\s+', ' ', 'g'))"
   private def dShingles(tk: String) =
@@ -4790,6 +4859,27 @@ object SparkEntry {
         |k AS (SELECT count(DISTINCT prev_type) AS k FROM p)
         |SELECT event_type,
         |  CAST(SUM(CAST(round(p / k.k, 6) AS DECIMAL(18,6))) AS DOUBLE) AS pi1
-        |FROM p CROSS JOIN k GROUP BY 1 ORDER BY event_type""".stripMargin
+        |FROM p CROSS JOIN k GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // the unigram-LM tokenizer TRAINER (Kudo 2018, hard-EM variant):
+    // two Viterbi E-steps + Laplace M-steps replayed CTE-for-CTE; the
+    // shipped piece table is the top-40 multi-char pieces by final count
+    "txt_unigram_train" ->
+      s"""$dUnigramChain,
+         |fin AS (SELECT piece, cnt,
+         |    round(ln(CAST(cnt + 1 AS DOUBLE) / (t + v)), 4) AS logprob
+         |  FROM ukept2 CROSS JOIN utv2 WHERE length(piece) >= 2)
+         |SELECT piece, cnt AS n, logprob FROM fin
+         |ORDER BY n DESC, piece LIMIT 40""".stripMargin,
+    // what the trained model buys: pieces-per-word distribution under
+    // the final segmentation of the corpus vocabulary
+    "txt_unigram_segment" ->
+      s"""$dUnigramChain,
+         |seg AS (SELECT freq, length(w) AS wlen,
+         |    len(string_split(path, ' ')) AS n_pieces FROM uw2)
+         |SELECT CAST(n_pieces AS BIGINT) AS n_pieces, count(*) AS n_word_types,
+         |  CAST(SUM(freq) AS BIGINT) AS n_words,
+         |  CAST(SUM(freq * n_pieces) AS BIGINT) AS pieces_total,
+         |  round(CAST(SUM(freq * wlen) AS DOUBLE) / SUM(freq * n_pieces), 6) AS chars_per_piece
+         |FROM seg GROUP BY 1 ORDER BY n_pieces""".stripMargin
   )
 }
