@@ -95,6 +95,26 @@ object SparkEntry {
       }
       graft.sources.DeltaSource.readDelta(s, tmp).orderBy(col("doc_id"))
     }),
+    "pipe_delta_vacuum" -> ((s, d) => {
+      // the storage-reclaim lifecycle: DELETE (merge-on-read deletion
+      // vectors) → OPTIMIZE (the DV-applying rewrite strands the
+      // originals and their sidecars) → VACUUM below retention — the
+      // unreferenced files physically leave the store (require pins
+      // that something was actually reclaimed), and the post-vacuum
+      // scan must still serve exactly the surviving rows
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_deltavac_${math.abs(d.hashCode)}/zone"
+      graft.sources.ZoneCache.ensure(Tables.documents(s, d), tmp) {
+        graft.sources.DeltaSource.writeDelta(silverZone(s, d), tmp)
+        graft.sources.DeltaSource.deleteDelta(s, tmp, col("doc_id") % 5 === 0)
+        graft.sources.DeltaSource.optimizeDelta(s, tmp)
+        val removed = graft.sources.DeltaSource.vacuum(s, tmp, retainMs = -60000)
+        require(removed.nonEmpty, "vacuum must reclaim the pre-OPTIMIZE files")
+      }
+      graft.sources.DeltaSource.readDelta(s, tmp)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("content_length")).as("sum_len"))
+        .orderBy(col("source"))
+    }),
     "pipe_delta_cdf" -> ((s, d) => {
       // the Delta log as a change SOURCE: v0 lands the even half,
       // v1 appends the odd half; a consumer whose cursor is at 0
@@ -1495,6 +1515,13 @@ object SparkEntry {
     "pipe_delta_optimize" ->
       s"""$silverCte SELECT doc_id, source, content, length(content) AS content_length
          |FROM silver0 WHERE length(content) > 50 ORDER BY doc_id""".stripMargin,
+    // DELETE → OPTIMIZE → VACUUM must be value-invisible to the scan:
+    // exactly the non-deleted silver rows survive the reclaim
+    "pipe_delta_vacuum" ->
+      s"""$silverCte SELECT source, count(*) AS n_rows,
+         |  CAST(SUM(length(content)) AS BIGINT) AS sum_len
+         |FROM silver0 WHERE length(content) > 50 AND doc_id % 5 <> 0
+         |GROUP BY 1 ORDER BY source""".stripMargin,
     // a layout swap is value-invisible: the z-ordered table answers
     // the box predicate with the same rows silver holds
     "pipe_delta_zorder" ->

@@ -2,6 +2,7 @@ package graft
 
 import graft.sources.DeltaSource
 import java.nio.file.Files
+import org.apache.spark.sql.functions.col
 
 /** Delta operational commands: exactly-once streaming sink (txn
   * actions), VACUUM, and OPTIMIZE (dataChange=false compaction the
@@ -244,6 +245,27 @@ class DeltaOpsSpec extends SparkSpec {
     assert(after.subsetOf(before) && after.size < before.size)
     assert(DeltaSource.readDelta(spark, t).as[(Long, String)].collect().toSet ==
       Set((3L, "c")))
+  }
+
+  test("vacuum after DELETE + OPTIMIZE reclaims the stranded DV sidecars too") {
+    val t = tmpTable()
+    DeltaSource.writeDelta((1L to 40L).map(i => (i, s"s$i")).toDF("id", "s"), t)
+    DeltaSource.deleteDelta(spark, t, col("id") % 4 === 0) // merge-on-read DVs
+    def files(ext: String) = new java.io.File(t).listFiles
+      .filter(f => f.isFile && f.getName.endsWith(ext)).map(_.getName).toSet
+    assert(files(".bin").nonEmpty, "delete must have written a DV sidecar")
+    // while the DV is referenced by a live add, vacuum must keep it
+    val early = DeltaSource.vacuum(spark, t, retainMs = -60000)
+    assert(files(".bin").nonEmpty, s"referenced sidecar reclaimed: $early")
+    assert(DeltaSource.readDelta(spark, t).count() == 30)
+    // the purge rewrite materializes the deletes; sidecar + original
+    // data file are now unreferenced and vacuum takes both
+    DeltaSource.optimizeDelta(spark, t)
+    val removed = DeltaSource.vacuum(spark, t, retainMs = -60000)
+    assert(removed.nonEmpty && files(".bin").isEmpty,
+      s"stranded sidecar survived vacuum: ${files(".bin")}")
+    assert(DeltaSource.readDelta(spark, t).as[(Long, String)].collect().toSet ==
+      (1L to 40L).filter(_ % 4 != 0).map(i => (i, s"s$i")).toSet)
   }
 
   test("optimize compacts to fewer files, content-identical, invisible to the change feed") {
