@@ -1006,7 +1006,9 @@ object SparkEntry {
     "txt_unigram_train" -> ((s, d) =>
       graft.operators.Unigram.unigramTrain(Tables.documents(s, d))),
     "txt_unigram_segment" -> ((s, d) =>
-      graft.operators.Unigram.unigramSegmentStats(Tables.documents(s, d)))
+      graft.operators.Unigram.unigramSegmentStats(Tables.documents(s, d))),
+    "ev_sketch_quantiles" -> ((s, d) =>
+      Events.histQuantileSketch(Tables.events(s, d)))
   )
 
   // ════ DuckDB oracle SQL ════════════════════════════════════════════
@@ -4907,6 +4909,37 @@ object SparkEntry {
          |  CAST(SUM(freq) AS BIGINT) AS n_words,
          |  CAST(SUM(freq * n_pieces) AS BIGINT) AS pieces_total,
          |  round(CAST(SUM(freq * wlen) AS DOUBLE) / SUM(freq * n_pieces), 6) AS chars_per_piece
-         |FROM seg GROUP BY 1 ORDER BY n_pieces""".stripMargin
+         |FROM seg GROUP BY 1 ORDER BY n_pieces""".stripMargin,
+    // the mergeable per-day histogram sketch zone, merged corpus-wide
+    // and graded against the exact rank-selected quantile (values
+    // quantized to micro-units so both engines agree bit-for-bit)
+    "ev_sketch_quantiles" ->
+      """WITH uv AS (SELECT CAST(floor(value * 1000000) AS BIGINT) AS uv,
+        |    CAST(ts AS DATE) AS day
+        |  FROM events WHERE value IS NOT NULL),
+        |mm AS (SELECT min(uv) AS lo, max(uv) AS hi, count(*) AS n FROM uv),
+        |sk AS (SELECT day,
+        |    CAST(least(floor((uv - lo) / (CAST(hi - lo AS DOUBLE) / 256)), 255) AS BIGINT) AS bin,
+        |    count(*) AS cnt
+        |  FROM uv CROSS JOIN mm GROUP BY 1, 2),
+        |nd AS (SELECT count(DISTINCT day) AS n_days FROM sk),
+        |mg AS (SELECT bin, CAST(SUM(cnt) AS BIGINT) AS cnt FROM sk GROUP BY 1),
+        |cb AS (SELECT a.bin, a.cnt, COALESCE(CAST(SUM(b.cnt) AS BIGINT), 0) AS cumb
+        |  FROM mg a LEFT JOIN mg b ON b.bin < a.bin GROUP BY a.bin, a.cnt),
+        |o AS (SELECT uv, row_number() OVER (ORDER BY uv) AS r FROM uv),
+        |ks AS (SELECT q, CAST(greatest(1, ceil(q * n)) AS BIGINT) AS k
+        |  FROM (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q) CROSS JOIN mm),
+        |ex AS (SELECT k.q, k.k, o.uv AS exact_u FROM ks k JOIN o ON o.r = k.k)
+        |SELECT round(e.q, 2) AS q, e.k,
+        |  round((lo + (CAST(hi - lo AS DOUBLE) / 256) * c.bin
+        |    + (CAST(hi - lo AS DOUBLE) / 256) * (CAST(e.k - c.cumb - 1 AS DOUBLE) / c.cnt)) / 1000000, 6) AS est,
+        |  round(e.exact_u / 1000000, 6) AS exact,
+        |  round(abs(lo + (CAST(hi - lo AS DOUBLE) / 256) * c.bin
+        |    + (CAST(hi - lo AS DOUBLE) / 256) * (CAST(e.k - c.cumb - 1 AS DOUBLE) / c.cnt)
+        |    - e.exact_u) / 1000000, 6) AS abs_err,
+        |  nd.n_days AS n_days_merged
+        |FROM ex e JOIN cb c ON c.cumb < e.k AND c.cumb + c.cnt >= e.k
+        |CROSS JOIN mm CROSS JOIN nd
+        |ORDER BY q""".stripMargin
   )
 }

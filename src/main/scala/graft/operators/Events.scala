@@ -797,4 +797,60 @@ object Events {
           (se0 * se0 / (col("n0") - 1) + se1 * se1 / (col("n1") - 1)), 4)
           .as("welch_dof"))
   }
+
+  /** Mergeable quantile-sketch zone — THE 100 TB quantile shape: a
+    * sorted-selection quantile cannot be recomputed per ad-hoc date
+    * range, so the corpus pre-aggregates into per-day fixed-bin
+    * histograms (one partial-agg shuffle, O(days · bins) rows — the
+    * persisted sketch zone) and any range query MERGES the
+    * model-sized histograms without revisiting an event. This entry
+    * builds the per-day zone, merges it corpus-wide, interpolates
+    * q∈{0.5, 0.9, 0.99}, and grades each estimate against the EXACT
+    * rank-selected quantile (`Ranks.selectAtRank`, never a global
+    * sort) — emitting estimate, exact, and the error the sketch
+    * actually pays. Values are quantized to exact micro-units so
+    * rank selection and both engines agree bit-for-bit; the
+    * cumulative over 256 bins is a model-sized self-join, not a
+    * single-partition window. */
+  def histQuantileSketch(events: DataFrame, nBins: Int = 256,
+                         qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val uv = events.where(col("value").isNotNull)
+      .select(floor(col("value") * lit(1000000d)).cast("long").as("uv"),
+        to_date(col("ts")).as("day"))
+    val mm = uv.agg(min(col("uv")), max(col("uv")), count(lit(1))).collect()(0)
+    val (lo, hi, n) = (mm.getLong(0), mm.getLong(1), mm.getLong(2))
+    require(hi > lo, "degenerate value range")
+    val width = (hi - lo).toDouble / nBins
+    // the per-day sketch zone (what a real deployment persists)
+    val sketch = uv.groupBy(col("day"),
+        least(floor((col("uv") - lit(lo)) / lit(width)), lit(nBins - 1))
+          .cast("long").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val nDays = sketch.agg(countDistinct(col("day"))).collect()(0).getLong(0)
+    // merging sketches never touches events again
+    val merged = sketch.groupBy(col("bin")).agg(sum(col("cnt")).as("cnt"))
+    val cumB = merged.as("a").join(merged.as("b"), col("b.bin") < col("a.bin"), "left")
+      .groupBy(col("a.bin").as("bin"), col("a.cnt").as("cnt"))
+      .agg(coalesce(sum(col("b.cnt")), lit(0L)).as("cumb"))
+    // exact ground truth per rank, by iterative banded counting
+    val uvOnly = uv.select(col("uv"))
+    val ks = qs.map { q =>
+      val k = math.max(1L, math.ceil(q * n).toLong)
+      (q, k, Ranks.selectAtRank(uvOnly, "uv", k))
+    }.toDF("q", "k", "exact_u")
+    ks.join(cumB, col("cumb") < col("k") && col("cumb") + col("cnt") >= col("k"))
+      .select(round(col("q"), 2).as("q"), col("k"),
+        round((lit(lo) + lit(width) * col("bin") +
+          lit(width) * ((col("k") - col("cumb") - 1).cast("double") / col("cnt"))) /
+          lit(1000000), 6).as("est"),
+        round(col("exact_u") / lit(1000000), 6).as("exact"),
+        round(abs(lit(lo) + lit(width) * col("bin") +
+          lit(width) * ((col("k") - col("cumb") - 1).cast("double") / col("cnt")) -
+          col("exact_u")) / lit(1000000), 6).as("abs_err"),
+        lit(nDays).as("n_days_merged"))
+      .orderBy(col("q"))
+  }
 }

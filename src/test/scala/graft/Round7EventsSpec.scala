@@ -92,4 +92,27 @@ class Round7EventsSpec extends SparkSpec {
     val b = Events.windowedFunnel(ev.repartition(17)).collect().map(_.toString).toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  test("sketch quantiles: estimate within one bin width of exact, merge counted") {
+    val ev = Tables.events(spark, sf)
+    val rows = Events.histQuantileSketch(ev).collect()
+    assert(rows.map(_.getAs[Double]("q")).toSeq == Seq(0.5, 0.9, 0.99))
+    // interpolation error is bounded by one bin width of the value range
+    val vals = ev.agg(
+      org.apache.spark.sql.functions.min("value"),
+      org.apache.spark.sql.functions.max("value")).collect()(0)
+    val binWidth = (vals.getDouble(1) - vals.getDouble(0)) / 256
+    rows.foreach { r =>
+      assert(r.getAs[Double]("abs_err") <= binWidth + 1e-6,
+        s"estimate off by more than a bin: $r (bin width $binWidth)")
+      assert(r.getAs[Long]("n_days_merged") > 1, "sketch zone must span days")
+    }
+  }
+
+  test("sketch quantiles are partition-invariant") {
+    val ev = Tables.events(spark, sf)
+    val a = Events.histQuantileSketch(ev).collect().map(_.toString).toSeq
+    val b = Events.histQuantileSketch(ev.repartition(17)).collect().map(_.toString).toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }
