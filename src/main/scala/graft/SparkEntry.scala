@@ -1008,7 +1008,9 @@ object SparkEntry {
     "txt_unigram_segment" -> ((s, d) =>
       graft.operators.Unigram.unigramSegmentStats(Tables.documents(s, d))),
     "ev_sketch_quantiles" -> ((s, d) =>
-      Events.histQuantileSketch(Tables.events(s, d)))
+      Events.histQuantileSketch(Tables.events(s, d))),
+    "samp_doremi" -> ((s, d) =>
+      graft.operators.TrainingMix.doremiWeights(Tables.documents(s, d)))
   )
 
   // ════ DuckDB oracle SQL ════════════════════════════════════════════
@@ -4940,6 +4942,31 @@ object SparkEntry {
         |  nd.n_days AS n_days_merged
         |FROM ex e JOIN cb c ON c.cumb < e.k AND c.cumb + c.cnt >= e.k
         |CROSS JOIN mm CROSS JOIN nd
-        |ORDER BY q""".stripMargin
+        |ORDER BY q""".stripMargin,
+    // DoReMi-style one-shot reweighting: per-domain KL vs the corpus
+    // mixture (8dp terms, exact decimal sums), one EG step off the
+    // token-share prior, 8dp decimal numerators before the normalizer
+    "samp_doremi" ->
+      s"""WITH tk AS (SELECT source, unnest(${dToks("lower(text)")}) AS w
+         |  FROM documents WHERE text IS NOT NULL),
+         |cnt AS (SELECT source, w, count(*) AS c FROM tk GROUP BY 1, 2),
+         |pd AS (SELECT source, CAST(SUM(c) AS BIGINT) AS nd FROM cnt GROUP BY 1),
+         |pw AS (SELECT w, CAST(SUM(c) AS BIGINT) AS cw FROM cnt GROUP BY 1),
+         |tt AS (SELECT CAST(SUM(nd) AS BIGINT) AS n FROM pd),
+         |terms AS (SELECT c.source, p.nd,
+         |    round((CAST(c.c AS DOUBLE) / p.nd) *
+         |      ln((CAST(c.c AS DOUBLE) / p.nd) / (CAST(w.cw AS DOUBLE) / t.n)), 8) AS t8
+         |  FROM cnt c JOIN pw w ON c.w = w.w JOIN pd p ON c.source = p.source
+         |  CROSS JOIN tt t),
+         |kl AS (SELECT source, nd, SUM(CAST(t8 AS DECIMAL(18,8))) AS klsum
+         |  FROM terms GROUP BY 1, 2),
+         |raw AS (SELECT source, nd AS n_tokens, CAST(klsum AS DOUBLE) AS klv,
+         |    CAST(round((CAST(nd AS DOUBLE) / t.n) *
+         |      exp(1.0 * CAST(klsum AS DOUBLE)), 8) AS DECIMAL(18,8)) AS raw8
+         |  FROM kl CROSS JOIN tt t),
+         |z AS (SELECT SUM(raw8) AS z FROM raw)
+         |SELECT source, n_tokens, round(klv, 6) AS kl,
+         |  round(CAST(raw8 AS DOUBLE) / CAST(z.z AS DOUBLE), 6) AS weight
+         |FROM raw CROSS JOIN z ORDER BY source""".stripMargin
   )
 }

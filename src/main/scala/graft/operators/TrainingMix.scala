@@ -120,6 +120,54 @@ object TrainingMix {
     * rank is exact and global yet no global window runs: phase and an
     * md5 hex prefix form the order-preserving band for the two-phase
     * banded rank ([[Ranks.withGlobalRank]]). */
+  /** DoReMi-style domain reweighting (Xie et al., NeurIPS 2023) —
+    * the deterministic one-shot analogue of the proxy-model loop:
+    * each domain's "excess loss" is the EXACT KL divergence between
+    * its unigram distribution and the corpus mixture (what a unigram
+    * reference model would measure), and one exponentiated-gradient
+    * step lifts the token-share prior by exp(η·KL) — domains far
+    * from the average mix get upweighted, near-duplicate domains
+    * collapse toward their share.
+    *
+    * Scale shape: one (source, word) count shuffle — the standard
+    * O(domains · vocab) model table; the corpus-marginal join runs
+    * vocab-keyed (NOT broadcast — the vocabulary is not model-sized
+    * at 100 TB), while the per-domain totals and the normalizer are.
+    * KL terms are 8dp-rounded then DECIMAL-summed (products only, no
+    * FMA shapes), the EG numerators 8dp DECIMAL before the exact
+    * normalizing sum, so weights are bit-stable on any partitioning
+    * and both engines. */
+  def doremiWeights(docs: DataFrame, eta: Double = 1.0,
+                    contentCol: String = "text"): DataFrame = {
+    val cnt = docs.where(col(contentCol).isNotNull)
+      .select(col("source"), explode(tokens(lower(col(contentCol)))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    val perDom = cnt.groupBy(col("source")).agg(sum(col("c")).as("nd"))
+    val perWord = cnt.groupBy(col("w")).agg(sum(col("c")).as("cw"))
+    val tot = perDom.agg(sum(col("nd")).as("n"))
+    val terms = cnt.join(perWord, Seq("w"))
+      .join(broadcast(perDom), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("nd"),
+        round((col("c").cast("double") / col("nd")) *
+          log((col("c").cast("double") / col("nd")) /
+            (col("cw").cast("double") / col("n"))), 8).as("t8"))
+    val kl = terms.groupBy(col("source"), col("nd"))
+      .agg(sum(col("t8").cast("decimal(18,8)")).as("klSum"))
+    val raw = kl.crossJoin(broadcast(tot))
+      .select(col("source"), col("nd").as("n_tokens"),
+        col("klSum").cast("double").as("klv"),
+        round((col("nd").cast("double") / col("n")) *
+          exp(lit(eta) * col("klSum").cast("double")), 8)
+          .cast("decimal(18,8)").as("raw8"))
+    val z = raw.agg(sum(col("raw8")).as("z"))
+    raw.crossJoin(broadcast(z))
+      .select(col("source"), col("n_tokens"),
+        round(col("klv"), 6).as("kl"),
+        round(col("raw8").cast("double") / col("z").cast("double"), 6).as("weight"))
+      .orderBy(col("source"))
+  }
+
   def curriculum(docs: DataFrame, easyMax: Int = 250, midMax: Int = 450): DataFrame = {
     val base = docs.where(col("text").isNotNull)
       .select(col("doc_id"),

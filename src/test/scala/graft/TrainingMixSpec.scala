@@ -52,4 +52,29 @@ class TrainingMixSpec extends SparkSpec {
     val b = TrainingMix.curriculum(docs.repartition(13))
     assert(a.collect().map(_.toString).toSeq == b.collect().map(_.toString).toSeq)
   }
+
+  test("doremi: in-mixture domains keep their share, divergent domains gain") {
+    // a and b share one vocabulary (≈ the corpus mixture → KL ≈ 0);
+    // c is disjoint (large KL) with the same token mass as b
+    val rows =
+      Seq.fill(40)(("a", "x y z")) ++ Seq.fill(20)(("b", "x y z")) ++
+        Seq.fill(20)(("c", "q r s"))
+    val d = rows.toDF("source", "text")
+    val out = TrainingMix.doremiWeights(d).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Double]("kl"), r.getAs[Double]("weight"))).toMap
+    assert(out("a")._1 < out("c")._1 && out("b")._1 < out("c")._1,
+      s"disjoint domain must have the largest KL: $out")
+    // EG lifts c above its 25% token share; b must fall below its 25%
+    assert(out("c")._2 > 0.25 && out("b")._2 < 0.25, s"$out")
+    // weights normalize
+    val sumW = out.values.map(_._2).sum
+    assert(math.abs(sumW - 1.0) < 1e-4, s"weights must sum to 1: $sumW")
+  }
+
+  test("doremi weights are partition-invariant") {
+    val a = TrainingMix.doremiWeights(docs).collect().map(_.toString).toSeq
+    val b = TrainingMix.doremiWeights(docs.repartition(13)).collect().map(_.toString).toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }
