@@ -1010,7 +1010,9 @@ object SparkEntry {
     "ev_sketch_quantiles" -> ((s, d) =>
       Events.histQuantileSketch(Tables.events(s, d))),
     "samp_doremi" -> ((s, d) =>
-      graft.operators.TrainingMix.doremiWeights(Tables.documents(s, d)))
+      graft.operators.TrainingMix.doremiWeights(Tables.documents(s, d))),
+    "ev_bursts" -> ((s, d) =>
+      Events.kleinbergBursts(Tables.events(s, d)))
   )
 
   // ════ DuckDB oracle SQL ════════════════════════════════════════════
@@ -4967,6 +4969,46 @@ object SparkEntry {
          |z AS (SELECT SUM(raw8) AS z FROM raw)
          |SELECT source, n_tokens, round(klv, 6) AS kl,
          |  round(CAST(raw8 AS DOUBLE) / CAST(z.z AS DOUBLE), 6) AS weight
-         |FROM raw CROSS JOIN z ORDER BY source""".stripMargin
+         |FROM raw CROSS JOIN z ORDER BY source""".stripMargin,
+    // Kleinberg's two-state burst automaton over the hourly purchase
+    // series: the Viterbi DP replayed as a recursive CTE carrying
+    // both 6dp-DECIMAL state accumulators and their argmin paths
+    "ev_bursts" ->
+      """WITH RECURSIVE hrs AS (
+        |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
+        |    count(*) AS n,
+        |    count(CASE WHEN event_type = 'purchase' THEN 1 END) AS r
+        |  FROM events GROUP BY 1),
+        |idx AS (SELECT h, n, r, row_number() OVER (ORDER BY h) AS t FROM hrs),
+        |mm AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(r) AS BIGINT) AS rr,
+        |    count(*) AS tt FROM hrs),
+        |pp AS (SELECT CAST(rr AS DOUBLE) / nn AS p0,
+        |    least(1.75 * (CAST(rr AS DOUBLE) / nn), 0.999999) AS p1,
+        |    CAST(round(0.6 * ln(tt), 6) AS DECIMAL(18,6)) AS trans FROM mm),
+        |em AS (SELECT t, h, n, r,
+        |    CAST(round(-(r * ln(p0) + (n - r) * ln(1 - p0)), 6) AS DECIMAL(18,6)) AS e0,
+        |    CAST(round(-(r * ln(p1) + (n - r) * ln(1 - p1)), 6) AS DECIMAL(18,6)) AS e1
+        |  FROM idx CROSS JOIN pp),
+        |dp AS (
+        |  SELECT t, CAST(e0 AS DECIMAL(28,6)) AS c0,
+        |    CAST(trans + e1 AS DECIMAL(28,6)) AS c1,
+        |    '0' AS p0s, '1' AS p1s
+        |  FROM em CROSS JOIN pp WHERE t = 1
+        |  UNION ALL
+        |  SELECT e.t,
+        |    CAST(least(d.c0, d.c1) + e.e0 AS DECIMAL(28,6)),
+        |    CAST(least(d.c1, d.c0 + pp.trans) + e.e1 AS DECIMAL(28,6)),
+        |    CASE WHEN d.c0 <= d.c1 THEN d.p0s ELSE d.p1s END || '0',
+        |    CASE WHEN d.c1 <= d.c0 + pp.trans THEN d.p1s ELSE d.p0s END || '1'
+        |  FROM dp d JOIN em e ON e.t = d.t + 1 CROSS JOIN pp),
+        |fin AS (SELECT CASE WHEN c0 <= c1 THEN p0s ELSE p1s END AS path
+        |  FROM dp CROSS JOIN mm WHERE t = tt),
+        |st AS (SELECT i.t, i.h, e.e0 - e.e1 AS w
+        |  FROM idx i JOIN em e ON e.t = i.t CROSS JOIN fin
+        |  WHERE substr(fin.path, CAST(i.t AS INT), 1) = '1'),
+        |grp AS (SELECT t, h, w, t - row_number() OVER (ORDER BY t) AS g FROM st)
+        |SELECT min(h) AS burst_start, max(h) AS burst_end,
+        |  count(*) AS n_hours, CAST(SUM(w) AS DOUBLE) AS weight
+        |FROM grp GROUP BY g ORDER BY burst_start""".stripMargin
   )
 }

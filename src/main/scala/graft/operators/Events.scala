@@ -798,6 +798,78 @@ object Events {
           .as("welch_dof"))
   }
 
+  /** Kleinberg burst detection (Kleinberg, KDD 2002 — the batched
+    * two-state automaton): which hours does the target event type
+    * arrive at a BURST rate rather than its base rate? State 0 emits
+    * the hourly (r, n) pair at the corpus rate p0 = R/N, state 1 at
+    * p1 = s·p0; entering the burst state costs γ·ln T, leaving is
+    * free, and the minimum-cost state sequence is the burst
+    * annotation. Emitted intervals carry the standard burst weight
+    * Σ(cost0 − cost1).
+    *
+    * Scale shape: the corpus reduces to the HOURLY (n, r) series in
+    * one partial-agg shuffle — O(hours) rows, a model-sized table at
+    * ANY corpus size (a month is 720 rows whether the table is 60 k
+    * events or 100 TB) — and the inherently sequential Viterbi runs
+    * over that model (the [[Ranks]] band-table shape). Costs are
+    * 6-dp DECIMAL with "stay on tie" break rules, so the DuckDB
+    * oracle replays the DP exactly as a recursive CTE carrying both
+    * state accumulators and their argmin paths. */
+  def kleinbergBursts(events: DataFrame, targetType: String = "purchase",
+                      s: Double = 1.75, gamma: Double = 0.6): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import java.math.{BigDecimal => BD, RoundingMode}
+    val hourly = events.groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("h"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("event_type") === targetType, 1)).as("r"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val nn = hourly.map(_._2).sum
+    val rr = hourly.map(_._3).sum
+    val p0 = rr.toDouble / nn
+    val p1 = math.min(s * p0, 0.999999)
+    def d6(x: Double) = new BD(x).setScale(6, RoundingMode.HALF_UP)
+    val trans = d6(gamma * math.log(hourly.length.toDouble))
+    def emit(r: Long, n: Long, p: Double): BD =
+      d6(-(r * math.log(p) + (n - r) * math.log(1 - p)))
+    var c0 = emit(hourly(0)._3, hourly(0)._2, p0)
+    var c1 = trans.add(emit(hourly(0)._3, hourly(0)._2, p1))
+    var path0 = "0"
+    var path1 = "1"
+    for (i <- 1 until hourly.length) {
+      val (_, n, r) = hourly(i)
+      val e0 = emit(r, n, p0)
+      val e1 = emit(r, n, p1)
+      val c0t = c0.add(trans)
+      val stay0 = c0.compareTo(c1) <= 0
+      val stay1 = c1.compareTo(c0t) <= 0
+      val (nc0, np0) = ((if (stay0) c0 else c1).add(e0),
+        (if (stay0) path0 else path1) + "0")
+      val (nc1, np1) = ((if (stay1) c1 else c0t).add(e1),
+        (if (stay1) path1 else path0) + "1")
+      c0 = nc0; c1 = nc1; path0 = np0; path1 = np1
+    }
+    val best = if (c0.compareTo(c1) <= 0) path0 else path1
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, Double)]
+    var i = 0
+    while (i < best.length) {
+      if (best(i) == '1') {
+        var j = i
+        while (j + 1 < best.length && best(j + 1) == '1') j += 1
+        val w = (i to j).map { t =>
+          emit(hourly(t)._3, hourly(t)._2, p0)
+            .subtract(emit(hourly(t)._3, hourly(t)._2, p1))
+        }.reduce(_.add(_))
+        out += ((hourly(i)._1, hourly(j)._1, (j - i + 1).toLong, w.doubleValue))
+        i = j + 1
+      } else i += 1
+    }
+    out.toSeq.toDF("burst_start", "burst_end", "n_hours", "weight")
+      .orderBy(col("burst_start"))
+  }
+
   /** Mergeable quantile-sketch zone — THE 100 TB quantile shape: a
     * sorted-selection quantile cannot be recomputed per ad-hoc date
     * range, so the corpus pre-aggregates into per-day fixed-bin

@@ -109,6 +109,33 @@ class Round7EventsSpec extends SparkSpec {
     }
   }
 
+  test("kleinberg bursts: an injected high-rate stretch becomes one interval") {
+    // 48 hours at the base rate (2 purchases / 10 events), except
+    // hours 20..25 burst at 8/10 — far past p1 = 1.75·p0
+    val ev = (0 until 48).flatMap { h =>
+      val nP = if (h >= 20 && h <= 25) 8 else 2
+      (0 until 10).map { i =>
+        (h.toLong * 100 + i, ts(f"2024-03-01 00:00:00")
+          .toLocalDateTime.plusHours(h).plusMinutes(i),
+          i.toLong, if (i < nP) "purchase" else "view")
+      }
+    }.map { case (id, t, u, et) => (id, java.sql.Timestamp.valueOf(t), u, et) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = Events.kleinbergBursts(ev).collect()
+    assert(out.length == 1, s"expected one burst: ${out.toSeq}")
+    assert(out(0).getAs[String]("burst_start") == "2024-03-01 20:00:00" &&
+      out(0).getAs[String]("burst_end") == "2024-03-02 01:00:00" &&
+      out(0).getAs[Long]("n_hours") == 6L, s"${out(0)}")
+    assert(out(0).getAs[Double]("weight") > 0)
+  }
+
+  test("kleinberg bursts are partition-invariant") {
+    val ev = Tables.events(spark, sf)
+    val a = Events.kleinbergBursts(ev).collect().map(_.toString).toSeq
+    val b = Events.kleinbergBursts(ev.repartition(17)).collect().map(_.toString).toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("sketch quantiles are partition-invariant") {
     val ev = Tables.events(spark, sf)
     val a = Events.histQuantileSketch(ev).collect().map(_.toString).toSeq
