@@ -115,6 +115,65 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"), sum(col("content_length")).as("sum_len"))
         .orderBy(col("source"))
     }),
+    "pipe_delta_replacewhere" -> ((s, d) => {
+      // atomic partition overwrite (replaceWhere): silver lands
+      // partitioned by source, then ONE source's slice is replaced
+      // by its curated subset in a single commit — victims chosen by
+      // partition METADATA (no data files opened to find them), the
+      // batch validated against the predicate; the read-back shows
+      // the replaced slice next to untouched partitions
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_deltarw_${math.abs(d.hashCode)}/zone"
+      graft.sources.ZoneCache.ensure(Tables.documents(s, d), tmp) {
+        val zone = silverZone(s, d)
+        graft.sources.DeltaSource.writeDelta(zone, tmp, partitionBy = Seq("source"))
+        graft.sources.DeltaSource.writeDeltaReplaceWhere(
+          zone.where(col("source") === "src3" && col("content_length") > 200), tmp,
+          col("source") === "src3")
+      }
+      graft.sources.DeltaSource.readDelta(s, tmp)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("content_length")).as("sum_len"))
+        .orderBy(col("source"))
+    }),
+    "pipe_delta_update" -> ((s, d) => {
+      // merge-on-read UPDATE: one DML call retags every short src2
+      // doc and bumps its length counter — matched rows are marked
+      // via deletion vectors (no file rewritten, write cost
+      // O(matched)), post-images appended in the same commit; the
+      // read-back aggregates prove exactly the matched slice moved
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_deltaupd_${math.abs(d.hashCode)}/zone"
+      graft.sources.ZoneCache.ensure(Tables.documents(s, d), tmp) {
+        graft.sources.DeltaSource.writeDelta(
+          silverZone(s, d).repartition(4, col("doc_id")), tmp)
+        graft.sources.DeltaSource.updateDelta(s, tmp,
+          col("source") === "src2" && col("content_length") < 300,
+          Map("source" -> lit("src2_fixed"),
+            "content_length" -> (col("content_length") + 100000)))
+      }
+      graft.sources.DeltaSource.readDelta(s, tmp)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("content_length")).as("sum_len"))
+        .orderBy(col("source"))
+    }),
+    "pipe_delta_evolve" -> ((s, d) => {
+      // schema evolution on append (mergeSchema): v0 lands the even
+      // half under the base schema, v1 appends the odd half carrying
+      // a NEW lang_hint column — the table widens in place (one
+      // metaData action, no file rewritten) and v0's files read the
+      // new column as null through the scan's missing-column path
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_deltaevo_${math.abs(d.hashCode)}/zone"
+      graft.sources.ZoneCache.ensure(Tables.documents(s, d), tmp) {
+        val zone = silverZone(s, d)
+        graft.sources.DeltaSource.writeDelta(zone.where(col("doc_id") % 2 === 0), tmp)
+        graft.sources.DeltaSource.writeDelta(
+          zone.where(col("doc_id") % 2 === 1)
+            .withColumn("lang_hint", substring(col("content"), 1, 1)),
+          tmp, overwrite = false, mergeSchema = true)
+      }
+      graft.sources.DeltaSource.readDelta(s, tmp)
+        .select(col("doc_id"), col("source"), col("content_length"), col("lang_hint"))
+        .orderBy(col("doc_id"))
+    }),
     "pipe_delta_cdf" -> ((s, d) => {
       // the Delta log as a change SOURCE: v0 lands the even half,
       // v1 appends the odd half; a consumer whose cursor is at 0
@@ -1521,6 +1580,32 @@ object SparkEntry {
     "pipe_delta_optimize" ->
       s"""$silverCte SELECT doc_id, source, content, length(content) AS content_length
          |FROM silver0 WHERE length(content) > 50 ORDER BY doc_id""".stripMargin,
+    // replaceWhere: src3's slice is its curated subset, every other
+    // partition untouched
+    "pipe_delta_replacewhere" ->
+      s"""$silverCte SELECT source, count(*) AS n_rows,
+         |  CAST(SUM(length(content)) AS BIGINT) AS sum_len
+         |FROM silver0 WHERE length(content) > 50
+         |  AND (source <> 'src3' OR length(content) > 200)
+         |GROUP BY 1 ORDER BY source""".stripMargin,
+    // mergeSchema append: odd docs carry the new column, the even
+    // half (written before the schema widened) reads it as NULL
+    "pipe_delta_evolve" ->
+      s"""$silverCte SELECT doc_id, source, length(content) AS content_length,
+         |  CASE WHEN doc_id % 2 = 1 THEN substr(content, 1, 1) END AS lang_hint
+         |FROM silver0 WHERE length(content) > 50 ORDER BY doc_id""".stripMargin,
+    // UPDATE retagged the short src2 docs and bumped their lengths;
+    // every other row is untouched
+    "pipe_delta_update" ->
+      s"""$silverCte SELECT
+         |  CASE WHEN source = 'src2' AND length(content) < 300
+         |       THEN 'src2_fixed' ELSE source END AS source,
+         |  count(*) AS n_rows,
+         |  CAST(SUM(CASE WHEN source = 'src2' AND length(content) < 300
+         |       THEN length(content) + 100000 ELSE length(content) END)
+         |       AS BIGINT) AS sum_len
+         |FROM silver0 WHERE length(content) > 50
+         |GROUP BY 1 ORDER BY source""".stripMargin,
     // DELETE → OPTIMIZE → VACUUM must be value-invisible to the scan:
     // exactly the non-deleted silver rows survive the reclaim
     "pipe_delta_vacuum" ->

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.execution.datasources.HadoopFsRelation
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -2633,11 +2633,59 @@ object DeltaSource {
       .select((snap.schema.map(f => col(f.name)) ++
         Seq(col("__graft_dv_file"), col("__graft_dv_ri"))).toIndexedSeq: _*)
       .localCheckpoint(true)
-    // Per-file fresh bitmaps built DISTRIBUTED — rows shuffle once on
-    // their file key and stream into a roaring bitmap per file; only
-    // the COMPRESSED bitmap bytes reach the driver (O(files ×
-    // compressed bits), never raw row pairs).
+    val now = System.currentTimeMillis()
+    val staged = stageDvRemoval(spark, tablePath, fs, snap, matchedRows, now)
+    if (staged.isEmpty) return snap.version
+    val (removeLines, addLines, anyKept) = staged.get
+    // the first DV descriptor gates the protocol up to (3,7) with the
+    // deletionVectors feature IN THE SAME COMMIT — an external reader
+    // that would ignore DVs (and resurrect rows) must refuse instead
+    // CDF: the deleted rows themselves, full values, read back from
+    // the SAME pinned row set the vectors came from
+    val cdcAdds: Seq[(String, Map[String, String], Long)] =
+      if (!cdfEnabled(snap.configuration)) Nil
+      else stageCdcFiles(
+        matchedRows
+          .select(snap.schema.map(f => col(f.name)).toIndexedSeq: _*)
+          .withColumn("_change_type", lit("delete")),
+        table, fs, snap.schema, snap.partitionColumns)
+    val protoLines = {
+      val dvProto =
+        if (!anyKept) snap.protocol
+        else protocolWith(snap.protocol, "deletionVectors", _ => false,
+          snap.schema, snap.configuration)
+      val proto = writerGate(dvProto, cdcAdds.nonEmpty, 4, "changeDataFeed")
+      if (proto == snap.protocol) Nil else Seq(protocolLine(proto))
+    }
+    val cdcLines = cdcAdds.map { case (rel, pv, sz) => cdcLine(rel, pv, sz) }
+    val committed = commitWithRetry(spark, fs, tablePath, snap.version + 1,
+      protoLines ++ removeLines ++ addLines ++ cdcLines,
+      pureAppend = false, commitStore,
+      ictKnown = Some(snap.configuration.get("delta.enableInCommitTimestamps").contains("true")))
+    maybeAutoCheckpoint(spark, tablePath, committed, snap.configuration)
+    committed
+  }
+
+  /** Stage the merge-on-read removal of `matchedRows` (rows carrying
+    * `__graft_dv_file`/`__graft_dv_ri` scan identity): per-file fresh
+    * bitmaps are built DISTRIBUTED — the matched rows shuffle ONCE on
+    * their file key and stream into a roaring bitmap per file, so
+    * only the COMPRESSED bitmap bytes reach the driver (O(files ×
+    * compressed bits), never raw row pairs). Each fresh bitmap unions
+    * with its file's existing vector (the re-add's descriptor
+    * replaces the old one wholesale); a file whose EVERY live row
+    * matched (proven by stats numRecords) is dropped outright; the
+    * kept files' bitmaps pack into ONE spec-format .bin sidecar
+    * (immutable; superseded sidecars become VACUUM garbage). Returns
+    * None when no row matched, else (removeLines, dv-re-add lines,
+    * anyKept) where anyKept=true means the commit must carry the
+    * deletionVectors protocol gate. Shared by DELETE and UPDATE —
+    * both mark old rows through vectors instead of rewriting files. */
+  private def stageDvRemoval(spark: SparkSession, tablePath: String, fs: FileSystem,
+                             snap: Snapshot, matchedRows: DataFrame, now: Long)
+      : Option[(Seq[String], Seq[String], Boolean)] = {
     import spark.implicits._
+    val table = new Path(tablePath)
     val fresh: Map[String, Array[Byte]] = matchedRows
       .select(col("__graft_dv_file").as("f"), col("__graft_dv_ri").as("ri"))
       .repartition(col("f")).sortWithinPartitions("f", "ri")
@@ -2657,11 +2705,9 @@ object DeltaSource {
         if (cur != null) out += cur -> DeletionVectors.serializeBitmap(bm)
         out.iterator
       }.collect().toMap
-    if (fresh.isEmpty) return snap.version
+    if (fresh.isEmpty) return None
     def nameOf(a: AddFile): String = dataPath(tablePath, a.path).getName
     val affected = snap.files.filter(a => fresh.contains(nameOf(a)))
-    // union each file's fresh bitmap with its existing vector — the
-    // descriptor on the re-add replaces the old one wholesale
     val merged: Map[String, Roaring64NavigableMap] = affected.map { a =>
       val bm = DeletionVectors.deserializeBitmap(fresh(nameOf(a)))
       a.dv.foreach { d =>
@@ -2676,9 +2722,6 @@ object DeltaSource {
       parseStats(a.stats).flatMap(_.numRecords).contains(newCard(nameOf(a)))
     }.map(nameOf).toSet
     val kept = affected.filterNot(a => dropped(nameOf(a)))
-    // pack the kept files' bitmaps into ONE spec-format .bin sidecar
-    // for the commit (immutable; older sidecars become VACUUM
-    // garbage once superseded)
     val keptDescs: Map[String, DvDesc] =
       if (kept.isEmpty) Map.empty
       else {
@@ -2691,7 +2734,6 @@ object DeltaSource {
             Some(off), blob.length, newCard(nameOf(a)))
         }.toMap
       }
-    val now = System.currentTimeMillis()
     // removes precede the same-path re-adds in the commit: replay
     // folds actions in line order, newest-per-path wins within a
     // version, so the re-add (with its DV) survives
@@ -2701,27 +2743,226 @@ object DeltaSource {
       val sz = a.size.getOrElse(fs.getFileStatus(dataPath(tablePath, a.path)).getLen)
       reAddLine(a, sz, now, dataChange = true, Some(keptDescs(nameOf(a))))
     }
-    // the first DV descriptor gates the protocol up to (3,7) with the
-    // deletionVectors feature IN THE SAME COMMIT — an external reader
-    // that would ignore DVs (and resurrect rows) must refuse instead
-    // CDF: the deleted rows themselves, full values, read back from
-    // the SAME pinned row set the vectors came from
+    Some((removeLines, addLines, kept.nonEmpty))
+  }
+
+  /** Merge-on-read UPDATE via deletion vectors: rows matching
+    * `condition` are marked deleted IN PLACE (a vector on their
+    * files, never a rewrite) and their updated images are appended
+    * as new files — write cost O(matched rows), not O(touched files'
+    * bytes), the same merge-on-read economics as [[deleteDelta]] and
+    * exactly Delta's UPDATE-with-DV path. `set` maps column name →
+    * new-value expression evaluated over the OLD row (so
+    * `"v" -> col("v") + 1` increments). Rules: identity columns are
+    * GENERATED ALWAYS — they keep their values and may not be SET;
+    * generated columns may not be SET (they RECOMPUTE from their
+    * stored expressions over the post-image); partition columns MAY
+    * be SET (rows move partitions — their post-images simply stage
+    * under the new values); NOT NULL / CHECK constraints are
+    * enforced on the post-image (refused ⇒ nothing committed). The
+    * condition is evaluated exactly ONCE (pinned row set feeds the
+    * vectors, the post-image, AND the change feed, so a
+    * non-deterministic condition stays self-consistent). With CDF
+    * enabled the commit stages update_preimage/update_postimage
+    * rows. One commit; no matches → no-op, no commit. Returns the
+    * committed (or current) version. */
+  def updateDelta(spark: SparkSession, tablePath: String, condition: Column,
+                  set: Map[String, Column],
+                  commitStore: CommitStore = CreateExclusiveCommitStore): Long = {
+    require(set.nonEmpty, "UPDATE needs at least one SET column")
+    val snap = snapshot(spark, tablePath, None)
+    refuseIfAppendOnly(snap.configuration, "UPDATE", removesData = true)
+    if (snap.files.isEmpty) return snap.version
+    val genExprs = generationExpressions(snap.schema)
+    val idNames = identityFields(snap.schema).map(_.name).toSet
+    set.keys.foreach { k =>
+      require(snap.schema.exists(_.name == k),
+        s"SET column $k not in table schema ${snap.schema.fieldNames.toSeq}")
+      require(!idNames(k), s"cannot SET identity column $k (GENERATED ALWAYS)")
+      require(!genExprs.contains(k),
+        s"cannot SET generated column $k (it recomputes from its stored expression)")
+    }
+    // a generated column recomputes under the timezone it was
+    // declared in — same guard as writeDelta's fill path
+    snap.schema
+      .filter(f => f.metadata.contains(GenExprKey) && f.metadata.contains(GenTzKey))
+      .foreach { f =>
+        val declared = f.metadata.getString(GenTzKey)
+        val session = spark.sessionState.conf.sessionLocalTimeZone
+        require(declared == session,
+          s"generated column ${f.name} was declared under session timezone " +
+            s"$declared; this session uses $session — the recompute would " +
+            "disagree with the stored rows. Set spark.sql.session.timeZone accordingly.")
+      }
+    val table = new Path(tablePath)
+    val fs = fsOf(spark, table)
+    val filesArg = snap.files.map(a => (a, Map.empty[String, String]))
+    val base = withFileIdentity(
+      scanRelationBase(spark, tablePath, snap.schema, snap.partitionColumns, filesArg))
+    val live = applyDv(spark, tablePath, base, snap.files)
+    val matchedRows = live.where(condition)
+      .select((snap.schema.map(f => col(f.name)) ++
+        Seq(col("__graft_dv_file"), col("__graft_dv_ri"))).toIndexedSeq: _*)
+      .localCheckpoint(true)
+    val now = System.currentTimeMillis()
+    val staged = stageDvRemoval(spark, tablePath, fs, snap, matchedRows, now)
+    if (staged.isEmpty) return snap.version
+    val (removeLines, reAddLines, anyKept) = staged.get
+    // post-image: SET expressions over the old row, then generated
+    // columns recomputed — all map-side over the pinned matched set
+    val fullCols = snap.schema.map(f => col(f.name)).toIndexedSeq
+    val postSet = matchedRows.select(snap.schema.map { f =>
+      set.get(f.name).map(_.cast(f.dataType).as(f.name)).getOrElse(col(f.name))
+    }.toIndexedSeq: _*)
+    val post = genExprs.toSeq.sortBy(_._1).foldLeft(postSet) { case (d, (name, e)) =>
+      d.withColumn(name, expr(e).cast(snap.schema(name).dataType))
+    }.select(fullCols: _*)
+    enforceConstraints(post, snap.configuration.collect {
+      case (k, v) if k.startsWith("delta.constraints.") =>
+        k.stripPrefix("delta.constraints.") -> v
+    })
+    val adds = stageFiles(withNotNullGuards(post, snap.schema), table, fs,
+      snap.partitionColumns, snap.version + 1, snap.schema)
     val cdcAdds: Seq[(String, Map[String, String], Long)] =
       if (!cdfEnabled(snap.configuration)) Nil
-      else stageCdcFiles(
-        matchedRows
-          .select(snap.schema.map(f => col(f.name)).toIndexedSeq: _*)
-          .withColumn("_change_type", lit("delete")),
-        table, fs, snap.schema, snap.partitionColumns)
+      else {
+        val pre = matchedRows.select(fullCols: _*)
+          .withColumn("_change_type", lit("update_preimage"))
+        stageCdcFiles(pre.unionByName(
+          post.withColumn("_change_type", lit("update_postimage"))),
+          table, fs, snap.schema, snap.partitionColumns)
+      }
     val protoLines = {
       val dvProto =
-        if (kept.isEmpty) snap.protocol
+        if (!anyKept) snap.protocol
         else protocolWith(snap.protocol, "deletionVectors", _ => false,
           snap.schema, snap.configuration)
       val proto = writerGate(dvProto, cdcAdds.nonEmpty, 4, "changeDataFeed")
       if (proto == snap.protocol) Nil else Seq(protocolLine(proto))
     }
+    val addLines = adds.map(a => addLine(a, now, dataChange = true))
     val cdcLines = cdcAdds.map { case (rel, pv, sz) => cdcLine(rel, pv, sz) }
+    val committed = commitWithRetry(spark, fs, tablePath, snap.version + 1,
+      protoLines ++ removeLines ++ reAddLines ++ addLines ++ cdcLines,
+      pureAppend = false, commitStore,
+      ictKnown = Some(snap.configuration.get("delta.enableInCommitTimestamps").contains("true")))
+    maybeAutoCheckpoint(spark, tablePath, committed, snap.configuration)
+    committed
+  }
+
+  /** Atomic partition overwrite — Delta's `replaceWhere`: remove
+    * every file whose partition values satisfy `condition` and land
+    * `df` in its place, in ONE commit (a reader sees the old slice
+    * or the new slice, never neither or both). The predicate must
+    * reference partition columns only — victims are selected by
+    * METADATA (partition values evaluated through the table's
+    * partition-column types), so the replaced slice is never
+    * scanned except to stage its CDF delete image; whole files are
+    * removed, no deletion vectors — the original replaceWhere
+    * contract, O(batch + victims' metadata) at any table size.
+    * Every incoming row must satisfy the predicate (refused
+    * otherwise — nothing committed), the batch must carry exactly
+    * the table's columns (no evolution through replaceWhere), and
+    * CHECK / NOT NULL / generated-column agreement are enforced like
+    * any write. Tables with identity columns are refused (assigning
+    * under replace semantics would need the watermark machinery).
+    * With CDF enabled the commit stages delete images for the
+    * replaced LIVE rows (deletion vectors honored) and insert
+    * images for the batch. Returns the committed version. */
+  def writeDeltaReplaceWhere(df: DataFrame, tablePath: String, condition: Column,
+                             commitStore: CommitStore = CreateExclusiveCommitStore): Long = {
+    val spark = df.sparkSession
+    val snap = snapshot(spark, tablePath, None)
+    refuseIfAppendOnly(snap.configuration, "REPLACE WHERE", removesData = true)
+    val table = new Path(tablePath)
+    val fs = fsOf(spark, table)
+    require(identityFields(snap.schema).isEmpty,
+      "replaceWhere on a table with identity columns is not supported")
+    // resolve the predicate against the TABLE schema (an empty local
+    // relation) so its column references come back as resolved
+    // attributes — the raw Column is a lazy node tree
+    val refs =
+      try spark.createDataFrame(new java.util.ArrayList[Row](), StructType(snap.schema.fields))
+        .where(condition).queryExecution.analyzed
+        .expressions.flatMap(_.references).map(_.name).toSet
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"replaceWhere predicate does not resolve against the table schema: ${e.getMessage}")
+      }
+    require(snap.partitionColumns.nonEmpty && refs.nonEmpty &&
+      refs.subsetOf(snap.partitionColumns.toSet),
+      s"replaceWhere predicate must reference partition columns " +
+        s"${snap.partitionColumns.mkString(", ")} only; got ${refs.mkString(", ")}")
+    require(df.columns.toSet == snap.schema.map(_.name).toSet,
+      s"replaceWhere batch columns ${df.columns.toSeq.sorted} must match the " +
+        s"table's ${snap.schema.map(_.name).sorted}")
+    snap.schema.filter(f => df.columns.contains(f.name)).foreach { f =>
+      require(df.schema(f.name).dataType == f.dataType,
+        s"column ${f.name}: ${df.schema(f.name).dataType} conflicts with table's ${f.dataType}")
+    }
+    require(df.where(!condition).limit(1).count() == 0,
+      "replaceWhere batch contains rows outside the predicate; nothing was committed")
+    generationExpressions(snap.schema).toSeq.sortBy(_._1).foreach { case (name, e) =>
+      val dt = snap.schema(name).dataType
+      val bad = df.where(!(col(name) <=> expr(e).cast(dt))).limit(1).count()
+      if (bad > 0) throw new IllegalStateException(
+        s"generated column $name: supplied values disagree with its expression ($e); " +
+          "nothing was committed")
+    }
+    enforceConstraints(df, snap.configuration.collect {
+      case (k, v) if k.startsWith("delta.constraints.") =>
+        k.stripPrefix("delta.constraints.") -> v
+    })
+    // victims by partition METADATA: partition-value strings cast
+    // through the declared column types, predicate evaluated on the
+    // model-sized file list — the data files are never opened
+    val partFields = snap.partitionColumns.map(snap.schema(_))
+    val pvRows = snap.files.map { a =>
+      Row.fromSeq(a.path +: partFields.map { f =>
+        a.partitionValues.get(physicalName(f)).orNull match {
+          case "__HIVE_DEFAULT_PARTITION__" => null
+          case v => v
+        }
+      })
+    }
+    val pvSchema = StructType(StructField("__graft_path", StringType) +:
+      partFields.map(f => StructField(f.name, StringType)))
+    val victims: Set[String] = spark
+      .createDataFrame(spark.sparkContext.parallelize(pvRows.toIndexedSeq, 1), pvSchema)
+      .select(col("__graft_path") +:
+        partFields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+      .where(condition)
+      .collect().map(_.getString(0)).toSet
+    val victimAdds = snap.files.filter(a => victims(a.path))
+    val aligned = df.select(snap.schema.map(f => col(f.name)).toIndexedSeq: _*)
+    val adds = stageFiles(withNotNullGuards(aligned, snap.schema), table, fs,
+      snap.partitionColumns, snap.version + 1, snap.schema)
+    val cdcAdds: Seq[(String, Map[String, String], Long)] =
+      if (!cdfEnabled(snap.configuration)) Nil
+      else {
+        val deletes =
+          if (victimAdds.isEmpty) None
+          else {
+            val base = withFileIdentity(scanRelationBase(spark, tablePath,
+              snap.schema, snap.partitionColumns,
+              victimAdds.map(a => (a, Map.empty[String, String]))))
+            Some(applyDv(spark, tablePath, base, victimAdds)
+              .select(snap.schema.map(f => col(f.name)).toIndexedSeq: _*)
+              .withColumn("_change_type", lit("delete")))
+          }
+        val inserts = aligned.withColumn("_change_type", lit("insert"))
+        stageCdcFiles(deletes.map(_.unionByName(inserts)).getOrElse(inserts),
+          table, fs, snap.schema, snap.partitionColumns)
+      }
+    val now = System.currentTimeMillis()
+    val removeLines = victimAdds.map(a =>
+      s"""{"remove":{"path":${jsonStr(a.path)},"deletionTimestamp":$now,"dataChange":true}}""")
+    val addLines = adds.map(a => addLine(a, now, dataChange = true))
+    val cdcLines = cdcAdds.map { case (rel, pv, sz) => cdcLine(rel, pv, sz) }
+    val protoLines = {
+      val proto = writerGate(snap.protocol, cdcAdds.nonEmpty, 4, "changeDataFeed")
+      if (proto == snap.protocol) Nil else Seq(protocolLine(proto))
+    }
     val committed = commitWithRetry(spark, fs, tablePath, snap.version + 1,
       protoLines ++ removeLines ++ addLines ++ cdcLines,
       pureAppend = false, commitStore,
