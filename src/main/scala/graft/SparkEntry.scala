@@ -174,6 +174,40 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("content_length"), col("lang_hint"))
         .orderBy(col("doc_id"))
     }),
+    "pipe_delta_rowtracking" -> ((s, d) => {
+      // row lineage end-to-end (the rowTracking writer feature): the
+      // even half lands at v0, enablement BACKFILLS ids metadata-only
+      // (v1), the odd half appends above the watermark (v2), OPTIMIZE
+      // materializes every id through the rewrite (v3), and a DV
+      // delete erases every doc_id≡3 (mod 7) row (v4). The surviving
+      // (doc_id, _row_id, _row_commit_version) triples replay that
+      // whole history — backfilled ids follow the even half's doc
+      // order, appended ids stack above, and neither the compaction
+      // nor the delete moves a single one. Scale: id resolution is a
+      // model-sized per-FILE broadcast map probed in the scan (plus
+      // the materialized column after rewrites) — no row-scale
+      // exchange at any corpus size; single-file staging here is only
+      // for oracle determinism (multi-file invariants are spec-pinned
+      // in DeltaRowTrackingSpec).
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_deltart_${math.abs(d.hashCode)}/zone"
+      graft.sources.ZoneCache.ensure(Tables.documents(s, d), tmp) {
+        val zone = silverZone(s, d)
+        graft.sources.DeltaSource.writeDelta(
+          zone.where(col("doc_id") % 2 === 0)
+            .repartition(1).sortWithinPartitions("doc_id"), tmp)
+        graft.sources.DeltaSource.enableRowTracking(s, tmp)
+        graft.sources.DeltaSource.writeDelta(
+          zone.where(col("doc_id") % 2 =!= 0)
+            .repartition(1).sortWithinPartitions("doc_id"), tmp,
+          overwrite = false)
+        graft.sources.DeltaSource.optimizeDelta(s, tmp)
+        graft.sources.DeltaSource.deleteDelta(s, tmp, col("doc_id") % 7 === 3)
+      }
+      graft.sources.DeltaSource.readDeltaWithRowIds(s, tmp)
+        .select(col("doc_id"), col("_row_id").as("row_id"),
+          col("_row_commit_version").as("row_ver"))
+        .orderBy(col("doc_id"))
+    }),
     "pipe_delta_cdf" -> ((s, d) => {
       // the Delta log as a change SOURCE: v0 lands the even half,
       // v1 appends the odd half; a consumer whose cursor is at 0
@@ -219,6 +253,28 @@ object SparkEntry {
         graft.sources.DeltaSource.writeDelta(
           silverZone(s, d).repartition(8, md5(col("content"))), tmp)
         graft.sources.DeltaSource.optimizeZOrder(s, tmp,
+          ("doc_id", "content_length"), nFiles = 8)
+      }
+      graft.sources.DeltaSource.readDelta(s, tmp)
+        .where(col("doc_id").between(100, 220) &&
+          col("content_length").between(150, 400))
+        .orderBy(col("doc_id"))
+    }),
+    "pipe_delta_cluster" -> ((s, d) => {
+      // liquid-style clustering: the same scattered silver zone as
+      // the zorder entry, but OPTIMIZE CLUSTER BY rewrites along the
+      // HILBERT curve (consecutive cells are always grid neighbors —
+      // no Morton quadrant jumps) and records the clustering columns
+      // in the spec's delta.clustering domainMetadata. The timed read
+      // is the same box predicate: identical rows (layout swaps are
+      // value-invisible), answered from per-file min/max stats whose
+      // bounding boxes the curve keeps tight (pruning spec-pinned in
+      // DeltaClusterSpec, tighter-or-equal vs zorder).
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_deltacl_${math.abs(d.hashCode)}/zone"
+      graft.sources.ZoneCache.ensure(Tables.documents(s, d), tmp) {
+        graft.sources.DeltaSource.writeDelta(
+          silverZone(s, d).repartition(8, md5(col("content"))), tmp)
+        graft.sources.DeltaSource.optimizeCluster(s, tmp,
           ("doc_id", "content_length"), nFiles = 8)
       }
       graft.sources.DeltaSource.readDelta(s, tmp)
@@ -1594,6 +1650,24 @@ object SparkEntry {
       s"""$silverCte SELECT doc_id, source, length(content) AS content_length,
          |  CASE WHEN doc_id % 2 = 1 THEN substr(content, 1, 1) END AS lang_hint
          |FROM silver0 WHERE length(content) > 50 ORDER BY doc_id""".stripMargin,
+    // stable row ids replay the exact history: the backfill numbered
+    // the even half in its file's doc order (enablement commit = 1),
+    // the append stacked the odd half above the watermark (commit 2),
+    // and OPTIMIZE + the DV delete moved nothing
+    "pipe_delta_rowtracking" ->
+      s"""$silverCte, b1 AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rid
+         |  FROM silver0 WHERE length(content) > 50 AND doc_id % 2 = 0),
+         |b2 AS (
+         |  SELECT doc_id,
+         |    (SELECT count(*) FROM b1) + row_number() OVER (ORDER BY doc_id) - 1 AS rid
+         |  FROM silver0 WHERE length(content) > 50 AND doc_id % 2 <> 0),
+         |allr AS (
+         |  SELECT doc_id, rid, CAST(1 AS BIGINT) AS ver FROM b1
+         |  UNION ALL
+         |  SELECT doc_id, rid, CAST(2 AS BIGINT) AS ver FROM b2)
+         |SELECT doc_id, CAST(rid AS BIGINT) AS row_id, ver AS row_ver
+         |FROM allr WHERE doc_id % 7 <> 3 ORDER BY doc_id""".stripMargin,
     // UPDATE retagged the short src2 docs and bumped their lengths;
     // every other row is untouched
     "pipe_delta_update" ->
@@ -1613,6 +1687,15 @@ object SparkEntry {
          |  CAST(SUM(length(content)) AS BIGINT) AS sum_len
          |FROM silver0 WHERE length(content) > 50 AND doc_id % 5 <> 0
          |GROUP BY 1 ORDER BY source""".stripMargin,
+    // a clustering layout swap is value-invisible too: the
+    // hilbert-clustered table answers the same box predicate with
+    // exactly silver's rows
+    "pipe_delta_cluster" ->
+      s"""$silverCte SELECT doc_id, source, content, length(content) AS content_length
+         |FROM silver0 WHERE length(content) > 50
+         |AND doc_id BETWEEN 100 AND 220
+         |AND length(content) BETWEEN 150 AND 400
+         |ORDER BY doc_id""".stripMargin,
     // a layout swap is value-invisible: the z-ordered table answers
     // the box predicate with the same rows silver holds
     "pipe_delta_zorder" ->

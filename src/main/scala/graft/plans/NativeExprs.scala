@@ -283,6 +283,47 @@ object NativeExprs {
       copy(left = l, right = r)
   }
 
+  /** Hilbert curve index of (x, y) on a 2^bits × 2^bits grid — the
+    * classic iterative xy2d transform (per-level quadrant digit +
+    * rotation; cf. Hamilton & Rau-Chaplin's compact Hilbert indices
+    * and the formulation every liquid-clustering engine uses).
+    * Out-of-range inputs clamp to the grid, matching how a
+    * clustering OPTIMIZE treats outliers (they sort to the edge,
+    * never error). Inherently a per-level loop carrying rotated
+    * (x, y) state — as composed Columns the unrolled expression tree
+    * grows ~3^bits, so a native loop is the only codegen-clean form. */
+  def hilbertEval(xIn: Long, yIn: Long, bits: Int): Long = {
+    val max = (1L << bits) - 1
+    var x = math.min(math.max(xIn, 0L), max)
+    var y = math.min(math.max(yIn, 0L), max)
+    var d = 0L
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  case class HilbertIndex(left: Expression, right: Expression, bits: Int)
+      extends BinaryExpression {
+    require(bits >= 1 && bits <= 31, s"hilbert bits must be in [1, 31], got $bits")
+    override def dataType: DataType = LongType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      java.lang.Long.valueOf(
+        hilbertEval(a.asInstanceOf[Long], b.asInstanceOf[Long], bits))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$Self.hilbertEval($a, $b, $bits)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): HilbertIndex =
+      copy(left = l, right = r)
+  }
+
   /** Intersection size of two long arrays treated as sets (inputs are
     * already distinct). Replaces `size(array_intersect(...))` in the
     * Jaccard verify step. */

@@ -103,7 +103,12 @@ object DeltaSource {
       size: Option[Long],
       modificationTime: Option[Long],
       stats: Option[String] = None,
-      dv: Option[DvDesc] = None)
+      dv: Option[DvDesc] = None,
+      // row tracking (Delta's rowTracking writer feature): the first
+      // fresh row id this file covers, and the commit version stamped
+      // on its rows when no materialized value overrides them
+      baseRowId: Option[Long] = None,
+      defaultRowCommitVersion: Option[Long] = None)
 
   private[sources] case class Snapshot(
       version: Long,
@@ -112,7 +117,10 @@ object DeltaSource {
       files: Seq[AddFile],
       txns: Map[String, Long],
       configuration: Map[String, String] = Map.empty,
-      protocol: Protocol = DefaultProtocol)
+      protocol: Protocol = DefaultProtocol,
+      // live domainMetadata actions, newest per domain (removed ones
+      // dropped) — carries e.g. the rowTracking high watermark
+      domains: Map[String, String] = Map.empty)
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -167,7 +175,9 @@ object DeltaSource {
         StructField("pathOrInlineDv", StringType),
         StructField("offset", IntegerType),
         StructField("sizeInBytes", IntegerType),
-        StructField("cardinality", LongType))))))),
+        StructField("cardinality", LongType)))),
+      StructField("baseRowId", LongType),
+      StructField("defaultRowCommitVersion", LongType)))),
     StructField("remove", StructType(Seq(
       StructField("path", StringType),
       StructField("dataChange", BooleanType)))),
@@ -183,7 +193,11 @@ object DeltaSource {
       StructField("minReaderVersion", IntegerType),
       StructField("minWriterVersion", IntegerType),
       StructField("readerFeatures", ArrayType(StringType)),
-      StructField("writerFeatures", ArrayType(StringType)))))))
+      StructField("writerFeatures", ArrayType(StringType))))),
+    StructField("domainMetadata", StructType(Seq(
+      StructField("domain", StringType),
+      StructField("configuration", StringType),
+      StructField("removed", BooleanType))))))
 
   /** Checkpoints carry the same action complement (the protocol
     * action is required in every checkpoint per the spec). */
@@ -234,11 +248,15 @@ object DeltaSource {
           else d.getAs[Long]("cardinality")))
       }
     }
+    def longOpt(field: String): Option[Long] = {
+      val i = a.fieldIndex(field)
+      if (a.isNullAt(i)) None else Some(a.getLong(i))
+    }
     AddFile(a.getAs[String]("path"), pv,
-      if (a.isNullAt(a.fieldIndex("size"))) None else Some(a.getAs[Long]("size")),
-      if (a.isNullAt(a.fieldIndex("modificationTime"))) None
-      else Some(a.getAs[Long]("modificationTime")),
-      Option(a.getAs[String]("stats")), dv)
+      longOpt("size"),
+      longOpt("modificationTime"),
+      Option(a.getAs[String]("stats")), dv,
+      longOpt("baseRowId"), longOpt("defaultRowCommitVersion"))
   }
 
   /** Replay the log up to `version` (latest when None): newest
@@ -300,12 +318,23 @@ object DeltaSource {
     val state = scala.collection.mutable.LinkedHashMap[String, (Long, Option[AddFile])]()
     // newest txn version per appId (streaming-sink idempotency state)
     val txns = scala.collection.mutable.HashMap[String, Long]()
+    // newest domainMetadata per domain: (version, config or None=removed)
+    val domains = scala.collection.mutable.HashMap[String, (Long, Option[String])]()
     (cpActions ++ jsonActions).foreach { case (v, row) =>
       val addIdx = row.fieldIndex("add")
       val remIdx = row.fieldIndex("remove")
       val metaIdx = row.fieldIndex("metaData")
       val txnIdx = row.fieldIndex("txn")
       val protoIdx = row.fieldIndex("protocol")
+      val domIdx = row.fieldIndex("domainMetadata")
+      if (!row.isNullAt(domIdx)) {
+        val d = row.getStruct(domIdx)
+        val name = d.getAs[String]("domain")
+        if (name != null && domains.get(name).forall(_._1 <= v)) {
+          val removed = !d.isNullAt(d.fieldIndex("removed")) && d.getAs[Boolean]("removed")
+          domains(name) = (v, if (removed) None else Option(d.getAs[String]("configuration")))
+        }
+      }
       if (!row.isNullAt(protoIdx) && v >= protoVersion) {
         val pr = row.getStruct(protoIdx)
         if (!pr.isNullAt(pr.fieldIndex("minReaderVersion"))) {
@@ -364,7 +393,8 @@ object DeltaSource {
     }
     Snapshot(target, schema, partCols,
       state.values.collect { case (_, Some(a)) => a }.toSeq, txns.toMap, config,
-      protocol)
+      protocol,
+      domains.collect { case (k, (_, Some(cfg))) => k -> cfg }.toMap)
   }
 
   /** Highest committed `txn` version for `appId` (the Delta spec's
@@ -789,7 +819,12 @@ object DeltaSource {
 
   private def scanRelationBase(spark: SparkSession, tablePath: String,
                                schema: StructType, partitionColumns: Seq[String],
-                               files: Seq[(AddFile, Map[String, String])]): DataFrame = {
+                               files: Seq[(AddFile, Map[String, String])],
+                               // physical-only columns present in SOME
+                               // files (e.g. materialized row ids) —
+                               // read as null where absent, passed
+                               // through the projection verbatim
+                               extraDataFields: Seq[StructField] = Nil): DataFrame = {
     val table = new Path(tablePath)
     lazy val fs = fsOf(spark, table)
     // the relation reads the files' PHYSICAL column names (identical
@@ -799,7 +834,8 @@ object DeltaSource {
     val partSchema = StructType(partitionColumns.map(c =>
       { val f = schema(c); f.copy(name = physicalName(f)) }))
     val dataSchema = StructType(schema.filterNot(f => partitionColumns.contains(f.name))
-      .map(f => f.copy(name = physicalName(f))))
+      .map(f => f.copy(name = physicalName(f))) ++
+      extraDataFields.map(_.copy(nullable = true)))
     val indexed = files.map { case (a, extra) =>
       val p = dataPath(tablePath, a.path)
       val size = a.size.getOrElse(fs.getFileStatus(p).getLen)
@@ -813,7 +849,8 @@ object DeltaSource {
     val relation = HadoopFsRelation(index, partSchema, dataSchema, None,
       new ParquetFileFormat, Map.empty)(spark)
     spark.baseRelationToDataFrame(relation)
-      .select(schema.map(f => col(physicalName(f)).as(f.name)).toIndexedSeq: _*)
+      .select((schema.map(f => col(physicalName(f)).as(f.name)) ++
+        extraDataFields.map(f => col(f.name))).toIndexedSeq: _*)
   }
 
   /** Tag scan rows with their physical identity: file basename +
@@ -1069,6 +1106,57 @@ object DeltaSource {
   private def encodeRelPath(rel: String): String =
     rel.split('/').map(URLEncoder.encode(_, "UTF-8")).mkString("/")
 
+  // ---------------------------------------------------------------
+  // row tracking (the Delta `rowTracking` writer feature): every add
+  // carries a fresh baseRowId range below a table-wide high watermark
+  // kept in the `delta.rowTracking` domainMetadata; a row's stable id
+  // is its file's materialized row-id column value when present (set
+  // by rewrites such as OPTIMIZE) and baseRowId + row_index otherwise
+  // ---------------------------------------------------------------
+  private[sources] val RowTrackingKey = "delta.enableRowTracking"
+  private[sources] val RowTrackingDomain = "delta.rowTracking"
+  private[sources] val MatRowIdColKey =
+    "delta.rowTracking.materializedRowIdColumnName"
+  private[sources] val MatRowVerColKey =
+    "delta.rowTracking.materializedRowCommitVersionColumnName"
+
+  private def rowTrackingOn(cfg: Map[String, String]): Boolean =
+    cfg.get(RowTrackingKey).contains("true")
+
+  private val HwmRe = """"rowIdHighWaterMark"\s*:\s*(-?\d+)""".r
+
+  /** The highest row id ever allocated (-1 on a fresh table). */
+  private[sources] def rowIdHighWaterMark(domains: Map[String, String]): Long =
+    domains.get(RowTrackingDomain)
+      .flatMap(cfg => HwmRe.findFirstMatchIn(cfg).map(_.group(1).toLong))
+      .getOrElse(-1L)
+
+  private def rowTrackingDomainLine(hwm: Long): String =
+    s"""{"domainMetadata":{"domain":${jsonStr(RowTrackingDomain)},"configuration":${jsonStr(s"""{"rowIdHighWaterMark":$hwm}""")},"removed":false}}"""
+
+  /** Assign fresh row-id ranges to staged adds (path-sorted, so the
+    * assignment is deterministic for a deterministically-staged
+    * batch) and advance the high watermark. Sizes come from the adds'
+    * own footer stats — no extra job, model-sized work on the driver.
+    * No-op (adds unchanged, no extra lines) when the table doesn't
+    * track rows. */
+  private def allocRowIds(cfg: Map[String, String], domains: Map[String, String],
+                          commitVersion: Long, adds: Seq[StagedAdd])
+      : (Seq[StagedAdd], Seq[String]) = {
+    if (!rowTrackingOn(cfg) || adds.isEmpty) return (adds, Nil)
+    var next = rowIdHighWaterMark(domains) + 1
+    val out = adds.sortBy(_.relPath).map { a =>
+      val n = parseStats(a.stats).flatMap(_.numRecords).getOrElse(
+        throw new IllegalStateException(
+          s"row tracking requires numRecords stats on every add (missing: ${a.relPath})"))
+      val withIds = a.copy(baseRowId = Some(next),
+        defaultRowCommitVersion = Some(commitVersion))
+      next += n
+      withIds
+    }
+    (out, Seq(rowTrackingDomainLine(next - 1)))
+  }
+
   /** Commit `df` as the next version of a Delta table, hive-
     * partitioned by `partitionBy` (which delta-rs and Delta Lake read
     * natively; on an existing table the columns are inherited and
@@ -1253,7 +1341,13 @@ object DeltaSource {
       // metaData, newest-wins on replay
       else (if (wantProto != baseProto) Seq(protocolLine(wantProto)) else Seq.empty) ++
         (if (prevSnap.exists(_.schema != finalSchema)) Seq(metaLine) else Seq.empty)
-    val addLines = adds.map(a => addLine(a, now, dataChange = true))
+    // row tracking: fresh baseRowId ranges for this commit's adds,
+    // watermark advanced in the same commit's domainMetadata (an
+    // overwrite still only ever moves the watermark UP — row ids are
+    // never reused, per the spec)
+    val (addsRt, domainLines) = allocRowIds(tableConfig,
+      prevSnap.map(_.domains).getOrElse(Map.empty), next, adds)
+    val addLines = addsRt.map(a => addLine(a, now, dataChange = true))
     val removeLines = removed.map { p =>
       s"""{"remove":{"path":${jsonStr(p)},"deletionTimestamp":$now,"dataChange":true}}"""
     }
@@ -1261,7 +1355,7 @@ object DeltaSource {
       s"""{"txn":{"appId":${jsonStr(app)},"version":$v,"lastUpdated":$now}}"""
     }
     val committed = commitWithRetry(spark, fs, tablePath, next,
-      header ++ txnLines ++ removeLines ++ addLines,
+      header ++ txnLines ++ domainLines ++ removeLines ++ addLines,
       pureAppend = removed.isEmpty && header.isEmpty, commitStore,
       ictKnown = Some(tableConfig.get("delta.enableInCommitTimestamps").contains("true")))
     maybeAutoCheckpoint(spark, tablePath, committed, tableConfig)
@@ -1335,6 +1429,109 @@ object DeltaSource {
         snap.protocol.readerFeatures, snap.protocol.writerFeatures ++ feats)
     commitMetadata(spark, tablePath, snap.schema, snap.partitionColumns, cfg,
       commitStore, Some(proto))
+  }
+
+  /** Switch row tracking ON: one commit sets the table property plus
+    * the materialized-column names, upgrades the protocol to (x,7)
+    * with `rowTracking` + `domainMetadata` (legacy-implied features
+    * enumerated, as any (x,7) upgrade must), and BACKFILLS every live
+    * file with a fresh baseRowId range — re-adds built from the log's
+    * own numRecords stats, so enablement is metadata-only: zero data
+    * files are opened or rewritten at any table size. */
+  def enableRowTracking(spark: SparkSession, tablePath: String,
+                        commitStore: CommitStore = CreateExclusiveCommitStore): Long = {
+    val snap = snapshot(spark, tablePath, None)
+    require(!rowTrackingOn(snap.configuration),
+      s"row tracking already enabled on $tablePath")
+    val v = snap.version + 1
+    val suffix = UUID.randomUUID().toString.take(8)
+    val cfg = snap.configuration ++ Map(
+      RowTrackingKey -> "true",
+      MatRowIdColKey -> s"_row_id_col_$suffix",
+      MatRowVerColKey -> s"_row_commit_version_col_$suffix")
+    val feats = Set("rowTracking", "domainMetadata") ++
+      impliedWriterFeatures(snap.protocol, snap.schema, cfg)
+    val proto =
+      if (snap.protocol.minWriter >= 7)
+        snap.protocol.copy(writerFeatures =
+          snap.protocol.writerFeatures ++ Set("rowTracking", "domainMetadata"))
+      else Protocol(snap.protocol.minReader, 7,
+        snap.protocol.readerFeatures, snap.protocol.writerFeatures ++ feats)
+    val now = System.currentTimeMillis()
+    var next = rowIdHighWaterMark(snap.domains) + 1
+    val reAdds = snap.files.sortBy(_.path).map { a =>
+      val n = parseStats(a.stats).flatMap(_.numRecords).getOrElse(
+        throw new IllegalStateException(
+          s"cannot backfill row ids for ${a.path}: its add action carries no " +
+            "numRecords stats"))
+      val line = reAddLine(a.copy(baseRowId = Some(next),
+        defaultRowCommitVersion = Some(v)),
+        a.size.getOrElse(0L), now, dataChange = false, a.dv)
+      next += n
+      line
+    }
+    val partColsJson = snap.partitionColumns.map(jsonStr).mkString("[", ",", "]")
+    val metaLine = s"""{"metaData":{"id":${jsonStr(UUID.randomUUID().toString)},"format":{"provider":"parquet","options":{}},"schemaString":${jsonStr(snap.schema.json)},"partitionColumns":$partColsJson,"configuration":${configJson(cfg)},"createdTime":$now}}"""
+    val fs = fsOf(spark, new Path(tablePath))
+    commitWithRetry(spark, fs, tablePath, v,
+      Seq(protocolLine(proto), metaLine, rowTrackingDomainLine(next - 1)) ++ reAdds,
+      pureAppend = false, commitStore)
+  }
+
+  /** Read a row-tracking table WITH its stable row lineage: the
+    * table's columns plus `_row_id` and `_row_commit_version`. A
+    * row's id is its file's materialized row-id value when the file
+    * carries one (rewrites — OPTIMIZE, clustering — stamp it so ids
+    * survive reshuffling), else baseRowId + the row's physical
+    * position; same rule for the commit version. Scale: the per-FILE
+    * (baseRowId, version) map rides one model-sized broadcast join
+    * keyed on the scan's `_metadata` file identity — never a
+    * row-scale exchange; deletion vectors apply after, so a DV'd
+    * row's id disappears with the row. */
+  def readDeltaWithRowIds(spark: SparkSession, tablePath: String,
+                          version: Option[Long] = None): DataFrame = {
+    val snap = snapshot(spark, tablePath, version)
+    require(rowTrackingOn(snap.configuration),
+      s"row tracking is not enabled on $tablePath")
+    if (snap.files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(snap.schema :+ StructField("_row_id", LongType)
+          :+ StructField("_row_commit_version", LongType)))
+    else scanWithRowIds(spark, tablePath, snap, snap.files)
+  }
+
+  /** Scan `files` of a row-tracking snapshot with `_row_id` /
+    * `_row_commit_version` resolved (materialized value first, file
+    * default otherwise) and deletion vectors applied. `keepTags`
+    * additionally keeps the `__graft_dv_file` / `__graft_dv_ri` scan
+    * identity (for DML paths that stage deletion vectors next). */
+  private def scanWithRowIds(spark: SparkSession, tablePath: String,
+                             snap: Snapshot, files: Seq[AddFile],
+                             keepTags: Boolean = false): DataFrame = {
+    val matId = snap.configuration(MatRowIdColKey)
+    val matVer = snap.configuration(MatRowVerColKey)
+    val extra = Seq(StructField(matId, LongType), StructField(matVer, LongType))
+    val base = scanRelationBase(spark, tablePath, snap.schema, snap.partitionColumns,
+      files.map(a => (a, Map.empty[String, String])), extra)
+    import spark.implicits._
+    val fileMap = files.map { a =>
+      (dataPath(tablePath, a.path).getName,
+        a.baseRowId.getOrElse(throw new IllegalStateException(
+          s"row-tracking table $tablePath has an add without baseRowId: ${a.path}")),
+        a.defaultRowCommitVersion.getOrElse(-1L))
+    }.toDF("__rt_file", "__rt_base", "__rt_ver")
+    val tagged = withFileIdentity(base)
+      .join(broadcast(fileMap), col("__graft_dv_file") === col("__rt_file"))
+      .withColumn("_row_id",
+        coalesce(col(matId), col("__rt_base") + col("__graft_dv_ri")))
+      .withColumn("_row_commit_version", coalesce(col(matVer), col("__rt_ver")))
+    val out = snap.schema.map(f => col(f.name)) ++
+      Seq(col("_row_id"), col("_row_commit_version")) ++
+      (if (keepTags) Seq(col("__graft_dv_file"), col("__graft_dv_ri")) else Nil)
+    val withDv =
+      if (files.forall(_.dv.isEmpty)) tagged
+      else applyDv(spark, tablePath, tagged, files)
+    withDv.select(out.toIndexedSeq: _*)
   }
 
   /** ADD CONSTRAINT <name> CHECK (<sqlExpr>): validates the EXISTING
@@ -1518,7 +1715,13 @@ object DeltaSource {
   /** A staged-and-moved data file ready to commit. */
   private case class StagedAdd(relPath: String, size: Long,
                                partitionValues: Map[String, String],
-                               stats: Option[String])
+                               stats: Option[String],
+                               baseRowId: Option[Long] = None,
+                               defaultRowCommitVersion: Option[Long] = None)
+
+  private def rowIdJson(base: Option[Long], drcv: Option[Long]): String =
+    base.map(b => s""","baseRowId":$b""").getOrElse("") +
+      drcv.map(v => s""","defaultRowCommitVersion":$v""").getOrElse("")
 
   private def dvJson(d: Option[DvDesc]): String = d.map { dv =>
     val off = dv.offset.map(o => s""""offset":$o,""").getOrElse("")
@@ -1534,7 +1737,7 @@ object DeltaSource {
       s"${jsonStr(k)}:${if (v == null) "null" else jsonStr(v)}"
     }.mkString("{", ",", "}")
     val statsJson = a.stats.map(s => s""","stats":${jsonStr(s)}""").getOrElse("")
-    s"""{"add":{"path":${jsonStr(a.path)},"partitionValues":$pvJson,"size":$sz,"modificationTime":$now,"dataChange":$dataChange$statsJson${dvJson(dv)}}}"""
+    s"""{"add":{"path":${jsonStr(a.path)},"partitionValues":$pvJson,"size":$sz,"modificationTime":$now,"dataChange":$dataChange$statsJson${dvJson(dv)}${rowIdJson(a.baseRowId, a.defaultRowCommitVersion)}}}"""
   }
 
   private def addLine(a: StagedAdd, now: Long, dataChange: Boolean): String = {
@@ -1542,7 +1745,7 @@ object DeltaSource {
       s"${jsonStr(k)}:${if (v == null) "null" else jsonStr(v)}"
     }.mkString("{", ",", "}")
     val statsJson = a.stats.map(s => s""","stats":${jsonStr(s)}""").getOrElse("")
-    s"""{"add":{"path":${jsonStr(encodeRelPath(a.relPath))},"partitionValues":$pvJson,"size":${a.size},"modificationTime":$now,"dataChange":$dataChange$statsJson}}"""
+    s"""{"add":{"path":${jsonStr(encodeRelPath(a.relPath))},"partitionValues":$pvJson,"size":${a.size},"modificationTime":$now,"dataChange":$dataChange$statsJson${rowIdJson(a.baseRowId, a.defaultRowCommitVersion)}}}"""
   }
 
   /** Land `df`'s data files under a unique staging dir, then move
@@ -1689,6 +1892,16 @@ object DeltaSource {
               s"commit $attempt of $tablePath lost to a concurrent writer and is not a " +
                 s"pure append (it removes files or changes metadata); its read snapshot " +
                 s"is stale — re-run against version $latest")
+          // a commit carrying domainMetadata (e.g. the rowTracking
+          // high watermark) allocated state — row-id ranges, the
+          // stamped defaultRowCommitVersion — from its read snapshot;
+          // ANY lost race makes that stale, so abort instead of
+          // silently re-landing colliding ids at a shifted version
+          if (lines.exists(_.contains("\"domainMetadata\"")))
+            throw new java.util.ConcurrentModificationException(
+              s"commit $attempt of $tablePath lost to a concurrent writer and carries " +
+                s"domainMetadata allocated from a stale snapshot (row-id ranges / " +
+                s"watermarks); re-run against version $latest")
           val metaChanged = (attempt to latest).exists { v =>
             spark.read.schema(CheckpointSchema)
               .json(new Path(logDir, f"$v%020d.json").toString).collect()
@@ -1741,9 +1954,10 @@ object DeltaSource {
       .map(f => (f.path, f.partitionValues, f.size, f.modificationTime, f.stats,
         f.dv.map(_.storageType).orNull, f.dv.map(_.pathOrInlineDv).orNull,
         f.dv.flatMap(_.offset), f.dv.map(_.sizeInBytes).getOrElse(0),
-        f.dv.map(_.cardinality).getOrElse(0L)))
+        f.dv.map(_.cardinality).getOrElse(0L),
+        f.baseRowId, f.defaultRowCommitVersion))
       .toDF("path", "partitionValues", "size", "modificationTime", "stats",
-        "dvStorage", "dvPath", "dvOffset", "dvSize", "dvCard")
+        "dvStorage", "dvPath", "dvOffset", "dvSize", "dvCard", "brid", "drcv")
       .select(struct(col("path"), col("partitionValues"), col("size"),
         col("modificationTime"), lit(true).as("dataChange"), col("stats"),
         // deletion vectors ride the checkpoint, so row-level deletes
@@ -1751,16 +1965,19 @@ object DeltaSource {
         when(col("dvPath").isNotNull,
           struct(col("dvStorage").as("storageType"), col("dvPath").as("pathOrInlineDv"),
             col("dvOffset").as("offset"), col("dvSize").as("sizeInBytes"),
-            col("dvCard").as("cardinality"))).as("deletionVector"))
+            col("dvCard").as("cardinality"))).as("deletionVector"),
+        // row-id assignments survive log truncation too
+        col("brid").as("baseRowId"), col("drcv").as("defaultRowCommitVersion"))
         .cast(CheckpointSchema("add").dataType).as("add"),
-        nullCol("remove"), nullCol("metaData"), nullCol("txn"), nullCol("protocol"))
+        nullCol("remove"), nullCol("metaData"), nullCol("txn"), nullCol("protocol"),
+        nullCol("domainMetadata"))
     val metaRow = Seq((snap.schema.json, snap.partitionColumns, snap.configuration))
       .toDF("s", "p", "cfg")
       .select(nullCol("add"), nullCol("remove"),
         struct(lit(UUID.randomUUID().toString).as("id"), col("s").as("schemaString"),
           col("p").as("partitionColumns"), col("cfg").as("configuration"))
           .cast(CheckpointSchema("metaData").dataType).as("metaData"),
-        nullCol("txn"), nullCol("protocol"))
+        nullCol("txn"), nullCol("protocol"), nullCol("domainMetadata"))
     val p = snap.protocol
     val protocolRow = Seq((p.minReader, p.minWriter,
       p.readerFeatures.toSeq.sorted, p.writerFeatures.toSeq.sorted))
@@ -1769,7 +1986,8 @@ object DeltaSource {
         struct(col("mr").as("minReaderVersion"), col("mw").as("minWriterVersion"),
           when(col("mr") >= 3, col("rf")).as("readerFeatures"),
           when(col("mw") >= 7, col("wf")).as("writerFeatures"))
-          .cast(CheckpointSchema("protocol").dataType).as("protocol"))
+          .cast(CheckpointSchema("protocol").dataType).as("protocol"),
+        nullCol("domainMetadata"))
     // latest txn per appId rides the checkpoint, so sink idempotency
     // survives log truncation past the checkpoint
     val txnRows = snap.txns.toSeq.sortBy(_._1) match {
@@ -1777,17 +1995,27 @@ object DeltaSource {
       case ts => Some(ts.toDF("a", "v")
         .select(nullCol("add"), nullCol("remove"), nullCol("metaData"),
           struct(col("a").as("appId"), col("v").as("version")).as("txn"),
-          nullCol("protocol")))
+          nullCol("protocol"), nullCol("domainMetadata")))
+    }
+    // live domains (e.g. the rowTracking watermark) survive truncation
+    val domainRows = snap.domains.toSeq.sortBy(_._1) match {
+      case Nil => None
+      case ds => Some(ds.toDF("d", "c")
+        .select(nullCol("add"), nullCol("remove"), nullCol("metaData"), nullCol("txn"),
+          nullCol("protocol"),
+          struct(col("d").as("domain"), col("c").as("configuration"),
+            lit(false).as("removed")).as("domainMetadata")))
     }
     val stage = new Path(tablePath, s".cpstage-${UUID.randomUUID().toString.take(8)}")
-    txnRows.foldLeft(protocolRow.unionByName(metaRow).unionByName(addRows))(_ unionByName _)
+    (txnRows.toSeq ++ domainRows.toSeq)
+      .foldLeft(protocolRow.unionByName(metaRow).unionByName(addRows))(_ unionByName _)
       .coalesce(1).write.mode("overwrite").parquet(stage.toString)
     val part = fs.listStatus(stage).toSeq.map(_.getPath)
       .find(_.getName.endsWith(".parquet")).get
     renameOrFail(fs, part, new Path(logDir, f"$v%020d.checkpoint.parquet"))
     fs.delete(stage, true)
     writeText(fs, new Path(logDir, "_last_checkpoint"),
-      s"""{"version":$v,"size":${snap.files.size + 2 + snap.txns.size}}""")
+      s"""{"version":$v,"size":${snap.files.size + 2 + snap.txns.size + snap.domains.size}}""")
     v
   }
 
@@ -2010,15 +2238,26 @@ object DeltaSource {
     val dataSchema =
       StructType(snap.schema.filterNot(f => snap.partitionColumns.contains(f.name)))
     val physDataSchema = StructType(dataSchema.map(f => f.copy(name = physicalName(f))))
-    val actions = rewrites.flatMap { case (pv, bin) =>
+    val tracking = rowTrackingOn(snap.configuration)
+    val staged = rewrites.map { case (pv, bin) =>
       // one coalesced file per bin — read DV-AWARE (scanRelation
       // applies deletion vectors), so compaction materializes deletes
       // instead of resurrecting them; a raw parquet read here would
       // silently undo every DV'd delete under dataChange=false.
       // Written back under PHYSICAL names (column-mapping parity).
-      val data = scanRelation(spark, tablePath, snap.schema, snap.partitionColumns,
-        bin.map(a => (a, Map.empty[String, String])))
-        .select(dataSchema.map(f => col(f.name).as(physicalName(f))).toIndexedSeq: _*)
+      // Under row tracking the rewrite MATERIALIZES each surviving
+      // row's id and commit version into the configured physical
+      // columns, so stable ids survive the reshuffle.
+      val data =
+        if (!tracking)
+          scanRelation(spark, tablePath, snap.schema, snap.partitionColumns,
+            bin.map(a => (a, Map.empty[String, String])))
+            .select(dataSchema.map(f => col(f.name).as(physicalName(f))).toIndexedSeq: _*)
+        else scanWithRowIds(spark, tablePath, snap, bin)
+          .select((dataSchema.map(f => col(f.name).as(physicalName(f))) :+
+            col("_row_id").as(snap.configuration(MatRowIdColKey)) :+
+            col("_row_commit_version").as(snap.configuration(MatRowVerColKey)))
+            .toIndexedSeq: _*)
       val relDirs = snap.partitionColumns.map { c =>
         val v = pv.getOrElse(c, null)
         s"$c=${if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
@@ -2034,12 +2273,18 @@ object DeltaSource {
       fs.mkdirs(dst.getParent)
       renameOrFail(fs, part, dst)
       fs.delete(stage, true)
-      val add = addLine(StagedAdd(relPath, fs.getFileStatus(dst).getLen, pv,
-        statsJsonFor(spark, dst, physDataSchema)), now, dataChange = false)
-      val removeLines = bin.map(a =>
-        s"""{"remove":{"path":${jsonStr(a.path)},"deletionTimestamp":$now,"dataChange":false}}""")
-      removeLines :+ add
+      (StagedAdd(relPath, fs.getFileStatus(dst).getLen, pv,
+        statsJsonFor(spark, dst, physDataSchema)),
+        bin.map(a =>
+          s"""{"remove":{"path":${jsonStr(a.path)},"deletionTimestamp":$now,"dataChange":false}}"""))
     }
+    // rewritten files still get FRESH baseRowId ranges (the spec's
+    // invariant: every add on a row-tracking table carries one); the
+    // materialized per-row values take precedence on read
+    val (addsRt, domainLines) = allocRowIds(snap.configuration, snap.domains,
+      next, staged.map(_._1))
+    val actions = staged.flatMap(_._2) ++
+      addsRt.map(a => addLine(a, now, dataChange = false)) ++ domainLines
     // compaction removes files, so a lost race aborts (stale snapshot)
     commitWithRetry(spark, fs, tablePath, next, actions,
       pureAppend = false, commitStore)
@@ -2070,8 +2315,16 @@ object DeltaSource {
     val fs = fsOf(spark, table)
     val snap = snapshot(spark, tablePath, None)
     if (snap.files.isEmpty) return (0, 0)
-    val cur = scanRelation(spark, tablePath, snap.schema, snap.partitionColumns,
-      snap.files.map(a => (a, Map.empty[String, String])))
+    val tracking = rowTrackingOn(snap.configuration)
+    // a clustering rewrite reorders rows across files, so under row
+    // tracking each row's id/version is MATERIALIZED into the file
+    val cur =
+      if (!tracking)
+        scanRelation(spark, tablePath, snap.schema, snap.partitionColumns,
+          snap.files.map(a => (a, Map.empty[String, String])))
+      else scanWithRowIds(spark, tablePath, snap, snap.files)
+        .withColumnRenamed("_row_id", snap.configuration(MatRowIdColKey))
+        .withColumnRenamed("_row_commit_version", snap.configuration(MatRowVerColKey))
     val zc = graft.operators.Layout.zorderValue(
       col(zCols._1).cast("int"), col(zCols._2).cast("int"), bits)
     val clustered = cur.withColumn("__graft_z", zc)
@@ -2081,11 +2334,88 @@ object DeltaSource {
     val next = snap.version + 1
     val adds = stageFiles(clustered, table, fs, snap.partitionColumns, next, snap.schema)
     val now = System.currentTimeMillis()
+    val (addsRt, domainLines) = allocRowIds(snap.configuration, snap.domains, next, adds)
     val removeLines = snap.files.map(a =>
       s"""{"remove":{"path":${jsonStr(a.path)},"deletionTimestamp":$now,"dataChange":false}}""")
-    val addLines = adds.map(a => addLine(a, now, dataChange = false))
+    val addLines = addsRt.map(a => addLine(a, now, dataChange = false))
     // a layout swap removes files, so a lost race aborts (stale snapshot)
-    commitWithRetry(spark, fs, tablePath, next, removeLines ++ addLines,
+    commitWithRetry(spark, fs, tablePath, next, removeLines ++ addLines ++ domainLines,
+      pureAppend = false, commitStore)
+    (snap.files.size, adds.size)
+  }
+
+  private[sources] val ClusteringDomain = "delta.clustering"
+
+  /** The clustering columns a prior [[optimizeCluster]] recorded in
+    * the table's `delta.clustering` domainMetadata (the spec's
+    * clustered-table state) — Nil when the table was never clustered. */
+  def clusteringColumnsOf(spark: SparkSession, tablePath: String): Seq[String] = {
+    val snap = snapshot(spark, tablePath, None)
+    snap.domains.get(ClusteringDomain).toSeq.flatMap { cfg =>
+      """\["([^"\]]+)"\]""".r.findAllMatchIn(cfg).map(_.group(1)).toSeq
+    }
+  }
+
+  /** OPTIMIZE CLUSTER BY — the liquid-clustering layout swap: rewrite
+    * the table range-clustered on the HILBERT index of two numeric
+    * columns (consecutive Hilbert cells are always grid neighbors, so
+    * per-file bounding boxes are tighter than the Morton interleave's
+    * quadrant-jumping ones) and record the clustering columns in the
+    * spec's `delta.clustering` domainMetadata under the `clustering`
+    * + `domainMetadata` writer features. Same dataChange=false swap
+    * contract as [[optimizeZOrder]] (readers see identical rows, the
+    * change feed skips it, row-tracking ids are materialized through
+    * the rewrite).
+    *
+    * Scale: one range-shuffle of the table on the Hilbert value
+    * (sampled boundaries — balanced output even under skew), then a
+    * map-side sort per file; the curve value itself is a native
+    * codegen'd expression in the scan stage. */
+  def optimizeCluster(spark: SparkSession, tablePath: String,
+                      clusterCols: (String, String), nFiles: Int = 8,
+                      bits: Int = 16,
+                      commitStore: CommitStore = CreateExclusiveCommitStore): (Int, Int) = {
+    val table = new Path(tablePath)
+    val fs = fsOf(spark, table)
+    val snap = snapshot(spark, tablePath, None)
+    if (snap.files.isEmpty) return (0, 0)
+    val tracking = rowTrackingOn(snap.configuration)
+    val cur =
+      if (!tracking)
+        scanRelation(spark, tablePath, snap.schema, snap.partitionColumns,
+          snap.files.map(a => (a, Map.empty[String, String])))
+      else scanWithRowIds(spark, tablePath, snap, snap.files)
+        .withColumnRenamed("_row_id", snap.configuration(MatRowIdColKey))
+        .withColumnRenamed("_row_commit_version", snap.configuration(MatRowVerColKey))
+    val hc = graft.operators.Layout.hilbertValue(
+      col(clusterCols._1), col(clusterCols._2), bits)
+    val clustered = cur.withColumn("__graft_h", hc)
+      .repartitionByRange(nFiles, col("__graft_h"))
+      .sortWithinPartitions("__graft_h")
+      .drop("__graft_h")
+    val next = snap.version + 1
+    val adds = stageFiles(clustered, table, fs, snap.partitionColumns, next, snap.schema)
+    val now = System.currentTimeMillis()
+    val (addsRt, rtDomainLines) = allocRowIds(snap.configuration, snap.domains, next, adds)
+    val clusterCfg =
+      s"""{"clusteringColumns":[["${clusterCols._1}"],["${clusterCols._2}"]]}"""
+    val clusterDomainLine =
+      s"""{"domainMetadata":{"domain":${jsonStr(ClusteringDomain)},"configuration":${jsonStr(clusterCfg)},"removed":false}}"""
+    val proto = {
+      val p = snap.protocol
+      val wanted = Set("clustering", "domainMetadata")
+      if (p.minWriter >= 7) p.copy(writerFeatures = p.writerFeatures ++ wanted)
+      else Protocol(p.minReader, 7, p.readerFeatures,
+        p.writerFeatures ++ wanted ++
+          impliedWriterFeatures(p, snap.schema, snap.configuration))
+    }
+    val protoLines = if (proto == snap.protocol) Nil else Seq(protocolLine(proto))
+    val removeLines = snap.files.map(a =>
+      s"""{"remove":{"path":${jsonStr(a.path)},"deletionTimestamp":$now,"dataChange":false}}""")
+    val addLines = addsRt.map(a => addLine(a, now, dataChange = false))
+    // a layout swap removes files, so a lost race aborts (stale snapshot)
+    commitWithRetry(spark, fs, tablePath, next,
+      protoLines ++ removeLines ++ addLines ++ rtDomainLines :+ clusterDomainLine,
       pureAppend = false, commitStore)
     (snap.files.size, adds.size)
   }
@@ -2509,8 +2839,16 @@ object DeltaSource {
       touchedNames.contains(dataPath(tablePath, a.path).getName))
 
     val idFirstValue = scala.collection.mutable.Map.empty[String, Long]
+    val tracking = rowTrackingOn(snap.configuration)
+    // under row tracking the copy-on-write rewrite MATERIALIZES the
+    // old rows' stable ids: survivors and replaced rows keep theirs
+    // (replaced ids travel key→id like identity columns); inserts get
+    // fresh ids from the new files' baseRowId
+    val matIdCols =
+      if (tracking) Seq(col("_row_id").as(snap.configuration(MatRowIdColKey))) else Nil
     val oldTouched =
       if (touched.isEmpty) None
+      else if (tracking) Some(scanWithRowIds(spark, tablePath, snap, touched))
       else Some(scanRelation(spark, tablePath, snap.schema, snap.partitionColumns,
         touched.map(a => (a, Map.empty[String, String]))))
     val updKeysDf = upd.select(keyCols.map(col): _*).distinct()
@@ -2522,11 +2860,12 @@ object DeltaSource {
     //  - inserts:   update rows for never-seen keys — identity
     //    columns assigned fresh above the watermark
     val survivors = oldTouched.map(
-      _.join(updKeysDf, keyCols, "left_anti").select(fullCols: _*))
+      _.join(updKeysDf, keyCols, "left_anti").select(fullCols ++ matIdCols: _*))
     val matchedKeyIds = oldTouched.map(
-      _.select((keyCols ++ idNames.toSeq.sorted).map(col): _*).distinct())
+      _.select((keyCols ++ idNames.toSeq.sorted).map(col) ++
+        (if (tracking) Seq(col("_row_id")) else Nil): _*).distinct())
     val replaced = matchedKeyIds.map(mi =>
-      upd.join(mi, keyCols, "inner").select(fullCols: _*))
+      upd.join(mi, keyCols, "inner").select(fullCols ++ matIdCols: _*))
     val insertsNoId = matchedKeyIds match {
       case Some(mi) =>
         upd.join(mi.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
@@ -2539,7 +2878,8 @@ object DeltaSource {
         else pf.metadata.getLong(IdStartKey) - step
       idFirstValue(pf.name) = watermark + step
       assignIdentity(d, pf, watermark + step, step)
-    }.select(fullCols: _*)
+    }.select(fullCols ++ matIdCols.map(_ =>
+      lit(null).cast(LongType).as(snap.configuration(MatRowIdColKey))): _*)
     val newData: DataFrame =
       (survivors.toSeq ++ replaced.toSeq :+ inserts).reduce(_ unionByName _)
 
@@ -2578,10 +2918,11 @@ object DeltaSource {
       }
     val removeLines = touched.map(a =>
       s"""{"remove":{"path":${jsonStr(a.path)},"deletionTimestamp":$now,"dataChange":true}}""")
-    val addLines = adds.map(a => addLine(a, now, dataChange = true))
+    val (addsRt, domainLines) = allocRowIds(snap.configuration, snap.domains, next, adds)
+    val addLines = addsRt.map(a => addLine(a, now, dataChange = true))
     val cdcLines = cdcAdds.map { case (rel, pv, sz) => cdcLine(rel, pv, sz) }
     val committed = commitWithRetry(spark, fs, tablePath, next,
-      protoLines ++ metaLines ++ removeLines ++ addLines ++ cdcLines,
+      protoLines ++ metaLines ++ removeLines ++ addLines ++ domainLines ++ cdcLines,
       pureAppend = touched.isEmpty && protoLines.isEmpty && metaLines.isEmpty, commitStore,
       ictKnown = Some(snap.configuration.get("delta.enableInCommitTimestamps").contains("true")))
     maybeAutoCheckpoint(spark, tablePath, committed, snap.configuration)
@@ -2796,12 +3137,21 @@ object DeltaSource {
       }
     val table = new Path(tablePath)
     val fs = fsOf(spark, table)
-    val filesArg = snap.files.map(a => (a, Map.empty[String, String]))
-    val base = withFileIdentity(
-      scanRelationBase(spark, tablePath, snap.schema, snap.partitionColumns, filesArg))
-    val live = applyDv(spark, tablePath, base, snap.files)
+    val tracking = rowTrackingOn(snap.configuration)
+    // under row tracking the matched rows carry their stable _row_id,
+    // which the post-image MATERIALIZES — an UPDATE preserves row
+    // identity (its commit version rides the new add's default)
+    val live =
+      if (tracking) scanWithRowIds(spark, tablePath, snap, snap.files, keepTags = true)
+      else {
+        val filesArg = snap.files.map(a => (a, Map.empty[String, String]))
+        val base = withFileIdentity(
+          scanRelationBase(spark, tablePath, snap.schema, snap.partitionColumns, filesArg))
+        applyDv(spark, tablePath, base, snap.files)
+      }
     val matchedRows = live.where(condition)
       .select((snap.schema.map(f => col(f.name)) ++
+        (if (tracking) Seq(col("_row_id")) else Nil) ++
         Seq(col("__graft_dv_file"), col("__graft_dv_ri"))).toIndexedSeq: _*)
       .localCheckpoint(true)
     val now = System.currentTimeMillis()
@@ -2811,12 +3161,16 @@ object DeltaSource {
     // post-image: SET expressions over the old row, then generated
     // columns recomputed — all map-side over the pinned matched set
     val fullCols = snap.schema.map(f => col(f.name)).toIndexedSeq
-    val postSet = matchedRows.select(snap.schema.map { f =>
+    // the materialized row-id column rides the post-image so updated
+    // rows KEEP their stable ids across the rewrite
+    val matIdCols =
+      if (tracking) Seq(col("_row_id").as(snap.configuration(MatRowIdColKey))) else Nil
+    val postSet = matchedRows.select((snap.schema.map { f =>
       set.get(f.name).map(_.cast(f.dataType).as(f.name)).getOrElse(col(f.name))
-    }.toIndexedSeq: _*)
+    } ++ matIdCols).toIndexedSeq: _*)
     val post = genExprs.toSeq.sortBy(_._1).foldLeft(postSet) { case (d, (name, e)) =>
       d.withColumn(name, expr(e).cast(snap.schema(name).dataType))
-    }.select(fullCols: _*)
+    }.select(fullCols ++ matIdCols.map(_ => col(snap.configuration(MatRowIdColKey))): _*)
     enforceConstraints(post, snap.configuration.collect {
       case (k, v) if k.startsWith("delta.constraints.") =>
         k.stripPrefix("delta.constraints.") -> v
@@ -2829,7 +3183,7 @@ object DeltaSource {
         val pre = matchedRows.select(fullCols: _*)
           .withColumn("_change_type", lit("update_preimage"))
         stageCdcFiles(pre.unionByName(
-          post.withColumn("_change_type", lit("update_postimage"))),
+          post.select(fullCols: _*).withColumn("_change_type", lit("update_postimage"))),
           table, fs, snap.schema, snap.partitionColumns)
       }
     val protoLines = {
@@ -2840,10 +3194,12 @@ object DeltaSource {
       val proto = writerGate(dvProto, cdcAdds.nonEmpty, 4, "changeDataFeed")
       if (proto == snap.protocol) Nil else Seq(protocolLine(proto))
     }
-    val addLines = adds.map(a => addLine(a, now, dataChange = true))
+    val (addsRt, domainLines) = allocRowIds(snap.configuration, snap.domains,
+      snap.version + 1, adds)
+    val addLines = addsRt.map(a => addLine(a, now, dataChange = true))
     val cdcLines = cdcAdds.map { case (rel, pv, sz) => cdcLine(rel, pv, sz) }
     val committed = commitWithRetry(spark, fs, tablePath, snap.version + 1,
-      protoLines ++ removeLines ++ reAddLines ++ addLines ++ cdcLines,
+      protoLines ++ removeLines ++ reAddLines ++ addLines ++ domainLines ++ cdcLines,
       pureAppend = false, commitStore,
       ictKnown = Some(snap.configuration.get("delta.enableInCommitTimestamps").contains("true")))
     maybeAutoCheckpoint(spark, tablePath, committed, snap.configuration)
@@ -2957,14 +3313,16 @@ object DeltaSource {
     val now = System.currentTimeMillis()
     val removeLines = victimAdds.map(a =>
       s"""{"remove":{"path":${jsonStr(a.path)},"deletionTimestamp":$now,"dataChange":true}}""")
-    val addLines = adds.map(a => addLine(a, now, dataChange = true))
+    val (addsRt, domainLines) = allocRowIds(snap.configuration, snap.domains,
+      snap.version + 1, adds)
+    val addLines = addsRt.map(a => addLine(a, now, dataChange = true))
     val cdcLines = cdcAdds.map { case (rel, pv, sz) => cdcLine(rel, pv, sz) }
     val protoLines = {
       val proto = writerGate(snap.protocol, cdcAdds.nonEmpty, 4, "changeDataFeed")
       if (proto == snap.protocol) Nil else Seq(protocolLine(proto))
     }
     val committed = commitWithRetry(spark, fs, tablePath, snap.version + 1,
-      protoLines ++ removeLines ++ addLines ++ cdcLines,
+      protoLines ++ removeLines ++ addLines ++ domainLines ++ cdcLines,
       pureAppend = false, commitStore,
       ictKnown = Some(snap.configuration.get("delta.enableInCommitTimestamps").contains("true")))
     maybeAutoCheckpoint(spark, tablePath, committed, snap.configuration)
@@ -3061,10 +3419,16 @@ object DeltaSource {
             pathOrInlineDv = srcFs.makeQualified(p).toUri.toString)
         }
       }
-      s"""{"add":{"path":${jsonStr(abs)},"partitionValues":$pvJson,"size":$sz,"modificationTime":$now,"dataChange":true$statsJson${dvJson(dvAbs)}}}"""
+      s"""{"add":{"path":${jsonStr(abs)},"partitionValues":$pvJson,"size":$sz,"modificationTime":$now,"dataChange":true$statsJson${dvJson(dvAbs)}${rowIdJson(a.baseRowId, a.defaultRowCommitVersion)}}}"""
+    }
+    // live domainMetadata (e.g. the rowTracking high watermark)
+    // carries to the clone, so its future commits keep allocating
+    // above the source's ids instead of colliding with the cloned adds
+    val domainLines = snap.domains.toSeq.sortBy(_._1).map { case (d, cfg) =>
+      s"""{"domainMetadata":{"domain":${jsonStr(d)},"configuration":${jsonStr(cfg)},"removed":false}}"""
     }
     commitWithRetry(spark, fs, dstPath, 0L,
-      Seq(protocolLine(snap.protocol), metaLine) ++ addLines,
+      Seq(protocolLine(snap.protocol), metaLine) ++ domainLines ++ addLines,
       pureAppend = false, commitStore)
     0L
   }

@@ -141,7 +141,8 @@ class DeltaRound6Spec extends SparkSpec {
     DeltaSource.writeDelta(df, tmp, partitionBy = Seq("zone"))
     val cv = DeltaSource.checkpoint(spark, tmp)
     val cp = spark.read.parquet(s"$tmp/_delta_log/${"%020d".format(cv)}.checkpoint.parquet")
-    assert(cp.columns.toSet == Set("add", "remove", "metaData", "txn", "protocol"))
+    assert(cp.columns.toSet ==
+      Set("add", "remove", "metaData", "txn", "protocol", "domainMetadata"))
     assert(cp.filter(col("protocol.minReaderVersion") === 1).count() == 1)
     assert(cp.filter(col("metaData.schemaString").isNotNull).count() == 1)
     val adds = cp.filter(col("add").isNotNull)
