@@ -174,6 +174,27 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("content_length"), col("lang_hint"))
         .orderBy(col("doc_id"))
     }),
+    "pipe_delta_widen" -> ((s, d) => {
+      // type widening on append (the typeWidening reader-writer
+      // feature): v0 lands the even half with an INT length column,
+      // v1 appends the odd half carrying it as BIGINT — the table
+      // widens in place (one metaData action records the promotion
+      // in delta.typeChanges; ZERO files rewritten at any table
+      // size) and v0's int32 parquet pages read as long through the
+      // vectorized reader's native promotion
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_deltawd_${math.abs(d.hashCode)}/zone"
+      graft.sources.ZoneCache.ensure(Tables.documents(s, d), tmp) {
+        val zone = silverZone(s, d)
+        graft.sources.DeltaSource.writeDelta(zone.where(col("doc_id") % 2 === 0), tmp)
+        graft.sources.DeltaSource.writeDelta(
+          zone.where(col("doc_id") % 2 =!= 0)
+            .withColumn("content_length", col("content_length").cast("long")),
+          tmp, overwrite = false, mergeSchema = true)
+      }
+      graft.sources.DeltaSource.readDelta(s, tmp)
+        .select(col("doc_id"), col("source"), col("content_length"))
+        .orderBy(col("doc_id"))
+    }),
     "pipe_delta_rowtracking" -> ((s, d) => {
       // row lineage end-to-end (the rowTracking writer feature): the
       // even half lands at v0, enablement BACKFILLS ids metadata-only
@@ -1649,6 +1670,12 @@ object SparkEntry {
     "pipe_delta_evolve" ->
       s"""$silverCte SELECT doc_id, source, length(content) AS content_length,
          |  CASE WHEN doc_id % 2 = 1 THEN substr(content, 1, 1) END AS lang_hint
+         |FROM silver0 WHERE length(content) > 50 ORDER BY doc_id""".stripMargin,
+    // widening is value-exact: every silver row reads back with its
+    // length as BIGINT, whichever physical width its file stored
+    "pipe_delta_widen" ->
+      s"""$silverCte SELECT doc_id, source,
+         |CAST(length(content) AS BIGINT) AS content_length
          |FROM silver0 WHERE length(content) > 50 ORDER BY doc_id""".stripMargin,
     // stable row ids replay the exact history: the backfill numbered
     // the even half in its file's doc order (enablement commit = 1),

@@ -215,7 +215,8 @@ object DeltaSource {
     * table REQUIRING anything else must be refused, not misread
     * (e.g. a reader ignoring deletionVectors would resurrect every
     * deleted row). */
-  private val SupportedReaderFeatures = Set("deletionVectors", "columnMapping")
+  private val SupportedReaderFeatures =
+    Set("deletionVectors", "columnMapping", "typeWidening")
   private val MaxReaderVersion = 3
 
   private def protocolLine(p: Protocol): String = {
@@ -1157,6 +1158,45 @@ object DeltaSource {
     (out, Seq(rowTrackingDomainLine(next - 1)))
   }
 
+  // ---------------------------------------------------------------
+  // type widening (the Delta `typeWidening` reader-writer feature):
+  // an append may widen a column's type in place — one metaData
+  // action, zero files rewritten; old files read through the parquet
+  // reader's native type promotion
+  // ---------------------------------------------------------------
+
+  /** Supported widenings, transitive over the integral chain —
+    * exactly the promotions Spark's vectorized parquet reader decodes
+    * natively from narrower physical pages. */
+  private[sources] def isWidening(from: DataType, to: DataType): Boolean = {
+    val intRank = Map[DataType, Int](ByteType -> 1, ShortType -> 2,
+      IntegerType -> 3, LongType -> 4)
+    (from, to) match {
+      case (f, t) if intRank.contains(f) && intRank.contains(t) =>
+        intRank(f) < intRank(t)
+      case (FloatType, DoubleType) => true
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case _ => false
+    }
+  }
+
+  private val TypeChangesKey = "delta.typeChanges"
+
+  /** Append this widening to the field's `delta.typeChanges` history
+    * (the spec's record of when each promotion happened). */
+  private def withTypeChange(m: Metadata, from: DataType, to: DataType,
+                             tableVersion: Long): Metadata = {
+    val prior =
+      if (m.contains(TypeChangesKey)) m.getMetadataArray(TypeChangesKey).toSeq
+      else Nil
+    val entry = new MetadataBuilder()
+      .putString("fromType", from.simpleString)
+      .putString("toType", to.simpleString)
+      .putLong("tableVersion", tableVersion).build()
+    new MetadataBuilder().withMetadata(m)
+      .putMetadataArray(TypeChangesKey, (prior :+ entry).toArray).build()
+  }
+
   /** Commit `df` as the next version of a Delta table, hive-
     * partitioned by `partitionBy` (which delta-rs and Delta Lake read
     * natively; on an existing table the columns are inherited and
@@ -1284,38 +1324,70 @@ object DeltaSource {
           f.copy(metadata = mb.build())
         case None => f
       }
+    var widened = false
     val tableSchema: StructType = prevSnap match {
       case None => dfId.schema
       case Some(s) =>
-        dfId.schema.filter(f => s.schema.exists(_.name == f.name)).foreach { f =>
-          require(s.schema(f.name).dataType == f.dataType,
-            s"column ${f.name}: ${f.dataType} conflicts with table's ${s.schema(f.name).dataType}")
-        }
-        if (overwrite)
-          StructType(dfId.schema.map(f => carryPhysical(carryGenMeta(f, s.schema), s.schema)))
-        else {
-          val extra = dfId.schema.filterNot(f => s.schema.exists(_.name == f.name))
-          if (extra.isEmpty) s.schema
-          else {
-            require(mergeSchema,
-              s"append adds columns ${extra.map(_.name).mkString(", ")}; pass mergeSchema = true")
-            StructType(s.schema ++
-              extra.map(f => carryPhysical(f.copy(nullable = true), s.schema)))
+        if (overwrite) {
+          dfId.schema.filter(f => s.schema.exists(_.name == f.name)).foreach { f =>
+            require(s.schema(f.name).dataType == f.dataType,
+              s"column ${f.name}: ${f.dataType} conflicts with table's ${s.schema(f.name).dataType}")
           }
+          StructType(dfId.schema.map(f => carryPhysical(carryGenMeta(f, s.schema), s.schema)))
+        } else {
+          // shared columns: equal stays; a NARROWER batch value
+          // upcasts silently (safe implicit cast); a WIDER batch type
+          // WIDENS the table in place under mergeSchema — the
+          // typeWidening feature: one metaData action records the
+          // change (delta.typeChanges on the field), zero files
+          // rewritten, old files read through the parquet reader's
+          // native widening (int32→long etc., verified on Spark 4.1)
+          val updatedShared = s.schema.map { f =>
+            dfId.schema.find(_.name == f.name) match {
+              case Some(bf) if bf.dataType == f.dataType => f
+              case Some(bf) if isWidening(bf.dataType, f.dataType) => f // upcast batch
+              case Some(bf) if isWidening(f.dataType, bf.dataType) =>
+                require(mergeSchema,
+                  s"append widens column ${f.name} from ${f.dataType.simpleString} " +
+                    s"to ${bf.dataType.simpleString}; pass mergeSchema = true")
+                widened = true
+                f.copy(dataType = bf.dataType,
+                  metadata = withTypeChange(f.metadata, f.dataType, bf.dataType, next))
+              case Some(bf) =>
+                throw new IllegalArgumentException(
+                  s"column ${f.name}: ${bf.dataType} conflicts with table's ${f.dataType} " +
+                    "and is not a supported widening")
+              case None => f
+            }
+          }
+          val extra = dfId.schema.filterNot(f => s.schema.exists(_.name == f.name))
+          require(extra.isEmpty || mergeSchema,
+            s"append adds columns ${extra.map(_.name).mkString(", ")}; pass mergeSchema = true")
+          StructType(updatedShared ++
+            extra.map(f => carryPhysical(f.copy(nullable = true), s.schema)))
         }
     }
+    // conform the batch to the table's types (covers both the
+    // narrower-batch upcast and exotic-but-equal metadata)
+    val dfConformed = dfId.select(dfId.columns.map { c =>
+      tableSchema.find(_.name == c) match {
+        case Some(f) if dfId.schema(c).dataType != f.dataType =>
+          col(c).cast(f.dataType).as(c)
+        case _ => col(c)
+      }
+    }.toIndexedSeq: _*)
     val removed: Seq[String] =
       if (overwrite) prevSnap.map(_.files.map(_.path)).getOrElse(Nil) else Nil
 
     val tableConfig = prevSnap.map(_.configuration).getOrElse(Map.empty)
     refuseIfAppendOnly(tableConfig, "overwrite (full-snapshot replace)",
       removesData = removed.nonEmpty)
-    enforceConstraints(dfId, tableConfig.collect {
+    enforceConstraints(dfConformed, tableConfig.collect {
       case (k, v) if k.startsWith("delta.constraints.") =>
         k.stripPrefix("delta.constraints.") -> v
     })
 
-    val adds = stageFiles(withNotNullGuards(dfId, tableSchema), table, fs,
+    val adds = stageFiles(withNotNullGuards(dfConformed, tableSchema), table, fs,
       partCols, next, tableSchema)
 
     // identity high watermark advances with the commit's own metaData,
@@ -1331,9 +1403,15 @@ object DeltaSource {
     // gate: legacy minWriter >= 4 / >= 6, or the matching feature on
     // a (x,7) table
     val baseProto = prevSnap.map(_.protocol).getOrElse(DefaultProtocol)
-    val wantProto = writerGate(
+    val wantProto0 = writerGate(
       writerGate(baseProto, generationExpressions(finalSchema).nonEmpty, 4, "generatedColumns"),
       idFields.nonEmpty, 6, "identityColumns")
+    // a widening commit needs the typeWidening READER-writer feature:
+    // a reader ignoring it would decode old narrow pages under wrong
+    // assumptions — gate exactly like deletionVectors
+    val wantProto =
+      if (!widened) wantProto0
+      else protocolWith(wantProto0, "typeWidening", _ => false, finalSchema, tableConfig)
     val header =
       if (next == 0L) Seq(protocolLine(wantProto), metaLine)
       // schema changed (overwrite redefinition, mergeSchema append,

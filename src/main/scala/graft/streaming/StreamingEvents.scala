@@ -49,6 +49,25 @@ object StreamingEvents {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming mirror of Events.sessionizeNative: gap sessions via
+    * the native `session_window` aggregation under a watermark. Open
+    * sessions live in the state store and MERGE when a late-but-
+    * in-watermark event bridges two of them; a session emits (append
+    * mode) once the watermark passes its close — so state is O(open
+    * sessions), bounded, at any stream rate, and emitted rows are
+    * final (no retraction downstream). The batch operator certifies
+    * the same aggregation offline. */
+  def sessionWindowStream(stream: DataFrame, gapMinutes: Int = 30,
+                          watermarkDelay: String = "2 hours"): DataFrame =
+    stream
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(session_window(col("ts"), s"$gapMinutes minutes").as("w"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("session_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("session_value"))
+
   /** Streaming mirror of Events.slidingDistinct's PRODUCT half: the
     * HLL++ distinct-user estimate per sliding window. Exact
     * countDistinct is unsupported in streaming aggregation (it would

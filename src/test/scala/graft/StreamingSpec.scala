@@ -91,4 +91,42 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == expected)
     assert(streamed > 0)
   }
+
+  test("streaming session_window emits batch-identical closed sessions") {
+    val tmp = Files.createTempDirectory("graft_ssw").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ev(id: Long, min: Long, user: Long, v: Double) =
+      (id, new java.sql.Timestamp(t0.getTime + min * 60000L), user, "click", v, "{}")
+    // user 1: two sessions (gap 45 > 30); user 2: one session whose
+    // two halves only MERGE once event 12 bridges them
+    val real = Seq(
+      ev(1, 0, 1L, 1.0), ev(2, 10, 1L, 2.0), ev(3, 20, 1L, 3.0),
+      ev(4, 65, 1L, 4.0), ev(5, 70, 1L, 5.0),
+      ev(10, 0, 2L, 1.0), ev(12, 25, 2L, 1.0), ev(11, 50, 2L, 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // a far-future flush event advances the watermark past every real
+    // session so append mode emits them all; its own session stays open
+    val flush = Seq(ev(99, 60 * 24, 9L, 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    real.coalesce(1).write.parquet(s"$tmp/in/b1")
+    flush.coalesce(1).write.parquet(s"$tmp/in/b2")
+    val stream = spark.readStream.schema(StreamingEvents.EventSchema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tmp/in/*")
+    val q = StreamingEvents.sessionWindowStream(stream, gapMinutes = 30,
+      watermarkDelay = "0 seconds")
+      .writeStream.outputMode("append").format("memory").queryName("ssw").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("ssw")
+      .select($"user_id", $"session_start", $"session_end", $"n_events", $"session_value")
+      .orderBy($"user_id", $"session_start").collect().toSeq
+    val want = graft.operators.Events.sessionizeNative(
+      real.unionByName(flush), gapMinutes = 30)
+      .where($"user_id" =!= 9L) // the flush session never closed
+      .orderBy($"user_id", $"session_start").collect().toSeq
+    assert(got == want, s"streamed sessions:\n$got\nbatch sessions:\n$want")
+    assert(got.size == 3, "two user-1 sessions plus user 2's merged one")
+    // the bridge proof: user 2 emitted ONE 0..50+30 session, not two
+    val u2 = got.filter(_.getLong(0) == 2L)
+    assert(u2.size == 1 && u2.head.getLong(3) == 3L)
+  }
 }
