@@ -174,6 +174,30 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("content_length"), col("lang_hint"))
         .orderBy(col("doc_id"))
     }),
+    "pipe_delta_rename" -> ((s, d) => {
+      // column-mapping DDL end-to-end: rename + drop are metaData-only
+      // commits (physical col-uuids keep old files readable, zero data
+      // touched at any table size), appends continue under the mapped
+      // schema, and re-adding a column NAMED like the dropped one gets
+      // a FRESH physical id — the old files' source values must stay
+      // buried (NULL), never resurrect
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_deltarn_${math.abs(d.hashCode)}/zone"
+      graft.sources.ZoneCache.ensure(Tables.documents(s, d), tmp) {
+        val zone = silverZone(s, d)
+        graft.sources.DeltaSource.writeDelta(zone.where(col("doc_id") % 2 === 0), tmp)
+        graft.sources.DeltaSource.enableColumnMapping(s, tmp)
+        graft.sources.DeltaSource.renameColumn(s, tmp, "content_length", "n_chars")
+        graft.sources.DeltaSource.dropColumn(s, tmp, "source")
+        graft.sources.DeltaSource.writeDelta(
+          zone.where(col("doc_id") % 2 =!= 0)
+            .withColumnRenamed("content_length", "n_chars")
+            .drop("source").withColumn("source", lit("fresh")),
+          tmp, overwrite = false, mergeSchema = true)
+      }
+      graft.sources.DeltaSource.readDelta(s, tmp)
+        .select(col("doc_id"), col("n_chars"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
     "pipe_delta_widen" -> ((s, d) => {
       // type widening on append (the typeWidening reader-writer
       // feature): v0 lands the even half with an INT length column,
@@ -837,6 +861,14 @@ object SparkEntry {
         .withColumn("window_start", date_format(col("window_start"), TsFmt))),
     "ev_sessionize" -> ((s, d) =>
       Events.sessionize(Tables.events(s, d))
+        .withColumn("session_start", date_format(col("session_start"), TsFmtUs))
+        .withColumn("session_end", date_format(col("session_end"), TsFmtUs))),
+    "ev_session_native" -> ((s, d) =>
+      // Spark's session_window aggregation (merging handled inside
+      // the agg operator — ONE shuffle on user_id, no per-user sort
+      // window): semantics certified against the lag/cumsum oracle,
+      // and the SAME aggregation streams (sessionWindowStream)
+      Events.sessionizeNative(Tables.events(s, d))
         .withColumn("session_start", date_format(col("session_start"), TsFmtUs))
         .withColumn("session_end", date_format(col("session_end"), TsFmtUs))),
     "ev_value_quantiles" -> ((s, d) =>
@@ -1670,6 +1702,12 @@ object SparkEntry {
     "pipe_delta_evolve" ->
       s"""$silverCte SELECT doc_id, source, length(content) AS content_length,
          |  CASE WHEN doc_id % 2 = 1 THEN substr(content, 1, 1) END AS lang_hint
+         |FROM silver0 WHERE length(content) > 50 ORDER BY doc_id""".stripMargin,
+    // rename + drop are value-exact on the KEPT data, and the re-added
+    // source column never resurrects the dropped files' values
+    "pipe_delta_rename" ->
+      s"""$silverCte SELECT doc_id, length(content) AS n_chars,
+         |CASE WHEN doc_id % 2 <> 0 THEN 'fresh' END AS source
          |FROM silver0 WHERE length(content) > 50 ORDER BY doc_id""".stripMargin,
     // widening is value-exact: every silver row reads back with its
     // length as BIGINT, whichever physical width its file stored
@@ -4038,6 +4076,16 @@ object SparkEntry {
          |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
          |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
          |FROM t GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+    // session_window ≡ the lag/cumsum sessionizer; end = last event + gap
+    "ev_session_native" ->
+      s"""$sessionTCte
+         |SELECT user_id,
+         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+         |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+         |  count(*) AS n_events,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
+         |FROM t GROUP BY user_id, session_seq
+         |ORDER BY user_id, session_start""".stripMargin,
     // interval algebra over the session table: +1/−1 boundary deltas,
     // running sum inside each day = live concurrency; peak per day
     "ev_peak_concurrency" ->

@@ -32,7 +32,9 @@ object GraftFunctions {
     "graft_dot" -> (es => NativeExprs.DotProduct(es.head, es(1))),
     "graft_intersect_size" -> (es => NativeExprs.IntersectSize(es.head, es(1))),
     "graft_recursive_split" -> (es => NativeExprs.RecursiveSplit(es.head,
-      intLit(es(1), "size"), intLit(es(2), "overlap"))))
+      intLit(es(1), "size"), intLit(es(2), "overlap"))),
+    "graft_hilbert" -> (es => NativeExprs.HilbertIndex(es.head, es(1),
+      intLit(es(2), "bits"))))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, builder) =>

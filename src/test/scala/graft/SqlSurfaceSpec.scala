@@ -28,6 +28,9 @@ class SqlSurfaceSpec extends SparkSpec {
     val viaColumn = Seq("a b c d e").toDF("t")
       .select(graft.plans.NativeExprs.simhash32(split($"t", " "))).as[Long].head()
     assert(row.getLong(0) == viaColumn)
+    // the hilbert index is SQL-reachable and matches the static eval
+    val h = spark.sql("SELECT graft_hilbert(5L, 9L, 4) AS h").as[Long].head()
+    assert(h == graft.plans.NativeExprs.hilbertEval(5L, 9L, 4))
   }
 
   test("partitioned zone write enables partition pruning") {
