@@ -45,7 +45,10 @@ object Bench {
         "pipe_delta_optimize", "pipe_delta_cdf", "pipe_delta_zorder",
         "pipe_delta_timetravel", "pipe_delta_dv",
         "pipe_incremental_silver", "pipe_delta_generated",
-        "pipe_delta_identity", "pipe_delta_cdc").foreach { n =>
+        "pipe_delta_identity", "pipe_delta_cdc",
+        "pipe_delta_update", "pipe_delta_evolve",
+        "pipe_delta_rowtracking", "pipe_delta_cluster",
+        "pipe_delta_widen", "pipe_delta_rename").foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
       }

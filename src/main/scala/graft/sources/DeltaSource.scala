@@ -126,11 +126,14 @@ object DeltaSource {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private val CommitRe = """(\d{20})\.json""".r
-  private val CheckpointRe = """(\d{20})\.checkpoint(?:\.\d+\.\d+)?\.parquet""".r
+  private val Uuid = """[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}"""
+  private val CheckpointRe =
+    (s"""(\\d{20})\\.checkpoint(?:\\.\\d+\\.\\d+|\\.$Uuid)?\\.parquet""").r
 
   /** (commit versions, checkpoint versions) present in the log. */
   private val CheckpointSingleRe = """(\d{20})\.checkpoint\.parquet""".r
   private val CheckpointPartRe = """(\d{20})\.checkpoint\.(\d+)\.(\d+)\.parquet""".r
+  private val CheckpointV2Re = (s"""(\\d{20})\\.checkpoint\\.($Uuid)\\.parquet""").r
 
   private def logVersions(fs: FileSystem, logDir: Path): (Seq[Long], Seq[Long]) = {
     if (!fs.exists(logDir)) return (Seq.empty, Seq.empty)
@@ -143,20 +146,29 @@ object DeltaSource {
     // from surviving parts would silently drop the missing parts'
     // files from the reconstructed state.
     val single = names.collect { case CheckpointSingleRe(v) => v.toLong }
+    // a v2 manifest is self-complete once visible: its sidecars were
+    // landed BEFORE it (write order), and a later torn cleanup
+    // surfaces as a loud missing-sidecar error at read, never a
+    // smaller table
+    val v2 = names.collect { case CheckpointV2Re(v, _) => v.toLong }
     val complete = names.collect { case CheckpointPartRe(v, i, n) =>
       (v.toLong, i.toInt, n.toInt)
     }.groupBy(_._1).collect {
       case (v, g) if g.map(_._3).distinct.sizeIs == 1 &&
         g.map(_._2).toSet == (1 to g.head._3).toSet => v
     }
-    val checkpoints = (single ++ complete).distinct.sorted
+    val checkpoints = (single ++ v2 ++ complete).distinct.sorted
     (commits, checkpoints)
   }
 
   def latestVersion(spark: SparkSession, tablePath: String): Option[Long] = {
     val logDir = new Path(tablePath, "_delta_log")
-    val (commits, checkpoints) = logVersions(fsOf(spark, logDir), logDir)
-    (commits ++ checkpoints).sorted.lastOption
+    val fs = fsOf(spark, logDir)
+    val (commits, checkpoints) = logVersions(fs, logDir)
+    // a compacted range attests its upper version even when the
+    // member JSONs were removed
+    val compactTops = listCompactions(fs, logDir).map(_._2)
+    (commits ++ checkpoints ++ compactTops).sorted.lastOption
   }
 
   /** Minimal action schema — the fields snapshot reconstruction
@@ -216,7 +228,7 @@ object DeltaSource {
     * (e.g. a reader ignoring deletionVectors would resurrect every
     * deleted row). */
   private val SupportedReaderFeatures =
-    Set("deletionVectors", "columnMapping", "typeWidening")
+    Set("deletionVectors", "columnMapping", "typeWidening", "v2Checkpoint")
   private val MaxReaderVersion = 3
 
   private def protocolLine(p: Protocol): String = {
@@ -269,20 +281,39 @@ object DeltaSource {
     val logDir = new Path(tablePath, "_delta_log")
     val fs = fsOf(spark, logDir)
     val (commits, checkpoints) = logVersions(fs, logDir)
-    val maxAvail = (commits ++ checkpoints).sorted.lastOption.getOrElse(
-      throw new IllegalArgumentException(s"not a Delta table (no _delta_log): $tablePath"))
+    val allCompactions = listCompactions(fs, logDir)
+    val maxAvail = (commits ++ checkpoints ++ allCompactions.map(_._2))
+      .sorted.lastOption.getOrElse(
+        throw new IllegalArgumentException(s"not a Delta table (no _delta_log): $tablePath"))
     val target = version.getOrElse(maxAvail)
     require(target <= maxAvail, s"version $target not in log (latest: $maxAvail)")
     val cp = checkpoints.filter(_ <= target).sorted.lastOption
-    val replayCommits = commits.filter(v => v <= target && cp.forall(v > _))
+    val coverFrom = cp.map(_ + 1).getOrElse(0L)
+    // Minor log compactions (<x>.<y>.compacted.json): a compacted
+    // range fully inside (cp, target] substitutes for its member
+    // commits — greedy longest-first cover, so replay reads
+    // O(ranges + stragglers) files instead of O(commits). At 100 TB
+    // a table accumulates millions of commits between checkpoints'
+    // worth of listing; compactions keep the replay half bounded.
+    val compactions: Seq[(Long, Long)] = allCompactions
+      .filter { case (x, y) => x >= coverFrom && y <= target }
+      .sortBy { case (x, y) => (x, -y) }
+    val chosen = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    var cursor = coverFrom
+    compactions.foreach { case (x, y) =>
+      if (x >= cursor) { chosen += ((x, y)); cursor = y + 1 }
+    }
+    val inChosen: Long => Boolean =
+      v => chosen.exists { case (x, y) => v >= x && v <= y }
+    val replayCommits = commits.filter(v =>
+      v <= target && cp.forall(v > _) && !inChosen(v))
     // Contiguity (Delta's validateDeltaVersions rule): the commits
     // replayed on top of the seed checkpoint must cover (cp, target]
     // without gaps — after log cleanup, a surviving OLDER checkpoint
     // plus missing commits would otherwise silently reconstruct the
     // older state and label it `target`. Error instead.
-    val coverFrom = cp.map(_ + 1).getOrElse(0L)
     val have = replayCommits.toSet
-    val missing = (coverFrom to target).filterNot(have)
+    val missing = (coverFrom to target).filterNot(v => have(v) || inChosen(v))
     require(missing.isEmpty,
       s"cannot reconstruct version $target of $tablePath: commit(s) " +
         s"${missing.take(5).mkString(", ")}${if (missing.size > 5) ", …" else ""} " +
@@ -295,18 +326,62 @@ object DeltaSource {
       case Some(v) =>
         val all = fs.listStatus(logDir).toSeq.map(_.getPath)
           .filter(p => CheckpointRe.findFirstMatchIn(p.getName).exists(_.group(1).toLong == v))
-        // prefer the single-file form: stray parts of an abandoned
-        // multi-part attempt at the same version must not be co-read
-        val files = all.filter(p => CheckpointSingleRe.findFirstMatchIn(p.getName).nonEmpty) match {
-          case s if s.nonEmpty => s
-          case _ => all
-        }
-        spark.read.schema(ActionSchema).parquet(files.map(_.toString): _*)
-          .collect().toSeq.map(r => (v, r))
+        // preference: single-file, then a v2 manifest, then parts —
+        // strays of an abandoned other-form attempt at the same
+        // version must not be co-read
+        val singles = all.filter(p => CheckpointSingleRe.findFirstMatchIn(p.getName).nonEmpty)
+        val v2s = all.filter(p => CheckpointV2Re.findFirstMatchIn(p.getName).nonEmpty)
+        if (singles.nonEmpty)
+          spark.read.schema(ActionSchema).parquet(singles.map(_.toString): _*)
+            .collect().toSeq.map(r => (v, r))
+        else if (v2s.nonEmpty) {
+          // v2: the manifest holds protocol/metaData/txn/domainMetadata
+          // plus `sidecar` pointers; add/remove actions live in the
+          // sidecar files under _delta_log/_sidecars/
+          val manifestSchema = StructType(ActionSchema :+
+            StructField("sidecar", StructType(Seq(
+              StructField("path", StringType),
+              StructField("sizeInBytes", LongType),
+              StructField("modificationTime", LongType)))))
+          val mRows = spark.read.schema(manifestSchema)
+            .parquet(v2s.map(_.toString): _*).collect().toSeq
+          val sideNames = mRows.flatMap { r =>
+            val i = r.fieldIndex("sidecar")
+            if (r.isNullAt(i)) None else Option(r.getStruct(i).getAs[String]("path"))
+          }
+          val sidecarDir = new Path(logDir, "_sidecars")
+          val sidePaths = sideNames.map { n =>
+            val p = new Path(sidecarDir, n)
+            require(fs.exists(p),
+              s"v2 checkpoint at version $v of $tablePath references a missing " +
+                s"sidecar $n — the checkpoint is torn (partial cleanup?); " +
+                "replay from JSON commits or an older checkpoint instead")
+            p.toString
+          }
+          val sideRows =
+            if (sidePaths.isEmpty) Seq.empty
+            else spark.read.schema(ActionSchema).parquet(sidePaths: _*).collect().toSeq
+          // drop the sidecar column so manifest rows match ActionSchema
+          // field indexes downstream (schema-carrying rows: the replay
+          // loop resolves fields by NAME)
+          val mAsActions: Seq[org.apache.spark.sql.Row] = mRows.map { r =>
+            new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+              r.toSeq.dropRight(1).toArray, ActionSchema)
+          }
+          (mAsActions ++ sideRows).map(r => (v, r))
+        } else
+          spark.read.schema(ActionSchema).parquet(all.map(_.toString): _*)
+            .collect().toSeq.map(r => (v, r))
     }
     val jsonActions: Seq[(Long, org.apache.spark.sql.Row)] = replayCommits.flatMap { v =>
       val f = new Path(logDir, f"$v%020d.json")
       spark.read.schema(ActionSchema).json(f.toString).collect().toSeq.map(r => (v, r))
+    } ++ chosen.toSeq.flatMap { case (x, y) =>
+      // a compacted range's actions are already reconciled (one per
+      // path); stamping them all at y keeps cross-source precedence
+      // right: later plain commits beat them, earlier ones lose
+      val f = new Path(logDir, f"$x%020d.$y%020d.compacted.json")
+      spark.read.schema(ActionSchema).json(f.toString).collect().toSeq.map(r => (y, r))
     }
 
     var schemaString: Option[String] = None
@@ -1536,15 +1611,19 @@ object DeltaSource {
       else Protocol(snap.protocol.minReader, 7,
         snap.protocol.readerFeatures, snap.protocol.writerFeatures ++ feats)
     val now = System.currentTimeMillis()
+    val fsData = fsOf(spark, new Path(tablePath))
     var next = rowIdHighWaterMark(snap.domains) + 1
     val reAdds = snap.files.sortBy(_.path).map { a =>
       val n = parseStats(a.stats).flatMap(_.numRecords).getOrElse(
         throw new IllegalStateException(
           s"cannot backfill row ids for ${a.path}: its add action carries no " +
             "numRecords stats"))
+      // resolve a missing size for real — re-adding size 0 would
+      // break split planning on the next scan
+      val sz = a.size.getOrElse(
+        fsData.getFileStatus(dataPath(tablePath, a.path)).getLen)
       val line = reAddLine(a.copy(baseRowId = Some(next),
-        defaultRowCommitVersion = Some(v)),
-        a.size.getOrElse(0L), now, dataChange = false, a.dv)
+        defaultRowCommitVersion = Some(v)), sz, now, dataChange = false, a.dv)
       next += n
       line
     }
@@ -2097,6 +2176,138 @@ object DeltaSource {
     v
   }
 
+  /** V2 checkpoint (the spec's `v2Checkpoint` reader-writer feature):
+    * a UUID-named MANIFEST carries the table-wide actions (protocol,
+    * metaData, txns, domains, checkpointMetadata) plus `sidecar`
+    * pointers, and the file actions live in `_delta_log/_sidecars/`
+    * parquet written FIRST — so a visible manifest always has its
+    * sidecars. The metadata-scale story: at 100 TB the file list is
+    * the big half of a checkpoint, and sidecars split it into
+    * independently-readable (and independently-WRITABLE — one
+    * distributed job, `sidecarFiles` ways) chunks instead of one
+    * monolith. Upgrades the protocol first when the table lacks the
+    * feature gate (one metadata commit). Returns the checkpointed
+    * version. */
+  def checkpointV2(spark: SparkSession, tablePath: String,
+                   sidecarFiles: Int = 1,
+                   commitStore: CommitStore = CreateExclusiveCommitStore): Long = {
+    require(sidecarFiles >= 1, "need at least one sidecar")
+    val pre = snapshot(spark, tablePath, None)
+    if (!(pre.protocol.minReader >= 3 && pre.protocol.readerFeatures("v2Checkpoint"))) {
+      val proto = protocolWith(pre.protocol, "v2Checkpoint", _ => false,
+        pre.schema, pre.configuration)
+      commitMetadata(spark, tablePath, pre.schema, pre.partitionColumns,
+        pre.configuration, commitStore, Some(proto))
+    }
+    val v = latestVersion(spark, tablePath).get
+    val snap = snapshot(spark, tablePath, Some(v))
+    val logDir = new Path(tablePath, "_delta_log")
+    val fs = fsOf(spark, logDir)
+    import spark.implicits._
+    val sidecarStruct = StructType(Seq(
+      StructField("path", StringType),
+      StructField("sizeInBytes", LongType),
+      StructField("modificationTime", LongType)))
+    val manifestSchema = StructType(CheckpointSchema.fields.toSeq ++ Seq(
+      StructField("sidecar", sidecarStruct),
+      StructField("checkpointMetadata",
+        StructType(Seq(StructField("version", LongType))))))
+    def nullCol(field: String) = lit(null).cast(manifestSchema(field).dataType).as(field)
+
+    // 1. sidecars: every add action, landed before the manifest.
+    //    Sidecar parquet carries just the `add` column — readers
+    //    schema-merge the rest as null, same as a JSON commit line.
+    val sidecarDir = new Path(logDir, "_sidecars")
+    fs.mkdirs(sidecarDir)
+    val addRows = snap.files
+      .map(f => (f.path, f.partitionValues, f.size, f.modificationTime, f.stats,
+        f.dv.map(_.storageType).orNull, f.dv.map(_.pathOrInlineDv).orNull,
+        f.dv.flatMap(_.offset), f.dv.map(_.sizeInBytes).getOrElse(0),
+        f.dv.map(_.cardinality).getOrElse(0L),
+        f.baseRowId, f.defaultRowCommitVersion))
+      .toDF("path", "partitionValues", "size", "modificationTime", "stats",
+        "dvStorage", "dvPath", "dvOffset", "dvSize", "dvCard", "brid", "drcv")
+      .select(struct(col("path"), col("partitionValues"), col("size"),
+        col("modificationTime"), lit(true).as("dataChange"), col("stats"),
+        when(col("dvPath").isNotNull,
+          struct(col("dvStorage").as("storageType"), col("dvPath").as("pathOrInlineDv"),
+            col("dvOffset").as("offset"), col("dvSize").as("sizeInBytes"),
+            col("dvCard").as("cardinality"))).as("deletionVector"),
+        col("brid").as("baseRowId"), col("drcv").as("defaultRowCommitVersion"))
+        .cast(CheckpointSchema("add").dataType).as("add"))
+    val stage = new Path(tablePath, s".cpv2stage-${UUID.randomUUID().toString.take(8)}")
+    addRows.repartition(sidecarFiles).write.mode("overwrite").parquet(stage.toString)
+    val sidecars = fs.listStatus(stage).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).map { part =>
+        val name = s"${UUID.randomUUID().toString}.parquet"
+        val dst = new Path(sidecarDir, name)
+        renameOrFail(fs, part, dst)
+        val st = fs.getFileStatus(dst)
+        (name, st.getLen, st.getModificationTime)
+      }
+    fs.delete(stage, true)
+
+    // 2. the manifest: table-wide actions + sidecar pointers
+    val p = snap.protocol
+    val protocolRow = Seq((p.minReader, p.minWriter,
+      p.readerFeatures.toSeq.sorted, p.writerFeatures.toSeq.sorted))
+      .toDF("mr", "mw", "rf", "wf")
+      .select(nullCol("add"), nullCol("remove"), nullCol("metaData"), nullCol("txn"),
+        struct(col("mr").as("minReaderVersion"), col("mw").as("minWriterVersion"),
+          when(col("mr") >= 3, col("rf")).as("readerFeatures"),
+          when(col("mw") >= 7, col("wf")).as("writerFeatures"))
+          .cast(manifestSchema("protocol").dataType).as("protocol"),
+        nullCol("domainMetadata"), nullCol("sidecar"), nullCol("checkpointMetadata"))
+    val metaRow = Seq((snap.schema.json, snap.partitionColumns, snap.configuration))
+      .toDF("s", "pc", "cfg")
+      .select(nullCol("add"), nullCol("remove"),
+        struct(lit(UUID.randomUUID().toString).as("id"), col("s").as("schemaString"),
+          col("pc").as("partitionColumns"), col("cfg").as("configuration"))
+          .cast(manifestSchema("metaData").dataType).as("metaData"),
+        nullCol("txn"), nullCol("protocol"), nullCol("domainMetadata"),
+        nullCol("sidecar"), nullCol("checkpointMetadata"))
+    val txnRows = snap.txns.toSeq.sortBy(_._1) match {
+      case Nil => None
+      case ts => Some(ts.toDF("a", "tv")
+        .select(nullCol("add"), nullCol("remove"), nullCol("metaData"),
+          struct(col("a").as("appId"), col("tv").as("version")).as("txn"),
+          nullCol("protocol"), nullCol("domainMetadata"),
+          nullCol("sidecar"), nullCol("checkpointMetadata")))
+    }
+    val domainRows = snap.domains.toSeq.sortBy(_._1) match {
+      case Nil => None
+      case ds => Some(ds.toDF("d", "c")
+        .select(nullCol("add"), nullCol("remove"), nullCol("metaData"), nullCol("txn"),
+          nullCol("protocol"),
+          struct(col("d").as("domain"), col("c").as("configuration"),
+            lit(false).as("removed")).as("domainMetadata"),
+          nullCol("sidecar"), nullCol("checkpointMetadata")))
+    }
+    val sidecarRows = sidecars.toDF("sp", "sz", "mt")
+      .select(nullCol("add"), nullCol("remove"), nullCol("metaData"), nullCol("txn"),
+        nullCol("protocol"), nullCol("domainMetadata"),
+        struct(col("sp").as("path"), col("sz").as("sizeInBytes"),
+          col("mt").as("modificationTime")).as("sidecar"),
+        nullCol("checkpointMetadata"))
+    val cpMetaRow = Seq(v).toDF("cv")
+      .select(nullCol("add"), nullCol("remove"), nullCol("metaData"), nullCol("txn"),
+        nullCol("protocol"), nullCol("domainMetadata"), nullCol("sidecar"),
+        struct(col("cv").as("version")).as("checkpointMetadata"))
+    val mStage = new Path(tablePath, s".cpv2m-${UUID.randomUUID().toString.take(8)}")
+    (txnRows.toSeq ++ domainRows.toSeq)
+      .foldLeft(protocolRow.unionByName(metaRow).unionByName(sidecarRows)
+        .unionByName(cpMetaRow))(_ unionByName _)
+      .coalesce(1).write.mode("overwrite").parquet(mStage.toString)
+    val mPart = fs.listStatus(mStage).toSeq.map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    renameOrFail(fs, mPart,
+      new Path(logDir, f"$v%020d.checkpoint.${UUID.randomUUID().toString}.parquet"))
+    fs.delete(mStage, true)
+    writeText(fs, new Path(logDir, "_last_checkpoint"),
+      s"""{"version":$v,"size":${snap.files.size + 3 + snap.txns.size + snap.domains.size + sidecars.size}}""")
+    v
+  }
+
   /** VACUUM: physically delete data files no longer referenced by
     * the LATEST snapshot and older than `retainMs` (mtime) — the
     * storage-reclaim command every overwrite-heavy zone eventually
@@ -2195,6 +2406,69 @@ object DeltaSource {
     * but is better not to offer at all. `_last_checkpoint` and every
     * file at or after the newest checkpoint survive regardless of
     * age. Returns the deleted commit versions. */
+  private val CompactedRe = """(\d{20})\.(\d{20})\.compacted\.json""".r
+
+  private def listCompactions(fs: FileSystem, logDir: Path): Seq[(Long, Long)] =
+    if (!fs.exists(logDir)) Nil
+    else fs.listStatus(logDir).toSeq.filter(_.isFile).map(_.getPath.getName).collect {
+      case CompactedRe(x, y) => (x.toLong, y.toLong)
+    }
+
+  /** Minor log compaction: reconcile each COMPLETE aligned run of
+    * `every` commits into one `<x>.<y>.compacted.json` — per path the
+    * newest add/remove survives (removes kept as tombstones, they
+    * must still beat a checkpoint seeded below x), newest metaData /
+    * protocol / per-app txn / per-domain domainMetadata, commitInfo
+    * and change-data lines dropped (cdc readers replay original
+    * commits, which compaction never deletes). Lines are copied
+    * VERBATIM from the source commits — byte-lossless for fields
+    * this reader doesn't model. Snapshot replay then reads
+    * O(ranges + stragglers) files instead of O(commits) — the
+    * metadata half of 100 TB scale, where millions of commits
+    * accumulate between checkpoints. Returns the ranges written. */
+  def compactLog(spark: SparkSession, tablePath: String,
+                 every: Int = 10): Seq[(Long, Long)] = {
+    require(every >= 2, "a compaction range needs at least 2 commits")
+    val logDir = new Path(tablePath, "_delta_log")
+    val fs = fsOf(spark, logDir)
+    val (commits, _) = logVersions(fs, logDir)
+    val existing = listCompactions(fs, logDir).toSet
+    val ranges = commits.sorted.groupBy(_ / every).values.toSeq
+      .filter(_.size == every)
+      .map(g => (g.min, g.max))
+      .filterNot(existing)
+      .sorted
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    ranges.map { case (x, y) =>
+      val keep = scala.collection.mutable.LinkedHashMap[String, (Long, String)]()
+      (x to y).foreach { v =>
+        val p = new Path(logDir, f"$v%020d.json")
+        val in = fs.open(p)
+        val text = try {
+          val out = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+          new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+        } finally in.close()
+        text.split('\n').filter(_.trim.nonEmpty).foreach { line =>
+          val node = mapper.readTree(line)
+          val key =
+            if (node.has("add")) "p:" + node.path("add").path("path").asText()
+            else if (node.has("remove")) "p:" + node.path("remove").path("path").asText()
+            else if (node.has("metaData")) "meta"
+            else if (node.has("protocol")) "proto"
+            else if (node.has("txn")) "txn:" + node.path("txn").path("appId").asText()
+            else if (node.has("domainMetadata"))
+              "dom:" + node.path("domainMetadata").path("domain").asText()
+            else null // commitInfo, cdc: per-commit payloads, not state
+          if (key != null && keep.get(key).forall(_._1 <= v)) keep(key) = (v, line)
+        }
+      }
+      writeText(fs, new Path(logDir, f"$x%020d.$y%020d.compacted.json"),
+        keep.values.map(_._2).mkString("", "\n", "\n"))
+      (x, y)
+    }
+  }
+
   def cleanupExpiredLogs(spark: SparkSession, tablePath: String,
                          retainMs: Long = 30L * 24 * 3600 * 1000): Seq[Long] = {
     val logDir = new Path(tablePath, "_delta_log")
@@ -2242,6 +2516,36 @@ object DeltaSource {
             group.forall(_._2.getModificationTime < cutoff))
           group.foreach { case (_, s) => fs.delete(s.getPath, false) }
       }
+    // compacted ranges fully below the newest checkpoint are spent
+    // (replay never starts below its seed) — GC once aged
+    listCompactions(fs, logDir).foreach { case (x, y) =>
+      val p = new Path(logDir, f"$x%020d.$y%020d.compacted.json")
+      if (y < newestCp && fs.getFileStatus(p).getModificationTime < cutoff)
+        fs.delete(p, false)
+    }
+    // v2 sidecar GC: a sidecar survives while ANY surviving manifest
+    // references it; the reference scan is model-sized (one parquet
+    // read per surviving manifest)
+    val sidecarDir = new Path(logDir, "_sidecars")
+    if (fs.exists(sidecarDir)) {
+      val manifests = fs.listStatus(logDir).toSeq.filter(_.isFile)
+        .filter(s => CheckpointV2Re.findFirstMatchIn(s.getPath.getName).nonEmpty)
+        .map(_.getPath.toString)
+      val referenced: Set[String] =
+        if (manifests.isEmpty) Set.empty
+        else {
+          val sideOnly = StructType(Seq(StructField("sidecar", StructType(Seq(
+            StructField("path", StringType))))))
+          spark.read.schema(sideOnly).parquet(manifests: _*)
+            .collect().flatMap { r =>
+              if (r.isNullAt(0)) None else Option(r.getStruct(0).getAs[String]("path"))
+            }.toSet
+        }
+      fs.listStatus(sidecarDir).toSeq.filter(_.isFile).foreach { s =>
+        if (!referenced(s.getPath.getName) && s.getModificationTime < cutoff)
+          fs.delete(s.getPath, false)
+      }
+    }
     doomed
   }
 

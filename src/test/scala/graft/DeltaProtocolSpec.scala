@@ -85,14 +85,15 @@ class DeltaProtocolSpec extends SparkSpec {
     DeltaSource.writeDelta(spark.range(0, 10).toDF("id"), tbl)
     val fs = new Path(tbl).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(new Path(tbl, f"_delta_log/${1L}%020d.json"), true)
+    // timestampNtz is a real spec feature this reader does NOT implement
     out.write(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}"""
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["timestampNtz"],"writerFeatures":["timestampNtz"]}}"""
         .getBytes("UTF-8"))
     out.close()
     val e = intercept[IllegalArgumentException] {
       DeltaSource.readDelta(spark, tbl).collect()
     }
-    assert(e.getMessage.contains("v2Checkpoint"))
+    assert(e.getMessage.contains("timestampNtz"))
     // a version far beyond us is refused too
     val out2 = fs.create(new Path(tbl, f"_delta_log/${2L}%020d.json"), true)
     out2.write("""{"protocol":{"minReaderVersion":9,"minWriterVersion":9}}""".getBytes("UTF-8"))
