@@ -48,7 +48,8 @@ object Bench {
         "pipe_delta_identity", "pipe_delta_cdc",
         "pipe_delta_update", "pipe_delta_evolve",
         "pipe_delta_rowtracking", "pipe_delta_cluster",
-        "pipe_delta_widen", "pipe_delta_rename").foreach { n =>
+        "pipe_delta_widen", "pipe_delta_rename",
+        "pipe_delta_compact", "pipe_delta_v2checkpoint").foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
       }

@@ -174,6 +174,53 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("content_length"), col("lang_hint"))
         .orderBy(col("doc_id"))
     }),
+    "pipe_delta_compact" -> ((s, d) => {
+      // minor log compaction graded end-to-end: the silver zone lands
+      // as TEN commits (even half, then the odd half in nine doc_id
+      // slices), compactLog reconciles 0..9 into one file, and the
+      // member JSONs are then DELETED outright — the timed read must
+      // reconstruct the full zone from the compacted range alone
+      // (O(ranges) log reads; at 100 TB the replay half of metadata)
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_deltalc_${math.abs(d.hashCode)}/zone"
+      graft.sources.ZoneCache.ensure(Tables.documents(s, d), tmp) {
+        val zone = silverZone(s, d)
+        graft.sources.DeltaSource.writeDelta(zone.where(col("doc_id") % 2 === 0), tmp)
+        (0 until 9).foreach { i =>
+          graft.sources.DeltaSource.writeDelta(
+            zone.where(col("doc_id") % 2 =!= 0 && pmod(col("doc_id"), lit(9)) === i),
+            tmp, overwrite = false)
+        }
+        val ranges = graft.sources.DeltaSource.compactLog(s, tmp, every = 10)
+        require(ranges == Seq((0L, 9L)), s"expected one range, got $ranges")
+        val fs = new org.apache.hadoop.fs.Path(tmp)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        (0 to 9).foreach { v =>
+          fs.delete(new org.apache.hadoop.fs.Path(tmp, f"_delta_log/$v%020d.json"), false)
+        }
+      }
+      graft.sources.DeltaSource.readDelta(s, tmp)
+        .select(col("doc_id"), col("source"), col("content"), col("content_length"))
+        .orderBy(col("doc_id"))
+    }),
+    "pipe_delta_v2checkpoint" -> ((s, d) => {
+      // v2 checkpoint graded end-to-end: land the zone in two commits,
+      // write the UUID manifest + 2 sidecars, then EXPIRE every JSON
+      // commit — the timed read must seed purely from the manifest's
+      // sidecar plan (the shape that lets a 1000-executor driver read
+      // a 100 TB table's file list in parallel chunks)
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_deltav2_${math.abs(d.hashCode)}/zone"
+      graft.sources.ZoneCache.ensure(Tables.documents(s, d), tmp) {
+        val zone = silverZone(s, d)
+        graft.sources.DeltaSource.writeDelta(zone.where(col("doc_id") % 2 === 0), tmp)
+        graft.sources.DeltaSource.writeDelta(zone.where(col("doc_id") % 2 =!= 0), tmp,
+          overwrite = false)
+        graft.sources.DeltaSource.checkpointV2(s, tmp, sidecarFiles = 2)
+        graft.sources.DeltaSource.cleanupExpiredLogs(s, tmp, retainMs = 0L)
+      }
+      graft.sources.DeltaSource.readDelta(s, tmp)
+        .select(col("doc_id"), col("source"), col("content"), col("content_length"))
+        .orderBy(col("doc_id"))
+    }),
     "pipe_delta_rename" -> ((s, d) => {
       // column-mapping DDL end-to-end: rename + drop are metaData-only
       // commits (physical col-uuids keep old files readable, zero data
@@ -1702,6 +1749,14 @@ object SparkEntry {
     "pipe_delta_evolve" ->
       s"""$silverCte SELECT doc_id, source, length(content) AS content_length,
          |  CASE WHEN doc_id % 2 = 1 THEN substr(content, 1, 1) END AS lang_hint
+         |FROM silver0 WHERE length(content) > 50 ORDER BY doc_id""".stripMargin,
+    // replay from the compacted range alone reconstructs every row
+    "pipe_delta_compact" ->
+      s"""$silverCte SELECT doc_id, source, content, length(content) AS content_length
+         |FROM silver0 WHERE length(content) > 50 ORDER BY doc_id""".stripMargin,
+    // the v2 manifest + sidecars seed the identical snapshot
+    "pipe_delta_v2checkpoint" ->
+      s"""$silverCte SELECT doc_id, source, content, length(content) AS content_length
          |FROM silver0 WHERE length(content) > 50 ORDER BY doc_id""".stripMargin,
     // rename + drop are value-exact on the KEPT data, and the re-added
     // source column never resurrects the dropped files' values
