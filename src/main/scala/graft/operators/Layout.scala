@@ -46,6 +46,15 @@ object Layout {
         org.apache.spark.sql.GraftBridge.expression(a.cast("long")),
         org.apache.spark.sql.GraftBridge.expression(b.cast("long")), bits))
 
+  /** N-dimensional Hilbert index (2-8 coordinates) via Skilling's
+    * transpose algorithm — the curve behind CLUSTER BY on more than
+    * two columns. Same bijection/adjacency guarantees as the 2-D
+    * form (a different but equally valid orientation). */
+  def hilbertValueN(cols: Seq[Column], bits: Int = 16): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.plans.NativeExprs.HilbertIndexN(
+        cols.map(c => org.apache.spark.sql.GraftBridge.expression(c.cast("long"))), bits))
+
   /** Per-file min/max stats after laying `df` out by `fileKey` into
     * fixed-width buckets: the footer statistics a parquet writer
     * would record. */

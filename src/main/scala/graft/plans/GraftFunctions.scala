@@ -34,7 +34,10 @@ object GraftFunctions {
     "graft_recursive_split" -> (es => NativeExprs.RecursiveSplit(es.head,
       intLit(es(1), "size"), intLit(es(2), "overlap"))),
     "graft_hilbert" -> (es => NativeExprs.HilbertIndex(es.head, es(1),
-      intLit(es(2), "bits"))))
+      intLit(es(2), "bits"))),
+    // N-ary: graft_hilbert_n(c1, ..., cN, bits) — last arg is bits
+    "graft_hilbert_n" -> (es => NativeExprs.HilbertIndexN(es.dropRight(1),
+      intLit(es.last, "bits"))))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, builder) =>

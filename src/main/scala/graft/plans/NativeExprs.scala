@@ -311,6 +311,92 @@ object NativeExprs {
     d
   }
 
+  /** N-dimensional Hilbert index via Skilling's transpose algorithm
+    * ("Programming the Hilbert curve", AIP Conf. Proc. 707, 2004):
+    * per-level invert/exchange undo, Gray decode, then MSB-first bit
+    * interleave of the transposed axes. A different (but equally
+    * valid) curve orientation than the 2-D xy2d form above — both
+    * satisfy the bijection + unit-step adjacency invariants the specs
+    * pin, which is all clustering quality depends on. Coordinates
+    * clamp to [0, 2^bits); n·bits must fit a positive long. */
+  def hilbertEvalN(xs: Array[Long], bits: Int): Long = {
+    val n = xs.length
+    val max = (1L << bits) - 1
+    val x = new Array[Long](n)
+    var i = 0
+    while (i < n) { x(i) = math.min(math.max(xs(i), 0L), max); i += 1 }
+    // inverse undo: top-down invert/exchange against axis 0
+    var q = 1L << (bits - 1)
+    while (q > 1) {
+      val p = q - 1
+      i = 0
+      while (i < n) {
+        if ((x(i) & q) != 0) x(0) ^= p
+        else { val t = (x(0) ^ x(i)) & p; x(0) ^= t; x(i) ^= t }
+        i += 1
+      }
+      q >>= 1
+    }
+    // Gray decode
+    i = 1
+    while (i < n) { x(i) ^= x(i - 1); i += 1 }
+    var t = 0L
+    q = 1L << (bits - 1)
+    while (q > 1) { if ((x(n - 1) & q) != 0) t ^= q - 1; q >>= 1 }
+    i = 0
+    while (i < n) { x(i) ^= t; i += 1 }
+    // MSB-first interleave of the transposed axes
+    var d = 0L
+    var lvl = bits - 1
+    while (lvl >= 0) {
+      i = 0
+      while (i < n) { d = (d << 1) | ((x(i) >> lvl) & 1L); i += 1 }
+      lvl -= 1
+    }
+    d
+  }
+
+  case class HilbertIndexN(coords: Seq[Expression], bits: Int) extends Expression {
+    require(coords.size >= 2 && coords.size <= 8, "hilbert needs 2-8 coordinates")
+    require(bits >= 1 && coords.size * bits <= 62,
+      s"${coords.size} coords x $bits bits exceeds a positive long")
+    override def children: Seq[Expression] = coords
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = coords.exists(_.nullable)
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val arr = new Array[Long](coords.size)
+      var i = 0
+      while (i < coords.size) {
+        val v = coords(i).eval(input)
+        if (v == null) return null
+        arr(i) = v.asInstanceOf[Long]
+        i += 1
+      }
+      java.lang.Long.valueOf(hilbertEvalN(arr, bits))
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val evals = coords.map(_.genCode(ctx))
+      val arr = ctx.freshName("hcoords")
+      val anyNull = ctx.freshName("hnull")
+      val fill = evals.zipWithIndex.map { case (e, i) =>
+        s"""${e.code}
+           |if (${e.isNull}) { $anyNull = true; } else { $arr[$i] = ${e.value}; }
+           |""".stripMargin
+      }.mkString("\n")
+      ev.copy(code = org.apache.spark.sql.catalyst.expressions.codegen.Block.BlockHelper(
+        new StringContext(
+          s"""
+             |boolean $anyNull = false;
+             |long[] $arr = new long[${coords.size}];
+             |$fill
+             |boolean ${ev.isNull} = $anyNull;
+             |long ${ev.value} = $anyNull ? -1L : $Self.hilbertEvalN($arr, $bits);
+             |""".stripMargin)).code())
+    }
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): HilbertIndexN = copy(coords = newChildren)
+  }
+
   case class HilbertIndex(left: Expression, right: Expression, bits: Int)
       extends BinaryExpression {
     require(bits >= 1 && bits <= 31, s"hilbert bits must be in [1, 31], got $bits")

@@ -2754,9 +2754,29 @@ object DeltaSource {
     * map-side sort per file; the curve value itself is a native
     * codegen'd expression in the scan stage. */
   def optimizeCluster(spark: SparkSession, tablePath: String,
+                      clusterCols: (String, String), nFiles: Int,
+                      bits: Int,
+                      commitStore: CommitStore): (Int, Int) =
+    optimizeClusterBy(spark, tablePath, Seq(clusterCols._1, clusterCols._2),
+      nFiles, bits, commitStore)
+
+  def optimizeCluster(spark: SparkSession, tablePath: String,
                       clusterCols: (String, String), nFiles: Int = 8,
-                      bits: Int = 16,
-                      commitStore: CommitStore = CreateExclusiveCommitStore): (Int, Int) = {
+                      bits: Int = 16): (Int, Int) =
+    optimizeClusterBy(spark, tablePath, Seq(clusterCols._1, clusterCols._2),
+      nFiles, bits, CreateExclusiveCommitStore)
+
+  /** CLUSTER BY over 2-4 columns (liquid's column-count envelope):
+    * the 2-D path keeps the spec-pinned xy2d curve; 3-4 columns ride
+    * Skilling's N-dimensional transform — bits shrink with dimension
+    * so the index stays a positive long with full per-level
+    * resolution. */
+  def optimizeClusterBy(spark: SparkSession, tablePath: String,
+                        clusterCols: Seq[String], nFiles: Int = 8,
+                        bits: Int = 16,
+                        commitStore: CommitStore = CreateExclusiveCommitStore): (Int, Int) = {
+    require(clusterCols.size >= 2 && clusterCols.size <= 4,
+      s"CLUSTER BY takes 2-4 columns, got ${clusterCols.size}")
     val table = new Path(tablePath)
     val fs = fsOf(spark, table)
     val snap = snapshot(spark, tablePath, None)
@@ -2769,8 +2789,12 @@ object DeltaSource {
       else scanWithRowIds(spark, tablePath, snap, snap.files)
         .withColumnRenamed("_row_id", snap.configuration(MatRowIdColKey))
         .withColumnRenamed("_row_commit_version", snap.configuration(MatRowVerColKey))
-    val hc = graft.operators.Layout.hilbertValue(
-      col(clusterCols._1), col(clusterCols._2), bits)
+    val effBits = math.min(bits, 62 / clusterCols.size)
+    val hc =
+      if (clusterCols.size == 2)
+        graft.operators.Layout.hilbertValue(
+          col(clusterCols.head), col(clusterCols(1)), effBits)
+      else graft.operators.Layout.hilbertValueN(clusterCols.map(col), effBits)
     val clustered = cur.withColumn("__graft_h", hc)
       .repartitionByRange(nFiles, col("__graft_h"))
       .sortWithinPartitions("__graft_h")
@@ -2779,8 +2803,8 @@ object DeltaSource {
     val adds = stageFiles(clustered, table, fs, snap.partitionColumns, next, snap.schema)
     val now = System.currentTimeMillis()
     val (addsRt, rtDomainLines) = allocRowIds(snap.configuration, snap.domains, next, adds)
-    val clusterCfg =
-      s"""{"clusteringColumns":[["${clusterCols._1}"],["${clusterCols._2}"]]}"""
+    val clusterCfg = clusterCols.map(c => s"""["$c"]""")
+      .mkString("""{"clusteringColumns":[""", ",", "]}")
     val clusterDomainLine =
       s"""{"domainMetadata":{"domain":${jsonStr(ClusteringDomain)},"configuration":${jsonStr(clusterCfg)},"removed":false}}"""
     val proto = {

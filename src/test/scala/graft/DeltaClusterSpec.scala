@@ -109,6 +109,52 @@ class DeltaClusterSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("the N-dimensional curve keeps the bijection + adjacency invariants") {
+    // n=3, bits=3: 512 cells
+    val cells3 = for (x <- 0L until 8; y <- 0L until 8; z <- 0L until 8)
+      yield NativeExprs.hilbertEvalN(Array(x, y, z), 3) -> (x, y, z)
+    assert(cells3.map(_._1).toSet == (0L until 512L).toSet, "3-D bijection")
+    val at3 = cells3.toMap.map(_.swap) ++ cells3.toMap // d -> cell
+    val cellOf3 = cells3.map { case (d, c) => d -> c }.toMap
+    (0L until 511L).foreach { d =>
+      val (x1, y1, z1) = cellOf3(d); val (x2, y2, z2) = cellOf3(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) + math.abs(z1 - z2) == 1,
+        s"3-D cells $d, ${d + 1} must be unit-adjacent")
+    }
+    // n=4, bits=2: 256 cells
+    val cells4 = for (a <- 0L until 4; b <- 0L until 4; c <- 0L until 4; e <- 0L until 4)
+      yield NativeExprsN4(a, b, c, e)
+    assert(cells4.toSet == (0L until 256L).toSet, "4-D bijection")
+  }
+  private def NativeExprsN4(a: Long, b: Long, c: Long, e: Long): Long =
+    NativeExprs.hilbertEvalN(Array(a, b, c, e), 2)
+
+  test("CLUSTER BY three columns prunes on every dimension") {
+    val t = tmpDir("threed")
+    val df = spark.range(4096).select(
+      ($"id" % 16).as("x"),
+      (($"id" / 16) % 16).as("y"),
+      (($"id" / 256) % 16).as("z"),
+      concat(lit("r"), $"id").as("payload"))
+    DeltaSource.writeDelta(df.repartition(8, md5($"payload")), t)
+    DeltaSource.optimizeClusterBy(spark, t, Seq("x", "y", "z"), nFiles = 8, bits = 8)
+    assert(DeltaSource.clusteringColumnsOf(spark, t) == Seq("x", "y", "z"))
+    val fx = scanFiles(DeltaSource.readDelta(spark, t).where($"x" < 4))
+    val fy = scanFiles(DeltaSource.readDelta(spark, t).where($"y" < 4))
+    val fz = scanFiles(DeltaSource.readDelta(spark, t).where($"z" < 4))
+    assert(fx < 8 && fy < 8 && fz < 8, s"all dims must skip: x=$fx y=$fy z=$fz")
+    // and the swap stays value-invisible
+    assert(DeltaSource.readDelta(spark, t).count() == 4096L)
+  }
+
+  test("the SQL-reachable N-ary form matches the static eval") {
+    import graft.plans.GraftFunctions
+    GraftFunctions.register(spark)
+    val viaSql = spark.sql("SELECT graft_hilbert_n(3L, 5L, 6L, 3) AS h")
+      .as[Long].head()
+    assert(viaSql == NativeExprs.hilbertEvalN(Array(3L, 5L, 6L), 3))
+  }
+
   test("row-tracking ids survive the clustering rewrite") {
     val t = tmpDir("rt")
     DeltaSource.writeDelta(grid().coalesce(1).sortWithinPartitions("x"), t)
