@@ -910,6 +910,11 @@ object SparkEntry {
       Events.sessionize(Tables.events(s, d))
         .withColumn("session_start", date_format(col("session_start"), TsFmtUs))
         .withColumn("session_end", date_format(col("session_end"), TsFmtUs))),
+    "ev_mannwhitney" -> ((s, d) =>
+      // nonparametric two-sample test with tie correction: U from
+      // exact banded prefix counts (one shuffle + the two-phase
+      // prefix machinery — no global window at any corpus size)
+      Events.mannWhitney(Tables.events(s, d))),
     "ev_session_native" -> ((s, d) =>
       // Spark's session_window aggregation (merging handled inside
       // the agg operator — ONE shuffle on user_id, no per-user sort
@@ -4131,6 +4136,41 @@ object SparkEntry {
          |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
          |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
          |FROM t GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+    // Mann-Whitney: average combined ranks via exclusive prefix
+    // counts over distinct values; 2·R1 stays an exact integer, z
+    // replays the identical double association order
+    "ev_mannwhitney" ->
+      s"""WITH s AS (
+         |  SELECT value AS v, event_type FROM events
+         |  WHERE event_type IN ('purchase', 'click')),
+         |g AS (
+         |  SELECT v,
+         |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ca,
+         |    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS cb,
+         |    COUNT(*) AS ct
+         |  FROM s GROUP BY v),
+         |c AS (
+         |  SELECT *, COALESCE(SUM(ct) OVER (ORDER BY v
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_less
+         |  FROM g),
+         |a AS (
+         |  SELECT CAST(SUM(ca) AS BIGINT) AS n1, CAST(SUM(cb) AS BIGINT) AS n2,
+         |    SUM(CAST(ca AS HUGEINT) * (2 * cum_less + ct + 1)) AS r1x2,
+         |    SUM(CAST(ct AS HUGEINT) * ct * ct - ct) AS tie3
+         |  FROM c)
+         |SELECT n1 AS n_a, n2 AS n_b,
+         |  (CAST(r1x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1)) / 2.0 AS u_a,
+         |  ROUND(sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 *
+         |    ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1) -
+         |     CAST(tie3 AS DOUBLE) / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) *
+         |       (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1)))), 6) AS sigma_u,
+         |  ROUND(((CAST(r1x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1)) / 2.0
+         |    - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0) /
+         |    sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 *
+         |    ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1) -
+         |     CAST(tie3 AS DOUBLE) / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) *
+         |       (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1)))), 6) AS z
+         |FROM a""".stripMargin,
     // session_window ≡ the lag/cumsum sessionizer; end = last event + gap
     "ev_session_native" ->
       s"""$sessionTCte

@@ -798,6 +798,52 @@ object Events {
           .as("welch_dof"))
   }
 
+  /** Mann-Whitney U (Wilcoxon rank-sum) comparing `value` between two
+    * event types — the nonparametric member of the testing family
+    * (ev_abtest is Welch's t on means; this one is distribution-free
+    * with the standard normal approximation and TIE correction, which
+    * the cent-granular values genuinely exercise).
+    *
+    * Scale shape: ONE shuffle groups the two samples by distinct
+    * value into (v, cntA, cntB); the combined average rank of each
+    * value needs the EXCLUSIVE prefix count over value order, which
+    * is the two-phase banded prefix sum ([[Ranks.withGlobalPrefixSum]])
+    * — never a global window. All rank mass is summed in exact
+    * integer DECIMAL (2·R1 stays integral through the tie halves), so
+    * U is exact at any partitioning; only the final z goes through
+    * double math, in the same association order as the oracle. */
+  def mannWhitney(events: DataFrame, typeA: String = "purchase",
+                  typeB: String = "click"): DataFrame = {
+    val byV = events.where(col("event_type").isin(typeA, typeB))
+      .groupBy(col("value").as("v"))
+      .agg(sum(when(col("event_type") === typeA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("event_type") === typeB, 1L).otherwise(0L)).as("cb"))
+      .withColumn("ct", col("ca") + col("cb"))
+    val bounds = Ranks.percentileBoundaries(byV, col("v"), 64)
+    val (withCum, _) = Ranks.withGlobalPrefixSum(byV,
+      Ranks.valueBands(col("v"), bounds), Seq(col("v")), col("ct"), "cum_less")
+    val ctD = col("ct").cast("decimal(19,0)")
+    val one = withCum.agg(
+      sum(col("ca")).cast("long").as("n1"),
+      sum(col("cb")).cast("long").as("n2"),
+      // 2·R1 = Σ ca · (2·cum_less + ct + 1): integral, exact
+      sum((col("ca").cast("decimal(19,0)") *
+        (col("cum_less") * 2 + col("ct") + 1).cast("decimal(19,0)"))
+        .cast("decimal(38,0)")).as("r1x2"),
+      sum((ctD * ctD * ctD - ctD).cast("decimal(38,0)")).as("tie3"))
+    val n1 = col("n1").cast("double")
+    val n2 = col("n2").cast("double")
+    val n = n1 + n2
+    val uA = (col("r1x2").cast("double") - n1 * (n1 + 1)) / 2.0
+    val sigma = sqrt(n1 * n2 / 12.0 * ((n + 1) - col("tie3").cast("double") / (n * (n - 1))))
+    one.select(col("n1").as("n_a"), col("n2").as("n_b"),
+      uA.as("u_a"),
+      round(sigma, 6).as("sigma_u"),
+      // a fully-degenerate comparison (every value tied) has no
+      // sampling variance — z is undefined, not infinite
+      when(sigma > 0, round((uA - n1 * n2 / 2.0) / sigma, 6)).as("z"))
+  }
+
   /** Kleinberg burst detection (Kleinberg, KDD 2002 — the batched
     * two-state automaton): which hours does the target event type
     * arrive at a BURST rate rather than its base rate? State 0 emits

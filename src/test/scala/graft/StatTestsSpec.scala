@@ -164,4 +164,41 @@ class StatTestsSpec extends SparkSpec {
     assert(exchanges <= 3,
       s"one corpus shuffle plus model-sized rollups, got $exchanges")
   }
+
+  // ── mannWhitney ────────────────────────────────────────────────
+
+  /** A = {1, 2, 2, 5}, B = {2, 3, 4}: combined average ranks
+    * 1, 3, 3, 3, 5, 6, 7 → R1 = 1+3+3+7 = 14, U1 = 14−10 = 4;
+    * tie group of three 2s → Σ(t³−t) = 24. */
+  private def mwEvents = {
+    val a = Seq(1.0, 2.0, 2.0, 5.0).map(("purchase", _))
+    val b = Seq(2.0, 3.0, 4.0).map(("click", _))
+    val noise = Seq(("view", 999.0))
+    (a ++ b ++ noise).zipWithIndex.map { case ((t, v), i) =>
+      (i.toLong, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), i.toLong, t, v)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+  }
+
+  test("mann-whitney: U, tie-corrected sigma, and z match the hand computation") {
+    val r = Events.mannWhitney(mwEvents).collect()(0)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 4.0, s"U1 must be 4, got $r")
+    // sigma² = (12/12)·((8) − 24/(7·6)) = 8 − 4/7 = 52/7
+    val sig = math.sqrt(52.0 / 7.0)
+    assert(math.abs(r.getDouble(3) - sig) < 1e-6, s"sigma mismatch: $r")
+    assert(math.abs(r.getDouble(4) - (4.0 - 6.0) / sig) < 1e-6, s"z mismatch: $r")
+  }
+
+  test("mann-whitney is partition-invariant and half-U exact under ties") {
+    val ev = mwEvents
+    val r1 = Events.mannWhitney(ev.repartition(1)).collect()(0)
+    val rn = Events.mannWhitney(ev.repartition(7, col("event_id"))).collect()(0)
+    assert(r1.toSeq == rn.toSeq, "bit-identical on any partitioning")
+    // a cross-sample tie contributes exactly 0.5 to U
+    val tied = Seq(("purchase", 1.0), ("click", 1.0)).zipWithIndex.map {
+      case ((t, v), i) =>
+        (i.toLong, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), i.toLong, t, v)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(Events.mannWhitney(tied).collect()(0).getDouble(2) == 0.5)
+  }
 }
