@@ -910,6 +910,10 @@ object SparkEntry {
       Events.sessionize(Tables.events(s, d))
         .withColumn("session_start", date_format(col("session_start"), TsFmtUs))
         .withColumn("session_end", date_format(col("session_end"), TsFmtUs))),
+    "ev_gini" -> ((s, d) =>
+      // inequality of per-user spend: exact rank-weighted sum via the
+      // banded global rank — one corpus shuffle, no global window
+      Events.giniValue(Tables.events(s, d))),
     "ev_mannwhitney" -> ((s, d) =>
       // nonparametric two-sample test with tie correction: U from
       // exact banded prefix counts (one shuffle + the two-phase
@@ -4136,6 +4140,23 @@ object SparkEntry {
          |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
          |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
          |FROM t GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+    // Gini over ascending per-user totals, rank-weighted sum in
+    // exact DECIMAL, final division in the same double tree
+    "ev_gini" ->
+      s"""WITH u AS (
+         |  SELECT user_id, SUM(CAST(value AS DECIMAL(18,4))) AS x
+         |  FROM events GROUP BY 1),
+         |r AS (
+         |  SELECT x, row_number() OVER (ORDER BY x, user_id) AS rnk FROM u),
+         |a AS (
+         |  SELECT COUNT(*) AS n, SUM(x) AS sx,
+         |    SUM(CAST(rnk AS DECIMAL(19,0)) * x) AS six
+         |  FROM r)
+         |SELECT CAST(n AS BIGINT) AS n_users,
+         |  ROUND(CAST(sx AS DOUBLE), 4) AS total_value,
+         |  ROUND(2.0 * CAST(six AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+         |    - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini
+         |FROM a""".stripMargin,
     // Mann-Whitney: average combined ranks via exclusive prefix
     // counts over distinct values; 2·R1 stays an exact integer, z
     // replays the identical double association order

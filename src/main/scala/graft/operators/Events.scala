@@ -798,6 +798,31 @@ object Events {
           .as("welch_dof"))
   }
 
+  /** Gini coefficient of per-user total value — the inequality
+    * diagnostic next to [[pareto]]'s top-share cut: G = 2·Σ i·x_(i) /
+    * (n·Σx) − (n+1)/n over the ascending per-user totals. Ranks come
+    * from the two-phase banded machinery (never a global window);
+    * Σ i·x accumulates in exact DECIMAL, and tied totals make the sum
+    * order-invariant by construction (equal x under permuted ranks).
+    * One corpus shuffle (the per-user aggregation); everything after
+    * is model-sized or per-band parallel. */
+  def giniValue(events: DataFrame): DataFrame = {
+    val perUser = events.groupBy(col("user_id"))
+      .agg(sum(col("value").cast("decimal(18,4)")).as("x"))
+    val bounds = Ranks.percentileBoundaries(perUser, col("x").cast("double"), 64)
+    val (ranked, n) = Ranks.withGlobalRank(perUser,
+      Ranks.valueBands(col("x").cast("double"), bounds),
+      Seq(col("x"), col("user_id")), "rnk")
+    val agg = ranked.agg(
+      sum(col("x")).as("sx"),
+      sum((col("rnk").cast("decimal(19,0)") * col("x")).cast("decimal(38,4)")).as("six"))
+    agg.select(lit(n).as("n_users"),
+      round(col("sx").cast("double"), 4).as("total_value"),
+      round(lit(2.0) * col("six").cast("double") /
+        (lit(n.toDouble) * col("sx").cast("double")) -
+        (lit(n.toDouble) + 1.0) / lit(n.toDouble), 6).as("gini"))
+  }
+
   /** Mann-Whitney U (Wilcoxon rank-sum) comparing `value` between two
     * event types — the nonparametric member of the testing family
     * (ev_abtest is Welch's t on means; this one is distribution-free

@@ -201,4 +201,29 @@ class StatTestsSpec extends SparkSpec {
     }.toDF("event_id", "ts", "user_id", "event_type", "value")
     assert(Events.mannWhitney(tied).collect()(0).getDouble(2) == 0.5)
   }
+
+  // ── giniValue ──────────────────────────────────────────────────
+
+  private def giniEvents(values: Seq[Double]) =
+    values.zipWithIndex.map { case (v, i) =>
+      (i.toLong, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        i.toLong, "purchase", v)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("gini: perfect equality scores 0, extreme concentration near 1") {
+    val eq = Events.giniValue(giniEvents(Seq.fill(8)(5.0))).collect()(0)
+    assert(eq.getLong(0) == 8L && eq.getDouble(2) == 0.0, s"equal spend → 0, got $eq")
+    // one user holds everything: G = (n-1)/n = 0.875
+    val conc = Events.giniValue(giniEvents(Seq.fill(7)(0.0) :+ 800.0)).collect()(0)
+    assert(conc.getDouble(2) == 0.875, s"max concentration → (n-1)/n, got $conc")
+  }
+
+  test("gini is partition-invariant and matches the closed form") {
+    // x = 1..4 ascending: G = 2·(1+4+9+16)/(4·10) − 5/4 = 0.25
+    val ev = giniEvents(Seq(3.0, 1.0, 4.0, 2.0))
+    val r1 = Events.giniValue(ev.repartition(1)).collect()(0)
+    val rn = Events.giniValue(ev.repartition(5, col("event_id"))).collect()(0)
+    assert(r1.toSeq == rn.toSeq, "bit-identical on any partitioning")
+    assert(r1.getDouble(2) == 0.25, s"hand gini 0.25, got $r1")
+  }
 }
