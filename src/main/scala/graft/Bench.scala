@@ -49,7 +49,8 @@ object Bench {
         "pipe_delta_update", "pipe_delta_evolve",
         "pipe_delta_rowtracking", "pipe_delta_cluster",
         "pipe_delta_widen", "pipe_delta_rename",
-        "pipe_delta_compact", "pipe_delta_v2checkpoint").foreach { n =>
+        "pipe_delta_compact", "pipe_delta_v2checkpoint",
+        "pipe_delta_cluster3").foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
       }

@@ -174,6 +174,36 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("content_length"), col("lang_hint"))
         .orderBy(col("doc_id"))
     }),
+    "pipe_delta_cluster3" -> ((s, d) => {
+      // CLUSTER BY three columns, graded end-to-end: a lineitem slice
+      // lands hash-scattered, the Skilling 3-D curve re-lays it, and
+      // the timed read is a BOX predicate on ALL THREE dimensions —
+      // the per-file min/max boxes the curve keeps tight answer it
+      // from a fraction of the files (3-D pruning spec-pinned in
+      // DeltaClusterSpec; this entry carries the value contract)
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_deltac3_${math.abs(d.hashCode)}/zone"
+      graft.sources.ZoneCache.ensure(Tables.lineitem(s, d), tmp) {
+        val li = Tables.lineitem(s, d).select(
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_quantity"), col("l_extendedprice"))
+        graft.sources.DeltaSource.writeDelta(
+          li.repartition(8, md5(concat_ws("|", col("l_orderkey"), col("l_linenumber")))),
+          tmp)
+        graft.sources.DeltaSource.optimizeClusterBy(s, tmp,
+          Seq("l_partkey", "l_suppkey", "l_quantity"), nFiles = 8)
+      }
+      graft.sources.DeltaSource.readDelta(s, tmp)
+        .where(col("l_partkey").between(100, 600) &&
+          col("l_suppkey").between(10, 60) &&
+          col("l_quantity").between(10, 20))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_quantity").cast("long").as("qty"),
+          round(col("l_extendedprice"), 2).as("price"))
+        // the synthetic lineitem duplicates (orderkey, linenumber):
+        // total output order needs every column
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("qty"), col("price"))
+    }),
     "pipe_delta_compact" -> ((s, d) => {
       // minor log compaction graded end-to-end: the silver zone lands
       // as TEN commits (even half, then the odd half in nine doc_id
@@ -651,6 +681,7 @@ object SparkEntry {
     "dq_expectations" -> ((s, d) =>
       Quality.expectationReport(Tables.documents(s, d), Quality.defaultExpectations)),
     "txt_code_detect" -> ((s, d) => Quality.codeDetect(Tables.documents(s, d))),
+    "txt_hapax" -> ((s, d) => Quality.hapaxReport(Tables.documents(s, d))),
     "mm_shard_plan" -> ((s, d) => Multimodal.shardPlan(Tables.documents(s, d))),
 
     // ── text analysis ───────────────────────────────────────────────
@@ -1759,6 +1790,17 @@ object SparkEntry {
       s"""$silverCte SELECT doc_id, source, length(content) AS content_length,
          |  CASE WHEN doc_id % 2 = 1 THEN substr(content, 1, 1) END AS lang_hint
          |FROM silver0 WHERE length(content) > 50 ORDER BY doc_id""".stripMargin,
+    // a 3-D clustering swap is value-invisible: the box predicate on
+    // all three dimensions returns exactly lineitem's rows
+    "pipe_delta_cluster3" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  CAST(l_quantity AS BIGINT) AS qty,
+        |  round(l_extendedprice, 2) AS price
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 100 AND 600
+        |  AND l_suppkey BETWEEN 10 AND 60
+        |  AND l_quantity BETWEEN 10 AND 20
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, qty, price""".stripMargin,
     // replay from the compacted range alone reconstructs every row
     "pipe_delta_compact" ->
       s"""$silverCte SELECT doc_id, source, content, length(content) AS content_length
@@ -2173,6 +2215,18 @@ object SparkEntry {
       s"""SELECT w AS word, count(*) AS frequency
          |FROM (SELECT unnest(${dToks("lower(text)")}) AS w FROM documents)
          |WHERE length(w) > 3 GROUP BY w ORDER BY frequency DESC, word LIMIT 20""".stripMargin,
+    // hapax rate over ALL tokens (no length filter): H/V at 6dp
+    "txt_hapax" ->
+      s"""WITH f AS (
+         |  SELECT w, count(*) AS f
+         |  FROM (SELECT unnest(${dToks("lower(text)")}) AS w FROM documents)
+         |  GROUP BY w)
+         |SELECT CAST(count(*) AS BIGINT) AS vocab,
+         |  CAST(SUM(f) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+         |  ROUND(CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+         |    AS hapax_rate
+         |FROM f""".stripMargin,
     "dq_top_sources" ->
       """SELECT source, round(avg(length(text)), 4) AS avg_length
         |FROM documents GROUP BY source ORDER BY avg_length DESC, source LIMIT 5""".stripMargin,

@@ -72,6 +72,24 @@ object Quality {
       .orderBy(col("frequency").desc, col("word"))
       .limit(k)
 
+  /** Hapax legomena report — the lexical-richness companion to the
+    * Heaps/Zipf fits: vocabulary size, total tokens, the count of
+    * words with corpus frequency EXACTLY 1, and the hapax rate H/V
+    * (≈0.4-0.6 for natural text per Zipf's law; a collapsing rate
+    * flags templated/duplicated corpora before training). One explode
+    * + one (word) aggregation — the same partial-agg shuffle shape as
+    * every word-count probe; the rollup over distinct words is a
+    * second model-output aggregation. */
+  def hapaxReport(docs: DataFrame, contentCol: String = "text"): DataFrame =
+    docs.select(explode(tokens(lower(col(contentCol)))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("f"))
+      .agg(
+        count(lit(1)).as("vocab"),
+        sum(col("f")).cast("long").as("n_tokens"),
+        sum(when(col("f") === 1, 1L).otherwise(0L)).as("hapax"))
+      .select(col("vocab"), col("n_tokens"), col("hapax"),
+        round(col("hapax").cast("double") / col("vocab"), 6).as("hapax_rate"))
+
   /** Per-document repetition metrics — the Gopher repetition filters
     * (type-token ratio, most-common-word share, most-common-bigram
     * share). The word counts come from one explode + two-level

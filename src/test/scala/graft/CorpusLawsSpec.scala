@@ -154,4 +154,19 @@ class CorpusLawsSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq,
       "sketch merge is associative: same audit on any partitioning")
   }
+
+  test("hapax report counts frequency-1 words exactly and is partition-invariant") {
+    // corpus: "alpha" x3, "beta" x2, "gamma" x1, "delta" x1 →
+    // vocab 4, tokens 7, hapax 2, rate 0.5
+    val docs = Seq(
+      (1L, "alpha beta Gamma", "s"),
+      (2L, "ALPHA beta", "s"),
+      (3L, "alpha delta", "s")).toDF("doc_id", "text", "source")
+    val r = Quality.hapaxReport(docs).collect()(0)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 7L && r.getLong(2) == 2L,
+      s"vocab/tokens/hapax mismatch: $r")
+    assert(r.getDouble(3) == 0.5)
+    val b = Quality.hapaxReport(docs.repartition(5, col("doc_id"))).collect()(0)
+    assert(r.toSeq == b.toSeq, "bit-identical on any partitioning")
+  }
 }
