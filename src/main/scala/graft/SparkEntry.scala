@@ -193,8 +193,8 @@ object SparkEntry {
           Seq("l_partkey", "l_suppkey", "l_quantity"), nFiles = 8)
       }
       graft.sources.DeltaSource.readDelta(s, tmp)
-        .where(col("l_partkey").between(100, 600) &&
-          col("l_suppkey").between(10, 60) &&
+        .where(col("l_partkey").between(20, 120) &&
+          col("l_suppkey").between(2, 7) &&
           col("l_quantity").between(10, 20))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_suppkey"), col("l_quantity").cast("long").as("qty"),
@@ -1797,8 +1797,8 @@ object SparkEntry {
         |  CAST(l_quantity AS BIGINT) AS qty,
         |  round(l_extendedprice, 2) AS price
         |FROM lineitem
-        |WHERE l_partkey BETWEEN 100 AND 600
-        |  AND l_suppkey BETWEEN 10 AND 60
+        |WHERE l_partkey BETWEEN 20 AND 120
+        |  AND l_suppkey BETWEEN 2 AND 7
         |  AND l_quantity BETWEEN 10 AND 20
         |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, qty, price""".stripMargin,
     // replay from the compacted range alone reconstructs every row
