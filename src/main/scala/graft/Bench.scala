@@ -50,7 +50,11 @@ object Bench {
         "pipe_delta_rowtracking", "pipe_delta_cluster",
         "pipe_delta_widen", "pipe_delta_rename",
         "pipe_delta_compact", "pipe_delta_v2checkpoint",
-        "pipe_delta_cluster3").foreach { n =>
+        "pipe_delta_cluster3",
+        // the shared graph-ANN index (ann_graph_topk/recall serve
+        // from one persisted build; priming keeps BOTH timings pure
+        // serving — ann_graph_build times construction on its own)
+        "ann_graph_topk").foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
       }

@@ -797,11 +797,49 @@ object SparkEntry {
     "ann_recall_curve" -> ((s, d) =>
       Similarity.recallCurve(Tables.embeddings(s, d))),
     // graph index (NSW/HNSW family): LSH-local links + tree backbone,
-    // beam-searched from a fixed entry point — the serving-path index
-    "ann_graph_topk" -> ((s, d) => Similarity.graphTopK(Tables.embeddings(s, d))),
+    // beam-searched from scattered entry points — the serving-path
+    // index, SERVED from its persisted layout (GraphAnnIndex): build
+    // once, then every beam step probes partition-pruned edge rows
+    // with the destination vectors INLINE — zero corpus scans per
+    // search. topk and recall SHARE the built index (ensureBuilt's
+    // fingerprint guard), so recall pays brute-force ground truth
+    // but never a second build.
+    "ann_graph_topk" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_gix_${math.abs(d.hashCode)}"
+      graft.sources.GraphAnnIndex.ensureBuilt(Tables.embeddings(s, d), dir)
+      graft.sources.GraphAnnIndex.searchSelf(s, dir)
+    }),
     "ann_graph_recall" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      Similarity.recallAtK(Similarity.graphTopK(emb), Similarity.bruteTopK(emb))
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_gix_${math.abs(d.hashCode)}"
+      graft.sources.GraphAnnIndex.ensureBuilt(emb, dir)
+      Similarity.recallAtK(graft.sources.GraphAnnIndex.searchSelf(s, dir),
+        Similarity.bruteTopK(emb))
+    }),
+    // the graph build as its own timed entry: persist the full
+    // layout, then verify the DEGREE HISTOGRAM from the bytes on
+    // disk (the number an operator watches after a graph build — a
+    // lopsided histogram means the hash mis-fit the corpus)
+    "ann_graph_build" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_gixb_${math.abs(d.hashCode)}"
+      graft.sources.GraphAnnIndex.buildAndSave(Tables.embeddings(s, d), dir)
+      graft.sources.GraphAnnIndex.stats(s, dir)
+    }),
+    // index MAINTENANCE: base-build 80% of the corpus at the hash
+    // sized for projected capacity, append the rest incrementally
+    // (frozen buckets, tombstone-masked list replacement), serve —
+    // the oracle is the FULL-corpus walk, so the grade is exact
+    // rebuild equivalence of the grown index
+    "ann_graph_incremental" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val n = emb.count()
+      val bits = Similarity.autoBits(n)
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_gixi_${math.abs(d.hashCode)}"
+      graft.sources.GraphAnnIndex.buildAndSave(
+        emb.where(col("vec_id") < n * 4 / 5), dir, nbits = bits)
+      graft.sources.GraphAnnIndex.appendIncremental(
+        emb.where(col("vec_id") >= n * 4 / 5), dir)
+      graft.sources.GraphAnnIndex.searchSelf(s, dir)
     }),
     "ann_pq_topk" -> ((s, d) => Similarity.pqTopK(Tables.embeddings(s, d))),
     "ann_pq_trained" -> ((s, d) => Similarity.pqTopKFitted(Tables.embeddings(s, d))),
@@ -1526,6 +1564,15 @@ object SparkEntry {
          |    SELECT query_id, node, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, node) AS rnk FROM gs$i)
          |  WHERE rnk <= $beam)""".stripMargin
     }
+    s"""${dGraphEdgeCtes(m, tables)},
+       |gq AS (SELECT id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE id < $nq),
+       |gb0 AS (SELECT gq.query_id, n.id AS node FROM gq CROSS JOIN n WHERE n.id < $entries),
+       |${(1 to steps).map(step).mkString(",\n")}""".stripMargin
+  }
+
+  /** Just the graph CONSTRUCTION (through `gedges`) — shared by the
+    * beam-walk oracles and the persisted-index build oracle. */
+  private def dGraphEdgeCtes(m: Int = 8, tables: Int = 4) =
     s"""gnb AS (SELECT COALESCE((SELECT MIN(b) FROM range(4, 25) t(b),
        |    (SELECT count(*) AS cnt FROM n) c
        |    WHERE pow(2, CAST(b AS DOUBLE)) >= c.cnt / 48.0), 24) AS nb),
@@ -1552,11 +1599,7 @@ object SparkEntry {
        |gedges AS (SELECT DISTINCT src, dst FROM (
        |  SELECT * FROM glocal
        |  UNION ALL SELECT dst AS src, src AS dst FROM glocal
-       |  UNION ALL SELECT * FROM gtree)),
-       |gq AS (SELECT id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE id < $nq),
-       |gb0 AS (SELECT gq.query_id, n.id AS node FROM gq CROSS JOIN n WHERE n.id < $entries),
-       |${(1 to steps).map(step).mkString(",\n")}""".stripMargin
-  }
+       |  UNION ALL SELECT * FROM gtree))""".stripMargin
 
   /** One Lloyd assignment+update round, prefixed (recall-oracle twin
     * of ann_ivf_trained's lloydRound). */
@@ -2753,6 +2796,26 @@ object SparkEntry {
          |approx AS (SELECT query_id, neighbor_id FROM gr WHERE rnk <= 10),
          |${dBruteCte("exact", 5)},
          |${dRecallTail()}""".stripMargin,
+    // the persisted build graded from its BYTES: distinct-edge
+    // out-degree histogram vs the construction replay
+    "ann_graph_build" ->
+      s"""$embNormCte,
+         |${dGraphEdgeCtes()},
+         |gdeg AS (SELECT src, count(*) AS deg FROM gedges GROUP BY src)
+         |SELECT deg AS out_degree, count(*) AS n_nodes
+         |FROM gdeg GROUP BY 1 ORDER BY 1""".stripMargin,
+    // incremental maintenance graded as exact rebuild equivalence:
+    // the grown index must serve IDENTICALLY to a full-corpus walk
+    // at the same (capacity-sized) hash — the oracle is verbatim the
+    // ann_graph_topk replay
+    "ann_graph_incremental" ->
+      s"""$embNormCte,
+         |${dGraphCtes()},
+         |gr AS (SELECT query_id, node AS neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, node) AS rnk
+         |  FROM gs8 WHERE node <> query_id)
+         |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", sim
+         |FROM gr WHERE rnk <= 10 ORDER BY query_id, "rank"""".stripMargin,
     "ann_ivf_trained_recall" ->
       s"""$embNormCte,
          |tc0 AS (SELECT id AS cell, v AS cv, nrm AS cnrm FROM n WHERE id < 16),

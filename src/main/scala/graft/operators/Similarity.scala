@@ -30,7 +30,7 @@ object Similarity {
     * exchange — the window-function form would shuffle every scored
     * row). Ordering: sim DESC, neighbor_id ASC, identical to
     * row_number() over that window. */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+  private[graft] def rankTopK(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy(col("query_id"))
       .agg(graft.plans.TopKAgg.topK(col("sim"), col("neighbor_id"), k).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
@@ -1223,43 +1223,9 @@ object Similarity {
   def graphEdges(emb: DataFrame, m: Int = 8, nbits: Int = -1, tables: Int = 4,
                  dim: Int = 64,
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // nbits scales with the corpus so bucket OCCUPANCY stays ~48
-    // regardless of n — the candidate-pair count stays O(n·48·tables)
-    // instead of O(n²/2^nbits); a fixed nbits would make the build
-    // quadratic again at the next scale-up (one metadata-fast count)
-    val bits =
-      if (nbits > 0) nbits
-      else {
-        // smallest b in [4, 24] with 2^b ≥ n/48 — exact integer/
-        // double comparison, no libm log (whose last-ulp rounding
-        // could disagree with the oracle's at exact powers of two)
-        val target = emb.count() / 48.0
-        var b = 4
-        while ((1L << b) < target && b < 24) b += 1
-        b
-      }
-    val buckets = (0 until tables).map { t =>
-      signBucket(col(vecCol), hyperplanes(bits, dim, seed = s"g$t:")).as(s"bkt_$t")
-    }
-    val e = emb
-      .select((col(idCol).as("id") +: col(vecCol).as("v") +:
-        norm(col(vecCol)).as("nrm") +: buckets): _*)
-      .select(col("id"), col("v"), col("nrm"),
-        posexplode(array((0 until tables).map(t => col(s"bkt_$t")): _*))
-          .as(Seq("tbl", "bucket")))
-    val rhs = e.select(col("tbl").as("tbl2"), col("bucket").as("bucket2"),
-      col("id").as("dst"), col("v").as("dv"), col("nrm").as("dnrm"))
-    val scored = e.join(rhs,
-        col("tbl") === col("tbl2") && col("bucket") === col("bucket2") &&
-          col("id") =!= col("dst"))
-      .select(col("id").as("src"), col("dst"),
-        round(cosinePrenormed(dot(col("v"), col("dv")), col("nrm"), col("dnrm")), 6)
-          .as("sim"))
-      .dropDuplicates("src", "dst")
-    val local = scored.groupBy(col("src"))
-      .agg(graft.plans.TopKAgg.topK(col("sim"), col("dst"), m).as("top"))
-      .select(col("src"), explode(col("top")).as("t"))
-      .select(col("src"), col("t.id").as("dst"))
+    val bits = if (nbits > 0) nbits else autoBits(emb.count())
+    val e = bucketAssign(emb, bits, tables, dim, idCol, vecCol)
+    val local = localLists(e, e, m)
     // local links run BOTH ways (u→top-m(u) plus the reverses) — the
     // NSW navigability trick: a node popular as a neighbor becomes
     // reachable from its whole in-neighborhood, not just its own list
@@ -1270,6 +1236,65 @@ object Similarity {
     val tree = ids.select(col("id").as("src"), half.as("dst"))
       .unionAll(ids.select(half.as("src"), col("id").as("dst")))
     localBoth.unionAll(tree).distinct()
+  }
+
+  /** nbits scales with the corpus so bucket OCCUPANCY stays ~48
+    * regardless of n — the candidate-pair count stays O(n·48·tables)
+    * instead of O(n²/2^nbits); a fixed nbits would make the build
+    * quadratic again at the next scale-up. Smallest b in [4, 24]
+    * with 2^b ≥ n/48 — exact integer/double comparison, no libm log
+    * (whose last-ulp rounding could disagree with the oracle's at
+    * exact powers of two). */
+  private[graft] def autoBits(n: Long): Int = {
+    val target = n / 48.0
+    var b = 4
+    while ((1L << b) < target && b < 24) b += 1
+    b
+  }
+
+  /** The graph family's frozen LSH assignment: every node exploded
+    * into its `tables` sign-buckets (seed family "g{t}:"), vectors
+    * and norms carried along — (tbl, bucket, id, v, nrm). This is
+    * the structure [[graft.sources.GraphAnnIndex]] persists so
+    * incremental maintenance can hash NEW vectors into the same
+    * buckets without touching the planes again. */
+  private[graft] def bucketAssign(emb: DataFrame, bits: Int, tables: Int = 4,
+                                  dim: Int = 64, idCol: String = "vec_id",
+                                  vecCol: String = "embedding"): DataFrame = {
+    val buckets = (0 until tables).map { t =>
+      signBucket(col(vecCol), hyperplanes(bits, dim, seed = s"g$t:")).as(s"bkt_$t")
+    }
+    emb
+      .select((col(idCol).as("id") +: col(vecCol).as("v") +:
+        norm(col(vecCol)).as("nrm") +: buckets): _*)
+      .select(col("id"), col("v"), col("nrm"),
+        posexplode(array((0 until tables).map(t => col(s"bkt_$t")): _*))
+          .as(Seq("tbl", "bucket")))
+  }
+
+  /** Top-`m` cosine lists over bucket mates, for the nodes on
+    * `srcAssign` against candidates on `allAssign` (both in
+    * [[bucketAssign]] shape). `srcAssign == allAssign` is the full
+    * build; a RESTRICTED src side is incremental maintenance — only
+    * the nodes whose bucket membership changed recompute, against
+    * the grown assignment, and the result is bit-equal to what a
+    * from-scratch build would give those nodes (same pair set, same
+    * rounding, same (sim DESC, dst) ties). Returns (src, dst). */
+  private[graft] def localLists(srcAssign: DataFrame, allAssign: DataFrame,
+                                m: Int): DataFrame = {
+    val rhs = allAssign.select(col("tbl").as("tbl2"), col("bucket").as("bucket2"),
+      col("id").as("dst"), col("v").as("dv"), col("nrm").as("dnrm"))
+    val scored = srcAssign.join(rhs,
+        col("tbl") === col("tbl2") && col("bucket") === col("bucket2") &&
+          col("id") =!= col("dst"))
+      .select(col("id").as("src"), col("dst"),
+        round(cosinePrenormed(dot(col("v"), col("dv")), col("nrm"), col("dnrm")), 6)
+          .as("sim"))
+      .dropDuplicates("src", "dst")
+    scored.groupBy(col("src"))
+      .agg(graft.plans.TopKAgg.topK(col("sim"), col("dst"), m).as("top"))
+      .select(col("src"), explode(col("top")).as("t"))
+      .select(col("src"), col("t.id").as("dst"))
   }
 
   /** Greedy beam search over [[graphEdges]]: the beam seeds from

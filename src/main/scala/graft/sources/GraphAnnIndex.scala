@@ -1,0 +1,428 @@
+package graft.sources
+
+import graft.functions.VectorFunctions._
+import graft.operators.Similarity
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Persisted small-world graph index — the build / serve split for
+  * the NSW family (the graph twin of [[AnnIndex]]'s IVF-PQ layout,
+  * same reference anchor: /root/reference/README.md:25,111 — the
+  * vector store persists its index and serves queries from it).
+  *
+  *   layout/
+  *     edges/   pb=K/ (src, dst, dv, dnrm, kind, owner, gen) —
+  *              directed edges with the DESTINATION VECTOR INLINE,
+  *              partitioned by pb = src mod pBuckets
+  *     buckets/ tbl=T/ (bucket, id, v, nrm) — the frozen LSH
+  *              assignment (maintenance hashes new vectors into
+  *              these buckets; the planes never retrain in place)
+  *     entries/ (id, v, nrm) — the first `entryCap` nodes: the
+  *              deterministic beam entry points
+  *     retired/ ret-*.parquet (owner, before_gen) — tombstones: a
+  *              maintenance pass that RECOMPUTED owner's adjacency
+  *              list masks the list's older generations at read time
+  *     meta/    (m, tables, n_bits, dim, p_buckets, entry_cap,
+  *              corpus_fp, applied_fps)
+  *
+  * Why vectors ride ON the edges: a beam step expands frontier →
+  * neighbors → scores them, and the expensive half at scale is
+  * fetching neighbor vectors. With `dv` inline, one partition-pruned
+  * probe of `edges/` yields candidates AND their vectors — a search
+  * never touches the corpus, and never re-joins a vector table. The
+  * duplication factor is the out-degree (~m+2), the classic
+  * space-for-locality trade every disk-resident graph index makes
+  * (DiskANN stores vectors next to adjacency for the same reason).
+  *
+  * Why tombstones instead of rewrites: maintenance must REPLACE the
+  * adjacency lists of nodes whose buckets received new vectors.
+  * Rewriting their partitions in place is not crash-safe without a
+  * commit log; instead every write is an APPEND (new list edges at
+  * generation g, a tombstone (owner, g) masking generations < g) and
+  * the read path filters — the deletion-vector discipline from the
+  * Delta half of this engine applied to the index. A scheduled
+  * rebuild compacts tombstones away. Masking is a literal-map probe
+  * when the tombstone set is map-sized, and a broadcast anti-join
+  * above [[GraphAnnIndex.MaskMapLimit]] — the same dual the DV scan
+  * path uses.
+  *
+  * Search cost: each of the `steps` beam rounds reads only the
+  * `pb` partitions the frontier hashes into (static isin pruning —
+  * the frontier is queries×beam, model-sized, known on the driver)
+  * and row-group-prunes on `src`. At a billion vectors a search
+  * touches O(steps·beam·degree) edge rows and ZERO corpus rows;
+  * corpus-scale work happens exactly once, at build. When a caller
+  * serves a query batch too large to hold the frontier driver-side
+  * (beyond `maxDriverFrontier` rows), the loop degrades to the
+  * distributed shape: pinned frontier, broadcast-hash join against
+  * the full edge table — still one scan per step, never per query.
+  */
+object GraphAnnIndex {
+
+  /** Above this many tombstoned owners the read mask switches from a
+    * literal-map probe to a broadcast anti-join. */
+  private[graft] val MaskMapLimit = 65536
+
+  final case class Meta(m: Int, tables: Int, nBits: Int, dim: Int,
+                        pBuckets: Int, entryCap: Int,
+                        corpusFp: String, appliedFps: Seq[String])
+
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private[graft] def readMeta(spark: SparkSession, dir: String): Meta = {
+    val r = spark.read.parquet(s"$dir/meta").head()
+    Meta(r.getAs[Int]("m"), r.getAs[Int]("tables"), r.getAs[Int]("n_bits"),
+      r.getAs[Int]("dim"), r.getAs[Int]("p_buckets"), r.getAs[Int]("entry_cap"),
+      r.getAs[String]("corpus_fp"),
+      Option(r.getAs[String]("applied_fps")).filter(_.nonEmpty)
+        .map(_.split(",").toSeq).getOrElse(Nil))
+  }
+
+  private def writeMeta(spark: SparkSession, dir: String, meta: Meta): Unit = {
+    import spark.implicits._
+    Seq((meta.m, meta.tables, meta.nBits, meta.dim, meta.pBuckets, meta.entryCap,
+      meta.corpusFp, meta.appliedFps.mkString(",")))
+      .toDF("m", "tables", "n_bits", "dim", "p_buckets", "entry_cap",
+        "corpus_fp", "applied_fps")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** The frozen assignment read back in [[Similarity.bucketAssign]]
+    * shape (tbl restored from its partition directory). */
+  private def loadBuckets(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/buckets")
+      .select(col("id").cast("long"), col("v"), col("nrm"),
+        col("tbl").cast("int"), col("bucket").cast("long"))
+
+  /** (id, v, nrm) — every node exactly once (tbl=0 slice: partition
+    * pruning reads 1/tables of the assignment). */
+  private def loadNodes(spark: SparkSession, dir: String): DataFrame =
+    loadBuckets(spark, dir).where(col("tbl") === 0)
+      .select(col("id"), col("v"), col("nrm"))
+
+  /** Adjacency lists → directed edges with dst vectors inline. Each
+    * list edge u→v materializes BOTH directions under owner u (the
+    * NSW reverse-link trick), so replacing u's list later means
+    * masking owner u — provenance is what makes the tombstone exact. */
+  private def listEdges(lists: DataFrame, nodes: DataFrame, gen: Int): DataFrame = {
+    val vecs = nodes.select(col("id").as("nid"), col("v").as("nv"),
+      col("nrm").as("nnrm"))
+    val fwd = lists.join(vecs, col("dst") === col("nid"))
+      .select(col("src"), col("dst"), col("nv").as("dv"), col("nnrm").as("dnrm"),
+        lit("l").as("kind"), col("src").as("owner"), lit(gen).as("gen"))
+    val rev = lists.join(vecs, col("src") === col("nid"))
+      .select(col("dst").as("src"), col("src").as("dst"),
+        col("nv").as("dv"), col("nnrm").as("dnrm"),
+        lit("l").as("kind"), col("src").as("owner"), lit(gen).as("gen"))
+    fwd.unionByName(rev)
+  }
+
+  /** Backbone edges u ↔ ⌊u/2⌋ for `ids` (>0), dst vectors from
+    * `nodes`. Owner −1: the backbone is immutable, never tombstoned. */
+  private def treeEdges(ids: DataFrame, nodes: DataFrame, gen: Int): DataFrame = {
+    val pairs = ids.where(col("id") > 0)
+      .select(col("id").as("src"), floor(col("id") / 2).cast("long").as("dst"))
+    val both = pairs.unionByName(
+      pairs.select(col("dst").as("src"), col("src").as("dst")))
+    val vecs = nodes.select(col("id").as("nid"), col("v").as("nv"),
+      col("nrm").as("nnrm"))
+    both.join(vecs, col("dst") === col("nid"))
+      .select(col("src"), col("dst"), col("nv").as("dv"), col("nnrm").as("dnrm"),
+        lit("b").as("kind"), lit(-1L).as("owner"), lit(gen).as("gen"))
+  }
+
+  /** Build the graph over `emb` and persist the full layout. The ONE
+    * corpus-scale job: assignment, bucket-bounded pair scoring,
+    * top-m lists, vector attachment — everything downstream serves
+    * from the persisted bytes. `nbits` < 0 sizes the hash from the
+    * corpus ([[Similarity.autoBits]]); pass it explicitly to size
+    * for PROJECTED capacity when increments will follow (the planes
+    * freeze at build — retraining is a scheduled rebuild, the same
+    * contract as [[AnnIndex]]'s centroids). */
+  def buildAndSave(emb: DataFrame, dir: String,
+                   m: Int = 8, nbits: Int = -1, tables: Int = 4, dim: Int = 64,
+                   pBuckets: Int = 32, entryCap: Int = 64,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = emb.sparkSession
+    val bits = if (nbits > 0) nbits else Similarity.autoBits(emb.count())
+    val assign = Similarity.bucketAssign(emb, bits, tables, dim, idCol, vecCol)
+    assign.write.mode("overwrite").partitionBy("tbl").parquet(s"$dir/buckets")
+    // everything below reads the PERSISTED assignment — the build
+    // verifies its own bytes, and the lineage never recomputes the
+    // hash job (at 100 TB that job is the thing you only run once)
+    val bk = loadBuckets(spark, dir)
+    val nodes = loadNodes(spark, dir)
+    val lists = Similarity.localLists(bk, bk, m)
+    val edges = listEdges(lists, nodes, gen = 0)
+      .unionByName(treeEdges(nodes.select(col("id")), nodes, gen = 0))
+      .withColumn("pb", pmod(col("src"), lit(pBuckets.toLong)))
+    edges.write.mode("overwrite").partitionBy("pb").parquet(s"$dir/edges")
+    nodes.where(col("id") < entryCap)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/entries")
+    fs(spark, dir).delete(new Path(s"$dir/retired"), true)
+    writeMeta(spark, dir, Meta(m, tables, bits, dim, pBuckets, entryCap,
+      ZoneCache.corpusFingerprint(emb), Nil))
+  }
+
+  /** Build only if absent or stale (corpus fingerprint mismatch) —
+    * the serving guard, verbatim the [[AnnIndex.ensureBuilt]]
+    * contract. */
+  def ensureBuilt(emb: DataFrame, dir: String,
+                  m: Int = 8, nbits: Int = -1, tables: Int = 4, dim: Int = 64,
+                  pBuckets: Int = 32, entryCap: Int = 64,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = emb.sparkSession
+    val p = new Path(s"$dir/meta")
+    val fresh = fs(spark, dir).exists(p) && {
+      val meta = readMeta(spark, dir)
+      meta.appliedFps.isEmpty && meta.corpusFp == ZoneCache.corpusFingerprint(emb)
+    }
+    if (!fresh) buildAndSave(emb, dir, m, nbits, tables, dim, pBuckets, entryCap,
+      idCol, vecCol)
+  }
+
+  /** The tombstone mask: owner → lowest generation still visible. */
+  private def retiredMap(spark: SparkSession, dir: String): Map[Long, Int] = {
+    val p = new Path(s"$dir/retired")
+    if (!fs(spark, dir).exists(p)) Map.empty
+    else spark.read.option("recursiveFileLookup", "true").parquet(p.toString)
+      .groupBy(col("owner")).agg(max(col("before_gen")).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+  }
+
+  private def loadEdges(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/edges")
+      .select(col("src").cast("long"), col("dst").cast("long"),
+        col("dv"), col("dnrm"), col("kind"),
+        col("owner").cast("long"), col("gen").cast("int"),
+        col("pb").cast("long"))
+
+  /** Edges with retired generations masked out. */
+  private def liveEdges(spark: SparkSession, dir: String): DataFrame = {
+    val all = loadEdges(spark, dir)
+    val ret = retiredMap(spark, dir)
+    if (ret.isEmpty) all
+    else if (ret.size <= MaskMapLimit)
+      all.where(col("gen") >=
+        coalesce(element_at(typedLit(ret), col("owner")), lit(0)))
+    else {
+      import spark.implicits._
+      val retDf = ret.toSeq.toDF("r_owner", "r_gen")
+      all.join(broadcast(retDf),
+        col("owner") === col("r_owner") && col("gen") < col("r_gen"), "left_anti")
+    }
+  }
+
+  /** Beam search over the persisted graph. `queries` is (query_id,
+    * qv) — external vectors; the corpus is never read. Bit-identical
+    * to [[Similarity.graphTopK]] on the same corpus and parameters:
+    * same candidate sets, same 6-dp rounding, same (sim DESC, node)
+    * ties. */
+  def search(spark: SparkSession, dir: String, queries: DataFrame,
+             k: Int = 10, beam: Int = 32, steps: Int = 8, entries: Int = 16,
+             maxDriverFrontier: Int = 100000): DataFrame = {
+    val meta = readMeta(spark, dir)
+    val edges = liveEdges(spark, dir)
+    val q = queries
+      .select(col("query_id").cast("long"), col("qv"), norm(col("qv")).as("qnrm"))
+      .localCheckpoint(true)
+    val nq = q.count()
+    val scoreSchema = StructType(Seq(StructField("query_id", LongType),
+      StructField("node", LongType), StructField("sim", DoubleType)))
+    def score(cand: DataFrame): DataFrame =
+      cand.join(broadcast(q), Seq("query_id"))
+        .select(col("query_id"), col("node"),
+          round(cosinePrenormed(dot(col("qv"), col("dv")), col("qnrm"), col("dnrm")), 6)
+            .as("sim"))
+    // round 0: the scattered entry points, scored for every query
+    val ent = spark.read.parquet(s"$dir/entries")
+      .select(col("id").cast("long"), col("v"), col("nrm"))
+      .where(col("id") < math.min(entries, meta.entryCap))
+    var beamScored: DataFrame = score(
+      q.select(col("query_id")).crossJoin(
+        ent.select(col("id").as("node"), col("v").as("dv"), col("nrm").as("dnrm"))))
+    val driverSide = nq * beam <= maxDriverFrontier && nq * entries <= maxDriverFrontier
+    if (driverSide)
+      beamScored = spark.createDataFrame(
+        java.util.Arrays.asList(beamScored.collect(): _*), scoreSchema)
+    else beamScored = beamScored.localCheckpoint(true)
+    var lastScored: DataFrame = beamScored
+    (1 to steps).foreach { step =>
+      val expanded =
+        if (driverSide) {
+          // the frontier is model-sized and ON the driver: prune the
+          // edge scan STATICALLY — partition isin on pb, row-group
+          // isin on src — so a step reads O(frontier·degree) rows
+          val frontier = beamScored.collect()
+          val nodes = frontier.map(_.getLong(1)).distinct
+          val pbs = nodes.map(n => ((n % meta.pBuckets) + meta.pBuckets) % meta.pBuckets)
+            .distinct
+          val fdf = spark.createDataFrame(
+            java.util.Arrays.asList(frontier: _*), scoreSchema)
+          edges.where(col("pb").isin(pbs: _*) && col("src").isin(nodes: _*))
+            .join(broadcast(fdf.select(col("query_id"), col("node"))),
+              col("src") === col("node"))
+            .select(col("query_id"), col("dst").as("node"),
+              col("dv"), col("dnrm"))
+        } else
+          // distributed frontier: one broadcast-hash probe of the
+          // edge table per step — still never the corpus
+          broadcast(beamScored.select(col("query_id"), col("node")))
+            .join(edges, col("node") === col("src"))
+            .select(col("query_id"), col("dst").as("node"), col("dv"), col("dnrm"))
+      val newScored = score(expanded.dropDuplicates("query_id", "node"))
+      val scoredRound = beamScored.select(col("query_id"), col("node"), col("sim"))
+        .unionByName(newScored).dropDuplicates("query_id", "node")
+      lastScored = scoredRound
+      if (step < steps) {
+        val topB = scoredRound.groupBy(col("query_id"))
+          .agg(graft.plans.TopKAgg.topK(col("sim"), col("node"), beam).as("top"))
+          .select(col("query_id"), explode(col("top")).as("t"))
+          .select(col("query_id"), col("t.id").as("node"), col("t.score").as("sim"))
+        beamScored =
+          if (driverSide) spark.createDataFrame(
+            java.util.Arrays.asList(topB.collect(): _*), scoreSchema)
+          else topB.localCheckpoint(true)
+      }
+    }
+    Similarity.rankTopK(
+      lastScored.where(col("node") =!= col("query_id"))
+        .select(col("query_id"), col("node").as("neighbor_id"), col("sim")), k)
+  }
+
+  /** Self-query serving: queries are the index's own lowest
+    * `nQueries` ids, fetched from the ENTRIES table — the whole
+    * search runs off the persisted layout. */
+  def searchSelf(spark: SparkSession, dir: String, nQueries: Int = 5,
+                 k: Int = 10, beam: Int = 32, steps: Int = 8,
+                 entries: Int = 16): DataFrame =
+    search(spark, dir,
+      spark.read.parquet(s"$dir/entries")
+        .select(col("id").cast("long").as("query_id"), col("v").as("qv"))
+        .where(col("query_id") < nQueries),
+      k, beam, steps, entries)
+
+  /** The DISTINCT live (src, dst) set — the spec surface for
+    * rebuild-equivalence proofs. */
+  private[graft] def liveEdgeSet(spark: SparkSession, dir: String): DataFrame =
+    liveEdges(spark, dir).select(col("src"), col("dst")).distinct()
+
+  /** Out-degree histogram of the DISTINCT live edge set, read from
+    * the persisted bytes — the build's verifiable surface (a healthy
+    * small-world graph concentrates around m·2+backbone; one giant
+    * or empty degree bucket means the hash mis-fit). */
+  def stats(spark: SparkSession, dir: String): DataFrame =
+    liveEdges(spark, dir)
+      .select(col("src"), col("dst")).distinct()
+      .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .groupBy(col("deg").as("out_degree"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("out_degree"))
+
+  /** Incrementally add `newEmb` WITHOUT a rebuild, preserving
+    * EXACT rebuild equivalence: new vectors hash into the FROZEN
+    * buckets; every node sharing a bucket with a new vector — and
+    * only those — gets its adjacency list recomputed against the
+    * grown assignment (bit-equal to what a from-scratch build at the
+    * frozen nbits would give it, see [[Similarity.localLists]]);
+    * replaced lists are masked by tombstone, new lists and backbone
+    * links append. Cost is O(affected·occupancy), never O(index).
+    *
+    * Crash/retry contract ([[AnnIndex.appendIncremental]] pattern):
+    * every file this increment writes carries a name derived from
+    * its id; a retry first sweeps leftovers of the crashed attempt,
+    * and meta (the idempotence marker) commits LAST. Idempotent per
+    * increment id — a replayed append is skipped. Single concurrent
+    * maintainer assumed, as for every layout-maintenance op here. */
+  def appendIncremental(newEmb: DataFrame, dir: String,
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        incrementId: Option[String] = None): Boolean = {
+    val spark = newEmb.sparkSession
+    import spark.implicits._
+    val meta = readMeta(spark, dir)
+    val fp = incrementId.getOrElse(ZoneCache.corpusFingerprint(newEmb))
+    if (meta.appliedFps.contains(fp)) return false
+    val gen = meta.appliedFps.size + 1
+    val fp8 = java.security.MessageDigest.getInstance("MD5")
+      .digest(fp.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    val hfs = fs(spark, dir)
+    // sweep any leftovers of a crashed attempt of THIS increment
+    Seq("edges", "buckets").foreach { sub =>
+      val root = new Path(s"$dir/$sub")
+      if (hfs.exists(root))
+        hfs.listStatus(root).filter(_.isDirectory).foreach { d =>
+          hfs.listStatus(d.getPath)
+            .filter(_.getPath.getName.startsWith(s"inc-$fp8-"))
+            .foreach(st => hfs.delete(st.getPath, false))
+        }
+    }
+    val entriesRoot = new Path(s"$dir/entries")
+    if (hfs.exists(entriesRoot))
+      hfs.listStatus(entriesRoot)
+        .filter(_.getPath.getName.startsWith(s"inc-$fp8-"))
+        .foreach(st => hfs.delete(st.getPath, false))
+    hfs.delete(new Path(s"$dir/retired/ret-$fp8"), true)
+
+    val newAssign = Similarity
+      .bucketAssign(newEmb, meta.nBits, meta.tables, meta.dim, idCol, vecCol)
+      .localCheckpoint(true) // increment-sized; hashed once
+    val oldAssign = loadBuckets(spark, dir)
+    val grown = oldAssign.unionByName(newAssign.select(
+      col("id"), col("v"), col("nrm"), col("tbl"), col("bucket")))
+    val affBuckets = newAssign.select(col("tbl"), col("bucket")).distinct()
+    val affNodes = grown
+      .join(broadcast(affBuckets), Seq("tbl", "bucket"), "leftsemi")
+      .select(col("id")).distinct()
+      .localCheckpoint(true) // O(new·occupancy) ids
+    val srcSide = grown.join(broadcast(affNodes), Seq("id"), "leftsemi")
+    val lists = Similarity.localLists(srcSide, grown, meta.m)
+    val nodesGrown = grown.where(col("tbl") === 0)
+      .select(col("id"), col("v"), col("nrm"))
+    val newIds = newAssign.where(col("tbl") === 0).select(col("id"))
+    val edgesNew = listEdges(lists, nodesGrown, gen)
+      .unionByName(treeEdges(newIds, nodesGrown, gen))
+      .withColumn("pb", pmod(col("src"), lit(meta.pBuckets.toLong)))
+
+    def stageIn(df: DataFrame, destRoot: String, partCol: Option[String]): Unit = {
+      val stage = new Path(s"$dir/.gixstage-$fp8-${destRoot.split('/').last}")
+      val w = df.write.mode("overwrite")
+      partCol.fold(w)(c => w.partitionBy(c)).parquet(stage.toString)
+      var seq = 0
+      def move(from: Path, to: Path): Unit = {
+        hfs.mkdirs(to)
+        hfs.listStatus(from).filter(_.getPath.getName.endsWith(".parquet"))
+          .foreach { st =>
+            require(hfs.rename(st.getPath,
+              new Path(to, s"inc-$fp8-$seq.parquet")),
+              s"move failed for increment file ${st.getPath}")
+            seq += 1
+          }
+      }
+      partCol match {
+        case Some(_) =>
+          hfs.listStatus(stage).filter(_.isDirectory).foreach { pd =>
+            move(pd.getPath, new Path(destRoot, pd.getPath.getName))
+          }
+        case None => move(stage, new Path(destRoot))
+      }
+      hfs.delete(stage, true)
+    }
+
+    stageIn(edgesNew, s"$dir/edges", Some("pb"))
+    stageIn(newAssign.select(col("id"), col("v"), col("nrm"), col("bucket"), col("tbl")),
+      s"$dir/buckets", Some("tbl"))
+    val newEntries = newAssign.where(col("tbl") === 0 && col("id") < meta.entryCap)
+      .select(col("id"), col("v"), col("nrm"))
+    if (newEntries.limit(1).count() > 0)
+      stageIn(newEntries.coalesce(1), s"$dir/entries", None)
+    // tombstone every recomputed owner (new owners are a no-op mask:
+    // they have no earlier generations), then commit via meta
+    affNodes.select(col("id").as("owner"), lit(gen).as("before_gen"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/retired/ret-$fp8")
+    writeMeta(spark, dir, meta.copy(appliedFps = meta.appliedFps :+ fp))
+    true
+  }
+}

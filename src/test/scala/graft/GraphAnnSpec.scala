@@ -33,6 +33,74 @@ class GraphAnnSpec extends SparkSpec {
       "out-degree should stay O(m + tree links)")
   }
 
+  // ---- persisted index: the build/serve split ----
+
+  private def tmpDir(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"gix_$tag").toFile
+    d.deleteOnExit(); d.getAbsolutePath
+  }
+
+  test("persisted search is bit-identical to the fused in-memory path") {
+    val dir = tmpDir("roundtrip")
+    graft.sources.GraphAnnIndex.buildAndSave(emb, dir)
+    val served = graft.sources.GraphAnnIndex.searchSelf(spark, dir, nQueries = 5, k = 10)
+    val fused = Similarity.graphTopK(emb, nQueries = 5, k = 10)
+    assert(served.collect().map(_.toString).toSeq ==
+      fused.collect().map(_.toString).toSeq)
+  }
+
+  test("a served search never touches the corpus — every input file is index bytes") {
+    val dir = tmpDir("nocorpus")
+    graft.sources.GraphAnnIndex.ensureBuilt(emb, dir)
+    val served = graft.sources.GraphAnnIndex.searchSelf(spark, dir)
+    // lineage pin: the search plan's scans read ONLY the persisted
+    // layout — zero embeddings.parquet inputs. (The per-step scans
+    // behind the driver-side frontier are edge probes by
+    // construction: src/pb isin over dir/edges.)
+    val inputs = served.inputFiles
+    assert(inputs.nonEmpty && inputs.forall(_.contains(new java.io.File(dir).getName)),
+      s"expected only index inputs, got ${inputs.mkString(", ")}")
+    assert(served.count() > 0)
+  }
+
+  test("stats reads the persisted degree histogram; ensureBuilt is idempotent") {
+    val dir = tmpDir("stats")
+    graft.sources.GraphAnnIndex.ensureBuilt(emb, dir)
+    val edgeFile = new java.io.File(s"$dir/edges")
+    val before = edgeFile.lastModified()
+    graft.sources.GraphAnnIndex.ensureBuilt(emb, dir) // fresh → no rebuild
+    assert(edgeFile.lastModified() == before)
+    val st = graft.sources.GraphAnnIndex.stats(spark, dir).collect()
+    val viaEdges = Similarity.graphEdges(emb).groupBy(col("src")).count()
+      .groupBy(col("count").as("out_degree"))
+      .agg(count(lit(1)).as("n_nodes")).orderBy(col("out_degree")).collect()
+    assert(st.map(_.toString).toSeq == viaEdges.map(_.toString).toSeq)
+  }
+
+  test("incremental append is bit-equal to a from-scratch rebuild at the frozen hash") {
+    val n = emb.count()
+    val thr = n * 4 / 5
+    val bits = Similarity.autoBits(n) // size the hash for projected capacity
+    val base = emb.where(col("vec_id") < thr)
+    val inc = emb.where(col("vec_id") >= thr)
+    val dir = tmpDir("incr")
+    graft.sources.GraphAnnIndex.buildAndSave(base, dir, nbits = bits)
+    assert(graft.sources.GraphAnnIndex.appendIncremental(inc, dir))
+    // replayed increment (crash-retry, re-run notebook) is skipped
+    assert(!graft.sources.GraphAnnIndex.appendIncremental(inc, dir))
+    // 1. the LIVE distinct edge set equals the rebuild's, edge for edge
+    val live = graft.sources.GraphAnnIndex.liveEdgeSet(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rebuilt = Similarity.graphEdges(emb, nbits = bits)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(live == rebuilt)
+    // 2. served results equal the rebuild's fused search
+    val served = graft.sources.GraphAnnIndex.searchSelf(spark, dir)
+    val fused = Similarity.graphTopK(emb, nbits = bits)
+    assert(served.collect().map(_.toString).toSeq ==
+      fused.collect().map(_.toString).toSeq)
+  }
+
   test("search is deterministic across partitionings and better than entry-seeding alone") {
     val a = Similarity.graphTopK(emb.repartition(5), nQueries = 3, k = 5)
       .collect().map(_.toString).toSeq
