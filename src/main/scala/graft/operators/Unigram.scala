@@ -138,13 +138,47 @@ object Unigram {
     (model2, winners2)
   }
 
+  /** One trained chain per (app, corpus, plan, params) — `unigramTrain`
+    * and `unigramSegmentStats` are two views of the SAME EM run, so a
+    * pipeline invoking both must pay training once, not twice. The
+    * memo key is the ZoneCache corpus fingerprint (any file added/
+    * removed/rewritten flips it) plus the canonicalized plan hash
+    * (two different filters over the same files must not collide)
+    * plus the training params; values are model-sized and pinned.
+    * In-memory DataFrames have no file listing to fingerprint, so
+    * they train fresh every call (specs stay isolated). The memo is
+    * in-JVM rather than on-disk: the model is KB-sized and one
+    * vocab-job to rebuild, so cross-application persistence would
+    * save less than its format surface costs. */
+  private val chainCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
+
+  private def trainChainCached(docs: DataFrame, contentCol: String,
+                               maxWordLen: Int, maxPieceLen: Int, minCount: Long)
+      : (DataFrame, DataFrame) = {
+    if (docs.inputFiles.isEmpty)
+      trainChain(docs, contentCol, maxWordLen, maxPieceLen, minCount)
+    else {
+      val key = Seq(
+        docs.sparkSession.sparkContext.applicationId,
+        graft.sources.ZoneCache.corpusFingerprint(docs),
+        docs.queryExecution.analyzed.canonicalized.semanticHash().toString,
+        contentCol, maxWordLen, maxPieceLen, minCount).mkString("|")
+      chainCache.computeIfAbsent(key, _ => {
+        val (model, winners) =
+          trainChain(docs, contentCol, maxWordLen, maxPieceLen, minCount)
+        (model.localCheckpoint(true), winners)
+      })
+    }
+  }
+
   /** The trained piece table — top multi-character pieces by final
     * EM count (ties on the piece string), with their Laplace
     * log-probabilities. The artifact a unigram tokenizer ships. */
   def unigramTrain(docs: DataFrame, contentCol: String = "text",
                    maxWordLen: Int = 12, maxPieceLen: Int = 4,
                    minCount: Long = 100L, topK: Int = 40): DataFrame = {
-    val (model, _) = trainChain(docs, contentCol, maxWordLen, maxPieceLen, minCount)
+    val (model, _) = trainChainCached(docs, contentCol, maxWordLen, maxPieceLen, minCount)
     model.where(length(col("piece")) >= 2)
       .select(col("piece"), col("cnt").as("n"), col("logprob"))
       .orderBy(col("n").desc, col("piece"))
@@ -157,7 +191,7 @@ object Unigram {
   def unigramSegmentStats(docs: DataFrame, contentCol: String = "text",
                           maxWordLen: Int = 12, maxPieceLen: Int = 4,
                           minCount: Long = 100L): DataFrame = {
-    val (_, winners) = trainChain(docs, contentCol, maxWordLen, maxPieceLen, minCount)
+    val (_, winners) = trainChainCached(docs, contentCol, maxWordLen, maxPieceLen, minCount)
     winners
       .select(col("freq"), length(col("w")).cast("long").as("wlen"),
         size(split(col("path"), " ")).cast("long").as("n_pieces"))

@@ -775,13 +775,18 @@ object DeltaSource {
     * row-in-partition falls out of `monotonically_increasing_id`'s
     * encoding (pid in the upper bits). No shuffle of data rows, no
     * global window, no RDD round-trip — the batch never leaves
-    * Tungsten rows. Same determinism assumption as the classic
-    * zipWithIndex shape: both jobs enumerate the same partitions
-    * (the staged batch is a deterministic plan). */
+    * Tungsten rows. The count job and the projection job MUST see
+    * the same partitioning, so the batch is PINNED with an eager
+    * localCheckpoint first (AQE or a non-deterministic upstream
+    * could otherwise repartition between the two jobs and silently
+    * assign duplicate ids); as cheap insurance the projection also
+    * RAISES on any pid absent from the count job instead of letting
+    * `element_at` null out and ride to the not-null guard. */
   private[sources] def assignIdentity(df: DataFrame, field: StructField,
                              firstValue: Long, step: Long): DataFrame = {
     val others = df.schema.filterNot(_.name == field.name)
     val base = df.select(others.map(f => col(f.name)).toIndexedSeq: _*)
+      .localCheckpoint(true)
     val counts: Seq[(Int, Long)] = base
       .groupBy(spark_partition_id().as("__pid")).count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq
@@ -791,9 +796,13 @@ object DeltaSource {
     }
     val rowInPart =
       monotonically_increasing_id() - shiftleft(spark_partition_id().cast(LongType), 33)
-    val value =
-      lit(firstValue) + lit(step) *
-        (element_at(typedLit(offsets), spark_partition_id()) + rowInPart)
+    val off = element_at(typedLit(offsets), spark_partition_id())
+    val offChecked = off + coalesce(
+      assert_true(off.isNotNull,
+        lit("identity assignment saw a partition id absent from its count job " +
+          "— the pinned plan's partitioning changed between jobs")),
+      lit(0L))
+    val value = lit(firstValue) + lit(step) * (offChecked + rowInPart)
     base.select((others.map(f => col(f.name)) :+
       value.cast(LongType).as(field.name, field.metadata)).toIndexedSeq: _*)
   }
@@ -1897,6 +1906,17 @@ object DeltaSource {
     s"""{"add":{"path":${jsonStr(a.path)},"partitionValues":$pvJson,"size":$sz,"modificationTime":$now,"dataChange":$dataChange$statsJson${dvJson(dv)}${rowIdJson(a.baseRowId, a.defaultRowCommitVersion)}}}"""
   }
 
+  /** Remove action for a live AddFile. Carries `partitionValues`
+    * (optional in the spec) so a CONCURRENT writer's logical
+    * conflict check can prove partition disjointness against this
+    * remove instead of aborting conservatively. */
+  private def removeLine(a: AddFile, now: Long, dataChange: Boolean): String = {
+    val pvJson = a.partitionValues.map { case (k, v) =>
+      s"${jsonStr(k)}:${if (v == null) "null" else jsonStr(v)}"
+    }.mkString("{", ",", "}")
+    s"""{"remove":{"path":${jsonStr(a.path)},"deletionTimestamp":$now,"dataChange":$dataChange,"partitionValues":$pvJson}}"""
+  }
+
   private def addLine(a: StagedAdd, now: Long, dataChange: Boolean): String = {
     val pvJson = a.partitionValues.map { case (k, v) =>
       s"${jsonStr(k)}:${if (v == null) "null" else jsonStr(v)}"
@@ -2001,15 +2021,158 @@ object DeltaSource {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** What a non-pure-append transaction READ, for the logical
+    * conflict check (the delta-io PROTOCOL.md ConflictChecker
+    * semantics): a losing commit that can PROVE it commutes with
+    * every interleaved winner rebases to the new tail instead of
+    * aborting — the difference between "every maintenance commit
+    * dies under a steady appender" and maintenance that lands.
+    *
+    *  - `readFiles`: the files this txn removes/rewrites — its hard
+    *    dependency set; anyone else removing one of them aborts us.
+    *  - `dataChange`: false for a pure layout swap (OPTIMIZE /
+    *    ZORDER): it reads only `readFiles` and changes no rows, so
+    *    concurrent APPENDS always commute with it.
+    *  - `readPartitions`: Some(pvs) when the txn's read scope is
+    *    provably bounded to those partitions (a partition-predicate
+    *    DML); None = it read the whole table, so any interleaved
+    *    data change aborts it.
+    *  - `knownPartitions`: the partition universe at the read
+    *    snapshot — an interleaved add in a partition born AFTER our
+    *    snapshot can't be proven disjoint from a predicate we only
+    *    evaluated against known partitions, so it aborts us. */
+  private[sources] final case class CommitIntent(
+      readFiles: Set[String],
+      dataChange: Boolean,
+      readPartitions: Option[Set[Map[String, String]]],
+      knownPartitions: Set[Map[String, String]] = Set.empty)
+
+  /** Throw unless OUR lost commit (described by `ci`) provably
+    * commutes with interleaved commit `v`. Driver-side, one small
+    * log read per interleaved version — the same cost class as the
+    * pure-append metadata sniff below. */
+  private def assertCommutes(fs: FileSystem, logDir: Path, tablePath: String,
+                             v: Long, ci: CommitIntent): Unit = {
+    def fail(why: String): Nothing =
+      throw new java.util.ConcurrentModificationException(
+        s"commit to $tablePath lost to concurrent version $v and cannot rebase: $why")
+    val in = fs.open(new Path(logDir, f"$v%020d.json"))
+    val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+               finally in.close()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def pvOf(node: com.fasterxml.jackson.databind.JsonNode): Map[String, String] = {
+      val pvN = node.path("partitionValues")
+      if (!pvN.isObject) Map.empty
+      else {
+        val it = pvN.fields(); val b = Map.newBuilder[String, String]
+        while (it.hasNext) {
+          val e = it.next()
+          b += e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())
+        }
+        b.result()
+      }
+    }
+    text.linesIterator.filter(_.nonEmpty).foreach { line =>
+      val node = mapper.readTree(line)
+      if (node.has("metaData") || node.has("protocol"))
+        fail("it changes the table's metadata/protocol")
+      val add = node.path("add")
+      if (add.isObject && add.path("dataChange").asBoolean(false) && ci.dataChange) {
+        // concurrent data landed; only a read scope provably disjoint
+        // from it lets us keep our result
+        ci.readPartitions match {
+          case None => fail(s"it adds ${add.path("path").asText()} and this txn " +
+            "read the whole table")
+          case Some(rp) =>
+            val pv = pvOf(add)
+            if (rp.contains(pv))
+              fail(s"it adds ${add.path("path").asText()} inside a partition this txn read")
+            if (!ci.knownPartitions.contains(pv))
+              fail(s"it adds ${add.path("path").asText()} in a partition born after " +
+                "this txn's snapshot (disjointness unprovable)")
+        }
+      }
+      val rem = node.path("remove")
+      if (rem.isObject) {
+        val path = rem.path("path").asText()
+        if (ci.readFiles.contains(path))
+          fail(s"it removed $path, which this txn read/rewrote")
+        if (ci.dataChange && rem.path("dataChange").asBoolean(true)) {
+          ci.readPartitions match {
+            case None => fail(s"it removed $path and this txn read the whole table")
+            case Some(rp) =>
+              if (!rem.path("partitionValues").isObject)
+                fail(s"it removed $path whose partition is not recorded " +
+                  "(conservative abort)")
+              val pv = pvOf(rem)
+              if (rp.contains(pv) || !ci.knownPartitions.contains(pv))
+                fail(s"it removed $path inside (or outside the known universe of) " +
+                  "this txn's read scope")
+          }
+        }
+      }
+    }
+  }
+
+  /** Derive a condition-based DML's partition read scope for its
+    * [[CommitIntent]]: when `condition` references ONLY partition
+    * columns, the txn provably read just the matched partitions —
+    * evaluated over the model-sized pv list, files never opened
+    * (the replaceWhere victim machinery, generalized). Any other
+    * predicate reads the whole table (None). Returns (scope,
+    * knownPartitionUniverse); pv maps keyed by PHYSICAL names,
+    * matching the log's add/remove actions. */
+  private def partitionReadScope(spark: SparkSession, snap: Snapshot,
+                                 condition: Column)
+      : (Option[Set[Map[String, String]]], Set[Map[String, String]]) = {
+    val known = snap.files.map(_.partitionValues).toSet
+    if (snap.partitionColumns.isEmpty) return (None, known)
+    val refs =
+      try spark.createDataFrame(new java.util.ArrayList[Row](),
+          StructType(snap.schema.fields))
+        .where(condition).queryExecution.analyzed
+        .expressions.flatMap(_.references).map(_.name).toSet
+      catch { case scala.util.control.NonFatal(_) => return (None, known) }
+    if (refs.isEmpty || !refs.subsetOf(snap.partitionColumns.toSet)) (None, known)
+    else {
+      val partFields = snap.partitionColumns.map(snap.schema(_))
+      val pvSeq = known.toSeq
+      val pvRows = pvSeq.zipWithIndex.map { case (pv, i) =>
+        Row.fromSeq(i +: partFields.map { f =>
+          pv.get(physicalName(f)).orNull match {
+            case "__HIVE_DEFAULT_PARTITION__" => null
+            case v => v
+          }
+        })
+      }
+      val pvSchema = StructType(StructField("__graft_pv_i", IntegerType) +:
+        partFields.map(f => StructField(f.name, StringType)))
+      val matchedIdx = spark
+        .createDataFrame(spark.sparkContext.parallelize(pvRows.toIndexedSeq, 1), pvSchema)
+        .select(col("__graft_pv_i") +:
+          partFields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+        .where(condition)
+        .select(col("__graft_pv_i")).collect().map(_.getInt(0)).toSet
+      (Some(matchedIdx.map(pvSeq)), known)
+    }
+  }
+
   /** `ictKnown`: Some(enabled) when the caller already read the table
     * config (saves the per-commit predecessor sniff — one fewer
     * object-store GET on every commit of a non-ICT table); None falls
     * back to detecting from this commit's own metaData line or the
-    * previous commit's ICT. */
+    * previous commit's ICT. `intent` opts a non-pure-append commit
+    * into the logical conflict check: a lost race REBASES when every
+    * interleaved commit provably commutes ([[assertCommutes]]),
+    * aborts otherwise. domainMetadata-carrying commits always abort
+    * on a lost race regardless of intent (their allocated state —
+    * row-id ranges, watermarks, clustering domains — is snapshot-
+    * bound). */
   private def commitWithRetry(spark: SparkSession, fs: FileSystem, tablePath: String,
                               first: Long, lines: Seq[String], pureAppend: Boolean,
                               commitStore: CommitStore, maxAttempts: Int = 20,
-                              ictKnown: Option[Boolean] = None): Long = {
+                              ictKnown: Option[Boolean] = None,
+                              intent: Option[CommitIntent] = None): Long = {
     val logDir = new Path(tablePath, "_delta_log")
     // in-commit timestamps: once the table property is on (detected
     // from this commit's own metaData line, or transitively from the
@@ -2044,32 +2207,45 @@ object DeltaSource {
           // the version we raced for is still absent: the store
           // failed for its own reasons — surface that, don't loop
           if (latest < attempt) throw e
-          if (!pureAppend)
-            throw new java.util.ConcurrentModificationException(
-              s"commit $attempt of $tablePath lost to a concurrent writer and is not a " +
-                s"pure append (it removes files or changes metadata); its read snapshot " +
-                s"is stale — re-run against version $latest")
           // a commit carrying domainMetadata (e.g. the rowTracking
           // high watermark) allocated state — row-id ranges, the
           // stamped defaultRowCommitVersion — from its read snapshot;
           // ANY lost race makes that stale, so abort instead of
-          // silently re-landing colliding ids at a shifted version
+          // silently re-landing colliding ids at a shifted version.
+          // This outranks `intent`: commuting FILE sets don't make
+          // allocated domain state fresh.
           if (lines.exists(_.contains("\"domainMetadata\"")))
             throw new java.util.ConcurrentModificationException(
               s"commit $attempt of $tablePath lost to a concurrent writer and carries " +
                 s"domainMetadata allocated from a stale snapshot (row-id ranges / " +
                 s"watermarks); re-run against version $latest")
-          val metaChanged = (attempt to latest).exists { v =>
-            spark.read.schema(CheckpointSchema)
-              .json(new Path(logDir, f"$v%020d.json").toString).collect()
-              .exists(r => !r.isNullAt(r.fieldIndex("metaData")) ||
-                !r.isNullAt(r.fieldIndex("protocol")))
+          if (!pureAppend) intent match {
+            case Some(ci) =>
+              // logical conflict check: rebase over every interleaved
+              // commit we provably commute with, abort on the first
+              // we don't
+              (attempt to latest).foreach(v =>
+                assertCommutes(fs, logDir, tablePath, v, ci))
+              attempt = latest + 1
+            case None =>
+              throw new java.util.ConcurrentModificationException(
+                s"commit $attempt of $tablePath lost to a concurrent writer and is not a " +
+                  s"pure append (it removes files or changes metadata); its read snapshot " +
+                  s"is stale — re-run against version $latest")
           }
-          if (metaChanged)
-            throw new java.util.ConcurrentModificationException(
-              s"append to $tablePath lost to a concurrent METADATA change at or below " +
-                s"version $latest; re-validate the schema and retry")
-          attempt = latest + 1
+          else {
+            val metaChanged = (attempt to latest).exists { v =>
+              spark.read.schema(CheckpointSchema)
+                .json(new Path(logDir, f"$v%020d.json").toString).collect()
+                .exists(r => !r.isNullAt(r.fieldIndex("metaData")) ||
+                  !r.isNullAt(r.fieldIndex("protocol")))
+            }
+            if (metaChanged)
+              throw new java.util.ConcurrentModificationException(
+                s"append to $tablePath lost to a concurrent METADATA change at or below " +
+                  s"version $latest; re-validate the schema and retry")
+            attempt = latest + 1
+          }
       }
     }
     throw new IllegalStateException(
@@ -2565,7 +2741,12 @@ object DeltaSource {
       fs.listStatus(dir).toSeq.flatMap { s =>
         val n = s.getPath.getName
         if (s.isDirectory) {
-          if (n == "_delta_log" || n.startsWith(".stage-") || n.startsWith(".cpstage-")) Nil
+          // every engine staging dir is dot-prefixed (.stage-,
+          // .cpstage-, .cpv2stage-, .cpv2m-, …) and data dirs never
+          // are (hive `col=val` or bare) — skip the whole class so a
+          // zero-retention vacuum racing an in-flight writer can
+          // never delete staged parquet before its rename lands
+          if (n == "_delta_log" || n.startsWith(".")) Nil
           else walk(s.getPath)
         } else if (n.endsWith(".parquet") || n.endsWith(".bin")) Seq(s)
         else Nil
@@ -2658,7 +2839,7 @@ object DeltaSource {
       (StagedAdd(relPath, fs.getFileStatus(dst).getLen, pv,
         statsJsonFor(spark, dst, physDataSchema)),
         bin.map(a =>
-          s"""{"remove":{"path":${jsonStr(a.path)},"deletionTimestamp":$now,"dataChange":false}}"""))
+          removeLine(a, now, dataChange = false)))
     }
     // rewritten files still get FRESH baseRowId ranges (the spec's
     // invariant: every add on a row-tracking table carries one); the
@@ -2667,9 +2848,15 @@ object DeltaSource {
       next, staged.map(_._1))
     val actions = staged.flatMap(_._2) ++
       addsRt.map(a => addLine(a, now, dataChange = false)) ++ domainLines
-    // compaction removes files, so a lost race aborts (stale snapshot)
+    // compaction reads only the files it rewrites and changes no
+    // rows: a lost race REBASES over provably-commuting winners
+    // (concurrent appends, disjoint swaps) and aborts only when one
+    // touched a rewritten file or the metadata. (Row-tracking tables
+    // carry domainMetadata here, which still aborts on any race.)
     commitWithRetry(spark, fs, tablePath, next, actions,
-      pureAppend = false, commitStore)
+      pureAppend = false, commitStore,
+      intent = Some(CommitIntent(
+        rewrites.flatMap(_._2.map(_.path)).toSet, dataChange = false, None)))
     val after = snapshot(spark, tablePath, None).files.size
     (snap.files.size, after)
   }
@@ -2718,11 +2905,16 @@ object DeltaSource {
     val now = System.currentTimeMillis()
     val (addsRt, domainLines) = allocRowIds(snap.configuration, snap.domains, next, adds)
     val removeLines = snap.files.map(a =>
-      s"""{"remove":{"path":${jsonStr(a.path)},"deletionTimestamp":$now,"dataChange":false}}""")
+      removeLine(a, now, dataChange = false))
     val addLines = addsRt.map(a => addLine(a, now, dataChange = false))
-    // a layout swap removes files, so a lost race aborts (stale snapshot)
+    // a layout swap reads only the files it replaces: a lost race
+    // rebases over commuting winners (pure appends), aborts when one
+    // removed a replaced file or changed metadata (domainMetadata-
+    // carrying variants still always abort)
     commitWithRetry(spark, fs, tablePath, next, removeLines ++ addLines ++ domainLines,
-      pureAppend = false, commitStore)
+      pureAppend = false, commitStore,
+      intent = Some(CommitIntent(
+        snap.files.map(_.path).toSet, dataChange = false, None)))
     (snap.files.size, adds.size)
   }
 
@@ -2817,12 +3009,17 @@ object DeltaSource {
     }
     val protoLines = if (proto == snap.protocol) Nil else Seq(protocolLine(proto))
     val removeLines = snap.files.map(a =>
-      s"""{"remove":{"path":${jsonStr(a.path)},"deletionTimestamp":$now,"dataChange":false}}""")
+      removeLine(a, now, dataChange = false))
     val addLines = addsRt.map(a => addLine(a, now, dataChange = false))
-    // a layout swap removes files, so a lost race aborts (stale snapshot)
+    // CLUSTER BY always carries the delta.clustering domainMetadata,
+    // so a lost race still aborts (the domain rule outranks intent);
+    // the intent is recorded for the day the domain becomes
+    // race-tolerant
     commitWithRetry(spark, fs, tablePath, next,
       protoLines ++ removeLines ++ addLines ++ rtDomainLines :+ clusterDomainLine,
-      pureAppend = false, commitStore)
+      pureAppend = false, commitStore,
+      intent = Some(CommitIntent(
+        snap.files.map(_.path).toSet, dataChange = false, None)))
     (snap.files.size, adds.size)
   }
 
@@ -3093,11 +3290,27 @@ object DeltaSource {
         // LEGACY gate: a partitioned table whose cdc action carries
         // no partitionValues was staged by the old layout (partition
         // columns in-file) — read those files directly, or their
-        // partitions would come back NULL.
+        // partitions would come back NULL. An UNPARTITIONED
+        // column-mapped table has no such marker (partitionValues is
+        // legitimately empty), so old-layout files — written under
+        // LOGICAL in-file names — are detected by probing the file's
+        // parquet footer for a mapped column's logical name; the
+        // modern physical-name scan would null them out silently.
+        // The probe is a driver-side footer read per cdc file, and
+        // only on mapped unpartitioned tables.
         val cdcSchema = StructType(snap.schema :+
           StructField("_change_type", StringType))
-        val (legacy, modern) = cdcFiles.reverse.partition { case (_, pv) =>
-          snap.partitionColumns.nonEmpty && pv.isEmpty
+        val mappedProbe: Option[StructField] =
+          if (snap.partitionColumns.nonEmpty) None
+          else snap.schema.find(f => physicalName(f) != f.name)
+        def fileHasLogicalNames(rel: String): Boolean = mappedProbe.exists { f =>
+          val p = dataPath(tablePath, rel)
+          val names = spark.read.parquet(p.toString).schema.fieldNames.toSet
+          names.contains(f.name) && !names.contains(physicalName(f))
+        }
+        val (legacy, modern) = cdcFiles.reverse.partition { case (p, pv) =>
+          (snap.partitionColumns.nonEmpty && pv.isEmpty) ||
+            (mappedProbe.nonEmpty && fileHasLogicalNames(p))
         }
         val modernDf =
           if (modern.isEmpty) None
@@ -3323,14 +3536,20 @@ object DeltaSource {
         Seq(s"""{"metaData":{"id":${jsonStr(UUID.randomUUID().toString)},"format":{"provider":"parquet","options":{}},"schemaString":${jsonStr(mergedSchema.json)},"partitionColumns":$partColsJson,"configuration":${configJson(snap.configuration)},"createdTime":$now}}""")
       }
     val removeLines = touched.map(a =>
-      s"""{"remove":{"path":${jsonStr(a.path)},"deletionTimestamp":$now,"dataChange":true}}""")
+      removeLine(a, now, dataChange = true))
     val (addsRt, domainLines) = allocRowIds(snap.configuration, snap.domains, next, adds)
     val addLines = addsRt.map(a => addLine(a, now, dataChange = true))
     val cdcLines = cdcAdds.map { case (rel, pv, sz) => cdcLine(rel, pv, sz) }
+    // MERGE reads the whole table (the touched-file semi-join), so a
+    // lost race rebases only over winners that provably changed no
+    // data this merge could have seen — pure layout swaps not
+    // touching a rewritten file; anything else aborts
     val committed = commitWithRetry(spark, fs, tablePath, next,
       protoLines ++ metaLines ++ removeLines ++ addLines ++ domainLines ++ cdcLines,
       pureAppend = touched.isEmpty && protoLines.isEmpty && metaLines.isEmpty, commitStore,
-      ictKnown = Some(snap.configuration.get("delta.enableInCommitTimestamps").contains("true")))
+      ictKnown = Some(snap.configuration.get("delta.enableInCommitTimestamps").contains("true")),
+      intent = Some(CommitIntent(touched.map(_.path).toSet, dataChange = true,
+        readPartitions = None)))
     maybeAutoCheckpoint(spark, tablePath, committed, snap.configuration)
     committed
   }
@@ -3383,7 +3602,7 @@ object DeltaSource {
     val now = System.currentTimeMillis()
     val staged = stageDvRemoval(spark, tablePath, fs, snap, matchedRows, now)
     if (staged.isEmpty) return snap.version
-    val (removeLines, addLines, anyKept) = staged.get
+    val (removeLines, addLines, anyKept, affectedFiles) = staged.get
     // the first DV descriptor gates the protocol up to (3,7) with the
     // deletionVectors feature IN THE SAME COMMIT — an external reader
     // that would ignore DVs (and resurrect rows) must refuse instead
@@ -3405,10 +3624,17 @@ object DeltaSource {
       if (proto == snap.protocol) Nil else Seq(protocolLine(proto))
     }
     val cdcLines = cdcAdds.map { case (rel, pv, sz) => cdcLine(rel, pv, sz) }
+    // a partition-predicate DELETE's read scope is just the matched
+    // partitions: it rebases over appends/DML landing in DISJOINT
+    // partitions; an arbitrary predicate read the whole table and
+    // rebases only over pure layout swaps of untouched files
+    val (delScope, delKnown) = partitionReadScope(spark, snap, condition)
     val committed = commitWithRetry(spark, fs, tablePath, snap.version + 1,
       protoLines ++ removeLines ++ addLines ++ cdcLines,
       pureAppend = false, commitStore,
-      ictKnown = Some(snap.configuration.get("delta.enableInCommitTimestamps").contains("true")))
+      ictKnown = Some(snap.configuration.get("delta.enableInCommitTimestamps").contains("true")),
+      intent = Some(CommitIntent(affectedFiles.map(_.path).toSet, dataChange = true,
+        delScope, delKnown)))
     maybeAutoCheckpoint(spark, tablePath, committed, snap.configuration)
     committed
   }
@@ -3430,7 +3656,7 @@ object DeltaSource {
     * both mark old rows through vectors instead of rewriting files. */
   private def stageDvRemoval(spark: SparkSession, tablePath: String, fs: FileSystem,
                              snap: Snapshot, matchedRows: DataFrame, now: Long)
-      : Option[(Seq[String], Seq[String], Boolean)] = {
+      : Option[(Seq[String], Seq[String], Boolean, Seq[AddFile])] = {
     import spark.implicits._
     val table = new Path(tablePath)
     val fresh: Map[String, Array[Byte]] = matchedRows
@@ -3485,12 +3711,12 @@ object DeltaSource {
     // folds actions in line order, newest-per-path wins within a
     // version, so the re-add (with its DV) survives
     val removeLines = affected.map(a =>
-      s"""{"remove":{"path":${jsonStr(a.path)},"deletionTimestamp":$now,"dataChange":true}}""")
+      removeLine(a, now, dataChange = true))
     val addLines = kept.map { a =>
       val sz = a.size.getOrElse(fs.getFileStatus(dataPath(tablePath, a.path)).getLen)
       reAddLine(a, sz, now, dataChange = true, Some(keptDescs(nameOf(a))))
     }
-    Some((removeLines, addLines, kept.nonEmpty))
+    Some((removeLines, addLines, kept.nonEmpty, affected))
   }
 
   /** Merge-on-read UPDATE via deletion vectors: rows matching
@@ -3563,7 +3789,7 @@ object DeltaSource {
     val now = System.currentTimeMillis()
     val staged = stageDvRemoval(spark, tablePath, fs, snap, matchedRows, now)
     if (staged.isEmpty) return snap.version
-    val (removeLines, reAddLines, anyKept) = staged.get
+    val (removeLines, reAddLines, anyKept, affectedFiles) = staged.get
     // post-image: SET expressions over the old row, then generated
     // columns recomputed — all map-side over the pinned matched set
     val fullCols = snap.schema.map(f => col(f.name)).toIndexedSeq
@@ -3604,10 +3830,16 @@ object DeltaSource {
       snap.version + 1, adds)
     val addLines = addsRt.map(a => addLine(a, now, dataChange = true))
     val cdcLines = cdcAdds.map { case (rel, pv, sz) => cdcLine(rel, pv, sz) }
+    // same partition-scope rule as DELETE (UPDATE's post-images may
+    // move partitions, but those land as ADDS — the read scope is
+    // still the predicate's)
+    val (updScope, updKnown) = partitionReadScope(spark, snap, condition)
     val committed = commitWithRetry(spark, fs, tablePath, snap.version + 1,
       protoLines ++ removeLines ++ reAddLines ++ addLines ++ domainLines ++ cdcLines,
       pureAppend = false, commitStore,
-      ictKnown = Some(snap.configuration.get("delta.enableInCommitTimestamps").contains("true")))
+      ictKnown = Some(snap.configuration.get("delta.enableInCommitTimestamps").contains("true")),
+      intent = Some(CommitIntent(affectedFiles.map(_.path).toSet, dataChange = true,
+        updScope, updKnown)))
     maybeAutoCheckpoint(spark, tablePath, committed, snap.configuration)
     committed
   }
@@ -3718,7 +3950,7 @@ object DeltaSource {
       }
     val now = System.currentTimeMillis()
     val removeLines = victimAdds.map(a =>
-      s"""{"remove":{"path":${jsonStr(a.path)},"deletionTimestamp":$now,"dataChange":true}}""")
+      removeLine(a, now, dataChange = true))
     val (addsRt, domainLines) = allocRowIds(snap.configuration, snap.domains,
       snap.version + 1, adds)
     val addLines = addsRt.map(a => addLine(a, now, dataChange = true))
@@ -3727,10 +3959,16 @@ object DeltaSource {
       val proto = writerGate(snap.protocol, cdcAdds.nonEmpty, 4, "changeDataFeed")
       if (proto == snap.protocol) Nil else Seq(protocolLine(proto))
     }
+    // replaceWhere's predicate is partition-only BY CONSTRUCTION, so
+    // its read scope is exactly the replaced partitions: concurrent
+    // traffic in other partitions commutes and the swap rebases
+    val (rwScope, rwKnown) = partitionReadScope(spark, snap, condition)
     val committed = commitWithRetry(spark, fs, tablePath, snap.version + 1,
       protoLines ++ removeLines ++ addLines ++ domainLines ++ cdcLines,
       pureAppend = false, commitStore,
-      ictKnown = Some(snap.configuration.get("delta.enableInCommitTimestamps").contains("true")))
+      ictKnown = Some(snap.configuration.get("delta.enableInCommitTimestamps").contains("true")),
+      intent = Some(CommitIntent(victimAdds.map(_.path).toSet, dataChange = true,
+        rwScope, rwKnown)))
     maybeAutoCheckpoint(spark, tablePath, committed, snap.configuration)
     committed
   }
@@ -3768,7 +4006,7 @@ object DeltaSource {
     val removeLines = cur.files.filter(a =>
       !tgtPaths.contains(a.path) ||
         tgt.files.exists(t => t.path == a.path && t.dv != a.dv)).map(a =>
-      s"""{"remove":{"path":${jsonStr(a.path)},"deletionTimestamp":$now,"dataChange":true}}""")
+      removeLine(a, now, dataChange = true))
     val addLines = tgt.files
       .filterNot(a => curState.get(a.path).contains(a.dv))
       .map { a =>

@@ -126,6 +126,50 @@ class DeltaStreamSourceSpec extends SparkSpec {
       s"chained rewrites must chase to the final live file: n=${got.size}")
   }
 
+  test("a batch spanning a CLUSTER BY rewrite that materialized row ids delivers appends once") {
+    // the compaction-overlap contract composed with row tracking: the
+    // swap commit rewrites the appended files WITH materialized
+    // row-id/commit-version physical columns (extra cols the table
+    // schema doesn't know) and carries the clustering domain — the
+    // source must chase the rewrite into those fatter files and
+    // project them through the TABLE schema, not choke on or leak
+    // the materialized columns
+    val tbl = tmpDir("rt") + "/t"
+    DeltaSource.writeDelta(
+      spark.range(0, 60).selectExpr("id", "id % 7 as k"), tbl) // v0
+    DeltaSource.enableRowTracking(spark, tbl) // v1 (+ backfill commits)
+    DeltaSource.writeDelta(
+      spark.range(60, 120).selectExpr("id", "id % 7 as k"), tbl,
+      overwrite = false)
+    DeltaSource.optimizeClusterBy(spark, tbl, Seq("id", "k"), nFiles = 2, bits = 8)
+    val got = drain(tbl, tmpDir("ckpt")).flatMap(_._2).map(_._1)
+    assert(got.sorted == (0L until 120L),
+      s"cluster-rewrite with materialized ids lost/duplicated rows: n=${got.size}")
+  }
+
+  test("a batch spanning a replaceWhere partition swap emits the POST-swap slice") {
+    // append into p1 and then replaceWhere(p = p1) inside ONE batch
+    // window: the appended file is removed with dataChange=true
+    // before the batch's end version, so its rows never surface —
+    // the feed reflects the swap's outcome (exactly the change-feed-
+    // as-of-end contract; rows both born and replaced inside one
+    // batch are unobservable, documented at-least-once composition)
+    val tbl = tmpDir("rw") + "/t"
+    val df0 = spark.range(0, 10).selectExpr("id", "id % 2 as k")
+    DeltaSource.writeDelta(df0, tbl, partitionBy = Seq("k")) // v0
+    DeltaSource.writeDelta(
+      spark.range(100, 104).selectExpr("id", "id % 2 as k"), tbl,
+      overwrite = false, partitionBy = Seq("k")) // v1: 2 rows each side
+    DeltaSource.writeDeltaReplaceWhere(
+      spark.range(200, 203).selectExpr("id", "cast(1 as bigint) as k"), tbl,
+      col("k") === 1) // v2: k=1 slice swapped
+    val got = drain(tbl, tmpDir("ckpt")).flatMap(_._2).map(_._1).sorted
+    val expected = ((0L until 10L) ++ Seq(100L, 102L))
+      .filter(_ % 2 == 0) ++ Seq(200L, 201L, 202L)
+    assert(got == expected.sorted,
+      s"replaceWhere-in-batch must emit survivors + replacement, got $got")
+  }
+
   test("startingVersion begins mid-log") {
     val tbl = mkTable()
     val ckpt = tmpDir("ckpt")
