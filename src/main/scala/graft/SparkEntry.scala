@@ -430,6 +430,42 @@ object SparkEntry {
           col("content_length"))
         .orderBy(col("doc_id"))
     }),
+    "pipe_delta_conflict" -> ((s, d) => {
+      // Logical conflict checking graded END TO END: maintenance and
+      // partition-scoped DML each LOSE a deterministic commit race
+      // (ForcedRaceStore) to a concurrent appender and REBASE instead
+      // of aborting — the final table is the serial-equivalent
+      // outcome the oracle replays. Two appends seed multi-file
+      // partitions; OPTIMIZE races a third append (commutes: a
+      // dataChange=false swap reads only its own files); DELETE
+      // WHERE o_orderstatus='F' — a partition-only predicate — races
+      // an all-'O' append (commutes: disjoint KNOWN partition).
+      // Before the round-9 ConflictChecker both losers would abort.
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_deltacf_${math.abs(d.hashCode)}/zone"
+      val p = new org.apache.hadoop.fs.Path(tmp)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_custkey"))
+      def slice(m: Int) = o.where(pmod(col("o_orderkey"), lit(4)) === m)
+      val D = graft.sources.DeltaSource
+      D.writeDelta(slice(0), tmp, partitionBy = Seq("o_orderstatus"))
+      D.writeDelta(slice(1), tmp, overwrite = false,
+        partitionBy = Seq("o_orderstatus"))
+      D.optimizeDelta(s, tmp, commitStore = new graft.sources.ForcedRaceStore(() =>
+        D.writeDelta(slice(2), tmp, overwrite = false,
+          partitionBy = Seq("o_orderstatus")): Unit))
+      D.deleteDelta(s, tmp, col("o_orderstatus") === "F",
+        commitStore = new graft.sources.ForcedRaceStore(() =>
+          D.writeDelta(slice(3).where(col("o_orderstatus") === "O"), tmp,
+            overwrite = false, partitionBy = Seq("o_orderstatus")): Unit))
+      D.readDelta(s, tmp)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_orderkey")).as("sum_key"),
+          countDistinct(col("o_custkey")).as("n_custs"))
+        .orderBy(col("o_orderstatus"))
+    }),
     "pipe_delta_dv" -> ((s, d) => {
       // merge-on-read DELETE via deletion vectors: two erasure waves
       // (every 5th doc, then all short docs) land as DV commits —
@@ -1937,6 +1973,18 @@ object SparkEntry {
          |FROM merged ORDER BY doc_id""".stripMargin,
     // DV deletes are row-exact: the surviving set is silver minus
     // both erasure predicates, with no file-granularity bleed
+    // the conflict demo's serial-equivalent outcome: every racing
+    // write landed exactly once, the partition-scoped delete removed
+    // all 'F' rows present BEFORE the racing all-'O' append
+    "pipe_delta_conflict" ->
+      """WITH final AS (
+        |  SELECT * FROM orders
+        |  WHERE ((o_orderkey % 4) IN (0, 1, 2) AND o_orderstatus <> 'F')
+        |     OR ((o_orderkey % 4) = 3 AND o_orderstatus = 'O'))
+        |SELECT o_orderstatus, count(*) AS n_orders,
+        |       CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |       count(DISTINCT o_custkey) AS n_custs
+        |FROM final GROUP BY 1 ORDER BY 1""".stripMargin,
     "pipe_delta_dv" ->
       s"""$silverCte SELECT doc_id, source, md5(content) AS content_hash,
          |length(content) AS content_length

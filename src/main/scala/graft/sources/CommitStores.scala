@@ -181,3 +181,20 @@ object CoordinatedCommitStore {
     new CoordinatedCommitStore(coordDir).recover(fs, tablePath)
   }
 }
+
+/** Deterministic lost-race harness: injects `competitor` exactly once,
+  * immediately before this writer's FIRST commit attempt, then
+  * delegates to create-exclusive arbitration — the writer reliably
+  * loses its first version race and exercises the logical conflict
+  * path ([[DeltaSource.CommitIntent]] rebase-or-abort) with a
+  * reproducible interleaving. This is how the conflict semantics are
+  * graded END TO END (the `pipe_delta_conflict` oracle query and
+  * ConflictSpec): a thread-scheduler race would flake; a forced one
+  * replays bit-identically on every engine and every run. */
+class ForcedRaceStore(competitor: () => Unit) extends CommitStore {
+  @volatile private var fired = false
+  override def putIfAbsent(fs: FileSystem, path: Path, content: String): Unit = {
+    if (!fired) { fired = true; competitor() }
+    CreateExclusiveCommitStore.putIfAbsent(fs, path, content)
+  }
+}

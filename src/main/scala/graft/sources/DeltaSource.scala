@@ -1460,12 +1460,12 @@ object DeltaSource {
         case _ => col(c)
       }
     }.toIndexedSeq: _*)
-    val removed: Seq[String] =
-      if (overwrite) prevSnap.map(_.files.map(_.path)).getOrElse(Nil) else Nil
+    val removedFiles: Seq[AddFile] =
+      if (overwrite) prevSnap.map(_.files).getOrElse(Nil) else Nil
 
     val tableConfig = prevSnap.map(_.configuration).getOrElse(Map.empty)
     refuseIfAppendOnly(tableConfig, "overwrite (full-snapshot replace)",
-      removesData = removed.nonEmpty)
+      removesData = removedFiles.nonEmpty)
     enforceConstraints(dfConformed, tableConfig.collect {
       case (k, v) if k.startsWith("delta.constraints.") =>
         k.stripPrefix("delta.constraints.") -> v
@@ -1510,15 +1510,13 @@ object DeltaSource {
     val (addsRt, domainLines) = allocRowIds(tableConfig,
       prevSnap.map(_.domains).getOrElse(Map.empty), next, adds)
     val addLines = addsRt.map(a => addLine(a, now, dataChange = true))
-    val removeLines = removed.map { p =>
-      s"""{"remove":{"path":${jsonStr(p)},"deletionTimestamp":$now,"dataChange":true}}"""
-    }
+    val removeLines = removedFiles.map(a => removeLine(a, now, dataChange = true))
     val txnLines = txn.toSeq.map { case (app, v) =>
       s"""{"txn":{"appId":${jsonStr(app)},"version":$v,"lastUpdated":$now}}"""
     }
     val committed = commitWithRetry(spark, fs, tablePath, next,
       header ++ txnLines ++ domainLines ++ removeLines ++ addLines,
-      pureAppend = removed.isEmpty && header.isEmpty, commitStore,
+      pureAppend = removedFiles.isEmpty && header.isEmpty, commitStore,
       ictKnown = Some(tableConfig.get("delta.enableInCommitTimestamps").contains("true")))
     maybeAutoCheckpoint(spark, tablePath, committed, tableConfig)
     committed
