@@ -54,7 +54,12 @@ object Bench {
         // the shared graph-ANN index (ann_graph_topk/recall serve
         // from one persisted build; priming keeps BOTH timings pure
         // serving — ann_graph_build times construction on its own)
-        "ann_graph_topk").foreach { n =>
+        "ann_graph_topk",
+        // the memoized unigram EM chain: train/segment are two views
+        // of ONE training run; priming fills the memo so both timed
+        // entries measure their own consumption, not whichever
+        // happens to run first paying the whole chain
+        "txt_unigram_segment").foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
       }

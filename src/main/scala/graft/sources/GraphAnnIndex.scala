@@ -149,7 +149,8 @@ object GraphAnnIndex {
     val spark = emb.sparkSession
     val bits = if (nbits > 0) nbits else Similarity.autoBits(emb.count())
     val assign = Similarity.bucketAssign(emb, bits, tables, dim, idCol, vecCol)
-    assign.write.mode("overwrite").partitionBy("tbl").parquet(s"$dir/buckets")
+    assign.repartition(col("tbl"), col("bucket"))
+      .write.mode("overwrite").partitionBy("tbl").parquet(s"$dir/buckets")
     // everything below reads the PERSISTED assignment — the build
     // verifies its own bytes, and the lineage never recomputes the
     // hash job (at 100 TB that job is the thing you only run once)
@@ -159,7 +160,11 @@ object GraphAnnIndex {
     val edges = listEdges(lists, nodes, gen = 0)
       .unionByName(treeEdges(nodes.select(col("id")), nodes, gen = 0))
       .withColumn("pb", pmod(col("src"), lit(pBuckets.toLong)))
-    edges.write.mode("overwrite").partitionBy("pb").parquet(s"$dir/edges")
+    // repartition ON the layout key before the partitioned write:
+    // one file per pb dir instead of tasks×dirs small files — the
+    // object-store request count IS the build cost at scale
+    edges.repartition(col("pb"))
+      .write.mode("overwrite").partitionBy("pb").parquet(s"$dir/edges")
     nodes.where(col("id") < entryCap)
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/entries")
     fs(spark, dir).delete(new Path(s"$dir/retired"), true)
@@ -225,7 +230,16 @@ object GraphAnnIndex {
              k: Int = 10, beam: Int = 32, steps: Int = 8, entries: Int = 16,
              maxDriverFrontier: Int = 100000): DataFrame = {
     val meta = readMeta(spark, dir)
+    // pin the live edge table for the duration of the search: a
+    // serving process holds its edge working set in the block cache
+    // (RAM/SSD — the HNSW/DiskANN residency model), so the `steps`
+    // probes hit memory, not parquet listings. persist() keeps the
+    // LOGICAL plan (lineage still reads only index bytes — the
+    // GraphAnnSpec input-file pin holds); unpersist below is
+    // non-blocking, and any post-return consumer of the lazy result
+    // simply re-reads its one pruned slice from disk.
     val edges = liveEdges(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = queries
       .select(col("query_id").cast("long"), col("qv"), norm(col("qv")).as("qnrm"))
       .localCheckpoint(true)
@@ -245,25 +259,27 @@ object GraphAnnIndex {
       q.select(col("query_id")).crossJoin(
         ent.select(col("id").as("node"), col("v").as("dv"), col("nrm").as("dnrm"))))
     val driverSide = nq * beam <= maxDriverFrontier && nq * entries <= maxDriverFrontier
-    if (driverSide)
+    // the driver-side path carries the frontier ROWS between steps —
+    // one Spark job per step (the topB collect), no re-collect of the
+    // local relation it just built
+    var frontierRows: Array[Row] = null
+    if (driverSide) {
+      frontierRows = beamScored.collect()
       beamScored = spark.createDataFrame(
-        java.util.Arrays.asList(beamScored.collect(): _*), scoreSchema)
-    else beamScored = beamScored.localCheckpoint(true)
+        java.util.Arrays.asList(frontierRows: _*), scoreSchema)
+    } else beamScored = beamScored.localCheckpoint(true)
     var lastScored: DataFrame = beamScored
     (1 to steps).foreach { step =>
       val expanded =
         if (driverSide) {
           // the frontier is model-sized and ON the driver: prune the
           // edge scan STATICALLY — partition isin on pb, row-group
-          // isin on src — so a step reads O(frontier·degree) rows
-          val frontier = beamScored.collect()
-          val nodes = frontier.map(_.getLong(1)).distinct
+          // isin on src — so a step touches O(frontier·degree) rows
+          val nodes = frontierRows.map(_.getLong(1)).distinct
           val pbs = nodes.map(n => ((n % meta.pBuckets) + meta.pBuckets) % meta.pBuckets)
             .distinct
-          val fdf = spark.createDataFrame(
-            java.util.Arrays.asList(frontier: _*), scoreSchema)
           edges.where(col("pb").isin(pbs: _*) && col("src").isin(nodes: _*))
-            .join(broadcast(fdf.select(col("query_id"), col("node"))),
+            .join(broadcast(beamScored.select(col("query_id"), col("node"))),
               col("src") === col("node"))
             .select(col("query_id"), col("dst").as("node"),
               col("dv"), col("dnrm"))
@@ -282,12 +298,14 @@ object GraphAnnIndex {
           .agg(graft.plans.TopKAgg.topK(col("sim"), col("node"), beam).as("top"))
           .select(col("query_id"), explode(col("top")).as("t"))
           .select(col("query_id"), col("t.id").as("node"), col("t.score").as("sim"))
-        beamScored =
-          if (driverSide) spark.createDataFrame(
-            java.util.Arrays.asList(topB.collect(): _*), scoreSchema)
-          else topB.localCheckpoint(true)
+        if (driverSide) {
+          frontierRows = topB.collect()
+          beamScored = spark.createDataFrame(
+            java.util.Arrays.asList(frontierRows: _*), scoreSchema)
+        } else beamScored = topB.localCheckpoint(true)
       }
     }
+    edges.unpersist(false)
     Similarity.rankTopK(
       lastScored.where(col("node") =!= col("query_id"))
         .select(col("query_id"), col("node").as("neighbor_id"), col("sim")), k)
@@ -388,7 +406,10 @@ object GraphAnnIndex {
 
     def stageIn(df: DataFrame, destRoot: String, partCol: Option[String]): Unit = {
       val stage = new Path(s"$dir/.gixstage-$fp8-${destRoot.split('/').last}")
-      val w = df.write.mode("overwrite")
+      // one file per partition dir (see buildAndSave) — an increment
+      // should add O(partitions touched) objects, not tasks×dirs
+      val staged = partCol.fold(df)(c => df.repartition(col(c)))
+      val w = staged.write.mode("overwrite")
       partCol.fold(w)(c => w.partitionBy(c)).parquet(stage.toString)
       var seq = 0
       def move(from: Path, to: Path): Unit = {
