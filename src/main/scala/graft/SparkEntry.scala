@@ -871,11 +871,23 @@ object SparkEntry {
       val n = emb.count()
       val bits = Similarity.autoBits(n)
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft_gixi_${math.abs(d.hashCode)}"
+      // pBuckets sizes the pb directory fan-out to the corpus (the
+      // production knob: ~sqrt(n) dirs); the demo rebuilds base +
+      // increment every run, so the request count is the cost
       graft.sources.GraphAnnIndex.buildAndSave(
-        emb.where(col("vec_id") < n * 4 / 5), dir, nbits = bits)
+        emb.where(col("vec_id") < n * 4 / 5), dir, nbits = bits, pBuckets = 8)
       graft.sources.GraphAnnIndex.appendIncremental(
         emb.where(col("vec_id") >= n * 4 / 5), dir)
       graft.sources.GraphAnnIndex.searchSelf(s, dir)
+    }),
+    // PQ-compressed graph serving (DiskANN memory model): the walk is
+    // guided by ADC over per-subspace codes riding ON the edges —
+    // pqM bytes per neighbor instead of dim doubles — with a single
+    // full-precision rerank of the final candidate set
+    "ann_graph_pq_topk" -> ((s, d) => Similarity.graphPqTopK(Tables.embeddings(s, d))),
+    "ann_graph_pq_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.recallAtK(Similarity.graphPqTopK(emb), Similarity.bruteTopK(emb))
     }),
     "ann_pq_topk" -> ((s, d) => Similarity.pqTopK(Tables.embeddings(s, d))),
     "ann_pq_trained" -> ((s, d) => Similarity.pqTopKFitted(Tables.embeddings(s, d))),
@@ -1603,6 +1615,35 @@ object SparkEntry {
     s"""${dGraphEdgeCtes(m, tables)},
        |gq AS (SELECT id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE id < $nq),
        |gb0 AS (SELECT gq.query_id, n.id AS node FROM gq CROSS JOIN n WHERE n.id < $entries),
+       |${(1 to steps).map(step).mkString(",\n")}""".stripMargin
+  }
+
+  /** The PQ-guided graph walk (ADC scores over gpcodes, beam kept by
+    * (sim DESC, node)) — `ps{steps}` is the final scored candidate
+    * set the full-precision rerank consumes. */
+  private def dGraphPqCtes(nq: Int = 5, beam: Int = 32, steps: Int = 8,
+                           entries: Int = 16) = {
+    def step(i: Int) = {
+      val prev = if (i == 1) "pb0" else s"pb${i - 1}"
+      s"""pc$i AS (SELECT DISTINCT query_id, node FROM (
+         |  SELECT query_id, node FROM $prev
+         |  UNION ALL
+         |  SELECT b.query_id, e.dst AS node FROM $prev b JOIN gedges e ON b.node = e.src)),
+         |ps$i AS (SELECT c.query_id, c.node,
+         |    CAST(SUM(CAST(l.lv AS DECIMAL(18,6))) AS DOUBLE) AS sim
+         |  FROM pc$i c JOIN gpcodes k ON k.id = c.node
+         |  JOIN gplut l ON l.query_id = c.query_id AND l.sub = k.sub AND l.code = k.code
+         |  GROUP BY 1, 2),
+         |pb$i AS (SELECT query_id, node FROM (
+         |    SELECT query_id, node, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, node) AS rnk FROM ps$i)
+         |  WHERE rnk <= $beam)""".stripMargin
+    }
+    s"""${dGraphEdgeCtes()},
+       |${dPqEncCte("gp")},
+       |gplut AS (SELECT s.id AS query_id, s.sub, cb.code, round(${dDot8("s.sv", "cb.cv")}, 6) AS lv
+       |  FROM gpsubs s JOIN gpcb cb ON s.sub = cb.sub WHERE s.id < $nq),
+       |pb0 AS (SELECT q.query_id, n.id AS node
+       |  FROM (SELECT DISTINCT query_id FROM gplut) q CROSS JOIN n WHERE n.id < $entries),
        |${(1 to steps).map(step).mkString(",\n")}""".stripMargin
   }
 
@@ -2841,6 +2882,37 @@ object SparkEntry {
          |gr AS (SELECT query_id, node AS neighbor_id,
          |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, node) AS rnk
          |  FROM gs8 WHERE node <> query_id),
+         |approx AS (SELECT query_id, neighbor_id FROM gr WHERE rnk <= 10),
+         |${dBruteCte("exact", 5)},
+         |${dRecallTail()}""".stripMargin,
+    // the PQ-guided walk replayed CTE-for-CTE, then the final
+    // candidate set reranked at full precision
+    "ann_graph_pq_topk" ->
+      s"""$embNormCte,
+         |${dGraphPqCtes()},
+         |rr AS (SELECT s.query_id, s.node AS neighbor_id,
+         |    round(${dDot("q.qv", "x.v")} / (q.qnrm * x.nrm), 6) AS sim
+         |  FROM ps8 s JOIN n x ON x.id = s.node
+         |  JOIN (SELECT id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE id < 5) q
+         |    ON q.query_id = s.query_id
+         |  WHERE s.node <> s.query_id),
+         |gr AS (SELECT query_id, neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+         |  FROM rr)
+         |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", sim
+         |FROM gr WHERE rnk <= 10 ORDER BY query_id, "rank"""".stripMargin,
+    "ann_graph_pq_recall" ->
+      s"""$embNormCte,
+         |${dGraphPqCtes()},
+         |rr AS (SELECT s.query_id, s.node AS neighbor_id,
+         |    round(${dDot("q.qv", "x.v")} / (q.qnrm * x.nrm), 6) AS sim
+         |  FROM ps8 s JOIN n x ON x.id = s.node
+         |  JOIN (SELECT id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE id < 5) q
+         |    ON q.query_id = s.query_id
+         |  WHERE s.node <> s.query_id),
+         |gr AS (SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+         |  FROM rr),
          |approx AS (SELECT query_id, neighbor_id FROM gr WHERE rnk <= 10),
          |${dBruteCte("exact", 5)},
          |${dRecallTail()}""".stripMargin,

@@ -101,6 +101,25 @@ class GraphAnnSpec extends SparkSpec {
       fused.collect().map(_.toString).toSeq)
   }
 
+  test("PQ-guided walk is deterministic, partition-invariant, and rerank-exact on top") {
+    val a = Similarity.graphPqTopK(emb.repartition(5), nQueries = 3, k = 5)
+      .collect().map(_.toString).toSeq
+    val b = Similarity.graphPqTopK(emb.coalesce(1), nQueries = 3, k = 5)
+      .collect().map(_.toString).toSeq
+    assert(a == b && a.nonEmpty)
+    // the returned sims are FULL-PRECISION cosines (the rerank), not
+    // ADC approximations: every reported (query, neighbor, sim) must
+    // equal the exact cosine of that pair
+    val exact = Similarity.bruteTopK(emb, nQueries = 3, k = 200)
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    Similarity.graphPqTopK(emb, nQueries = 3, k = 5).collect().foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      exact.get(key).foreach(s => assert(s == r.getDouble(3),
+        s"rerank sim for $key must be the exact cosine"))
+    }
+  }
+
   test("search is deterministic across partitionings and better than entry-seeding alone") {
     val a = Similarity.graphTopK(emb.repartition(5), nQueries = 3, k = 5)
       .collect().map(_.toString).toSeq
