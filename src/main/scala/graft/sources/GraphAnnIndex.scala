@@ -205,8 +205,11 @@ object GraphAnnIndex {
         col("owner").cast("long"), col("gen").cast("int"),
         col("pb").cast("long"))
 
-  /** Edges with retired generations masked out. */
+  /** Edges with retired generations masked out. Heals a torn
+    * compaction first — a sealed stage left by a dead maintainer is
+    * the live edge set. */
   private def liveEdges(spark: SparkSession, dir: String): DataFrame = {
+    recoverCompaction(spark, dir)
     val all = loadEdges(spark, dir)
     val ret = retiredMap(spark, dir)
     if (ret.isEmpty) all
@@ -339,6 +342,55 @@ object GraphAnnIndex {
       .groupBy(col("deg").as("out_degree"))
       .agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("out_degree"))
+
+  /** Compact the tombstone debt away WITHOUT retraining: rewrite
+    * `edges/` to exactly the LIVE edge rows at generation 0, drop
+    * `retired/`. The applied-increments chain in meta is PRESERVED —
+    * replayed increments must keep skipping — and a post-compaction
+    * increment's generation is still strictly above 0, so masking
+    * stays correct. Buckets/entries/planes are untouched (this is
+    * maintenance of the MASK, not the model; retraining remains a
+    * scheduled [[buildAndSave]]).
+    *
+    * Crash contract (single maintainer): the live rows land fully in
+    * a stage dir sealed with a marker BEFORE the live dir is
+    * replaced; a crash between the delete and the rename is healed
+    * by the next call (or next [[search]] via [[recoverCompaction]]),
+    * which finishes the rename from the sealed stage. */
+  def compactTombstones(spark: SparkSession, dir: String): Boolean = {
+    val hfs = fs(spark, dir)
+    recoverCompaction(spark, dir)
+    val ret = retiredMap(spark, dir)
+    if (ret.isEmpty) return false
+    val stage = new Path(s"$dir/.gixcompact")
+    hfs.delete(stage, true)
+    liveEdges(spark, dir)
+      .withColumn("gen", lit(0))
+      .select(col("src"), col("dst"), col("dv"), col("dnrm"),
+        col("kind"), col("owner"), col("gen"), col("pb"))
+      .repartition(col("pb"))
+      .write.mode("overwrite").partitionBy("pb").parquet(stage.toString)
+    require(hfs.createNewFile(new Path(stage, "_GIX_SEALED")),
+      s"could not seal compaction stage $stage")
+    hfs.delete(new Path(s"$dir/edges"), true)
+    require(hfs.rename(stage, new Path(s"$dir/edges")),
+      s"could not swap compacted edges into $dir")
+    hfs.delete(new Path(s"$dir/retired"), true)
+    true
+  }
+
+  /** Finish a compaction whose process died between the live-dir
+    * delete and the stage rename: the sealed stage IS the live edge
+    * set. Called from [[compactTombstones]] and [[liveEdges]]. */
+  private def recoverCompaction(spark: SparkSession, dir: String): Unit = {
+    val hfs = fs(spark, dir)
+    val stage = new Path(s"$dir/.gixcompact")
+    val edges = new Path(s"$dir/edges")
+    if (!hfs.exists(edges) && hfs.exists(new Path(stage, "_GIX_SEALED"))) {
+      require(hfs.rename(stage, edges), s"compaction recovery rename failed in $dir")
+      hfs.delete(new Path(s"$dir/retired"), true)
+    }
+  }
 
   /** Incrementally add `newEmb` WITHOUT a rebuild, preserving
     * EXACT rebuild equivalence: new vectors hash into the FROZEN

@@ -208,6 +208,42 @@ class ConflictSpec extends SparkSpec {
     assert(DeltaSource.readDelta(spark, t).count() == 2L)
   }
 
+  test("real concurrency through the CAS store: a steady appender and a repeating optimizer all land") {
+    // the scenario the checker exists for: maintenance running UNDER
+    // live ingest. The appender never aborts (pure appends), the
+    // optimizer rebases over every append it loses to — before the
+    // checker, each lost race killed the whole compaction.
+    val root = Files.createTempDirectory("graft_livemaint").toString
+    val t = root + "/t"
+    val store = new graft.sources.CoordinatedCommitStore(root + "/_coord")
+    DeltaSource.writeDelta(Seq((0L, "seed")).toDF("id", "src"), t, commitStore = store)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val appender = new Thread(() => {
+      try (1 to 5).foreach { i =>
+        DeltaSource.writeDelta(Seq((i.toLong, s"a$i")).toDF("id", "src"), t,
+          overwrite = false, commitStore = store)
+      } catch { case e: Throwable => errs.add(e) }
+    })
+    val optimizer = new Thread(() => {
+      try (1 to 2).foreach { _ =>
+        DeltaSource.optimizeDelta(spark, t, commitStore = store)
+      } catch { case e: Throwable => errs.add(e) }
+    })
+    appender.start(); optimizer.start()
+    appender.join(120000); optimizer.join(120000)
+    assert(errs.isEmpty, s"live maintenance errored: $errs")
+    val rows = DeltaSource.readDelta(spark, t).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows == (0L to 5L), s"lost or duplicated rows: $rows")
+    // contiguous log: every commit (appends + any landed swaps) at
+    // consecutive versions through the arbitration store
+    val fs = new Path(t).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = fs.listStatus(new Path(t, "_delta_log")).toSeq
+      .map(_.getPath.getName).filter(_.endsWith(".json"))
+      .map(_.stripSuffix(".json").toLong).sorted
+    assert(versions == (0L to versions.max), s"log has gaps: $versions")
+  }
+
   test("CLUSTER BY still aborts on any race: its domainMetadata outranks intent") {
     val t = tmpDir("cluster_dom")
     DeltaSource.writeDelta((0L until 30L).map(i => (i, i % 5, i % 3))

@@ -101,6 +101,38 @@ class GraphAnnSpec extends SparkSpec {
       fused.collect().map(_.toString).toSeq)
   }
 
+  test("tombstone compaction drops the mask debt; serving unchanged; torn swap heals") {
+    val n = emb.count()
+    val bits = Similarity.autoBits(n)
+    val dir = tmpDir("compact")
+    graft.sources.GraphAnnIndex.buildAndSave(
+      emb.where(col("vec_id") < n * 4 / 5), dir, nbits = bits)
+    graft.sources.GraphAnnIndex.appendIncremental(
+      emb.where(col("vec_id") >= n * 4 / 5), dir)
+    val before = graft.sources.GraphAnnIndex.searchSelf(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(new java.io.File(s"$dir/retired").exists)
+    assert(graft.sources.GraphAnnIndex.compactTombstones(spark, dir))
+    assert(!new java.io.File(s"$dir/retired").exists,
+      "compaction must drop the tombstones")
+    assert(!graft.sources.GraphAnnIndex.compactTombstones(spark, dir),
+      "nothing left to compact")
+    val after = graft.sources.GraphAnnIndex.searchSelf(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(after == before, "compaction must not change served results")
+    // torn swap: maintainer died between live-dir delete and rename —
+    // the sealed stage IS the live set; the next reader heals it
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val edges = new org.apache.hadoop.fs.Path(s"$dir/edges")
+    val stage = new org.apache.hadoop.fs.Path(s"$dir/.gixcompact")
+    assert(fs.rename(edges, stage))
+    fs.createNewFile(new org.apache.hadoop.fs.Path(stage, "_GIX_SEALED"))
+    val healed = graft.sources.GraphAnnIndex.searchSelf(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(healed == before && fs.exists(edges))
+  }
+
   test("PQ-guided walk is deterministic, partition-invariant, and rerank-exact on top") {
     val a = Similarity.graphPqTopK(emb.repartition(5), nQueries = 3, k = 5)
       .collect().map(_.toString).toSeq
