@@ -880,14 +880,23 @@ object SparkEntry {
         emb.where(col("vec_id") >= n * 4 / 5), dir)
       graft.sources.GraphAnnIndex.searchSelf(s, dir)
     }),
-    // PQ-compressed graph serving (DiskANN memory model): the walk is
-    // guided by ADC over per-subspace codes riding ON the edges —
-    // pqM bytes per neighbor instead of dim doubles — with a single
-    // full-precision rerank of the final candidate set
-    "ann_graph_pq_topk" -> ((s, d) => Similarity.graphPqTopK(Tables.embeddings(s, d))),
+    // PQ-compressed graph serving (DiskANN memory model), off the
+    // SAME persisted index the raw walk uses: the walk reads only
+    // (src, dst, dcodes, pb) — column pruning IS the footprint win —
+    // scores by ADC against the broadcast LUT, and reranks the final
+    // candidates at full precision from the id-bucketed nodes table.
+    // All four graph entries share ONE fingerprint-guarded build.
+    "ann_graph_pq_topk" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_gix_${math.abs(d.hashCode)}"
+      graft.sources.GraphAnnIndex.ensureBuilt(Tables.embeddings(s, d), dir)
+      graft.sources.GraphAnnIndex.searchPqSelf(s, dir)
+    }),
     "ann_graph_pq_recall" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      Similarity.recallAtK(Similarity.graphPqTopK(emb), Similarity.bruteTopK(emb))
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_gix_${math.abs(d.hashCode)}"
+      graft.sources.GraphAnnIndex.ensureBuilt(emb, dir)
+      Similarity.recallAtK(graft.sources.GraphAnnIndex.searchPqSelf(s, dir),
+        Similarity.bruteTopK(emb))
     }),
     "ann_pq_topk" -> ((s, d) => Similarity.pqTopK(Tables.embeddings(s, d))),
     "ann_pq_trained" -> ((s, d) => Similarity.pqTopKFitted(Tables.embeddings(s, d))),

@@ -414,14 +414,14 @@ object Similarity {
     * keep every stage bit-stable and oracle-replayable. */
   /** Subspace explode: one row per (row id, subspace index) with the
     * subvector. Map-side only. */
-  private def subVectors(df: DataFrame, m: Int, subDim: Int,
+  private[graft] def subVectors(df: DataFrame, m: Int, subDim: Int,
                          out: String): DataFrame =
     df.select(col("id"), posexplode(array((0 until m).map(i =>
       slice(col("v"), i * subDim + 1, subDim)): _*)).as(Seq("sub", out)))
 
   /** encode: argmin_code round(‖x_m − c‖², 6), ties to the lowest
     * code — expanded form (x·x − 2 x·c) + c·c keeps dot() native */
-  private def pqL2 = round(dot(col("sv"), col("sv")) -
+  private[graft] def pqL2 = round(dot(col("sv"), col("sv")) -
     lit(2.0) * dot(col("sv"), col("cv")) + dot(col("cv"), col("cv")), 6)
 
   /** PQ top-k against a given codebook table (code, sub, cv). */

@@ -13,9 +13,16 @@ import org.apache.spark.sql.types._
   * vector store persists its index and serves queries from it).
   *
   *   layout/
-  *     edges/   pb=K/ (src, dst, dv, dnrm, kind, owner, gen) —
-  *              directed edges with the DESTINATION VECTOR INLINE,
-  *              partitioned by pb = src mod pBuckets
+  *     edges/   pb=K/ (src, dst, dv, dnrm, dcodes, kind, owner, gen)
+  *              — directed edges with the destination's RAW VECTOR
+  *              and its PQ CODES both inline, partitioned by
+  *              pb = src mod pBuckets; the raw path reads
+  *              (src,dst,dv,dnrm), the compressed path reads
+  *              (src,dst,dcodes) — COLUMN PRUNING picks the
+  *              residency footprint
+  *     nodes/   nb=K/ (id, v, nrm) — id-bucketed raw vectors: the
+  *              compressed path's full-precision RERANK fetch
+  *     codebook/ (code, sub, cv) — the frozen PQ codebook
   *     buckets/ tbl=T/ (bucket, id, v, nrm) — the frozen LSH
   *              assignment (maintenance hashes new vectors into
   *              these buckets; the planes never retrain in place)
@@ -25,7 +32,7 @@ import org.apache.spark.sql.types._
   *              maintenance pass that RECOMPUTED owner's adjacency
   *              list masks the list's older generations at read time
   *     meta/    (m, tables, n_bits, dim, p_buckets, entry_cap,
-  *              corpus_fp, applied_fps)
+  *              pq_m, n_codes, corpus_fp, applied_fps)
   *
   * Why vectors ride ON the edges: a beam step expands frontier →
   * neighbors → scores them, and the expensive half at scale is
@@ -67,6 +74,7 @@ object GraphAnnIndex {
 
   final case class Meta(m: Int, tables: Int, nBits: Int, dim: Int,
                         pBuckets: Int, entryCap: Int,
+                        pqM: Int, nCodes: Int,
                         corpusFp: String, appliedFps: Seq[String])
 
   private def fs(spark: SparkSession, dir: String) =
@@ -76,6 +84,7 @@ object GraphAnnIndex {
     val r = spark.read.parquet(s"$dir/meta").head()
     Meta(r.getAs[Int]("m"), r.getAs[Int]("tables"), r.getAs[Int]("n_bits"),
       r.getAs[Int]("dim"), r.getAs[Int]("p_buckets"), r.getAs[Int]("entry_cap"),
+      r.getAs[Int]("pq_m"), r.getAs[Int]("n_codes"),
       r.getAs[String]("corpus_fp"),
       Option(r.getAs[String]("applied_fps")).filter(_.nonEmpty)
         .map(_.split(",").toSeq).getOrElse(Nil))
@@ -84,9 +93,9 @@ object GraphAnnIndex {
   private def writeMeta(spark: SparkSession, dir: String, meta: Meta): Unit = {
     import spark.implicits._
     Seq((meta.m, meta.tables, meta.nBits, meta.dim, meta.pBuckets, meta.entryCap,
-      meta.corpusFp, meta.appliedFps.mkString(",")))
+      meta.pqM, meta.nCodes, meta.corpusFp, meta.appliedFps.mkString(",")))
       .toDF("m", "tables", "n_bits", "dim", "p_buckets", "entry_cap",
-        "corpus_fp", "applied_fps")
+        "pq_m", "n_codes", "corpus_fp", "applied_fps")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
@@ -103,34 +112,63 @@ object GraphAnnIndex {
     loadBuckets(spark, dir).where(col("tbl") === 0)
       .select(col("id"), col("v"), col("nrm"))
 
-  /** Adjacency lists → directed edges with dst vectors inline. Each
-    * list edge u→v materializes BOTH directions under owner u (the
-    * NSW reverse-link trick), so replacing u's list later means
-    * masking owner u — provenance is what makes the tombstone exact. */
-  private def listEdges(lists: DataFrame, nodes: DataFrame, gen: Int): DataFrame = {
-    val vecs = nodes.select(col("id").as("nid"), col("v").as("nv"),
-      col("nrm").as("nnrm"))
+  /** The deterministic PQ codebook shared with the fused
+    * [[Similarity.graphPqTopK]]: the `nCodes` lowest-id vectors'
+    * subvectors — (code, sub, cv). Model-sized; broadcast at use. */
+  private def pqCodebook(nodes: DataFrame, pqM: Int, subDim: Int,
+                         nCodes: Int): DataFrame =
+    Similarity.subVectors(nodes.select(col("id"), col("v")), pqM, subDim, "cv")
+      .where(col("id") < nCodes)
+      .select(col("id").as("code"), col("sub"), col("cv"))
+
+  /** PQ codes per node against a FROZEN codebook, as a sub-ordered
+    * array — the per-neighbor payload the compressed serving path
+    * reads instead of `dv`. Encoding is deterministic (6-dp L2,
+    * ties to the lowest code), so re-encoding an old node during
+    * maintenance reproduces its build-time codes exactly. */
+  private def pqCodesArr(nodes: DataFrame, cb: DataFrame, pqM: Int,
+                         subDim: Int): DataFrame =
+    Similarity.subVectors(nodes.select(col("id"), col("v")), pqM, subDim, "sv")
+      .join(broadcast(cb), "sub")
+      .select(col("id"), col("sub"), col("code"), Similarity.pqL2.as("l2"))
+      .groupBy(col("id"), col("sub"))
+      .agg(min(struct(col("l2"), col("code"))).as("best"))
+      .select(col("id"), col("sub"), col("best.code").as("code"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("sub"), col("code")))).as("sc"))
+      .select(col("id"), expr("transform(sc, x -> x.code)").as("codes"))
+
+  /** Adjacency lists → directed edges with dst vectors AND dst PQ
+    * codes inline. Each list edge u→v materializes BOTH directions
+    * under owner u (the NSW reverse-link trick), so replacing u's
+    * list later means masking owner u — provenance is what makes the
+    * tombstone exact. `nodesC` carries (id, v, nrm, codes). */
+  private def listEdges(lists: DataFrame, nodesC: DataFrame, gen: Int): DataFrame = {
+    val vecs = nodesC.select(col("id").as("nid"), col("v").as("nv"),
+      col("nrm").as("nnrm"), col("codes").as("ncodes"))
     val fwd = lists.join(vecs, col("dst") === col("nid"))
       .select(col("src"), col("dst"), col("nv").as("dv"), col("nnrm").as("dnrm"),
+        col("ncodes").as("dcodes"),
         lit("l").as("kind"), col("src").as("owner"), lit(gen).as("gen"))
     val rev = lists.join(vecs, col("src") === col("nid"))
       .select(col("dst").as("src"), col("src").as("dst"),
-        col("nv").as("dv"), col("nnrm").as("dnrm"),
+        col("nv").as("dv"), col("nnrm").as("dnrm"), col("ncodes").as("dcodes"),
         lit("l").as("kind"), col("src").as("owner"), lit(gen).as("gen"))
     fwd.unionByName(rev)
   }
 
-  /** Backbone edges u ↔ ⌊u/2⌋ for `ids` (>0), dst vectors from
-    * `nodes`. Owner −1: the backbone is immutable, never tombstoned. */
-  private def treeEdges(ids: DataFrame, nodes: DataFrame, gen: Int): DataFrame = {
+  /** Backbone edges u ↔ ⌊u/2⌋ for `ids` (>0), dst payloads from
+    * `nodesC`. Owner −1: the backbone is immutable, never tombstoned. */
+  private def treeEdges(ids: DataFrame, nodesC: DataFrame, gen: Int): DataFrame = {
     val pairs = ids.where(col("id") > 0)
       .select(col("id").as("src"), floor(col("id") / 2).cast("long").as("dst"))
     val both = pairs.unionByName(
       pairs.select(col("dst").as("src"), col("src").as("dst")))
-    val vecs = nodes.select(col("id").as("nid"), col("v").as("nv"),
-      col("nrm").as("nnrm"))
+    val vecs = nodesC.select(col("id").as("nid"), col("v").as("nv"),
+      col("nrm").as("nnrm"), col("codes").as("ncodes"))
     both.join(vecs, col("dst") === col("nid"))
       .select(col("src"), col("dst"), col("nv").as("dv"), col("nnrm").as("dnrm"),
+        col("ncodes").as("dcodes"),
         lit("b").as("kind"), lit(-1L).as("owner"), lit(gen).as("gen"))
   }
 
@@ -145,6 +183,7 @@ object GraphAnnIndex {
   def buildAndSave(emb: DataFrame, dir: String,
                    m: Int = 8, nbits: Int = -1, tables: Int = 4, dim: Int = 64,
                    pBuckets: Int = 32, entryCap: Int = 64,
+                   pqM: Int = 8, nCodes: Int = 16,
                    idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val spark = emb.sparkSession
     val bits = if (nbits > 0) nbits else Similarity.autoBits(emb.count())
@@ -156,9 +195,18 @@ object GraphAnnIndex {
     // hash job (at 100 TB that job is the thing you only run once)
     val bk = loadBuckets(spark, dir)
     val nodes = loadNodes(spark, dir)
+    // the id-bucketed vector table: the full-precision RERANK's
+    // partition-pruned fetch path (nb isin + id isin)
+    nodes.withColumn("nb", pmod(col("id"), lit(pBuckets.toLong)))
+      .repartition(col("nb"))
+      .write.mode("overwrite").partitionBy("nb").parquet(s"$dir/nodes")
+    val subDim = dim / pqM
+    val cb = pqCodebook(nodes, pqM, subDim, nCodes)
+    cb.coalesce(1).write.mode("overwrite").parquet(s"$dir/codebook")
+    val nodesC = nodes.join(pqCodesArr(nodes, cb, pqM, subDim), Seq("id"))
     val lists = Similarity.localLists(bk, bk, m)
-    val edges = listEdges(lists, nodes, gen = 0)
-      .unionByName(treeEdges(nodes.select(col("id")), nodes, gen = 0))
+    val edges = listEdges(lists, nodesC, gen = 0)
+      .unionByName(treeEdges(nodes.select(col("id")), nodesC, gen = 0))
       .withColumn("pb", pmod(col("src"), lit(pBuckets.toLong)))
     // repartition ON the layout key before the partitioned write:
     // one file per pb dir instead of tasks×dirs small files — the
@@ -169,7 +217,7 @@ object GraphAnnIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/entries")
     fs(spark, dir).delete(new Path(s"$dir/retired"), true)
     writeMeta(spark, dir, Meta(m, tables, bits, dim, pBuckets, entryCap,
-      ZoneCache.corpusFingerprint(emb), Nil))
+      pqM, nCodes, ZoneCache.corpusFingerprint(emb), Nil))
   }
 
   /** Build only if absent or stale (corpus fingerprint mismatch) —
@@ -178,15 +226,18 @@ object GraphAnnIndex {
   def ensureBuilt(emb: DataFrame, dir: String,
                   m: Int = 8, nbits: Int = -1, tables: Int = 4, dim: Int = 64,
                   pBuckets: Int = 32, entryCap: Int = 64,
+                  pqM: Int = 8, nCodes: Int = 16,
                   idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val spark = emb.sparkSession
     val p = new Path(s"$dir/meta")
-    val fresh = fs(spark, dir).exists(p) && {
-      val meta = readMeta(spark, dir)
-      meta.appliedFps.isEmpty && meta.corpusFp == ZoneCache.corpusFingerprint(emb)
-    }
+    // an unreadable/older-layout meta is just "stale" — rebuild
+    val fresh = fs(spark, dir).exists(p) &&
+      (try {
+        val meta = readMeta(spark, dir)
+        meta.appliedFps.isEmpty && meta.corpusFp == ZoneCache.corpusFingerprint(emb)
+      } catch { case scala.util.control.NonFatal(_) => false })
     if (!fresh) buildAndSave(emb, dir, m, nbits, tables, dim, pBuckets, entryCap,
-      idCol, vecCol)
+      pqM, nCodes, idCol, vecCol)
   }
 
   /** The tombstone mask: owner → lowest generation still visible. */
@@ -201,7 +252,7 @@ object GraphAnnIndex {
   private def loadEdges(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/edges")
       .select(col("src").cast("long"), col("dst").cast("long"),
-        col("dv"), col("dnrm"), col("kind"),
+        col("dv"), col("dnrm"), col("dcodes"), col("kind"),
         col("owner").cast("long"), col("gen").cast("int"),
         col("pb").cast("long"))
 
@@ -326,6 +377,129 @@ object GraphAnnIndex {
         .where(col("query_id") < nQueries),
       k, beam, steps, entries)
 
+  /** PQ-compressed serving over the SAME persisted layout (the
+    * DiskANN memory model — see [[Similarity.graphPqTopK]] for the
+    * algorithm): the beam walk reads ONLY (src, dst, dcodes, pb)
+    * from the edge table — COLUMN PRUNING is the footprint win, the
+    * pqM-codes payload instead of `dim` doubles both on disk and in
+    * the pinned working set — scores by asymmetric distance against
+    * the broadcast per-query LUT, and reranks the final candidate
+    * set at full precision from the id-bucketed `nodes/` table (one
+    * partition-pruned fetch). Bit-identical to the fused
+    * [[Similarity.graphPqTopK]] on the same corpus and parameters. */
+  def searchPq(spark: SparkSession, dir: String, queries: DataFrame,
+               k: Int = 10, beam: Int = 32, steps: Int = 8, entries: Int = 16,
+               maxDriverFrontier: Int = 100000): DataFrame = {
+    val meta = readMeta(spark, dir)
+    val subDim = meta.dim / meta.pqM
+    val cb = spark.read.parquet(s"$dir/codebook")
+      .select(col("code").cast("long"), col("sub").cast("int"), col("cv"))
+    val edges = liveEdges(spark, dir)
+      .select(col("src"), col("dst"), col("dcodes"), col("pb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = queries
+      .select(col("query_id").cast("long"), col("qv"), norm(col("qv")).as("qnrm"))
+      .localCheckpoint(true)
+    val nq = q.count()
+    val lut = Similarity
+      .subVectors(q.select(col("query_id").as("id"), col("qv").as("v")),
+        meta.pqM, subDim, "sv")
+      .join(broadcast(cb), "sub")
+      .select(col("id").as("query_id"), col("sub"), col("code"),
+        round(dot(col("sv"), col("cv")), 6).as("lv"))
+      .localCheckpoint(true) // q·pqM·nCodes rows — broadcast at every use
+    val scoreSchema = StructType(Seq(StructField("query_id", LongType),
+      StructField("node", LongType), StructField("sim", DoubleType)))
+    def adc(cand: DataFrame): DataFrame =
+      cand.dropDuplicates("query_id", "node")
+        .select(col("query_id"), col("node"),
+          posexplode(col("dcodes")).as(Seq("sub", "code")))
+        .join(broadcast(lut), Seq("query_id", "sub", "code"))
+        .groupBy(col("query_id"), col("node"))
+        .agg(sum(col("lv").cast("decimal(18,6)")).cast("double").as("sim"))
+    // entry payloads: one model-sized fetch + frozen-codebook encode
+    // (deterministic — identical to the stored codes)
+    val ent = spark.read.parquet(s"$dir/entries")
+      .select(col("id").cast("long"), col("v"))
+      .where(col("id") < math.min(entries, meta.entryCap))
+    val entC = ent.join(pqCodesArr(ent, cb, meta.pqM, subDim), Seq("id"))
+      .select(col("id").as("node"), col("codes").as("dcodes"))
+    var beamScored: DataFrame = adc(
+      q.select(col("query_id")).crossJoin(entC))
+    val driverSide = nq * beam <= maxDriverFrontier && nq * entries <= maxDriverFrontier
+    var frontierRows: Array[Row] = null
+    if (driverSide) {
+      frontierRows = beamScored.collect()
+      beamScored = spark.createDataFrame(
+        java.util.Arrays.asList(frontierRows: _*), scoreSchema)
+    } else beamScored = beamScored.localCheckpoint(true)
+    var lastScored: DataFrame = beamScored
+    (1 to steps).foreach { step =>
+      val expanded =
+        if (driverSide) {
+          val nodes = frontierRows.map(_.getLong(1)).distinct
+          val pbs = nodes.map(n => ((n % meta.pBuckets) + meta.pBuckets) % meta.pBuckets)
+            .distinct
+          edges.where(col("pb").isin(pbs: _*) && col("src").isin(nodes: _*))
+            .join(broadcast(beamScored.select(col("query_id"), col("node"))),
+              col("src") === col("node"))
+            .select(col("query_id"), col("dst").as("node"), col("dcodes"))
+        } else
+          broadcast(beamScored.select(col("query_id"), col("node")))
+            .join(edges, col("node") === col("src"))
+            .select(col("query_id"), col("dst").as("node"), col("dcodes"))
+      val scoredRound = beamScored.select(col("query_id"), col("node"), col("sim"))
+        .unionByName(adc(expanded))
+        .dropDuplicates("query_id", "node")
+      lastScored = scoredRound
+      if (step < steps) {
+        val topB = scoredRound.groupBy(col("query_id"))
+          .agg(graft.plans.TopKAgg.topK(col("sim"), col("node"), beam).as("top"))
+          .select(col("query_id"), explode(col("top")).as("t"))
+          .select(col("query_id"), col("t.id").as("node"), col("t.score").as("sim"))
+        if (driverSide) {
+          frontierRows = topB.collect()
+          beamScored = spark.createDataFrame(
+            java.util.Arrays.asList(frontierRows: _*), scoreSchema)
+        } else beamScored = topB.localCheckpoint(true)
+      }
+    }
+    edges.unpersist(false)
+    // full-precision rerank from the id-bucketed node table — the
+    // one fetch of raw vectors a compressed search pays
+    val nodesTbl = spark.read.parquet(s"$dir/nodes")
+      .select(col("id").cast("long"), col("v"), col("nrm"),
+        col("nb").cast("long"))
+    val candKeys = lastScored.select(col("query_id"), col("node"))
+    val fetch =
+      if (driverSide) {
+        val rows = lastScored.collect()
+        val ids = rows.map(_.getLong(1)).distinct
+        val nbs = ids.map(n => ((n % meta.pBuckets) + meta.pBuckets) % meta.pBuckets)
+          .distinct
+        nodesTbl.where(col("nb").isin(nbs: _*) && col("id").isin(ids: _*))
+      } else nodesTbl
+    val rr = fetch
+      .join(broadcast(candKeys), col("node") === col("id"))
+      .join(broadcast(q), Seq("query_id"))
+      .where(col("node") =!= col("query_id"))
+      .select(col("query_id"), col("node").as("neighbor_id"),
+        round(cosinePrenormed(dot(col("qv"), col("v")), col("qnrm"), col("nrm")), 6)
+          .as("sim"))
+    Similarity.rankTopK(rr, k)
+  }
+
+  /** Self-query PQ serving: queries from the entries table, the
+    * whole search off the persisted layout. */
+  def searchPqSelf(spark: SparkSession, dir: String, nQueries: Int = 5,
+                   k: Int = 10, beam: Int = 32, steps: Int = 8,
+                   entries: Int = 16): DataFrame =
+    searchPq(spark, dir,
+      spark.read.parquet(s"$dir/entries")
+        .select(col("id").cast("long").as("query_id"), col("v").as("qv"))
+        .where(col("query_id") < nQueries),
+      k, beam, steps, entries)
+
   /** The DISTINCT live (src, dst) set — the spec surface for
     * rebuild-equivalence proofs. */
   private[graft] def liveEdgeSet(spark: SparkSession, dir: String): DataFrame =
@@ -366,7 +540,7 @@ object GraphAnnIndex {
     hfs.delete(stage, true)
     liveEdges(spark, dir)
       .withColumn("gen", lit(0))
-      .select(col("src"), col("dst"), col("dv"), col("dnrm"),
+      .select(col("src"), col("dst"), col("dv"), col("dnrm"), col("dcodes"),
         col("kind"), col("owner"), col("gen"), col("pb"))
       .repartition(col("pb"))
       .write.mode("overwrite").partitionBy("pb").parquet(stage.toString)
@@ -420,7 +594,7 @@ object GraphAnnIndex {
       .digest(fp.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
     val hfs = fs(spark, dir)
     // sweep any leftovers of a crashed attempt of THIS increment
-    Seq("edges", "buckets").foreach { sub =>
+    Seq("edges", "buckets", "nodes").foreach { sub =>
       val root = new Path(s"$dir/$sub")
       if (hfs.exists(root))
         hfs.listStatus(root).filter(_.isDirectory).foreach { d =>
@@ -452,8 +626,23 @@ object GraphAnnIndex {
     val nodesGrown = grown.where(col("tbl") === 0)
       .select(col("id"), col("v"), col("nrm"))
     val newIds = newAssign.where(col("tbl") === 0).select(col("id"))
-    val edgesNew = listEdges(lists, nodesGrown, gen)
-      .unionByName(treeEdges(newIds, nodesGrown, gen))
+    // PQ payloads only for the nodes this increment's edges touch —
+    // re-encoding against the FROZEN codebook reproduces build-time
+    // codes exactly, so the cost stays O(affected), never O(index)
+    val cb = spark.read.parquet(s"$dir/codebook")
+      .select(col("code").cast("long"), col("sub").cast("int"), col("cv"))
+    val endpointIds = lists.select(col("src").as("id"))
+      .unionByName(lists.select(col("dst").as("id")))
+      .unionByName(newIds)
+      .unionByName(newIds.where(col("id") > 0)
+        .select(floor(col("id") / 2).cast("long").as("id")))
+      .distinct()
+    val nodesNeeded = nodesGrown.join(endpointIds, Seq("id"), "leftsemi")
+      .localCheckpoint(true)
+    val nodesC = nodesNeeded.join(
+      pqCodesArr(nodesNeeded, cb, meta.pqM, meta.dim / meta.pqM), Seq("id"))
+    val edgesNew = listEdges(lists, nodesC, gen)
+      .unionByName(treeEdges(newIds, nodesC, gen))
       .withColumn("pb", pmod(col("src"), lit(meta.pBuckets.toLong)))
 
     def stageIn(df: DataFrame, destRoot: String, partCol: Option[String]): Unit = {
@@ -487,6 +676,10 @@ object GraphAnnIndex {
     stageIn(edgesNew, s"$dir/edges", Some("pb"))
     stageIn(newAssign.select(col("id"), col("v"), col("nrm"), col("bucket"), col("tbl")),
       s"$dir/buckets", Some("tbl"))
+    stageIn(newAssign.where(col("tbl") === 0)
+      .select(col("id"), col("v"), col("nrm"))
+      .withColumn("nb", pmod(col("id"), lit(meta.pBuckets.toLong))),
+      s"$dir/nodes", Some("nb"))
     val newEntries = newAssign.where(col("tbl") === 0 && col("id") < meta.entryCap)
       .select(col("id"), col("v"), col("nrm"))
     if (newEntries.limit(1).count() > 0)

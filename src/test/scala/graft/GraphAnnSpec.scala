@@ -152,6 +152,36 @@ class GraphAnnSpec extends SparkSpec {
     }
   }
 
+  test("persisted PQ serving is bit-identical to the fused PQ walk; edges read code-only") {
+    val dir = tmpDir("pqserve")
+    graft.sources.GraphAnnIndex.ensureBuilt(emb, dir)
+    val served = graft.sources.GraphAnnIndex.searchPqSelf(spark, dir, nQueries = 5, k = 10)
+    val fused = Similarity.graphPqTopK(emb, nQueries = 5, k = 10)
+    assert(served.collect().map(_.toString).toSeq ==
+      fused.collect().map(_.toString).toSeq)
+    // lineage: index bytes only, never the corpus
+    val inputs = served.inputFiles
+    assert(inputs.nonEmpty && inputs.forall(_.contains(new java.io.File(dir).getName)),
+      s"expected only index inputs, got ${inputs.mkString(", ")}")
+  }
+
+  test("incremental append serves PQ-identically to the fused walk on the grown corpus") {
+    val n = emb.count()
+    val bits = Similarity.autoBits(n)
+    val dir = tmpDir("pqincr")
+    graft.sources.GraphAnnIndex.buildAndSave(
+      emb.where(col("vec_id") < n * 4 / 5), dir, nbits = bits)
+    graft.sources.GraphAnnIndex.appendIncremental(
+      emb.where(col("vec_id") >= n * 4 / 5), dir)
+    // frozen codebook == full-corpus codebook (the 16 lowest ids are
+    // in the base), so the grown compressed index must serve exactly
+    // what a fused PQ walk over the whole corpus returns
+    val served = graft.sources.GraphAnnIndex.searchPqSelf(spark, dir)
+    val fused = Similarity.graphPqTopK(emb, nbits = bits)
+    assert(served.collect().map(_.toString).toSeq ==
+      fused.collect().map(_.toString).toSeq)
+  }
+
   test("search is deterministic across partitionings and better than entry-seeding alone") {
     val a = Similarity.graphTopK(emb.repartition(5), nQueries = 3, k = 5)
       .collect().map(_.toString).toSeq
