@@ -852,6 +852,20 @@ object SparkEntry {
       Similarity.recallAtK(graft.sources.GraphAnnIndex.searchSelf(s, dir),
         Similarity.bruteTopK(emb))
     }),
+    // metadata-FILTERED graph serving (the vector store's `where=`
+    // composed with the index — filtered-DiskANN style): the walk
+    // NAVIGATES through allowed nodes only, every round's candidate
+    // union filtered before scoring feeds the beam; here the filter
+    // is the even-id half of the corpus
+    "ann_graph_filtered" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_gix_${math.abs(d.hashCode)}"
+      graft.sources.GraphAnnIndex.ensureBuilt(Tables.embeddings(s, d), dir)
+      graft.sources.GraphAnnIndex.search(s, dir,
+        s.read.parquet(s"$dir/entries")
+          .select(col("id").cast("long").as("query_id"), col("v").as("qv"))
+          .where(col("query_id") < 5),
+        candidateFilter = Some(pmod(col("node"), lit(2)) === 0))
+    }),
     // the graph build as its own timed entry: persist the full
     // layout, then verify the DEGREE HISTOGRAM from the bytes on
     // disk (the number an operator watches after a graph build — a
@@ -1607,13 +1621,17 @@ object SparkEntry {
     * both the topk and recall oracles rank. */
   private def dGraphCtes(nq: Int = 5, m: Int = 8,
                          tables: Int = 4, beam: Int = 32, steps: Int = 8,
-                         entries: Int = 16) = {
+                         entries: Int = 16, candPred: String = "") = {
+    // candPred: the metadata filter on the candidate union (the
+    // `where=` of the filtered serving path); empty emits the
+    // unfiltered text verbatim so the existing oracles are unchanged
+    val predSql = if (candPred.isEmpty) "" else s" WHERE ($candPred)"
     def step(i: Int) = {
       val prev = if (i == 1) "gb0" else s"gb${i - 1}"
       s"""gc$i AS (SELECT DISTINCT query_id, node FROM (
          |  SELECT query_id, node FROM $prev
          |  UNION ALL
-         |  SELECT b.query_id, e.dst AS node FROM $prev b JOIN gedges e ON b.node = e.src)),
+         |  SELECT b.query_id, e.dst AS node FROM $prev b JOIN gedges e ON b.node = e.src)$predSql),
          |gs$i AS (SELECT c.query_id, c.node,
          |    round(${dDot("q.qv", "x.v")} / (q.qnrm * x.nrm), 6) AS sim
          |  FROM gc$i c JOIN n x ON x.id = c.node JOIN gq q ON q.query_id = c.query_id),
@@ -2894,6 +2912,16 @@ object SparkEntry {
          |approx AS (SELECT query_id, neighbor_id FROM gr WHERE rnk <= 10),
          |${dBruteCte("exact", 5)},
          |${dRecallTail()}""".stripMargin,
+    // the filtered walk: identical machinery with the metadata
+    // predicate applied to every round's candidate union
+    "ann_graph_filtered" ->
+      s"""$embNormCte,
+         |${dGraphCtes(candPred = "node % 2 = 0")},
+         |gr AS (SELECT query_id, node AS neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, node) AS rnk
+         |  FROM gs8 WHERE node <> query_id)
+         |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", sim
+         |FROM gr WHERE rnk <= 10 ORDER BY query_id, "rank"""".stripMargin,
     // the PQ-guided walk replayed CTE-for-CTE, then the final
     // candidate set reranked at full precision
     "ann_graph_pq_topk" ->

@@ -282,7 +282,8 @@ object GraphAnnIndex {
     * ties. */
   def search(spark: SparkSession, dir: String, queries: DataFrame,
              k: Int = 10, beam: Int = 32, steps: Int = 8, entries: Int = 16,
-             maxDriverFrontier: Int = 100000): DataFrame = {
+             maxDriverFrontier: Int = 100000,
+             candidateFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val meta = readMeta(spark, dir)
     // pin the live edge table for the duration of the search: a
     // serving process holds its edge working set in the block cache
@@ -344,8 +345,14 @@ object GraphAnnIndex {
             .join(edges, col("node") === col("src"))
             .select(col("query_id"), col("dst").as("node"), col("dv"), col("dnrm"))
       val newScored = score(expanded.dropDuplicates("query_id", "node"))
-      val scoredRound = beamScored.select(col("query_id"), col("node"), col("sim"))
-        .unionByName(newScored).dropDuplicates("query_id", "node")
+      // the metadata filter (the vector store's `where=` on the
+      // serving path): the walk NAVIGATES through allowed nodes only
+      // — applied to the whole candidate union each round, entry
+      // points included from round 1 on
+      val unioned = beamScored.select(col("query_id"), col("node"), col("sim"))
+        .unionByName(newScored)
+      val scoredRound = candidateFilter.fold(unioned)(unioned.where)
+        .dropDuplicates("query_id", "node")
       lastScored = scoredRound
       if (step < steps) {
         val topB = scoredRound.groupBy(col("query_id"))

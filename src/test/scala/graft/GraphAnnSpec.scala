@@ -133,6 +133,24 @@ class GraphAnnSpec extends SparkSpec {
     assert(healed == before && fs.exists(edges))
   }
 
+  test("filtered serving returns only allowed nodes, deterministically, at full k") {
+    val dir = tmpDir("filtered")
+    graft.sources.GraphAnnIndex.ensureBuilt(emb, dir)
+    def run() = graft.sources.GraphAnnIndex.search(spark, dir,
+      spark.read.parquet(s"$dir/entries")
+        .select(col("id").cast("long").as("query_id"), col("v").as("qv"))
+        .where(col("query_id") < 3),
+      k = 5, candidateFilter = Some(pmod(col("node"), lit(2)) === 0))
+    val a = run().collect()
+    assert(a.nonEmpty && a.forall(_.getLong(1) % 2 == 0),
+      "every served neighbor must satisfy the metadata filter")
+    // the filter halves the corpus but the walk still fills k: the
+    // beam navigates THROUGH allowed nodes, it doesn't post-filter a
+    // fixed candidate set down to scraps
+    assert(a.groupBy(_.getLong(0)).forall(_._2.length == 5))
+    assert(a.map(_.toString).toSeq == run().collect().map(_.toString).toSeq)
+  }
+
   test("PQ-guided walk is deterministic, partition-invariant, and rerank-exact on top") {
     val a = Similarity.graphPqTopK(emb.repartition(5), nQueries = 3, k = 5)
       .collect().map(_.toString).toSeq
