@@ -85,24 +85,39 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       name -> dt
     }
-    def r3(v: Double): Double = math.rint(v * 1000) / 1000
-    val total = r3(if (results.nonEmpty) results.map(_._2).sum else 0.0)
-    def jsonLine(qs: Seq[(String, Double)]): String = {
-      val qj = qs.map { case (k, v) => "\"" + k + "\":" + r3(v) }
-        .mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qj,"sf":"$sfDir"}"""
-    }
     // the driver captures only a ~2000-char tail of stdout and parses
     // the JSON from it — a line carrying all ~100 per-query timings
     // overflows that window and the whole benchmark reads as
     // unparseable (BENCH_r01–r03 all did). Keep the stdout line well
     // under the window: report the total plus the slowest queries,
     // and dump the complete per-query map to stderr for humans.
+    val (stdoutLine, fullLine) = renderJson(results, sfDir)
+    System.err.println("BENCH FULL " + fullLine)
+    println(stdoutLine)
+    spark.stop()
+  }
+
+  /** The emitted JSON lines (stdout-truncated, full) for a result
+    * set. A failed query (sentinel time -1.0) must be LOUD, never a
+    * fast-looking timing: it is excluded from `value` (the total of
+    * the queries that ran) and named in `failed` — a bench whose
+    * total silently absorbed a -1 would read as a 2-second
+    * improvement per broken query. */
+  private[graft] def renderJson(results: Seq[(String, Double)],
+                                sfDir: String,
+                                stdoutCap: Int = 1500): (String, String) = {
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val failed = results.collect { case (n, v) if v < 0 => n }.sorted
+    val total = r3(results.collect { case (_, v) if v >= 0 => v }.sum)
+    val failedJ = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def jsonLine(qs: Seq[(String, Double)]): String = {
+      val qj = qs.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJ,"queries":$qj,"sf":"$sfDir"}"""
+    }
     val bySlow = results.sortBy { case (_, v) => -v }
     var keep = bySlow.size
-    while (keep > 1 && jsonLine(bySlow.take(keep)).length > 1500) keep -= 1
-    System.err.println("BENCH FULL " + jsonLine(bySlow))
-    println(jsonLine(bySlow.take(keep).sortBy(_._1)))
-    spark.stop()
+    while (keep > 1 && jsonLine(bySlow.take(keep)).length > stdoutCap) keep -= 1
+    (jsonLine(bySlow.take(keep).sortBy(_._1)), jsonLine(bySlow))
   }
 }

@@ -1830,6 +1830,19 @@ object SparkEntry {
        |${pfx}r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM ${pfx}s),
        |$pfx AS (SELECT query_id, neighbor_id, rnk, sim FROM ${pfx}r WHERE rnk <= $k)""".stripMargin
 
+  /** DuckDB (1.x) re-inlines a non-MATERIALIZED CTE at every
+    * reference, and each beam round's CTE references the previous
+    * round TWICE (carry ∪ expand) — inlined, the walk replay
+    * re-evaluates the whole chain 2^steps times (measured by the
+    * round-9 judge: 369–743 s PER walk oracle at sf0.01; with every
+    * CTE materialized the same oracles run in <1 s with bit-identical
+    * output). Applied ONLY to the graph-walk oracles: everywhere else
+    * inlining keeps DuckDB's predicate pushdown. The rewrite targets
+    * exactly the CTE-definition shape `name AS (` — qualified names,
+    * CASTs (`AS DECIMAL(...)`) and window clauses never match. */
+  private def dMaterialized(sql: String): String =
+    sql.replaceAll("""(\b\w+) AS \(""", "$1 AS MATERIALIZED (")
+
   private def dRecallTail(k: Int = 10) =
     s"""hits AS (SELECT a.query_id, count(*) AS n_hits
        |         FROM approx a JOIN exact x ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
@@ -2896,36 +2909,36 @@ object SparkEntry {
     // backbone, then the 4-round beam walk from node 0; the final
     // candidate set ranks with the engine's (sim DESC, node) breaks
     "ann_graph_topk" ->
-      s"""$embNormCte,
+      dMaterialized(s"""$embNormCte,
          |${dGraphCtes()},
          |gr AS (SELECT query_id, node AS neighbor_id, sim,
          |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, node) AS rnk
          |  FROM gs8 WHERE node <> query_id)
          |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", sim
-         |FROM gr WHERE rnk <= 10 ORDER BY query_id, "rank"""".stripMargin,
+         |FROM gr WHERE rnk <= 10 ORDER BY query_id, "rank"""".stripMargin),
     "ann_graph_recall" ->
-      s"""$embNormCte,
+      dMaterialized(s"""$embNormCte,
          |${dGraphCtes()},
          |gr AS (SELECT query_id, node AS neighbor_id,
          |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, node) AS rnk
          |  FROM gs8 WHERE node <> query_id),
          |approx AS (SELECT query_id, neighbor_id FROM gr WHERE rnk <= 10),
          |${dBruteCte("exact", 5)},
-         |${dRecallTail()}""".stripMargin,
+         |${dRecallTail()}""".stripMargin),
     // the filtered walk: identical machinery with the metadata
     // predicate applied to every round's candidate union
     "ann_graph_filtered" ->
-      s"""$embNormCte,
+      dMaterialized(s"""$embNormCte,
          |${dGraphCtes(candPred = "node % 2 = 0")},
          |gr AS (SELECT query_id, node AS neighbor_id, sim,
          |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, node) AS rnk
          |  FROM gs8 WHERE node <> query_id)
          |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", sim
-         |FROM gr WHERE rnk <= 10 ORDER BY query_id, "rank"""".stripMargin,
+         |FROM gr WHERE rnk <= 10 ORDER BY query_id, "rank"""".stripMargin),
     // the PQ-guided walk replayed CTE-for-CTE, then the final
     // candidate set reranked at full precision
     "ann_graph_pq_topk" ->
-      s"""$embNormCte,
+      dMaterialized(s"""$embNormCte,
          |${dGraphPqCtes()},
          |rr AS (SELECT s.query_id, s.node AS neighbor_id,
          |    round(${dDot("q.qv", "x.v")} / (q.qnrm * x.nrm), 6) AS sim
@@ -2937,9 +2950,9 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
          |  FROM rr)
          |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", sim
-         |FROM gr WHERE rnk <= 10 ORDER BY query_id, "rank"""".stripMargin,
+         |FROM gr WHERE rnk <= 10 ORDER BY query_id, "rank"""".stripMargin),
     "ann_graph_pq_recall" ->
-      s"""$embNormCte,
+      dMaterialized(s"""$embNormCte,
          |${dGraphPqCtes()},
          |rr AS (SELECT s.query_id, s.node AS neighbor_id,
          |    round(${dDot("q.qv", "x.v")} / (q.qnrm * x.nrm), 6) AS sim
@@ -2952,27 +2965,27 @@ object SparkEntry {
          |  FROM rr),
          |approx AS (SELECT query_id, neighbor_id FROM gr WHERE rnk <= 10),
          |${dBruteCte("exact", 5)},
-         |${dRecallTail()}""".stripMargin,
+         |${dRecallTail()}""".stripMargin),
     // the persisted build graded from its BYTES: distinct-edge
     // out-degree histogram vs the construction replay
     "ann_graph_build" ->
-      s"""$embNormCte,
+      dMaterialized(s"""$embNormCte,
          |${dGraphEdgeCtes()},
          |gdeg AS (SELECT src, count(*) AS deg FROM gedges GROUP BY src)
          |SELECT deg AS out_degree, count(*) AS n_nodes
-         |FROM gdeg GROUP BY 1 ORDER BY 1""".stripMargin,
+         |FROM gdeg GROUP BY 1 ORDER BY 1""".stripMargin),
     // incremental maintenance graded as exact rebuild equivalence:
     // the grown index must serve IDENTICALLY to a full-corpus walk
     // at the same (capacity-sized) hash — the oracle is verbatim the
     // ann_graph_topk replay
     "ann_graph_incremental" ->
-      s"""$embNormCte,
+      dMaterialized(s"""$embNormCte,
          |${dGraphCtes()},
          |gr AS (SELECT query_id, node AS neighbor_id, sim,
          |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, node) AS rnk
          |  FROM gs8 WHERE node <> query_id)
          |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", sim
-         |FROM gr WHERE rnk <= 10 ORDER BY query_id, "rank"""".stripMargin,
+         |FROM gr WHERE rnk <= 10 ORDER BY query_id, "rank"""".stripMargin),
     "ann_ivf_trained_recall" ->
       s"""$embNormCte,
          |tc0 AS (SELECT id AS cell, v AS cv, nrm AS cnrm FROM n WHERE id < 16),

@@ -1,8 +1,9 @@
 package graft.operators
 
 import graft.functions.TextFunctions.tokens
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Unigram-LM tokenizer TRAINING (Kudo 2018, the SentencePiece
   * algorithm) — the other real subword tokenizer next to BPE
@@ -150,8 +151,25 @@ object Unigram {
     * in-JVM rather than on-disk: the model is KB-sized and one
     * vocab-job to rebuild, so cross-application persistence would
     * save less than its format surface costs. */
+  /** The memo stores COLLECTED rows + schema, not DataFrames: a
+    * cached frame would pin localCheckpoint blocks that any
+    * cache-hygiene sweep (`getPersistentRDDs...unpersist`, e.g. the
+    * Bench loop's per-query sweep) silently destroys, after which
+    * the memoized frame throws on next use (the round-9 bench
+    * failure). Rows live on the driver heap — model-sized (the piece
+    * table and per-word-type winners, KBs–MBs) — and every call
+    * rebuilds a fresh LocalRelation, immune to block eviction and to
+    * lost executors. Access-ordered and capped: an evolving corpus
+    * in a long-lived session keeps only the freshest trainings, and
+    * eviction is plain GC (nothing pinned to unpersist). */
+  private val chainCacheCap = 4
   private val chainCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, DataFrame)]()
+    new java.util.LinkedHashMap[String, ((StructType, Array[Row]), (StructType, Array[Row]))](
+      8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, ((StructType, Array[Row]), (StructType, Array[Row]))])
+        : Boolean = size > chainCacheCap
+    }
 
   private def trainChainCached(docs: DataFrame, contentCol: String,
                                maxWordLen: Int, maxPieceLen: Int, minCount: Long)
@@ -159,16 +177,25 @@ object Unigram {
     if (docs.inputFiles.isEmpty)
       trainChain(docs, contentCol, maxWordLen, maxPieceLen, minCount)
     else {
+      val spark = docs.sparkSession
       val key = Seq(
-        docs.sparkSession.sparkContext.applicationId,
+        spark.sparkContext.applicationId,
         graft.sources.ZoneCache.corpusFingerprint(docs),
         docs.queryExecution.analyzed.canonicalized.semanticHash().toString,
         contentCol, maxWordLen, maxPieceLen, minCount).mkString("|")
-      chainCache.computeIfAbsent(key, _ => {
-        val (model, winners) =
-          trainChain(docs, contentCol, maxWordLen, maxPieceLen, minCount)
-        (model.localCheckpoint(true), winners)
-      })
+      val ((mSchema, mRows), (wSchema, wRows)) = chainCache.synchronized {
+        val hit = chainCache.get(key)
+        if (hit != null) hit
+        else {
+          val (model, winners) =
+            trainChain(docs, contentCol, maxWordLen, maxPieceLen, minCount)
+          val v = ((model.schema, model.collect()), (winners.schema, winners.collect()))
+          chainCache.put(key, v)
+          v
+        }
+      }
+      (spark.createDataFrame(java.util.Arrays.asList(mRows: _*), mSchema),
+       spark.createDataFrame(java.util.Arrays.asList(wRows: _*), wSchema))
     }
   }
 

@@ -84,6 +84,11 @@ object CreateExclusiveCommitStore extends CommitStore {
   */
 object DeltaSource {
 
+  /** Footer-probe memo for the CDF legacy-layout gate (immutable
+    * files → immutable answer); see fileHasLogicalNames. */
+  private val legacyLayoutProbes =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   /** The add action's deletionVector descriptor (the Delta spec's
     * DeletionVectorDescriptor): `storageType` "u" (UUID-named sidecar
     * under the table root, `pathOrInlineDv` = optional prefix +
@@ -3301,10 +3306,17 @@ object DeltaSource {
         val mappedProbe: Option[StructField] =
           if (snap.partitionColumns.nonEmpty) None
           else snap.schema.find(f => physicalName(f) != f.name)
+        // cached per absolute file path: a written cdc file's layout
+        // never changes, so each file pays the driver-side footer
+        // probe ONCE per JVM — repeated changes() calls over mapped
+        // unpartitioned tables stop re-running O(files) schema jobs
         def fileHasLogicalNames(rel: String): Boolean = mappedProbe.exists { f =>
-          val p = dataPath(tablePath, rel)
-          val names = spark.read.parquet(p.toString).schema.fieldNames.toSet
-          names.contains(f.name) && !names.contains(physicalName(f))
+          val p = dataPath(tablePath, rel).toString
+          val key = s"$p#${f.name}#${physicalName(f)}"
+          Boolean.unbox(legacyLayoutProbes.computeIfAbsent(key, _ => {
+            val names = spark.read.parquet(p).schema.fieldNames.toSet
+            Boolean.box(names.contains(f.name) && !names.contains(physicalName(f)))
+          }))
         }
         val (legacy, modern) = cdcFiles.reverse.partition { case (p, pv) =>
           (snap.partitionColumns.nonEmpty && pv.isEmpty) ||

@@ -240,13 +240,17 @@ object GraphAnnIndex {
       pqM, nCodes, idCol, vecCol)
   }
 
-  /** The tombstone mask: owner → lowest generation still visible. */
-  private def retiredMap(spark: SparkSession, dir: String): Map[Long, Int] = {
+  /** The tombstone table, reduced to owner → lowest generation still
+    * visible, GATED to committed increments (`before_gen <= gens`):
+    * an in-flight increment's tombstone must not mask the old lists
+    * before its replacement edges are committed via meta. */
+  private def retiredDf(spark: SparkSession, dir: String, gens: Int): Option[DataFrame] = {
     val p = new Path(s"$dir/retired")
-    if (!fs(spark, dir).exists(p)) Map.empty
-    else spark.read.option("recursiveFileLookup", "true").parquet(p.toString)
-      .groupBy(col("owner")).agg(max(col("before_gen")).as("g"))
-      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    if (!fs(spark, dir).exists(p)) None
+    else Some(spark.read.option("recursiveFileLookup", "true").parquet(p.toString)
+      .where(col("before_gen") <= gens)
+      .groupBy(col("owner")).agg(max(col("before_gen")).as("r_gen"))
+      .select(col("owner").as("r_owner"), col("r_gen")))
   }
 
   private def loadEdges(spark: SparkSession, dir: String): DataFrame =
@@ -258,20 +262,38 @@ object GraphAnnIndex {
 
   /** Edges with retired generations masked out. Heals a torn
     * compaction first — a sealed stage left by a dead maintainer is
-    * the live edge set. */
-  private def liveEdges(spark: SparkSession, dir: String): DataFrame = {
+    * the live edge set.
+    *
+    * Reader visibility is gated on META's committed generation
+    * (= applied increments): an in-flight [[appendIncremental]] has
+    * already appended gen-(g+1) edge files and may have written its
+    * tombstone, but until meta commits, a concurrent search must see
+    * exactly the pre-increment index — never old AND new adjacency
+    * lists unioned. Both filters ride the parquet scan (gen/
+    * before_gen predicates push down), so the gate costs nothing.
+    *
+    * The tombstone mask is SIZED before any driver materialization:
+    * a literal-map probe only under [[MaskMapLimit]] owners; above
+    * it, a broadcast anti-join straight off the parquet read — no
+    * collect of the retired table on any serve path, whatever its
+    * cardinality. */
+  private def liveEdges(spark: SparkSession, dir: String,
+                        metaOpt: Option[Meta] = None): DataFrame = {
     recoverCompaction(spark, dir)
-    val all = loadEdges(spark, dir)
-    val ret = retiredMap(spark, dir)
-    if (ret.isEmpty) all
-    else if (ret.size <= MaskMapLimit)
-      all.where(col("gen") >=
-        coalesce(element_at(typedLit(ret), col("owner")), lit(0)))
-    else {
-      import spark.implicits._
-      val retDf = ret.toSeq.toDF("r_owner", "r_gen")
-      all.join(broadcast(retDf),
-        col("owner") === col("r_owner") && col("gen") < col("r_gen"), "left_anti")
+    val gens = metaOpt.getOrElse(readMeta(spark, dir)).appliedFps.size
+    val all = loadEdges(spark, dir).where(col("gen") <= gens)
+    retiredDf(spark, dir, gens) match {
+      case None => all
+      case Some(ret) =>
+        val n = ret.count()
+        if (n == 0) all
+        else if (n <= MaskMapLimit) {
+          val m = ret.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+          all.where(col("gen") >=
+            coalesce(element_at(typedLit(m), col("owner")), lit(0)))
+        } else
+          all.join(broadcast(ret),
+            col("owner") === col("r_owner") && col("gen") < col("r_gen"), "left_anti")
     }
   }
 
@@ -293,7 +315,7 @@ object GraphAnnIndex {
     // GraphAnnSpec input-file pin holds); unpersist below is
     // non-blocking, and any post-return consumer of the lazy result
     // simply re-reads its one pruned slice from disk.
-    val edges = liveEdges(spark, dir)
+    val edges = liveEdges(spark, dir, Some(meta))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = queries
       .select(col("query_id").cast("long"), col("qv"), norm(col("qv")).as("qnrm"))
@@ -401,7 +423,7 @@ object GraphAnnIndex {
     val subDim = meta.dim / meta.pqM
     val cb = spark.read.parquet(s"$dir/codebook")
       .select(col("code").cast("long"), col("sub").cast("int"), col("cv"))
-    val edges = liveEdges(spark, dir)
+    val edges = liveEdges(spark, dir, Some(meta))
       .select(col("src"), col("dst"), col("dcodes"), col("pb"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = queries
@@ -478,13 +500,21 @@ object GraphAnnIndex {
       .select(col("id").cast("long"), col("v"), col("nrm"),
         col("nb").cast("long"))
     val candKeys = lastScored.select(col("query_id"), col("node"))
+    // the static-pruned fetch collects only the DISTINCT candidate
+    // ids (never the scored rows — the final candidate union is
+    // ~nq·beam·degree rows, NOT bounded by the frontier guard), and
+    // only up to the same maxDriverFrontier budget: one id over and
+    // the fetch degrades to the distributed scan, like the walk
     val fetch =
       if (driverSide) {
-        val rows = lastScored.collect()
-        val ids = rows.map(_.getLong(1)).distinct
-        val nbs = ids.map(n => ((n % meta.pBuckets) + meta.pBuckets) % meta.pBuckets)
-          .distinct
-        nodesTbl.where(col("nb").isin(nbs: _*) && col("id").isin(ids: _*))
+        val ids = lastScored.select(col("node")).distinct()
+          .limit(maxDriverFrontier + 1).collect().map(_.getLong(0))
+        if (ids.length > maxDriverFrontier) nodesTbl
+        else {
+          val nbs = ids.map(n => ((n % meta.pBuckets) + meta.pBuckets) % meta.pBuckets)
+            .distinct
+          nodesTbl.where(col("nb").isin(nbs: _*) && col("id").isin(ids: _*))
+        }
       } else nodesTbl
     val rr = fetch
       .join(broadcast(candKeys), col("node") === col("id"))
@@ -535,14 +565,20 @@ object GraphAnnIndex {
     *
     * Crash contract (single maintainer): the live rows land fully in
     * a stage dir sealed with a marker BEFORE the live dir is
-    * replaced; a crash between the delete and the rename is healed
-    * by the next call (or next [[search]] via [[recoverCompaction]]),
-    * which finishes the rename from the sealed stage. */
+    * replaced, and retired/ is deleted WHILE edges/ is still absent
+    * — order: seal stage → delete edges/ → delete retired/ → rename
+    * stage→edges. Every crash inside that window leaves (no edges/,
+    * sealed stage), which [[recoverCompaction]] heals by replaying
+    * the same tail. The old order (rename before the retired/
+    * delete) had an unhealable window: compacted gen-0 edges live
+    * with stale tombstones still masking them — recovery can't fire
+    * (edges/ exists) and the NEXT compaction would rewrite edges/
+    * from the masked view, losing those lists permanently. */
   def compactTombstones(spark: SparkSession, dir: String): Boolean = {
     val hfs = fs(spark, dir)
     recoverCompaction(spark, dir)
-    val ret = retiredMap(spark, dir)
-    if (ret.isEmpty) return false
+    val gens = readMeta(spark, dir).appliedFps.size
+    if (!retiredDf(spark, dir, gens).exists(_.limit(1).count() > 0)) return false
     val stage = new Path(s"$dir/.gixcompact")
     hfs.delete(stage, true)
     liveEdges(spark, dir)
@@ -554,22 +590,31 @@ object GraphAnnIndex {
     require(hfs.createNewFile(new Path(stage, "_GIX_SEALED")),
       s"could not seal compaction stage $stage")
     hfs.delete(new Path(s"$dir/edges"), true)
-    require(hfs.rename(stage, new Path(s"$dir/edges")),
-      s"could not swap compacted edges into $dir")
     hfs.delete(new Path(s"$dir/retired"), true)
+    // tolerate a reader's recoverCompaction having healed the swap
+    // concurrently: the committed state is what matters, not who
+    // performed the rename
+    if (!hfs.rename(stage, new Path(s"$dir/edges")))
+      require(hfs.exists(new Path(s"$dir/edges")) && !hfs.exists(stage),
+        s"could not swap compacted edges into $dir")
     true
   }
 
-  /** Finish a compaction whose process died between the live-dir
-    * delete and the stage rename: the sealed stage IS the live edge
-    * set. Called from [[compactTombstones]] and [[liveEdges]]. */
+  /** Finish a compaction whose process died after the live-dir
+    * delete: the sealed stage IS the live edge set. Replays the
+    * commit tail in [[compactTombstones]] order — retired/ goes
+    * while edges/ is still absent, so a crash DURING recovery lands
+    * back in the same healable state. Called from
+    * [[compactTombstones]] and [[liveEdges]]. */
   private def recoverCompaction(spark: SparkSession, dir: String): Unit = {
     val hfs = fs(spark, dir)
     val stage = new Path(s"$dir/.gixcompact")
     val edges = new Path(s"$dir/edges")
     if (!hfs.exists(edges) && hfs.exists(new Path(stage, "_GIX_SEALED"))) {
-      require(hfs.rename(stage, edges), s"compaction recovery rename failed in $dir")
       hfs.delete(new Path(s"$dir/retired"), true)
+      if (!hfs.rename(stage, edges))
+        require(hfs.exists(edges) && !hfs.exists(stage),
+          s"compaction recovery rename failed in $dir")
     }
   }
 

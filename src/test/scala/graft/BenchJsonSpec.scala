@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench's emitted JSON contract: a failed query (sentinel -1.0)
+  * must be LOUD — named in `failed`, counted in `n_failed`, and
+  * excluded from the total — never a fast-looking timing that makes
+  * a broken query read as a 2-second improvement (the round-9
+  * txt_unigram_* failures were only visible as -1 entries a reader
+  * had to notice). */
+class BenchJsonSpec extends AnyFunSuite {
+
+  test("failures are excluded from the total and listed by name") {
+    val (stdout, full) = Bench.renderJson(
+      Seq("q_ok" -> 1.25, "q_broken" -> -1.0, "q_slow" -> 2.25, "z_broken" -> -1.0),
+      "/data/sf")
+    for (line <- Seq(stdout, full)) {
+      assert(line.contains("\"value\":3.5"), line)       // 1.25 + 2.25, no -1s
+      assert(line.contains("\"n_queries\":4"), line)
+      assert(line.contains("\"n_failed\":2"), line)
+      assert(line.contains("\"failed\":[\"q_broken\",\"z_broken\"]"), line)
+    }
+    // the full line still carries every query, sentinel included
+    assert(full.contains("\"q_broken\":-1"), full)
+  }
+
+  test("no failures emits an empty failed list and the plain total") {
+    val (stdout, _) = Bench.renderJson(Seq("a" -> 0.5, "b" -> 1.0), "/data/sf")
+    assert(stdout.contains("\"value\":1.5") && stdout.contains("\"n_failed\":0")
+      && stdout.contains("\"failed\":[]"), stdout)
+  }
+
+  test("the stdout line stays under the driver's capture window") {
+    val many = (1 to 300).map(i => f"query_with_a_long_name_$i%03d" -> (i / 100.0))
+    val (stdout, full) = Bench.renderJson(many, "/data/sf")
+    assert(stdout.length <= 1500 + 100, s"stdout line too long: ${stdout.length}")
+    assert(full.length > stdout.length)
+  }
+}

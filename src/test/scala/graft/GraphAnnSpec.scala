@@ -212,4 +212,107 @@ class GraphAnnSpec extends SparkSpec {
     assert(res.where(col("neighbor_id") >= 16).count() > 0,
       "beam search must reach nodes beyond the entry set")
   }
+
+  // ---- round-10 maintenance hardening ----
+
+  test("compaction crash window heals: edges gone, stale tombstones present, sealed stage") {
+    val n = emb.count()
+    val bits = Similarity.autoBits(n)
+    val dir = tmpDir("crashwin")
+    graft.sources.GraphAnnIndex.buildAndSave(
+      emb.where(col("vec_id") < n * 4 / 5), dir, nbits = bits)
+    graft.sources.GraphAnnIndex.appendIncremental(
+      emb.where(col("vec_id") >= n * 4 / 5), dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val retired = new org.apache.hadoop.fs.Path(s"$dir/retired")
+    val retiredCopy = new org.apache.hadoop.fs.Path(s"$dir/.retired_copy")
+    org.apache.hadoop.fs.FileUtil.copy(fs, retired, fs, retiredCopy, false,
+      spark.sparkContext.hadoopConfiguration)
+    assert(graft.sources.GraphAnnIndex.compactTombstones(spark, dir))
+    val expected = graft.sources.GraphAnnIndex.searchSelf(spark, dir)
+      .collect().map(_.toString).toSeq
+    // reproduce a maintainer death INSIDE the commit tail: compacted
+    // gen-0 stage sealed, edges/ deleted, but the pre-compaction
+    // tombstones still on disk (the round-9 ADVICE's unhealable
+    // window under rename-before-retired-delete ordering: the stale
+    // mask would silently erase previously-retired owners' lists)
+    val edges = new org.apache.hadoop.fs.Path(s"$dir/edges")
+    val stage = new org.apache.hadoop.fs.Path(s"$dir/.gixcompact")
+    assert(fs.rename(edges, stage))
+    fs.createNewFile(new org.apache.hadoop.fs.Path(stage, "_GIX_SEALED"))
+    assert(fs.rename(retiredCopy, retired))
+    val healed = graft.sources.GraphAnnIndex.searchSelf(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(healed == expected, "recovery must serve the compacted lists unmasked")
+    assert(fs.exists(edges) && !fs.exists(retired),
+      "recovery must finish the swap AND drop the stale tombstones")
+  }
+
+  test("readers are gated on meta: an uncommitted increment is invisible") {
+    val n = emb.count()
+    val bits = Similarity.autoBits(n)
+    val base = emb.where(col("vec_id") < n * 4 / 5)
+    val inc = emb.where(col("vec_id") >= n * 4 / 5)
+    val baseDir = tmpDir("gatebase")
+    graft.sources.GraphAnnIndex.buildAndSave(base, baseDir, nbits = bits)
+    val baseOnly = graft.sources.GraphAnnIndex.searchSelf(spark, baseDir)
+      .collect().map(_.toString).toSeq
+    val dir = tmpDir("gate")
+    graft.sources.GraphAnnIndex.buildAndSave(base, dir, nbits = bits)
+    assert(graft.sources.GraphAnnIndex.appendIncremental(inc, dir))
+    // rewind meta to the pre-commit state: gen-1 edge files, nodes,
+    // buckets and the tombstone are all on disk, but the increment
+    // never committed — exactly what a concurrent reader sees while
+    // a maintainer is mid-append. It must serve the PRE-increment
+    // index: never old and new adjacency lists unioned, never old
+    // lists masked with no replacement visible.
+    val metaPath = s"$dir/meta"
+    val schema = spark.read.parquet(metaPath).schema
+    val row = spark.read.parquet(metaPath).collect()(0)
+    val rewound = org.apache.spark.sql.Row(
+      row.toSeq.updated(schema.fieldIndex("applied_fps"), ""): _*)
+    spark.createDataFrame(java.util.Arrays.asList(rewound), schema)
+      .coalesce(1).write.mode("overwrite").parquet(metaPath)
+    val midAppend = graft.sources.GraphAnnIndex.searchSelf(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(midAppend == baseOnly,
+      "an in-flight increment must be invisible until meta commits")
+    // the maintainer retries (crash-retry contract): the increment
+    // replays idempotently and the committed index serves the full
+    // corpus exactly as a rebuild would
+    assert(graft.sources.GraphAnnIndex.appendIncremental(inc, dir))
+    val committed = graft.sources.GraphAnnIndex.searchSelf(spark, dir)
+      .collect().map(_.toString).toSeq
+    val fused = Similarity.graphTopK(emb, nbits = bits)
+      .collect().map(_.toString).toSeq
+    assert(committed == fused)
+  }
+
+  test("above MaskMapLimit the tombstone mask is an anti-join — no driver materialization") {
+    val n = emb.count()
+    val bits = Similarity.autoBits(n)
+    val dir = tmpDir("maskbig")
+    graft.sources.GraphAnnIndex.buildAndSave(
+      emb.where(col("vec_id") < n * 4 / 5), dir, nbits = bits)
+    graft.sources.GraphAnnIndex.appendIncremental(
+      emb.where(col("vec_id") >= n * 4 / 5), dir)
+    val before = graft.sources.GraphAnnIndex.searchSelf(spark, dir)
+      .collect().map(_.toString).toSeq
+    // synthetic tombstone debt for owners far outside the corpus:
+    // semantically a no-op mask, but its cardinality forces the
+    // above-limit path
+    spark.range(10000000L, 10000000L + graft.sources.GraphAnnIndex.MaskMapLimit + 16)
+      .select(col("id").as("owner"), lit(1).cast("int").as("before_gen"))
+      .coalesce(1).write.parquet(s"$dir/retired/ret-synth")
+    val live = graft.sources.GraphAnnIndex.liveEdgeSet(spark, dir)
+    val plan = live.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftAnti"),
+      s"oversized mask must be an anti-join off the parquet read, got:\n$plan")
+    assert(!plan.contains("element_at"),
+      "oversized mask must not build the literal map (driver-side collect)")
+    val after = graft.sources.GraphAnnIndex.searchSelf(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(after == before, "a no-op mask must not change served results")
+  }
 }

@@ -123,4 +123,24 @@ class UnigramSpec extends SparkSpec {
     val maxPieces = seg2.map(_.getAs[Long]("n_pieces")).max
     assert(maxPieces <= 2, s"frequent short words must not char-split: ${seg2.toSeq}")
   }
+
+  test("the training memo survives a cache-hygiene sweep (the Bench loop's shape)") {
+    // the round-9 bench failure: the memo pinned localCheckpoint
+    // blocks, Bench's per-query `getPersistentRDDs...unpersist` sweep
+    // destroyed them, and the memoized frames threw on next use. The
+    // memo now stores collected rows; both views must keep answering
+    // (identically) across sweeps.
+    val docs = Tables.documents(spark, sf)
+    val train1 = Unigram.unigramTrain(docs, minCount = 20)
+      .collect().map(_.toString).toSeq
+    val seg1 = Unigram.unigramSegmentStats(docs, minCount = 20)
+      .collect().map(_.toString).toSeq
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    val train2 = Unigram.unigramTrain(docs, minCount = 20)
+      .collect().map(_.toString).toSeq
+    val seg2 = Unigram.unigramSegmentStats(docs, minCount = 20)
+      .collect().map(_.toString).toSeq
+    assert(train2 == train1 && seg2 == seg1 && train1.nonEmpty && seg1.nonEmpty)
+  }
 }
