@@ -55,6 +55,11 @@ object Bench {
         // from one persisted build; priming keeps BOTH timings pure
         // serving — ann_graph_build times construction on its own)
         "ann_graph_topk",
+        // the compaction lifecycle dir: priming pays the one-time
+        // grow (fingerprint-guarded build + increment) and the
+        // compaction itself, so the timed entry measures the
+        // steady-state shape — freshness probe + serve
+        "ann_graph_compact",
         // the memoized unigram EM chain: train/segment are two views
         // of ONE training run; priming fills the memo so both timed
         // entries measure their own consumption, not whichever

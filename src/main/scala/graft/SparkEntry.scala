@@ -39,6 +39,45 @@ object SparkEntry {
     Medallion.silverNormalize(Medallion.bronze(Tables.documents(s, d)))
       .select(col("doc_id"), col("source"), col("content"), col("content_length"))
 
+  /** Stage the ts-normalized events corpus as a parquet DIRECTORY for
+    * file-source streams (the raw events.parquet physical ts type
+    * varies by testdata generation; [[Tables.events]] normalizes it).
+    * Fingerprint-guarded: warm runs stream the staged bytes without
+    * rewriting them; a regenerated corpus flips the marker. */
+  private def stagedEventsDir(s: SparkSession, d: String): String = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_evstream_${math.abs(d.hashCode)}"
+    val fp = graft.sources.ZoneCache.corpusFingerprint(ev)
+    val mark = new java.io.File(dir, "_GRAFT_FP")
+    val fresh = mark.exists &&
+      (try new String(java.nio.file.Files.readAllBytes(mark.toPath), "UTF-8") == fp
+       catch { case scala.util.control.NonFatal(_) => false })
+    if (!fresh) {
+      ev.coalesce(4).write.mode("overwrite").parquet(dir)
+      java.nio.file.Files.write(new java.io.File(dir, "_GRAFT_FP").toPath,
+        fp.getBytes("UTF-8"))
+    }
+    dir
+  }
+
+  /** Run a complete-mode streaming aggregation to its FINAL answer:
+    * AvailableNow processes the staged corpus in bounded micro-
+    * batches and terminates; the last trigger's complete-mode table
+    * IS the full aggregate, independent of how the file source
+    * chopped the input — which is exactly what makes a streaming
+    * query oracle-gradable against the batch GROUP BY. */
+  private def streamComplete(s: SparkSession, agg: DataFrame): DataFrame = {
+    val name = s"graft_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── medallion pipeline ──────────────────────────────────────────
     "pipe_bronze" -> ((s, d) =>
@@ -894,6 +933,20 @@ object SparkEntry {
         emb.where(col("vec_id") >= n * 4 / 5), dir)
       graft.sources.GraphAnnIndex.searchSelf(s, dir)
     }),
+    // the THIRD lifecycle stage, scheduled tombstone COMPACTION:
+    // grow the index (fingerprint-guarded build + idempotent
+    // increment — warm runs do zero corpus work), rewrite the live
+    // rows to generation 0, drop the mask debt, serve. The oracle is
+    // the same full-corpus walk as ann_graph_incremental: compaction
+    // must preserve exact rebuild equivalence while removing every
+    // tombstone a serve would otherwise mask against.
+    "ann_graph_compact" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_gixc_${math.abs(d.hashCode)}"
+      graft.sources.GraphAnnIndex.ensureGrown(emb, dir)
+      graft.sources.GraphAnnIndex.compactTombstones(s, dir)
+      graft.sources.GraphAnnIndex.searchSelf(s, dir)
+    }),
     // PQ-compressed graph serving (DiskANN memory model), off the
     // SAME persisted index the raw walk uses: the walk reads only
     // (src, dst, dcodes, pb) — column pruning IS the footprint win —
@@ -911,6 +964,14 @@ object SparkEntry {
       graft.sources.GraphAnnIndex.ensureBuilt(emb, dir)
       Similarity.recallAtK(graft.sources.GraphAnnIndex.searchPqSelf(s, dir),
         Similarity.bruteTopK(emb))
+    }),
+    // sign-bit binary quantization (the 32× rung of the compression
+    // ladder: SQ8 4× → PQ 8× → binary 32×): Hamming serving over
+    // packed long words, bit_count(xor) per comparison
+    "ann_binary_topk" -> ((s, d) => Similarity.binaryTopK(Tables.embeddings(s, d))),
+    "ann_binary_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.recallAtK(Similarity.binaryTopK(emb), Similarity.bruteTopK(emb))
     }),
     "ann_pq_topk" -> ((s, d) => Similarity.pqTopK(Tables.embeddings(s, d))),
     "ann_pq_trained" -> ((s, d) => Similarity.pqTopKFitted(Tables.embeddings(s, d))),
@@ -1098,6 +1159,23 @@ object SparkEntry {
     "ev_hopping_agg" -> ((s, d) =>
       Events.hoppingAgg(Tables.events(s, d))
         .withColumn("window_start", date_format(col("window_start"), TsFmt))),
+    // Structured Streaming in the GRADED surface (round 10; until now
+    // stream semantics were spec-only): the same windowed aggregations
+    // run through readStream → AvailableNow → complete-mode memory
+    // sink, and the FINAL table must equal the batch GROUP BY the
+    // oracle replays — stream/batch parity under real micro-batching
+    // (complete mode makes the final answer independent of how the
+    // file source chops the corpus into triggers)
+    "stream_tumbling_agg" -> ((s, d) =>
+      streamComplete(s, graft.streaming.StreamingEvents.tumblingAgg(
+          graft.streaming.StreamingEvents.eventsStream(s, stagedEventsDir(s, d))))
+        .withColumn("window_start", date_format(col("window_start"), TsFmt))
+        .orderBy(col("window_start"), col("event_type"))),
+    "stream_hopping_agg" -> ((s, d) =>
+      streamComplete(s, graft.streaming.StreamingEvents.hoppingAgg(
+          graft.streaming.StreamingEvents.eventsStream(s, stagedEventsDir(s, d))))
+        .withColumn("window_start", date_format(col("window_start"), TsFmt))
+        .orderBy(col("window_start"), col("event_type"))),
     "ev_moving_avg" -> ((s, d) => Analytics.movingAvg(s, d)),
 
     // ── round-4 relational / embedding additions ────────────────────
@@ -1746,6 +1824,16 @@ object SparkEntry {
   /** PQ subspace-encode fragment (subs → cb → enc → codes), shared
     * by the PQ top-k/recall chains and the codebook-utilization
     * histogram. */
+  /** Sign-bit Hamming serving replayed from its DEFINITION — hamming
+    * = #dims whose sign verdicts differ; the engine's packed-word
+    * bit_count(xor) must equal it exactly. Ends with `br` (ranked). */
+  private def dBinaryCtes(nq: Int = 5) =
+    s"""bh AS (SELECT q.id AS query_id, n.id AS neighbor_id,
+       |    CAST(list_sum(list_transform(range(1, 65), i ->
+       |      CASE WHEN (q.v[i] > 0) <> (n.v[i] > 0) THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+       |  FROM n q, n WHERE q.id < $nq AND n.id <> q.id),
+       |br AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rnk FROM bh)""".stripMargin
+
   private def dPqEncCte(pfx: String) =
     s"""${pfx}subs AS (SELECT id, m.sub, list_slice(v, m.sub * 8 + 1, m.sub * 8 + 8) AS sv
        |         FROM n, (SELECT unnest(range(0, 8)) AS sub) m),
@@ -2986,6 +3074,17 @@ object SparkEntry {
          |  FROM gs8 WHERE node <> query_id)
          |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", sim
          |FROM gr WHERE rnk <= 10 ORDER BY query_id, "rank"""".stripMargin),
+    // compaction graded as rebuild-equivalence preservation: after
+    // the rewrite drops every tombstone, the index must STILL serve
+    // exactly the full-corpus walk — verbatim the incremental oracle
+    "ann_graph_compact" ->
+      dMaterialized(s"""$embNormCte,
+         |${dGraphCtes()},
+         |gr AS (SELECT query_id, node AS neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, node) AS rnk
+         |  FROM gs8 WHERE node <> query_id)
+         |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", sim
+         |FROM gr WHERE rnk <= 10 ORDER BY query_id, "rank"""".stripMargin),
     "ann_ivf_trained_recall" ->
       s"""$embNormCte,
          |tc0 AS (SELECT id AS cell, v AS cv, nrm AS cnrm FROM n WHERE id < 16),
@@ -2998,6 +3097,20 @@ object SparkEntry {
       s"""$embNormCte,
          |${dPqTopCte("approx", 3)},
          |${dBruteCte("exact", 3)},
+         |${dRecallTail()}""".stripMargin,
+    // the binary rung: Hamming distance from sign verdicts, ranked
+    // (hamming ASC, neighbor_id) — the engine's packed bit_count(xor)
+    // path must reproduce the definitional per-dim count exactly
+    "ann_binary_topk" ->
+      s"""$embNormCte,
+         |${dBinaryCtes()}
+         |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", hamming
+         |FROM br WHERE rnk <= 10 ORDER BY query_id, "rank"""".stripMargin,
+    "ann_binary_recall" ->
+      s"""$embNormCte,
+         |${dBinaryCtes()},
+         |approx AS (SELECT query_id, neighbor_id FROM br WHERE rnk <= 10),
+         |${dBruteCte("exact", 5)},
          |${dRecallTail()}""".stripMargin,
     "ann_ivfpq_recall" ->
       s"""$embNormCte,
@@ -4356,6 +4469,22 @@ object SparkEntry {
     // hopping windows are epoch-aligned every 5 minutes; each event
     // lands in exactly size/slide = 2 of them
     "ev_hopping_agg" ->
+      """WITH x AS (
+        |  SELECT epoch_us(ts) - epoch_us(ts) % 300000000 - s.o AS ws_us, event_type, value
+        |  FROM events, (SELECT unnest([0, 300000000]) AS o) s)
+        |SELECT strftime(make_timestamp(ws_us), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM x GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    // the STREAMED tumbling/hopping aggregations must land exactly
+    // the batch GROUP BY — stream/batch parity is the graded contract
+    // (no n_users: count-distinct is not a streaming aggregate)
+    "stream_tumbling_agg" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "stream_hopping_agg" ->
       """WITH x AS (
         |  SELECT epoch_us(ts) - epoch_us(ts) % 300000000 - s.o AS ws_us, event_type, value
         |  FROM events, (SELECT unnest([0, 300000000]) AS o) s)

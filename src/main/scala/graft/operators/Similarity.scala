@@ -1088,6 +1088,45 @@ object Similarity {
     bruteTopK(emb.select(col(idCol), vq.as(vecCol)), nQueries, k, idCol, vecCol)
   }
 
+  /** Exact top-k over the SIGN-BIT binary-quantized corpus: 1 bit per
+    * dimension — the 32× memory rung under SQ8's 4× and PQ's 8× on
+    * the compression ladder, and the cheapest recall-stage layout a
+    * billion-vector serving tier ships (sign random projections,
+    * Charikar 2002: expected Hamming distance is proportional to the
+    * angle). Each vector packs map-side into dim/64 LONG WORDS (a
+    * statically unrolled bitwiseOR — no shuffle, no UDF), and search
+    * ranks by HAMMING distance computed as bit_count(xor) per word —
+    * integer-only per comparison, whole-stage-codegen'd, reading 8
+    * bytes where the raw scan reads 512. The candidate flow is the
+    * broadcast-query brute shape; ranking reuses [[rankTopK]] on the
+    * negated distance, so ties break (hamming ASC, neighbor_id ASC)
+    * like every serving path here. `ann_binary_recall` reads the
+    * quality-vs-memory trade against full-precision brute force. */
+  def binaryTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10,
+                 dim: Int = 64, idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    val words = (dim + 63) / 64
+    def pack(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      array((0 until words).map { w =>
+        (0 until math.min(64, dim - w * 64)).map { j =>
+          when(element_at(v, w * 64 + j + 1) > 0, lit(1L << j)).otherwise(lit(0L))
+        }.reduce(_ bitwiseOR _)
+      }: _*)
+    val e = emb.select(col(idCol).as("id"), pack(col(vecCol)).as("pb"))
+    val q = e.where(col("id") < nQueries)
+      .select(col("id").as("query_id"), col("pb").as("qb"))
+    val scored = e.join(broadcast(q), col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        aggregate(
+          zip_with(col("qb"), col("pb"),
+            (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("ham"))
+    rankTopK(scored.select(col("query_id"), col("neighbor_id"),
+        (-col("ham")).cast("double").as("sim")), k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        (-col("sim")).cast("long").as("hamming"))
+  }
+
   /** ANN by Johnson–Lindenstrauss random projection: every vector is
     * projected onto `pDim` shared md5-derived random directions (the
     * SAME deterministic construction as the LSH hyperplanes — LSH

@@ -618,6 +618,32 @@ object GraphAnnIndex {
     }
   }
 
+  /** Ensure `dir` holds the index GROWN from an 80% base build (at
+    * the capacity-sized hash for the FULL corpus) plus the 20%
+    * increment — the maintenance-lifecycle state the compaction
+    * serving entry consumes. Fingerprint-guarded like [[ensureBuilt]]
+    * (base corpus fingerprint in meta), and [[appendIncremental]] is
+    * idempotent per increment fingerprint, so a warm call does zero
+    * corpus work. [[compactTombstones]] preserves BOTH marks
+    * (corpus_fp and applied_fps survive compaction), so a compacted
+    * dir stays fresh — the lifecycle can cycle grow→compact→grow
+    * without ever re-paying the build. */
+  def ensureGrown(emb: DataFrame, dir: String, pBuckets: Int = 8,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = emb.sparkSession
+    val n = emb.count()
+    val bits = Similarity.autoBits(n)
+    val base = emb.where(col(idCol) < n * 4 / 5)
+    val inc = emb.where(col(idCol) >= n * 4 / 5)
+    val fresh = fs(spark, dir).exists(new Path(s"$dir/meta")) &&
+      (try readMeta(spark, dir).corpusFp == ZoneCache.corpusFingerprint(base)
+       catch { case scala.util.control.NonFatal(_) => false })
+    if (!fresh)
+      buildAndSave(base, dir, nbits = bits, pBuckets = pBuckets,
+        idCol = idCol, vecCol = vecCol)
+    appendIncremental(inc, dir, idCol = idCol, vecCol = vecCol)
+  }
+
   /** Incrementally add `newEmb` WITHOUT a rebuild, preserving
     * EXACT rebuild equivalence: new vectors hash into the FROZEN
     * buckets; every node sharing a bucket with a new vector — and

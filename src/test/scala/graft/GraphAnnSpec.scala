@@ -289,6 +289,29 @@ class GraphAnnSpec extends SparkSpec {
     assert(committed == fused)
   }
 
+  test("ensureGrown is fingerprint-guarded and compaction keeps it fresh") {
+    val dir = tmpDir("grown")
+    graft.sources.GraphAnnIndex.ensureGrown(emb, dir)
+    val first = graft.sources.GraphAnnIndex.searchSelf(spark, dir)
+      .collect().map(_.toString).toSeq
+    // the increment applied → mask debt exists
+    assert(new java.io.File(s"$dir/retired").exists)
+    // grown index serves the full corpus exactly as a rebuild would
+    val fused = Similarity.graphTopK(emb, nbits = Similarity.autoBits(emb.count()))
+      .collect().map(_.toString).toSeq
+    assert(first == fused)
+    assert(graft.sources.GraphAnnIndex.compactTombstones(spark, dir))
+    // a compacted dir is still FRESH: re-ensuring must neither
+    // rebuild (which would reset applied_fps and re-append, leaving
+    // new tombstones) nor re-apply the increment
+    graft.sources.GraphAnnIndex.ensureGrown(emb, dir)
+    assert(!new java.io.File(s"$dir/retired").exists,
+      "a warm ensureGrown on a compacted dir must do no corpus work")
+    val after = graft.sources.GraphAnnIndex.searchSelf(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(after == first)
+  }
+
   test("above MaskMapLimit the tombstone mask is an anti-join — no driver materialization") {
     val n = emb.count()
     val bits = Similarity.autoBits(n)

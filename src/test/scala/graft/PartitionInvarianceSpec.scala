@@ -189,6 +189,22 @@ class PartitionInvarianceSpec extends SparkSpec {
     invariant("int8")(Similarity.int8TopK(_))(Tables.embeddings(spark, sf))
   }
 
+  test("binary Hamming top-k is partition-invariant and equals the per-dim sign count") {
+    val emb = Tables.embeddings(spark, sf)
+    invariant("binary")(Similarity.binaryTopK(_))(emb)
+    // packed-word bit_count(xor) == the definitional count of dims
+    // whose sign verdicts differ, for every reported pair
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val rows = Similarity.binaryTopK(emb).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (q, n, ham) = (r.getLong(0), r.getLong(1), r.getLong(3))
+      val want = vecs(q).zip(vecs(n)).count { case (a, b) => (a > 0) != (b > 0) }
+      assert(ham == want, s"query $q neighbor $n")
+    }
+  }
+
   test("minhash estimation report is partition-invariant") {
     invariant("minhash-est")(Dedup.minhashEstimation(_))(
       Tables.documents(spark, "/root/testdata/sf0.01"))
