@@ -219,6 +219,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(df, _.isInstanceOf[SortMergeJoinExec]) == 0)
   }
 
+  test("binary: pack is map-side, queries broadcast, ranking is the one partial-agg shuffle") {
+    val df = graft.operators.Similarity.binaryTopK(Tables.embeddings(spark, sf))
+    // all-pairs scoring: the nq-row query side BROADCASTS under the
+    // non-equi self-exclusion (nested-loop with a broadcast build is
+    // the right physical shape — the corpus side streams once)
+    assert(count(df, _.isInstanceOf[
+        org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]) == 1,
+      "the query side must broadcast onto the packed corpus scan")
+    assert(count(df, _.isInstanceOf[SortMergeJoinExec]) == 0)
+    // one hash exchange for the top-k aggregation + the output sort —
+    // a third would mean the pack or the Hamming map started shuffling
+    assert(dataShuffles(df) <= 2, s"binary path shuffles: ${dataShuffles(df)}")
+  }
+
   test("sweep: no query plans a global (empty-partition) window over unbounded input") {
     // Window.orderBy with no partition key funnels its entire input
     // through ONE task's sort — banned for anything that grows with
