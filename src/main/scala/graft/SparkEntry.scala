@@ -973,6 +973,15 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Similarity.recallAtK(Similarity.binaryTopK(emb), Similarity.bruteTopK(emb))
     }),
+    // binary as the RECALL STAGE of two-stage serving: Hamming
+    // top-candK over the 1-bit layout, exact cosine rerank of just
+    // those candidates — precision restored by a bounded probe
+    "ann_binary_refine" -> ((s, d) =>
+      Similarity.binaryRefineTopK(Tables.embeddings(s, d))),
+    "ann_binary_refine_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.recallAtK(Similarity.binaryRefineTopK(emb), Similarity.bruteTopK(emb))
+    }),
     "ann_pq_topk" -> ((s, d) => Similarity.pqTopK(Tables.embeddings(s, d))),
     "ann_pq_trained" -> ((s, d) => Similarity.pqTopKFitted(Tables.embeddings(s, d))),
     "ann_ivfpq_topk" -> ((s, d) => Similarity.ivfpqTopK(Tables.embeddings(s, d))),
@@ -1176,6 +1185,13 @@ object SparkEntry {
           graft.streaming.StreamingEvents.eventsStream(s, stagedEventsDir(s, d))))
         .withColumn("window_start", date_format(col("window_start"), TsFmt))
         .orderBy(col("window_start"), col("event_type"))),
+    // streaming DEDUP state standing in for the unsupported streaming
+    // count(DISTINCT): dropDuplicates(type,user) → complete-mode count
+    // must land the batch distinct counts exactly
+    "stream_distinct_users" -> ((s, d) =>
+      streamComplete(s, graft.streaming.StreamingEvents.distinctUsers(
+          graft.streaming.StreamingEvents.eventsStream(s, stagedEventsDir(s, d))))
+        .orderBy(col("event_type"))),
     "ev_moving_avg" -> ((s, d) => Analytics.movingAvg(s, d)),
 
     // ── round-4 relational / embedding additions ────────────────────
@@ -3112,6 +3128,28 @@ object SparkEntry {
          |approx AS (SELECT query_id, neighbor_id FROM br WHERE rnk <= 10),
          |${dBruteCte("exact", 5)},
          |${dRecallTail()}""".stripMargin,
+    // the two-stage shape: binary top-50 candidates, exact rerank
+    "ann_binary_refine" ->
+      s"""$embNormCte,
+         |${dBinaryCtes()},
+         |bc AS (SELECT query_id, neighbor_id FROM br WHERE rnk <= 50),
+         |rs AS (SELECT c.query_id, c.neighbor_id,
+         |    round(${dDot("q.v", "x.v")} / (q.nrm * x.nrm), 6) AS sim
+         |  FROM bc c JOIN n x ON x.id = c.neighbor_id JOIN n q ON q.id = c.query_id),
+         |rr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM rs)
+         |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", sim
+         |FROM rr WHERE rnk <= 10 ORDER BY query_id, "rank"""".stripMargin,
+    "ann_binary_refine_recall" ->
+      s"""$embNormCte,
+         |${dBinaryCtes()},
+         |bc AS (SELECT query_id, neighbor_id FROM br WHERE rnk <= 50),
+         |rs AS (SELECT c.query_id, c.neighbor_id,
+         |    round(${dDot("q.v", "x.v")} / (q.nrm * x.nrm), 6) AS sim
+         |  FROM bc c JOIN n x ON x.id = c.neighbor_id JOIN n q ON q.id = c.query_id),
+         |rr AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk FROM rs),
+         |approx AS (SELECT query_id, neighbor_id FROM rr WHERE rnk <= 10),
+         |${dBruteCte("exact", 5)},
+         |${dRecallTail()}""".stripMargin,
     "ann_ivfpq_recall" ->
       s"""$embNormCte,
          |${dIvfpqCte("approx")},
@@ -4492,6 +4530,9 @@ object SparkEntry {
         |  event_type, count(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM x GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "stream_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // hourly windows sliding 15 min: four grid offsets per event;
     // the HLL estimate's ±5% contract is asserted, not replayed

@@ -721,6 +721,28 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Two-stage retrieval with the BINARY index as the recall stage:
+    * Hamming top-`candK` over packed sign bits — an integer-only scan
+    * of the 32× layout ([[binaryTopK]]) — then exact cosine rerank of
+    * just those candidates. The standard serving pattern for binary
+    * indexes (the recall stage reads 1 bit/dim; precision is restored
+    * by a candK-BOUNDED full-precision probe, so the expensive scorer
+    * touches O(queries·candK) rows at any corpus size). */
+  def binaryRefineTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10,
+                       candK: Int = 50, dim: Int = 64,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+    val cand = binaryTopK(emb, nQueries, candK, dim, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val q = e.where(col("id") < nQueries)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val scored = e.join(broadcast(cand), col("id") === col("neighbor_id"))
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosinePrenormed(dot(col("qv"), col("v")), col("qnrm"), col("nrm")), 6).as("sim"))
+    rankTopK(scored, k)
+  }
+
   /** Matryoshka-style truncation (MRL, Kusupati et al. 2022): search
     * with only the first `dims` dimensions of each embedding — the
     * 4× cheaper index the nesting property of MRL-trained encoders

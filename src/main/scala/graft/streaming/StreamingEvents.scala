@@ -49,6 +49,20 @@ object StreamingEvents {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Exact distinct-user counts per event type on a stream: streaming
+    * DEDUP state (dropDuplicates over the key pair) feeding a
+    * complete-mode count — the composition that stands in for the
+    * unsupported streaming `count(DISTINCT)`. The count of distinct
+    * pairs is arrival-order-independent, which is what makes the
+    * final answer batch-equal under any micro-batching. State is
+    * O(distinct pairs); a production deployment bounds it with
+    * dropDuplicatesWithinWatermark when the key space grows with
+    * time. */
+  def distinctUsers(stream: DataFrame): DataFrame =
+    stream.dropDuplicates("event_type", "user_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+
   /** Streaming mirror of Events.sessionizeNative: gap sessions via
     * the native `session_window` aggregation under a watermark. Open
     * sessions live in the state store and MERGE when a late-but-

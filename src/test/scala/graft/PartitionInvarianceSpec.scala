@@ -205,6 +205,20 @@ class PartitionInvarianceSpec extends SparkSpec {
     }
   }
 
+  test("binary refine is partition-invariant; every refined sim is the exact cosine") {
+    val emb = Tables.embeddings(spark, sf)
+    invariant("binary-refine")(Similarity.binaryRefineTopK(_))(emb)
+    // the rerank contract: reported sims are full-precision cosines,
+    // so they must agree with the brute scorer wherever both report
+    val brute = Similarity.bruteTopK(emb, nQueries = 5, k = 50).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    Similarity.binaryRefineTopK(emb).collect().foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      brute.get(key).foreach(exact =>
+        assert(r.getDouble(3) == exact, s"sim mismatch at $key"))
+    }
+  }
+
   test("minhash estimation report is partition-invariant") {
     invariant("minhash-est")(Dedup.minhashEstimation(_))(
       Tables.documents(spark, "/root/testdata/sf0.01"))

@@ -23,6 +23,17 @@ class StreamParitySpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streamed dedup-distinct users equal the batch distinct counts") {
+    val streamed = SparkEntry.queries("stream_distinct_users")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val batch = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+      .collect().map(_.toString).toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streamed hopping agg equals the batch twin") {
     val streamed = SparkEntry.queries("stream_hopping_agg")(spark, sf)
       .collect().map(_.toString).toSeq
