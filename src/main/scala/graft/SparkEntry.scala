@@ -39,28 +39,32 @@ object SparkEntry {
     Medallion.silverNormalize(Medallion.bronze(Tables.documents(s, d)))
       .select(col("doc_id"), col("source"), col("content"), col("content_length"))
 
-  /** Stage the ts-normalized events corpus as a parquet DIRECTORY for
-    * file-source streams (the raw events.parquet physical ts type
-    * varies by testdata generation; [[Tables.events]] normalizes it).
-    * Fingerprint-guarded: warm runs stream the staged bytes without
-    * rewriting them; a regenerated corpus flips the marker. */
-  private def stagedEventsDir(s: SparkSession, d: String): String = {
-    val ev = Tables.events(s, d)
-      .select(col("event_id"), col("ts"), col("user_id"),
-        col("event_type"), col("value"), col("props"))
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_evstream_${math.abs(d.hashCode)}"
-    val fp = graft.sources.ZoneCache.corpusFingerprint(ev)
+  /** Stage a (normalized) corpus slice as a parquet DIRECTORY for
+    * file-source streams. Fingerprint-guarded: warm runs stream the
+    * staged bytes without rewriting them; a regenerated corpus flips
+    * the marker. */
+  private def stagedStreamCopy(df: DataFrame, tag: String, d: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${math.abs(d.hashCode)}"
+    val fp = graft.sources.ZoneCache.corpusFingerprint(df)
     val mark = new java.io.File(dir, "_GRAFT_FP")
     val fresh = mark.exists &&
       (try new String(java.nio.file.Files.readAllBytes(mark.toPath), "UTF-8") == fp
        catch { case scala.util.control.NonFatal(_) => false })
     if (!fresh) {
-      ev.coalesce(4).write.mode("overwrite").parquet(dir)
+      df.coalesce(4).write.mode("overwrite").parquet(dir)
       java.nio.file.Files.write(new java.io.File(dir, "_GRAFT_FP").toPath,
         fp.getBytes("UTF-8"))
     }
     dir
   }
+
+  /** The ts-normalized events corpus staged for streams (the raw
+    * events.parquet physical ts type varies by testdata generation;
+    * [[Tables.events]] normalizes it). */
+  private def stagedEventsDir(s: SparkSession, d: String): String =
+    stagedStreamCopy(Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props")), "evstream", d)
 
   /** Run a complete-mode streaming aggregation to its FINAL answer:
     * AvailableNow processes the staged corpus in bounded micro-
@@ -1192,6 +1196,32 @@ object SparkEntry {
       streamComplete(s, graft.streaming.StreamingEvents.distinctUsers(
           graft.streaming.StreamingEvents.eventsStream(s, stagedEventsDir(s, d))))
         .orderBy(col("event_type"))),
+    // the reference's medallion INGESTION as a live pipeline, graded
+    // end to end: documents stream in (file source), the stateless
+    // bronze→silver transforms apply per micro-batch (stateless is
+    // what makes the final table batching-independent), and every
+    // batch commits EXACTLY-ONCE into a graft-Delta table (txn-guarded
+    // appends — a replayed batch is skipped, the foreachBatch
+    // at-least-once contract made exactly-once). The query returns
+    // the DELTA TABLE's contents via log replay, so the oracle diffs
+    // the whole chain: stream → transform → ACID sink → snapshot read.
+    "stream_delta_silver" -> ((s, d) => {
+      val src = stagedStreamCopy(Tables.documents(s, d), "docstream", d)
+      val tbl = s"${System.getProperty("java.io.tmpdir")}/graft_sds_${math.abs(d.hashCode)}"
+      val hfs = new org.apache.hadoop.fs.Path(tbl)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      hfs.delete(new org.apache.hadoop.fs.Path(tbl), true)
+      val stream = s.readStream.schema(s.read.parquet(src).schema).parquet(src)
+      val silver = Medallion.silverNormalize(Medallion.bronze(stream))
+        .select(col("doc_id"), col("source"), col("content"), col("content_length"))
+      val q = silver.writeStream
+        .foreachBatch(
+          graft.sources.DeltaSource.exactlyOnceBatchSink(tbl, "stream_delta_silver") _)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.sources.DeltaSource.readDelta(s, tbl).orderBy(col("doc_id"))
+    }),
     "ev_moving_avg" -> ((s, d) => Analytics.movingAvg(s, d)),
 
     // ── round-4 relational / embedding additions ────────────────────
@@ -4533,6 +4563,12 @@ object SparkEntry {
     "stream_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the streamed medallion ingestion must land EXACTLY the batch
+    // silver table — same replay as pipe_silver_normalize, read back
+    // from the Delta log the stream committed into
+    "stream_delta_silver" ->
+      s"""$silverCte SELECT doc_id, source, content, length(content) AS content_length
+         |FROM silver0 WHERE length(content) > 50 ORDER BY doc_id""".stripMargin,
 
     // hourly windows sliding 15 min: four grid offsets per event;
     // the HLL estimate's ±5% contract is asserted, not replayed

@@ -34,6 +34,17 @@ class StreamParitySpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streamed Delta ingestion lands exactly the batch silver table") {
+    val streamed = SparkEntry.queries("stream_delta_silver")(spark, sf)
+      .collect().map(_.toString).toSeq
+    val batch = graft.operators.Medallion.silverNormalize(
+        graft.operators.Medallion.bronze(Tables.documents(spark, sf)))
+      .select(col("doc_id"), col("source"), col("content"), col("content_length"))
+      .orderBy(col("doc_id"))
+      .collect().map(_.toString).toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streamed hopping agg equals the batch twin") {
     val streamed = SparkEntry.queries("stream_hopping_agg")(spark, sf)
       .collect().map(_.toString).toSeq
