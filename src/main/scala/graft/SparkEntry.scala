@@ -969,6 +969,20 @@ object SparkEntry {
       Similarity.recallAtK(graft.sources.GraphAnnIndex.searchPqSelf(s, dir),
         Similarity.bruteTopK(emb))
     }),
+    // filtered + COMPRESSED serving composed (filtered-DiskANN over
+    // PQ — the production combo: a vector store's `where=` against
+    // the memory-resident code walk): the ADC-guided beam navigates
+    // the allowed subgraph, and the full-precision rerank sees only
+    // allowed candidates by construction
+    "ann_graph_pq_filtered" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_gix_${math.abs(d.hashCode)}"
+      graft.sources.GraphAnnIndex.ensureBuilt(Tables.embeddings(s, d), dir)
+      graft.sources.GraphAnnIndex.searchPq(s, dir,
+        s.read.parquet(s"$dir/entries")
+          .select(col("id").cast("long").as("query_id"), col("v").as("qv"))
+          .where(col("query_id") < 5),
+        candidateFilter = Some(pmod(col("node"), lit(2)) === 0))
+    }),
     // sign-bit binary quantization (the 32× rung of the compression
     // ladder: SQ8 4× → PQ 8× → binary 32×): Hamming serving over
     // packed long words, bit_count(xor) per comparison
@@ -1773,13 +1787,16 @@ object SparkEntry {
     * (sim DESC, node)) — `ps{steps}` is the final scored candidate
     * set the full-precision rerank consumes. */
   private def dGraphPqCtes(nq: Int = 5, beam: Int = 32, steps: Int = 8,
-                           entries: Int = 16) = {
+                           entries: Int = 16, candPred: String = "") = {
+    // candPred: the metadata filter on the candidate union (see
+    // dGraphCtes) — empty emits the unfiltered text verbatim
+    val predSql = if (candPred.isEmpty) "" else s" WHERE ($candPred)"
     def step(i: Int) = {
       val prev = if (i == 1) "pb0" else s"pb${i - 1}"
       s"""pc$i AS (SELECT DISTINCT query_id, node FROM (
          |  SELECT query_id, node FROM $prev
          |  UNION ALL
-         |  SELECT b.query_id, e.dst AS node FROM $prev b JOIN gedges e ON b.node = e.src)),
+         |  SELECT b.query_id, e.dst AS node FROM $prev b JOIN gedges e ON b.node = e.src)$predSql),
          |ps$i AS (SELECT c.query_id, c.node,
          |    CAST(SUM(CAST(l.lv AS DECIMAL(18,6))) AS DOUBLE) AS sim
          |  FROM pc$i c JOIN gpcodes k ON k.id = c.node
@@ -3100,6 +3117,23 @@ object SparkEntry {
          |approx AS (SELECT query_id, neighbor_id FROM gr WHERE rnk <= 10),
          |${dBruteCte("exact", 5)},
          |${dRecallTail()}""".stripMargin),
+    // the filtered PQ walk: dGraphPqCtes with the candidate predicate,
+    // then the same full-precision rerank (the candidate set is
+    // already filtered, so the rerank tail is verbatim pq_topk's)
+    "ann_graph_pq_filtered" ->
+      dMaterialized(s"""$embNormCte,
+         |${dGraphPqCtes(candPred = "node % 2 = 0")},
+         |rr AS (SELECT s.query_id, s.node AS neighbor_id,
+         |    round(${dDot("q.qv", "x.v")} / (q.qnrm * x.nrm), 6) AS sim
+         |  FROM ps8 s JOIN n x ON x.id = s.node
+         |  JOIN (SELECT id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE id < 5) q
+         |    ON q.query_id = s.query_id
+         |  WHERE s.node <> s.query_id),
+         |gr AS (SELECT query_id, neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+         |  FROM rr)
+         |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", sim
+         |FROM gr WHERE rnk <= 10 ORDER BY query_id, "rank"""".stripMargin),
     // the persisted build graded from its BYTES: distinct-edge
     // out-degree histogram vs the construction replay
     "ann_graph_build" ->

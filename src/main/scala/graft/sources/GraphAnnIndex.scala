@@ -418,7 +418,8 @@ object GraphAnnIndex {
     * [[Similarity.graphPqTopK]] on the same corpus and parameters. */
   def searchPq(spark: SparkSession, dir: String, queries: DataFrame,
                k: Int = 10, beam: Int = 32, steps: Int = 8, entries: Int = 16,
-               maxDriverFrontier: Int = 100000): DataFrame = {
+               maxDriverFrontier: Int = 100000,
+               candidateFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val meta = readMeta(spark, dir)
     val subDim = meta.dim / meta.pqM
     val cb = spark.read.parquet(s"$dir/codebook")
@@ -477,8 +478,14 @@ object GraphAnnIndex {
           broadcast(beamScored.select(col("query_id"), col("node")))
             .join(edges, col("node") === col("src"))
             .select(col("query_id"), col("dst").as("node"), col("dcodes"))
-      val scoredRound = beamScored.select(col("query_id"), col("node"), col("sim"))
+      // the metadata filter composes with the COMPRESSED walk the
+      // same way as with the raw one (filtered-DiskANN over PQ): the
+      // whole candidate union filters each round, entry points
+      // included from round 1 on, so the ADC-guided beam navigates
+      // the allowed subgraph
+      val unioned = beamScored.select(col("query_id"), col("node"), col("sim"))
         .unionByName(adc(expanded))
+      val scoredRound = candidateFilter.fold(unioned)(unioned.where)
         .dropDuplicates("query_id", "node")
       lastScored = scoredRound
       if (step < steps) {

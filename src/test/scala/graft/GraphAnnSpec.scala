@@ -151,6 +151,29 @@ class GraphAnnSpec extends SparkSpec {
     assert(a.map(_.toString).toSeq == run().collect().map(_.toString).toSeq)
   }
 
+  test("filtered PQ serving returns only allowed nodes at full k, rerank-exact") {
+    val dir = tmpDir("pqfiltered")
+    graft.sources.GraphAnnIndex.ensureBuilt(emb, dir)
+    def run() = graft.sources.GraphAnnIndex.searchPq(spark, dir,
+      spark.read.parquet(s"$dir/entries")
+        .select(col("id").cast("long").as("query_id"), col("v").as("qv"))
+        .where(col("query_id") < 3),
+      k = 5, candidateFilter = Some(pmod(col("node"), lit(2)) === 0))
+    val a = run().collect()
+    assert(a.nonEmpty && a.forall(_.getLong(1) % 2 == 0),
+      "every served neighbor must satisfy the metadata filter")
+    assert(a.groupBy(_.getLong(0)).forall(_._2.length == 5),
+      "the ADC walk must still fill k through the allowed subgraph")
+    assert(a.map(_.toString).toSeq == run().collect().map(_.toString).toSeq)
+    // rerank contract: reported sims are exact cosines
+    val exact = Similarity.bruteTopK(emb, nQueries = 3, k = emb.count().toInt - 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    a.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(exact(key) == r.getDouble(3), s"sim mismatch at $key")
+    }
+  }
+
   test("PQ-guided walk is deterministic, partition-invariant, and rerank-exact on top") {
     val a = Similarity.graphPqTopK(emb.repartition(5), nQueries = 3, k = 5)
       .collect().map(_.toString).toSeq
