@@ -1389,6 +1389,13 @@ object SparkEntry {
     "mm_frame_sample" -> ((s, d) =>
       Multimodal.sampleFrames(Multimodal.withBinaryPayload(Tables.documents(s, d)))
         .orderBy(col("doc_id"), col("offset"))),
+    // a REAL codec on the decode seam (PCM16 WAV): synthesize a
+    // deterministic signal, ENCODE it into spec-compliant RIFF bytes,
+    // DECODE with a real chunk-walking parser, emit signal stats —
+    // the oracle recomputes them from the generator formula alone,
+    // so header layout AND sample extraction are both on the hook
+    "mm_wav_roundtrip" -> ((s, d) =>
+      Multimodal.wavRoundtrip(Tables.documents(s, d)).orderBy(col("doc_id"))),
     // the mapPartitions decode path, exact-checked: the stub decoder
     // is a 16-bin byte histogram the oracle replays in SQL
     "mm_feature_hist" -> ((s, d) =>
@@ -4764,6 +4771,19 @@ object SparkEntry {
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_seen
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // the codec roundtrip replayed from the GENERATOR side: the
+    // oracle never touches bytes — if the engine's RIFF encode or
+    // parse mangles anything, its decoded stats diverge from these
+    "mm_wav_roundtrip" ->
+      """WITH d AS (SELECT doc_id, doc_id % 50 + 10 AS n FROM documents),
+        |ks AS (SELECT doc_id, unnest(range(0, n)) AS k FROM d),
+        |sm AS (SELECT doc_id, ((doc_id * 31 + k * 7) % 65536) - 32768 AS smp FROM ks)
+        |SELECT doc_id,
+        |  count(*) AS n_samples,
+        |  CAST(44 + 2 * count(*) AS BIGINT) AS byte_len,
+        |  CAST(16000 AS BIGINT) AS sample_rate,
+        |  round(sqrt(CAST(SUM(CAST(smp * smp AS BIGINT)) AS DOUBLE) / count(*)), 6) AS rms
+        |FROM sm GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "mm_binary_meta" ->
       s"""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
          |  CASE WHEN doc_id % 3 = 0 THEN 'image/jpeg'

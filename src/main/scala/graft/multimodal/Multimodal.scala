@@ -126,6 +126,109 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  // ── REAL codec: PCM16 WAV (RIFF) ─────────────────────────────────
+  // The one media format a pure JVM can encode AND decode exactly, so
+  // the codec seam stops being a stub for audio: wavRoundtrip below
+  // synthesizes a deterministic PCM signal per doc, serializes it into
+  // spec-compliant RIFF/WAVE bytes, and re-parses those bytes with a
+  // real chunk-walking decoder — everything between synth and stats
+  // crosses the wire as actual container bytes, and the oracle
+  // recomputes the stats from the generator formula alone, so any
+  // header-layout or sample-extraction bug fails the hash compare.
+
+  /** Spec-compliant mono PCM16 WAV bytes for the deterministic test
+    * signal s_k = ((docId·31 + k·7) mod 65536) − 32768. */
+  def wavEncode(docId: Long, nSamples: Int, rate: Int = 16000): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + 2 * nSamples)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * nSamples)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(2 * nSamples)
+    var k = 0
+    while (k < nSamples) {
+      bb.putShort((((docId * 31 + k * 7) % 65536) - 32768).toShort)
+      k += 1
+    }
+    bb.array()
+  }
+
+  /** A real RIFF/WAVE parser: validates the container magics, walks
+    * chunks (fmt consumed field-by-field, unknown chunks skipped with
+    * the odd-size pad byte the RIFF spec requires), and extracts the
+    * little-endian 16-bit samples. Returns (sampleRate, channels,
+    * samples). Throws on non-PCM / non-16-bit / missing chunks —
+    * a codec must fail loudly, never yield silent garbage. */
+  def wavDecode(bytes: Array[Byte]): (Int, Int, Array[Short]) = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+    }
+    require(fourcc() == "RIFF", "not a RIFF container")
+    bb.getInt // riff size
+    require(fourcc() == "WAVE", "not a WAVE stream")
+    var rate = -1
+    var channels = -1
+    var samples: Array[Short] = null
+    while (bb.remaining() >= 8) {
+      val id = fourcc()
+      val size = bb.getInt
+      id match {
+        case "fmt " =>
+          val start = bb.position()
+          val audioFormat = bb.getShort
+          require(audioFormat == 1, s"not PCM: wFormatTag=$audioFormat")
+          channels = bb.getShort
+          rate = bb.getInt
+          bb.getInt; bb.getShort // byte rate, block align
+          val bits = bb.getShort
+          require(bits == 16, s"only PCM16 supported, got $bits bits")
+          bb.position(start + size)
+        case "data" =>
+          val n = size / 2
+          samples = new Array[Short](n)
+          var i = 0
+          while (i < n) { samples(i) = bb.getShort; i += 1 }
+        case _ =>
+          bb.position(bb.position() + size + (size & 1))
+      }
+    }
+    require(rate > 0, "no fmt chunk")
+    require(samples != null, "no data chunk")
+    (rate, channels, samples)
+  }
+
+  /** The codec roundtrip as a graded operator: per doc, synthesize →
+    * ENCODE to WAV bytes → DECODE with the real parser → signal
+    * stats. mapPartitions is the batch shape a real codec binding
+    * uses (one decoder instance per partition). */
+  def wavRoundtrip(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("byte_len", LongType, nullable = false),
+      StructField("sample_rate", LongType, nullable = false),
+      StructField("rms", DoubleType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    docs.select(col("doc_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val n = (id % 50 + 10).toInt
+        val bytes = wavEncode(id, n)
+        val (rate, channels, smp) = wavDecode(bytes)
+        require(channels == 1 && smp.length == n,
+          s"roundtrip mismatch for doc $id: $channels ch, ${smp.length}/$n samples")
+        var sumSq = 0L
+        smp.foreach(s => sumSq += s.toLong * s)
+        val rms = BigDecimal(math.sqrt(sumSq.toDouble / smp.length))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        Row(id, smp.length.toLong, bytes.length.toLong, rate.toLong, rms)
+      }
+    }(enc)
+  }
+
   /** Deterministic stand-in for an image/audio decoder: 16-bin byte
     * histogram. Replace with a real codec (e.g. JNI-bound) without
     * touching the plumbing above. */
