@@ -1396,6 +1396,10 @@ object SparkEntry {
     // so header layout AND sample extraction are both on the hook
     "mm_wav_roundtrip" -> ((s, d) =>
       Multimodal.wavRoundtrip(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    // the image twin: 24-bit BMP with bottom-up rows and 4-byte row
+    // padding — the format's awkward parts ARE the graded surface
+    "mm_bmp_roundtrip" -> ((s, d) =>
+      Multimodal.bmpRoundtrip(Tables.documents(s, d)).orderBy(col("doc_id"))),
     // the mapPartitions decode path, exact-checked: the stub decoder
     // is a 16-bin byte histogram the oracle replays in SQL
     "mm_feature_hist" -> ((s, d) =>
@@ -4784,6 +4788,18 @@ object SparkEntry {
         |  CAST(16000 AS BIGINT) AS sample_rate,
         |  round(sqrt(CAST(SUM(CAST(smp * smp AS BIGINT)) AS DOUBLE) / count(*)), 6) AS rms
         |FROM sm GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the BMP roundtrip replayed from the generator side: byte_len
+    // bakes in the row padding, mean_lum the pixel formula — a
+    // row-order or stride bug in either codec half diverges here
+    "mm_bmp_roundtrip" ->
+      """WITH d AS (SELECT doc_id, doc_id % 9 + 4 AS w, doc_id % 7 + 3 AS h FROM documents),
+        |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+        |ys AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+        |px AS (SELECT doc_id, w, h, (doc_id + x * 7 + y * 13) % 256 AS g FROM ys)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(54 + (3 * w + (4 - (3 * w) % 4) % 4) * h AS BIGINT) AS byte_len,
+        |  round(CAST(SUM(g) AS DOUBLE) / (w * h), 6) AS mean_lum
+        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
     "mm_binary_meta" ->
       s"""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
          |  CASE WHEN doc_id % 3 = 0 THEN 'image/jpeg'

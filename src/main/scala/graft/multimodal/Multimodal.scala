@@ -229,6 +229,108 @@ object Multimodal {
     }(enc)
   }
 
+  // ── REAL codec: 24-bit BMP ───────────────────────────────────────
+  // The image twin of the WAV pair: BMP (BITMAPINFOHEADER, 24-bit
+  // BGR, bottom-up rows padded to 4 bytes) is the one image container
+  // a pure JVM encodes and decodes exactly. The deliberately awkward
+  // parts of the format — bottom-up row order and per-row padding —
+  // are exactly what the roundtrip grades: get either wrong and the
+  // decoded luminance diverges from the generator formula.
+
+  /** Spec-compliant 24-bit BMP bytes for the deterministic grayscale
+    * test image g(x,y) = (docId + x·7 + y·13) mod 256 (all three
+    * channels equal). */
+  def bmpEncode(docId: Long, width: Int, height: Int): Array[Byte] = {
+    val rowBytes = width * 3
+    val pad = (4 - rowBytes % 4) % 4
+    val imageSize = (rowBytes + pad) * height
+    val bb = java.nio.ByteBuffer.allocate(54 + imageSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + imageSize)
+      .putShort(0).putShort(0).putInt(54) // reserved, pixel-array offset
+    bb.putInt(40).putInt(width).putInt(height) // BITMAPINFOHEADER, positive height = bottom-up
+      .putShort(1).putShort(24).putInt(0).putInt(imageSize)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = height - 1 // bottom-up: the LAST image row is stored first
+    while (y >= 0) {
+      var x = 0
+      while (x < width) {
+        val g = ((docId + x * 7 + y * 13) % 256).toByte
+        bb.put(g).put(g).put(g) // B, G, R
+        x += 1
+      }
+      var p = 0
+      while (p < pad) { bb.put(0.toByte); p += 1 }
+      y -= 1
+    }
+    bb.array()
+  }
+
+  /** A real BMP parser: validates the BM magic and BITMAPINFOHEADER,
+    * honors the header's pixel-array offset, un-pads and un-flips the
+    * bottom-up rows, and returns (width, height, pixels) with pixels
+    * in natural (row-major, top-down) order as (b, g, r) triples
+    * flattened. Throws on compressed or non-24-bit images. */
+  def bmpDecode(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bb.get() == 'B'.toByte && bb.get() == 'M'.toByte, "not a BMP")
+    bb.getInt; bb.getShort; bb.getShort
+    val pixelOffset = bb.getInt
+    val dibSize = bb.getInt
+    require(dibSize >= 40, s"unsupported DIB header ($dibSize bytes)")
+    val width = bb.getInt
+    val heightRaw = bb.getInt
+    require(heightRaw > 0, "top-down BMPs not produced by this writer")
+    val height = heightRaw
+    bb.getShort // planes
+    val bpp = bb.getShort
+    require(bpp == 24, s"only 24-bit supported, got $bpp")
+    val compression = bb.getInt
+    require(compression == 0, s"compressed BMP not supported ($compression)")
+    val rowBytes = width * 3
+    val stride = rowBytes + (4 - rowBytes % 4) % 4
+    val out = new Array[Byte](rowBytes * height)
+    var y = 0
+    while (y < height) {
+      // stored row (height-1-y) is image row y: un-flip while copying
+      val src = pixelOffset + (height - 1 - y) * stride
+      System.arraycopy(bytes, src, out, y * rowBytes, rowBytes)
+      y += 1
+    }
+    (width, height, out)
+  }
+
+  /** The image-codec roundtrip as a graded operator: synthesize →
+    * ENCODE to BMP → DECODE with the real parser → luminance stats
+    * (mean over the blue channel — all channels equal by
+    * construction, so a channel-order bug still changes nothing
+    * while a row-order or padding bug changes everything). */
+  def bmpRoundtrip(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("byte_len", LongType, nullable = false),
+      StructField("mean_lum", DoubleType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    docs.select(col("doc_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = (id % 9 + 4).toInt // w*3 mod 4 varies → padding exercised
+        val h = (id % 7 + 3).toInt
+        val bytes = bmpEncode(id, w, h)
+        val (dw, dh, px) = bmpDecode(bytes)
+        require(dw == w && dh == h, s"roundtrip mismatch for doc $id: ${dw}x$dh")
+        var sum = 0L
+        var i = 0
+        while (i < px.length) { sum += px(i) & 0xff; i += 3 } // blue channel
+        val meanLum = BigDecimal(sum.toDouble / (w * h))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        Row(id, w.toLong, h.toLong, bytes.length.toLong, meanLum)
+      }
+    }(enc)
+  }
+
   /** Deterministic stand-in for an image/audio decoder: 16-bin byte
     * histogram. Replace with a real codec (e.g. JNI-bound) without
     * touching the plumbing above. */

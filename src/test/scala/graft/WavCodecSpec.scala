@@ -55,4 +55,40 @@ class WavCodecSpec extends SparkSpec {
       .orderBy("doc_id").collect().map(_.toString).toSeq
     assert(one == many && one.nonEmpty)
   }
+
+  // ── the BMP (image) twin ─────────────────────────────────────────
+
+  test("BMP encode → decode un-flips bottom-up rows and strips padding, pixel-exact") {
+    Seq(0L, 1L, 5L, 51L, 1234L).foreach { id =>
+      val (w, h) = ((id % 9 + 4).toInt, (id % 7 + 3).toInt)
+      val bytes = Multimodal.bmpEncode(id, w, h)
+      val rowBytes = w * 3
+      assert(bytes.length == 54 + (rowBytes + (4 - rowBytes % 4) % 4) * h)
+      val (dw, dh, px) = Multimodal.bmpDecode(bytes)
+      assert(dw == w && dh == h && px.length == rowBytes * h)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+        val want = ((id + x * 7 + y * 13) % 256).toByte
+        assert(px(y * rowBytes + x * 3 + c) == want, s"doc $id px($x,$y) ch$c")
+      }
+    }
+  }
+
+  test("BMP parser rejects compressed, non-24-bit, and top-down containers loudly") {
+    val good = Multimodal.bmpEncode(9L, 7, 5)
+    val badMagic = good.clone(); badMagic(0) = 'X'.toByte
+    intercept[IllegalArgumentException](Multimodal.bmpDecode(badMagic))
+    val eightBit = good.clone(); eightBit(28) = 8
+    intercept[IllegalArgumentException](Multimodal.bmpDecode(eightBit))
+    val rle = good.clone(); rle(30) = 1 // BI_RLE8
+    intercept[IllegalArgumentException](Multimodal.bmpDecode(rle))
+  }
+
+  test("the graded BMP roundtrip is partition-invariant") {
+    val docs = Tables.documents(spark, sf)
+    val one = Multimodal.bmpRoundtrip(docs.coalesce(1))
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val many = Multimodal.bmpRoundtrip(docs.repartition(7))
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(one == many && one.nonEmpty)
+  }
 }
