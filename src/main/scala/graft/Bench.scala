@@ -114,15 +114,24 @@ object Bench {
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     val failed = results.collect { case (n, v) if v < 0 => n }.sorted
     val total = r3(results.collect { case (_, v) if v >= 0 => v }.sum)
-    val failedJ = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    def jsonLine(qs: Seq[(String, Double)]): String = {
+    def failedJson(names: Seq[String]) =
+      names.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // the stdout line must fit the driver's capture window even when
+    // MANY queries fail: the query-map shrink loop floors at keep=1,
+    // so an uncapped failed array could still overflow it — cap the
+    // names here (n_failed always carries the true count; the stderr
+    // BENCH FULL line keeps the complete list)
+    val failedCap = 8
+    val failedStdout = failedJson(failed.take(failedCap))
+    def jsonLine(qs: Seq[(String, Double)], failedJ: String): String = {
       val qj = qs.map { case (k, v) => "\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJ,"queries":$qj,"sf":"$sfDir"}"""
     }
     val bySlow = results.sortBy { case (_, v) => -v }
     var keep = bySlow.size
-    while (keep > 1 && jsonLine(bySlow.take(keep)).length > stdoutCap) keep -= 1
-    (jsonLine(bySlow.take(keep).sortBy(_._1)), jsonLine(bySlow))
+    while (keep > 1 && jsonLine(bySlow.take(keep), failedStdout).length > stdoutCap) keep -= 1
+    (jsonLine(bySlow.take(keep).sortBy(_._1), failedStdout),
+      jsonLine(bySlow, failedJson(failed)))
   }
 }

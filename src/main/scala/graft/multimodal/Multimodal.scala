@@ -187,10 +187,19 @@ object Multimodal {
           require(bits == 16, s"only PCM16 supported, got $bits bits")
           bb.position(start + size)
         case "data" =>
+          // bound the declared size against the container before
+          // reading (a lying header must fail the same loud way a
+          // bad magic does, not BufferUnderflow mid-sample), and
+          // advance past the RIFF odd-size pad byte afterwards so a
+          // chunk FOLLOWING an odd data chunk still parses aligned
+          require(size >= 0 && size <= bb.remaining(),
+            s"data chunk declares $size bytes but only ${bb.remaining()} remain")
+          val start = bb.position()
           val n = size / 2
           samples = new Array[Short](n)
           var i = 0
           while (i < n) { samples(i) = bb.getShort; i += 1 }
+          bb.position(math.min(start + size + (size & 1), bb.limit()))
         case _ =>
           bb.position(bb.position() + size + (size & 1))
       }

@@ -285,10 +285,14 @@ object GraphAnnIndex {
     retiredDf(spark, dir, gens) match {
       case None => all
       case Some(ret) =>
-        val n = ret.count()
-        if (n == 0) all
-        else if (n <= MaskMapLimit) {
-          val m = ret.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+        // ONE job sizes AND fetches the mask: collect at most
+        // limit+1 rows — empty ⇒ no debt, ≤limit ⇒ literal-map
+        // probe from the rows already in hand, limit+1 ⇒ the
+        // anti-join path (never a full collect of the retired table)
+        val sample = ret.limit(MaskMapLimit + 1).collect()
+        if (sample.isEmpty) all
+        else if (sample.length <= MaskMapLimit) {
+          val m = sample.map(r => r.getLong(0) -> r.getInt(1)).toMap
           all.where(col("gen") >=
             coalesce(element_at(typedLit(m), col("owner")), lit(0)))
         } else

@@ -30,6 +30,17 @@ class BenchJsonSpec extends AnyFunSuite {
       && stdout.contains("\"failed\":[]"), stdout)
   }
 
+  test("mass failure keeps the stdout line bounded but the count honest") {
+    // worst case: every query fails — the query map shrinks to 1
+    // entry, so an uncapped failed array would be the overflow
+    val many = (1 to 300).map(i => f"query_with_a_long_name_$i%03d" -> -1.0)
+    val (stdout, full) = Bench.renderJson(many, "/data/sf")
+    assert(stdout.length <= 1500 + 100, s"stdout line too long: ${stdout.length}")
+    assert(stdout.contains("\"n_failed\":300"), stdout)   // true count survives the cap
+    assert(stdout.contains("query_with_a_long_name_001"), stdout)
+    assert(full.contains("query_with_a_long_name_300"), full) // stderr keeps them all
+  }
+
   test("the stdout line stays under the driver's capture window") {
     val many = (1 to 300).map(i => f"query_with_a_long_name_$i%03d" -> (i / 100.0))
     val (stdout, full) = Bench.renderJson(many, "/data/sf")

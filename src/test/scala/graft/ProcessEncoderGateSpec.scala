@@ -27,9 +27,14 @@ class ProcessEncoderGateSpec extends SparkSpec {
     val md = java.security.MessageDigest.getInstance("MD5")
     val v = new Array[Double](dim)
     val t = " " + text + " "
-    (0 until t.length - 2).foreach { i =>
+    // iterate Unicode CODE POINTS, not UTF-16 units: encoder.py's
+    // t[i:i+3] slices code points, so a substring-based mirror would
+    // split surrogate pairs on supplementary-plane text and silently
+    // hold only for BMP corpora
+    val cps = t.codePoints().toArray
+    (0 until cps.length - 2).foreach { i =>
       md.reset()
-      val d = md.digest(t.substring(i, i + 3).getBytes("UTF-8"))
+      val d = md.digest(new String(cps, i, 3).getBytes("UTF-8"))
       val h = java.nio.ByteBuffer.wrap(d, 0, 8).getLong
       v(java.lang.Math.floorMod(h, dim.toLong).toInt) += (if (h < 0) -1.0 else 1.0)
     }
@@ -57,6 +62,27 @@ class ProcessEncoderGateSpec extends SparkSpec {
       got.indices.foreach { j =>
         assert(math.abs(got(j) - want(j)) < 1e-5,
           s"doc $id dim $j: runner ${got(j)} vs mirror ${want(j)}")
+      }
+    }
+  }
+
+  test("supplementary-plane text agrees across the runner and the mirror") {
+    // surrogate-pair corpus: a UTF-16-unit mirror would split the
+    // pairs into lone surrogates (md5 over '?' bytes) and disagree
+    val texts = Seq("ice 🧊 cream", "𝕊park 𝄞 notes",
+      "🙂", "mixed é🍦e")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val out = Embedder.embed(df, "text", Seq("doc_id"),
+        ProcessTextEncoder(runner, dim), batchSize = 2)
+      .select(col("doc_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val got = out(i.toLong)
+      val want = mirror(t)
+      got.indices.foreach { j =>
+        assert(math.abs(got(j) - want(j)) < 1e-5,
+          s"text $i dim $j: runner ${got(j)} vs mirror ${want(j)}")
       }
     }
   }

@@ -35,6 +35,36 @@ class WavCodecSpec extends SparkSpec {
     assert(smp.toSeq == Multimodal.wavDecode(base)._3.toSeq)
   }
 
+  test("an odd-sized data chunk pads out so a trailing chunk still parses") {
+    // data declares 25 bytes (12 samples + 1 odd byte) followed by a
+    // LIST chunk: without the RIFF pad-byte advance the walker would
+    // misalign into the pad and die on garbage fourcc bytes
+    val body = java.nio.ByteBuffer.allocate((8 + 16) + (8 + 26) + (8 + 4))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    body.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(25)
+    (0 until 12).foreach(k => body.putShort((k * 3).toShort))
+    body.put(9.toByte).put(0.toByte) // odd leftover byte + pad
+    body.put("LIST".getBytes("US-ASCII")).putInt(4).put("INFO".getBytes("US-ASCII"))
+    val riff = java.nio.ByteBuffer.allocate(12 + body.position())
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    riff.put("RIFF".getBytes("US-ASCII")).putInt(4 + body.position())
+      .put("WAVE".getBytes("US-ASCII")).put(body.array(), 0, body.position())
+    val (rate, _, smp) = Multimodal.wavDecode(riff.array())
+    assert(rate == 8000 && smp.toSeq == (0 until 12).map(k => (k * 3).toShort))
+  }
+
+  test("a data chunk declaring more bytes than remain fails loudly") {
+    val good = Multimodal.wavEncode(7L, 12)
+    val lying = good.clone()
+    // the data size field sits right before the samples (offset 40)
+    val bb = java.nio.ByteBuffer.wrap(lying).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(40, 1000000)
+    val e = intercept[IllegalArgumentException](Multimodal.wavDecode(lying))
+    assert(e.getMessage.contains("data chunk declares"))
+  }
+
   test("malformed containers fail loudly, never yield silent garbage") {
     val good = Multimodal.wavEncode(7L, 12)
     val notRiff = good.clone(); notRiff(0) = 'X'.toByte
