@@ -447,6 +447,42 @@ object SparkEntry {
           col("content_length").between(150, 400))
         .orderBy(col("doc_id"))
     }),
+    "pipe_delta_bigsnapshot" -> ((s, d) => {
+      // MANY-FILE snapshot read through the DISTRIBUTED log replay:
+      // silver lands as 3 append commits × 16 hash-bucketed files
+      // plus a clustering rewrite (removes + re-adds on top), and the
+      // read reconstructs the snapshot with the replay mode FORCED
+      // distributed — newest-action-per-path reconciled as one Spark
+      // job instead of the driver fold. This is the path a 10M-file
+      // table needs (the driver fold is the one genuine 100× ceiling;
+      // see DeltaSource.snapshot and DeltaDistributedReplaySpec for
+      // the bit-equality proof). Value-identical to silver: commit
+      // layout and replay mode are value-invisible.
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_deltabig_${math.abs(d.hashCode)}/zone"
+      graft.sources.ZoneCache.ensure(Tables.documents(s, d), tmp) {
+        val zone = silverZone(s, d)
+        (0 until 3).foreach { i =>
+          graft.sources.DeltaSource.writeDelta(
+            zone.where(pmod(col("doc_id"), lit(3)) === i).repartition(16, col("doc_id")),
+            tmp, overwrite = false)
+        }
+        graft.sources.DeltaSource.optimizeCluster(s, tmp,
+          ("doc_id", "content_length"), nFiles = 8)
+      }
+      val old = s.conf.getOption("spark.graft.delta.replay.mode")
+      s.conf.set("spark.graft.delta.replay.mode", "distributed")
+      try
+        graft.sources.DeltaSource.readDelta(s, tmp)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("content_length")).as("sum_len"),
+            min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+          .orderBy(col("source"))
+      finally old match {
+        case Some(v) => s.conf.set("spark.graft.delta.replay.mode", v)
+        case None => s.conf.unset("spark.graft.delta.replay.mode")
+      }
+    }),
     "pipe_delta_merge" -> ((s, d) => {
       // Delta-NATIVE MERGE: the pipe_upsert semantics landed as a
       // copy-on-write remove+add commit into a real _delta_log table.
@@ -2197,6 +2233,15 @@ object SparkEntry {
          |AND doc_id BETWEEN 100 AND 220
          |AND length(content) BETWEEN 150 AND 400
          |ORDER BY doc_id""".stripMargin,
+    // a multi-commit many-file layout read through the distributed
+    // log reconcile is value-identical to silver — replay mode and
+    // commit structure are value-invisible
+    "pipe_delta_bigsnapshot" ->
+      s"""$silverCte SELECT source, count(*) AS n_docs,
+         |CAST(sum(length(content)) AS BIGINT) AS sum_len,
+         |min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM silver0 WHERE length(content) > 50
+         |GROUP BY source ORDER BY source""".stripMargin,
     // native MERGE ≡ the portable upsert semantics: matched keys
     // replaced, unmatched update keys appended, everything else kept
     "pipe_delta_merge" ->

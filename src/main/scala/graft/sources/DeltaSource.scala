@@ -325,12 +325,78 @@ object DeltaSource {
         s"are missing from the log (expired by cleanupExpiredLogs?); " +
         s"nearest seed checkpoint: ${cp.map(_.toString).getOrElse("none")}")
 
+    // ── replay mode: driver fold vs distributed reconcile ────────
+    // The driver fold below is the classic Delta reader shape (log
+    // metadata is small relative to data)… until it isn't: at 100 TB
+    // a table holds ~10M add actions, and a driver-side collect+fold
+    // is multi-GB of heap and a single-threaded replay per cold
+    // snapshot. Above a byte threshold (or when forced), the
+    // add/remove reconciliation runs as ONE Spark job — newest
+    // action per path via max_by over the stamped action union —
+    // and the driver folds only the O(commits) non-file actions
+    // (protocol/metaData/txn/domainMetadata). Semantics are
+    // bit-identical: same precedence (higher version wins; versions
+    // never tie across sources for one path in a legal log — paths
+    // are unique within a commit, checkpoints sit strictly below
+    // replayed commits, and chosen compaction ranges exclude their
+    // member commits), same protocol gate, same Snapshot fields.
+    val logStatuses = fs.listStatus(logDir).toSeq.filter(_.isFile)
+    val cpPaths: Seq[Path] = cp.map { v =>
+      logStatuses.map(_.getPath)
+        .filter(p => CheckpointRe.findFirstMatchIn(p.getName).exists(_.group(1).toLong == v))
+    }.getOrElse(Seq.empty)
+    val cpSinglePaths = cpPaths.filter(p => CheckpointSingleRe.findFirstMatchIn(p.getName).nonEmpty)
+    val cpV2Paths = cpPaths.filter(p => CheckpointV2Re.findFirstMatchIn(p.getName).nonEmpty)
+    // the form precedence the driver path uses: single-file, then a
+    // v2 manifest, then parts — never co-read strays of another form
+    val cpMainPaths: Seq[String] =
+      (if (cpSinglePaths.nonEmpty) cpSinglePaths
+       else if (cpV2Paths.nonEmpty) cpV2Paths
+       else cpPaths).map(_.toString)
+    // v2 sidecar resolution: a model-sized pointer select off the
+    // manifest — never its file actions
+    lazy val v2SidecarPaths: Seq[String] = {
+      val sidecarDir = new Path(logDir, "_sidecars")
+      val names = spark.read
+        .schema(StructType(Seq(StructField("sidecar", StructType(Seq(
+          StructField("path", StringType)))))))
+        .parquet(cpV2Paths.map(_.toString): _*)
+        .where(col("sidecar").isNotNull)
+        .select(col("sidecar.path")).collect().map(_.getString(0)).toSeq
+      names.map { n =>
+        val p = new Path(sidecarDir, n)
+        require(fs.exists(p),
+          s"v2 checkpoint at version ${cp.get} of $tablePath references a missing " +
+            s"sidecar $n — the checkpoint is torn (partial cleanup?); " +
+            "replay from JSON commits or an older checkpoint instead")
+        p.toString
+      }
+    }
+    val jsonPaths = replayCommits.map(v => new Path(logDir, f"$v%020d.json").toString)
+    val compactedPaths = chosen.toSeq.map { case (x, y) =>
+      new Path(logDir, f"$x%020d.$y%020d.compacted.json").toString }
+    val replayMode = spark.conf.get("spark.graft.delta.replay.mode", "auto")
+    val distributed = replayMode match {
+      case "distributed" => true
+      case "driver" => false
+      case _ =>
+        // bytes of the log slice to replay — a cheap deterministic
+        // proxy for the action count, from the listing already in hand
+        val driverMaxBytes = spark.conf
+          .get("spark.graft.delta.replay.driverMaxBytes", (64L * 1024 * 1024).toString).toLong
+        val wanted = (cpMainPaths ++ jsonPaths ++ compactedPaths).toSet
+        val mainBytes = logStatuses.filter(st => wanted(st.getPath.toString)).map(_.getLen).sum
+        val sideBytes = if (cpV2Paths.nonEmpty && cpSinglePaths.isEmpty)
+          v2SidecarPaths.map(p => fs.getFileStatus(new Path(p)).getLen).sum else 0L
+        mainBytes + sideBytes > driverMaxBytes
+    }
+
     // Checkpoint rows carry the same action structs as JSON commits.
     val cpActions: Seq[(Long, org.apache.spark.sql.Row)] = cp match {
+      case _ if distributed => Seq.empty
       case None => Seq.empty
       case Some(v) =>
-        val all = fs.listStatus(logDir).toSeq.map(_.getPath)
-          .filter(p => CheckpointRe.findFirstMatchIn(p.getName).exists(_.group(1).toLong == v))
+        val all = cpPaths
         // preference: single-file, then a v2 manifest, then parts —
         // strays of an abandoned other-form attempt at the same
         // version must not be co-read
@@ -378,15 +444,42 @@ object DeltaSource {
           spark.read.schema(ActionSchema).parquet(all.map(_.toString): _*)
             .collect().toSeq.map(r => (v, r))
     }
-    val jsonActions: Seq[(Long, org.apache.spark.sql.Row)] = replayCommits.flatMap { v =>
-      val f = new Path(logDir, f"$v%020d.json")
-      spark.read.schema(ActionSchema).json(f.toString).collect().toSeq.map(r => (v, r))
-    } ++ chosen.toSeq.flatMap { case (x, y) =>
-      // a compacted range's actions are already reconciled (one per
-      // path); stamping them all at y keeps cross-source precedence
-      // right: later plain commits beat them, earlier ones lose
-      val f = new Path(logDir, f"$x%020d.$y%020d.compacted.json")
-      spark.read.schema(ActionSchema).json(f.toString).collect().toSeq.map(r => (y, r))
+    val jsonActions: Seq[(Long, org.apache.spark.sql.Row)] =
+      if (distributed) Seq.empty
+      else replayCommits.flatMap { v =>
+        val f = new Path(logDir, f"$v%020d.json")
+        spark.read.schema(ActionSchema).json(f.toString).collect().toSeq.map(r => (v, r))
+      } ++ chosen.toSeq.flatMap { case (x, y) =>
+        // a compacted range's actions are already reconciled (one per
+        // path); stamping them all at y keeps cross-source precedence
+        // right: later plain commits beat them, earlier ones lose
+        val f = new Path(logDir, f"$x%020d.$y%020d.compacted.json")
+        spark.read.schema(ActionSchema).json(f.toString).collect().toSeq.map(r => (y, r))
+      }
+
+    // Distributed replay: every log slice becomes one version-stamped
+    // action DataFrame; commit/compaction versions come off the file
+    // name via `_metadata.file_path`, so a single multi-file read
+    // covers any number of commits.
+    val stampedActions: Option[DataFrame] = if (!distributed) None else {
+      val actionCols =
+        col("v") +: ActionSchema.fields.toSeq.map(f => col(f.name))
+      val frames = Seq.newBuilder[DataFrame]
+      if (cpMainPaths.nonEmpty)
+        frames += spark.read.schema(ActionSchema).parquet(cpMainPaths: _*)
+          .withColumn("v", lit(cp.get))
+      if (cpV2Paths.nonEmpty && cpSinglePaths.isEmpty && v2SidecarPaths.nonEmpty)
+        frames += spark.read.schema(ActionSchema).parquet(v2SidecarPaths: _*)
+          .withColumn("v", lit(cp.get))
+      if (jsonPaths.nonEmpty)
+        frames += spark.read.schema(ActionSchema).json(jsonPaths: _*)
+          .withColumn("v", regexp_extract(col("_metadata.file_path"),
+            """(\d{20})\.json$""", 1).cast("long"))
+      if (compactedPaths.nonEmpty)
+        frames += spark.read.schema(ActionSchema).json(compactedPaths: _*)
+          .withColumn("v", regexp_extract(col("_metadata.file_path"),
+            """\d{20}\.(\d{20})\.compacted\.json$""", 1).cast("long"))
+      frames.result().map(_.select(actionCols: _*)).reduceOption(_.unionByName(_))
     }
 
     var schemaString: Option[String] = None
@@ -401,7 +494,7 @@ object DeltaSource {
     val txns = scala.collection.mutable.HashMap[String, Long]()
     // newest domainMetadata per domain: (version, config or None=removed)
     val domains = scala.collection.mutable.HashMap[String, (Long, Option[String])]()
-    (cpActions ++ jsonActions).foreach { case (v, row) =>
+    def foldAction(v: Long, row: Row): Unit = {
       val addIdx = row.fieldIndex("add")
       val remIdx = row.fieldIndex("remove")
       val metaIdx = row.fieldIndex("metaData")
@@ -453,6 +546,38 @@ object DeltaSource {
       } else if (!row.isNullAt(remIdx)) {
         val p = row.getStruct(remIdx).getAs[String]("path")
         if (p != null && state.get(p).forall(_._1 <= v)) state(p) = (v, None)
+      }
+    }
+    (cpActions ++ jsonActions).foreach { case (v, row) => foldAction(v, row) }
+    stampedActions.foreach { acts =>
+      // non-file actions (protocol/metaData/txn/domainMetadata) are
+      // O(commits) small: collect them and run the exact driver fold
+      acts.where(col("add").isNull && col("remove").isNull &&
+          (col("metaData").isNotNull || col("txn").isNotNull ||
+            col("protocol").isNotNull || col("domainMetadata").isNotNull))
+        .collect()
+        .foreach(r => foldAction(r.getLong(r.fieldIndex("v")), r))
+      // newest file action per path as ONE distributed job — the
+      // shuffle key is the path, so 10M-file reconciliation spreads
+      // over the cluster instead of a driver fold. The isAdd
+      // tiebreak is unreachable in a legal log (a path appears at
+      // most once per commit; sources never share a version) and
+      // merely keeps the reconcile deterministic on corrupt input.
+      // Only surviving adds come back to the driver — the same
+      // model-sized file list every Delta reader holds at plan time.
+      val winners = acts
+        .where((col("add").isNotNull || col("remove").isNotNull) &&
+          coalesce(col("add.path"), col("remove.path")).isNotNull)
+        .groupBy(coalesce(col("add.path"), col("remove.path")).as("p"))
+        .agg(max_by(struct(col("v"), col("add")),
+          struct(col("v"), col("add").isNotNull)).as("w"))
+        .where(col("w.add").isNotNull)
+        .select(col("p"), col("w.v").as("v"), col("w.add").as("add"))
+        .orderBy(col("p"))
+        .collect()
+      winners.foreach { r =>
+        val a = rowToAdd(r.getStruct(r.fieldIndex("add")))
+        state(a.path) = (r.getLong(r.fieldIndex("v")), Some(a))
       }
     }
     val schema = schemaString

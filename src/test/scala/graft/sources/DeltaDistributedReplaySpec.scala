@@ -1,0 +1,146 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+
+/** Distributed snapshot reconstruction ≡ the driver fold, proven on a
+  * synthetic many-file log (100k+ adds across 100 commits, removes,
+  * deletion vectors, row tracking, column mapping, txn and
+  * domainMetadata actions, a mid-log checkpoint). The driver fold is
+  * the classic Delta reader shape but the one genuine 100× ceiling:
+  * at ~10M add actions it is multi-GB of driver heap and a
+  * single-threaded replay per cold snapshot. The distributed path
+  * reconciles newest-action-per-path as ONE Spark job and must be
+  * bit-identical in every Snapshot field. */
+class DeltaDistributedReplaySpec extends SparkSpec {
+
+  private val nCommits = 100
+  private val addsPerCommit = 1000
+
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  /** Synthesize a _delta_log with no data files: snapshot() only
+    * reads the log, so reconstruction is testable at 100k-file scale
+    * without writing 100k parquet files. */
+  private def synthLog(table: String): Unit = {
+    val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logDir = new Path(table, "_delta_log")
+    fs.delete(new Path(table), true)
+    fs.mkdirs(logDir)
+    val schemaJson = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("p", org.apache.spark.sql.types.StringType))).json
+    def write(v: Long, lines: Seq[String]): Unit = {
+      val out = fs.create(new Path(logDir, f"$v%020d.json"), true)
+      try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
+    }
+    val protocol =
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors","columnMapping"],""" +
+        """"writerFeatures":["deletionVectors","columnMapping"]}}"""
+    val meta =
+      s"""{"metaData":{"id":"tbl-distreplay","schemaString":"${esc(schemaJson)}",""" +
+        s""""partitionColumns":["p"],"configuration":{"delta.columnMapping.mode":"name"}}}"""
+    write(0L, Seq(protocol, meta))
+    (1 to nCommits).foreach { v =>
+      val adds = (0 until addsPerCommit).map { i =>
+        val n = (v - 1).toLong * addsPerCommit + i
+        // every 17th file carries a DV descriptor; every 5th row
+        // tracking fields — the reconcile must ferry both intact
+        val dv = if (n % 17 == 0)
+          s""","deletionVector":{"storageType":"u","pathOrInlineDv":"dv$n","offset":1,"sizeInBytes":40,"cardinality":${n % 7 + 1}}"""
+        else ""
+        val rt = if (n % 5 == 0) s""","baseRowId":${n * 10},"defaultRowCommitVersion":$v""" else ""
+        s"""{"add":{"path":"part-$n.parquet","partitionValues":{"p":"${n % 4}"},""" +
+          s""""size":${1000 + n},"modificationTime":${1700000000000L + n},"dataChange":true,""" +
+          s""""stats":"{\\"numRecords\\":${n % 100}}"$dv$rt}}"""
+      }
+      // each commit after the first also retires 100 files of the
+      // PREVIOUS commit (newest-action-per-path must honor them) and
+      // stamps txn/domainMetadata state
+      val removes = if (v > 1) (0 until 100).map { i =>
+        val n = (v - 2).toLong * addsPerCommit + i * 7 % addsPerCommit
+        s"""{"remove":{"path":"part-$n.parquet","dataChange":true}}"""
+      } else Seq.empty
+      val txn = s"""{"txn":{"appId":"app-${v % 3}","version":$v}}"""
+      val dom =
+        s"""{"domainMetadata":{"domain":"d${v % 2}","configuration":"{\\"hw\\":$v}","removed":false}}"""
+      write(v.toLong, Seq(txn, dom) ++ removes ++ adds)
+    }
+  }
+
+  private def snap(table: String, mode: String): DeltaSource.Snapshot = {
+    spark.conf.set("spark.graft.delta.replay.mode", mode)
+    try DeltaSource.snapshot(spark, table, None)
+    finally spark.conf.unset("spark.graft.delta.replay.mode")
+  }
+
+  private def assertSame(a: DeltaSource.Snapshot, b: DeltaSource.Snapshot): Unit = {
+    assert(a.version == b.version)
+    assert(a.schema == b.schema)
+    assert(a.partitionColumns == b.partitionColumns)
+    assert(a.configuration == b.configuration)
+    assert(a.protocol == b.protocol)
+    assert(a.txns == b.txns)
+    assert(a.domains == b.domains)
+    val fa = a.files.sortBy(_.path)
+    val fb = b.files.sortBy(_.path)
+    assert(fa.size == fb.size, s"file counts: ${fa.size} vs ${fb.size}")
+    fa.zip(fb).foreach { case (x, y) => assert(x == y, s"file diverged: $x vs $y") }
+  }
+
+  test("distributed reconcile == driver fold on a 100k-add log with removes/DVs/column mapping") {
+    val table = s"${System.getProperty("java.io.tmpdir")}/graft_distreplay"
+    synthLog(table)
+    val driver = snap(table, "driver")
+    val dist = snap(table, "distributed")
+    // the log really is many-file scale, and removes really removed
+    val removed = (2 to nCommits).flatMap { v =>
+      (0 until 100).map(i => ((v - 2).toLong * addsPerCommit + i * 7 % addsPerCommit))
+    }.toSet.map((n: Long) => s"part-$n.parquet")
+    assert(driver.files.size == nCommits * addsPerCommit - removed.size)
+    assert(driver.files.map(_.path).toSet.intersect(removed).isEmpty)
+    // DV descriptors and row-tracking fields survived the reconcile
+    assert(dist.files.count(_.dv.nonEmpty) == driver.files.count(_.dv.nonEmpty))
+    assert(dist.files.count(_.baseRowId.nonEmpty) == driver.files.count(_.baseRowId.nonEmpty))
+    assert(driver.files.exists(_.dv.nonEmpty) && driver.files.exists(_.baseRowId.nonEmpty))
+    assertSame(driver, dist)
+  }
+
+  test("a mid-log checkpoint seeds both paths identically") {
+    val table = s"${System.getProperty("java.io.tmpdir")}/graft_distreplay"
+    // reuse the log from the previous test (synthesize if run alone)
+    val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(table, "_delta_log"))) synthLog(table)
+    DeltaSource.checkpoint(spark, table)
+    // append two more commits on top of the checkpoint
+    val logDir = new Path(table, "_delta_log")
+    val next = DeltaSource.latestVersion(spark, table).get + 1
+    (0 until 2).foreach { i =>
+      val v = next + i
+      val out = fs.create(new Path(logDir, f"$v%020d.json"), true)
+      try out.write(
+        (s"""{"add":{"path":"tail-$v.parquet","partitionValues":{"p":"9"},"size":1,"modificationTime":1,"dataChange":true}}""" + "\n" +
+          s"""{"remove":{"path":"part-${v % 1000}.parquet","dataChange":true}}""" + "\n")
+          .getBytes("UTF-8"))
+      finally out.close()
+    }
+    assertSame(snap(table, "driver"), snap(table, "distributed"))
+  }
+
+  test("auto mode routes by replay bytes") {
+    val table = s"${System.getProperty("java.io.tmpdir")}/graft_distreplay"
+    val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(table, "_delta_log"))) synthLog(table)
+    val driver = snap(table, "driver")
+    // a zero threshold forces every auto read through the distributed
+    // branch; the answer must not move
+    spark.conf.set("spark.graft.delta.replay.driverMaxBytes", "0")
+    try assertSame(driver, snap(table, "auto"))
+    finally spark.conf.unset("spark.graft.delta.replay.driverMaxBytes")
+    // and the default threshold keeps this ~20MB log on the driver
+    // path (same answer by construction — smoke the plumbing)
+    assertSame(driver, snap(table, "auto"))
+  }
+}
