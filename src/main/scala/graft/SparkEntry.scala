@@ -931,6 +931,18 @@ object SparkEntry {
       Similarity.recallAtK(graft.sources.GraphAnnIndex.searchSelf(s, dir),
         Similarity.bruteTopK(emb))
     }),
+    // the DISTRIBUTED-frontier branch of the SAME walk, graded: with
+    // maxDriverFrontier forced to 0 every step carries the frontier
+    // as a localCheckpointed DataFrame and probes the edge table via
+    // broadcast-hash join — the branch that serves when nq·beam
+    // outgrows the driver (the 100× serving shape). Must be
+    // hash-identical to ann_graph_topk: branch choice is a pure
+    // execution-strategy swap, never a result change.
+    "ann_graph_dist" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_gix_${math.abs(d.hashCode)}"
+      graft.sources.GraphAnnIndex.ensureBuilt(Tables.embeddings(s, d), dir)
+      graft.sources.GraphAnnIndex.searchSelf(s, dir, maxDriverFrontier = 0)
+    }),
     // metadata-FILTERED graph serving (the vector store's `where=`
     // composed with the index — filtered-DiskANN style): the walk
     // NAVIGATES through allowed nodes only, every round's candidate
@@ -954,23 +966,35 @@ object SparkEntry {
       graft.sources.GraphAnnIndex.buildAndSave(Tables.embeddings(s, d), dir)
       graft.sources.GraphAnnIndex.stats(s, dir)
     }),
-    // index MAINTENANCE: base-build 80% of the corpus at the hash
-    // sized for projected capacity, append the rest incrementally
-    // (frozen buckets, tombstone-masked list replacement), serve —
-    // the oracle is the FULL-corpus walk, so the grade is exact
-    // rebuild equivalence of the grown index
-    "ann_graph_incremental" -> ((s, d) => {
+    // index MAINTENANCE split into its two production shapes (one
+    // summed entry hid which one regressed — VERDICT r10 #7):
+    // incr_build TIMES the maintenance path — fresh base build of
+    // 80% at the capacity-sized hash (pBuckets sizes the pb
+    // directory fan-out: ~sqrt(n) dirs in production), then the
+    // frozen-bucket incremental append — graded by the degree
+    // histogram of the grown LIVE edge set: rebuild equivalence
+    // makes it the full-build histogram, so a masking or
+    // list-replacement bug in the increment shifts it
+    "ann_graph_incr_build" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val n = emb.count()
       val bits = Similarity.autoBits(n)
       val dir = s"${System.getProperty("java.io.tmpdir")}/graft_gixi_${math.abs(d.hashCode)}"
-      // pBuckets sizes the pb directory fan-out to the corpus (the
-      // production knob: ~sqrt(n) dirs); the demo rebuilds base +
-      // increment every run, so the request count is the cost
       graft.sources.GraphAnnIndex.buildAndSave(
         emb.where(col("vec_id") < n * 4 / 5), dir, nbits = bits, pBuckets = 8)
       graft.sources.GraphAnnIndex.appendIncremental(
         emb.where(col("vec_id") >= n * 4 / 5), dir)
+      graft.sources.GraphAnnIndex.stats(s, dir)
+    }),
+    // …and SERVING off the grown index timed on its own: ensureGrown
+    // is fingerprint-guarded, so once the build entry (sorted first;
+    // also primed at bench warmup) grew this dir, the timing is the
+    // steady-state serve. The oracle stays the FULL-corpus walk —
+    // exact rebuild equivalence of the grown index.
+    "ann_graph_incremental" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_gixi_${math.abs(d.hashCode)}"
+      graft.sources.GraphAnnIndex.ensureGrown(emb, dir)
       graft.sources.GraphAnnIndex.searchSelf(s, dir)
     }),
     // the THIRD lifecycle stage, scheduled tombstone COMPACTION:
@@ -3123,6 +3147,16 @@ object SparkEntry {
          |  FROM gs8 WHERE node <> query_id)
          |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", sim
          |FROM gr WHERE rnk <= 10 ORDER BY query_id, "rank"""".stripMargin),
+    // the distributed-frontier branch is an execution-strategy swap:
+    // the oracle is the SAME walk replay as ann_graph_topk
+    "ann_graph_dist" ->
+      dMaterialized(s"""$embNormCte,
+         |${dGraphCtes()},
+         |gr AS (SELECT query_id, node AS neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, node) AS rnk
+         |  FROM gs8 WHERE node <> query_id)
+         |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", sim
+         |FROM gr WHERE rnk <= 10 ORDER BY query_id, "rank"""".stripMargin),
     "ann_graph_recall" ->
       dMaterialized(s"""$embNormCte,
          |${dGraphCtes()},
@@ -3193,6 +3227,16 @@ object SparkEntry {
     // the persisted build graded from its BYTES: distinct-edge
     // out-degree histogram vs the construction replay
     "ann_graph_build" ->
+      dMaterialized(s"""$embNormCte,
+         |${dGraphEdgeCtes()},
+         |gdeg AS (SELECT src, count(*) AS deg FROM gedges GROUP BY src)
+         |SELECT deg AS out_degree, count(*) AS n_nodes
+         |FROM gdeg GROUP BY 1 ORDER BY 1""".stripMargin),
+    // the maintenance path graded by the grown live edge set's
+    // degree histogram: rebuild equivalence makes it the full-build
+    // histogram (verbatim the ann_graph_build oracle — the nb CTE
+    // derives the same capacity-sized hash from the corpus count)
+    "ann_graph_incr_build" ->
       dMaterialized(s"""$embNormCte,
          |${dGraphEdgeCtes()},
          |gdeg AS (SELECT src, count(*) AS deg FROM gedges GROUP BY src)

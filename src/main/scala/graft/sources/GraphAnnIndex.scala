@@ -403,12 +403,12 @@ object GraphAnnIndex {
     * search runs off the persisted layout. */
   def searchSelf(spark: SparkSession, dir: String, nQueries: Int = 5,
                  k: Int = 10, beam: Int = 32, steps: Int = 8,
-                 entries: Int = 16): DataFrame =
+                 entries: Int = 16, maxDriverFrontier: Int = 100000): DataFrame =
     search(spark, dir,
       spark.read.parquet(s"$dir/entries")
         .select(col("id").cast("long").as("query_id"), col("v").as("qv"))
         .where(col("query_id") < nQueries),
-      k, beam, steps, entries)
+      k, beam, steps, entries, maxDriverFrontier)
 
   /** PQ-compressed serving over the SAME persisted layout (the
     * DiskANN memory model — see [[Similarity.graphPqTopK]] for the

@@ -49,6 +49,31 @@ class GraphAnnSpec extends SparkSpec {
       fused.collect().map(_.toString).toSeq)
   }
 
+  test("the distributed-frontier branch is hash-identical to the driver-side walk") {
+    val dir = tmpDir("distfrontier")
+    graft.sources.GraphAnnIndex.ensureBuilt(emb, dir)
+    // maxDriverFrontier = 0 forces the localCheckpointed-frontier
+    // branch (the one that serves when nq·beam outgrows the driver);
+    // branch choice is an execution-strategy swap, never a result
+    // change — also for PQ serving and under a candidate filter
+    val drv = graft.sources.GraphAnnIndex.searchSelf(spark, dir)
+    val dist = graft.sources.GraphAnnIndex.searchSelf(spark, dir, maxDriverFrontier = 0)
+    assert(drv.collect().map(_.toString).toSeq ==
+      dist.collect().map(_.toString).toSeq)
+    def q = spark.read.parquet(s"$dir/entries")
+      .select(org.apache.spark.sql.functions.col("id").cast("long").as("query_id"),
+        org.apache.spark.sql.functions.col("v").as("qv"))
+      .where(org.apache.spark.sql.functions.col("query_id") < 5)
+    val filt = Some(org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.col("node"),
+      org.apache.spark.sql.functions.lit(2)) === 0)
+    val pqDrv = graft.sources.GraphAnnIndex.searchPq(spark, dir, q, candidateFilter = filt)
+    val pqDist = graft.sources.GraphAnnIndex.searchPq(spark, dir, q,
+      maxDriverFrontier = 0, candidateFilter = filt)
+    assert(pqDrv.collect().map(_.toString).toSeq ==
+      pqDist.collect().map(_.toString).toSeq)
+  }
+
   test("a served search never touches the corpus — every input file is index bytes") {
     val dir = tmpDir("nocorpus")
     graft.sources.GraphAnnIndex.ensureBuilt(emb, dir)
