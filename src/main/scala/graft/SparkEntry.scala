@@ -83,6 +83,20 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ── scraper (the reference stage UPSTREAM of bronze) ────────────
+    // the scraper's computable half over a stored HTML corpus:
+    // href extraction by regex, skip-scheme filtering, relative-URL
+    // resolution, same-domain gating, object-store key sanitation
+    // (scraper.py:275,:102); pages synthesized deterministically
+    // from documents, parsed for real on BOTH sides
+    "pipe_link_extract" -> ((s, d) =>
+      graft.operators.Scraper.linkExtract(Tables.documents(s, d))),
+    // the crawl frontier as depth-capped BFS rounds (scraper.py:194's
+    // FIFO+page-cap loop re-expressed distribution-first): every URL
+    // discovered within 6 hops of the seed at its minimum depth,
+    // expanding only through URLs that exist as pages
+    "pipe_crawl_frontier" -> ((s, d) =>
+      graft.operators.Scraper.crawlFrontier(Tables.documents(s, d))),
     // ── medallion pipeline ──────────────────────────────────────────
     "pipe_bronze" -> ((s, d) =>
       Medallion.bronze(Tables.documents(s, d))
@@ -1700,6 +1714,45 @@ object SparkEntry {
   private def dRev(p: String, disc: String) =
     s"SUM(CAST($p AS $dDec) * (CAST(1 AS $dDec) - CAST($disc AS $dDec)))"
 
+  /** Scraper CTE chain: synthesize the SAME html page per doc the
+    * Spark side builds, then re-run the extraction for real — regex
+    * href pull, skip-scheme filter, relative resolution, domain gate,
+    * key sanitation. A parsing bug on either side diverges. */
+  private val scraperCte =
+    """WITH RECURSIVE pg AS (
+      |  SELECT doc_id,
+      |    'http://site.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+      |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+      |    '</title></head><body><h1>' || substr(text, 1, 40) ||
+      |    '</h1><a href="#top">top</a>' ||
+      |    '<a href="mailto:team@site.example">mail</a>' ||
+      |    '<a href="javascript:void(0)">js</a>' ||
+      |    '<a href="tel:+1555' || CAST(doc_id AS VARCHAR) || '">call</a>' ||
+      |    '<a href="/doc/' || CAST(doc_id + 1 AS VARCHAR) || '">next</a>' ||
+      |    '<a href="http://site.example/doc/' || CAST((doc_id * 2) % 937 AS VARCHAR) || '">rel</a>' ||
+      |    '<a href="http://other.example/p/' || CAST(doc_id % 10 AS VARCHAR) || '">ext</a>' ||
+      |    '<a href="sub/item-' || CAST(doc_id % 5 AS VARCHAR) || '">sub</a>' ||
+      |    '<p>' || text || '</p></body></html>' AS html
+      |  FROM documents),
+      |hrefs AS (
+      |  SELECT doc_id, url, unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS href
+      |  FROM pg),
+      |kept AS (
+      |  SELECT doc_id, url, href FROM hrefs
+      |  WHERE NOT (href LIKE '#%' OR href LIKE 'javascript:%'
+      |          OR href LIKE 'mailto:%' OR href LIKE 'tel:%')),
+      |resolved AS (
+      |  SELECT doc_id, url AS page_url,
+      |    CASE WHEN regexp_matches(href, '^[a-z][a-z0-9+.-]*://') THEN href
+      |         WHEN href LIKE '/%' THEN 'http://site.example' || href
+      |         ELSE regexp_replace(url, '/[^/]*$', '/') || href END AS link_url
+      |  FROM kept),
+      |internal AS (
+      |  SELECT DISTINCT doc_id, page_url, link_url,
+      |    replace(replace(replace(replace(link_url, '://', '_'), '/', '_'), '?', '_'), '&', '_') AS file_key
+      |  FROM resolved WHERE link_url LIKE 'http://site.example/%')
+      |""".stripMargin
+
   /** Silver CTE chain shared by the pipeline oracles. */
   private val silverCte =
     s"""WITH bronze AS (
@@ -2135,6 +2188,23 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "pipe_link_extract" ->
+      s"""$scraperCte SELECT doc_id, page_url, link_url, file_key
+         |FROM internal ORDER BY doc_id, link_url""".stripMargin,
+    // the crawl closure replayed as a recursive CTE: (url, depth)
+    // pairs dedupe via UNION, the depth cap bounds cycles, and
+    // min(depth) per url is exactly BFS first-discovery depth
+    "pipe_crawl_frontier" ->
+      s"""$scraperCte,
+         |lnk AS (SELECT DISTINCT page_url, link_url FROM internal),
+         |walk(url, depth) AS (
+         |  SELECT 'http://site.example/doc/0', CAST(0 AS BIGINT)
+         |  UNION
+         |  SELECT l.link_url, w.depth + 1
+         |  FROM walk w JOIN lnk l ON l.page_url = w.url
+         |  WHERE w.depth < 6)
+         |SELECT url, min(depth) AS depth FROM walk
+         |GROUP BY url ORDER BY depth, url""".stripMargin,
     "pipe_bronze" ->
       s"""$silverCte SELECT doc_id, source, content, length(content) AS content_length
          |FROM bronze ORDER BY doc_id""".stripMargin,

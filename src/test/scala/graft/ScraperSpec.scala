@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.Scraper
+import org.apache.spark.sql.functions._
+
+/** The scraper's computable half: extraction semantics (skip
+  * schemes, relative resolution, domain gate, key sanitation),
+  * malformed-HTML tolerance of the regex extractor, and the BFS
+  * frontier's min-depth / existence-gating contract. */
+class ScraperSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("extraction keeps internal links, resolves relatives, sanitizes keys") {
+    val docs = Seq((7L, "alpha beta")).toDF("doc_id", "text")
+    val out = Scraper.linkExtract(docs).collect()
+    val links = out.map(_.getString(2)).toSet
+    assert(links == Set(
+      "http://site.example/doc/8",          // /doc/{id+1} root-relative
+      "http://site.example/doc/14",         // absolute internal (7*2 % 937)
+      "http://site.example/doc/sub/item-2"  // document-relative
+    ))
+    // external host, #fragment, javascript:, mailto:, tel: all dropped
+    assert(!links.exists(_.contains("other.example")))
+    val keys = out.map(_.getString(3)).toSet
+    assert(keys.contains("http_site.example_doc_8"))
+  }
+
+  test("malformed HTML never throws; hrefs survive broken markup around them") {
+    val pages = Seq(
+      // unclosed tags, stray brackets, nested element inside <a>
+      (1L, "http://site.example/doc/1",
+        """<html><body><h1>broken <a href="/ok/1"><b>x</a><p><<<>>>"""),
+      // href with query string (sanitizer must flatten ? and &)
+      (2L, "http://site.example/doc/2",
+        """<a href="/search?q=1&lang=en">q</a>"""),
+      // empty href, unterminated quote at EOF, attribute soup
+      (3L, "http://site.example/doc/3",
+        """<a href="">e</a><a class="x" href="/ok/3" data-y>k</a><a href="/trunc"""),
+      // no links at all
+      (4L, "http://site.example/doc/4", "<html><body>plain</body></html>"),
+      // skip schemes mixed with a keeper
+      (5L, "http://site.example/doc/5",
+        """<a href="#f">f</a><a href="mailto:x@y">m</a><a href="sub/z">z</a>"""))
+      .toDF("doc_id", "url", "html")
+    val out = Scraper.extractLinks(pages).collect()
+    val byDoc = out.groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(2)).toSet).toMap
+    assert(byDoc(1L) == Set("http://site.example/ok/1"))
+    assert(byDoc(2L) == Set("http://site.example/search?q=1&lang=en"))
+    assert(out.filter(_.getLong(0) == 2L).head.getString(3) ==
+      "http_site.example_search_q=1_lang=en")
+    // the unterminated-quote trailing href has no closing quote → not
+    // a well-formed attribute → dropped; the clean one survives
+    assert(byDoc(3L) == Set("http://site.example/ok/3"))
+    assert(!byDoc.contains(4L))
+    assert(byDoc(5L) == Set("http://site.example/doc/sub/z"))
+  }
+
+  test("frontier stamps minimum depth and expands only through existing pages") {
+    // a 6-doc corpus: the +1 chain and the *2%937 link interact; doc
+    // ids beyond the corpus are discovered but never expanded
+    val docs = (0L to 5L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val rows = Scraper.crawlFrontier(docs, seedDocId = 0L, maxDepth = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows("http://site.example/doc/0") == 0L)
+    assert(rows("http://site.example/doc/1") == 1L)   // 0 → +1
+    assert(rows("http://site.example/doc/2") == 2L)   // 1 → +1 (and 1 → *2)
+    assert(rows("http://site.example/doc/3") == 3L)
+    assert(rows("http://site.example/doc/4") == 3L)   // via 2 → *2 at depth 3
+    // depth-capped: doc/5 is 5 hops along the chain — absent at cap 3
+    assert(!rows.contains("http://site.example/doc/5"))
+    // discovered-but-missing pages are leaves: doc/6 can only appear
+    // via a link FROM doc/5 (absent) or +1 from 5 — never here
+    assert(!rows.contains("http://site.example/doc/6"))
+    // sub/item leaves are discovered from every expanded page
+    assert(rows.contains("http://site.example/doc/sub/item-0"))
+  }
+
+  test("the frontier walk is partition-invariant") {
+    val docs = Tables.documents(spark, sf)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Scraper.crawlFrontier(df).collect().map(_.toString).toSeq
+    assert(run(docs.repartition(7)) == run(docs.coalesce(1)))
+  }
+}
