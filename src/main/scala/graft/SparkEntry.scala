@@ -1474,6 +1474,13 @@ object SparkEntry {
     // padding — the format's awkward parts ARE the graded surface
     "mm_bmp_roundtrip" -> ((s, d) =>
       Multimodal.bmpRoundtrip(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    // …and the VIDEO rung, completing the codec ladder: uncompressed
+    // AVI (nested RIFF lists, raw DIB frames) — synthesize → encode →
+    // chunk-walking decode → stats, with MOTION (mean |Δ| between
+    // consecutive frames) on the hook so frame order and completeness
+    // are graded, not just pixel sums; oracle from the formula alone
+    "mm_video_roundtrip" -> ((s, d) =>
+      Multimodal.aviRoundtrip(Tables.documents(s, d)).orderBy(col("doc_id"))),
     // the mapPartitions decode path, exact-checked: the stub decoder
     // is a 16-bin byte histogram the oracle replays in SQL
     "mm_feature_hist" -> ((s, d) =>
@@ -4959,6 +4966,33 @@ object SparkEntry {
         |  CAST(54 + (3 * w + (4 - (3 * w) % 4) % 4) * h AS BIGINT) AS byte_len,
         |  round(CAST(SUM(g) AS DOUBLE) / (w * h), 6) AS mean_lum
         |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+    // the AVI roundtrip replayed from the generator side: byte_len
+    // bakes in the full container arithmetic (12 RIFF + 200 hdrl +
+    // movi with per-frame chunk headers and row padding), mean_lum
+    // the pixel formula, and motion the consecutive-frame |Δ| — a
+    // list-nesting, stride, or frame-order bug in either half
+    // diverges here
+    "mm_video_roundtrip" ->
+      """WITH d AS (SELECT doc_id, doc_id % 6 + 4 AS w, doc_id % 5 + 3 AS h,
+        |                  doc_id % 4 + 2 AS nf FROM documents),
+        |fs AS (SELECT doc_id, w, h, nf, unnest(range(0, nf)) AS f FROM d),
+        |ys AS (SELECT doc_id, w, h, nf, f, unnest(range(0, h)) AS y FROM fs),
+        |xs AS (SELECT doc_id, w, h, nf, f, y, unnest(range(0, w)) AS x FROM ys),
+        |px AS (SELECT doc_id, w, h, nf, f, y, x,
+        |              (doc_id + x * 7 + y * 13 + f * 29) % 256 AS g FROM xs),
+        |mo AS (SELECT a.doc_id, SUM(abs(b.g - a.g)) AS dsum
+        |       FROM px a JOIN px b
+        |         ON a.doc_id = b.doc_id AND a.x = b.x AND a.y = b.y AND b.f = a.f + 1
+        |       GROUP BY a.doc_id),
+        |lm AS (SELECT doc_id, round(CAST(SUM(g) AS DOUBLE) / (w * h * nf), 6) AS mean_lum
+        |       FROM px GROUP BY doc_id, w, h, nf)
+        |SELECT d.doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(212 + 12 + nf * (8 + (3 * w + (4 - (3 * w) % 4) % 4) * h) AS BIGINT) AS byte_len,
+        |  lm.mean_lum,
+        |  round(CAST(mo.dsum AS DOUBLE) / (w * h * (nf - 1)), 6) AS motion
+        |FROM d JOIN mo ON mo.doc_id = d.doc_id JOIN lm ON lm.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "mm_binary_meta" ->
       s"""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
          |  CASE WHEN doc_id % 3 = 0 THEN 'image/jpeg'

@@ -10,10 +10,15 @@ import org.apache.spark.sql.types._
   * operators.
   *
   * The Spark-side plumbing (schemas, partition-preserving batch
-  * shape, deterministic sampling) is real; the codec itself is
-  * stubbed with a deterministic fake because no image/audio libraries
-  * ship in this environment — swap `fakeDecode` for a real codec
-  * bound in `mapPartitions` and everything else stands.
+  * shape, deterministic sampling) is real, and so is one codec per
+  * modality — PCM16 WAV (audio), 24-bit BMP (image), uncompressed
+  * AVI (video): the formats a pure JVM encodes AND decodes exactly,
+  * each graded by a roundtrip whose oracle recomputes the stats from
+  * the generator formula alone. The remaining stand-ins
+  * (`fakeDecode`'s histogram, `perceptualPixels`' grid) mark where a
+  * heavyweight library codec (JPEG, H.264) would bind in
+  * `mapPartitions`; everything downstream of them is production
+  * plumbing.
   */
 object Multimodal {
 
@@ -336,6 +341,220 @@ object Multimodal {
         val meanLum = BigDecimal(sum.toDouble / (w * h))
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
         Row(id, w.toLong, h.toLong, bytes.length.toLong, meanLum)
+      }
+    }(enc)
+  }
+
+  // ── REAL codec: uncompressed AVI (RIFF, raw 24-bit DIB frames) ───
+  // The video rung of the codec ladder, completing it (WAV = audio,
+  // BMP = image): AVI is RIFF again — the same chunk-walk idiom the
+  // WAV parser owns, plus NESTED lists (hdrl holding avih and a strl
+  // per stream; movi holding the frame chunks) — and an uncompressed
+  // 'DIB ' video stream stores each frame exactly like a headerless
+  // BMP pixel array (bottom-up rows, 4-byte stride padding). The
+  // roundtrip grades container structure (header sizes, list
+  // nesting), stream metadata (vids/'DIB '/24bpp gates), and the
+  // per-frame row un-flip/un-pad, against an oracle that recomputes
+  // every stat from the generator formula alone.
+
+  /** Frame pixel formula: g(x, y, f) = (docId + 7x + 13y + 29f) mod
+    * 256 (all three channels equal) — frame f differs from f-1 in a
+    * pattern the decoded-motion stat reproduces only if frames come
+    * back in order. */
+  private def aviPixel(docId: Long, x: Int, y: Int, f: Int): Byte =
+    ((docId + x * 7 + y * 13 + f * 29) % 256).toByte
+
+  /** Spec-compliant uncompressed AVI bytes: RIFF('AVI ') → LIST hdrl
+    * (avih + LIST strl(strh 'vids'/'DIB ', strf BITMAPINFOHEADER))
+    * → LIST movi ('00db' raw DIB frame chunks, bottom-up padded
+    * rows). Fixed 10 fps; no idx1 (optional per spec — a streaming
+    * writer omits it). */
+  def aviEncode(docId: Long, width: Int, height: Int, nFrames: Int): Array[Byte] = {
+    val rowBytes = width * 3
+    val stride = rowBytes + (4 - rowBytes % 4) % 4
+    val frameBytes = stride * height
+    val hdrlTotal = 8 + (4 + (8 + 56) + (8 + (4 + (8 + 56) + (8 + 40))))
+    val moviTotal = 8 + 4 + nFrames * (8 + frameBytes)
+    val total = 12 + hdrlTotal + moviTotal
+    val bb = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def cc(s: String): Unit = bb.put(s.getBytes("US-ASCII"))
+    cc("RIFF"); bb.putInt(total - 8); cc("AVI ")
+    cc("LIST"); bb.putInt(hdrlTotal - 8); cc("hdrl")
+    cc("avih"); bb.putInt(56)
+    bb.putInt(100000).putInt(0).putInt(0).putInt(0) // usec/frame, maxbps, padding, flags
+      .putInt(nFrames).putInt(0).putInt(1).putInt(frameBytes) // total, initial, STREAMS=1, bufsize
+      .putInt(width).putInt(height).putInt(0).putInt(0).putInt(0).putInt(0) // dims + reserved
+    cc("LIST"); bb.putInt(4 + (8 + 56) + (8 + 40)); cc("strl")
+    cc("strh"); bb.putInt(56)
+    cc("vids"); cc("DIB ")
+    bb.putInt(0).putShort(0).putShort(0).putInt(0) // flags, priority, language, initialFrames
+      .putInt(1).putInt(10).putInt(0).putInt(nFrames) // scale, rate (10 fps), start, length
+      .putInt(frameBytes).putInt(0).putInt(0) // bufsize, quality, sampleSize
+      .putShort(0).putShort(0).putShort(width.toShort).putShort(height.toShort) // rcFrame
+    cc("strf"); bb.putInt(40)
+    bb.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+      .putInt(0).putInt(frameBytes).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    cc("LIST"); bb.putInt(moviTotal - 8); cc("movi")
+    var f = 0
+    while (f < nFrames) {
+      cc("00db"); bb.putInt(frameBytes)
+      var y = height - 1 // bottom-up: last image row stored first
+      while (y >= 0) {
+        var x = 0
+        while (x < width) {
+          val g = aviPixel(docId, x, y, f)
+          bb.put(g).put(g).put(g)
+          x += 1
+        }
+        var p = rowBytes
+        while (p < stride) { bb.put(0.toByte); p += 1 }
+        y -= 1
+      }
+      f += 1
+    }
+    bb.array()
+  }
+
+  /** A real AVI parser: validates the RIFF/'AVI ' magics, walks the
+    * nested lists (hdrl → avih + strl → strh/strf; unknown chunks
+    * skipped with the RIFF odd-size pad), gates on exactly one
+    * uncompressed 24-bit 'vids'/'DIB ' stream, then un-pads and
+    * un-flips every '00db' frame. Returns (width, height, frames)
+    * with each frame's pixels in natural row-major top-down order
+    * as flattened BGR triples. Throws on compressed streams
+    * ('00dc' chunks or a non-zero biCompression), non-24-bit depth,
+    * multi-stream files, or frame/header size disagreements —
+    * a codec fails loudly, never yields silent garbage. */
+  def aviDecode(bytes: Array[Byte]): (Int, Int, Array[Array[Byte]]) = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(): String = {
+      val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+    }
+    require(fourcc() == "RIFF", "not a RIFF container")
+    bb.getInt
+    require(fourcc() == "AVI ", "not an AVI stream")
+    var width = -1; var height = -1
+    var haveAvih = false; var haveStrh = false; var haveStrf = false
+    val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    def unflip(raw: Array[Byte]): Array[Byte] = {
+      val rowBytes = width * 3
+      val stride = rowBytes + (4 - rowBytes % 4) % 4
+      require(raw.length == stride * height,
+        s"frame chunk is ${raw.length} bytes; header geometry needs ${stride * height}")
+      val out = new Array[Byte](rowBytes * height)
+      var y = 0
+      while (y < height) {
+        System.arraycopy(raw, (height - 1 - y) * stride, out, y * rowBytes, rowBytes)
+        y += 1
+      }
+      out
+    }
+    // walk [from, to): chunks at one nesting level; recurse into the
+    // lists that matter, skip everything else with the pad byte
+    def walk(from: Int, to: Int): Unit = {
+      bb.position(from)
+      while (bb.position() + 8 <= to) {
+        val id = fourcc()
+        val size = bb.getInt
+        require(size >= 0 && bb.position() + size <= to,
+          s"chunk $id declares $size bytes but only ${to - bb.position()} remain")
+        val start = bb.position()
+        id match {
+          case "LIST" =>
+            val listType = fourcc()
+            listType match {
+              case "hdrl" | "strl" | "movi" => walk(bb.position(), start + size)
+              case _ => () // e.g. INFO — skipped
+            }
+          case "avih" =>
+            bb.getInt; bb.getInt; bb.getInt; bb.getInt // usec, maxbps, padding, flags
+            bb.getInt; bb.getInt // totalFrames, initialFrames
+            val streams = bb.getInt
+            require(streams == 1, s"only single-stream AVIs supported, got $streams")
+            bb.getInt // bufsize
+            width = bb.getInt; height = bb.getInt
+            haveAvih = true
+          case "strh" =>
+            val fccType = fourcc(); val handler = fourcc()
+            require(fccType == "vids", s"not a video stream: $fccType")
+            require(handler == "DIB " || handler == "    ",
+              s"only raw DIB streams supported, got '$handler'")
+            haveStrh = true
+          case "strf" =>
+            bb.getInt // biSize
+            val w = bb.getInt; val h = bb.getInt
+            require(haveAvih && w == width && h == height,
+              s"strf geometry ${w}x$h disagrees with avih ${width}x$height")
+            bb.getShort
+            val bpp = bb.getShort
+            require(bpp == 24, s"only 24-bit supported, got $bpp")
+            val compression = bb.getInt
+            require(compression == 0, s"compressed AVI not supported ($compression)")
+            haveStrf = true
+          case "00db" =>
+            require(haveStrf, "frame chunk before the stream format header")
+            val raw = new Array[Byte](size)
+            bb.get(raw)
+            frames += unflip(raw)
+          case "00dc" =>
+            throw new IllegalArgumentException(
+              "compressed frame chunks (00dc) not supported")
+          case _ => () // JUNK and friends — skipped below
+        }
+        bb.position(math.min(start + size + (size & 1), to))
+      }
+    }
+    walk(bb.position(), bytes.length)
+    require(haveAvih && haveStrh && haveStrf, "missing avih/strh/strf headers")
+    require(frames.nonEmpty, "no frame chunks")
+    (width, height, frames.toArray)
+  }
+
+  /** The video-codec roundtrip as a graded operator: synthesize →
+    * ENCODE to AVI → DECODE with the real parser → per-video stats:
+    * geometry, container size, mean luminance over every frame, and
+    * MOTION (mean |Δ| between consecutive frames' pixels — correct
+    * only if the frames come back complete and in order). */
+  def aviRoundtrip(docs: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("n_frames", LongType, nullable = false),
+      StructField("byte_len", LongType, nullable = false),
+      StructField("mean_lum", DoubleType, nullable = false),
+      StructField("motion", DoubleType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    docs.select(col("doc_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = (id % 6 + 4).toInt  // w*3 mod 4 varies → padding exercised
+        val h = (id % 5 + 3).toInt
+        val nf = (id % 4 + 2).toInt // ≥ 2 frames → motion always defined
+        val bytes = aviEncode(id, w, h, nf)
+        val (dw, dh, fr) = aviDecode(bytes)
+        require(dw == w && dh == h && fr.length == nf,
+          s"roundtrip mismatch for doc $id: ${dw}x$dh, ${fr.length}/$nf frames")
+        var sum = 0L
+        fr.foreach { px =>
+          var i = 0
+          while (i < px.length) { sum += px(i) & 0xff; i += 3 } // blue channel
+        }
+        var dsum = 0L
+        var f = 1
+        while (f < nf) {
+          val a = fr(f - 1); val b = fr(f)
+          var i = 0
+          while (i < a.length) { dsum += math.abs((b(i) & 0xff) - (a(i) & 0xff)); i += 3 }
+          f += 1
+        }
+        val n = w.toLong * h
+        val meanLum = BigDecimal(sum.toDouble / (n * nf))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val motion = BigDecimal(dsum.toDouble / (n * (nf - 1)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        Row(id, w.toLong, h.toLong, nf.toLong, bytes.length.toLong, meanLum, motion)
       }
     }(enc)
   }

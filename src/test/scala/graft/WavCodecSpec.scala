@@ -121,4 +121,62 @@ class WavCodecSpec extends SparkSpec {
       .orderBy("doc_id").collect().map(_.toString).toSeq
     assert(one == many && one.nonEmpty)
   }
+
+  // ── the AVI (video) rung, completing the ladder ──────────────────
+
+  test("AVI encode → decode returns every frame pixel-exact, in order") {
+    Seq(0L, 1L, 5L, 42L, 999L).foreach { id =>
+      val (w, h, nf) = ((id % 6 + 4).toInt, (id % 5 + 3).toInt, (id % 4 + 2).toInt)
+      val bytes = Multimodal.aviEncode(id, w, h, nf)
+      val stride = w * 3 + (4 - (w * 3) % 4) % 4
+      assert(bytes.length == 224 + nf * (8 + stride * h))
+      val (dw, dh, frames) = Multimodal.aviDecode(bytes)
+      assert(dw == w && dh == h && frames.length == nf)
+      for (f <- 0 until nf; y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+        val want = ((id + x * 7 + y * 13 + f * 29) % 256).toByte
+        assert(frames(f)(y * w * 3 + x * 3 + c) == want, s"doc $id f$f px($x,$y) ch$c")
+      }
+    }
+  }
+
+  test("the AVI walker skips foreign chunks and rejects malformed containers loudly") {
+    val good = Multimodal.aviEncode(7L, 5, 4, 3)
+    // splice a JUNK chunk (odd size → pad byte) between hdrl and movi
+    val hdrlEnd = 12 + 200
+    val junk = java.nio.ByteBuffer.allocate(8 + 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    junk.put("JUNK".getBytes("US-ASCII")).putInt(7)
+      .put(Array[Byte](1, 2, 3, 4, 5, 6, 7, 0))
+    val spliced = good.take(hdrlEnd) ++ junk.array() ++ good.drop(hdrlEnd)
+    assert(Multimodal.aviDecode(spliced)._3.map(_.toSeq).toSeq ==
+      Multimodal.aviDecode(good)._3.map(_.toSeq).toSeq)
+    // not an AVI
+    val notAvi = good.clone(); notAvi(8) = 'X'.toByte
+    intercept[IllegalArgumentException](Multimodal.aviDecode(notAvi))
+    // a compressed frame chunk: 00db → 00dc
+    val dc = good.clone()
+    val frameOff = 12 + 200 + 12
+    dc(frameOff + 3) = 'c'.toByte
+    intercept[IllegalArgumentException](Multimodal.aviDecode(dc))
+    // two streams claimed in avih (offset: 12 RIFF + 12 LIST/hdrl +
+    // 8 avih header + 6 ints)
+    val multi = good.clone()
+    val bbm = java.nio.ByteBuffer.wrap(multi).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bbm.putInt(12 + 12 + 8 + 24, 2)
+    intercept[IllegalArgumentException](Multimodal.aviDecode(multi))
+    // a frame chunk lying about its size
+    val lying = good.clone()
+    val bbl = java.nio.ByteBuffer.wrap(lying).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bbl.putInt(frameOff + 4, 1000000)
+    intercept[IllegalArgumentException](Multimodal.aviDecode(lying))
+  }
+
+  test("the graded AVI roundtrip is partition-invariant") {
+    val docs = Tables.documents(spark, sf)
+    val one = Multimodal.aviRoundtrip(docs.coalesce(1))
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val many = Multimodal.aviRoundtrip(docs.repartition(7))
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(one == many && one.nonEmpty)
+  }
 }
