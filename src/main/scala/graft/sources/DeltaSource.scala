@@ -1128,6 +1128,46 @@ object DeltaSource {
       maps.get(file).exists(_.contains(ri))
   }
 
+  /** Static eval body shared by [[DvKeepExpr]]'s interpreted and
+    * generated paths (the NativeExprs pattern — one JVM method, two
+    * callers, so the paths cannot drift). Takes Object so the
+    * generated Java never names the Scala-nested DvProbe class. */
+  def dvKeepObj(probeAny: Object, file: org.apache.spark.unsafe.types.UTF8String,
+                ri: Long): Boolean =
+    !probeAny.asInstanceOf[DvProbe].deleted(file.toString, ri)
+
+  /** The deletion-vector row filter as a codegen-capable Catalyst
+    * expression: `!probe.deleted(file, rowIndex)` with the broadcast
+    * bitmap map attached as a plan reference. The previous Scala UDF
+    * computed the same thing but knocked every DV-carrying scan out
+    * of whole-stage codegen (a `BatchEvalNonDeterministic`-style
+    * eval boundary per row); this node generates a single static
+    * call, so the filter stays inside the scan's codegen stage. */
+  private[sources] case class DvKeepExpr(
+      left: org.apache.spark.sql.catalyst.expressions.Expression,
+      right: org.apache.spark.sql.catalyst.expressions.Expression,
+      probe: org.apache.spark.broadcast.Broadcast[DvProbe])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+    override def dataType: DataType = BooleanType
+    override def nullSafeEval(f: Any, ri: Any): Any =
+      java.lang.Boolean.valueOf(dvKeepObj(probe.value,
+        f.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        ri.asInstanceOf[Long]))
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val ref = ctx.addReferenceObj("graftDvProbe", probe,
+        "org.apache.spark.broadcast.Broadcast")
+      defineCodeGen(ctx, ev, (f, ri) =>
+        s"graft.sources.DeltaSource.dvKeepObj($ref.value(), $f, $ri)")
+    }
+    override protected def withNewChildrenInternal(
+        l: org.apache.spark.sql.catalyst.expressions.Expression,
+        r: org.apache.spark.sql.catalyst.expressions.Expression): DvKeepExpr =
+      copy(left = l, right = r)
+  }
+
   /** Broadcast ceiling for the DV probe: above either bound, the
     * driver stops loading sidecars and the deleted rows are removed
     * by a SHUFFLED anti-join instead (executors inflate each file's
@@ -1176,8 +1216,11 @@ object DeltaSource {
         dataPath(tablePath, a.path).getName -> dvBlobBytes(fs, tablePath, a.dv.get)
       }.toMap
       val probe = spark.sparkContext.broadcast(new DvProbe(bytes))
-      val keep = udf((f: String, ri: Long) => !probe.value.deleted(f, ri))
-      tagged.where(keep(col("__graft_dv_file"), col("__graft_dv_ri")))
+      val keep = org.apache.spark.sql.GraftBridge.column(DvKeepExpr(
+        org.apache.spark.sql.GraftBridge.expression(col("__graft_dv_file")),
+        org.apache.spark.sql.GraftBridge.expression(col("__graft_dv_ri")),
+        probe))
+      tagged.where(keep)
     } else {
       val pairs = dvPairsDistributed(spark, tablePath, dvFiles)
       tagged.join(pairs,

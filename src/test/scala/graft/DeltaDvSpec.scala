@@ -75,6 +75,27 @@ class DeltaDvSpec extends SparkSpec {
     assert(got.where(col("k") === 3).count() == 0)
   }
 
+  test("the DV filter is a codegen expression — no UDF eval boundary in the plan") {
+    val tbl = mkTable()
+    DeltaSource.deleteDelta(spark, tbl, col("k") === 3)
+    val df = DeltaSource.readDelta(spark, tbl)
+    // plan pin: the probe rides a native Catalyst expression (one
+    // static call inside the scan's codegen stage), never a ScalaUDF
+    // or python eval node that would break whole-stage codegen on
+    // every DV-carrying read
+    val executed = df.queryExecution.executedPlan.toString
+    assert(!executed.contains("ScalaUDF") && !executed.toLowerCase.contains("batchevalpython"),
+      s"DV filter fell back to a UDF eval boundary:\n$executed")
+    assert(executed.contains("dvkeepexpr"),
+      s"expected the DvKeepExpr filter in the executed plan:\n$executed")
+    // and the filter sits INSIDE a whole-stage-codegen span (the
+    // `*(n)` prefix on its plan line)
+    assert(executed.linesIterator.exists(l =>
+      l.contains("dvkeepexpr") && l.trim.matches("""^[+:\-\s]*\*\(\d+\) Filter .*""")),
+      s"DV filter not inside WholeStageCodegen:\n$executed")
+    assert(df.count() == 1000 - 143)
+  }
+
   test("read is row-exact: survivors in a touched file are all still served") {
     val tbl = mkTable()
     DeltaSource.deleteDelta(spark, tbl, col("id") % 2 === 0)
