@@ -66,6 +66,45 @@ class ProcessEncoderGateSpec extends SparkSpec {
     }
   }
 
+  test("a real NEURAL runner (numpy MLP) serves the gate corpus through the same seam") {
+    // tools/encoder_mlp.py: hashed 3-gram features → 256→128 tanh →
+    // dim → L2-normalize, seeded weights — a real dense forward pass
+    // with a nonlinearity, the compute shape an ONNX or
+    // sentence-transformers runner has. Graded at library level
+    // (determinism, norm, discrimination, throughput); the DuckDB
+    // oracle path keeps the LINEAR model because cross-language
+    // bit-equality is a property linear pipelines have and tanh
+    // networks don't.
+    val mlp = Seq("python3",
+      new java.io.File("tools/encoder_mlp.py").getAbsolutePath, dim.toString)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+      .select(col("doc_id"), col("text")).repartition(8)
+    val nDocs = docs.count()
+    val t0 = System.nanoTime()
+    val out = Embedder.embed(docs, "text", Seq("doc_id"),
+        ProcessTextEncoder(mlp, dim), batchSize = 64)
+      .select(col("doc_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toList).toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"MLP encoder: ${nDocs / secs}%.0f docs/s over $nDocs docs (${secs}%.1f s)")
+    assert(out.size == nDocs && nDocs > 0)
+    out.values.foreach { v =>
+      assert(v.length == dim)
+      val nrm = math.sqrt(v.map(x => x.toDouble * x).sum)
+      assert(math.abs(nrm - 1.0) < 1e-4, s"norm $nrm")
+    }
+    // the network discriminates: (near-)distinct texts land on
+    // distinct vectors
+    assert(out.values.toSet.size > nDocs * 0.9)
+    // deterministic across partitionings (seeded weights, one model
+    // process per executor JVM)
+    val again = Embedder.embed(docs.coalesce(1), "text", Seq("doc_id"),
+        ProcessTextEncoder(mlp, dim), batchSize = 16)
+      .select(col("doc_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toList).toMap
+    assert(again == out)
+  }
+
   test("supplementary-plane text agrees across the runner and the mirror") {
     // surrogate-pair corpus: a UTF-16-unit mirror would split the
     // pairs into lone surrogates (md5 over '?' bytes) and disagree
