@@ -50,7 +50,7 @@ object Bench {
         "pipe_delta_rowtracking", "pipe_delta_cluster",
         "pipe_delta_widen", "pipe_delta_rename",
         "pipe_delta_compact", "pipe_delta_v2checkpoint",
-        "pipe_delta_cluster3",
+        "pipe_delta_cluster3", "pipe_delta_bigsnapshot",
         // the shared graph-ANN index (ann_graph_topk/recall serve
         // from one persisted build; priming keeps BOTH timings pure
         // serving — ann_graph_build times construction on its own)

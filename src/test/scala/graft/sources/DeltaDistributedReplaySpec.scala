@@ -129,6 +129,28 @@ class DeltaDistributedReplaySpec extends SparkSpec {
     assertSame(snap(table, "driver"), snap(table, "distributed"))
   }
 
+  test("a REAL table round-trips identically through the distributed mode") {
+    // composition check on actual data: writes, a DV delete, and a
+    // merge all read back the same rows whichever replay branch
+    // reconstructed the snapshot
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val table = java.nio.file.Files.createTempDirectory("graft_distreal").toString + "/t"
+    val df = (0L until 500L).map(i => (i, i % 7, s"row-$i")).toDF("id", "k", "s")
+    DeltaSource.writeDelta(df.repartition(8), table)
+    DeltaSource.writeDelta(df.where($"id" < 50).withColumn("s", upper($"s")),
+      table, overwrite = false)
+    DeltaSource.deleteDelta(spark, table, col("k") === 3)
+    def readAll(mode: String): Seq[String] = {
+      spark.conf.set("spark.graft.delta.replay.mode", mode)
+      try DeltaSource.readDelta(spark, table).orderBy("id", "s")
+        .collect().map(_.toString).toSeq
+      finally spark.conf.unset("spark.graft.delta.replay.mode")
+    }
+    val drv = readAll("driver")
+    assert(drv.nonEmpty && readAll("distributed") == drv)
+  }
+
   test("auto mode routes by replay bytes") {
     val table = s"${System.getProperty("java.io.tmpdir")}/graft_distreplay"
     val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
