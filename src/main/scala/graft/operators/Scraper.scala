@@ -110,11 +110,19 @@ object Scraper {
     * stamped with its minimum depth. Expansion happens only through
     * URLs that exist as pages (a discovered-but-missing URL is a
     * frontier leaf — the fetch would 404), exactly like `visited`
-    * gating. Each round is one broadcast join of the (tiny) frontier
-    * against the links table; the links table itself never exceeds
-    * O(pages · links-per-page) and is built once. */
+    * gating. The links table never exceeds O(pages · links-per-page)
+    * and is built once; each round joins the frontier against it and
+    * anti-joins the seen set. SIZE-ROUTED like the graph walk's
+    * frontier: below `maxBroadcastFrontier` rows the frontier and
+    * seen set ride broadcast joins (one probe per round, no
+    * shuffle); above it — a web-scale crawl where a round discovers
+    * millions of URLs — both joins fall back to shuffles on the URL
+    * key, so no round ever materializes the frontier on one node.
+    * Branch choice is an execution-strategy swap, never a result
+    * change (spec-pinned). */
   def crawlFrontier(docs: DataFrame, seedDocId: Long = 0L,
-                    maxDepth: Int = 6): DataFrame = {
+                    maxDepth: Int = 6,
+                    maxBroadcastFrontier: Long = 1000000L): DataFrame = {
     val spark = docs.sparkSession
     val links = linkExtract(docs)
       .select(col("page_url"), col("link_url"))
@@ -125,14 +133,20 @@ object Scraper {
       lit(s"$Origin/doc/$seedDocId").as("url"), lit(0L).as("depth"))
       .localCheckpoint(true)
     var frontier = seen
+    var frontierRows = 1L
+    var seenRows = 1L
     (1 to maxDepth).foreach { d =>
-      val next = broadcast(frontier.select(col("url")))
+      def sized(df: DataFrame, n: Long): DataFrame =
+        if (n <= maxBroadcastFrontier) broadcast(df) else df
+      val next = sized(frontier.select(col("url")), frontierRows)
         .join(links, col("url") === col("page_url"))
         .select(col("link_url").as("url"), lit(d.toLong).as("depth"))
         .distinct()
-        .join(broadcast(seen.select(col("url").as("v"))),
+        .join(sized(seen.select(col("url").as("v")), seenRows),
           col("url") === col("v"), "left_anti")
         .localCheckpoint(true)
+      frontierRows = next.count() // cheap: counts the checkpointed blocks
+      seenRows += frontierRows
       seen = seen.unionByName(next).localCheckpoint(true)
       frontier = next
     }

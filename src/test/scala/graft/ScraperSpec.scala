@@ -81,4 +81,16 @@ class ScraperSpec extends SparkSpec {
       Scraper.crawlFrontier(df).collect().map(_.toString).toSeq
     assert(run(docs.repartition(7)) == run(docs.coalesce(1)))
   }
+
+  test("the shuffle-join frontier branch is identical to the broadcast branch") {
+    // maxBroadcastFrontier = 0 forces every round's frontier probe
+    // and seen anti-join onto shuffle joins — the branch a web-scale
+    // crawl (millions of URLs per round) serves on. Execution
+    // strategy only; the frontier must not move.
+    val docs = Tables.documents(spark, sf)
+    val bc = Scraper.crawlFrontier(docs).collect().map(_.toString).toSeq
+    val sh = Scraper.crawlFrontier(docs, maxBroadcastFrontier = 0L)
+      .collect().map(_.toString).toSeq
+    assert(bc == sh && bc.nonEmpty)
+  }
 }

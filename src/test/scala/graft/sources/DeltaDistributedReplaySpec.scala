@@ -129,6 +129,35 @@ class DeltaDistributedReplaySpec extends SparkSpec {
     assertSame(snap(table, "driver"), snap(table, "distributed"))
   }
 
+  test("a v2 checkpoint (manifest + sidecars) seeds the distributed branch identically") {
+    val table = s"${System.getProperty("java.io.tmpdir")}/graft_distreplay_v2"
+    synthLog(table)
+    // multi-sidecar v2 checkpoint: the distributed branch must stamp
+    // the manifest AND every sidecar at the checkpoint version, and
+    // the auto-mode sizing must resolve sidecar bytes via the
+    // manifest's pointer column
+    DeltaSource.checkpointV2(spark, table, sidecarFiles = 3)
+    // tail commits on top (checkpointV2 itself commits the protocol
+    // upgrade, so fetch the fresh latest)
+    val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logDir = new Path(table, "_delta_log")
+    val next = DeltaSource.latestVersion(spark, table).get + 1
+    val out = fs.create(new Path(logDir, f"$next%020d.json"), true)
+    try out.write(
+      (s"""{"add":{"path":"v2tail.parquet","partitionValues":{"p":"1"},"size":5,"modificationTime":5,"dataChange":true}}""" + "\n" +
+        s"""{"remove":{"path":"part-77.parquet","dataChange":true}}""" + "\n").getBytes("UTF-8"))
+    finally out.close()
+    val driver = snap(table, "driver")
+    val dist = snap(table, "distributed")
+    assert(driver.files.exists(_.path == "v2tail.parquet"))
+    assert(!driver.files.exists(_.path == "part-77.parquet"))
+    assertSame(driver, dist)
+    // auto with a zero threshold exercises the v2 sidecar sizing path
+    spark.conf.set("spark.graft.delta.replay.driverMaxBytes", "0")
+    try assertSame(driver, snap(table, "auto"))
+    finally spark.conf.unset("spark.graft.delta.replay.driverMaxBytes")
+  }
+
   test("a REAL table round-trips identically through the distributed mode") {
     // composition check on actual data: writes, a DV delete, and a
     // merge all read back the same rows whichever replay branch
