@@ -97,6 +97,11 @@ object SparkEntry {
     // expanding only through URLs that exist as pages
     "pipe_crawl_frontier" -> ((s, d) =>
       graft.operators.Scraper.crawlFrontier(Tables.documents(s, d))),
+    // robots.txt gating (scraper.py:74): longest-prefix-match verdict
+    // per extracted link (allow wins length ties, default allow) —
+    // the ruleset folds into one nested CASE, map-only and codegen'd
+    "pipe_robots_gate" -> ((s, d) =>
+      graft.operators.Scraper.robotsGate(Tables.documents(s, d))),
     // ── medallion pipeline ──────────────────────────────────────────
     "pipe_bronze" -> ((s, d) =>
       Medallion.bronze(Tables.documents(s, d))
@@ -2212,6 +2217,24 @@ object SparkEntry {
          |  WHERE w.depth < 6)
          |SELECT url, min(depth) AS depth FROM walk
          |GROUP BY url ORDER BY depth, url""".stripMargin,
+    // robots verdicts replayed in the same precedence order the
+    // engine folds its CASE: longest prefix first, allow wins ties,
+    // default allow
+    "pipe_robots_gate" ->
+      s"""$scraperCte,
+         |dl AS (SELECT DISTINCT link_url FROM internal),
+         |pth AS (SELECT link_url,
+         |  regexp_replace(link_url, '^http://site\\.example', '') AS path FROM dl)
+         |SELECT link_url,
+         |  CASE WHEN starts_with(path, '/doc/sub/item-2') THEN TRUE
+         |       WHEN starts_with(path, '/doc/sub/') THEN FALSE
+         |       WHEN starts_with(path, '/doc/1') THEN FALSE
+         |       ELSE TRUE END AS allowed,
+         |  CASE WHEN starts_with(path, '/doc/sub/item-2') THEN '/doc/sub/item-2'
+         |       WHEN starts_with(path, '/doc/sub/') THEN '/doc/sub/'
+         |       WHEN starts_with(path, '/doc/1') THEN '/doc/1'
+         |       ELSE '-' END AS rule
+         |FROM pth ORDER BY link_url""".stripMargin,
     "pipe_bronze" ->
       s"""$silverCte SELECT doc_id, source, content, length(content) AS content_length
          |FROM bronze ORDER BY doc_id""".stripMargin,

@@ -102,6 +102,41 @@ object Scraper {
       .distinct()
       .orderBy(col("doc_id"), col("link_url"))
 
+  /** The site's synthetic robots ruleset: (path-prefix, allow) pairs
+    * mirroring a parsed robots.txt's Allow/Disallow lines for `*`.
+    * The Allow override nested INSIDE a Disallowed subtree is the
+    * case longest-match semantics exist for. */
+  val RobotsRules: Seq[(String, Boolean)] = Seq(
+    ("/doc/sub/", false),       // Disallow: /doc/sub/
+    ("/doc/sub/item-2", true),  // Allow:    /doc/sub/item-2 (longer → wins)
+    ("/doc/1", false))          // Disallow: /doc/1 (PREFIX: also /doc/1*, /doc/10…)
+
+  /** robots.txt gating (scraper.py:74 `_can_crawl` /
+    * RobotFileParser.can_fetch), set-oriented: every extracted link
+    * decided by LONGEST-PREFIX-MATCH over the ruleset (the
+    * REP/Google rule; allow wins length ties), default allow when no
+    * rule matches. The ruleset is model-sized, so it folds into one
+    * nested CASE expression ordered by precedence — map-only,
+    * codegen'd, no join; fetching robots.txt itself is the out-of-
+    * scope HTTP half, exactly like the page fetches. Returns every
+    * distinct link with its verdict and the rule that decided it. */
+  def robotsGate(docs: DataFrame,
+                 rules: Seq[(String, Boolean)] = RobotsRules): DataFrame = {
+    // precedence: longer prefix first; on equal length, allow first
+    val ordered = rules.sortBy { case (p, a) => (-p.length, !a) }
+    val default = struct(lit(true).as("allow"), lit("-").as("rule"))
+    val verdict = ordered.foldRight(default) { case ((p, a), els) =>
+      when(col("path").startsWith(p),
+        struct(lit(a).as("allow"), lit(p).as("rule"))).otherwise(els)
+    }
+    linkExtract(docs)
+      .select(col("link_url")).distinct()
+      .withColumn("path", regexp_replace(col("link_url"), s"^http://${Domain.replace(".", "\\.")}", ""))
+      .withColumn("v", verdict)
+      .select(col("link_url"), col("v.allow").as("allowed"), col("v.rule").as("rule"))
+      .orderBy(col("link_url"))
+  }
+
   /** The crawl frontier as per-depth BFS rounds (scraper.py:194):
     * the reference walks a FIFO `to_visit` with a page cap — an
     * inherently sequential loop; the distributed equivalent (and how

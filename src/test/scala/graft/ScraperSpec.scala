@@ -82,6 +82,27 @@ class ScraperSpec extends SparkSpec {
     assert(run(docs.repartition(7)) == run(docs.coalesce(1)))
   }
 
+  test("robots gating is longest-prefix-match with allow winning ties") {
+    // ids chosen so the extracted links hit every rule class:
+    // 0 → /doc/1 (prefix-disallowed) + sub/item-0 (subtree-disallowed)
+    // 2 → sub/item-2 (the Allow override INSIDE the disallowed subtree)
+    // 9 → /doc/10 (PREFIX semantics: '/doc/1' blocks it too)
+    // 3 → /doc/4 (no rule → default allow)
+    val docs = Seq(0L, 2L, 3L, 9L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val v = Scraper.robotsGate(docs).collect()
+      .map(r => r.getString(0) -> ((r.getBoolean(1), r.getString(2)))).toMap
+    assert(v("http://site.example/doc/1") == ((false, "/doc/1")))
+    assert(v("http://site.example/doc/10") == ((false, "/doc/1"))) // prefix, not equality
+    assert(v("http://site.example/doc/sub/item-0") == ((false, "/doc/sub/")))
+    assert(v("http://site.example/doc/sub/item-2") == ((true, "/doc/sub/item-2"))) // longest wins
+    assert(v("http://site.example/doc/4") == ((true, "-"))) // default allow
+    // equal-length allow/disallow rules: allow takes the tie
+    val tied = Scraper.robotsGate(docs,
+      rules = Seq(("/doc/4", false), ("/doc/4", true))).collect()
+      .map(r => r.getString(0) -> ((r.getBoolean(1), r.getString(2)))).toMap
+    assert(tied("http://site.example/doc/4") == ((true, "/doc/4")))
+  }
+
   test("the shuffle-join frontier branch is identical to the broadcast branch") {
     // maxBroadcastFrontier = 0 forces every round's frontier probe
     // and seen anti-join onto shuffle joins — the branch a web-scale
