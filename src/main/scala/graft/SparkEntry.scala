@@ -102,6 +102,13 @@ object SparkEntry {
     // the ruleset folds into one nested CASE, map-only and codegen'd
     "pipe_robots_gate" -> ((s, d) =>
       graft.operators.Scraper.robotsGate(Tables.documents(s, d))),
+    // selector-driven content extraction (scraper.py:119): one column
+    // per selector with the too-short filter NULLing each key
+    // independently (min length 10 — the reference's CLI-configurable
+    // knob — so the verdict varies by selector AND by doc)
+    "pipe_content_extract" -> ((s, d) =>
+      graft.operators.Scraper.contentExtract(Tables.documents(s, d),
+        minContentLength = 10)),
     // ── medallion pipeline ──────────────────────────────────────────
     "pipe_bronze" -> ((s, d) =>
       Medallion.bronze(Tables.documents(s, d))
@@ -2217,6 +2224,19 @@ object SparkEntry {
          |  WHERE w.depth < 6)
          |SELECT url, min(depth) AS depth FROM walk
          |GROUP BY url ORDER BY depth, url""".stripMargin,
+    // per-selector extraction replayed over the same synthesized
+    // pages: the same regex pulls, trim, and per-key too-short NULL
+    "pipe_content_extract" ->
+      s"""$scraperCte
+         |SELECT doc_id, url,
+         |  CASE WHEN length(trim(regexp_extract(html, '<title>(.*?)</title>', 1))) >= 10
+         |       THEN trim(regexp_extract(html, '<title>(.*?)</title>', 1)) END AS title,
+         |  CASE WHEN length(trim(regexp_extract(html, '<h1>(.*?)</h1>', 1))) >= 10
+         |       THEN trim(regexp_extract(html, '<h1>(.*?)</h1>', 1)) END AS heading,
+         |  CASE WHEN length(trim(regexp_extract(html, '<p>(.*?)</p>', 1))) >= 10
+         |       THEN trim(regexp_extract(html, '<p>(.*?)</p>', 1)) END AS body,
+         |  replace(replace(replace(replace(url, '://', '_'), '/', '_'), '?', '_'), '&', '_') AS file_key
+         |FROM pg ORDER BY doc_id""".stripMargin,
     // robots verdicts replayed in the same precedence order the
     // engine folds its CASE: longest prefix first, allow wins ties,
     // default allow

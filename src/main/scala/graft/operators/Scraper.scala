@@ -102,6 +102,28 @@ object Scraper {
       .distinct()
       .orderBy(col("doc_id"), col("link_url"))
 
+  /** Selector-driven content extraction (scraper.py:119
+    * `_extract_content`): per page, one column per selector — here
+    * the three the synthetic pages carry (`title`, `h1`, `p`) —
+    * with the element's trimmed text, NULLed when shorter than
+    * `minContentLength` (config.py:22 default 50), exactly the
+    * too-short filter the reference applies per key. A real corpus
+    * swaps the regex pulls for a selector engine inside the same
+    * map-only shape; everything downstream (the NULL-per-key
+    * contract, the metadata record) is the production behavior.
+    * One row per page, embarrassingly parallel. */
+  def contentExtract(docs: DataFrame, minContentLength: Int = 50): DataFrame = {
+    def sel(tag: String): Column = {
+      val t = trim(regexp_extract(col("html"), s"<$tag>(.*?)</$tag>", 1))
+      when(length(t) >= minContentLength, t).otherwise(lit(null))
+    }
+    pages(docs)
+      .select(col("doc_id"), col("url"),
+        sel("title").as("title"), sel("h1").as("heading"), sel("p").as("body"),
+        sanitizeUrl(col("url")).as("file_key"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The site's synthetic robots ruleset: (path-prefix, allow) pairs
     * mirroring a parsed robots.txt's Allow/Disallow lines for `*`.
     * The Allow override nested INSIDE a Disallowed subtree is the

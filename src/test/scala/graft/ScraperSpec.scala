@@ -82,6 +82,30 @@ class ScraperSpec extends SparkSpec {
     assert(run(docs.repartition(7)) == run(docs.coalesce(1)))
   }
 
+  test("content extraction NULLs each selector key independently below the length floor") {
+    // doc 1: long text → every selector lands; doc 2: 15-char text →
+    // title (Doc 2 = 5 chars) NULL, heading/body (15 chars) kept;
+    // doc 3: 5-char text → only nothing ≥ 10 except… nothing
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "fifteen chars x"),
+      (3L, "tiny!")).toDF("doc_id", "text")
+    val out = Scraper.contentExtract(docs, minContentLength = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(2)), Option(r.getString(3)), Option(r.getString(4))))).toMap
+    val (t1, h1, b1) = out(1L)
+    assert(t1.isEmpty && h1.contains("alpha beta gamma delta epsilon zeta eta") &&
+      b1.exists(_.startsWith("alpha beta gamma")))
+    val (t2, h2, b2) = out(2L)
+    assert(t2.isEmpty && h2.contains("fifteen chars x") && b2.contains("fifteen chars x"))
+    val (t3, h3, b3) = out(3L)
+    assert(t3.isEmpty && h3.isEmpty && b3.isEmpty)
+    // the reference default floor (50) drops the 40-char h1 everywhere
+    val strict = Scraper.contentExtract(docs, minContentLength = 50)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(strict.values.forall(_.isEmpty))
+  }
+
   test("robots gating is longest-prefix-match with allow winning ties") {
     // ids chosen so the extracted links hit every rule class:
     // 0 → /doc/1 (prefix-disallowed) + sub/item-0 (subtree-disallowed)
