@@ -550,6 +550,12 @@ object DeltaSource {
     }
     (cpActions ++ jsonActions).foreach { case (v, row) => foldAction(v, row) }
     stampedActions.foreach { acts =>
+      // Two jobs over the log slice (non-file collect + file
+      // reconcile) — deliberate: parquet checkpoints prune to the
+      // filter columns on the first pass, and persisting a 10M-action
+      // frame to dodge one JSON reparse would cost more memory than
+      // the reread costs IO. Real Delta readers also make multiple
+      // planning passes over the log.
       // non-file actions (protocol/metaData/txn/domainMetadata) are
       // O(commits) small: collect them and run the exact driver fold
       acts.where(col("add").isNull && col("remove").isNull &&

@@ -178,6 +178,15 @@ class DeltaDistributedReplaySpec extends SparkSpec {
     }
     val drv = readAll("driver")
     assert(drv.nonEmpty && readAll("distributed") == drv)
+    // layer on a clustering rewrite (removes + re-adds), a
+    // checkpoint, and a tail write: the distributed branch must keep
+    // tracking the driver fold through the whole lifecycle
+    DeltaSource.optimizeCluster(spark, table, ("k", "id"), nFiles = 4)
+    DeltaSource.checkpoint(spark, table)
+    DeltaSource.writeDelta(df.where($"id" >= 490).withColumn("s", lit("tail")),
+      table, overwrite = false)
+    val drv2 = readAll("driver")
+    assert(drv2.nonEmpty && readAll("distributed") == drv2)
   }
 
   test("auto mode routes by replay bytes") {
