@@ -1055,6 +1055,17 @@ object SparkEntry {
       Similarity.recallAtK(graft.sources.GraphAnnIndex.searchPqSelf(s, dir),
         Similarity.bruteTopK(emb))
     }),
+    // the distributed-frontier branch of the COMPRESSED walk, graded
+    // (the PQ twin of ann_graph_dist): ADC scoring + broadcast LUT
+    // with the frontier carried as a localCheckpointed DataFrame —
+    // the serving shape when nq·beam outgrows the driver AND the
+    // corpus outgrows full-precision residency. Hash-identical to
+    // ann_graph_pq_topk by construction.
+    "ann_graph_pq_dist" -> ((s, d) => {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_gix_${math.abs(d.hashCode)}"
+      graft.sources.GraphAnnIndex.ensureBuilt(Tables.embeddings(s, d), dir)
+      graft.sources.GraphAnnIndex.searchPqSelf(s, dir, maxDriverFrontier = 0)
+    }),
     // filtered + COMPRESSED serving composed (filtered-DiskANN over
     // PQ — the production combo: a vector store's `where=` against
     // the memory-resident code walk): the ADC-guided beam navigates
@@ -3299,6 +3310,22 @@ object SparkEntry {
     // the PQ-guided walk replayed CTE-for-CTE, then the final
     // candidate set reranked at full precision
     "ann_graph_pq_topk" ->
+      dMaterialized(s"""$embNormCte,
+         |${dGraphPqCtes()},
+         |rr AS (SELECT s.query_id, s.node AS neighbor_id,
+         |    round(${dDot("q.qv", "x.v")} / (q.qnrm * x.nrm), 6) AS sim
+         |  FROM ps8 s JOIN n x ON x.id = s.node
+         |  JOIN (SELECT id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE id < 5) q
+         |    ON q.query_id = s.query_id
+         |  WHERE s.node <> s.query_id),
+         |gr AS (SELECT query_id, neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+         |  FROM rr)
+         |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", sim
+         |FROM gr WHERE rnk <= 10 ORDER BY query_id, "rank"""".stripMargin),
+    // the distributed-frontier PQ branch is an execution-strategy
+    // swap: the oracle is the ann_graph_pq_topk replay verbatim
+    "ann_graph_pq_dist" ->
       dMaterialized(s"""$embNormCte,
          |${dGraphPqCtes()},
          |rr AS (SELECT s.query_id, s.node AS neighbor_id,

@@ -541,12 +541,12 @@ object GraphAnnIndex {
     * whole search off the persisted layout. */
   def searchPqSelf(spark: SparkSession, dir: String, nQueries: Int = 5,
                    k: Int = 10, beam: Int = 32, steps: Int = 8,
-                   entries: Int = 16): DataFrame =
+                   entries: Int = 16, maxDriverFrontier: Int = 100000): DataFrame =
     searchPq(spark, dir,
       spark.read.parquet(s"$dir/entries")
         .select(col("id").cast("long").as("query_id"), col("v").as("qv"))
         .where(col("query_id") < nQueries),
-      k, beam, steps, entries)
+      k, beam, steps, entries, maxDriverFrontier)
 
   /** The DISTINCT live (src, dst) set — the spec surface for
     * rebuild-equivalence proofs. */
