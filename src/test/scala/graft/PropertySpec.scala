@@ -59,4 +59,62 @@ class PropertySpec extends AnyFunSuite {
       assert(hist.sum == bytes.length && hist.length == 16)
     }
   }
+
+  // ── codec roundtrips over RANDOM geometries (the graded entries
+  // pin the formula-derived dims; these pin the codecs themselves
+  // across arbitrary widths — every padding/stride case — heights,
+  // frame counts, and signal lengths) ─────────────────────────────
+
+  private val geoGen: Gen[(Long, Int, Int, Int)] = for {
+    id <- Gen.choose(0L, 1000000000L)
+    w <- Gen.choose(1, 64)
+    h <- Gen.choose(1, 48)
+    nf <- Gen.choose(1, 6)
+  } yield (id, w, h, nf)
+
+  test("WAV roundtrips any sample count bit-exactly") {
+    samples(Gen.zip(Gen.choose(0L, 1000000000L), Gen.choose(1, 4000)), 60)
+      .foreach { case (id, n) =>
+        val (rate, ch, smp) = graft.multimodal.Multimodal.wavDecode(
+          graft.multimodal.Multimodal.wavEncode(id, n))
+        assert(rate == 16000 && ch == 1 && smp.length == n)
+        (0 until n).foreach { k =>
+          assert(smp(k) == (((id * 31 + k * 7) % 65536) - 32768).toShort)
+        }
+      }
+  }
+
+  test("BMP roundtrips any geometry pixel-exactly (all four pad widths)") {
+    val seen = scala.collection.mutable.Set[Int]()
+    samples(geoGen, 80).foreach { case (id, w, h, _) =>
+      seen += (w * 3) % 4
+      val (dw, dh, px) = graft.multimodal.Multimodal.bmpDecode(
+        graft.multimodal.Multimodal.bmpEncode(id, w, h))
+      assert(dw == w && dh == h && px.length == w * 3 * h)
+      (0 until h).foreach { y =>
+        (0 until w).foreach { x =>
+          assert(px(y * w * 3 + x * 3) == ((id + x * 7 + y * 13) % 256).toByte)
+        }
+      }
+    }
+    assert(seen.size == 4, s"pad widths exercised: $seen") // 0,1,2,3 byte pads
+  }
+
+  test("AVI roundtrips any geometry frame- and pixel-exactly") {
+    samples(geoGen, 50).foreach { case (id, w, h, nf) =>
+      val bytes = graft.multimodal.Multimodal.aviEncode(id, w, h, nf)
+      val stride = w * 3 + (4 - (w * 3) % 4) % 4
+      assert(bytes.length == 224 + nf * (8 + stride * h))
+      val (dw, dh, fr) = graft.multimodal.Multimodal.aviDecode(bytes)
+      assert(dw == w && dh == h && fr.length == nf)
+      (0 until nf).foreach { f =>
+        (0 until h).foreach { y =>
+          (0 until w).foreach { x =>
+            assert(fr(f)(y * w * 3 + x * 3) ==
+              ((id + x * 7 + y * 13 + f * 29) % 256).toByte)
+          }
+        }
+      }
+    }
+  }
 }
