@@ -93,8 +93,14 @@ class DeltaDistributedReplaySpec extends SparkSpec {
   test("distributed reconcile == driver fold on a 100k-add log with removes/DVs/column mapping") {
     val table = s"${System.getProperty("java.io.tmpdir")}/graft_distreplay"
     synthLog(table)
-    val driver = snap(table, "driver")
-    val dist = snap(table, "distributed")
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (driver, tDrv) = timed(snap(table, "driver"))
+    val (dist, tDist) = timed(snap(table, "distributed"))
+    info(f"replay of ${nCommits * addsPerCommit} adds: driver fold $tDrv%.1f s, " +
+      f"distributed reconcile $tDist%.1f s (local[8]; the driver fold also " +
+      "scales with HEAP, which wall time understates)")
     // the log really is many-file scale, and removes really removed
     val removed = (2 to nCommits).flatMap { v =>
       (0 until 100).map(i => ((v - 2).toLong * addsPerCommit + i * 7 % addsPerCommit))
