@@ -509,6 +509,31 @@ object SparkEntry {
         case None => s.conf.unset("spark.graft.delta.replay.mode")
       }
     }),
+    "pipe_delta_pruned_replay" -> ((s, d) => {
+      // partition pruning pushed INTO the distributed snapshot
+      // reconcile (filesForScan semantics): the hive-partitioned
+      // silver zone read with the predicate applied inside the
+      // reconcile job, so only the matching partition's survivors
+      // ever reach the driver — at 10M files a pruned scan ships
+      // 1/partitions of the file list. Value-identical to the plain
+      // partitioned read + filter.
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_deltap_${math.abs(d.hashCode)}/silver_by_source"
+      graft.sources.ZoneCache.ensure(Tables.documents(s, d), tmp) {
+        graft.sources.DeltaSource.writeDelta(silverZone(s, d), tmp,
+          partitionBy = Seq("source"))
+      }
+      val old = s.conf.getOption("spark.graft.delta.replay.mode")
+      s.conf.set("spark.graft.delta.replay.mode", "distributed")
+      try
+        graft.sources.DeltaSource.readDeltaPruned(s, tmp,
+            element_at(col("pv"), "source") === "src1")
+          .select(col("doc_id"), col("source"), col("content"), col("content_length"))
+          .orderBy(col("doc_id"))
+      finally old match {
+        case Some(v) => s.conf.set("spark.graft.delta.replay.mode", v)
+        case None => s.conf.unset("spark.graft.delta.replay.mode")
+      }
+    }),
     "pipe_delta_merge" -> ((s, d) => {
       // Delta-NATIVE MERGE: the pipe_upsert semantics landed as a
       // copy-on-write remove+add commit into a real _delta_log table.
@@ -2281,6 +2306,12 @@ object SparkEntry {
     // partitioned landing is value-identical to the silver slice it
     // partitions; the partition predicate selects one source
     "pipe_delta_partitioned" ->
+      s"""$silverCte SELECT doc_id, source, content, length(content) AS content_length
+         |FROM silver0 WHERE length(content) > 50 AND source = 'src1'
+         |ORDER BY doc_id""".stripMargin,
+    // pruning pushed into the reconcile is value-identical to the
+    // partitioned read + filter — exactly the partitioned oracle
+    "pipe_delta_pruned_replay" ->
       s"""$silverCte SELECT doc_id, source, content, length(content) AS content_length
          |FROM silver0 WHERE length(content) > 50 AND source = 'src1'
          |ORDER BY doc_id""".stripMargin,

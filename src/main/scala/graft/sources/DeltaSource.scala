@@ -282,7 +282,8 @@ object DeltaSource {
     * apply on top; per path the action with the highest version
     * wins, and only adds survive. */
   private[sources] def snapshot(spark: SparkSession, tablePath: String,
-                       version: Option[Long]): Snapshot = {
+                       version: Option[Long],
+                       partitionPrune: Option[Column] = None): Snapshot = {
     val logDir = new Path(tablePath, "_delta_log")
     val fs = fsOf(spark, logDir)
     val (commits, checkpoints) = logVersions(fs, logDir)
@@ -571,13 +572,20 @@ object DeltaSource {
       // merely keeps the reconcile deterministic on corrupt input.
       // Only surviving adds come back to the driver — the same
       // model-sized file list every Delta reader holds at plan time.
-      val winners = acts
+      // partition pruning pushes INTO the reconcile: a pruned scan
+      // of a 10M-file table collects only the matching partitions'
+      // survivors, never the full file list (the predicate sees the
+      // winning add's raw string partitionValues as map column `pv`)
+      val reconciled = acts
         .where((col("add").isNotNull || col("remove").isNotNull) &&
           coalesce(col("add.path"), col("remove.path")).isNotNull)
         .groupBy(coalesce(col("add.path"), col("remove.path")).as("p"))
         .agg(max_by(struct(col("v"), col("add")),
           struct(col("v"), col("add").isNotNull)).as("w"))
         .where(col("w.add").isNotNull)
+      val winners = partitionPrune.foldLeft(reconciled) { (df, pred) =>
+          df.withColumn("pv", col("w.add.partitionValues")).where(pred)
+        }
         .select(col("p"), col("w.v").as("v"), col("w.add").as("add"))
         .orderBy(col("p"))
         .collect()
@@ -603,8 +611,21 @@ object DeltaSource {
         s"$tablePath requires reader features $unsupported; " +
           s"supported: $SupportedReaderFeatures")
     }
-    Snapshot(target, schema, partCols,
-      state.values.collect { case (_, Some(a)) => a }.toSeq, txns.toMap, config,
+    val allFiles = state.values.collect { case (_, Some(a)) => a }.toSeq
+    val files = partitionPrune match {
+      case None => allFiles
+      case Some(_) if distributed => allFiles // pruned inside the reconcile
+      case Some(pred) =>
+        // driver path: evaluate the SAME Column over the same raw
+        // partitionValues via one tiny local job, so the two modes
+        // prune bit-identically (the driver path only runs below the
+        // byte threshold, so this frame is small by construction)
+        import spark.implicits._
+        val keep = allFiles.map(a => (a.path, a.partitionValues)).toDF("p", "pv")
+          .where(pred).select("p").collect().map(_.getString(0)).toSet
+        allFiles.filter(a => keep(a.path))
+    }
+    Snapshot(target, schema, partCols, files, txns.toMap, config,
       protocol,
       domains.collect { case (k, (_, Some(cfg))) => k -> cfg }.toMap)
   }
@@ -631,6 +652,30 @@ object DeltaSource {
   def readDelta(spark: SparkSession, tablePath: String,
                 version: Option[Long] = None): DataFrame = {
     val snap = snapshot(spark, tablePath, version)
+    if (snap.files.isEmpty) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+    } else {
+      scanRelation(spark, tablePath, snap.schema, snap.partitionColumns,
+        snap.files.map(a => (a, Map.empty[String, String])))
+    }
+  }
+
+  /** Read a Delta table with PARTITION PRUNING pushed into snapshot
+    * reconstruction itself (`filesForScan` semantics): `prune` is a
+    * predicate over the map column `pv` — each add action's raw
+    * STRING partition values, e.g.
+    * `element_at(col("pv"), "source") === "src1"` — applied inside
+    * the distributed reconcile, so a pruned scan of a 10M-file table
+    * ships only the matching partitions' survivors to the driver.
+    * Below the replay threshold the same Column evaluates over the
+    * folded list in one tiny local job — the two modes prune
+    * bit-identically. Value-equal to
+    * `readDelta(...).where(<decoded predicate>)` whenever `prune`
+    * matches the decoded partition column's predicate (exact for
+    * string partition columns; mind hive encodings for others). */
+  def readDeltaPruned(spark: SparkSession, tablePath: String, prune: Column,
+                      version: Option[Long] = None): DataFrame = {
+    val snap = snapshot(spark, tablePath, version, Some(prune))
     if (snap.files.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
     } else {

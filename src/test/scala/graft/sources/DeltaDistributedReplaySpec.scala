@@ -195,6 +195,29 @@ class DeltaDistributedReplaySpec extends SparkSpec {
     assert(drv2.nonEmpty && readAll("distributed") == drv2)
   }
 
+  test("partition pruning inside the reconcile ships only matching survivors") {
+    import org.apache.spark.sql.functions._
+    val table = s"${System.getProperty("java.io.tmpdir")}/graft_distreplay"
+    val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(table, "_delta_log"))) synthLog(table)
+    val pred = element_at(col("pv"), "p") === "2"
+    def pruned(mode: String): DeltaSource.Snapshot = {
+      spark.conf.set("spark.graft.delta.replay.mode", mode)
+      try DeltaSource.snapshot(spark, table, None, Some(pred))
+      finally spark.conf.unset("spark.graft.delta.replay.mode")
+    }
+    val full = snap(table, "driver")
+    val dDrv = pruned("driver")
+    val dDist = pruned("distributed")
+    // both modes prune bit-identically, to exactly the p=2 survivors
+    assertSame(dDrv, dDist)
+    val want = full.files.filter(_.partitionValues.get("p").contains("2"))
+    assert(dDrv.files.map(_.path).sorted == want.map(_.path).sorted)
+    assert(dDrv.files.nonEmpty && dDrv.files.size < full.files.size / 3)
+    // non-file state is NOT pruned: schema/protocol/txns ride along
+    assert(dDrv.schema == full.schema && dDrv.txns == full.txns)
+  }
+
   test("auto mode routes by replay bytes") {
     val table = s"${System.getProperty("java.io.tmpdir")}/graft_distreplay"
     val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
