@@ -193,6 +193,22 @@ class DeltaDistributedReplaySpec extends SparkSpec {
       table, overwrite = false)
     val drv2 = readAll("driver")
     assert(drv2.nonEmpty && readAll("distributed") == drv2)
+    // pruned read composes with the DV delete: partition the table,
+    // delete some rows, then a reconcile-pruned read must equal the
+    // full read + filter under either branch
+    val ptable = java.nio.file.Files.createTempDirectory("graft_distpruned").toString + "/t"
+    DeltaSource.writeDelta(df, ptable, partitionBy = Seq("k"))
+    DeltaSource.deleteDelta(spark, ptable, col("id") % 5 === 0)
+    def prunedRead(mode: String): Seq[String] = {
+      spark.conf.set("spark.graft.delta.replay.mode", mode)
+      try DeltaSource.readDeltaPruned(spark, ptable,
+          element_at(col("pv"), "k").isin("2", "4"))
+        .orderBy("id").collect().map(_.toString).toSeq
+      finally spark.conf.unset("spark.graft.delta.replay.mode")
+    }
+    val wantP = DeltaSource.readDelta(spark, ptable)
+      .where(col("k").isin(2, 4)).orderBy("id").collect().map(_.toString).toSeq
+    assert(wantP.nonEmpty && prunedRead("driver") == wantP && prunedRead("distributed") == wantP)
   }
 
   test("partition pruning inside the reconcile ships only matching survivors") {
