@@ -180,8 +180,16 @@ object Multimodal {
     while (bb.remaining() >= 8) {
       val id = fourcc()
       val size = bb.getInt
+      // bound EVERY declared chunk size against the container before
+      // consuming it (a lying header must fail the same loud way a
+      // bad magic does, not BufferUnderflow mid-sample — and a
+      // NEGATIVE size would cancel the 8-byte header advance and
+      // loop the walker forever)
+      require(size >= 0 && size <= bb.remaining(),
+        s"chunk '$id' declares $size bytes but only ${bb.remaining()} remain")
       id match {
         case "fmt " =>
+          require(size >= 16, s"fmt chunk too short: $size bytes")
           val start = bb.position()
           val audioFormat = bb.getShort
           require(audioFormat == 1, s"not PCM: wFormatTag=$audioFormat")
@@ -192,13 +200,8 @@ object Multimodal {
           require(bits == 16, s"only PCM16 supported, got $bits bits")
           bb.position(start + size)
         case "data" =>
-          // bound the declared size against the container before
-          // reading (a lying header must fail the same loud way a
-          // bad magic does, not BufferUnderflow mid-sample), and
           // advance past the RIFF odd-size pad byte afterwards so a
           // chunk FOLLOWING an odd data chunk still parses aligned
-          require(size >= 0 && size <= bb.remaining(),
-            s"data chunk declares $size bytes but only ${bb.remaining()} remain")
           val start = bb.position()
           val n = size / 2
           samples = new Array[Short](n)
@@ -206,7 +209,7 @@ object Multimodal {
           while (i < n) { samples(i) = bb.getShort; i += 1 }
           bb.position(math.min(start + size + (size & 1), bb.limit()))
         case _ =>
-          bb.position(bb.position() + size + (size & 1))
+          bb.position(math.min(bb.position() + size + (size & 1), bb.limit()))
       }
     }
     require(rate > 0, "no fmt chunk")
@@ -478,7 +481,7 @@ object Multimodal {
           case "strh" =>
             val fccType = fourcc(); val handler = fourcc()
             require(fccType == "vids", s"not a video stream: $fccType")
-            require(handler == "DIB " || handler == "    ",
+            require(handler == "DIB " || handler == "\u0000\u0000\u0000\u0000",
               s"only raw DIB streams supported, got '$handler'")
             haveStrh = true
           case "strf" =>

@@ -63,8 +63,14 @@ import org.apache.spark.sql.types._
   * corpus-scale work happens exactly once, at build. When a caller
   * serves a query batch too large to hold the frontier driver-side
   * (beyond `maxDriverFrontier` rows), the loop degrades to the
-  * distributed shape: pinned frontier, broadcast-hash join against
-  * the full edge table — still one scan per step, never per query.
+  * distributed shape: pinned frontier, pb-pruned edge scan (the
+  * frontier's distinct pb set is ≤ pBuckets rows — one cheap
+  * aggregate per round), and a SIZE-ROUTED probe — the frontier
+  * broadcasts only below `maxBroadcastFrontier` rows; above it the
+  * join shuffles on src (sort-merge), so no step ever materializes
+  * the frontier on the driver. Still one scan per step, never per
+  * query, and branch choice is an execution-strategy swap, never a
+  * result change (spec-pinned).
   */
 object GraphAnnIndex {
 
@@ -309,6 +315,7 @@ object GraphAnnIndex {
   def search(spark: SparkSession, dir: String, queries: DataFrame,
              k: Int = 10, beam: Int = 32, steps: Int = 8, entries: Int = 16,
              maxDriverFrontier: Int = 100000,
+             maxBroadcastFrontier: Long = 1000000L,
              candidateFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val meta = readMeta(spark, dir)
     // pin the live edge table for the duration of the search: a
@@ -327,8 +334,15 @@ object GraphAnnIndex {
     val nq = q.count()
     val scoreSchema = StructType(Seq(StructField("query_id", LongType),
       StructField("node", LongType), StructField("sim", DoubleType)))
+    // every nq-proportional side is SIZE-ROUTED: broadcast below
+    // `maxBroadcastFrontier` rows, sort-merge shuffle above — a
+    // broadcast() collects to the driver and ships whole to every
+    // executor, the exact materialization the distributed regime
+    // exists to avoid (the Scraper.crawlFrontier dual)
+    def sized(df: DataFrame, rows: Long): DataFrame =
+      if (rows <= maxBroadcastFrontier) broadcast(df) else df.hint("merge")
     def score(cand: DataFrame): DataFrame =
-      cand.join(broadcast(q), Seq("query_id"))
+      cand.join(sized(q, nq), Seq("query_id"))
         .select(col("query_id"), col("node"),
           round(cosinePrenormed(dot(col("qv"), col("dv")), col("qnrm"), col("dnrm")), 6)
             .as("sim"))
@@ -344,11 +358,15 @@ object GraphAnnIndex {
     // one Spark job per step (the topB collect), no re-collect of the
     // local relation it just built
     var frontierRows: Array[Row] = null
+    var distRows = 0L // distributed-branch frontier cardinality
     if (driverSide) {
       frontierRows = beamScored.collect()
       beamScored = spark.createDataFrame(
         java.util.Arrays.asList(frontierRows: _*), scoreSchema)
-    } else beamScored = beamScored.localCheckpoint(true)
+    } else {
+      beamScored = beamScored.localCheckpoint(true)
+      distRows = beamScored.count() // counts the checkpointed blocks
+    }
     var lastScored: DataFrame = beamScored
     (1 to steps).foreach { step =>
       val expanded =
@@ -364,12 +382,20 @@ object GraphAnnIndex {
               col("src") === col("node"))
             .select(col("query_id"), col("dst").as("node"),
               col("dv"), col("dnrm"))
-        } else
-          // distributed frontier: one broadcast-hash probe of the
-          // edge table per step — still never the corpus
-          broadcast(beamScored.select(col("query_id"), col("node")))
-            .join(edges, col("node") === col("src"))
+        } else {
+          // distributed frontier: the pb prune still applies — the
+          // frontier's distinct pb set is ≤ pBuckets rows, one cheap
+          // per-round aggregate — and the size-routed probe keeps the
+          // frontier off the driver when it outgrows the broadcast
+          // budget. Either way: one pruned edge scan per step, never
+          // the corpus.
+          val pbs = beamScored
+            .select(pmod(col("node"), lit(meta.pBuckets.toLong)).as("fpb"))
+            .distinct().collect().map(_.getLong(0))
+          sized(beamScored.select(col("query_id"), col("node")), distRows)
+            .join(edges.where(col("pb").isin(pbs: _*)), col("node") === col("src"))
             .select(col("query_id"), col("dst").as("node"), col("dv"), col("dnrm"))
+        }
       val newScored = score(expanded.dropDuplicates("query_id", "node"))
       // the metadata filter (the vector store's `where=` on the
       // serving path): the walk NAVIGATES through allowed nodes only
@@ -389,7 +415,10 @@ object GraphAnnIndex {
           frontierRows = topB.collect()
           beamScored = spark.createDataFrame(
             java.util.Arrays.asList(frontierRows: _*), scoreSchema)
-        } else beamScored = topB.localCheckpoint(true)
+        } else {
+          beamScored = topB.localCheckpoint(true)
+          distRows = beamScored.count()
+        }
       }
     }
     edges.unpersist(false)
@@ -403,12 +432,13 @@ object GraphAnnIndex {
     * search runs off the persisted layout. */
   def searchSelf(spark: SparkSession, dir: String, nQueries: Int = 5,
                  k: Int = 10, beam: Int = 32, steps: Int = 8,
-                 entries: Int = 16, maxDriverFrontier: Int = 100000): DataFrame =
+                 entries: Int = 16, maxDriverFrontier: Int = 100000,
+                 maxBroadcastFrontier: Long = 1000000L): DataFrame =
     search(spark, dir,
       spark.read.parquet(s"$dir/entries")
         .select(col("id").cast("long").as("query_id"), col("v").as("qv"))
         .where(col("query_id") < nQueries),
-      k, beam, steps, entries, maxDriverFrontier)
+      k, beam, steps, entries, maxDriverFrontier, maxBroadcastFrontier)
 
   /** PQ-compressed serving over the SAME persisted layout (the
     * DiskANN memory model — see [[Similarity.graphPqTopK]] for the
@@ -423,6 +453,7 @@ object GraphAnnIndex {
   def searchPq(spark: SparkSession, dir: String, queries: DataFrame,
                k: Int = 10, beam: Int = 32, steps: Int = 8, entries: Int = 16,
                maxDriverFrontier: Int = 100000,
+               maxBroadcastFrontier: Long = 1000000L,
                candidateFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val meta = readMeta(spark, dir)
     val subDim = meta.dim / meta.pqM
@@ -441,14 +472,19 @@ object GraphAnnIndex {
       .join(broadcast(cb), "sub")
       .select(col("id").as("query_id"), col("sub"), col("code"),
         round(dot(col("sv"), col("cv")), 6).as("lv"))
-      .localCheckpoint(true) // q·pqM·nCodes rows — broadcast at every use
+      .localCheckpoint(true) // q·pqM·nCodes rows — size-routed at every use
     val scoreSchema = StructType(Seq(StructField("query_id", LongType),
       StructField("node", LongType), StructField("sim", DoubleType)))
+    // nq-proportional sides are SIZE-ROUTED exactly as in [[search]]:
+    // broadcast below `maxBroadcastFrontier` rows, sort-merge above
+    def sized(df: DataFrame, rows: Long): DataFrame =
+      if (rows <= maxBroadcastFrontier) broadcast(df) else df.hint("merge")
+    val lutRows = nq * meta.pqM * meta.nCodes
     def adc(cand: DataFrame): DataFrame =
       cand.dropDuplicates("query_id", "node")
         .select(col("query_id"), col("node"),
           posexplode(col("dcodes")).as(Seq("sub", "code")))
-        .join(broadcast(lut), Seq("query_id", "sub", "code"))
+        .join(sized(lut, lutRows), Seq("query_id", "sub", "code"))
         .groupBy(col("query_id"), col("node"))
         .agg(sum(col("lv").cast("decimal(18,6)")).cast("double").as("sim"))
     // entry payloads: one model-sized fetch + frozen-codebook encode
@@ -462,11 +498,15 @@ object GraphAnnIndex {
       q.select(col("query_id")).crossJoin(entC))
     val driverSide = nq * beam <= maxDriverFrontier && nq * entries <= maxDriverFrontier
     var frontierRows: Array[Row] = null
+    var distRows = 0L
     if (driverSide) {
       frontierRows = beamScored.collect()
       beamScored = spark.createDataFrame(
         java.util.Arrays.asList(frontierRows: _*), scoreSchema)
-    } else beamScored = beamScored.localCheckpoint(true)
+    } else {
+      beamScored = beamScored.localCheckpoint(true)
+      distRows = beamScored.count()
+    }
     var lastScored: DataFrame = beamScored
     (1 to steps).foreach { step =>
       val expanded =
@@ -478,10 +518,17 @@ object GraphAnnIndex {
             .join(broadcast(beamScored.select(col("query_id"), col("node"))),
               col("src") === col("node"))
             .select(col("query_id"), col("dst").as("node"), col("dcodes"))
-        } else
-          broadcast(beamScored.select(col("query_id"), col("node")))
-            .join(edges, col("node") === col("src"))
+        } else {
+          // distributed frontier: pb-pruned scan (≤ pBuckets distinct
+          // values, one cheap per-round aggregate) + size-routed probe
+          // — see [[search]]
+          val pbs = beamScored
+            .select(pmod(col("node"), lit(meta.pBuckets.toLong)).as("fpb"))
+            .distinct().collect().map(_.getLong(0))
+          sized(beamScored.select(col("query_id"), col("node")), distRows)
+            .join(edges.where(col("pb").isin(pbs: _*)), col("node") === col("src"))
             .select(col("query_id"), col("dst").as("node"), col("dcodes"))
+        }
       // the metadata filter composes with the COMPRESSED walk the
       // same way as with the raw one (filtered-DiskANN over PQ): the
       // whole candidate union filters each round, entry points
@@ -501,7 +548,10 @@ object GraphAnnIndex {
           frontierRows = topB.collect()
           beamScored = spark.createDataFrame(
             java.util.Arrays.asList(frontierRows: _*), scoreSchema)
-        } else beamScored = topB.localCheckpoint(true)
+        } else {
+          beamScored = topB.localCheckpoint(true)
+          distRows = beamScored.count()
+        }
       }
     }
     edges.unpersist(false)
@@ -527,9 +577,13 @@ object GraphAnnIndex {
           nodesTbl.where(col("nb").isin(nbs: _*) && col("id").isin(ids: _*))
         }
       } else nodesTbl
+    // candKeys is the final candidate union (~nq·beam·degree rows —
+    // NOT frontier-bounded): broadcast only on the driver branch,
+    // where nq·beam is under the guard; distributed serving shuffles
     val rr = fetch
-      .join(broadcast(candKeys), col("node") === col("id"))
-      .join(broadcast(q), Seq("query_id"))
+      .join(if (driverSide) broadcast(candKeys) else candKeys.hint("merge"),
+        col("node") === col("id"))
+      .join(sized(q, nq), Seq("query_id"))
       .where(col("node") =!= col("query_id"))
       .select(col("query_id"), col("node").as("neighbor_id"),
         round(cosinePrenormed(dot(col("qv"), col("v")), col("qnrm"), col("nrm")), 6)
@@ -541,12 +595,13 @@ object GraphAnnIndex {
     * whole search off the persisted layout. */
   def searchPqSelf(spark: SparkSession, dir: String, nQueries: Int = 5,
                    k: Int = 10, beam: Int = 32, steps: Int = 8,
-                   entries: Int = 16, maxDriverFrontier: Int = 100000): DataFrame =
+                   entries: Int = 16, maxDriverFrontier: Int = 100000,
+                   maxBroadcastFrontier: Long = 1000000L): DataFrame =
     searchPq(spark, dir,
       spark.read.parquet(s"$dir/entries")
         .select(col("id").cast("long").as("query_id"), col("v").as("qv"))
         .where(col("query_id") < nQueries),
-      k, beam, steps, entries, maxDriverFrontier)
+      k, beam, steps, entries, maxDriverFrontier, maxBroadcastFrontier)
 
   /** The DISTINCT live (src, dst) set — the spec surface for
     * rebuild-equivalence proofs. */

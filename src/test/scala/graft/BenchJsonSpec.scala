@@ -47,4 +47,48 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(stdout.length <= 1500 + 100, s"stdout line too long: ${stdout.length}")
     assert(full.length > stdout.length)
   }
+
+  test("reruns are listed as [first, second] pairs with an honest count") {
+    val (stdout, full) = Bench.renderJson(
+      Seq("q_noisy" -> 2.4, "q_ok" -> 1.0), "/data/sf",
+      reruns = Map("q_noisy" -> (50.7, 2.4)))
+    for (line <- Seq(stdout, full)) {
+      assert(line.contains("\"n_reruns\":1"), line)
+      assert(line.contains("\"reruns\":{\"q_noisy\":[50.7,2.4]}"), line)
+      // the reported time is the min — the eviction-storm 50.7 never
+      // becomes the number of record
+      assert(line.contains("\"q_noisy\":2.4"), line)
+    }
+    val (noRerun, _) = Bench.renderJson(Seq("a" -> 1.0), "/data/sf")
+    assert(noRerun.contains("\"n_reruns\":0") && noRerun.contains("\"reruns\":{}"), noRerun)
+  }
+
+  test("prior timings parse round artifacts and take the per-query min") {
+    // the driver artifact shape: parsed.queries carries real times,
+    // while `tail` holds an ESCAPED stdout capture that must not
+    // false-match the queries extractor
+    val r10 =
+      """{"n":10,"tail":"...\"queries\":{\"dedup_substrings\":9.9}...",
+        |"parsed":{"metric":"total","value":344.2,
+        |"queries": {"dedup_substrings": 2.4, "dedup_survivors": 3.5, "q_x": 1.0}}}""".stripMargin
+    val r11 =
+      """{"n":11,"parsed":{"queries":{"dedup_substrings":50.7,"dedup_survivors":24.4}}}"""
+    val dir = java.nio.file.Files.createTempDirectory("bench_prior")
+    java.nio.file.Files.write(dir.resolve("BENCH_r10.json"), r10.getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("BENCH_r11.json"), r11.getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("BENCH_notes.txt"), "ignore me".getBytes("UTF-8"))
+    val prior = Bench.priorTimings(dir.toString)
+    // min across rounds: the r11 anomaly (50.7) must not become the
+    // yardstick when r10 recorded the quiet-host 2.4
+    assert(prior.get("dedup_substrings").contains(2.4), prior)
+    assert(prior.get("dedup_survivors").contains(3.5), prior)
+    assert(prior.get("q_x").contains(1.0), prior)
+    assert(Bench.priorTimings("/nonexistent-dir").isEmpty)
+    // parsing is resilient: a missing outer brace still yields the
+    // complete inner map, and garbage degrades to empty, never throws
+    val torn = Bench.parseQueryTimes("""{"queries":{"a":1.5,"b":2}""")
+    assert(torn == Map("a" -> 1.5, "b" -> 2.0))
+    assert(Bench.parseQueryTimes("""{"queries":{"a":1.5,"b":""").isEmpty)
+    assert(Bench.parseQueryTimes("not json at all").isEmpty)
+  }
 }

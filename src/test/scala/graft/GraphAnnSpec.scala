@@ -74,6 +74,37 @@ class GraphAnnSpec extends SparkSpec {
       pqDist.collect().map(_.toString).toSeq)
   }
 
+  test("an OVERSIZED distributed frontier never broadcasts — size-routed shuffle probes") {
+    val dir = tmpDir("distshuffle")
+    graft.sources.GraphAnnIndex.ensureBuilt(emb, dir)
+    // maxBroadcastFrontier = 0 forces every size-routed side (the
+    // frontier probe, the query table, the PQ LUT, the rerank keys)
+    // onto the shuffle path — the branch that serves when the batch
+    // outgrows the broadcast budget. Results are pinned identical to
+    // the driver-side walk, and the executed plan must carry ZERO
+    // BroadcastExchange: a broadcast collects the frontier to the
+    // driver, the exact materialization this regime exists to avoid.
+    val drv = graft.sources.GraphAnnIndex.searchSelf(spark, dir)
+    val dist = graft.sources.GraphAnnIndex.searchSelf(spark, dir,
+      maxDriverFrontier = 0, maxBroadcastFrontier = 0)
+    assert(drv.collect().map(_.toString).toSeq ==
+      dist.collect().map(_.toString).toSeq)
+    val plan = dist.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastExchange"),
+      s"oversized frontier must not broadcast:\n$plan")
+    val pqDrv = graft.sources.GraphAnnIndex.searchPqSelf(spark, dir)
+    val pqDist = graft.sources.GraphAnnIndex.searchPqSelf(spark, dir,
+      maxDriverFrontier = 0, maxBroadcastFrontier = 0)
+    assert(pqDrv.collect().map(_.toString).toSeq ==
+      pqDist.collect().map(_.toString).toSeq)
+    val pqPlan = pqDist.queryExecution.executedPlan.toString
+    assert(!pqPlan.contains("BroadcastExchange"),
+      s"oversized PQ frontier must not broadcast:\n$pqPlan")
+    // the pb prune survives the distributed branch: the edge scan in
+    // the final step is partition-filtered, not a full-table read
+    assert(plan.contains("pb"), "expected the pb-pruned edge probe in the plan")
+  }
+
   test("a served search never touches the corpus — every input file is index bytes") {
     val dir = tmpDir("nocorpus")
     graft.sources.GraphAnnIndex.ensureBuilt(emb, dir)

@@ -62,7 +62,33 @@ class WavCodecSpec extends SparkSpec {
     val bb = java.nio.ByteBuffer.wrap(lying).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.putInt(40, 1000000)
     val e = intercept[IllegalArgumentException](Multimodal.wavDecode(lying))
-    assert(e.getMessage.contains("data chunk declares"))
+    assert(e.getMessage.contains("declares"))
+  }
+
+  test("a NEGATIVE chunk size fails loudly instead of looping the walker forever") {
+    // size -8 cancels the 8-byte chunk-header advance: an unbounded
+    // walker would re-read the same chunk forever. Every branch of
+    // the walk must reject it — data, fmt, and the unknown-chunk skip
+    val good = Multimodal.wavEncode(7L, 12)
+    for (offset <- Seq(40 /*data size*/, 16 /*fmt size*/)) {
+      val lying = good.clone()
+      java.nio.ByteBuffer.wrap(lying).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(offset, -8)
+      val e = intercept[IllegalArgumentException](Multimodal.wavDecode(lying))
+      assert(e.getMessage.contains("declares"), e.getMessage)
+    }
+    // an unknown chunk with a negative size, spliced before data
+    val body = java.nio.ByteBuffer.allocate(64).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    body.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort).putShort(1.toShort).putInt(8000).putInt(16000)
+      .putShort(2.toShort).putShort(16.toShort)
+    body.put("junk".getBytes("US-ASCII")).putInt(-8)
+    val riff = java.nio.ByteBuffer.allocate(12 + body.position())
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    riff.put("RIFF".getBytes("US-ASCII")).putInt(4 + body.position())
+      .put("WAVE".getBytes("US-ASCII")).put(body.array(), 0, body.position())
+    val e = intercept[IllegalArgumentException](Multimodal.wavDecode(riff.array()))
+    assert(e.getMessage.contains("declares"), e.getMessage)
   }
 
   test("malformed containers fail loudly, never yield silent garbage") {
