@@ -1522,6 +1522,10 @@ object SparkEntry {
     // padding — the format's awkward parts ARE the graded surface
     "mm_bmp_roundtrip" -> ((s, d) =>
       Multimodal.bmpRoundtrip(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    // round 12: the ENTROPY-CODED rung — zlib inflate + per-row
+    // unfilter; n_filters pins that all five filter branches ran
+    "mm_png_roundtrip" -> ((s, d) =>
+      Multimodal.pngRoundtrip(Tables.documents(s, d)).orderBy(col("doc_id"))),
     // …and the VIDEO rung, completing the codec ladder: uncompressed
     // AVI (nested RIFF lists, raw DIB frames) — synthesize → encode →
     // chunk-walking decode → stats, with MOTION (mean |Δ| between
@@ -1654,7 +1658,38 @@ object SparkEntry {
     "samp_doremi" -> ((s, d) =>
       graft.operators.TrainingMix.doremiWeights(Tables.documents(s, d))),
     "ev_bursts" -> ((s, d) =>
-      Events.kleinbergBursts(Tables.events(s, d)))
+      Events.kleinbergBursts(Tables.events(s, d))),
+    // round 12: the embedding stage LEARNS from the corpus — GloVe
+    // co-occurrence training, fully deterministic and oracle-replayed
+    // step by step (vocab → X → 3 full-batch AdaGrad rounds)
+    "emb_glove_train" -> ((s, d) =>
+      graft.operators.Glove.trainedVectors(Tables.documents(s, d))),
+    "emb_glove_loss" -> ((s, d) =>
+      graft.operators.Glove.trainLosses(Tables.documents(s, d))),
+    "rag_retrieve_trained" -> ((s, d) =>
+      graft.operators.Glove.retrieveTrained(Tables.documents(s, d))),
+    // the TRAINED model through the production TextEncoder seam:
+    // gold chunks → GloveTextEncoder via Embedder.embed (the same
+    // mapPartitions batch shape the MLP runner uses) → per-chunk
+    // checksum/head over the emitted float vectors, oracle-replayed
+    // down to the double→float cast
+    "emb_infer_trained" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val enc = graft.operators.GloveTextEncoder(
+        graft.operators.Glove.trainedMap(graft.operators.Glove.train(docs)),
+        graft.operators.Glove.Dim)
+      val chunks = Medallion.pipeline(docs)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk"))
+      Embedder.embed(chunks, "chunk", Seq("doc_id", "chunk_idx"), enc)
+        .select(col("doc_id"), col("chunk_idx"),
+          posexplode(col("embedding")).as(Seq("k", "c")))
+        .groupBy(col("doc_id"), col("chunk_idx"))
+        .agg(
+          sum(graft.operators.Glove.rnd(col("c").cast("double"), 5).cast("decimal(18,5)"))
+            .cast("double").as("emb_checksum"),
+          max(when(col("k") === 0, col("c").cast("double"))).as("emb_head"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    })
   )
 
   // ════ DuckDB oracle SQL ════════════════════════════════════════════
@@ -1769,6 +1804,106 @@ object SparkEntry {
   private def dRev(p: String, disc: String) =
     s"SUM(CAST($p AS $dDec) * (CAST(1 AS $dDec) - CAST($disc AS $dDec)))"
 
+  /** One GloVe AdaGrad round as CTEs (unrolled like the BPE chain):
+    * decimal dot per pair → 6-dp-rounded error/coef → decimal
+    * gradient sums → the IEEE update v' = v − lr·g/√(a + g² + 1e-8).
+    * Every expression mirrors Glove.train's operation order exactly —
+    * +, −, ×, ÷, √ are correctly-rounded IEEE everywhere, so only
+    * the rounds at err/coef need stating. */
+  private def dGloveStep(t: Int): String = {
+    val p = t - 1
+    val lr = graft.operators.Glove.Lr
+    def upd(g: String) =
+      s"- $lr * COALESCE($g, 0.0) / sqrt(%s + COALESCE($g, 0.0) * COALESCE($g, 0.0) + 1e-8)"
+    s"""gdot$t AS (
+       |  SELECT p.ia, p.ib, p.f, p.logx,
+       |    CAST(SUM(CAST(round(w.v * c.v + 1.1641532182693481e-10, 8) AS DECIMAL(28,8))) AS DOUBLE) AS dot
+       |  FROM gpx p
+       |  JOIN gw$p w ON w.i = p.ia
+       |  JOIN gc$p c ON c.i = p.ib AND c.k = w.k
+       |  GROUP BY p.ia, p.ib, p.f, p.logx),
+       |gerr$t AS (
+       |  SELECT d.ia, d.ib, d.f,
+       |    round(d.dot + bw.b + bc.c - d.logx + 1.1641532182693481e-10, 6) AS err,
+       |    round(CAST(2.0 AS DOUBLE) * d.f * round(d.dot + bw.b + bc.c - d.logx + 1.1641532182693481e-10, 6) + 1.1641532182693481e-10, 6) AS coef
+       |  FROM gdot$t d
+       |  JOIN gb$p bw ON bw.i = d.ia
+       |  JOIN gb$p bc ON bc.i = d.ib),
+       |ggw$t AS (
+       |  SELECT e.ia AS i, c.k,
+       |    CAST(SUM(CAST(round(e.coef * c.v + 1.1641532182693481e-10, 8) AS DECIMAL(28,8))) AS DOUBLE) AS g
+       |  FROM gerr$t e JOIN gc$p c ON c.i = e.ib GROUP BY 1, 2),
+       |ggc$t AS (
+       |  SELECT e.ib AS i, w.k,
+       |    CAST(SUM(CAST(round(e.coef * w.v + 1.1641532182693481e-10, 8) AS DECIMAL(28,8))) AS DOUBLE) AS g
+       |  FROM gerr$t e JOIN gw$p w ON w.i = e.ia GROUP BY 1, 2),
+       |ggb$t AS (SELECT ia AS i, CAST(SUM(CAST(coef AS DECIMAL(18,6))) AS DOUBLE) AS g
+       |  FROM gerr$t GROUP BY 1),
+       |ggbc$t AS (SELECT ib AS i, CAST(SUM(CAST(coef AS DECIMAL(18,6))) AS DOUBLE) AS g
+       |  FROM gerr$t GROUP BY 1),
+       |gw$t AS (
+       |  SELECT s.i, s.k,
+       |    s.v ${upd("g.g").format("s.a")} AS v,
+       |    s.a + COALESCE(g.g, 0.0) * COALESCE(g.g, 0.0) AS a
+       |  FROM gw$p s LEFT JOIN ggw$t g ON g.i = s.i AND g.k = s.k),
+       |gc$t AS (
+       |  SELECT s.i, s.k,
+       |    s.v ${upd("g.g").format("s.a")} AS v,
+       |    s.a + COALESCE(g.g, 0.0) * COALESCE(g.g, 0.0) AS a
+       |  FROM gc$p s LEFT JOIN ggc$t g ON g.i = s.i AND g.k = s.k),
+       |gb$t AS (
+       |  SELECT s.i,
+       |    s.b ${upd("x.g").format("s.ab")} AS b,
+       |    s.ab + COALESCE(x.g, 0.0) * COALESCE(x.g, 0.0) AS ab,
+       |    s.c ${upd("y.g").format("s.ac")} AS c,
+       |    s.ac + COALESCE(y.g, 0.0) * COALESCE(y.g, 0.0) AS ac
+       |  FROM gb$p s
+       |  LEFT JOIN ggb$t x ON x.i = s.i
+       |  LEFT JOIN ggbc$t y ON y.i = s.i)""".stripMargin
+  }
+
+  /** The full GloVe replay: vocab (top-V by count, rank order),
+    * map-side in-window pairs from the token list, symmetric decimal
+    * X with 1/d weights, 6-dp ln/pow constants, md5-seeded init, and
+    * `Steps` unrolled AdaGrad rounds — mirroring Glove.scala
+    * operation for operation. */
+  private lazy val dGloveChain: String = {
+    val v = graft.operators.Glove.VocabSize
+    val win = graft.operators.Glove.WindowSize
+    val d = graft.operators.Glove.Dim
+    def seed(salt: String) =
+      s"CAST(CAST('0x' || substr(md5('$salt:' || word || ':' || CAST(k AS VARCHAR)), 1, 12) AS BIGINT) " +
+        s"% 10000 AS DOUBLE) / 100000.0 - 0.05"
+    s"""WITH gvc AS (
+       |  SELECT w, count(*) AS cnt
+       |  FROM (SELECT unnest(${dToks("lower(text)")}) AS w FROM documents) GROUP BY 1),
+       |gvoc AS (SELECT w, CAST(row_number() OVER (ORDER BY cnt DESC, w) - 1 AS BIGINT) AS i
+       |  FROM gvc ORDER BY cnt DESC, w LIMIT $v),
+       |gtk AS (SELECT ${dToks("lower(text)")} AS tk FROM documents),
+       |gpr0 AS (SELECT unnest(flatten(list_transform(range(1, len(tk) + 1), p ->
+       |    list_transform(range(1, least($win, len(tk) - p) + 1), dd ->
+       |      {'a': tk[p], 'b': tk[p + dd], 'dist': dd})))) AS pr
+       |  FROM gtk WHERE len(tk) > 1),
+       |gprs AS (SELECT pr.a AS a, pr.b AS b, pr.dist AS dist FROM gpr0),
+       |gsym AS (SELECT a, b, dist FROM gprs
+       |  UNION ALL SELECT b AS a, a AS b, dist FROM gprs),
+       |gx AS (SELECT va.i AS ia, vb.i AS ib,
+       |    SUM(CAST(CAST(1.0 AS DOUBLE) / dist AS DECIMAL(18,6))) AS x
+       |  FROM gsym s JOIN gvoc va ON va.w = s.a JOIN gvoc vb ON vb.w = s.b
+       |  GROUP BY 1, 2),
+       |gxm AS (SELECT MAX(x) AS xmax FROM gx),
+       |gpx AS (SELECT ia, ib,
+       |    round(ln(CAST(x AS DOUBLE)) + 1.1641532182693481e-10, 6) AS logx,
+       |    round(least(power(CAST(x AS DOUBLE) / CAST(xmax AS DOUBLE), 0.75), CAST(1.0 AS DOUBLE)) + 1.1641532182693481e-10, 6) AS f
+       |  FROM gx, gxm),
+       |gks AS (SELECT i, w AS word, CAST(k AS INT) AS k FROM gvoc, range(0, $d) t(k)),
+       |gw0 AS (SELECT i, k, ${seed("gw")} AS v, 0.0 AS a FROM gks),
+       |gc0 AS (SELECT i, k, ${seed("gc")} AS v, 0.0 AS a FROM gks),
+       |gb0 AS (SELECT i, 0.0 AS b, 0.0 AS ab, 0.0 AS c, 0.0 AS ac FROM gvoc),
+       |${(1 to graft.operators.Glove.Steps).map(dGloveStep).mkString(",\n")}
+       |""".stripMargin
+  }
+
   /** Scraper CTE chain: synthesize the SAME html page per doc the
     * Spark side builds, then re-run the extraction for real — regex
     * href pull, skip-scheme filter, relative resolution, domain gate,
@@ -1787,6 +1922,8 @@ object SparkEntry {
       |    '<a href="http://site.example/doc/' || CAST((doc_id * 2) % 937 AS VARCHAR) || '">rel</a>' ||
       |    '<a href="http://other.example/p/' || CAST(doc_id % 10 AS VARCHAR) || '">ext</a>' ||
       |    '<a href="sub/item-' || CAST(doc_id % 5 AS VARCHAR) || '">sub</a>' ||
+      |    '<a href="../doc/' || CAST((doc_id * 3) % 411 AS VARCHAR) || '">up</a>' ||
+      |    '<a href="./rel-' || CAST(doc_id % 7 AS VARCHAR) || '">dot</a>' ||
       |    '<p>' || text || '</p></body></html>' AS html
       |  FROM documents),
       |hrefs AS (
@@ -1802,10 +1939,16 @@ object SparkEntry {
       |         WHEN href LIKE '/%' THEN 'http://site.example' || href
       |         ELSE regexp_replace(url, '/[^/]*$', '/') || href END AS link_url
       |  FROM kept),
+      |folded AS (
+      |  SELECT doc_id, page_url,
+      |    regexp_replace(
+      |      regexp_replace(link_url, '/\.(/)', '/', 'g'),
+      |      '/[^/.][^/]*/\.\./', '/', 'g') AS link_url
+      |  FROM resolved),
       |internal AS (
       |  SELECT DISTINCT doc_id, page_url, link_url,
       |    replace(replace(replace(replace(link_url, '://', '_'), '/', '_'), '?', '_'), '&', '_') AS file_key
-      |  FROM resolved WHERE link_url LIKE 'http://site.example/%')
+      |  FROM folded WHERE link_url LIKE 'http://site.example/%')
       |""".stripMargin
 
   /** Silver CTE chain shared by the pipeline oracles. */
@@ -3675,6 +3818,73 @@ object SparkEntry {
         |         (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4) AS corr
         |FROM a ORDER BY dim_i, dim_j""".stripMargin,
 
+    // the GloVe trainer replayed end to end: same vocab ranks, same
+    // map-side pairs, same decimal X, same 6-dp ln/pow constants,
+    // same md5 init, same three AdaGrad rounds
+    "emb_glove_train" ->
+      s"""$dGloveChain
+         |SELECT w.i AS word_id, v.w AS word, CAST(w.k AS BIGINT) AS dim, w.v AS weight
+         |FROM gw${graft.operators.Glove.Steps} w JOIN gvoc v ON v.i = w.i
+         |ORDER BY word_id, dim""".stripMargin,
+    // the trained encoder through the seam, replayed: chunk tokens →
+    // trained-vector decimal mean → REAL (float) → checksum/head.
+    // LEFT JOIN keeps the zero-vector chunks (no vocab token) that
+    // the encoder emits as all-zero embeddings.
+    "emb_infer_trained" ->
+      s"""$dGloveChain,
+         |${silverCte.stripPrefix("WITH ")},
+         |gtv AS (SELECT v.w AS w, t.k, t.v
+         |  FROM gw${graft.operators.Glove.Steps} t JOIN gvoc v ON v.i = t.i),
+         |ctk AS (SELECT doc_id, chunk_idx, unnest(${dToks("lower(chunk)")}) AS w FROM gold),
+         |cm AS (SELECT c.doc_id, c.chunk_idx, g.k,
+         |    CAST(CAST(CAST(SUM(CAST(round(g.v + 1.1641532182693481e-10, 6) AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS REAL) AS DOUBLE) AS m
+         |  FROM ctk c JOIN gtv g ON g.w = c.w GROUP BY 1, 2, 3),
+         |ca AS (SELECT doc_id, chunk_idx,
+         |    CAST(SUM(CAST(round(m + 1.1641532182693481e-10, 5) AS DECIMAL(18,5))) AS DOUBLE) AS emb_checksum,
+         |    MAX(CASE WHEN k = 0 THEN m END) AS emb_head
+         |  FROM cm GROUP BY 1, 2)
+         |SELECT g.doc_id, g.chunk_idx,
+         |  COALESCE(a.emb_checksum, 0.0) AS emb_checksum,
+         |  COALESCE(a.emb_head, 0.0) AS emb_head
+         |FROM gold g LEFT JOIN ca a ON a.doc_id = g.doc_id AND a.chunk_idx = g.chunk_idx
+         |ORDER BY g.doc_id, g.chunk_idx""".stripMargin,
+
+    // descent pinned in the oracle: Σ f·err² at each step's entry
+    // state, from the same unrolled chain
+    "emb_glove_loss" ->
+      s"""$dGloveChain
+         |${(1 to graft.operators.Glove.Steps).map(t =>
+             s"SELECT CAST($t AS BIGINT) AS step, " +
+               "CAST(SUM(CAST(round(f * err * err + 1.1641532182693481e-10, 8) AS DECIMAL(28,8))) AS DOUBLE) AS loss " +
+               s"FROM gerr$t").mkString("\nUNION ALL\n")}
+         |ORDER BY step""".stripMargin,
+    // retrieval over the TRAINED document embeddings: mean word
+    // vector per doc (rounded-term decimal mean), cosine top-10 of
+    // the first five embedded docs against the rest
+    "rag_retrieve_trained" ->
+      s"""$dGloveChain,
+         |gwv AS (SELECT v.w AS w, t.k, t.v
+         |  FROM gw${graft.operators.Glove.Steps} t JOIN gvoc v ON v.i = t.i),
+         |gdt AS (SELECT doc_id, unnest(${dToks("lower(text)")}) AS w FROM documents),
+         |gdv AS (SELECT d.doc_id, g.k,
+         |    CAST(SUM(CAST(round(g.v + 1.1641532182693481e-10, 6) AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS dv
+         |  FROM gdt d JOIN gwv g ON g.w = d.w GROUP BY 1, 2),
+         |gn AS (SELECT doc_id,
+         |    CAST(SUM(CAST(round(dv * dv + 1.1641532182693481e-10, 8) AS DECIMAL(28,8))) AS DOUBLE) AS n2
+         |  FROM gdv GROUP BY 1),
+         |gq AS (SELECT doc_id AS query_id, k, dv AS qv FROM gdv WHERE doc_id < 5),
+         |gdots AS (SELECT q.query_id, n.doc_id AS neighbor_id,
+         |    CAST(SUM(CAST(round(q.qv * n.dv + 1.1641532182693481e-10, 8) AS DECIMAL(28,8))) AS DOUBLE) AS dot
+         |  FROM gq q JOIN gdv n ON n.k = q.k AND n.doc_id >= 5 GROUP BY 1, 2),
+         |gsc AS (SELECT t.query_id, t.neighbor_id,
+         |    round(t.dot / (sqrt(a.n2) * sqrt(b.n2)) + 1.1641532182693481e-10, 6) AS sim
+         |  FROM gdots t JOIN gn a ON a.doc_id = t.query_id
+         |  JOIN gn b ON b.doc_id = t.neighbor_id),
+         |grk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY sim DESC, neighbor_id) AS rnk FROM gsc)
+         |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", sim
+         |FROM grk WHERE rnk <= 10 ORDER BY query_id, "rank"""".stripMargin,
+
     "emb_kmeans_update" ->
       s"""$embNormCte,
          |c AS (SELECT id AS cell, v AS cv, nrm AS cnrm FROM n WHERE id < 16),
@@ -5065,6 +5275,22 @@ object SparkEntry {
         |px AS (SELECT doc_id, w, h, (doc_id + x * 7 + y * 13) % 256 AS g FROM ys)
         |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
         |  CAST(54 + (3 * w + (4 - (3 * w) % 4) % 4) * h AS BIGINT) AS byte_len,
+        |  round(CAST(SUM(g) AS DOUBLE) / (w * h), 6) AS mean_lum
+        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+    // the PNG roundtrip replayed from the generator side: geometry
+    // and mean_lum from the pixel formula; n_filters = LEAST(h, 5)
+    // because the encoder rotates filter type y mod 5 — so the
+    // graded query proves every unfilter branch the image reaches
+    // actually reconstructed its rows (byte_len is deliberately
+    // absent: deflate output length is zlib-version-specific, not
+    // oracle-replayable)
+    "mm_png_roundtrip" ->
+      """WITH d AS (SELECT doc_id, doc_id % 9 + 4 AS w, doc_id % 7 + 3 AS h FROM documents),
+        |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+        |ys AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+        |px AS (SELECT doc_id, w, h, (doc_id + x * 7 + y * 13) % 256 AS g FROM ys)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(LEAST(h, 5) AS BIGINT) AS n_filters,
         |  round(CAST(SUM(g) AS DOUBLE) / (w * h), 6) AS mean_lum
         |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
     // the AVI roundtrip replayed from the generator side: byte_len

@@ -1,0 +1,336 @@
+package graft.operators
+
+import graft.functions.HashFunctions
+import graft.functions.TextFunctions.tokens
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-trained word embeddings — GloVe (Pennington, Socher &
+  * Manning, EMNLP 2014) as a fully deterministic, oracle-replayable
+  * distributed trainer. This closes the one pipeline stage the
+  * engine still simulated: the reference's embedding stage
+  * (/root/reference/README.md architecture — documents are embedded
+  * before indexing/retrieval) has until now been represented by
+  * hash-feature vectors; here the vectors are LEARNED from the
+  * corpus's own co-occurrence statistics.
+  *
+  * Scale shape — the two halves scale differently and are split
+  * accordingly:
+  *   1. CO-OCCURRENCE (corpus-scale, once): pairs are generated
+  *      MAP-SIDE from each doc's token array (a nested `transform`
+  *      over the array — no self-join, no shuffle per window
+  *      position), filtered to the vocab by broadcast join, and
+  *      reduced to the X_ij matrix with one shuffle keyed on
+  *      (i, j). At 100 TB this is the only big job, and it is one
+  *      explode + one partially-aggregated groupBy.
+  *   2. TRAINING (model-scale, iterated): X is at most V² rows; the
+  *      AdaGrad loop joins it against V·dim-row state tables. Every
+  *      step is a handful of broadcast-sized joins — the driver
+  *      never holds the corpus, and the loop cost is independent of
+  *      corpus size.
+  *
+  * Determinism discipline (the emb_kmeans_update / power-iteration
+  * contract, so DuckDB replays the whole trainer bit-for-bit):
+  *   - every SUM whose order Spark does not define is a DECIMAL sum
+  *     of per-term ROUNDED products (order-free, exact). Scale 8,
+  *     deliberately not higher: DuckDB's round(x, s) computes
+  *     round(x·10^s)/10^s in doubles, so at scale 10 the grid-level
+  *     ulp error (~2e-7 for x≈0.1) flips boundary cases against
+  *     the JVM's string-exact rounding — measured once per ~50k
+  *     roundings. At scale 8 the grid error is ~2e-11: safe;
+  *   - ln and pow — the only non-IEEE-portable ops — are rounded to
+  *     6 dp immediately (f and log X are constants of the run);
+  *   - +, −, ×, ÷, sqrt are correctly-rounded IEEE ops, identical
+  *     in every engine, so state updates need no re-rounding;
+  *   - init is md5-derived from (salt, word, dim): reproducible
+  *     anywhere, no RNG state to ship.
+  */
+object Glove {
+
+  /** Tie-break epsilon, +2⁻³³ (binary-exact, so the add is the same
+    * IEEE op in every engine): the md5 init lies on a 5-dp decimal
+    * grid, so step-1 products are EXACT 10-dp decimals that land
+    * precisely ON .5 rounding boundaries — where the JVM's
+    * string-exact HALF_UP and DuckDB's double-multiply rounding
+    * disagree (measured: 3 flipped weights at sf0.01). Every round
+    * in the trainer adds this epsilon first: exact ties move
+    * strictly above the boundary (both engines round up), and
+    * generic values move by 1.2e-10 — orders of magnitude beyond
+    * any engine's rounding error at these scales. */
+  private[graft] val TieEps: Double = java.lang.Math.pow(2, -33)
+
+  /** round with the tie-break epsilon — the ONLY rounding the GloVe
+    * family uses. */
+  private[graft] def rnd(c: Column, s: Int): Column = round(c + lit(TieEps), s)
+
+  val VocabSize = 32
+  val WindowSize = 2
+  val Dim = 8
+  val Steps = 3
+  val Lr = 0.05
+
+  /** Top-`v` lowercased whitespace tokens by (count DESC, token ASC),
+    * with dense rank i ∈ [0, v). The global sort is a distributed
+    * top-k (orderBy + limit); only the v survivors see the
+    * single-partition row_number window — model-sized by then. */
+  def vocab(docs: DataFrame, v: Int = VocabSize,
+            contentCol: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("w"))
+    docs.select(explode(tokens(lower(col(contentCol)))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(v)
+      .withColumn("i", (row_number().over(w) - 1).cast("long"))
+      .select(col("w"), col("i"))
+  }
+
+  /** The symmetric co-occurrence matrix X over the vocab: for every
+    * ordered in-window pair at distance d ≤ `window`, both (a,b) and
+    * (b,a) accumulate 1/d (the GloVe distance weighting), summed as
+    * DECIMAL(18,6) — exact for window ≤ 2 and order-free always.
+    * Pair generation is map-only (nested transform over the token
+    * array); the vocab gate is a broadcast semi-side join. */
+  def cooc(docs: DataFrame, v: Int = VocabSize, window: Int = WindowSize,
+           contentCol: String = "text"): DataFrame = {
+    val vb = broadcast(vocab(docs, v, contentCol))
+    val prs = docs
+      .select(tokens(lower(col(contentCol))).as("tk"))
+      .where(size(col("tk")) > 1)
+      .select(explode(expr(
+        s"""flatten(transform(tk, (wa, p) ->
+           |  transform(slice(tk, p + 2, $window), (wb, d) ->
+           |    struct(wa AS a, wb AS b, d + 1 AS dist))))""".stripMargin)).as("pr"))
+      .select(col("pr.a").as("a"), col("pr.b").as("b"), col("pr.dist").as("dist"))
+    val sym = prs.unionByName(
+      prs.select(col("b").as("a"), col("a").as("b"), col("dist")))
+    sym
+      .join(vb.select(col("w").as("a"), col("i").as("ia")), "a")
+      .join(vb.select(col("w").as("b"), col("i").as("ib")), "b")
+      .groupBy(col("ia"), col("ib"))
+      .agg(sum((lit(1.0) / col("dist")).cast("decimal(18,6)")).as("x"))
+  }
+
+  /** X with its run constants: f = min((x/xmax)^0.75, 1) and ln x,
+    * both rounded to 6 dp at birth (pow/ln are the only ops whose
+    * low bits differ across engines). */
+  private def pairsWithConstants(x: DataFrame): DataFrame = {
+    val xmax = x.agg(max(col("x")).as("xmax"))
+    x.crossJoin(broadcast(xmax))
+      .select(col("ia"), col("ib"),
+        rnd(log(col("x").cast("double")), 6).as("logx"),
+        rnd(least(pow(col("x").cast("double") / col("xmax").cast("double"),
+          lit(0.75)), lit(1.0)), 6).as("f"))
+  }
+
+  /** md5-seeded init in [−0.05, 0.05): one value per (word, dim),
+    * identical arithmetic to the oracle's replay. */
+  private def seeded(salt: String): Column =
+    (HashFunctions.md5Long(concat(lit(s"$salt:"), col("word"), lit(":"), col("k")))
+      % 10000).cast("double") / lit(100000.0) - lit(0.05)
+
+  /** The trained state: word-vector table W, context table C, bias
+    * table B, and the per-step full-batch losses (for the
+    * loss-decrease pin — training that does not descend is a bug). */
+  final case class Trained(w: DataFrame, c: DataFrame, b: DataFrame,
+                           vocab: DataFrame, losses: Seq[Double])
+
+  /** Full-batch AdaGrad on the GloVe objective
+    * J = Σ f(X_ij)·(wᵢ·cⱼ + bᵢ + bcⱼ − ln X_ij)², `steps` rounds. */
+  def train(docs: DataFrame, v: Int = VocabSize, window: Int = WindowSize,
+            dim: Int = Dim, steps: Int = Steps, lr: Double = Lr,
+            contentCol: String = "text"): Trained = {
+    val voc = vocab(docs, v, contentCol).localCheckpoint(true)
+    val px = pairsWithConstants(cooc(docs, v, window, contentCol))
+      .localCheckpoint(true) // ≤ V² rows — the whole training set
+    val ks = voc.select(col("i"), col("w").as("word"))
+      .select(col("i"), col("word"),
+        explode(sequence(lit(0), lit(dim - 1))).as("k"))
+    var wT = ks.select(col("i"), col("k"),
+      seeded("gw").as("v"), lit(0.0).as("a")).localCheckpoint(true)
+    var cT = ks.select(col("i"), col("k"),
+      seeded("gc").as("v"), lit(0.0).as("a")).localCheckpoint(true)
+    var bT = voc.select(col("i"), lit(0.0).as("b"), lit(0.0).as("ab"),
+      lit(0.0).as("c"), lit(0.0).as("ac")).localCheckpoint(true)
+    val losses = scala.collection.mutable.ArrayBuffer.empty[Double]
+    (1 to steps).foreach { _ =>
+      // err per pair: order-free decimal dot + IEEE bias adds, then
+      // ONE round — same 6 dp the oracle applies at the same spot
+      val dot = px
+        .join(wT.select(col("i").as("ia"), col("k"), col("v").as("wv")), "ia")
+        .join(cT.select(col("i").as("ib"), col("k"), col("v").as("cv")), Seq("ib", "k"))
+        .groupBy(col("ia"), col("ib"), col("f"), col("logx"))
+        .agg(sum(rnd(col("wv") * col("cv"), 8).cast("decimal(28,8)"))
+          .cast("double").as("dot"))
+      val err = dot
+        .join(bT.select(col("i").as("ia"), col("b")), "ia")
+        .join(bT.select(col("i").as("ib"), col("c").as("bc")), "ib")
+        .select(col("ia"), col("ib"), col("f"),
+          rnd(col("dot") + col("b") + col("bc") - col("logx"), 6).as("err"))
+        .withColumn("coef", rnd(lit(2.0) * col("f") * col("err"), 6))
+        .localCheckpoint(true)
+      losses += err
+        .agg(sum(rnd(col("f") * col("err") * col("err"), 8)
+          .cast("decimal(28,8)")).cast("double"))
+        .head().getDouble(0)
+      val gw = err
+        .join(cT.select(col("i").as("ib"), col("k"), col("v").as("cv")), "ib")
+        .groupBy(col("ia").as("i"), col("k"))
+        .agg(sum(rnd(col("coef") * col("cv"), 8).cast("decimal(28,8)"))
+          .cast("double").as("g"))
+      val gc = err
+        .join(wT.select(col("i").as("ia"), col("k"), col("v").as("wv")), "ia")
+        .groupBy(col("ib").as("i"), col("k"))
+        .agg(sum(rnd(col("coef") * col("wv"), 8).cast("decimal(28,8)"))
+          .cast("double").as("g"))
+      val gb = err.groupBy(col("ia").as("i"))
+        .agg(sum(col("coef").cast("decimal(18,6)")).cast("double").as("g"))
+      val gbc = err.groupBy(col("ib").as("i"))
+        .agg(sum(col("coef").cast("decimal(18,6)")).cast("double").as("g"))
+      // AdaGrad: a' = a + g²; v' = v − lr·g/sqrt(a' + 1e-8). All
+      // IEEE — no re-rounding needed or wanted. A vocab word no pair
+      // touched keeps its state (g = 0 exactly).
+      def updVec(state: DataFrame, grad: DataFrame): DataFrame = state
+        .join(grad, Seq("i", "k"), "left")
+        .withColumn("g", coalesce(col("g"), lit(0.0)))
+        .select(col("i"), col("k"),
+          (col("v") - lit(lr) * col("g") /
+            sqrt(col("a") + col("g") * col("g") + lit(1e-8))).as("v"),
+          (col("a") + col("g") * col("g")).as("a"))
+        .localCheckpoint(true)
+      val w2 = updVec(wT, gw)
+      val c2 = updVec(cT, gc)
+      bT = bT
+        .join(gb.withColumnRenamed("g", "gB"), Seq("i"), "left")
+        .join(gbc.withColumnRenamed("g", "gC"), Seq("i"), "left")
+        .withColumn("gB", coalesce(col("gB"), lit(0.0)))
+        .withColumn("gC", coalesce(col("gC"), lit(0.0)))
+        .select(col("i"),
+          (col("b") - lit(lr) * col("gB") /
+            sqrt(col("ab") + col("gB") * col("gB") + lit(1e-8))).as("b"),
+          (col("ab") + col("gB") * col("gB")).as("ab"),
+          (col("c") - lit(lr) * col("gC") /
+            sqrt(col("ac") + col("gC") * col("gC") + lit(1e-8))).as("c"),
+          (col("ac") + col("gC") * col("gC")).as("ac"))
+        .localCheckpoint(true)
+      wT = w2; cT = c2
+    }
+    Trained(wT, cT, bT, voc, losses.toSeq)
+  }
+
+  /** The per-step full-batch losses as a graded frame (step, loss) —
+    * descent is pinned by the ORACLE as well as the spec: each loss
+    * is the order-free decimal sum Σ f·err² at the step's entry
+    * state, replayed from the same unrolled CTE chain. */
+  def trainLosses(docs: DataFrame, v: Int = VocabSize,
+                  window: Int = WindowSize, dim: Int = Dim,
+                  steps: Int = Steps, lr: Double = Lr): DataFrame = {
+    val t = train(docs, v, window, dim, steps, lr)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    t.losses.zipWithIndex
+      .map { case (l, i) => ((i + 1).toLong, l) }
+      .toDF("step", "loss")
+  }
+
+  /** The graded trainer surface: final word vectors as
+    * (word_id, word, dim, weight) rows — the oracle replays vocab,
+    * co-occurrence, constants, and every AdaGrad step. */
+  def trainedVectors(docs: DataFrame, v: Int = VocabSize,
+                     window: Int = WindowSize, dim: Int = Dim,
+                     steps: Int = Steps, lr: Double = Lr): DataFrame = {
+    val t = train(docs, v, window, dim, steps, lr)
+    t.w.join(t.vocab, Seq("i"))
+      .select(col("i").as("word_id"), col("w").as("word"),
+        col("k").cast("long").as("dim"), col("v").as("weight"))
+      .orderBy(col("word_id"), col("dim"))
+  }
+
+  /** Mean-of-word-vectors document embeddings over the TRAINED table
+    * (6-dp-rounded decimal sums / occurrence count — the lloydUpdate
+    * mean discipline, so the quotient is bit-stable), one row per
+    * (doc, dim). Docs with no vocab token drop out (no embedding). */
+  def docVectors(docs: DataFrame, trained: Trained,
+                 contentCol: String = "text"): DataFrame = {
+    val wv = trained.w.join(trained.vocab, Seq("i"))
+      .select(col("w"), col("k"), col("v"))
+    docs.select(col("doc_id"), explode(tokens(lower(col(contentCol)))).as("w"))
+      .join(broadcast(wv), "w")
+      .groupBy(col("doc_id"), col("k"))
+      .agg((sum(rnd(col("v"), 6).cast("decimal(18,6)")).cast("double") /
+        count(lit(1))).as("dv"))
+  }
+
+  /** Retrieval over the trained document embeddings: cosine top-k of
+    * the first `nQueries` embedded docs against the rest. Norms and
+    * dots are order-free decimal sums of rounded products; the final
+    * cosine rounds to 6 dp; ties break on neighbor id. */
+  def retrieveTrained(docs: DataFrame, k: Int = 10, nQueries: Int = 5,
+                      v: Int = VocabSize, window: Int = WindowSize,
+                      dim: Int = Dim, steps: Int = Steps,
+                      lr: Double = Lr): DataFrame = {
+    val dv = docVectors(docs, train(docs, v, window, dim, steps, lr))
+      .localCheckpoint(true)
+    val nrm = dv.groupBy(col("doc_id"))
+      .agg(sum(rnd(col("dv") * col("dv"), 8).cast("decimal(28,8)"))
+        .cast("double").as("n2"))
+    val q = dv.where(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), col("k"), col("dv").as("qv"))
+    val dots = q.join(dv.where(col("doc_id") >= nQueries)
+        .select(col("doc_id").as("neighbor_id"), col("k"), col("dv")), Seq("k"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(rnd(col("qv") * col("dv"), 8).cast("decimal(28,8)"))
+        .cast("double").as("dot"))
+    val scored = dots
+      .join(nrm.select(col("doc_id").as("query_id"), col("n2").as("qn")), "query_id")
+      .join(nrm.select(col("doc_id").as("neighbor_id"), col("n2").as("nn")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        rnd(col("dot") / (sqrt(col("qn")) * sqrt(col("nn"))), 6).as("sim"))
+    Similarity.rankTopK(scored, k)
+  }
+
+  /** The trained model in its closure-shippable form: a driver-side
+    * word → vector map (V·dim doubles — model-sized by
+    * construction, like every quantizer/codebook collect in this
+    * engine). */
+  def trainedMap(t: Trained): Map[String, Array[Double]] =
+    t.w.join(t.vocab, Seq("i"))
+      .select(col("w"), col("k"), col("v")).collect()
+      .groupBy(_.getString(0))
+      .map { case (w, rows) =>
+        w -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+      }
+}
+
+/** The TRAINED GloVe model behind the production [[TextEncoder]]
+  * boundary: per text, the mean of trained word vectors over its
+  * vocab tokens (zero vector when none match). The weights ride the
+  * task closure — V·dim doubles, the model-sized payload the seam
+  * was designed for — and the mean follows the docVectors decimal
+  * discipline exactly (BigDecimal.valueOf == Spark's round: both go
+  * through the shortest-repr string), so the chunk→embedding pass
+  * through Embedder.embed is oracle-replayable, not just
+  * smoke-tested. Tokenization mirrors TextFunctions.tokens
+  * (trim, split on whitespace, drop empties) plus lower(). */
+final case class GloveTextEncoder(vectors: Map[String, Array[Double]],
+                                  dim: Int) extends TextEncoder {
+  override def encode(batch: Seq[String]): Seq[Array[Float]] = batch.map { t =>
+    val toks = t.trim.toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+").iterator.filter(_.nonEmpty)
+    var n = 0
+    val sums = Array.fill(dim)(java.math.BigDecimal.ZERO)
+    toks.foreach { w =>
+      vectors.get(w).foreach { v =>
+        n += 1
+        var j = 0
+        while (j < dim) {
+          // mirror Glove.rnd: the tie-break epsilon rides every round
+          sums(j) = sums(j).add(java.math.BigDecimal.valueOf(v(j) + Glove.TieEps)
+            .setScale(6, java.math.RoundingMode.HALF_UP))
+          j += 1
+        }
+      }
+    }
+    if (n == 0) Array.fill(dim)(0f)
+    else sums.map(s => (s.doubleValue() / n).toFloat)
+  }
+}

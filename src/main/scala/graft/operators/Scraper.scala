@@ -26,14 +26,16 @@ import org.apache.spark.sql.functions._
   * over the identically-synthesized page, so a parsing bug on
   * either side diverges.
   *
-  * URL resolution implements the subset of RFC 3986 relative
-  * resolution the corpus (and most crawls) need: scheme-qualified
-  * hrefs pass through, `/rooted` paths resolve against the
-  * authority, and bare relative paths resolve against the page's
-  * directory. (No `..` segment folding — the reference's urljoin
-  * handles those, but no sane same-site corpus emits them and the
-  * synthesized one doesn't; documented so the gap is a decision,
-  * not a surprise.)
+  * URL resolution implements RFC 3986 relative resolution:
+  * scheme-qualified hrefs pass through, `/rooted` paths resolve
+  * against the authority, bare relative paths resolve against the
+  * page's directory, and dot segments fold per §5.2.4
+  * remove_dot_segments (`.` drops, `..` pops the segment stack —
+  * never past the root — and a trailing `/.`/`/..` keeps the
+  * trailing slash), matching the reference's urljoin. One
+  * deliberate normalization beyond the RFC: empty segments
+  * collapse (`a//b` → `a/b`), the canonicalization every crawler's
+  * seen-set wants.
   */
 object Scraper {
 
@@ -58,6 +60,8 @@ object Scraper {
         lit("<a href=\"http://other.example/p/"), pmod(col("doc_id"), lit(10)),
         lit("\">ext</a>"),
         lit("<a href=\"sub/item-"), pmod(col("doc_id"), lit(5)), lit("\">sub</a>"),
+        lit("<a href=\"../doc/"), pmod(col("doc_id") * 3, lit(411)), lit("\">up</a>"),
+        lit("<a href=\"./rel-"), pmod(col("doc_id"), lit(7)), lit("\">dot</a>"),
         lit("<p>"), col("text"), lit("</p></body></html>")))
 
   /** scraper.py:102 `_sanitize_url` — the object-store key for a
@@ -65,10 +69,31 @@ object Scraper {
   def sanitizeUrl(u: Column): Column =
     regexp_replace(regexp_replace(u, "://", "_"), "[/?&]", "_")
 
+  /** RFC 3986 §5.2.4 remove_dot_segments over an absolute URL, plus
+    * empty-segment collapse: the path's `.` segments drop, `..` pops
+    * the segment stack (never past the root), and a path ending in
+    * `/`, `/.` or `/..` keeps its trailing slash. Declarative — one
+    * split + one aggregate fold per URL, map-only, no UDF — so the
+    * fold rides whole-stage scans at any corpus size. */
+  private[graft] def removeDotSegments(u: Column): Column = {
+    val origin = regexp_extract(u, "^([a-z][a-z0-9+.-]*://[^/]*)", 1)
+    val path = regexp_extract(u, "^[a-z][a-z0-9+.-]*://[^/]*(/.*)$", 1)
+    val segs = filter(split(path, "/"), s => s =!= "" && s =!= ".")
+    val folded = aggregate(segs, array().cast("array<string>"),
+      (acc, s) => when(s === "..",
+          slice(acc, lit(1), greatest(size(acc) - 1, lit(0))))
+        .otherwise(concat(acc, array(s))))
+    val trail = when(path.rlike("(/|/\\.|/\\.\\.)$") && size(folded) > 0, lit("/"))
+      .otherwise(lit(""))
+    when(path === "", u)
+      .otherwise(concat(origin, lit("/"), array_join(folded, "/"), trail))
+  }
+
   private def resolve(pageUrl: Column, href: Column): Column =
-    when(href.rlike("^[a-z][a-z0-9+.-]*://"), href)
-      .when(href.startsWith("/"), concat(lit(Origin), href))
-      .otherwise(concat(regexp_replace(pageUrl, "/[^/]*$", "/"), href))
+    removeDotSegments(
+      when(href.rlike("^[a-z][a-z0-9+.-]*://"), href)
+        .when(href.startsWith("/"), concat(lit(Origin), href))
+        .otherwise(concat(regexp_replace(pageUrl, "/[^/]*$", "/"), href)))
 
   /** Link extraction over the stored corpus (scraper.py:275): every
     * href pulled by regex, skip-scheme anchors dropped

@@ -89,6 +89,12 @@ object DeltaSource {
   private val legacyLayoutProbes =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
+  /** Which reconcile branch the LAST snapshot call took (true =
+    * distributed, false = driver fold) — a test/diagnostic probe:
+    * both branches return bit-identical snapshots, so value equality
+    * alone cannot prove the auto router picked the intended one. */
+  @volatile private[graft] var lastReplayDistributed: Option[Boolean] = None
+
   /** The add action's deletionVector descriptor (the Delta spec's
     * DeletionVectorDescriptor): `storageType` "u" (UUID-named sidecar
     * under the table root, `pathOrInlineDv` = optional prefix +
@@ -125,7 +131,17 @@ object DeltaSource {
       protocol: Protocol = DefaultProtocol,
       // live domainMetadata actions, newest per domain (removed ones
       // dropped) — carries e.g. the rowTracking high watermark
-      domains: Map[String, String] = Map.empty)
+      domains: Map[String, String] = Map.empty) {
+    /** The surviving add actions as a lazy DataFrame of `add` structs
+      * — set ONLY when the DISTRIBUTED reconcile produced one. The
+      * metadata-scale WRITE path (checkpointV2 sidecars) reads this
+      * instead of round-tripping `files` through a driver Seq, so a
+      * 10M-file checkpoint write never holds the file list on the
+      * driver. @transient var, not a constructor field: it is an
+      * execution handle, not snapshot state — case-class equality
+      * and the spec's field-wise compares stay value-based. */
+    @transient var filesDf: Option[DataFrame] = None
+  }
 
   private def fsOf(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -382,15 +398,22 @@ object DeltaSource {
       case "driver" => false
       case _ =>
         // bytes of the log slice to replay — a cheap deterministic
-        // proxy for the action count, from the listing already in hand
+        // proxy for the action count, from the listing already in hand.
+        // Compare by file NAME: the listing returns scheme-QUALIFIED
+        // paths (file:/…) while jsonPaths/compactedPaths are
+        // constructed unqualified, so a full-path compare would never
+        // match a commit and the router would silently undercount a
+        // checkpoint-less log (names are unique within one _delta_log)
         val driverMaxBytes = spark.conf
           .get("spark.graft.delta.replay.driverMaxBytes", (64L * 1024 * 1024).toString).toLong
-        val wanted = (cpMainPaths ++ jsonPaths ++ compactedPaths).toSet
-        val mainBytes = logStatuses.filter(st => wanted(st.getPath.toString)).map(_.getLen).sum
+        val wanted = (cpMainPaths ++ jsonPaths ++ compactedPaths)
+          .map(p => new Path(p).getName).toSet
+        val mainBytes = logStatuses.filter(st => wanted(st.getPath.getName)).map(_.getLen).sum
         val sideBytes = if (cpV2Paths.nonEmpty && cpSinglePaths.isEmpty)
           v2SidecarPaths.map(p => fs.getFileStatus(new Path(p)).getLen).sum else 0L
         mainBytes + sideBytes > driverMaxBytes
     }
+    lastReplayDistributed = Some(distributed) // test/diagnostic probe
 
     // Checkpoint rows carry the same action structs as JSON commits.
     val cpActions: Seq[(Long, org.apache.spark.sql.Row)] = cp match {
@@ -550,6 +573,9 @@ object DeltaSource {
       }
     }
     (cpActions ++ jsonActions).foreach { case (v, row) => foldAction(v, row) }
+    // the distributed reconcile's surviving-adds frame, kept as a
+    // LAZY handle for metadata-scale writers (checkpointV2 sidecars)
+    var winnersDf: Option[DataFrame] = None
     stampedActions.foreach { acts =>
       // Two jobs over the log slice (non-file collect + file
       // reconcile) — deliberate: parquet checkpoints prune to the
@@ -583,12 +609,16 @@ object DeltaSource {
         .agg(max_by(struct(col("v"), col("add")),
           struct(col("v"), col("add").isNotNull)).as("w"))
         .where(col("w.add").isNotNull)
-      val winners = partitionPrune.foldLeft(reconciled) { (df, pred) =>
+      val winnersFrame = partitionPrune.foldLeft(reconciled) { (df, pred) =>
           df.withColumn("pv", col("w.add.partitionValues")).where(pred)
         }
         .select(col("p"), col("w.v").as("v"), col("w.add").as("add"))
-        .orderBy(col("p"))
-        .collect()
+      winnersDf = Some(winnersFrame)
+      // deterministic state order via a DRIVER-side sort of the
+      // collected survivors — the list is driver-bound here anyway,
+      // so a global range-exchange before collect() would be a
+      // needless extra stage at 10M survivors
+      val winners = winnersFrame.collect().sortBy(_.getString(0))
       winners.foreach { r =>
         val a = rowToAdd(r.getStruct(r.fieldIndex("add")))
         state(a.path) = (r.getLong(r.fieldIndex("v")), Some(a))
@@ -625,9 +655,11 @@ object DeltaSource {
           .where(pred).select("p").collect().map(_.getString(0)).toSet
         allFiles.filter(a => keep(a.path))
     }
-    Snapshot(target, schema, partCols, files, txns.toMap, config,
+    val snap = Snapshot(target, schema, partCols, files, txns.toMap, config,
       protocol,
       domains.collect { case (k, (_, Some(cfg))) => k -> cfg }.toMap)
+    snap.filesDf = winnersDf
+    snap
   }
 
   /** Highest committed `txn` version for `appId` (the Delta spec's
@@ -2617,22 +2649,49 @@ object DeltaSource {
     //    schema-merge the rest as null, same as a JSON commit line.
     val sidecarDir = new Path(logDir, "_sidecars")
     fs.mkdirs(sidecarDir)
-    val addRows = snap.files
-      .map(f => (f.path, f.partitionValues, f.size, f.modificationTime, f.stats,
-        f.dv.map(_.storageType).orNull, f.dv.map(_.pathOrInlineDv).orNull,
-        f.dv.flatMap(_.offset), f.dv.map(_.sizeInBytes).getOrElse(0),
-        f.dv.map(_.cardinality).getOrElse(0L),
-        f.baseRowId, f.defaultRowCommitVersion))
-      .toDF("path", "partitionValues", "size", "modificationTime", "stats",
-        "dvStorage", "dvPath", "dvOffset", "dvSize", "dvCard", "brid", "drcv")
-      .select(struct(col("path"), col("partitionValues"), col("size"),
-        col("modificationTime"), lit(true).as("dataChange"), col("stats"),
-        when(col("dvPath").isNotNull,
-          struct(col("dvStorage").as("storageType"), col("dvPath").as("pathOrInlineDv"),
-            col("dvOffset").as("offset"), col("dvSize").as("sizeInBytes"),
-            col("dvCard").as("cardinality"))).as("deletionVector"),
-        col("brid").as("baseRowId"), col("drcv").as("defaultRowCommitVersion"))
-        .cast(CheckpointSchema("add").dataType).as("add"))
+    val addRows = snap.filesDf match {
+      case Some(df) =>
+        // metadata-scale path: sidecar rows come straight from the
+        // DISTRIBUTED reconcile's surviving-adds frame, so a 10M-file
+        // checkpoint write never holds the file list on the driver.
+        // The struct is REBUILT (not passed through) so both branches
+        // write identical sidecar rows: dataChange pinned true, DV
+        // sub-fields null-normalized exactly as AddFile normalizes
+        // them on the driver branch.
+        df.select(struct(
+          col("add.path").as("path"),
+          col("add.partitionValues").as("partitionValues"),
+          col("add.size").as("size"),
+          col("add.modificationTime").as("modificationTime"),
+          lit(true).as("dataChange"),
+          col("add.stats").as("stats"),
+          when(col("add.deletionVector.pathOrInlineDv").isNotNull, struct(
+            col("add.deletionVector.storageType").as("storageType"),
+            col("add.deletionVector.pathOrInlineDv").as("pathOrInlineDv"),
+            col("add.deletionVector.offset").as("offset"),
+            coalesce(col("add.deletionVector.sizeInBytes"), lit(0)).as("sizeInBytes"),
+            coalesce(col("add.deletionVector.cardinality"), lit(0L)).as("cardinality")))
+            .as("deletionVector"),
+          col("add.baseRowId").as("baseRowId"),
+          col("add.defaultRowCommitVersion").as("defaultRowCommitVersion"))
+          .cast(CheckpointSchema("add").dataType).as("add"))
+      case None => snap.files
+        .map(f => (f.path, f.partitionValues, f.size, f.modificationTime, f.stats,
+          f.dv.map(_.storageType).orNull, f.dv.map(_.pathOrInlineDv).orNull,
+          f.dv.flatMap(_.offset), f.dv.map(_.sizeInBytes).getOrElse(0),
+          f.dv.map(_.cardinality).getOrElse(0L),
+          f.baseRowId, f.defaultRowCommitVersion))
+        .toDF("path", "partitionValues", "size", "modificationTime", "stats",
+          "dvStorage", "dvPath", "dvOffset", "dvSize", "dvCard", "brid", "drcv")
+        .select(struct(col("path"), col("partitionValues"), col("size"),
+          col("modificationTime"), lit(true).as("dataChange"), col("stats"),
+          when(col("dvPath").isNotNull,
+            struct(col("dvStorage").as("storageType"), col("dvPath").as("pathOrInlineDv"),
+              col("dvOffset").as("offset"), col("dvSize").as("sizeInBytes"),
+              col("dvCard").as("cardinality"))).as("deletionVector"),
+          col("brid").as("baseRowId"), col("drcv").as("defaultRowCommitVersion"))
+          .cast(CheckpointSchema("add").dataType).as("add"))
+    }
     val stage = new Path(tablePath, s".cpv2stage-${UUID.randomUUID().toString.take(8)}")
     addRows.repartition(sidecarFiles).write.mode("overwrite").parquet(stage.toString)
     val sidecars = fs.listStatus(stage).toSeq.map(_.getPath)

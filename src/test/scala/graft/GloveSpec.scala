@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.Glove
+
+/** The GloVe trainer: descent (loss strictly decreases), partition
+  * invariance (decimal-sum discipline), and SEMANTICS — trained
+  * vectors must separate co-occurring word pairs from never-co-
+  * occurring ones far better than the md5-seeded init (which IS the
+  * hash-feature baseline the rest of the engine uses). */
+class GloveSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sf)
+
+  test("full-batch AdaGrad loss strictly decreases every step") {
+    val t = Glove.train(docs)
+    assert(t.losses.size == Glove.Steps)
+    assert(t.losses.forall(_ > 0))
+    t.losses.sliding(2).foreach {
+      case Seq(a, b) => assert(b < a, s"loss went $a -> $b")
+      case _ =>
+    }
+  }
+
+  test("training is partition-invariant") {
+    val a = Glove.trainedVectors(docs.repartition(7)).collect().map(_.toString).toSeq
+    val b = Glove.trainedVectors(docs.coalesce(1)).collect().map(_.toString).toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("trained vectors beat the hash-seeded init on the co-occurrence probe") {
+    def vectors(t: Glove.Trained): Map[Long, Array[Double]] =
+      t.w.collect()
+        .groupBy(_.getLong(0))
+        .map { case (i, rows) =>
+          i -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+        }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 0.0 else d / (na * nb)
+    }
+    val x = Glove.cooc(docs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDecimal(2).doubleValue()))
+      .toMap
+    // contrast the MOST co-occurring pairs against the least (plus
+    // any never-co-occurring ones): GloVe trains dot products toward
+    // ln X, so the two sets must pull apart in cosine
+    val ordered = x.toSeq.filter { case ((i, j), _) => i < j }
+      .sortBy { case ((i, j), v) => (-v, i, j) }
+    val coPairs = ordered.take(20).map(_._1)
+    val vocabIds = x.keysIterator.flatMap(p => Seq(p._1, p._2)).toSeq.distinct.sorted
+    val never = (for {
+      i <- vocabIds; j <- vocabIds if i < j && !x.contains((i, j))
+    } yield (i, j)).take(20)
+    val rarePairs = (never ++ ordered.reverseIterator.map(_._1)
+      .filterNot(coPairs.contains).take(20 - never.size)).take(20)
+    assert(coPairs.size == 20 && rarePairs.size == 20,
+      s"need 20 of each: ${coPairs.size} co, ${rarePairs.size} rare")
+    def separation(vs: Map[Long, Array[Double]]): Double = {
+      def avg(ps: Seq[(Long, Long)]) =
+        ps.map { case (i, j) => cos(vs(i), vs(j)) }.sum / ps.size
+      avg(coPairs) - avg(rarePairs)
+    }
+    val init = separation(vectors(Glove.train(docs, steps = 0)))
+    val trained = separation(vectors(Glove.train(docs)))
+    info(f"co-vs-absent cosine separation: init $init%.4f, trained $trained%.4f")
+    // the init is hash noise (separation ~ 0); training must carve
+    // out a real margin beyond it
+    assert(trained > 0.05, s"trained separation too small: $trained")
+    assert(trained > init + 0.05,
+      s"training must beat the hash baseline: init $init, trained $trained")
+  }
+
+  test("trained retrieval is deterministic and returns full top-k rows") {
+    val r = Glove.retrieveTrained(docs)
+    val rows = r.collect()
+    assert(rows.nonEmpty)
+    val again = Glove.retrieveTrained(docs.repartition(5)).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+}

@@ -117,4 +117,18 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("PNG roundtrips any geometry pixel-exactly through deflate + unfilter") {
+    samples(geoGen, 50).foreach { case (id, w, h, _) =>
+      val bytes = graft.multimodal.Multimodal.pngEncode(id, w, h)
+      val (dw, dh, px, nf) = graft.multimodal.Multimodal.pngDecode(bytes)
+      assert(dw == w && dh == h && px.length == w * 3 * h)
+      assert(nf == math.min(h, 5)) // the rotating filter schedule ran
+      (0 until h).foreach { y =>
+        (0 until w).foreach { x =>
+          assert(px((y * w + x) * 3) == ((id + x * 7 + y * 13) % 256).toByte)
+        }
+      }
+    }
+  }
 }

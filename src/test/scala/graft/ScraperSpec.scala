@@ -17,12 +17,38 @@ class ScraperSpec extends SparkSpec {
     assert(links == Set(
       "http://site.example/doc/8",          // /doc/{id+1} root-relative
       "http://site.example/doc/14",         // absolute internal (7*2 % 937)
-      "http://site.example/doc/sub/item-2"  // document-relative
+      "http://site.example/doc/sub/item-2", // document-relative
+      "http://site.example/doc/21",         // ../doc/{id*3 % 411} — dot-folded
+      "http://site.example/doc/rel-0"       // ./rel-{id % 7} — dot-folded
     ))
     // external host, #fragment, javascript:, mailto:, tel: all dropped
     assert(!links.exists(_.contains("other.example")))
     val keys = out.map(_.getString(3)).toSet
     assert(keys.contains("http_site.example_doc_8"))
+  }
+
+  test("dot segments fold per RFC 3986 remove_dot_segments") {
+    // the stack fold is fully general, not just the two forms the
+    // synthesized corpus emits: chained ../, pops past the root
+    // clamp at /, trailing /. and /.. keep the slash
+    val cases = Seq(
+      "http://h.x/a/b/c/../../d" -> "http://h.x/a/d",
+      "http://h.x/a/./b/./c" -> "http://h.x/a/b/c",
+      "http://h.x/../x" -> "http://h.x/x",            // never above root
+      "http://h.x/a/../../../y" -> "http://h.x/y",
+      "http://h.x/a/.." -> "http://h.x/",
+      "http://h.x/a/b/.." -> "http://h.x/a/",         // trailing slash kept
+      "http://h.x/a/b/." -> "http://h.x/a/b/",
+      "http://h.x/a//b" -> "http://h.x/a/b",          // empty-segment collapse
+      "http://h.x/plain/path" -> "http://h.x/plain/path",
+      "http://h.x/..a/b..c/d" -> "http://h.x/..a/b..c/d", // dots INSIDE names survive
+      "http://h.x" -> "http://h.x")                   // no path → untouched
+    val df = cases.map(_._1).toDF("u")
+      .select(col("u"), Scraper.removeDotSegments(col("u")).as("f"))
+    val got = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) =>
+      assert(got(in) == want, s"$in -> ${got(in)}, want $want")
+    }
   }
 
   test("malformed HTML never throws; hrefs survive broken markup around them") {
@@ -64,15 +90,18 @@ class ScraperSpec extends SparkSpec {
     assert(rows("http://site.example/doc/0") == 0L)
     assert(rows("http://site.example/doc/1") == 1L)   // 0 → +1
     assert(rows("http://site.example/doc/2") == 2L)   // 1 → +1 (and 1 → *2)
-    assert(rows("http://site.example/doc/3") == 3L)
+    assert(rows("http://site.example/doc/3") == 2L)   // 1 → ../doc/3 (dot-folded up-link)
     assert(rows("http://site.example/doc/4") == 3L)   // via 2 → *2 at depth 3
-    // depth-capped: doc/5 is 5 hops along the chain — absent at cap 3
+    // depth-capped: nothing within 3 hops links to doc/5
     assert(!rows.contains("http://site.example/doc/5"))
-    // discovered-but-missing pages are leaves: doc/6 can only appear
-    // via a link FROM doc/5 (absent) or +1 from 5 — never here
-    assert(!rows.contains("http://site.example/doc/6"))
-    // sub/item leaves are discovered from every expanded page
+    // discovered-but-missing pages are LEAVES: doc/6 arrives via the
+    // up-link from doc/2 (3·2 % 411) but, having no page, never
+    // expands — doc/7 (6+1) must stay absent
+    assert(rows("http://site.example/doc/6") == 3L)
+    assert(!rows.contains("http://site.example/doc/7"))
+    // sub/item and ./rel- leaves are discovered from expanded pages
     assert(rows.contains("http://site.example/doc/sub/item-0"))
+    assert(rows("http://site.example/doc/rel-0") == 1L) // ./ dot-folded
   }
 
   test("the frontier walk is partition-invariant") {

@@ -205,4 +205,61 @@ class WavCodecSpec extends SparkSpec {
       .orderBy("doc_id").collect().map(_.toString).toSeq
     assert(one == many && one.nonEmpty)
   }
+
+  test("PNG encode → inflate → unfilter returns every pixel exactly, all five filters") {
+    // tall enough that the rotating y%5 filter schedule covers
+    // None/Sub/Up/Average/Paeth
+    val (w, h) = (11, 9)
+    val bytes = Multimodal.pngEncode(5L, w, h)
+    val (dw, dh, px, nf) = Multimodal.pngDecode(bytes)
+    assert(dw == w && dh == h && nf == 5)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+      val want = ((5L + x * 7 + y * 13) % 256).toInt
+      assert((px((y * w + x) * 3 + c) & 0xff) == want,
+        s"pixel ($x,$y,$c): got ${px((y * w + x) * 3 + c) & 0xff}, want $want")
+    }
+    // the stream is genuinely entropy-coded: a larger uniform-ish
+    // image deflates well below its raw pixel payload
+    val big = Multimodal.pngEncode(3L, 64, 64)
+    assert(big.length < 64 * 64 * 3 / 2, s"deflate did not compress: ${big.length}")
+    val (_, _, bigPx, _) = Multimodal.pngDecode(big)
+    assert(bigPx.length == 64 * 64 * 3)
+  }
+
+  test("PNG parser rejects malformed streams loudly") {
+    val good = Multimodal.pngEncode(7L, 8, 6)
+    // not a PNG
+    val notPng = good.clone(); notPng(0) = 'X'.toByte
+    intercept[IllegalArgumentException](Multimodal.pngDecode(notPng))
+    // corrupt a data byte inside IDAT → the chunk CRC must catch it
+    val idatOff = 8 + (12 + 13) + 8 // sig, IHDR chunk, IDAT len+type
+    val crcBad = good.clone(); crcBad(idatOff + 2) = (crcBad(idatOff + 2) ^ 0x41).toByte
+    val e = intercept[IllegalArgumentException](Multimodal.pngDecode(crcBad))
+    assert(e.getMessage.contains("CRC"), e.getMessage)
+    // a chunk declaring more bytes than remain
+    val lying = good.clone()
+    java.nio.ByteBuffer.wrap(lying).putInt(8, 1000000) // IHDR length field
+    intercept[IllegalArgumentException](Multimodal.pngDecode(lying))
+    // truncated mid-IDAT (drop the tail): either the chunk header
+    // bound or the inflate-length check must fire
+    intercept[IllegalArgumentException](
+      Multimodal.pngDecode(good.take(good.length - 16)))
+    // unsupported color type (grayscale) — flip IHDR byte + fix CRC
+    val gray = good.clone()
+    gray(8 + 8 + 9) = 0.toByte // color type byte inside IHDR data
+    val crc = new java.util.zip.CRC32()
+    crc.update(gray, 8 + 4, 4 + 13) // type + data
+    java.nio.ByteBuffer.wrap(gray).putInt(8 + 8 + 13, crc.getValue.toInt)
+    val e2 = intercept[IllegalArgumentException](Multimodal.pngDecode(gray))
+    assert(e2.getMessage.contains("truecolor"), e2.getMessage)
+  }
+
+  test("the graded PNG roundtrip is partition-invariant") {
+    val docs = Tables.documents(spark, sf)
+    val one = Multimodal.pngRoundtrip(docs.coalesce(1))
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val many = Multimodal.pngRoundtrip(docs.repartition(7))
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(one == many && one.nonEmpty)
+  }
 }

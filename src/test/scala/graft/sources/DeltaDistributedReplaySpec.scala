@@ -242,10 +242,103 @@ class DeltaDistributedReplaySpec extends SparkSpec {
     // a zero threshold forces every auto read through the distributed
     // branch; the answer must not move
     spark.conf.set("spark.graft.delta.replay.driverMaxBytes", "0")
-    try assertSame(driver, snap(table, "auto"))
-    finally spark.conf.unset("spark.graft.delta.replay.driverMaxBytes")
+    try {
+      assertSame(driver, snap(table, "auto"))
+      assert(DeltaSource.lastReplayDistributed.contains(true),
+        "a zero byte budget must route auto mode distributed")
+    } finally spark.conf.unset("spark.graft.delta.replay.driverMaxBytes")
     // and the default threshold keeps this ~20MB log on the driver
     // path (same answer by construction — smoke the plumbing)
     assertSame(driver, snap(table, "auto"))
+    assert(DeltaSource.lastReplayDistributed.contains(false),
+      "a ~20MB log must stay under the default 64MB driver budget")
+  }
+
+  test("checkpointV2 sidecars from the reconcile frame equal the driver-list sidecars") {
+    // above the replay threshold the surviving adds already exist as
+    // a DataFrame inside snapshot(); the V2 checkpoint writer must
+    // feed sidecars from that frame — never round-trip a 10M-file
+    // list through a driver Seq — and write EXACTLY the rows the
+    // driver-list path writes
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val table = java.nio.file.Files.createTempDirectory("graft_cpv2df").toString + "/t"
+    val df = (0L until 400L).map(i => (i, i % 5, s"v-$i")).toDF("id", "k", "s")
+    DeltaSource.writeDelta(df.repartition(6), table, partitionBy = Seq("k"))
+    DeltaSource.deleteDelta(spark, table, col("id") % 7 === 0) // DVs ride the adds
+    DeltaSource.writeDelta(df.where($"id" < 40), table, overwrite = false)
+    val logDir = new Path(table, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def manifests(): Set[String] = fs.listStatus(logDir).map(_.getPath.getName)
+      .filter(n => n.contains(".checkpoint.") && n.endsWith(".parquet")).toSet
+    def sidecarAdds(mode: String): Seq[String] = {
+      val before = manifests()
+      spark.conf.set("spark.graft.delta.replay.mode", mode)
+      try DeltaSource.checkpointV2(spark, table, sidecarFiles = 3)
+      finally spark.conf.unset("spark.graft.delta.replay.mode")
+      if (mode == "distributed")
+        assert(DeltaSource.lastReplayDistributed.contains(true),
+          "the distributed checkpoint run must have reconciled distributedly")
+      val fresh = (manifests() -- before).toSeq
+      assert(fresh.size == 1, s"expected one new manifest, got $fresh")
+      val names = spark.read.parquet(new Path(logDir, fresh.head).toString)
+        .where(col("sidecar").isNotNull).select(col("sidecar.path"))
+        .collect().map(_.getString(0)).toSeq
+      assert(names.size == 3)
+      spark.read.parquet(
+          names.map(n => new Path(logDir, s"_sidecars/$n").toString): _*)
+        .where(col("add").isNotNull).select(col("add"))
+        .collect().map(_.toString).sorted.toSeq
+    }
+    val fromDriverList = sidecarAdds("driver")
+    val fromFrame = sidecarAdds("distributed")
+    assert(fromDriverList.nonEmpty && fromDriverList == fromFrame)
+    // and the checkpoint each wrote reconstructs the same snapshot
+    assertSame(snap(table, "driver"), snap(table, "distributed"))
+  }
+
+  test("auto routing COUNTS commit bytes on a checkpoint-less log (branch-asserted)") {
+    // regression: the router compared scheme-QUALIFIED listing paths
+    // against unqualified constructed commit paths, so commit/
+    // compacted JSON bytes never matched and a big checkpoint-less
+    // log silently stayed on the driver fold whatever the budget —
+    // undetectable by value equality because both branches return
+    // identical snapshots. Assert the BRANCH, not just the value.
+    val table = s"${System.getProperty("java.io.tmpdir")}/graft_distreplay_nockpt"
+    val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logDir = new Path(table, "_delta_log")
+    fs.delete(new Path(table), true)
+    fs.mkdirs(logDir)
+    val schemaJson = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType))).json
+    def write(v: Long, lines: Seq[String]): Unit = {
+      val out = fs.create(new Path(logDir, f"$v%020d.json"), true)
+      try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
+    }
+    write(0L, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"tbl-nockpt","schemaString":"${esc(schemaJson)}","partitionColumns":[],"configuration":{}}}"""))
+    (1 to 3).foreach { v =>
+      write(v.toLong, (0 until 200).map(i =>
+        s"""{"add":{"path":"f-$v-$i.parquet","partitionValues":{},"size":$i,"modificationTime":$v,"dataChange":true}}"""))
+    }
+    val driver = snap(table, "driver")
+    // budget below the commit-JSON bytes (~100KB here): auto must see
+    // those bytes and route DISTRIBUTED — the old full-path compare
+    // counted zero and stayed on the driver fold
+    spark.conf.set("spark.graft.delta.replay.driverMaxBytes", "1000")
+    try {
+      assertSame(driver, snap(table, "auto"))
+      assert(DeltaSource.lastReplayDistributed.contains(true),
+        "commit bytes over the budget must route a checkpoint-less log distributed")
+    } finally spark.conf.unset("spark.graft.delta.replay.driverMaxBytes")
+    // generous budget: same log stays on the driver fold
+    assertSame(driver, snap(table, "auto"))
+    assert(DeltaSource.lastReplayDistributed.contains(false))
+    // forced modes stamp the probe too
+    snap(table, "distributed")
+    assert(DeltaSource.lastReplayDistributed.contains(true))
+    snap(table, "driver")
+    assert(DeltaSource.lastReplayDistributed.contains(false))
   }
 }

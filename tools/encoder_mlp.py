@@ -16,8 +16,26 @@ like encoder.py, not of tanh networks — which is exactly why the
 DuckDB-oracle path keeps the linear model while this one grades the
 seam at library level).
 
+Throughput design (round 12): the runner BATCHES adaptively — it
+blocks for the first request line, then drains every line already in
+the pipe (select with zero timeout), answers them all, and flushes
+ONCE per batch. Deadlock-free by construction: it only ever batches
+lines that have fully arrived, and responds to all of them before
+blocking again, so the Scala side's concurrent writer/reader pair
+never waits on a reply the runner is holding back. 3-gram hashes are
+memoized (corpora repeat 3-grams heavily; the md5 per gram was the
+hot path, ~15x the matmul). The forward matmul stays PER ROW on
+purpose: BLAS GEMM results are not bitwise batch-size-invariant
+(measured: rows of a (7x256)@(256x128) differ in the last ulp from
+the same rows at B=64), and the gate spec pins bit-identical vectors
+across batch sizes and partitionings — a cheap matmul that is always
+right beats a fused one that flickers with the batch boundary.
+
 Usage: encoder_mlp.py [DIM]      (default 64)
 """
+import hashlib
+import os
+import select
 import sys
 
 import numpy as np
@@ -45,21 +63,30 @@ def unescape(s):
     return "".join(out)
 
 
+_gram_cache = {}
+
+
+def gram_bucket(g):
+    """(bucket, sign) of one 3-gram — md5-derived, memoized (the
+    cache is exact: same gram, same md5, same bucket)."""
+    hit = _gram_cache.get(g)
+    if hit is None:
+        h = int.from_bytes(hashlib.md5(g.encode("utf-8")).digest()[:8],
+                           "big", signed=True)
+        hit = (h % D_IN, -1.0 if h < 0 else 1.0)
+        _gram_cache[g] = hit
+    return hit
+
+
 def features(text):
     """Signed hashed bag of char 3-grams, fixed 256 dims (the
     'tokenizer + embedding lookup' stage of the network)."""
     v = np.zeros(D_IN, dtype=np.float64)
     t = " " + text + " "
     for i in range(len(t) - 2):
-        h = hash_3gram(t[i:i + 3])
-        v[h % D_IN] += -1.0 if h < 0 else 1.0
+        b, s = gram_bucket(t[i:i + 3])
+        v[b] += s
     return v
-
-
-def hash_3gram(g):
-    import hashlib
-    return int.from_bytes(hashlib.md5(g.encode("utf-8")).digest()[:8],
-                          "big", signed=True)
 
 
 def main():
@@ -68,17 +95,42 @@ def main():
     w1 = rng.standard_normal((D_IN, D_HID)) / np.sqrt(D_IN)
     b1 = rng.standard_normal(D_HID) * 0.01
     w2 = rng.standard_normal((D_HID, dim)) / np.sqrt(D_HID)
-    for line in sys.stdin:
-        text = unescape(line.rstrip("\n"))
+
+    def answer(line_bytes):
+        text = unescape(line_bytes.decode("utf-8"))
         x = features(text)
         hdn = np.tanh(x @ w1 + b1)
         y = hdn @ w2
         nrm = float(np.linalg.norm(y))
         if nrm > 0.0:
             y = y / nrm
-        sys.stdout.write(" ".join(repr(float(v)) for v in y))
-        sys.stdout.write("\n")
-        sys.stdout.flush()
+        return " ".join(repr(float(v)) for v in y)
+
+    fd = sys.stdin.fileno()
+    out = sys.stdout
+    buf = b""
+    eof = False
+    while True:
+        # block for at least one byte, then drain what's already there
+        chunk = os.read(fd, 1 << 16)
+        if not chunk:
+            eof = True
+        else:
+            buf += chunk
+            while not eof and select.select([fd], [], [], 0)[0]:
+                chunk = os.read(fd, 1 << 16)
+                if not chunk:
+                    eof = True
+                else:
+                    buf += chunk
+        parts = buf.split(b"\n")
+        buf = parts.pop()  # trailing incomplete line (b"" after a \n)
+        if parts:
+            out.write("\n".join(answer(p) for p in parts))
+            out.write("\n")
+            out.flush()
+        if eof:
+            break
 
 
 if __name__ == "__main__":
