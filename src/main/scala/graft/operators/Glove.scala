@@ -2,8 +2,9 @@ package graft.operators
 
 import graft.functions.HashFunctions
 import graft.functions.TextFunctions.tokens
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Corpus-trained word embeddings — GloVe (Pennington, Socher &
   * Manning, EMNLP 2014) as a fully deterministic, oracle-replayable
@@ -134,11 +135,60 @@ object Glove {
   final case class Trained(w: DataFrame, c: DataFrame, b: DataFrame,
                            vocab: DataFrame, losses: Seq[Double])
 
+  // One training serves every consumer (emb_glove_train/loss,
+  // rag_retrieve_trained, emb_infer_trained) — the Unigram
+  // chainCache discipline verbatim: keyed on (application, corpus
+  // fingerprint, canonical plan hash, params); values are COLLECTED
+  // model-sized rows, not DataFrames (cached frames pin
+  // localCheckpoint blocks that cache-hygiene sweeps destroy);
+  // in-memory inputs (no file listing to fingerprint) train fresh so
+  // specs stay isolated.
+  private final case class TrainedRows(
+      w: (StructType, Array[Row]), c: (StructType, Array[Row]),
+      b: (StructType, Array[Row]), vocab: (StructType, Array[Row]),
+      losses: Seq[Double])
+  private val memoCap = 4
+  private val memo = new java.util.LinkedHashMap[String, TrainedRows](8, 0.75f, true) {
+    override def removeEldestEntry(e: java.util.Map.Entry[String, TrainedRows]): Boolean =
+      size > memoCap
+  }
+
   /** Full-batch AdaGrad on the GloVe objective
-    * J = Σ f(X_ij)·(wᵢ·cⱼ + bᵢ + bcⱼ − ln X_ij)², `steps` rounds. */
+    * J = Σ f(X_ij)·(wᵢ·cⱼ + bᵢ + bcⱼ − ln X_ij)², `steps` rounds.
+    * Memoized per (corpus, params): the bench's four glove entries
+    * pay ONE training. */
   def train(docs: DataFrame, v: Int = VocabSize, window: Int = WindowSize,
             dim: Int = Dim, steps: Int = Steps, lr: Double = Lr,
             contentCol: String = "text"): Trained = {
+    if (docs.inputFiles.isEmpty)
+      return trainFresh(docs, v, window, dim, steps, lr, contentCol)
+    val spark = docs.sparkSession
+    val key = Seq(
+      spark.sparkContext.applicationId,
+      graft.sources.ZoneCache.corpusFingerprint(docs),
+      docs.queryExecution.analyzed.canonicalized.semanticHash().toString,
+      v, window, dim, steps, lr, contentCol).mkString("|")
+    val rows = memo.synchronized {
+      val hit = memo.get(key)
+      if (hit != null) hit
+      else {
+        val t = trainFresh(docs, v, window, dim, steps, lr, contentCol)
+        val fresh = TrainedRows(
+          (t.w.schema, t.w.collect()), (t.c.schema, t.c.collect()),
+          (t.b.schema, t.b.collect()), (t.vocab.schema, t.vocab.collect()),
+          t.losses)
+        memo.put(key, fresh)
+        fresh
+      }
+    }
+    def df(p: (StructType, Array[Row])): DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(p._2: _*), p._1)
+    Trained(df(rows.w), df(rows.c), df(rows.b), df(rows.vocab), rows.losses)
+  }
+
+  private def trainFresh(docs: DataFrame, v: Int, window: Int,
+                         dim: Int, steps: Int, lr: Double,
+                         contentCol: String): Trained = {
     val voc = vocab(docs, v, contentCol).localCheckpoint(true)
     val px = pairsWithConstants(cooc(docs, v, window, contentCol))
       .localCheckpoint(true) // ≤ V² rows — the whole training set
@@ -291,7 +341,11 @@ object Glove {
   /** The trained model in its closure-shippable form: a driver-side
     * word → vector map (V·dim doubles — model-sized by
     * construction, like every quantizer/codebook collect in this
-    * engine). */
+    * engine). Scale boundary: this collect is for encoder-serving
+    * vocabs (10⁴–10⁵ words); a web-scale vocab (10⁶+ × dim 300)
+    * stays a DataFrame and embeds documents through the DISTRIBUTED
+    * broadcast-join path [[docVectors]] instead — same math, no
+    * driver materialization. */
   def trainedMap(t: Trained): Map[String, Array[Double]] =
     t.w.join(t.vocab, Seq("i"))
       .select(col("w"), col("k"), col("v")).collect()
