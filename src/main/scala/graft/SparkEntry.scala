@@ -1379,6 +1379,45 @@ object SparkEntry {
         .withColumn("session_end", date_format(col("session_end"), TsFmtUs))
         .orderBy(col("user_id"), col("session_start"))
     }),
+    // the conversion funnel LIVE: flatMapGroupsWithState carries
+    // three epoch-micro longs per user (bounded forever) and emits a
+    // row the moment a user converts — append mode, no watermark
+    // gating, so AvailableNow over the staged corpus emits every
+    // conversion; on in-order input the chain equals the batch
+    // operator exactly, and the query grades against the BATCH
+    // windowed-funnel oracle verbatim
+    "stream_funnel" -> ((s, d) => {
+      import s.implicits._
+      val typed = graft.streaming.StreamingEvents
+        .eventsStream(s, stagedEventsDir(s, d))
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        .as[graft.streaming.StreamingEvents.TypedEv]
+      streamAppend(s, graft.streaming.StreamingEvents.funnelStateful(typed).toDF())
+        .select(col("user_id"),
+          (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts"))).as("funnel_us"),
+          date_format(col("view_ts"), TsFmtUs).as("view_ts"),
+          date_format(col("click_ts"), TsFmtUs).as("click_ts"),
+          date_format(col("purchase_ts"), TsFmtUs).as("purchase_ts"))
+        .select(col("user_id"), col("view_ts"), col("click_ts"),
+          col("purchase_ts"), col("funnel_us"))
+        .orderBy(col("user_id"))
+    }),
+    // last-touch attribution LIVE: the most recent click rides in
+    // GroupState (two longs per user — bounded forever) and each
+    // purchase emits its credit immediately; grades against the
+    // batch window-carry oracle verbatim
+    "stream_attribution" -> ((s, d) => {
+      import s.implicits._
+      val typed = graft.streaming.StreamingEvents
+        .eventsStream(s, stagedEventsDir(s, d))
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        .as[graft.streaming.StreamingEvents.TypedEv]
+      streamAppend(s,
+          graft.streaming.StreamingEvents.attributionStateful(typed).toDF())
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("attributed_click_id"), col("delay_us"))
+        .orderBy(col("event_id"))
+    }),
     // streaming DEDUP state standing in for the unsupported streaming
     // count(DISTINCT): dropDuplicates(type,user) → complete-mode count
     // must land the batch distinct counts exactly
@@ -4692,6 +4731,23 @@ object SparkEntry {
          |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
          |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
          |GROUP BY 1, 2 ORDER BY cust_nation, supp_nation""".stripMargin,
+    // the LIVE attribution stream grades against the same
+    // window-carry chain
+    "stream_attribution" ->
+      """WITH b AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |    last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
+        |      OVER w AS last_click_us,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |      OVER w AS last_click_id
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, ts_us,
+        |  CASE WHEN ts_us - last_click_us <= 86400000000 THEN last_click_id END
+        |    AS attributed_click_id,
+        |  CASE WHEN ts_us - last_click_us <= 86400000000 THEN ts_us - last_click_us END
+        |    AS delay_us
+        |FROM b WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
     "ev_attribution" ->
       """WITH b AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
         |    last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
@@ -5896,6 +5952,27 @@ object SparkEntry {
         |  RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
     // greedy earliest chain, each step within 1h of the previous
+    // the LIVE funnel grades against the same chain: per user the
+    // first view, first click within 24h of it, first purchase
+    // within 24h of that — emitted on conversion by the stateful
+    // stream, derived set-wise by the oracle
+    "stream_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, min(us) AS v_us FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(v.v_us) AS v_us, min(e.us) AS c_us
+        |      FROM e JOIN v ON e.user_id = v.user_id
+        |        AND e.us > v.v_us AND e.us <= v.v_us + 86400000000
+        |      WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(c.v_us) AS v_us, min(c.c_us) AS c_us, min(e.us) AS p_us
+        |      FROM e JOIN c ON e.user_id = c.user_id
+        |        AND e.us > c.c_us AND e.us <= c.c_us + 86400000000
+        |      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT user_id,
+        |  strftime(make_timestamp(v_us), '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+        |  strftime(make_timestamp(c_us), '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+        |  strftime(make_timestamp(p_us), '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+        |  CAST(p_us - v_us AS BIGINT) AS funnel_us
+        |FROM p ORDER BY user_id""".stripMargin,
     "ev_windowed_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
         |v AS (SELECT user_id, min(us) AS v_us FROM e WHERE event_type = 'view' GROUP BY user_id),
