@@ -1761,6 +1761,8 @@ object SparkEntry {
       graft.operators.Glove.trainLosses(Tables.documents(s, d))),
     "rag_retrieve_trained" -> ((s, d) =>
       graft.operators.Glove.retrieveTrained(Tables.documents(s, d))),
+    "emb_glove_neighbors" -> ((s, d) =>
+      graft.operators.Glove.wordNeighbors(Tables.documents(s, d))),
     // the TRAINED model through the production TextEncoder seam:
     // gold chunks → GloveTextEncoder via Embedder.embed (the same
     // mapPartitions batch shape the MLP runner uses) → per-chunk
@@ -3942,6 +3944,27 @@ object SparkEntry {
          |FROM gold g LEFT JOIN ca a ON a.doc_id = g.doc_id AND a.chunk_idx = g.chunk_idx
          |ORDER BY g.doc_id, g.chunk_idx""".stripMargin,
 
+    // nearest words by trained cosine — the embedding table's
+    // classic inspection surface, replayed off the same chain
+    "emb_glove_neighbors" ->
+      s"""$dGloveChain,
+         |gn2 AS (SELECT i,
+         |    CAST(SUM(CAST(round(v * v + 1.1641532182693481e-10, 8) AS DECIMAL(28,8))) AS DOUBLE) AS n2
+         |  FROM gw${graft.operators.Glove.Steps} GROUP BY i),
+         |gd2 AS (SELECT a.i AS qi, b.i AS ni,
+         |    CAST(SUM(CAST(round(a.v * b.v + 1.1641532182693481e-10, 8) AS DECIMAL(28,8))) AS DOUBLE) AS dot
+         |  FROM gw${graft.operators.Glove.Steps} a
+         |  JOIN gw${graft.operators.Glove.Steps} b ON b.k = a.k AND b.i != a.i
+         |  WHERE a.i < 8 GROUP BY 1, 2),
+         |gs2 AS (SELECT qi, ni,
+         |    round(dot / (sqrt(x.n2) * sqrt(y.n2)) + 1.1641532182693481e-10, 6) AS sim
+         |  FROM gd2 JOIN gn2 x ON x.i = qi JOIN gn2 y ON y.i = ni),
+         |gr2 AS (SELECT *, row_number() OVER (PARTITION BY qi ORDER BY sim DESC, ni) AS rnk
+         |  FROM gs2)
+         |SELECT qi AS word_id, va.w AS word, ni AS neighbor_id, vb.w AS neighbor,
+         |  CAST(rnk AS BIGINT) AS "rank", sim
+         |FROM gr2 JOIN gvoc va ON va.i = qi JOIN gvoc vb ON vb.i = ni
+         |WHERE rnk <= 5 ORDER BY word_id, "rank"""".stripMargin,
     // descent pinned in the oracle: Σ f·err² at each step's entry
     // state, from the same unrolled chain
     "emb_glove_loss" ->

@@ -338,6 +338,44 @@ object Glove {
     Similarity.rankTopK(scored, k)
   }
 
+  /** Nearest words by TRAINED cosine — the classic inspection
+    * surface of a word-embedding table: for each of the first
+    * `nWords` vocab words, the top-`k` most-similar OTHER words.
+    * All sums order-free decimal; ties break on neighbor id. Joins
+    * are over the V·dim state — model-scale however big the corpus
+    * that trained it. */
+  def wordNeighbors(docs: DataFrame, nWords: Int = 8, k: Int = 5,
+                    v: Int = VocabSize, window: Int = WindowSize,
+                    dim: Int = Dim, steps: Int = Steps,
+                    lr: Double = Lr): DataFrame = {
+    val t = train(docs, v, window, dim, steps, lr)
+    val wv = t.w.select(col("i"), col("k"), col("v"))
+    val n2 = wv.groupBy(col("i"))
+      .agg(sum(rnd(col("v") * col("v"), 8).cast("decimal(28,8)"))
+        .cast("double").as("n2"))
+    val dots = wv.where(col("i") < nWords)
+      .select(col("i").as("qi"), col("k"), col("v").as("qv"))
+      .join(wv.select(col("i").as("ni"), col("k"), col("v").as("nv")), Seq("k"))
+      .where(col("ni") =!= col("qi"))
+      .groupBy(col("qi"), col("ni"))
+      .agg(sum(rnd(col("qv") * col("nv"), 8).cast("decimal(28,8)"))
+        .cast("double").as("dot"))
+    val scored = dots
+      .join(n2.select(col("i").as("qi"), col("n2").as("qn")), "qi")
+      .join(n2.select(col("i").as("ni"), col("n2").as("nn")), "ni")
+      .select(col("qi"), col("ni"),
+        rnd(col("dot") / (sqrt(col("qn")) * sqrt(col("nn"))), 6).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qi")).orderBy(col("sim").desc, col("ni"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .join(t.vocab.select(col("i").as("qi"), col("w").as("word")), "qi")
+      .join(t.vocab.select(col("i").as("ni"), col("w").as("neighbor")), "ni")
+      .select(col("qi").as("word_id"), col("word"),
+        col("ni").as("neighbor_id"), col("neighbor"), col("rank"), col("sim"))
+      .orderBy(col("word_id"), col("rank"))
+  }
+
   /** The trained model in its closure-shippable form: a driver-side
     * word → vector map (V·dim doubles — model-sized by
     * construction, like every quantizer/codebook collect in this
