@@ -104,7 +104,7 @@ object Bench {
     // time is the min of the two runs and the pair is listed in
     // `reruns`, so a real plan defect (reproduces) separates from an
     // eviction storm (vanishes) inside the artifact itself.
-    val prior = priorTimings()
+    val prior = priorTimings(sfDir = sfDir)
     val rerunFloor = 5.0
     val reruns = firstPass.collect {
       case (name, t1) if t1 >= rerunFloor &&
@@ -176,7 +176,8 @@ object Bench {
     * dedup_substrings 50.7 s, must not become the yardstick that
     * hides the next one). Missing dir / no artifacts / parse failure
     * all degrade to empty — the bench then simply re-runs nothing. */
-  private[graft] def priorTimings(dir: String = "."): Map[String, Double] = {
+  private[graft] def priorTimings(dir: String = ".",
+                                  sfDir: String = ""): Map[String, Double] = {
     val re = raw"BENCH_r(\d+)\.json".r
     val files = Option(new java.io.File(dir).listFiles())
       .getOrElse(Array.empty[java.io.File])
@@ -186,9 +187,16 @@ object Bench {
       })
       .sortBy(-_._1).take(3)
     files.flatMap { case (_, f) =>
-      try parseQueryTimes(new String(
-        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")).toSeq
-      catch { case scala.util.control.NonFatal(_) => Seq.empty }
+      try {
+        val json = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        // only artifacts from the SAME scale factor are a yardstick:
+        // an sf change between rounds would otherwise flag every
+        // query as regressed (or hide every real regression)
+        val sfM = java.util.regex.Pattern
+          .compile("\"sf\"\\s*:\\s*\"([^\"]+)\"").matcher(json)
+        if (sfDir.nonEmpty && sfM.find() && sfM.group(1) != sfDir) Seq.empty
+        else parseQueryTimes(json).toSeq
+      } catch { case scala.util.control.NonFatal(_) => Seq.empty }
     }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
   }
 

@@ -66,36 +66,27 @@ object SparkEntry {
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"), col("props")), "evstream", d)
 
-  /** Run a complete-mode streaming aggregation to its FINAL answer:
-    * AvailableNow processes the staged corpus in bounded micro-
-    * batches and terminates; the last trigger's complete-mode table
-    * IS the full aggregate, independent of how the file source
-    * chopped the input — which is exactly what makes a streaming
-    * query oracle-gradable against the batch GROUP BY. */
-  private def streamComplete(s: SparkSession, agg: DataFrame): DataFrame = {
+  /** Run a streaming aggregation to termination in the given output
+    * mode and return its result table. Complete mode: the last
+    * trigger's table IS the full aggregate, independent of how the
+    * file source chopped the input — what makes a streaming query
+    * oracle-gradable against the batch GROUP BY. Append mode: rows
+    * are FINAL on emission (session closes, conversions); the caller
+    * owns a watermark regime that flushes everything it grades. */
+  private def runStream(s: SparkSession, agg: DataFrame, mode: String): DataFrame = {
     val name = s"graft_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode("complete")
+      .outputMode(mode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     s.table(name)
   }
+  private def streamComplete(s: SparkSession, agg: DataFrame): DataFrame =
+    runStream(s, agg, "complete")
 
-  /** Run an APPEND-mode streaming aggregation to termination and
-    * return its emitted rows: the mode for queries whose rows must
-    * be FINAL on emission (session_window closes). The caller is
-    * responsible for a watermark regime that flushes everything it
-    * grades (see stream_sessionize's flush event). */
-  private def streamAppend(s: SparkSession, agg: DataFrame): DataFrame = {
-    val name = s"graft_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    s.table(name)
-  }
+  private def streamAppend(s: SparkSession, agg: DataFrame): DataFrame =
+    runStream(s, agg, "append")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── scraper (the reference stage UPSTREAM of bronze) ────────────
@@ -1360,8 +1351,11 @@ object SparkEntry {
       // evstream dir must not grow a far-future row)
       val src = stagedStreamCopy(ev, "evsessreal", d)
       val flushFile = new java.io.File(src, "zz-flush.parquet")
-      if (!flushFile.exists) {
-        val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      // null-safe on an empty corpus (no max ts → nothing to flush,
+      // and nothing to grade); REPLACE_EXISTING keeps a concurrent
+      // second writer from failing the move
+      val maxTsOpt = Option(ev.agg(max(col("ts"))).head().getTimestamp(0))
+      maxTsOpt.filter(_ => !flushFile.exists).foreach { maxTs =>
         val far = new java.sql.Timestamp(maxTs.getTime + 1000L * 86400 * 30)
         val tmp = java.nio.file.Files.createTempDirectory("graft_flush").toString
         Seq((-1L, far, -1L, "flush", 0.0, "{}"))
@@ -1369,7 +1363,8 @@ object SparkEntry {
           .coalesce(1).write.mode("overwrite").parquet(tmp)
         val part = new java.io.File(tmp).listFiles()
           .find(_.getName.endsWith(".parquet")).get
-        java.nio.file.Files.move(part.toPath, flushFile.toPath)
+        java.nio.file.Files.move(part.toPath, flushFile.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       }
       streamAppend(s, graft.streaming.StreamingEvents.sessionWindowStream(
           graft.streaming.StreamingEvents.eventsStream(s, src),
@@ -2002,7 +1997,11 @@ object SparkEntry {
   /** Scraper CTE chain: synthesize the SAME html page per doc the
     * Spark side builds, then re-run the extraction for real — regex
     * href pull, skip-scheme filter, relative resolution, domain gate,
-    * key sanitation. A parsing bug on either side diverges. */
+    * key sanitation. A parsing bug on either side diverges. The
+    * `folded` step replays dot segments for the SINGLE-level forms
+    * this corpus emits (origin split off first so `..` can never eat
+    * the authority); the engine's fold is the full RFC 3986 stack
+    * fold, pinned on chained/rooted edges by ScraperSpec. */
   private val scraperCte =
     """WITH RECURSIVE pg AS (
       |  SELECT doc_id,
@@ -2036,8 +2035,11 @@ object SparkEntry {
       |  FROM kept),
       |folded AS (
       |  SELECT doc_id, page_url,
+      |    regexp_extract(link_url, '^([a-z][a-z0-9+.-]*://[^/]*)', 1) ||
       |    regexp_replace(
-      |      regexp_replace(link_url, '/\.(/)', '/', 'g'),
+      |      regexp_replace(
+      |        regexp_replace(link_url, '^[a-z][a-z0-9+.-]*://[^/]*', ''),
+      |        '/\.(/)', '/', 'g'),
       |      '/[^/.][^/]*/\.\./', '/', 'g') AS link_url
       |  FROM resolved),
       |internal AS (
@@ -2479,6 +2481,47 @@ object SparkEntry {
        |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", sim
        |FROM r WHERE rnk <= 10 ORDER BY query_id, "rank"""".stripMargin
   }
+
+  // batch↔stream shared oracles: the LIVE query and its batch twin
+  // grade against ONE SQL string, so an edit can never un-pair them
+  private lazy val dSessionNativeSql = s"""$sessionTCte
+         |SELECT user_id,
+         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+         |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+         |  count(*) AS n_events,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
+         |FROM t GROUP BY user_id, session_seq
+         |ORDER BY user_id, session_start""".stripMargin
+  private val dAttributionSql = """WITH b AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |    last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
+        |      OVER w AS last_click_us,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |      OVER w AS last_click_id
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, ts_us,
+        |  CASE WHEN ts_us - last_click_us <= 86400000000 THEN last_click_id END
+        |    AS attributed_click_id,
+        |  CASE WHEN ts_us - last_click_us <= 86400000000 THEN ts_us - last_click_us END
+        |    AS delay_us
+        |FROM b WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
+  private val dWindowedFunnelSql = """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, min(us) AS v_us FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(v.v_us) AS v_us, min(e.us) AS c_us
+        |      FROM e JOIN v ON e.user_id = v.user_id
+        |        AND e.us > v.v_us AND e.us <= v.v_us + 86400000000
+        |      WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(c.v_us) AS v_us, min(c.c_us) AS c_us, min(e.us) AS p_us
+        |      FROM e JOIN c ON e.user_id = c.user_id
+        |        AND e.us > c.c_us AND e.us <= c.c_us + 86400000000
+        |      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT user_id,
+        |  strftime(make_timestamp(v_us), '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+        |  strftime(make_timestamp(c_us), '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+        |  strftime(make_timestamp(p_us), '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+        |  CAST(p_us - v_us AS BIGINT) AS funnel_us
+        |FROM p ORDER BY user_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "pipe_link_extract" ->
@@ -4757,35 +4800,9 @@ object SparkEntry {
     // the LIVE attribution stream grades against the same
     // window-carry chain
     "stream_attribution" ->
-      """WITH b AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
-        |    last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
-        |      OVER w AS last_click_us,
-        |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
-        |      OVER w AS last_click_id
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-        |SELECT user_id, event_id, ts_us,
-        |  CASE WHEN ts_us - last_click_us <= 86400000000 THEN last_click_id END
-        |    AS attributed_click_id,
-        |  CASE WHEN ts_us - last_click_us <= 86400000000 THEN ts_us - last_click_us END
-        |    AS delay_us
-        |FROM b WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+      dAttributionSql,
     "ev_attribution" ->
-      """WITH b AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
-        |    last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
-        |      OVER w AS last_click_us,
-        |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
-        |      OVER w AS last_click_id
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-        |SELECT user_id, event_id, ts_us,
-        |  CASE WHEN ts_us - last_click_us <= 86400000000 THEN last_click_id END
-        |    AS attributed_click_id,
-        |  CASE WHEN ts_us - last_click_us <= 86400000000 THEN ts_us - last_click_us END
-        |    AS delay_us
-        |FROM b WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+      dAttributionSql,
     "ev_cart_abandon" ->
       """WITH b AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
         |    CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
@@ -5342,26 +5359,12 @@ object SparkEntry {
          |FROM a""".stripMargin,
     // session_window ≡ the lag/cumsum sessionizer; end = last event + gap
     "ev_session_native" ->
-      s"""$sessionTCte
-         |SELECT user_id,
-         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
-         |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
-         |  count(*) AS n_events,
-         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
-         |FROM t GROUP BY user_id, session_seq
-         |ORDER BY user_id, session_start""".stripMargin,
+      dSessionNativeSql,
     // the LIVE session query grades against the SAME batch oracle:
     // append-mode emission (flush event excluded on the Spark side)
     // must reproduce every closed session exactly
     "stream_sessionize" ->
-      s"""$sessionTCte
-         |SELECT user_id,
-         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
-         |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
-         |  count(*) AS n_events,
-         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value
-         |FROM t GROUP BY user_id, session_seq
-         |ORDER BY user_id, session_start""".stripMargin,
+      dSessionNativeSql,
     // interval algebra over the session table: +1/−1 boundary deltas,
     // running sum inside each day = live concurrency; peak per day
     "ev_peak_concurrency" ->
@@ -5980,39 +5983,9 @@ object SparkEntry {
     // within 24h of that — emitted on conversion by the stateful
     // stream, derived set-wise by the oracle
     "stream_funnel" ->
-      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
-        |v AS (SELECT user_id, min(us) AS v_us FROM e WHERE event_type = 'view' GROUP BY user_id),
-        |c AS (SELECT e.user_id, min(v.v_us) AS v_us, min(e.us) AS c_us
-        |      FROM e JOIN v ON e.user_id = v.user_id
-        |        AND e.us > v.v_us AND e.us <= v.v_us + 86400000000
-        |      WHERE e.event_type = 'click' GROUP BY e.user_id),
-        |p AS (SELECT e.user_id, min(c.v_us) AS v_us, min(c.c_us) AS c_us, min(e.us) AS p_us
-        |      FROM e JOIN c ON e.user_id = c.user_id
-        |        AND e.us > c.c_us AND e.us <= c.c_us + 86400000000
-        |      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
-        |SELECT user_id,
-        |  strftime(make_timestamp(v_us), '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
-        |  strftime(make_timestamp(c_us), '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
-        |  strftime(make_timestamp(p_us), '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
-        |  CAST(p_us - v_us AS BIGINT) AS funnel_us
-        |FROM p ORDER BY user_id""".stripMargin,
+      dWindowedFunnelSql,
     "ev_windowed_funnel" ->
-      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
-        |v AS (SELECT user_id, min(us) AS v_us FROM e WHERE event_type = 'view' GROUP BY user_id),
-        |c AS (SELECT e.user_id, min(v.v_us) AS v_us, min(e.us) AS c_us
-        |      FROM e JOIN v ON e.user_id = v.user_id
-        |        AND e.us > v.v_us AND e.us <= v.v_us + 86400000000
-        |      WHERE e.event_type = 'click' GROUP BY e.user_id),
-        |p AS (SELECT e.user_id, min(c.v_us) AS v_us, min(c.c_us) AS c_us, min(e.us) AS p_us
-        |      FROM e JOIN c ON e.user_id = c.user_id
-        |        AND e.us > c.c_us AND e.us <= c.c_us + 86400000000
-        |      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
-        |SELECT user_id,
-        |  strftime(make_timestamp(v_us), '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
-        |  strftime(make_timestamp(c_us), '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
-        |  strftime(make_timestamp(p_us), '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
-        |  CAST(p_us - v_us AS BIGINT) AS funnel_us
-        |FROM p ORDER BY user_id""".stripMargin,
+      dWindowedFunnelSql,
     // seasonal-naive (lag-7) backtest: exact integer MAE numerators,
     // per-day relative errors round-then-DECIMAL-sum
     "ev_forecast_backtest" ->

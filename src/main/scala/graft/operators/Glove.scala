@@ -218,10 +218,13 @@ object Glove {
           rnd(col("dot") + col("b") + col("bc") - col("logx"), 6).as("err"))
         .withColumn("coef", rnd(lit(2.0) * col("f") * col("err"), 6))
         .localCheckpoint(true)
-      losses += err
+      // null-safe: a corpus with no co-occurring vocab pairs (every
+      // doc under 2 tokens) has an EMPTY err frame — its loss is 0,
+      // not an NPE out of a null SUM
+      losses += Option(err
         .agg(sum(rnd(col("f") * col("err") * col("err"), 8)
           .cast("decimal(28,8)")).cast("double"))
-        .head().getDouble(0)
+        .head().get(0)).map(_.asInstanceOf[Double]).getOrElse(0.0)
       val gw = err
         .join(cT.select(col("i").as("ib"), col("k"), col("v").as("cv")), "ib")
         .groupBy(col("ia").as("i"), col("k"))

@@ -613,7 +613,10 @@ object DeltaSource {
           df.withColumn("pv", col("w.add.partitionValues")).where(pred)
         }
         .select(col("p"), col("w.v").as("v"), col("w.add").as("add"))
-      winnersDf = Some(winnersFrame)
+      // expose the handle only for UNPRUNED snapshots: a checkpoint
+      // writer fed a pruned frame would silently drop every add
+      // outside the predicate — data loss on all later replays
+      if (partitionPrune.isEmpty) winnersDf = Some(winnersFrame)
       // deterministic state order via a DRIVER-side sort of the
       // collected survivors — the list is driver-bound here anyway,
       // so a global range-exchange before collect() would be a

@@ -358,15 +358,15 @@ object GraphAnnIndex {
     // one Spark job per step (the topB collect), no re-collect of the
     // local relation it just built
     var frontierRows: Array[Row] = null
-    var distRows = 0L // distributed-branch frontier cardinality
+    // the frontier can never exceed nq·max(beam, entries) rows — an
+    // ANALYTIC bound, so size-routing costs zero extra jobs (routing
+    // on it errs only toward the shuffle branch this regime prefers)
+    val frontierBound = nq * math.max(beam, entries)
     if (driverSide) {
       frontierRows = beamScored.collect()
       beamScored = spark.createDataFrame(
         java.util.Arrays.asList(frontierRows: _*), scoreSchema)
-    } else {
-      beamScored = beamScored.localCheckpoint(true)
-      distRows = beamScored.count() // counts the checkpointed blocks
-    }
+    } else beamScored = beamScored.localCheckpoint(true)
     var lastScored: DataFrame = beamScored
     (1 to steps).foreach { step =>
       val expanded =
@@ -392,7 +392,7 @@ object GraphAnnIndex {
           val pbs = beamScored
             .select(pmod(col("node"), lit(meta.pBuckets.toLong)).as("fpb"))
             .distinct().collect().map(_.getLong(0))
-          sized(beamScored.select(col("query_id"), col("node")), distRows)
+          sized(beamScored.select(col("query_id"), col("node")), frontierBound)
             .join(edges.where(col("pb").isin(pbs: _*)), col("node") === col("src"))
             .select(col("query_id"), col("dst").as("node"), col("dv"), col("dnrm"))
         }
@@ -415,10 +415,7 @@ object GraphAnnIndex {
           frontierRows = topB.collect()
           beamScored = spark.createDataFrame(
             java.util.Arrays.asList(frontierRows: _*), scoreSchema)
-        } else {
-          beamScored = topB.localCheckpoint(true)
-          distRows = beamScored.count()
-        }
+        } else beamScored = topB.localCheckpoint(true)
       }
     }
     edges.unpersist(false)
@@ -498,15 +495,15 @@ object GraphAnnIndex {
       q.select(col("query_id")).crossJoin(entC))
     val driverSide = nq * beam <= maxDriverFrontier && nq * entries <= maxDriverFrontier
     var frontierRows: Array[Row] = null
-    var distRows = 0L
+    // the frontier can never exceed nq·max(beam, entries) rows — an
+    // ANALYTIC bound, so size-routing costs zero extra jobs (routing
+    // on it errs only toward the shuffle branch this regime prefers)
+    val frontierBound = nq * math.max(beam, entries)
     if (driverSide) {
       frontierRows = beamScored.collect()
       beamScored = spark.createDataFrame(
         java.util.Arrays.asList(frontierRows: _*), scoreSchema)
-    } else {
-      beamScored = beamScored.localCheckpoint(true)
-      distRows = beamScored.count()
-    }
+    } else beamScored = beamScored.localCheckpoint(true)
     var lastScored: DataFrame = beamScored
     (1 to steps).foreach { step =>
       val expanded =
@@ -525,7 +522,7 @@ object GraphAnnIndex {
           val pbs = beamScored
             .select(pmod(col("node"), lit(meta.pBuckets.toLong)).as("fpb"))
             .distinct().collect().map(_.getLong(0))
-          sized(beamScored.select(col("query_id"), col("node")), distRows)
+          sized(beamScored.select(col("query_id"), col("node")), frontierBound)
             .join(edges.where(col("pb").isin(pbs: _*)), col("node") === col("src"))
             .select(col("query_id"), col("dst").as("node"), col("dcodes"))
         }
@@ -548,10 +545,7 @@ object GraphAnnIndex {
           frontierRows = topB.collect()
           beamScored = spark.createDataFrame(
             java.util.Arrays.asList(frontierRows: _*), scoreSchema)
-        } else {
-          beamScored = topB.localCheckpoint(true)
-          distRows = beamScored.count()
-        }
+        } else beamScored = topB.localCheckpoint(true)
       }
     }
     edges.unpersist(false)

@@ -64,16 +64,21 @@ def unescape(s):
 
 
 _gram_cache = {}
+_GRAM_CACHE_CAP = 1 << 20  # bound RSS on adversarial/unicode corpora
 
 
 def gram_bucket(g):
     """(bucket, sign) of one 3-gram — md5-derived, memoized (the
-    cache is exact: same gram, same md5, same bucket)."""
+    cache is exact: same gram, same md5, same bucket; capped so a
+    long-lived runner's memory cannot grow without bound — a flush
+    just re-pays md5 for the working set)."""
     hit = _gram_cache.get(g)
     if hit is None:
         h = int.from_bytes(hashlib.md5(g.encode("utf-8")).digest()[:8],
                            "big", signed=True)
         hit = (h % D_IN, -1.0 if h < 0 else 1.0)
+        if len(_gram_cache) >= _GRAM_CACHE_CAP:
+            _gram_cache.clear()
         _gram_cache[g] = hit
     return hit
 
