@@ -67,7 +67,11 @@ object Bench {
         "txt_unigram_segment",
         // the memoized GloVe training serves four graded views
         // (train/loss/retrieve/infer) — same discipline
-        "emb_glove_train").foreach { n =>
+        "emb_glove_train",
+        // the SCALED training and the held-out eval's half-corpus
+        // training are separate memo keys: prime both so their timed
+        // entries measure consumption, like the toy chain
+        "emb_glove_scaled", "rag_ndcg_trained").foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
       }
@@ -105,10 +109,8 @@ object Bench {
     // `reruns`, so a real plan defect (reproduces) separates from an
     // eviction storm (vanishes) inside the artifact itself.
     val prior = priorTimings(sfDir = sfDir)
-    val rerunFloor = 5.0
     val reruns = firstPass.collect {
-      case (name, t1) if t1 >= rerunFloor &&
-          prior.get(name).exists(p => p > 0 && t1 > 3 * p) =>
+      case (name, t1) if shouldRerun(name, t1, prior.get(name)) =>
         System.err.println(f"BENCH RERUN $name: $t1%.1f s vs prior best ${prior(name)}%.1f s")
         name -> (t1, timedRun(name, SparkEntry.queries(name)))
     }.toMap
@@ -168,6 +170,34 @@ object Bench {
     (jsonLine(bySlow.take(keep).sortBy(_._1), failedStdout, rerunsStdout),
       jsonLine(bySlow, failedJson(failed), rerunsJson(rerunsSorted)))
   }
+
+  /** Queries whose SECOND same-JVM run executes a warm/skip path
+    * rather than the work the first run timed — the memoized
+    * trainings (GloVe, unigram-EM) and the fingerprint-guarded
+    * persisted-index builds. Re-measuring these would record an
+    * artificially low time (the memo hit) as the time of record and
+    * misclassify a genuine regression as an eviction storm, so they
+    * are EXEMPT from the outlier re-measure: their first timing
+    * stands, loud or not. */
+  private[graft] val rerunExemptPrefixes =
+    Seq("emb_glove", "txt_unigram", "ann_index_build",
+        "ann_graph_build", "ann_graph_incr_build", "ann_graph_compact",
+        "rag_ndcg_trained")
+  private[graft] def rerunExempt(name: String): Boolean =
+    rerunExemptPrefixes.exists(name.startsWith)
+
+  /** Outlier re-measure trigger. Floor 5 s (sub-5 s noise is not
+    * worth a re-run); the regression bound is min(3× prior-min,
+    * prior-min + 15 s): the pure 3× rule let a query with ONE thin
+    * prior artifact escape (r12: ann_graph_incr_build at 31.2 s just
+    * cleared 3×11.26 s and polluted the round-over-round delta), and
+    * the additive cap bounds how much absolute host noise a large
+    * prior can hide. Memo/fingerprint-warm queries never re-run
+    * (see [[rerunExempt]]). */
+  private[graft] def shouldRerun(name: String, t1: Double,
+                                 prior: Option[Double]): Boolean =
+    t1 >= 5.0 && !rerunExempt(name) &&
+      prior.exists(p => p > 0 && t1 > math.min(3 * p, p + 15.0))
 
   /** Best recent per-query timings for the outlier re-measure: the
     * per-query MIN over the newest three `BENCH_r{N}.json` round

@@ -1665,6 +1665,13 @@ object SparkEntry {
     "txt_bpe_train" -> ((s, d) => graft.operators.Bpe.bpeTrain(Tables.documents(s, d))),
     "txt_bpe_segment" -> ((s, d) =>
       graft.operators.Bpe.bpeSegmentStats(Tables.documents(s, d))),
+    // the corpus ENCODED under the trained merges — the tokenizer
+    // SERVING path (merge replay over distinct word types, broadcast
+    // join back): per-doc word/piece counts + the md5 of the full
+    // in-order piece sequence, so one hash pins every piece at every
+    // position; oracle replays the encode off the same merge chain
+    "txt_bpe_encode" -> ((s, d) =>
+      graft.operators.Bpe.bpeEncode(Tables.documents(s, d))),
     "txt_ppl_buckets" -> ((s, d) => Quality.perplexityBuckets(Tables.documents(s, d))),
     "dedup_substrings" -> ((s, d) => Dedup.substringRuns(Tables.documents(s, d))),
     "pipe_scd2" -> ((s, d) => Analytics.scd2Priority(s, d)),
@@ -1779,7 +1786,20 @@ object SparkEntry {
             .cast("double").as("emb_checksum"),
           max(when(col("k") === 0, col("c").cast("double"))).as("emb_head"))
         .orderBy(col("doc_id"), col("chunk_idx"))
-    })
+    }),
+    // round 13: the SCALED trained model — V=1024 mixed 1..3-gram
+    // units × dim 32 × window 4, the same loop three orders above the
+    // toy constants (X reaches the 10⁵–10⁶-cell range at sf0.1);
+    // memoized like the toy training
+    "emb_glove_scaled" -> ((s, d) =>
+      graft.operators.Glove.scaledVectors(Tables.documents(s, d))),
+    // retrieval QUALITY of the trained vectors on HELD-OUT data:
+    // train on even doc_ids, rank candidate units by the model's
+    // predicted co-occurrence, grade nDCG@10 against the odd half's
+    // actual co-occurrence mass — beside the md5-init hash baseline
+    // (trained ~0.7 vs baseline <0.1; margin spec-pinned)
+    "rag_ndcg_trained" -> ((s, d) =>
+      graft.operators.Glove.heldOutNdcg(Tables.documents(s, d)))
   )
 
   // ════ DuckDB oracle SQL ════════════════════════════════════════════
@@ -1900,14 +1920,14 @@ object SparkEntry {
     * Every expression mirrors Glove.train's operation order exactly —
     * +, −, ×, ÷, √ are correctly-rounded IEEE everywhere, so only
     * the rounds at err/coef need stating. */
-  private def dGloveStep(t: Int): String = {
+  private def dGloveStep(t: Int, lr: Double = graft.operators.Glove.Lr,
+                         ts: Int = 8): String = {
     val p = t - 1
-    val lr = graft.operators.Glove.Lr
     def upd(g: String) =
       s"- $lr * COALESCE($g, 0.0) / sqrt(%s + COALESCE($g, 0.0) * COALESCE($g, 0.0) + 1e-8)"
     s"""gdot$t AS (
        |  SELECT p.ia, p.ib, p.f, p.logx,
-       |    CAST(SUM(CAST(round(w.v * c.v + 1.1641532182693481e-10, 8) AS DECIMAL(28,8))) AS DOUBLE) AS dot
+       |    CAST(SUM(CAST(round(w.v * c.v + 1.1641532182693481e-10, $ts) AS DECIMAL(28,8))) AS DOUBLE) AS dot
        |  FROM gpx p
        |  JOIN gw$p w ON w.i = p.ia
        |  JOIN gc$p c ON c.i = p.ib AND c.k = w.k
@@ -1921,11 +1941,11 @@ object SparkEntry {
        |  JOIN gb$p bc ON bc.i = d.ib),
        |ggw$t AS (
        |  SELECT e.ia AS i, c.k,
-       |    CAST(SUM(CAST(round(e.coef * c.v + 1.1641532182693481e-10, 8) AS DECIMAL(28,8))) AS DOUBLE) AS g
+       |    CAST(SUM(CAST(round(e.coef * c.v + 1.1641532182693481e-10, $ts) AS DECIMAL(28,8))) AS DOUBLE) AS g
        |  FROM gerr$t e JOIN gc$p c ON c.i = e.ib GROUP BY 1, 2),
        |ggc$t AS (
        |  SELECT e.ib AS i, w.k,
-       |    CAST(SUM(CAST(round(e.coef * w.v + 1.1641532182693481e-10, 8) AS DECIMAL(28,8))) AS DOUBLE) AS g
+       |    CAST(SUM(CAST(round(e.coef * w.v + 1.1641532182693481e-10, $ts) AS DECIMAL(28,8))) AS DOUBLE) AS g
        |  FROM gerr$t e JOIN gw$p w ON w.i = e.ia GROUP BY 1, 2),
        |ggb$t AS (SELECT ia AS i, CAST(SUM(CAST(coef AS DECIMAL(18,6))) AS DOUBLE) AS g
        |  FROM gerr$t GROUP BY 1),
@@ -1957,19 +1977,41 @@ object SparkEntry {
     * X with 1/d weights, 6-dp ln/pow constants, md5-seeded init, and
     * `Steps` unrolled AdaGrad rounds — mirroring Glove.scala
     * operation for operation. */
-  private lazy val dGloveChain: String = {
-    val v = graft.operators.Glove.VocabSize
-    val win = graft.operators.Glove.WindowSize
-    val d = graft.operators.Glove.Dim
+  private lazy val dGloveChain: String = dGloveChainFor(
+    graft.operators.Glove.VocabSize, graft.operators.Glove.WindowSize,
+    graft.operators.Glove.Dim, graft.operators.Glove.Steps)
+
+  /** The token-UNIT list expression over a text column: whitespace
+    * words for maxGram = 1, else all word n-grams of length
+    * 1..maxGram in (position, length) order joined by '_' — the
+    * exact DuckDB mirror of Glove.unitsOf. */
+  private def dUnits(x: String, maxGram: Int): String =
+    if (maxGram == 1) dToks(x)
+    else {
+      val tk = dToks(x)
+      s"list_filter(flatten(list_transform(range(1, len($tk) + 1), p -> " +
+        s"list_transform(range(1, $maxGram + 1), g -> " +
+        s"CASE WHEN p + g - 1 <= len($tk) THEN array_to_string(list_slice($tk, p, p + g - 1), '_') END))), " +
+        "u -> u IS NOT NULL)"
+    }
+
+  /** Parameterized GloVe replay (the toy chain above is the default
+    * instantiation; the SCALED rows instantiate V=1024 / window 4 /
+    * dim 32 / 2 steps / mixed 1..3-gram units / termScale 6 — and the
+    * held-out eval trains on the even-doc_id half via `src`). */
+  private def dGloveChainFor(v: Int, win: Int, d: Int, steps: Int,
+                             lr: Double = graft.operators.Glove.Lr,
+                             maxGram: Int = 1, ts: Int = 8,
+                             src: String = "documents"): String = {
     def seed(salt: String) =
       s"CAST(CAST('0x' || substr(md5('$salt:' || word || ':' || CAST(k AS VARCHAR)), 1, 12) AS BIGINT) " +
         s"% 10000 AS DOUBLE) / 100000.0 - 0.05"
     s"""WITH gvc AS (
        |  SELECT w, count(*) AS cnt
-       |  FROM (SELECT unnest(${dToks("lower(text)")}) AS w FROM documents) GROUP BY 1),
+       |  FROM (SELECT unnest(${dUnits("lower(text)", maxGram)}) AS w FROM $src) GROUP BY 1),
        |gvoc AS (SELECT w, CAST(row_number() OVER (ORDER BY cnt DESC, w) - 1 AS BIGINT) AS i
        |  FROM gvc ORDER BY cnt DESC, w LIMIT $v),
-       |gtk AS (SELECT ${dToks("lower(text)")} AS tk FROM documents),
+       |gtk AS (SELECT ${dUnits("lower(text)", maxGram)} AS tk FROM $src),
        |gpr0 AS (SELECT unnest(flatten(list_transform(range(1, len(tk) + 1), p ->
        |    list_transform(range(1, least($win, len(tk) - p) + 1), dd ->
        |      {'a': tk[p], 'b': tk[p + dd], 'dist': dd})))) AS pr
@@ -1990,7 +2032,7 @@ object SparkEntry {
        |gw0 AS (SELECT i, k, ${seed("gw")} AS v, 0.0 AS a FROM gks),
        |gc0 AS (SELECT i, k, ${seed("gc")} AS v, 0.0 AS a FROM gks),
        |gb0 AS (SELECT i, 0.0 AS b, 0.0 AS ab, 0.0 AS c, 0.0 AS ac FROM gvoc),
-       |${(1 to graft.operators.Glove.Steps).map(dGloveStep).mkString(",\n")}
+       |${(1 to steps).map(t => dGloveStep(t, lr, ts)).mkString(",\n")}
        |""".stripMargin
   }
 
@@ -3964,6 +4006,88 @@ object SparkEntry {
          |SELECT w.i AS word_id, v.w AS word, CAST(w.k AS BIGINT) AS dim, w.v AS weight
          |FROM gw${graft.operators.Glove.Steps} w JOIN gvoc v ON v.i = w.i
          |ORDER BY word_id, dim""".stripMargin,
+    // the SCALED chain: same replay at V=1024 / window 4 / dim 32 /
+    // 2 steps over mixed 1..3-gram units, termScale 6
+    "emb_glove_scaled" -> {
+      import graft.operators.Glove.{ScaledV, ScaledWindow, ScaledDim,
+        ScaledSteps, ScaledMaxGram, ScaledTermScale}
+      s"""${dGloveChainFor(ScaledV, ScaledWindow, ScaledDim, ScaledSteps,
+             graft.operators.Glove.Lr, ScaledMaxGram, ScaledTermScale)}
+         |SELECT w.i AS word_id, v.w AS word, CAST(w.k AS BIGINT) AS dim, w.v AS weight
+         |FROM gw$ScaledSteps w JOIN gvoc v ON v.i = w.i
+         |ORDER BY word_id, dim""".stripMargin
+    },
+    // held-out retrieval quality: the scaled chain trained on EVEN
+    // doc_ids only; relevance = ln(1 + X) over the ODD half gated on
+    // the train vocab; both rankings (trained prediction w·c + b +
+    // bc, and the md5-seeded init's dot) graded as nDCG@10 with
+    // SHARED literal DCG discounts — no per-engine libm log
+    "rag_ndcg_trained" -> {
+      import graft.operators.Glove.{ScaledV, ScaledWindow, ScaledDim,
+        ScaledSteps, ScaledMaxGram, ScaledTermScale}
+      val (nq, k) = (64, 10)
+      val eps = "1.1641532182693481e-10"
+      val discCase = graft.operators.Glove.dcgDiscounts(k)
+        .map { case (r, d) => s"WHEN $r THEN CAST($d AS DOUBLE)" }.mkString(" ")
+      s"""${dGloveChainFor(ScaledV, ScaledWindow, ScaledDim, ScaledSteps,
+             graft.operators.Glove.Lr, ScaledMaxGram, ScaledTermScale,
+             src = "(SELECT * FROM documents WHERE doc_id % 2 = 0)")},
+         |ttk AS (SELECT ${dUnits("lower(text)", ScaledMaxGram)} AS tk
+         |  FROM documents WHERE doc_id % 2 = 1),
+         |tpr0 AS (SELECT unnest(flatten(list_transform(range(1, len(tk) + 1), p ->
+         |    list_transform(range(1, least($ScaledWindow, len(tk) - p) + 1), dd ->
+         |      {'a': tk[p], 'b': tk[p + dd], 'dist': dd})))) AS pr
+         |  FROM ttk WHERE len(tk) > 1),
+         |tprs AS (SELECT pr.a AS a, pr.b AS b, pr.dist AS dist FROM tpr0),
+         |tsym AS (SELECT a, b, dist FROM tprs
+         |  UNION ALL SELECT b AS a, a AS b, dist FROM tprs),
+         |tx AS (SELECT va.i AS ia, vb.i AS ib,
+         |    SUM(CAST(CAST(1.0 AS DOUBLE) / dist AS DECIMAL(18,6))) AS x
+         |  FROM tsym s JOIN gvoc va ON va.w = s.a JOIN gvoc vb ON vb.w = s.b
+         |  GROUP BY 1, 2),
+         |trel AS (SELECT ia AS q, ib AS cand,
+         |    round(ln(1.0 + CAST(x AS DOUBLE)) + $eps, 6) AS rel FROM tx),
+         |telig AS (SELECT q, CAST(count(*) AS BIGINT) AS n_pos FROM trel
+         |  WHERE q < $nq AND rel > 0 GROUP BY q HAVING count(*) >= $k),
+         |tdot AS (SELECT w.i AS q, c.i AS cand,
+         |    CAST(SUM(CAST(round(w.v * c.v + $eps, $ScaledTermScale) AS DECIMAL(28,8))) AS DOUBLE) AS dot
+         |  FROM gw$ScaledSteps w JOIN gc$ScaledSteps c ON c.k = w.k AND c.i != w.i
+         |  WHERE w.i < $nq GROUP BY 1, 2),
+         |tsc AS (SELECT d.q, d.cand, round(d.dot + bq.b + bc.c + $eps, 6) AS s
+         |  FROM tdot d JOIN gb$ScaledSteps bq ON bq.i = d.q
+         |  JOIN gb$ScaledSteps bc ON bc.i = d.cand),
+         |idot AS (SELECT w.i AS q, c.i AS cand,
+         |    CAST(SUM(CAST(round(w.v * c.v + $eps, $ScaledTermScale) AS DECIMAL(28,8))) AS DOUBLE) AS dot
+         |  FROM gw0 w JOIN gc0 c ON c.k = w.k AND c.i != w.i
+         |  WHERE w.i < $nq GROUP BY 1, 2),
+         |isc AS (SELECT q, cand, round(dot + $eps, 6) AS s FROM idot),
+         |trk AS (SELECT q, cand,
+         |    row_number() OVER (PARTITION BY q ORDER BY s DESC, cand) AS r FROM tsc),
+         |tdcg AS (SELECT t.q,
+         |    CAST(SUM(CAST(round(COALESCE(e.rel, 0.0) * (CASE t.r $discCase END) + $eps, 6) AS DECIMAL(18,6))) AS DOUBLE) AS dcg
+         |  FROM trk t LEFT JOIN trel e ON e.q = t.q AND e.cand = t.cand
+         |  WHERE t.r <= $k GROUP BY 1),
+         |irk AS (SELECT q, cand,
+         |    row_number() OVER (PARTITION BY q ORDER BY s DESC, cand) AS r FROM isc),
+         |idcg0 AS (SELECT t.q,
+         |    CAST(SUM(CAST(round(COALESCE(e.rel, 0.0) * (CASE t.r $discCase END) + $eps, 6) AS DECIMAL(18,6))) AS DOUBLE) AS dcg
+         |  FROM irk t LEFT JOIN trel e ON e.q = t.q AND e.cand = t.cand
+         |  WHERE t.r <= $k GROUP BY 1),
+         |ideal AS (SELECT q, rel, cand,
+         |    row_number() OVER (PARTITION BY q ORDER BY rel DESC, cand) AS r FROM trel),
+         |tideal AS (SELECT q,
+         |    CAST(SUM(CAST(round(rel * (CASE r $discCase END) + $eps, 6) AS DECIMAL(18,6))) AS DOUBLE) AS idcg
+         |  FROM ideal WHERE r <= $k GROUP BY 1)
+         |SELECT e.q AS query_id, v.w AS unit, e.n_pos,
+         |  round(td.dcg / ti.idcg + $eps, 6) AS ndcg_trained,
+         |  round(id0.dcg / ti.idcg + $eps, 6) AS ndcg_init
+         |FROM telig e
+         |JOIN tdcg td ON td.q = e.q
+         |JOIN idcg0 id0 ON id0.q = e.q
+         |JOIN tideal ti ON ti.q = e.q
+         |JOIN gvoc v ON v.i = e.q
+         |ORDER BY query_id""".stripMargin
+    },
     // the trained encoder through the seam, replayed: chunk tokens →
     // trained-vector decimal mean → REAL (float) → checksum/head.
     // LEFT JOIN keeps the zero-vector chunks (no vocab token) that
@@ -5910,6 +6034,25 @@ object SparkEntry {
          |FROM (SELECT count(*) AS n_word_types, CAST(sum(freq) AS BIGINT) AS n_words,
          |        CAST(sum(freq * length(w)) AS BIGINT) AS sym_before FROM v) a,
          |     (SELECT CAST(sum(freq * ntok) AS BIGINT) AS sym_after FROM fin) b""".stripMargin,
+    // the corpus encoded under the trained merges: the final vocab's
+    // segmentation re-keyed by the word (strip the delimiters),
+    // joined back to the positional word stream, reassembled in doc
+    // order (string_agg ORDER BY pos = the engine's array_sort),
+    // md5 over the full sequence
+    "txt_bpe_encode" ->
+      s"""$dBpeChain,
+         |benc AS (SELECT replace(seq, '|', '') AS w,
+         |    string_split(trim(seq, '|'), '||') AS pieces FROM s4),
+         |bdw AS (SELECT doc_id, unnest(range(1, len(tk) + 1)) AS pos, unnest(tk) AS w
+         |  FROM (SELECT doc_id, ${dToks("lower(text)")} AS tk FROM documents)),
+         |bj AS (SELECT d.doc_id, d.pos, e.pieces FROM bdw d JOIN benc e ON e.w = d.w
+         |  WHERE regexp_matches(d.w, '^[a-z]+$$')),
+         |bagg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |    CAST(SUM(len(pieces)) AS BIGINT) AS n_pieces,
+         |    string_agg(array_to_string(pieces, ' '), ' ' ORDER BY pos) AS enc
+         |  FROM bj GROUP BY 1)
+         |SELECT doc_id, n_words, n_pieces, substr(enc, 1, 80) AS enc_head, md5(enc) AS enc_md5
+         |FROM bagg ORDER BY doc_id""".stripMargin,
     "txt_ppl_buckets" ->
       s"""WITH tk AS (SELECT doc_id, unnest(${dToks("text")}) AS tok FROM documents),
          |cnt AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY 1),

@@ -162,6 +162,57 @@ object Bpe {
     (merges.toDF("step", "left", "right", "merged", "n"), rounds)
   }
 
+  /** Apply a learned merge list to arbitrary text — the SERVING
+    * encoder. Each distinct [a-z]+ word type wraps to `|c|h|a|r|`
+    * form and replays the merges IN TRAINING ORDER as literal
+    * replaces (provably equal to the canonical one-merge-at-a-time
+    * segmentation — the trainLoop batching theorem); the encoded
+    * piece arrays broadcast-join back to the exploded word stream.
+    * Unseen words segment naturally: merges that apply, apply;
+    * the rest stays characters. Corpus cost: one explode + one
+    * broadcast join; the merge replay runs on the DISTINCT word
+    * types only. */
+  def encodeWith(df: DataFrame, merges: Seq[(String, String)],
+                 contentCol: String = "text"): DataFrame = {
+    val words = df.select(col("doc_id"),
+        posexplode(tokens(lower(col(contentCol)))).as(Seq("pos", "w")))
+      .where(col("w").rlike("^[a-z]+$"))
+    val types = words.select(col("w")).distinct()
+      .withColumn("seq", regexp_replace(col("w"), "(.)", "|$1|"))
+    val replayed = merges.foldLeft("seq") { case (e, (a, b)) =>
+      s"replace($e, '|$a||$b|', '|$a$b|')"
+    }
+    val enc = types.select(col("w"),
+      split(expr(s"trim(BOTH '|' FROM $replayed)"), "\\|\\|").as("pieces"))
+    words.join(broadcast(enc), "w")
+  }
+
+  /** The corpus ENCODED under the trained merge table, graded per
+    * doc: word/piece counts plus the md5 of the full space-joined
+    * piece sequence in document order — one hash pins every piece
+    * and its position. Sequence reassembly is array-native
+    * (collect_list of (pos, pieces) structs, array_sort on pos,
+    * flatten): no per-row UDF, order-deterministic on any
+    * partitioning. */
+  def bpeEncode(docs: DataFrame, nMerges: Int = 4,
+                contentCol: String = "text"): DataFrame = {
+    val merges = trainLoop(docs, nMerges, contentCol)._1
+      .map { case (_, a, b, _, _) => (a, b) }
+    val encStr = array_join(
+      flatten(transform(
+        array_sort(collect_list(struct(col("pos"), col("pieces")))),
+        x => x.getField("pieces"))), " ")
+    encodeWith(docs, merges, contentCol)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(col("pieces"))).as("n_pieces"),
+        encStr.as("enc"))
+      .select(col("doc_id"), col("n_words"), col("n_pieces"),
+        substring(col("enc"), 1, 80).as("enc_head"),
+        md5(col("enc")).as("enc_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Segmentation quality of the trained merges: symbols per corpus
     * before (characters) vs after (BPE tokens), the compression
     * number a tokenizer is judged by. One aggregate over the final

@@ -76,8 +76,13 @@ object Scraper {
     * split + one aggregate fold per URL, map-only, no UDF — so the
     * fold rides whole-stage scans at any corpus size. */
   private[graft] def removeDotSegments(u: Column): Column = {
-    val origin = regexp_extract(u, "^([a-z][a-z0-9+.-]*://[^/]*)", 1)
-    val path = regexp_extract(u, "^[a-z][a-z0-9+.-]*://[^/]*(/.*)$", 1)
+    // RFC 3986 applies remove_dot_segments to the PATH only: split
+    // off the query/fragment first so `a?u=./x` or `#//b` never get
+    // folded, and re-append them verbatim afterwards
+    val qf = regexp_extract(u, "([?#].*)$", 1)
+    val base = regexp_replace(u, "[?#].*", "")
+    val origin = regexp_extract(base, "^([a-z][a-z0-9+.-]*://[^/]*)", 1)
+    val path = regexp_extract(base, "^[a-z][a-z0-9+.-]*://[^/]*(/.*)$", 1)
     val segs = filter(split(path, "/"), s => s =!= "" && s =!= ".")
     val folded = aggregate(segs, array().cast("array<string>"),
       (acc, s) => when(s === "..",
@@ -86,7 +91,7 @@ object Scraper {
     val trail = when(path.rlike("(/|/\\.|/\\.\\.)$") && size(folded) > 0, lit("/"))
       .otherwise(lit(""))
     when(path === "", u)
-      .otherwise(concat(origin, lit("/"), array_join(folded, "/"), trail))
+      .otherwise(concat(origin, lit("/"), array_join(folded, "/"), trail, qf))
   }
 
   private def resolve(pageUrl: Column, href: Column): Column =

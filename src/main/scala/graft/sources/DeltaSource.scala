@@ -74,6 +74,21 @@ object CreateExclusiveCommitStore extends CommitStore {
   * s3a, or any other configured scheme behave identically (commit
   * atomicity caveats per [[CommitStore]]).
   *
+  * == Protocol feature matrix (interop gate) ==
+  * Reads support minReaderVersion ≤ 3 with reader features
+  * `deletionVectors, columnMapping, typeWidening, v2Checkpoint`;
+  * writes support minWriterVersion ≤ 7 with writer features
+  * `appendOnly, invariants, checkConstraints, changeDataFeed,
+  * generatedColumns, columnMapping, identityColumns, deletionVectors,
+  * typeWidening, v2Checkpoint, rowTracking, domainMetadata,
+  * inCommitTimestamp, clustering`. A FOREIGN table demanding anything
+  * beyond these is REFUSED, loudly: unknown reader features at
+  * snapshot load (misreading e.g. an unknown encoding would return
+  * wrong rows), unknown writer features at every mutating entry point
+  * (an ignorant commit would break the invariant the feature
+  * protects — writes refuse while reads of the same table stay
+  * legal, per the spec's read/write gate separation).
+  *
   * Scale notes: log JSON files are KB-sized regardless of data size;
   * the active-file reconstruction is a driver-side fold over log
   * actions, exactly like every Delta reader (the log carries file
@@ -251,6 +266,39 @@ object DeltaSource {
   private val SupportedReaderFeatures =
     Set("deletionVectors", "columnMapping", "typeWidening", "v2Checkpoint")
   private val MaxReaderVersion = 3
+
+  /** Writer features this implementation actually ENFORCES when it
+    * commits — the write-side half of the interop gate. A foreign
+    * table whose protocol demands anything else (say,
+    * `icebergCompatV2`) must refuse our WRITES — an ignorant commit
+    * would break the invariant that feature exists to protect — while
+    * READS of the same table stay legal (reader gating is separate,
+    * per the Delta spec). Enforced at every mutating entry point via
+    * [[requireWritable]]. */
+  private val SupportedWriterFeatures = Set(
+    "appendOnly", "invariants", "checkConstraints", "changeDataFeed",
+    "generatedColumns", "columnMapping", "identityColumns",
+    "deletionVectors", "typeWidening", "v2Checkpoint", "rowTracking",
+    "domainMetadata", "inCommitTimestamp", "clustering")
+  private val MaxWriterVersion = 7
+
+  /** The write-path protocol gate: refuse to commit to a table whose
+    * protocol requires writer capabilities this engine does not
+    * implement. Spec-compliant writers must check minWriterVersion
+    * and, at (x,7), every listed writerFeature — silently committing
+    * anyway is how an appendOnly/CDC/compat invariant gets broken by
+    * a well-meaning engine. */
+  private def requireWritable(p: Protocol, tablePath: String): Unit = {
+    require(p.minWriter <= MaxWriterVersion,
+      s"$tablePath requires minWriterVersion ${p.minWriter}; " +
+        s"this writer supports up to $MaxWriterVersion")
+    if (p.minWriter >= 7) {
+      val unsupported = p.writerFeatures -- SupportedWriterFeatures
+      require(unsupported.isEmpty,
+        s"$tablePath requires writer features $unsupported; " +
+          s"supported: $SupportedWriterFeatures")
+    }
+  }
 
   private def protocolLine(p: Protocol): String = {
     val rf = if (p.minReader >= 3)
@@ -1564,6 +1612,9 @@ object DeltaSource {
     val prev = latestVersion(spark, tablePath)
     val next = prev.map(_ + 1).getOrElse(0L)
     val prevSnap = prev.map(v => snapshot(spark, tablePath, Some(v)))
+    // write-path protocol gate: an existing table demanding writer
+    // features we don't implement is refused before any data lands
+    prevSnap.foreach(s => requireWritable(s.protocol, tablePath))
     // generated columns: fill absent ones from their stored
     // expressions (metadata carried so an overwrite redefinition
     // keeps the declaration), and refuse batches whose SUPPLIED
@@ -3014,6 +3065,7 @@ object DeltaSource {
     val table = new Path(tablePath)
     val fs = fsOf(spark, table)
     val snap = snapshot(spark, tablePath, None)
+    requireWritable(snap.protocol, tablePath)
     val active: Set[Path] = (snap.files
       .map(a => fs.makeQualified(dataPath(tablePath, a.path))) ++
       // deletion-vector sidecars referenced by live adds are part of
@@ -3056,6 +3108,7 @@ object DeltaSource {
     val table = new Path(tablePath)
     val fs = fsOf(spark, table)
     val snap = snapshot(spark, tablePath, None)
+    requireWritable(snap.protocol, tablePath)
     // bin-pack per partition-values group; singleton bins are left
     // alone UNLESS the file carries a deletion vector — rewriting it
     // materializes the deletes and purges the DV (the REORG/PURGE
@@ -3167,6 +3220,7 @@ object DeltaSource {
     val table = new Path(tablePath)
     val fs = fsOf(spark, table)
     val snap = snapshot(spark, tablePath, None)
+    requireWritable(snap.protocol, tablePath)
     if (snap.files.isEmpty) return (0, 0)
     val tracking = rowTrackingOn(snap.configuration)
     // a clustering rewrite reorders rows across files, so under row
@@ -3256,6 +3310,7 @@ object DeltaSource {
     val table = new Path(tablePath)
     val fs = fsOf(spark, table)
     val snap = snapshot(spark, tablePath, None)
+    requireWritable(snap.protocol, tablePath)
     if (snap.files.isEmpty) return (0, 0)
     val tracking = rowTrackingOn(snap.configuration)
     val cur =
@@ -3690,6 +3745,7 @@ object DeltaSource {
                  commitStore: CommitStore = CreateExclusiveCommitStore): Long = {
     require(keyCols.nonEmpty, "keyCols must be non-empty")
     val snap = snapshot(spark, tablePath, None)
+    requireWritable(snap.protocol, tablePath)
     keyCols.foreach(c => require(snap.schema.exists(_.name == c),
       s"key column $c not in table schema ${snap.schema.fieldNames.toSeq}"))
     // auto-maintained columns play by writeDelta's rules here too:
@@ -3872,6 +3928,7 @@ object DeltaSource {
   def deleteDelta(spark: SparkSession, tablePath: String, condition: Column,
                   commitStore: CommitStore = CreateExclusiveCommitStore): Long = {
     val snap = snapshot(spark, tablePath, None)
+    requireWritable(snap.protocol, tablePath)
     refuseIfAppendOnly(snap.configuration, "DELETE", removesData = true)
     if (snap.files.isEmpty) return snap.version
     val table = new Path(tablePath)
@@ -4035,6 +4092,7 @@ object DeltaSource {
                   commitStore: CommitStore = CreateExclusiveCommitStore): Long = {
     require(set.nonEmpty, "UPDATE needs at least one SET column")
     val snap = snapshot(spark, tablePath, None)
+    requireWritable(snap.protocol, tablePath)
     refuseIfAppendOnly(snap.configuration, "UPDATE", removesData = true)
     if (snap.files.isEmpty) return snap.version
     val genExprs = generationExpressions(snap.schema)
@@ -4158,6 +4216,7 @@ object DeltaSource {
                              commitStore: CommitStore = CreateExclusiveCommitStore): Long = {
     val spark = df.sparkSession
     val snap = snapshot(spark, tablePath, None)
+    requireWritable(snap.protocol, tablePath)
     refuseIfAppendOnly(snap.configuration, "REPLACE WHERE", removesData = true)
     val table = new Path(tablePath)
     val fs = fsOf(spark, table)
@@ -4277,6 +4336,7 @@ object DeltaSource {
   def restoreDelta(spark: SparkSession, tablePath: String, version: Long,
                    commitStore: CommitStore = CreateExclusiveCommitStore): Long = {
     val cur = snapshot(spark, tablePath, None)
+    requireWritable(cur.protocol, tablePath)
     refuseIfAppendOnly(cur.configuration, "RESTORE", removesData = true)
     val tgt = snapshot(spark, tablePath, Some(version))
     val table = new Path(tablePath)

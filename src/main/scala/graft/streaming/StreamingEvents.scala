@@ -25,9 +25,9 @@ object StreamingEvents {
     * windows. Late data beyond 2h is dropped; state is bounded by
     * the watermark — the property that keeps this runnable forever
     * on an unbounded stream. */
-  def tumblingAgg(stream: DataFrame): DataFrame =
+  def tumblingAgg(stream: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
     stream
-      .withWatermark("ts", "2 hours")
+      .withWatermark("ts", watermarkDelay)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),

@@ -63,6 +63,28 @@ class BenchJsonSpec extends AnyFunSuite {
     assert(noRerun.contains("\"n_reruns\":0") && noRerun.contains("\"reruns\":{}"), noRerun)
   }
 
+  test("rerun trigger: min(3x prior, prior + 15s), floored at 5s, memo-warm exempt") {
+    // below the floor: never
+    assert(!Bench.shouldRerun("q_a", 4.9, Some(1.0)))
+    // no prior artifact: never (nothing to compare against)
+    assert(!Bench.shouldRerun("q_a", 50.0, None))
+    // small prior: the 3x bound is the binding one (3*2=6 < 2+15=17)
+    assert(Bench.shouldRerun("q_a", 6.1, Some(2.0)))
+    assert(!Bench.shouldRerun("q_a", 5.9, Some(2.0)))
+    // large prior: the +15s additive cap binds where the pure 3x rule
+    // let r12's ann_graph_incr_build (31.2 vs 11.26) escape
+    assert(Bench.shouldRerun("q_a", 31.2, Some(11.26)))
+    assert(!Bench.shouldRerun("q_a", 26.0, Some(11.26)))
+    // memoized / fingerprint-guarded queries never re-run: the second
+    // same-JVM run would time the warm skip path, not the work
+    assert(!Bench.shouldRerun("emb_glove_train", 31.2, Some(5.0)))
+    assert(!Bench.shouldRerun("txt_unigram_segment", 31.2, Some(5.0)))
+    assert(!Bench.shouldRerun("ann_graph_incr_build", 31.2, Some(5.0)))
+    assert(!Bench.shouldRerun("ann_index_build", 31.2, Some(5.0)))
+    // but the SERVE paths of the same families still re-measure
+    assert(Bench.shouldRerun("ann_graph_topk", 31.2, Some(5.0)))
+  }
+
   test("prior timings parse round artifacts and take the per-query min") {
     // the driver artifact shape: parsed.queries carries real times,
     // while `tail` holds an ESCAPED stdout capture that must not

@@ -24,6 +24,46 @@ class BpeSpec extends SparkSpec {
       (4L, "low", "er", "lower", 2L)), s"got $got")
   }
 
+  test("encode roundtrips: pieces re-concatenate to every word, seen or unseen") {
+    val train = Seq("low low low", "lower lower", "newest").toDF("text")
+    val merges = Bpe.bpeTrain(train, nMerges = 4)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    // serve a corpus containing words the trainer never saw — merges
+    // that apply, apply ("slower" gets 'lo' and 'er'); the rest
+    // stays characters; and EVERY word decodes back exactly
+    val serve = Seq((0L, "low lower slower zebra"), (1L, "lowest newest low"))
+      .toDF("doc_id", "text")
+    val enc = Bpe.encodeWith(serve, merges)
+      .select(col("doc_id"), col("pos"), col("w"), col("pieces"))
+      .collect()
+    assert(enc.length == 7)
+    enc.foreach { r =>
+      val pieces = r.getSeq[String](3)
+      assert(pieces.mkString("") == r.getString(2),
+        s"decode roundtrip broke: $pieces != ${r.getString(2)}")
+      assert(pieces.forall(_.nonEmpty))
+    }
+    val byWord = enc.map(r => r.getString(2) -> r.getSeq[String](3).toList).toMap
+    assert(byWord("low") == List("low"))
+    assert(byWord("lower") == List("lower"))
+    assert(byWord("slower") == List("s", "lower"))        // merges apply inside unseen words
+    assert(byWord("zebra") == List("z", "e", "b", "r", "a")) // nothing applies -> characters
+    assert(byWord("lowest") == List("low", "e", "s", "t"))
+  }
+
+  test("corpus encode: md5-pinned sequence, counts consistent, partition-invariant") {
+    val docs = Tables.documents(spark, sf)
+    val a = Bpe.bpeEncode(docs).collect()
+    assert(a.nonEmpty)
+    a.foreach { r =>
+      val (nw, np) = (r.getLong(1), r.getLong(2))
+      assert(np >= nw, s"pieces < words on doc ${r.getLong(0)}")
+      assert(r.getString(4).length == 32) // md5 hex
+    }
+    val b = Bpe.bpeEncode(docs.repartition(7)).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+  }
+
   test("training is partition-invariant") {
     val docs = Tables.documents(spark, sf)
     val one = Bpe.bpeTrain(docs.coalesce(1), 3).collect().map(_.toString).toSeq

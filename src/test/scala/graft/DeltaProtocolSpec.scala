@@ -104,6 +104,44 @@ class DeltaProtocolSpec extends SparkSpec {
     assert(e2.getMessage.contains("minReaderVersion 9"))
   }
 
+  test("a table requiring an unsupported WRITER feature refuses writes but still reads") {
+    val tbl = tmpDir("alienw")
+    DeltaSource.writeDelta(
+      spark.range(0, 20).selectExpr("id", "id % 4 as k"), tbl)
+    val fs = new Path(tbl).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new Path(tbl, f"_delta_log/${1L}%020d.json"), true)
+    // icebergCompatV2 is a real spec WRITER feature this engine does
+    // not implement; reader-side the table stays plain (minReader 1)
+    out.write(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["icebergCompatV2","appendOnly","invariants"]}}"""
+        .getBytes("UTF-8"))
+    out.close()
+    // reads are LEGAL — reader gating is separate per the spec
+    assert(DeltaSource.readDelta(spark, tbl).count() == 20)
+    // every mutating entry point refuses, naming the feature
+    def refused(op: => Any): Unit = {
+      val e = intercept[IllegalArgumentException](op)
+      assert(e.getMessage.contains("icebergCompatV2"), e.getMessage)
+    }
+    refused(DeltaSource.writeDelta(
+      spark.range(20, 30).selectExpr("id", "id % 4 as k"), tbl, overwrite = false))
+    refused(DeltaSource.deleteDelta(spark, tbl, col("k") === 1))
+    refused(DeltaSource.updateDelta(spark, tbl, col("k") === 1,
+      Map("k" -> lit(9L))))
+    refused(DeltaSource.mergeDelta(spark, tbl,
+      spark.range(0, 5).selectExpr("id", "id % 4 as k"), Seq("id")))
+    refused(DeltaSource.optimizeDelta(spark, tbl))
+    refused(DeltaSource.vacuum(spark, tbl))
+    // an unknown minWriterVersion alone is refused too
+    val out2 = fs.create(new Path(tbl, f"_delta_log/${2L}%020d.json"), true)
+    out2.write("""{"protocol":{"minReaderVersion":1,"minWriterVersion":9}}""".getBytes("UTF-8"))
+    out2.close()
+    val e2 = intercept[IllegalArgumentException](
+      DeltaSource.deleteDelta(spark, tbl, col("k") === 1))
+    assert(e2.getMessage.contains("minWriterVersion 9"))
+    assert(DeltaSource.readDelta(spark, tbl).count() == 20) // still readable
+  }
+
   test("the protocol (with features) rides checkpoints and clones") {
     val tbl = tmpDir("cp")
     DeltaSource.writeDelta(spark.range(0, 200).selectExpr("id", "id % 7 as k"), tbl)

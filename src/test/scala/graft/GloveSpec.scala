@@ -72,6 +72,45 @@ class GloveSpec extends SparkSpec {
       s"training must beat the hash baseline: init $init, trained $trained")
   }
 
+  test("SCALED training descends and the held-out eval beats the hash baseline") {
+    // the scaled config (V=1024 mixed 1..3-gram units, dim 32,
+    // window 4): loss must still strictly decrease at 32k parameters
+    val losses = Glove.scaledLosses(docs)
+    assert(losses.size == Glove.ScaledSteps && losses.forall(_ > 0))
+    losses.sliding(2).foreach {
+      case Seq(a, b) => assert(b < a, s"scaled loss went $a -> $b")
+      case _ =>
+    }
+    // the semantic margin AT SCALE, on held-out data: ranking by the
+    // trained model's predicted co-occurrence must beat the md5-init
+    // baseline by a wide margin on nDCG@10 against the unseen half's
+    // actual co-occurrence (sf0.01 measured: 0.731 vs 0.038)
+    val evalDf = Glove.heldOutNdcg(docs)
+    val eval = evalDf.collect()
+    assert(eval.length >= 32, s"only ${eval.length} eligible queries")
+    def mean(c: String) = {
+      val idx = evalDf.schema.fieldIndex(c)
+      eval.map(_.getDouble(idx)).sum / eval.length
+    }
+    val (t, i) = (mean("ndcg_trained"), mean("ndcg_init"))
+    info(f"held-out nDCG@10: trained $t%.4f, init $i%.4f")
+    assert(t > 0.4, s"trained held-out nDCG too low: $t")
+    assert(t > i + 0.2, s"trained must beat the hash baseline: $t vs $i")
+  }
+
+  test("the scaled vocabulary is a real top-V selection over mixed-gram units") {
+    val voc = Glove.vocab(docs, Glove.ScaledV, "text", Glove.ScaledMaxGram)
+      .collect()
+    assert(voc.length == Glove.ScaledV, s"vocab only ${voc.length}")
+    val units = voc.map(_.getString(0))
+    // all three granularities present: words, bigrams, trigrams
+    assert(units.exists(!_.contains("_")))
+    assert(units.exists(_.count(_ == '_') == 1))
+    assert(units.exists(_.count(_ == '_') == 2))
+    // ids are the dense rank 0..V-1
+    assert(voc.map(_.getLong(1)).sorted.toSeq == (0L until Glove.ScaledV))
+  }
+
   test("trained retrieval is deterministic and returns full top-k rows") {
     val r = Glove.retrieveTrained(docs)
     val rows = r.collect()

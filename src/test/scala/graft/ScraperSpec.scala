@@ -42,7 +42,15 @@ class ScraperSpec extends SparkSpec {
       "http://h.x/a//b" -> "http://h.x/a/b",          // empty-segment collapse
       "http://h.x/plain/path" -> "http://h.x/plain/path",
       "http://h.x/..a/b..c/d" -> "http://h.x/..a/b..c/d", // dots INSIDE names survive
-      "http://h.x" -> "http://h.x")                   // no path → untouched
+      "http://h.x" -> "http://h.x",                   // no path → untouched
+      // RFC 3986: remove_dot_segments applies to the PATH only —
+      // dot segments and empty segments inside the query or fragment
+      // survive verbatim
+      "http://h.x/a/./b?u=./x" -> "http://h.x/a/b?u=./x",
+      "http://h.x/a/b/../c?a=//b#f/../g" -> "http://h.x/a/c?a=//b#f/../g",
+      "http://h.x/a//b#..//c" -> "http://h.x/a/b#..//c",
+      "http://h.x?a=./x" -> "http://h.x?a=./x",       // no path → untouched
+      "http://h.x/a/..?q=1" -> "http://h.x/?q=1")     // trailing slash kept, query kept
     val df = cases.map(_._1).toDF("u")
       .select(col("u"), Scraper.removeDotSegments(col("u")).as("f"))
     val got = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap

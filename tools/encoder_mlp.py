@@ -130,6 +130,12 @@ def main():
                     buf += chunk
         parts = buf.split(b"\n")
         buf = parts.pop()  # trailing incomplete line (b"" after a \n)
+        if eof and buf:
+            # a writer that omitted the final '\n' before closing still
+            # gets its last request answered (the old line-iterator
+            # contract)
+            parts.append(buf)
+            buf = b""
         if parts:
             out.write("\n".join(answer(p) for p in parts))
             out.write("\n")
