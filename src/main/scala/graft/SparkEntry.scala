@@ -66,6 +66,54 @@ object SparkEntry {
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"), col("props")), "evstream", d)
 
+  /** Land `df` as exactly one parquet file at `dest` (write to a temp
+    * dir, move the part file in) — the staged-stream building block
+    * for files whose ARRIVAL ORDER matters. */
+  private def stageSingleFile(df: DataFrame, dest: java.io.File): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stage").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath, dest.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** The watermark LATE-DATA fixture, staged once per corpus
+    * (fingerprint-guarded): bulk parts (the real corpus), one LATE
+    * file (the first 200 events replayed 60 days early under fresh
+    * ids — far below any watermark the bulk sets), and one far-future
+    * FLUSH row that closes every real window. The runner copies them
+    * into a fresh watch dir in three separate micro-batches. */
+  private def stagedLateEventsDir(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_evlate_${math.abs(d.hashCode)}"
+    val fp = graft.sources.ZoneCache.corpusFingerprint(ev)
+    val mark = new java.io.File(dir, "_GRAFT_FP")
+    val fresh = mark.exists &&
+      (try new String(java.nio.file.Files.readAllBytes(mark.toPath), "UTF-8") == fp
+       catch { case scala.util.control.NonFatal(_) => false })
+    if (!fresh) {
+      ev.coalesce(2).write.mode("overwrite").parquet(dir)
+      val late = ev.where(col("event_id") < 200)
+        .select((col("event_id") + lit(10000000L)).as("event_id"),
+          (col("ts") - expr("INTERVAL 60 DAYS")).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+      stageSingleFile(late, new java.io.File(dir, "zz1-late.parquet"))
+      Option(ev.agg(max(col("ts"))).head().getTimestamp(0)).foreach { maxTs =>
+        val far = new java.sql.Timestamp(maxTs.getTime + 1000L * 86400 * 30)
+        stageSingleFile(
+          Seq((-1L, far, -1L, "flush", 0.0, "{}"))
+            .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+          new java.io.File(dir, "zz2-flush.parquet"))
+      }
+      java.nio.file.Files.write(mark.toPath, fp.getBytes("UTF-8"))
+    }
+    dir
+  }
+
   /** Run a streaming aggregation to termination in the given output
     * mode and return its result table. Complete mode: the last
     * trigger's table IS the full aggregate, independent of how the
@@ -1413,6 +1461,48 @@ object SparkEntry {
           col("attributed_click_id"), col("delay_us"))
         .orderBy(col("event_id"))
     }),
+    // the WATERMARK DROP CONTRACT graded live: the corpus arrives in
+    // three PHYSICALLY SEPARATE micro-batches (files land between
+    // processAllAvailable calls — arrival order pinned by the runner,
+    // not by file-listing heuristics): bulk first advances the
+    // watermark to max(ts) − 2h, so the late batch's rows — real
+    // events replayed 60 days early under fresh ids — MUST be dropped
+    // by the aggregation state; the far-future flush then closes
+    // every real window. The append-mode output must equal the batch
+    // oracle over the ORIGINAL events alone — if the drop contract
+    // broke, the late rows' phantom windows would emit and the hash
+    // compare would fail loudly. The spec side proves the negative
+    // control (a loose delay ADMITS the same arrival) and pins
+    // numRowsDroppedByWatermark.
+    "stream_late_data" -> ((s, d) => {
+      val staged = new java.io.File(stagedLateEventsDir(s, d))
+      val watch = java.nio.file.Files.createTempDirectory("graft_wmrun")
+      def land(names: java.io.File => Boolean): Unit =
+        staged.listFiles().filter(f => f.getName.endsWith(".parquet") && names(f))
+          .foreach { f =>
+            java.nio.file.Files.copy(f.toPath, watch.resolve(f.getName),
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
+      land(f => !f.getName.startsWith("zz"))
+      val stream = s.readStream
+        .schema(graft.streaming.StreamingEvents.EventSchema)
+        .parquet(watch.toString)
+      val name = s"graft_wm_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = graft.streaming.StreamingEvents.tumblingAgg(stream)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()                          // bulk: watermark advances
+        land(_.getName == "zz1-late.parquet")
+        q.processAllAvailable()                          // late rows: dropped
+        land(_.getName == "zz2-flush.parquet")
+        q.processAllAvailable()                          // flush: windows close
+      } finally q.stop()
+      s.table(name)
+        .where(col("event_type") =!= "flush")
+        .withColumn("window_start", date_format(col("window_start"), TsFmt))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
     // streaming DEDUP state standing in for the unsupported streaming
     // count(DISTINCT): dropDuplicates(type,user) → complete-mode count
     // must land the batch distinct counts exactly
@@ -1623,6 +1713,15 @@ object SparkEntry {
       Multimodal.aviRoundtrip(Tables.documents(s, d)).orderBy(col("doc_id"))),
     // the mapPartitions decode path, exact-checked: the stub decoder
     // is a 16-bin byte histogram the oracle replays in SQL
+    // the transform-coding rung of the codec ladder (raw → entropy →
+    // transform): integer 8×8 DCT + quantization + zigzag-RLE +
+    // DEFLATE per doc, decoded back through the real parser; graded
+    // on exact integer rate/distortion stats (nonzero coefficients,
+    // sse, max_err) the oracle replays from the pixel formula —
+    // every division in the chain is by a power of two, so even the
+    // floor-divs are bit-exact in both engines
+    "mm_dct_roundtrip" -> ((s, d) =>
+      Multimodal.dctRoundtrip(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "mm_feature_hist" -> ((s, d) =>
       Multimodal.extractFeatures(Multimodal.withBinaryPayload(Tables.documents(s, d)))
         .select(col("doc_id"), posexplode(col("features")).as(Seq("bin", "n")))
@@ -5348,6 +5447,14 @@ object SparkEntry {
         |  event_type, count(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the late-data run must land the SAME table as the batch agg over
+    // the ORIGINAL events — the injected late rows dropped, the flush
+    // row filtered, every real window emitted exactly once
+    "stream_late_data" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "stream_hopping_agg" ->
       """WITH x AS (
         |  SELECT epoch_us(ts) - epoch_us(ts) % 300000000 - s.o AS ws_us, event_type, value
@@ -5621,6 +5728,43 @@ object SparkEntry {
         |SELECT g.doc_id, CAST(g.bin AS BIGINT) AS bin, COALESCE(c.n, 0) AS n
         |FROM g LEFT JOIN c ON g.doc_id = c.doc_id AND g.bin = c.bin
         |ORDER BY g.doc_id, g.bin""".stripMargin,
+
+    // full integer replay of the DCT chain: shared T matrix injected
+    // as literals (one matrix, zero per-engine cos calls), quantize /
+    // rescale floor-divs exact because both divisors are powers of two
+    "mm_dct_roundtrip" -> {
+      val tvals = (0 until 8).flatMap(u => (0 until 8).map(x =>
+        s"($u, $x, ${graft.multimodal.Multimodal.DctT(u)(x)})")).mkString(", ")
+      val q = graft.multimodal.Multimodal.DctQ
+      s"""WITH tmat AS (SELECT * FROM (VALUES $tvals) t(u, x, c)),
+         |dpx AS (SELECT d.doc_id, y.y, x.x,
+         |    CAST(((d.doc_id + x.x * 7 + y.y * 13) % 256 + 256) % 256 AS BIGINT) AS v
+         |  FROM documents d, range(0, 8) y(y), range(0, 8) x(x)),
+         |da AS (SELECT p.doc_id, t.u, p.x, SUM(t.c * p.v) AS a
+         |  FROM dpx p JOIN tmat t ON t.x = p.y GROUP BY 1, 2, 3),
+         |dy AS (SELECT a.doc_id, a.u, t.u AS v, SUM(a.a * t.c) AS yv
+         |  FROM da a JOIN tmat t ON t.x = a.x GROUP BY 1, 2, 3),
+         |dq AS (SELECT doc_id, u, v,
+         |    CAST(floor((yv + ${q / 2}) / $q.0) AS BIGINT) AS q FROM dy),
+         |dyq AS (SELECT doc_id, u, v, q * $q AS yq FROM dq),
+         |dia AS (SELECT y.doc_id, t.x AS yy, y.v, SUM(t.c * y.yq) AS a
+         |  FROM dyq y JOIN tmat t ON t.u = y.u GROUP BY 1, 2, 3),
+         |dix AS (SELECT a.doc_id, a.yy AS y, t.x AS x,
+         |    GREATEST(CAST(0 AS BIGINT), LEAST(CAST(255 AS BIGINT),
+         |      CAST(floor((SUM(a.a * t.c) + 8388608) / 16777216.0) AS BIGINT))) AS rv
+         |  FROM dia a JOIN tmat t ON t.u = a.v GROUP BY 1, 2, 3),
+         |dst AS (SELECT p.doc_id,
+         |    CAST(SUM((r.rv - p.v) * (r.rv - p.v)) AS BIGINT) AS sse,
+         |    CAST(MAX(ABS(r.rv - p.v)) AS BIGINT) AS max_err
+         |  FROM dpx p JOIN dix r ON r.doc_id = p.doc_id AND r.y = p.y AND r.x = p.x
+         |  GROUP BY 1),
+         |dnz AS (SELECT doc_id,
+         |    CAST(SUM(CASE WHEN q != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonzero
+         |  FROM dq GROUP BY 1)
+         |SELECT s.doc_id, z.n_nonzero, s.sse, s.max_err
+         |FROM dst s JOIN dnz z ON z.doc_id = s.doc_id
+         |ORDER BY s.doc_id""".stripMargin
+    },
 
     // ── the remaining hard TPC-H shapes ─────────────────────────────
     "q_returned_revenue" ->

@@ -188,6 +188,68 @@ class StreamingCurationSpec extends SparkSpec {
     assert(!done.exists { case (_, _, s, e) => e.before(s) })
   }
 
+  test("the watermark drop contract: late rows drop under a tight delay, admit under a loose one") {
+    import org.apache.spark.sql.types._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 12:00:00")
+    def ts(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val schema = StructType(Seq(StructField("ts", TimestampType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+
+    // one run of the fixture under a given watermark delay: bulk batch
+    // first (advances the watermark), then a 6-hours-early late row +
+    // a far-future flush that closes every admitted window
+    def run(delay: String): (Seq[(String, String, Long)], Long) = {
+      val tmp = Files.createTempDirectory("graft_wm").toString
+      val name = s"wm_${math.abs(delay.hashCode)}"
+      def land(rows: Seq[(java.sql.Timestamp, String, Double)], f: String): Unit = {
+        val stage = s"$tmp/stage_$f"
+        rows.toDF("ts", "event_type", "value")
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles
+          .find(_.getName.endsWith(".parquet")).get.toPath
+        Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
+        Files.copy(part, java.nio.file.Paths.get(s"$tmp/in/$f.parquet"))
+      }
+      land(Seq((ts(0), "view", 1.0), (ts(10), "view", 1.0),
+        (ts(70), "click", 2.0)), "b1")
+      val stream = spark.readStream.schema(schema).parquet(s"$tmp/in")
+      val q = graft.streaming.StreamingEvents.tumblingAgg(stream, delay)
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try {
+        q.processAllAvailable()
+        land(Seq((ts(-360), "view", 5.0)), "b2")        // 6 h early
+        q.processAllAvailable()
+        land(Seq((ts(60 * 24 * 30), "flush", 0.0)), "b3") // closes everything
+        q.processAllAvailable()
+        val rows = spark.table(name)
+          .select(date_format($"window_start", "yyyy-MM-dd HH:mm:ss"),
+            $"event_type", $"n_events")
+          .as[(String, String, Long)].collect().toSeq.sorted
+        val dropped = q.recentProgress.flatMap(_.stateOperators.toSeq)
+          .map(_.numRowsDroppedByWatermark).sum
+        (rows, dropped)
+      } finally q.stop()
+    }
+
+    // tight delay (1 h): by the late batch, watermark = 13:10 − 1 h =
+    // 12:10 — the 06:00 row is below it and MUST drop
+    val (tight, droppedTight) = run("1 hour")
+    assert(tight == Seq(
+      ("2024-01-01 12:00:00", "view", 2L),
+      ("2024-01-01 13:00:00", "click", 1L)), s"got $tight")
+    assert(droppedTight == 1L, s"expected exactly the late row dropped, got $droppedTight")
+
+    // loose delay (10 h): watermark = 03:10 when the late row arrives —
+    // it is ADMITTED and its 06:00 window emits after the flush. Same
+    // arrival order, different delay: the watermark is what decides.
+    val (loose, droppedLoose) = run("10 hours")
+    assert(loose == Seq(
+      ("2024-01-01 06:00:00", "view", 1L),
+      ("2024-01-01 12:00:00", "view", 2L),
+      ("2024-01-01 13:00:00", "click", 1L)), s"got $loose")
+    assert(droppedLoose == 0L, s"nothing should drop under the loose delay, got $droppedLoose")
+  }
+
   test("snapshot diff reports inserts, updates and deletes by key") {
     import graft.sources.VersionedZone
     val tmp = Files.createTempDirectory("graft_cdf").toString

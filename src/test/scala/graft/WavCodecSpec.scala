@@ -262,4 +262,53 @@ class WavCodecSpec extends SparkSpec {
       .orderBy("doc_id").collect().map(_.toString).toSeq
     assert(one == many && one.nonEmpty)
   }
+
+  test("DCT transform coding: lossy but bounded, decode reproduces the quantizer's pick") {
+    // the integer transform + step-8 quantizer must lose SOMETHING
+    // (it is the lossy rung) but stay in the JPEG mid-quality regime:
+    // bounded max error, small per-pixel rms
+    (0L until 32L).foreach { id =>
+      val px = Array.tabulate(8, 8)((y, x) => (((id + x * 7 + y * 13) % 256) + 256) % 256)
+      val bytes = Multimodal.dctEncode(id)
+      val (did, rec) = Multimodal.dctDecode(bytes)
+      assert(did == id)
+      var sse = 0L
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val e = rec(y)(x) - px(y)(x)
+        assert(math.abs(e) <= 32, s"doc $id pixel ($y,$x) err $e out of regime")
+        sse += e * e
+      }
+      assert(sse <= 64 * 64, s"doc $id sse $sse out of the step-8 regime")
+      // the byte frame is deterministic: same block, same stream
+      assert(java.util.Arrays.equals(bytes, Multimodal.dctEncode(id)))
+    }
+  }
+
+  test("DCT parser rejects malformed frames loudly") {
+    val good = Multimodal.dctEncode(7L)
+    // magic
+    val notDct = good.clone(); notDct(0) = 'X'.toByte
+    intercept[IllegalArgumentException](Multimodal.dctDecode(notDct))
+    // payload CRC flip
+    val crcBad = good.clone(); crcBad(good.length - 1) = (crcBad(good.length - 1) ^ 0x40).toByte
+    intercept[Exception](Multimodal.dctDecode(crcBad))
+    // truncated deflate stream
+    intercept[IllegalArgumentException](Multimodal.dctDecode(good.take(good.length - 4)))
+    // lying raw length (declares more than the stream inflates to)
+    val lying = good.clone()
+    val bb = java.nio.ByteBuffer.wrap(lying)
+    bb.putInt(16, bb.getInt(16) + 7)
+    intercept[Exception](Multimodal.dctDecode(lying))
+    // truncated header
+    intercept[IllegalArgumentException](Multimodal.dctDecode(good.take(10)))
+  }
+
+  test("the graded DCT roundtrip is partition-invariant") {
+    val docs = Tables.documents(spark, sf)
+    val one = Multimodal.dctRoundtrip(docs.coalesce(1))
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val many = Multimodal.dctRoundtrip(docs.repartition(7))
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(one == many && one.nonEmpty)
+  }
 }
