@@ -1771,6 +1771,12 @@ object SparkEntry {
     // position; oracle replays the encode off the same merge chain
     "txt_bpe_encode" -> ((s, d) =>
       graft.operators.Bpe.bpeEncode(Tables.documents(s, d))),
+    // packing RE-GROUNDED in the trained tokenizer: the greedy
+    // fixed-budget block assignment runs on BPE piece counts instead
+    // of whitespace tokens — the loader shape a production pipeline
+    // packs with its real tokenizer
+    "pipe_pack_bpe" -> ((s, d) =>
+      graft.operators.Bpe.packBpeBlocks(Tables.documents(s, d))),
     "txt_ppl_buckets" -> ((s, d) => Quality.perplexityBuckets(Tables.documents(s, d))),
     "dedup_substrings" -> ((s, d) => Dedup.substringRuns(Tables.documents(s, d))),
     "pipe_scd2" -> ((s, d) => Analytics.scd2Priority(s, d)),
@@ -6197,6 +6203,26 @@ object SparkEntry {
          |  FROM bj GROUP BY 1)
          |SELECT doc_id, n_words, n_pieces, substr(enc, 1, 80) AS enc_head, md5(enc) AS enc_md5
          |FROM bagg ORDER BY doc_id""".stripMargin,
+    // the packing oracle under TRAINED-tokenizer piece counts: same
+    // running-mass window as pipe_pack_sequences, n_tok = per-doc BPE
+    // piece totals off the merge chain
+    "pipe_pack_bpe" ->
+      s"""$dBpeChain,
+         |benc AS (SELECT replace(seq, '|', '') AS w,
+         |    CAST(len(string_split(trim(seq, '|'), '||')) AS BIGINT) AS np FROM s4),
+         |bdw AS (SELECT doc_id, unnest(tk) AS w
+         |  FROM (SELECT doc_id, ${dToks("lower(text)")} AS tk FROM documents)),
+         |bp AS (SELECT d.doc_id, CAST(SUM(e.np) AS BIGINT) AS n_tok
+         |  FROM bdw d JOIN benc e ON e.w = d.w GROUP BY 1),
+         |bsrc AS (SELECT doc.source, bp.doc_id, bp.n_tok
+         |  FROM bp JOIN documents doc ON doc.doc_id = bp.doc_id),
+         |bcum AS (SELECT *, SUM(n_tok) OVER (PARTITION BY source
+         |  ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_tok FROM bsrc),
+         |bblk AS (SELECT source,
+         |  CAST(floor((cum_tok - n_tok) / 512) AS BIGINT) AS block_id, n_tok FROM bcum)
+         |SELECT source, block_id, count(*) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+         |FROM bblk GROUP BY 1, 2 ORDER BY source, block_id""".stripMargin,
     "txt_ppl_buckets" ->
       s"""WITH tk AS (SELECT doc_id, unnest(${dToks("text")}) AS tok FROM documents),
          |cnt AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY 1),

@@ -213,6 +213,33 @@ object Bpe {
       .orderBy(col("doc_id"))
   }
 
+  /** Docs packed into fixed-budget training blocks under the TRAINED
+    * tokenizer's piece counts — the real-tokenizer-grounded form of
+    * the whitespace-token packing (`Chunker.packSequences`): per-doc
+    * BPE piece totals from [[encodeWith]], then the same greedy
+    * running-mass assignment `floor(preceding_pieces / blockTokens)`
+    * per source in doc_id order. The window partitions by source, so
+    * sources pack independently across the cluster — no global
+    * sort. */
+  def packBpeBlocks(docs: DataFrame, nMerges: Int = 4,
+                    blockTokens: Int = 512,
+                    contentCol: String = "text"): DataFrame = {
+    val merges = trainLoop(docs, nMerges, contentCol)._1
+      .map { case (_, a, b, _, _) => (a, b) }
+    val perDoc = encodeWith(docs, merges, contentCol)
+      .groupBy(col("doc_id")).agg(sum(size(col("pieces"))).as("n_tok"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs.select(col("doc_id"), col("source")).join(perDoc, "doc_id")
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .withColumn("block_id",
+        floor((col("cum_tok") - col("n_tok")) / lit(blockTokens)).cast("long"))
+      .groupBy(col("source"), col("block_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy(col("source"), col("block_id"))
+  }
+
   /** Segmentation quality of the trained merges: symbols per corpus
     * before (characters) vs after (BPE tokens), the compression
     * number a tokenizer is judged by. One aggregate over the final

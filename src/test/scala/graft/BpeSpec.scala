@@ -62,6 +62,15 @@ class BpeSpec extends SparkSpec {
     }
     val b = Bpe.bpeEncode(docs.repartition(7)).collect()
     assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    // BPE-grounded packing: block token mass conserves the per-doc
+    // piece totals exactly, and the assignment is partition-invariant
+    val packed = Bpe.packBpeBlocks(docs).collect()
+    val packedTotal = packed.map(_.getLong(3)).sum
+    val encTotal = a.map(_.getLong(2)).sum
+    assert(packedTotal == encTotal,
+      s"packing lost tokens: $packedTotal != $encTotal")
+    val packed2 = Bpe.packBpeBlocks(docs.repartition(5)).collect()
+    assert(packed.map(_.toString).toSeq == packed2.map(_.toString).toSeq)
   }
 
   test("training is partition-invariant") {
