@@ -1497,7 +1497,17 @@ object SparkEntry {
         q.processAllAvailable()                          // late rows: dropped
         land(_.getName == "zz2-flush.parquet")
         q.processAllAvailable()                          // flush: windows close
-      } finally q.stop()
+      } finally {
+        q.stop()
+        // the memory-sink table owns the result; the per-run watch
+        // dir is disposable — don't leak a corpus copy per invocation
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(watch).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
       s.table(name)
         .where(col("event_type") =!= "flush")
         .withColumn("window_start", date_format(col("window_start"), TsFmt))

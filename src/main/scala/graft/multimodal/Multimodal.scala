@@ -881,7 +881,10 @@ object Multimodal {
     require(new String(magic, "US-ASCII") == "GDC1", "not a GDC1 stream")
     val docId = bb.getLong
     val q = bb.getInt.toLong
-    require(q > 0, s"bad quantizer $q")
+    // upper bound keeps dequant·inverse inside long range on HOSTILE
+    // frames: |zz| ≤ 2^15 and the inverse multiplies by ≤ 512² ≈ 2^18,
+    // so q ≤ 2^20 bounds the accumulation at ~2^53 ≪ Long.MaxValue
+    require(q > 0 && q <= (1L << 20), s"bad quantizer $q")
     val rawLen = bb.getInt
     require(rawLen >= 3 && rawLen <= 64 * 3 + 3, s"implausible payload length $rawLen")
     val wantCrc = bb.getInt

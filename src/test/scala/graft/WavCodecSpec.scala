@@ -301,6 +301,12 @@ class WavCodecSpec extends SparkSpec {
     intercept[Exception](Multimodal.dctDecode(lying))
     // truncated header
     intercept[IllegalArgumentException](Multimodal.dctDecode(good.take(10)))
+    // hostile quantizer: a huge q would overflow the dequant·inverse
+    // accumulation — bounded at 2^20, rejected loudly
+    val hostile = good.clone()
+    java.nio.ByteBuffer.wrap(hostile).putInt(12, Int.MaxValue)
+    val eq = intercept[IllegalArgumentException](Multimodal.dctDecode(hostile))
+    assert(eq.getMessage.contains("bad quantizer"))
   }
 
   test("the graded DCT roundtrip is partition-invariant") {
