@@ -528,8 +528,8 @@ object Glove {
           .cast("double").as("dot"))
       bias match {
         case Some(b) => dots
-          .join(b.select(col("i").as("q"), col("b")), "q")
-          .join(b.select(col("i").as("cand"), col("c").as("bc")), "cand")
+          .join(broadcast(b.select(col("i").as("q"), col("b"))), "q")
+          .join(broadcast(b.select(col("i").as("cand"), col("c").as("bc"))), "cand")
           .select(col("q"), col("cand"),
             rnd(col("dot") + col("b") + col("bc"), 6).as("s"))
         case None => dots.select(col("q"), col("cand"), rnd(col("dot"), 6).as("s"))
@@ -540,12 +540,18 @@ object Glove {
       disc.tail.foldLeft(when(r === disc.head._1, lit(disc.head._2.toDouble))) {
         case (acc, (rank, d)) => acc.when(r === rank, lit(d.toDouble))
       }
+    // every frame below is model-scale (≤ nQ·V cells; rel ≤ the
+    // observed test co-occurrence of the top-V units) — broadcast
+    // explicitly: the checkpointed frames carry no size statistics,
+    // and a defaulted sort-merge would shuffle megabytes to join
+    // hundreds of rows. At a vocab far beyond serving scale (10⁵+),
+    // drop the hints and let AQE route.
     def ndcgOf(score: DataFrame, outCol: String): DataFrame = {
       val wRank = org.apache.spark.sql.expressions.Window
         .partitionBy(col("q")).orderBy(col("s").desc, col("cand"))
       val dcg = score.withColumn("r", row_number().over(wRank))
         .where(col("r") <= k)
-        .join(rel, Seq("q", "cand"), "left")
+        .join(broadcast(rel), Seq("q", "cand"), "left")
         .select(col("q"), col("r"),
           rnd(coalesce(col("rel"), lit(0.0)) * discOf(col("r")), 6).as("term"))
         .groupBy(col("q"))
@@ -557,7 +563,7 @@ object Glove {
         .select(col("q"), rnd(col("rel") * discOf(col("r")), 6).as("term"))
         .groupBy(col("q"))
         .agg(sum(col("term").cast("decimal(18,6)")).cast("double").as("idcg"))
-      dcg.join(idcg, "q")
+      dcg.join(broadcast(idcg), "q")
         .select(col("q"), rnd(col("dcg") / col("idcg"), 6).as(outCol))
     }
     val trainedN = ndcgOf(scores(t.w, t.c, Some(t.b)), "ndcg_trained")
@@ -568,8 +574,8 @@ object Glove {
     val w0 = ks.select(col("i"), col("k"), seeded("gw").as("v"))
     val c0 = ks.select(col("i"), col("k"), seeded("gc").as("v"))
     val initN = ndcgOf(scores(w0, c0, None), "ndcg_init")
-    eligible.join(trainedN, "q").join(initN, "q")
-      .join(voc.select(col("i").as("q"), col("w").as("unit")), "q")
+    eligible.join(broadcast(trainedN), "q").join(broadcast(initN), "q")
+      .join(broadcast(voc.select(col("i").as("q"), col("w").as("unit"))), "q")
       .select(col("q").as("query_id"), col("unit"), col("n_pos"),
         col("ndcg_trained"), col("ndcg_init"))
       .orderBy(col("query_id"))

@@ -271,4 +271,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"global-window plans outside the allowlist: $offenders")
   }
+
+  test("bpe encode/pack: the merge-table replay broadcasts back onto the word stream") {
+    for (name <- Seq("txt_bpe_encode", "pipe_pack_bpe")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      assert(count(df, _.isInstanceOf[BroadcastHashJoinExec]) >= 1,
+        s"$name: word-type join must broadcast")
+      assert(count(df, _.isInstanceOf[SortMergeJoinExec]) == 0,
+        s"$name: nothing here is big enough to sort-merge")
+    }
+  }
+
+  test("dct roundtrip: map-only codec pass (no shuffle before the output sort)") {
+    val df = SparkEntry.queries("mm_dct_roundtrip")(spark, sf)
+    assert(dataShuffles(df) <= 1)
+  }
+
+  test("held-out eval: the model-scale scoring joins never sort-merge") {
+    val df = SparkEntry.queries("rag_ndcg_trained")(spark, sf)
+    assert(count(df, _.isInstanceOf[SortMergeJoinExec]) == 0,
+      "every eval-side frame is model-scale (nQ*V at most) and must broadcast")
+  }
 }
