@@ -1908,6 +1908,35 @@ object SparkEntry {
     // memoized like the toy training
     "emb_glove_scaled" -> ((s, d) =>
       graft.operators.Glove.scaledVectors(Tables.documents(s, d))),
+    // the trainer's corpus-scale half maintained LIVE: the directed
+    // co-occurrence counts accumulate as a streaming aggregation over
+    // the document stream (complete mode — state is O(V²) cells,
+    // bounded forever; the vocab is a fixed stream-static broadcast,
+    // the production shape for continuous corpus ingestion), then the
+    // symmetric X folds from the final table. Equal to the batch
+    // cooc matrix on any micro-batching — decimal sums are
+    // order-free — and graded against the same gx oracle fragment
+    // the training chain replays.
+    "stream_glove_cooc" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val vb = broadcast(graft.operators.Glove.vocab(docs))
+      val src = stagedStreamCopy(
+        docs.select(col("doc_id"), col("text")), "gcooc", d)
+      val stream = s.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType))))
+        .parquet(src)
+      val directed = streamComplete(s,
+        graft.operators.Glove.coocDirectedWithVocab(stream, vb))
+      directed.unionByName(directed
+          .select(col("ib").as("ia"), col("ia").as("ib"), col("x")))
+        .groupBy(col("ia"), col("ib"))
+        .agg(sum(col("x")).cast("double").as("x"))
+        .orderBy(col("ia"), col("ib"))
+    }),
     // retrieval QUALITY of the trained vectors on HELD-OUT data:
     // train on even doc_ids, rank candidate units by the model's
     // predicted co-occurrence, grade nDCG@10 against the odd half's
@@ -4131,6 +4160,30 @@ object SparkEntry {
          |SELECT w.i AS word_id, v.w AS word, CAST(w.k AS BIGINT) AS dim, w.v AS weight
          |FROM gw$ScaledSteps w JOIN gvoc v ON v.i = w.i
          |ORDER BY word_id, dim""".stripMargin
+    },
+    // the live co-occurrence table equals the batch X: the same
+    // gvc→gx fragment the training chain replays, at the toy params
+    "stream_glove_cooc" -> {
+      val v = graft.operators.Glove.VocabSize
+      val win = graft.operators.Glove.WindowSize
+      s"""WITH gvc AS (
+         |  SELECT w, count(*) AS cnt
+         |  FROM (SELECT unnest(${dToks("lower(text)")}) AS w FROM documents) GROUP BY 1),
+         |gvoc AS (SELECT w, CAST(row_number() OVER (ORDER BY cnt DESC, w) - 1 AS BIGINT) AS i
+         |  FROM gvc ORDER BY cnt DESC, w LIMIT $v),
+         |gtk AS (SELECT ${dToks("lower(text)")} AS tk FROM documents),
+         |gpr0 AS (SELECT unnest(flatten(list_transform(range(1, len(tk) + 1), p ->
+         |    list_transform(range(1, least($win, len(tk) - p) + 1), dd ->
+         |      {'a': tk[p], 'b': tk[p + dd], 'dist': dd})))) AS pr
+         |  FROM gtk WHERE len(tk) > 1),
+         |gprs AS (SELECT pr.a AS a, pr.b AS b, pr.dist AS dist FROM gpr0),
+         |gsym AS (SELECT a, b, dist FROM gprs
+         |  UNION ALL SELECT b AS a, a AS b, dist FROM gprs),
+         |gx AS (SELECT va.i AS ia, vb.i AS ib,
+         |    SUM(CAST(CAST(1.0 AS DOUBLE) / dist AS DECIMAL(18,6))) AS x
+         |  FROM gsym s JOIN gvoc va ON va.w = s.a JOIN gvoc vb ON vb.w = s.b
+         |  GROUP BY 1, 2)
+         |SELECT ia, ib, CAST(x AS DOUBLE) AS x FROM gx ORDER BY ia, ib""".stripMargin
     },
     // held-out retrieval quality: the scaled chain trained on EVEN
     // doc_ids only; relevance = ln(1 + X) over the ODD half gated on

@@ -133,20 +133,25 @@ object Glove {
     coocWithVocab(docs, broadcast(vocab(docs, v, contentCol, maxGram)),
       window, contentCol, maxGram)
 
+  /** The directed in-window pair stream (a, b, dist) — map-only, the
+    * shared generator under both cooc forms. */
+  private def pairsOf(docs: DataFrame, window: Int, contentCol: String,
+                      maxGram: Int): DataFrame = docs
+    .select(unitsOf(col(contentCol), maxGram).as("tk"))
+    .where(size(col("tk")) > 1)
+    .select(explode(expr(
+      s"""flatten(transform(tk, (wa, p) ->
+         |  transform(slice(tk, p + 2, $window), (wb, d) ->
+         |    struct(wa AS a, wb AS b, d + 1 AS dist))))""".stripMargin)).as("pr"))
+    .select(col("pr.a").as("a"), col("pr.b").as("b"), col("pr.dist").as("dist"))
+
   /** Co-occurrence against an EXPLICIT vocab table (w, i) — the seam
     * the held-out evaluation needs: test-half counts gated on the
     * train-half vocabulary. */
   private[graft] def coocWithVocab(docs: DataFrame, vb: DataFrame,
                                    window: Int, contentCol: String,
                                    maxGram: Int): DataFrame = {
-    val prs = docs
-      .select(unitsOf(col(contentCol), maxGram).as("tk"))
-      .where(size(col("tk")) > 1)
-      .select(explode(expr(
-        s"""flatten(transform(tk, (wa, p) ->
-           |  transform(slice(tk, p + 2, $window), (wb, d) ->
-           |    struct(wa AS a, wb AS b, d + 1 AS dist))))""".stripMargin)).as("pr"))
-      .select(col("pr.a").as("a"), col("pr.b").as("b"), col("pr.dist").as("dist"))
+    val prs = pairsOf(docs, window, contentCol, maxGram)
     val sym = prs.unionByName(
       prs.select(col("b").as("a"), col("a").as("b"), col("dist")))
     sym
@@ -155,6 +160,22 @@ object Glove {
       .groupBy(col("ia"), col("ib"))
       .agg(sum((lit(1.0) / col("dist")).cast("decimal(18,6)")).as("x"))
   }
+
+  /** The DIRECTED co-occurrence counts (no symmetric union) —
+    * STREAM-SAFE: one map-side explode + one keyed aggregation, no
+    * self-union, so a `readStream` document source flows through it
+    * in complete mode with O(V²) bounded state. The symmetric X is
+    * X = A + Aᵀ, a model-scale fold over the final table (decimal
+    * sums make the split exact). */
+  def coocDirectedWithVocab(docs: DataFrame, vb: DataFrame,
+                            window: Int = WindowSize,
+                            contentCol: String = "text",
+                            maxGram: Int = 1): DataFrame =
+    pairsOf(docs, window, contentCol, maxGram)
+      .join(vb.select(col("w").as("a"), col("i").as("ia")), "a")
+      .join(vb.select(col("w").as("b"), col("i").as("ib")), "b")
+      .groupBy(col("ia"), col("ib"))
+      .agg(sum((lit(1.0) / col("dist")).cast("decimal(18,6)")).as("x"))
 
   /** X with its run constants: f = min((x/xmax)^0.75, 1) and ln x,
     * both rounded to 6 dp at birth (pow/ln are the only ops whose

@@ -45,6 +45,47 @@ class StreamParitySpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streamed co-occurrence equals the batch X under split arrival") {
+    import spark.implicits._
+    import graft.operators.Glove
+    val d1 = Seq((0L, "key agg row scan key agg"), (1L, "agg row agg key"))
+    val d2 = Seq((2L, "row key key agg row"), (3L, "scan scan key"))
+    val all = (d1 ++ d2).toDF("doc_id", "text")
+    val vb = broadcast(Glove.vocab(all))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_gcooc").toString
+    def land(rows: Seq[(Long, String)], f: String): Unit = {
+      val stage = s"$tmp/stage_$f"
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
+      java.nio.file.Files.copy(part, java.nio.file.Paths.get(s"$tmp/in/$f.parquet"))
+    }
+    land(d1, "b1")
+    val stream = spark.readStream
+      .schema(all.schema).parquet(s"$tmp/in")
+    val q = Glove.coocDirectedWithVocab(stream, vb)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("gcooc_par").start()
+    val streamed = try {
+      q.processAllAvailable()
+      land(d2, "b2") // second micro-batch: counts must ACCUMULATE
+      q.processAllAvailable()
+      val directed = spark.table("gcooc_par")
+      directed.unionByName(directed
+          .select(col("ib").as("ia"), col("ia").as("ib"), col("x")))
+        .groupBy(col("ia"), col("ib"))
+        .agg(sum(col("x")).cast("double").as("x"))
+        .orderBy(col("ia"), col("ib"))
+        .collect().map(_.toString).toSeq
+    } finally q.stop()
+    val batch = Glove.cooc(all)
+      .select(col("ia"), col("ib"), col("x").cast("double").as("x"))
+      .orderBy(col("ia"), col("ib"))
+      .collect().map(_.toString).toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streamed hopping agg equals the batch twin") {
     val streamed = SparkEntry.queries("stream_hopping_agg")(spark, sf)
       .collect().map(_.toString).toSeq
