@@ -856,7 +856,14 @@ object Multimodal {
     dd.writeByte(255); dd.writeShort(-32768) // EOB sentinel
     dd.flush()
     val raw = rle.toByteArray
-    val crc = new java.util.zip.CRC32(); crc.update(raw)
+    // the CRC covers header fields AND payload: any single-byte
+    // corruption anywhere in the frame is rejected, never silently
+    // decoded into a wrong id/quantizer/pixels (CRC32 detects all
+    // single-byte errors)
+    val crc = new java.util.zip.CRC32()
+    crc.update(java.nio.ByteBuffer.allocate(16)
+      .putLong(docId).putInt(DctQ.toInt).putInt(raw.length).array())
+    crc.update(raw)
     val defl = new java.util.zip.Deflater()
     defl.setInput(raw); defl.finish()
     val zbuf = new java.io.ByteArrayOutputStream()
@@ -901,8 +908,11 @@ object Multimodal {
     val done = infl.finished()
     infl.end()
     require(got == rawLen && done, s"payload inflates to $got bytes; declared $rawLen")
-    val crc = new java.util.zip.CRC32(); crc.update(raw)
-    require(crc.getValue.toInt == wantCrc, "payload CRC mismatch")
+    val crc = new java.util.zip.CRC32()
+    crc.update(java.nio.ByteBuffer.allocate(16)
+      .putLong(docId).putInt(q.toInt).putInt(rawLen).array())
+    crc.update(raw)
+    require(crc.getValue.toInt == wantCrc, "frame CRC mismatch")
     val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(raw))
     val zz = new Array[Long](64)
     var pos = 0

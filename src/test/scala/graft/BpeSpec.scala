@@ -51,6 +51,27 @@ class BpeSpec extends SparkSpec {
     assert(byWord("lowest") == List("low", "e", "s", "t"))
   }
 
+  test("encode roundtrip holds on pseudo-random unseen words (seeded sweep)") {
+    // merges learned on the corpus, then applied to 200 random words
+    // the trainer never saw — re-concatenation must hold for all of
+    // them (merges can only fuse ADJACENT pieces, never alter bytes)
+    val merges = Bpe.bpeTrain(Tables.documents(spark, sf), nMerges = 8)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val rng = new scala.util.Random(42)
+    val words = (0 until 200).map { _ =>
+      (0 until (1 + rng.nextInt(12))).map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+    }
+    val serve = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val enc = Bpe.encodeWith(serve, merges)
+      .select(col("w"), col("pieces")).collect()
+    assert(enc.length == 200)
+    enc.foreach { r =>
+      assert(r.getSeq[String](1).mkString("") == r.getString(0),
+        s"roundtrip broke on random word ${r.getString(0)}")
+    }
+  }
+
   test("corpus encode: md5-pinned sequence, counts consistent, partition-invariant") {
     val docs = Tables.documents(spark, sf)
     val a = Bpe.bpeEncode(docs).collect()

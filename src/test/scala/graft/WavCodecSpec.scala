@@ -309,6 +309,23 @@ class WavCodecSpec extends SparkSpec {
     assert(eq.getMessage.contains("bad quantizer"))
   }
 
+  test("DCT frame integrity: EVERY single-byte mutation is rejected, none decodes silently") {
+    // the CRC spans header fields and payload, and CRC32 detects all
+    // single-byte errors — so no bit-flip anywhere in the frame may
+    // yield a successful decode with wrong id/quantizer/pixels
+    val good = Multimodal.dctEncode(11L)
+    (0 until good.length).foreach { i =>
+      (1 to 2).foreach { bit =>
+        val mut = good.clone()
+        mut(i) = (mut(i) ^ (1 << bit)).toByte
+        val r = try { Multimodal.dctDecode(mut); None } catch {
+          case e: Exception => Some(e)
+        }
+        assert(r.isDefined, s"mutation at byte $i bit $bit decoded silently")
+      }
+    }
+  }
+
   test("the graded DCT roundtrip is partition-invariant") {
     val docs = Tables.documents(spark, sf)
     val one = Multimodal.dctRoundtrip(docs.coalesce(1))
