@@ -46,6 +46,43 @@ class RunbookSpec extends SparkSpec {
     assert(DeltaSource.latestVersion(spark, s"$lake/gold").contains(0L))
   }
 
+  test("the training DAG: model zone is a versioned artifact, persisted serving = in-memory serving") {
+    val lake = freshLake()
+    val res = Runbook.runWithTraining(spark, sf, lake)
+    assert(res.map(r => (r.stage, r.action)) == Seq(
+      "bronze" -> "written", "silver" -> "written", "gold" -> "written",
+      "model" -> "written", "embeddings_trained" -> "written"), res.toString)
+    // the persisted model zone IS the trained table
+    val model = DeltaSource.readDelta(spark, s"$lake/model")
+    val want = graft.operators.Glove.trainedVectors(
+      DeltaSource.readDelta(spark, s"$lake/silver")
+        .withColumnRenamed("content", "text"))
+    assert(model.orderBy(col("word_id"), col("dim")).collect().toSeq ==
+      want.orderBy(col("word_id"), col("dim")).collect().toSeq)
+    // serving the PERSISTED model equals serving the in-memory one
+    val served = DeltaSource.readDelta(spark, s"$lake/embeddings_trained")
+    val enc = graft.operators.GloveTextEncoder(
+      graft.operators.Glove.trainedMap(graft.operators.Glove.train(
+        DeltaSource.readDelta(spark, s"$lake/silver")
+          .withColumnRenamed("content", "text"))),
+      graft.operators.Glove.Dim)
+    val inline = graft.operators.Embedder.embed(
+      DeltaSource.readDelta(spark, s"$lake/gold"), "chunk",
+      Seq("doc_id", "chunk_idx"), enc)
+    assert(served.orderBy(col("doc_id"), col("chunk_idx")).collect().toSeq ==
+      inline.orderBy(col("doc_id"), col("chunk_idx")).collect().toSeq)
+    // idempotent re-run skips everything, INCLUDING the training
+    val second = Runbook.runWithTraining(spark, sf, lake)
+    assert(second.map(_.action).forall(_ == "skipped"), second.toString)
+    // a retrained model re-embeds even with unchanged chunks: bump
+    // the model zone's version without touching gold
+    DeltaSource.writeDelta(model, s"$lake/model")
+    val third = Runbook.runWithTraining(spark, sf, lake)
+    assert(third.map(r => (r.stage, r.action)) == Seq(
+      "bronze" -> "skipped", "silver" -> "skipped", "gold" -> "skipped",
+      "model" -> "skipped", "embeddings_trained" -> "written"), third.toString)
+  }
+
   test("an upstream change recomputes only downstream stages") {
     val lake = freshLake()
     Runbook.run(spark, sf, lake)
