@@ -76,6 +76,14 @@ object SparkEntry {
       .find(_.getName.endsWith(".parquet")).get
     java.nio.file.Files.move(part.toPath, dest.toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // the staging dir still holds _SUCCESS/.crc droppings — remove it
+    // so cold fixture builds don't leak a temp dir each
+    deleteRecursively(new java.io.File(tmp))
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
   }
 
   /** The watermark LATE-DATA fixture, staged once per corpus
@@ -988,6 +996,17 @@ object SparkEntry {
       Dedup.nearDupClusters(Dedup.minhashLshPairs(Tables.documents(s, d)))),
     "dedup_pagerank" -> ((s, d) =>
       Dedup.pairPageRank(Dedup.minhashLshPairs(Tables.documents(s, d)))),
+    // the iterate CONVERGED (round 14 — dedup_pagerank grades one
+    // step): PageRank to L∞ shift ≤ 10⁻⁴ under the decimal
+    // discipline, the convergence test in exact 10⁶-scaled integers;
+    // n_iters and the converged flag are graded columns, and the
+    // oracle replays every round and selects the same
+    // first-qualifying round. Substrate: the EMBEDDING near-dup
+    // graph (degrees 1..10, 2-core structure — the minhash pair
+    // graph is almost all isolated 2-cliques, where uniform is
+    // already stationary and "convergence" would grade nothing)
+    "dedup_pagerank_conv" -> ((s, d) =>
+      Dedup.pairPageRankConverged(Dedup.embeddingPairs(Tables.embeddings(s, d)))),
 
     // ── similarity search ───────────────────────────────────────────
     "ann_brute_topk" -> ((s, d) => Similarity.bruteTopK(Tables.embeddings(s, d))),
@@ -1061,6 +1080,26 @@ object SparkEntry {
           .select(col("id").cast("long").as("query_id"), col("v").as("qv"))
           .where(col("query_id") < 5),
         candidateFilter = Some(pmod(col("node"), lit(2)) === 0))
+    }),
+    // the index lifecycle's DELETE stage (round 14 — the production
+    // vector-store contract: remove documents from a SERVING index
+    // without a rebuild): node tombstones land O(batch) in deleted/
+    // (overwrite-idempotent per batch tag), and the walk masks them
+    // automatically — excluded from the entry round AND from every
+    // round's candidate union, so the search NAVIGATES the surviving
+    // subgraph; GraphAnnSpec pins that this masked serve is
+    // bit-equal to the post-compaction serve (edges/entries/buckets/
+    // nodes physically reclaimed) and that every crash point in the
+    // reclaim still serves correctly. Own dir — the delete must
+    // never perturb the shared index the other graph rows serve from
+    "ann_graph_delete" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_gixd_${math.abs(d.hashCode)}"
+      graft.sources.GraphAnnIndex.ensureBuilt(emb, dir)
+      graft.sources.GraphAnnIndex.deleteVectors(s, dir,
+        emb.where(pmod(col("vec_id"), lit(7)) === 6)
+          .select(col("vec_id").as("id")), "mod7")
+      graft.sources.GraphAnnIndex.searchSelf(s, dir)
     }),
     // the graph build as its own timed entry: persist the full
     // layout, then verify the DEGREE HISTOGRAM from the bytes on
@@ -1520,6 +1559,28 @@ object SparkEntry {
       streamComplete(s, graft.streaming.StreamingEvents.distinctUsers(
           graft.streaming.StreamingEvents.eventsStream(s, stagedEventsDir(s, d))))
         .orderBy(col("event_type"))),
+    // the STREAM-STREAM interval join graded live (round 14 — the one
+    // Structured Streaming state regime that had only a count-parity
+    // spec): purchases join the same user's clicks in the preceding
+    // hour, BOTH sides watermarked so join state is bounded. Inner-
+    // join emissions are batching-invariant — a matched pair emits
+    // exactly once, in whichever micro-batch completes it — and the
+    // 2h watermark EXCEEDS the 1h join interval, so time-ordered
+    // arrival can never evict a click a future purchase still needs
+    // (the state-retention inequality the spec pins with a two-batch
+    // split-arrival control); the appended table must therefore equal
+    // the batch interval join the oracle replays
+    "stream_join_attrib" -> ((s, d) =>
+      streamAppend(s, graft.streaming.StreamingEvents.purchaseAttribution(
+          graft.streaming.StreamingEvents.eventsStream(s, stagedEventsDir(s, d))))
+        .select(col("purchase_id"), col("click_id"),
+          col("p_user").as("user_id"),
+          date_format(col("purchase_ts"), TsFmtUs).as("purchase_ts"),
+          date_format(col("click_ts"), TsFmtUs).as("click_ts"),
+          (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+            .as("delay_us"),
+          col("value"))
+        .orderBy(col("purchase_id"), col("click_id"))),
     // the reference's medallion INGESTION as a live pipeline, graded
     // end to end: documents stream in (file source), the stateless
     // bronze→silver transforms apply per micro-batch (stateless is
@@ -1586,6 +1647,14 @@ object SparkEntry {
         srcA = "train", srcB = "test", by = "split")),
     "rag_context_pack" -> ((s, d) =>
       Ranking.contextPack(Tables.documents(s, d), Tables.embeddings(s, d))),
+    // the reference's /ask endpoint as ONE graded funnel (round 14):
+    // vector retrieve → blended rerank → MMR diversify → token-budget
+    // pack, each stage audited as (count, token mass, md5 of the
+    // ORDERED id list) — one hash per stage pins membership AND
+    // ranking end to end; the oracle replays all four stages
+    // (including the recursive-CTE MMR greedy) in one chain
+    "rag_ask_funnel" -> ((s, d) =>
+      Ranking.askFunnel(Tables.documents(s, d), Tables.embeddings(s, d))),
     "pipe_shard_assign" -> ((s, d) =>
       Sampling.shardAssign(Tables.documents(s, d))),
     "mm_modality_mix" -> ((s, d) =>
@@ -1787,6 +1856,25 @@ object SparkEntry {
     // packs with its real tokenizer
     "pipe_pack_bpe" -> ((s, d) =>
       graft.operators.Bpe.packBpeBlocks(Tables.documents(s, d))),
+    // the SCALED tokenizer (round 14 — the GloVe-scaling playbook
+    // applied to the second trainer): 256 merges over mixed 1..2-gram
+    // concatenated units (~950 unit types where the corpus has 31
+    // words), trained in ~90 batched Spark rounds provably equal to
+    // the one-at-a-time sequence; ONE memoized training serves all
+    // three rows; the oracle replays all 256 rounds as materialized
+    // CTEs
+    "txt_bpe_train_scaled" -> ((s, d) =>
+      graft.operators.Bpe.bpeTrainScaled(Tables.documents(s, d))),
+    // corpus serving under the scaled table — same graded shape as
+    // txt_bpe_encode (counts + one md5 pinning every piece at every
+    // position), a 64× bigger merge artifact behind it
+    "txt_bpe_encode_scaled" -> ((s, d) =>
+      graft.operators.Bpe.bpeEncodeScaled(Tables.documents(s, d))),
+    // loader packing under the scaled tokenizer's piece counts —
+    // block boundaries move vs the toy table (256 merges compress
+    // harder), so the row genuinely grades the trained artifact
+    "pipe_pack_bpe_scaled" -> ((s, d) =>
+      graft.operators.Bpe.packBpeScaled(Tables.documents(s, d))),
     "txt_ppl_buckets" -> ((s, d) => Quality.perplexityBuckets(Tables.documents(s, d))),
     "dedup_substrings" -> ((s, d) => Dedup.substringRuns(Tables.documents(s, d))),
     "pipe_scd2" -> ((s, d) => Analytics.scd2Priority(s, d)),
@@ -1978,6 +2066,51 @@ object SparkEntry {
        |${dBpeRound(3)},
        |${dBpeRound(4)}""".stripMargin
 
+  /** One SCALED BPE round — same algebra as [[dBpeRound]], with the
+    * post-merge vocab MATERIALIZED: at 256 chained rounds the
+    * optimizer would otherwise inline each s_i into every reference
+    * and the plan explodes exponentially (measured: the 256-round
+    * chain is 9 s materialized, unfinishable inlined). */
+  private def dBpeRoundM(i: Int): String = {
+    val prev = s"s${i - 1}"
+    s"""tk$i AS (SELECT freq, string_split(trim(seq, '|'), '||') AS tk FROM $prev),
+       |p$i AS (SELECT freq, unnest(list_transform(range(1, len(tk)),
+       |    j -> {'a': tk[j], 'b': tk[j + 1]})) AS p FROM tk$i WHERE len(tk) >= 2),
+       |c$i AS (SELECT p.a AS a, p.b AS b, CAST(sum(freq) AS BIGINT) AS n
+       |  FROM p$i GROUP BY 1, 2),
+       |m$i AS (SELECT a, b, n FROM c$i ORDER BY n DESC, a, b LIMIT 1),
+       |s$i AS MATERIALIZED (SELECT freq,
+       |    replace(seq, '|' || m.a || '||' || m.b || '|',
+       |      '|' || m.a || m.b || '|') AS seq
+       |  FROM $prev, m$i m)""".stripMargin
+  }
+
+  /** The 256-round SCALED BPE training chain (mixed 1..2-gram
+    * CONCATENATED units — the unit inventory that gives the 31-word
+    * synthetic corpus a tokenizer-scale merge space), shared by the
+    * three scaled BPE oracles. One merge per CTE round: the oracle
+    * replays the canonical one-at-a-time sequence the batched
+    * trainer is provably equal to. */
+  private lazy val dBpeChainScaled: String = {
+    import graft.operators.Bpe.{ScaledMerges, ScaledMaxGram}
+    s"""WITH v AS (SELECT w, count(*) AS freq
+       |  FROM (SELECT unnest(${dUnits("lower(text)", ScaledMaxGram, "")}) AS w FROM documents)
+       |  WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY 1),
+       |s0 AS (SELECT freq, regexp_replace(w, '(.)', '|\\1|', 'g') AS seq FROM v),
+       |${(1 to ScaledMerges).map(dBpeRoundM).mkString(",\n")}""".stripMargin
+  }
+
+  /** The scaled merge table as one frame (step, left, right, merged,
+    * n) off the chain — the tail shared by the scaled train oracle. */
+  private lazy val dBpeScaledMergesSql: String = {
+    import graft.operators.Bpe.ScaledMerges
+    (1 to ScaledMerges).map { i =>
+      if (i == 1)
+        s"""SELECT CAST(1 AS BIGINT) AS step, a AS "left", b AS "right", a || b AS merged, n FROM m1"""
+      else s"UNION ALL SELECT $i, a, b, a || b, n FROM m$i"
+    }.mkString("\n")
+  }
+
   /** One unigram-LM Viterbi pass as a recursive path-enumeration CTE
     * (all segmentations into inventory pieces; the winner CTE picks
     * min (cost, path) per word — exactly the engine's tie-break). */
@@ -2129,13 +2262,13 @@ object SparkEntry {
     * words for maxGram = 1, else all word n-grams of length
     * 1..maxGram in (position, length) order joined by '_' — the
     * exact DuckDB mirror of Glove.unitsOf. */
-  private def dUnits(x: String, maxGram: Int): String =
+  private def dUnits(x: String, maxGram: Int, sep: String = "_"): String =
     if (maxGram == 1) dToks(x)
     else {
       val tk = dToks(x)
       s"list_filter(flatten(list_transform(range(1, len($tk) + 1), p -> " +
         s"list_transform(range(1, $maxGram + 1), g -> " +
-        s"CASE WHEN p + g - 1 <= len($tk) THEN array_to_string(list_slice($tk, p, p + g - 1), '_') END))), " +
+        s"CASE WHEN p + g - 1 <= len($tk) THEN array_to_string(list_slice($tk, p, p + g - 1), '$sep') END))), " +
         "u -> u IS NOT NULL)"
     }
 
@@ -2364,11 +2497,16 @@ object SparkEntry {
     * both the topk and recall oracles rank. */
   private def dGraphCtes(nq: Int = 5, m: Int = 8,
                          tables: Int = 4, beam: Int = 32, steps: Int = 8,
-                         entries: Int = 16, candPred: String = "") = {
+                         entries: Int = 16, candPred: String = "",
+                         entryPred: String = "") = {
     // candPred: the metadata filter on the candidate union (the
     // `where=` of the filtered serving path); empty emits the
-    // unfiltered text verbatim so the existing oracles are unchanged
+    // unfiltered text verbatim so the existing oracles are unchanged.
+    // entryPred: the DELETE mask's round-0 exclusion (deleted nodes
+    // never seed the walk — what makes the masked serve bit-equal to
+    // the post-compaction serve); empty for every non-delete oracle.
     val predSql = if (candPred.isEmpty) "" else s" WHERE ($candPred)"
+    val entrySql = if (entryPred.isEmpty) "" else s" AND ($entryPred)"
     def step(i: Int) = {
       val prev = if (i == 1) "gb0" else s"gb${i - 1}"
       s"""gc$i AS (SELECT DISTINCT query_id, node FROM (
@@ -2384,7 +2522,7 @@ object SparkEntry {
     }
     s"""${dGraphEdgeCtes(m, tables)},
        |gq AS (SELECT id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE id < $nq),
-       |gb0 AS (SELECT gq.query_id, n.id AS node FROM gq CROSS JOIN n WHERE n.id < $entries),
+       |gb0 AS (SELECT gq.query_id, n.id AS node FROM gq CROSS JOIN n WHERE n.id < $entries$entrySql),
        |${(1 to steps).map(step).mkString(",\n")}""".stripMargin
   }
 
@@ -3606,6 +3744,49 @@ object SparkEntry {
          |  round(0.15 / nn.n_nodes + 0.85 * COALESCE(m.mass, 0.0), 6) AS pr
          |FROM deg d CROSS JOIN nn LEFT JOIN mass m ON d.src = m.dst
          |ORDER BY doc_id""".stripMargin,
+    // the converged iterate: every round unrolled as materialized
+    // CTEs (contrib → mass → next pr → exact-integer shift), the
+    // first round with L∞ shift ≤ 100 micro selected — the same
+    // stopping rule the engine's driver loop applies. The damping
+    // complement is written (1.0 - 0.85), not 0.15: bit-identical to
+    // the engine's lit(1.0 - damping) double.
+    "dedup_pagerank_conv" -> {
+      val maxIters = 48
+      def prRound(i: Int): String = {
+        val p = s"pr${i - 1}"
+        s"""ct$i AS (SELECT e.dst, round(p.pr / p.outdeg + 1.1641532182693481e-10, 6) AS term
+           |  FROM edges e JOIN $p p ON p.doc_id = e.src),
+           |ms$i AS (SELECT dst, CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE) AS mass
+           |  FROM ct$i GROUP BY dst),
+           |pr$i AS MATERIALIZED (SELECT p.doc_id, p.outdeg,
+           |    round((1.0 - 0.85) / nn.n_nodes + 0.85 * COALESCE(m.mass, 0.0)
+           |          + 1.1641532182693481e-10, 6) AS pr
+           |  FROM $p p CROSS JOIN nn LEFT JOIN ms$i m ON m.dst = p.doc_id),
+           |sh$i AS (SELECT $i AS it,
+           |    max(abs(CAST(round(a.pr * 1000000) AS BIGINT)
+           |          - CAST(round(b.pr * 1000000) AS BIGINT))) AS s
+           |  FROM pr$i a JOIN pr${i - 1} b ON a.doc_id = b.doc_id)""".stripMargin
+      }
+      s"""$embNormCte,
+         |p AS (SELECT a.id AS id_a, b.id AS id_b
+         |      FROM n a JOIN n b ON a.id < b.id
+         |      WHERE round(${dDot("a.v", "b.v")} / (a.nrm * b.nrm), 6) >= 0.3),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM p UNION ALL SELECT id_b, id_a FROM p),
+         |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+         |nn AS (SELECT count(*) AS n_nodes FROM deg),
+         |pr0 AS MATERIALIZED (SELECT d.src AS doc_id, d.outdeg,
+         |    round(1.0 / nn.n_nodes + 1.1641532182693481e-10, 6) AS pr
+         |  FROM deg d CROSS JOIN nn),
+         |${(1 to maxIters).map(prRound).mkString(",\n")},
+         |shs AS (${(1 to maxIters).map(i => s"SELECT * FROM sh$i").mkString(" UNION ALL ")}),
+         |chosen AS (SELECT COALESCE(min(it) FILTER (WHERE s <= 100), $maxIters) AS it,
+         |    CAST(CASE WHEN min(it) FILTER (WHERE s <= 100) IS NULL THEN 0 ELSE 1 END AS BIGINT) AS conv
+         |  FROM shs),
+         |allpr AS (${(1 to maxIters).map(i => s"SELECT $i AS it, * FROM pr$i").mkString(" UNION ALL ")})
+         |SELECT a.doc_id, a.outdeg, a.pr, CAST(c.it AS BIGINT) AS n_iters,
+         |  c.conv AS converged
+         |FROM allpr a JOIN chosen c ON a.it = c.it ORDER BY a.doc_id""".stripMargin
+    },
     "dedup_simhash" ->
       s"""WITH toksrc AS (SELECT doc_id AS id, ${dToks("text")} AS tk FROM documents),
          |hsrc AS (SELECT id, list_transform(tk, t -> ${dHex8("t")}) AS hs FROM toksrc),
@@ -3800,6 +3981,19 @@ object SparkEntry {
     "ann_graph_filtered" ->
       dMaterialized(s"""$embNormCte,
          |${dGraphCtes(candPred = "node % 2 = 0")},
+         |gr AS (SELECT query_id, node AS neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, node) AS rnk
+         |  FROM gs8 WHERE node <> query_id)
+         |SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS "rank", sim
+         |FROM gr WHERE rnk <= 10 ORDER BY query_id, "rank"""".stripMargin),
+    // the delete-masked walk: the same CTE chain with the deleted
+    // set (vec_id ≡ 6 mod 7) excluded from the entry round AND from
+    // every candidate union — the walk the engine serves after
+    // deleteVectors, which GraphAnnSpec pins bit-equal to the
+    // post-compaction serve
+    "ann_graph_delete" ->
+      dMaterialized(s"""$embNormCte,
+         |${dGraphCtes(candPred = "node % 7 <> 6", entryPred = "n.id % 7 <> 6")},
          |gr AS (SELECT query_id, node AS neighbor_id, sim,
          |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, node) AS rnk
          |  FROM gs8 WHERE node <> query_id)
@@ -4214,7 +4408,8 @@ object SparkEntry {
          |  FROM tsym s JOIN gvoc va ON va.w = s.a JOIN gvoc vb ON vb.w = s.b
          |  GROUP BY 1, 2),
          |trel AS (SELECT ia AS q, ib AS cand,
-         |    round(ln(1.0 + CAST(x AS DOUBLE)) + $eps, 6) AS rel FROM tx),
+         |    round(ln(1.0 + CAST(x AS DOUBLE)) + $eps, 6) AS rel FROM tx
+         |  WHERE ia != ib),
          |telig AS (SELECT q, CAST(count(*) AS BIGINT) AS n_pos FROM trel
          |  WHERE q < $nq AND rel > 0 GROUP BY q HAVING count(*) >= $k),
          |tdot AS (SELECT w.i AS q, c.i AS cand,
@@ -4884,6 +5079,92 @@ object SparkEntry {
          |  CAST(ca AS DOUBLE) / na AS cdf_a, CAST(cb AS DOUBLE) / nb AS cdf_b,
          |  abs(CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb) AS gap
          |FROM c ORDER BY k""".stripMargin,
+    // the /ask funnel: all four stages replayed in one chain — brute
+    // retrieve (f1), corpus-stat BM25 blend rerank (f2), the
+    // exact-integer MMR greedy as a recursive CTE with rel = the
+    // RERANK score (f3), token-budget pack in MMR order (f4); each
+    // stage emits (count, token mass, ordered-id md5)
+    "rag_ask_funnel" ->
+      s"""${embNormCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |fq AS (SELECT id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE id < 3),
+         |f1s AS (SELECT query_id, n.id AS doc_id,
+         |    round(${dDot("qv", "n.v")} / (qnrm * n.nrm), 6) AS sim
+         |  FROM fq, n WHERE n.id <> query_id),
+         |f1r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY sim DESC, doc_id) AS rnk FROM f1s),
+         |ftok AS (SELECT doc_id, CAST(len(${dToks("text")}) AS BIGINT) AS n_tok FROM documents),
+         |f1 AS (SELECT query_id, f1r.doc_id, rnk, sim, n_tok
+         |  FROM f1r JOIN ftok ON ftok.doc_id = f1r.doc_id WHERE rnk <= 20),
+         |ft AS (SELECT doc_id, ${dToks("text")} AS tk FROM documents),
+         |fstats AS (SELECT count(*) AS n_docs, avg(len(tk)) AS avg_len FROM ft),
+         |fterms AS (SELECT unnest([${Ranking.DefaultTerms.map(w => s"'$w'").mkString(",")}]) AS term),
+         |ftf AS (SELECT doc_id, w AS term, dl, count(*) AS tf
+         |       FROM (SELECT doc_id, unnest(tk) AS w, CAST(len(tk) AS BIGINT) AS dl FROM ft)
+         |       WHERE w IN (SELECT term FROM fterms) GROUP BY 1, 2, 3),
+         |fdf AS (SELECT term, count(*) AS df FROM ftf GROUP BY term),
+         |fbsc AS (SELECT doc_id,
+         |         round(ln((s.n_docs - fdf.df + 0.5) / (fdf.df + 0.5) + 1.0)
+         |           * (ftf.tf * 2.2) / (ftf.tf + 1.2 * (0.25 + 0.75 * ftf.dl / s.avg_len)), 6) AS term_score
+         |       FROM ftf JOIN fdf ON ftf.term = fdf.term CROSS JOIN fstats s),
+         |flex AS (SELECT doc_id, CAST(SUM(CAST(term_score AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+         |         FROM fbsc GROUP BY doc_id),
+         |f2b AS (SELECT f1.query_id, f1.doc_id, f1.sim, f1.n_tok,
+         |    COALESCE(l.bm25, 0.0) AS bm25
+         |  FROM f1 LEFT JOIN flex l ON l.doc_id = f1.doc_id),
+         |fbs AS (SELECT query_id, min(bm25) AS bmin, max(bm25) AS bmax
+         |  FROM f2b GROUP BY query_id),
+         |f2s AS (SELECT f2b.query_id, doc_id, sim, n_tok,
+         |    round((CASE WHEN b.bmax = b.bmin THEN 1.0
+         |           ELSE (bm25 - b.bmin) / (b.bmax - b.bmin) END) * 0.5 + 0.5 * sim, 6) AS rscore
+         |  FROM f2b JOIN fbs b ON b.query_id = f2b.query_id),
+         |f2r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rscore DESC, doc_id) AS rnk FROM f2s),
+         |f2 AS (SELECT query_id, doc_id, rnk, rscore, n_tok FROM f2r WHERE rnk <= 10),
+         |fpsim AS (SELECT a.query_id, a.doc_id AS pa, b.doc_id AS pb,
+         |    round(${dDot("x.v", "y.v")} / (x.nrm * y.nrm), 6) AS sim
+         |  FROM f2 a JOIN f2 b ON a.query_id = b.query_id AND a.doc_id <> b.doc_id
+         |  JOIN n x ON x.id = a.doc_id JOIN n y ON y.id = b.doc_id),
+         |fsel AS (
+         |  SELECT query_id, CAST([] AS BIGINT[]) AS chosen, 0 AS step,
+         |    CAST(NULL AS BIGINT) AS id
+         |  FROM (SELECT DISTINCT query_id FROM f2)
+         |  UNION ALL
+         |  SELECT s.query_id, list_append(s.chosen, p.id), s.step + 1, p.id
+         |  FROM fsel s, LATERAL (
+         |    SELECT c.doc_id AS id, 7 * CAST(round(c.rscore * 1000000) AS BIGINT)
+         |      - 3 * CAST(round(COALESCE((
+         |        SELECT max(ps.sim) FROM fpsim ps
+         |        WHERE ps.query_id = s.query_id AND ps.pa = c.doc_id
+         |          AND list_contains(s.chosen, ps.pb)), 0.0) * 1000000) AS BIGINT) AS s10
+         |    FROM f2 c
+         |    WHERE c.query_id = s.query_id AND NOT list_contains(s.chosen, c.doc_id)
+         |    ORDER BY s10 DESC, c.doc_id LIMIT 1) p
+         |  WHERE s.step < 5),
+         |f3 AS (SELECT s.query_id, s.id AS doc_id, CAST(s.step AS BIGINT) AS rnk, t.n_tok
+         |  FROM fsel s JOIN ftok t ON t.doc_id = s.id WHERE s.step >= 1),
+         |f4 AS (SELECT * FROM (SELECT query_id, doc_id, rnk, n_tok,
+         |    CAST(SUM(n_tok) OVER (PARTITION BY query_id ORDER BY rnk
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM f3) WHERE cum <= 150)
+         |SELECT * FROM (
+         |  SELECT query_id, CAST(1 AS BIGINT) AS stage, 'retrieve' AS name,
+         |    count(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |    md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rnk)) AS ids_md5
+         |  FROM f1 GROUP BY query_id
+         |  UNION ALL
+         |  SELECT query_id, 2, 'rerank', count(*), CAST(SUM(n_tok) AS BIGINT),
+         |    md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rnk))
+         |  FROM f2 GROUP BY query_id
+         |  UNION ALL
+         |  SELECT query_id, 3, 'mmr', count(*), CAST(SUM(n_tok) AS BIGINT),
+         |    md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rnk))
+         |  FROM f3 GROUP BY query_id
+         |  UNION ALL
+         |  SELECT query_id, 4, 'pack', count(*), CAST(SUM(n_tok) AS BIGINT),
+         |    md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rnk))
+         |  FROM f4 GROUP BY query_id)
+         |ORDER BY query_id, stage""".stripMargin,
+
     "rag_context_pack" ->
       s"""$embNormCte,
          |cs AS (SELECT q.id AS query_id, x.id AS id,
@@ -5535,6 +5816,20 @@ object SparkEntry {
     "stream_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the live interval join must emit exactly the batch interval
+    // join: every (purchase, click) pair with the click in the hour
+    // before the purchase, same user
+    "stream_join_attrib" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+        |  epoch_us(p.ts) - epoch_us(c.ts) AS delay_us,
+        |  p.value
+        |FROM events p JOIN events c
+        |  ON c.user_id = p.user_id
+        |  AND p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+        |ORDER BY purchase_id, click_id""".stripMargin,
     // the streamed medallion ingestion must land EXACTLY the batch
     // silver table — same replay as pipe_silver_normalize, read back
     // from the Delta log the stream committed into
@@ -6286,6 +6581,55 @@ object SparkEntry {
          |SELECT source, block_id, count(*) AS n_docs,
          |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens
          |FROM bblk GROUP BY 1, 2 ORDER BY source, block_id""".stripMargin,
+    // the SCALED trainer: all 256 merge rounds unrolled (one merge
+    // per CTE — the canonical sequence the batched trainer equals)
+    "txt_bpe_train_scaled" ->
+      s"""$dBpeChainScaled
+         |SELECT step, "left", "right", merged, n FROM (
+         |$dBpeScaledMergesSql)
+         |ORDER BY step""".stripMargin,
+    // scaled serving: every corpus word is a 1-gram unit of the
+    // scaled vocab, so the final vocab's segmentation IS the serving
+    // segmentation — re-key s256 by the word and replay the same
+    // join/reassembly as the toy encode oracle
+    "txt_bpe_encode_scaled" -> {
+      val last = s"s${graft.operators.Bpe.ScaledMerges}"
+      s"""$dBpeChainScaled,
+         |benc AS (SELECT replace(seq, '|', '') AS w,
+         |    string_split(trim(seq, '|'), '||') AS pieces FROM $last),
+         |bdw AS (SELECT doc_id, unnest(range(1, len(tk) + 1)) AS pos, unnest(tk) AS w
+         |  FROM (SELECT doc_id, ${dToks("lower(text)")} AS tk FROM documents)),
+         |bj AS (SELECT d.doc_id, d.pos, e.pieces FROM bdw d JOIN benc e ON e.w = d.w
+         |  WHERE regexp_matches(d.w, '^[a-z]+$$')),
+         |bagg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |    CAST(SUM(len(pieces)) AS BIGINT) AS n_pieces,
+         |    string_agg(array_to_string(pieces, ' '), ' ' ORDER BY pos) AS enc
+         |  FROM bj GROUP BY 1)
+         |SELECT doc_id, n_words, n_pieces, substr(enc, 1, 80) AS enc_head, md5(enc) AS enc_md5
+         |FROM bagg ORDER BY doc_id""".stripMargin
+    },
+    // scaled packing: per-doc piece totals off the 256-merge chain,
+    // same running-mass window as pipe_pack_bpe
+    "pipe_pack_bpe_scaled" -> {
+      val last = s"s${graft.operators.Bpe.ScaledMerges}"
+      s"""$dBpeChainScaled,
+         |benc AS (SELECT replace(seq, '|', '') AS w,
+         |    CAST(len(string_split(trim(seq, '|'), '||')) AS BIGINT) AS np FROM $last),
+         |bdw AS (SELECT doc_id, unnest(tk) AS w
+         |  FROM (SELECT doc_id, ${dToks("lower(text)")} AS tk FROM documents)),
+         |bp AS (SELECT d.doc_id, CAST(SUM(e.np) AS BIGINT) AS n_tok
+         |  FROM bdw d JOIN benc e ON e.w = d.w
+         |  WHERE regexp_matches(d.w, '^[a-z]+$$') GROUP BY 1),
+         |bsrc AS (SELECT doc.source, bp.doc_id, bp.n_tok
+         |  FROM bp JOIN documents doc ON doc.doc_id = bp.doc_id),
+         |bcum AS (SELECT *, SUM(n_tok) OVER (PARTITION BY source
+         |  ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_tok FROM bsrc),
+         |bblk AS (SELECT source,
+         |  CAST(floor((cum_tok - n_tok) / 512) AS BIGINT) AS block_id, n_tok FROM bcum)
+         |SELECT source, block_id, count(*) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+         |FROM bblk GROUP BY 1, 2 ORDER BY source, block_id""".stripMargin
+    },
     "txt_ppl_buckets" ->
       s"""WITH tk AS (SELECT doc_id, unnest(${dToks("text")}) AS tok FROM documents),
          |cnt AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY 1),

@@ -375,6 +375,76 @@ object Dedup {
     * join+aggregation for the rank mass — iterate for full PageRank.
     * Contribution terms round-then-DECIMAL-sum: bit-stable on any
     * partitioning and in the oracle. */
+  /** PageRank over the near-dup pair graph ITERATED TO CONVERGENCE
+    * (round 14 — `dedup_pagerank` grades one step; this is the graded
+    * proof that the decimal discipline survives a full iterate, the
+    * emb_power_iter/emb_kmeans_update contract closed): r₀ = 1/N
+    * rounded 6dp, each round r' = round((1−d)/N + d·Σ round(r/outdeg,
+    * 6), 6) with order-free DECIMAL mass sums, and the convergence
+    * test runs in EXACT INTEGERS — every pr lives on the 10⁻⁶ grid,
+    * so 10⁶-scaling gives exact longs and the L∞ shift is an integer
+    * compare (shift ≤ epsMicro), never a float-boundary flake. Stops
+    * at the FIRST qualifying round (or the cap); the output pins
+    * `n_iters` and `converged` as graded columns, and the oracle
+    * replays every round as materialized CTEs and selects the same
+    * first-qualifying round.
+    *
+    * Scale shape: the edge list is pair-scale (near-dup output, ≪
+    * corpus) and is checkpointed once; each round is one broadcast
+    * join + one keyed aggregation over it, and the driver sees only
+    * the scalar shift per round. */
+  def pairPageRankConverged(pairs: DataFrame, damping: Double = 0.85,
+                            epsMicro: Long = 100L,
+                            maxIters: Int = 48): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true)
+    val nNodes = deg.count()
+    val spark = pairs.sparkSession
+    if (nNodes == 0) {
+      // an empty pair graph converges trivially in zero rounds
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Double, Long, Long)]
+        .toDF("doc_id", "outdeg", "pr", "n_iters", "converged")
+    }
+    // every rounding carries the GloVe tie epsilon (+2^-33): the
+    // iterate's products land on .5 micro boundaries where DuckDB's
+    // double-multiply round and the JVM's string-exact round disagree
+    // (measured: 1 flip without it at sf0.01)
+    def rnd6(c: org.apache.spark.sql.Column) = graft.operators.Glove.rnd(c, 6)
+    var pr = deg.select(col("src").as("doc_id"), col("outdeg"),
+      rnd6(lit(1.0) / nNodes).as("pr")).localCheckpoint(true)
+    var iters = 0
+    var shift = Long.MaxValue
+    while (iters < maxIters && shift > epsMicro) {
+      val contrib = edges
+        .join(pr.select(col("doc_id").as("src"), col("outdeg"), col("pr")), "src")
+        .select(col("dst"), rnd6(col("pr") / col("outdeg")).as("term"))
+        .groupBy(col("dst")).agg(
+          sum(col("term").cast("decimal(18,6)")).cast("double").as("mass"))
+      val next = pr.select(col("doc_id"), col("outdeg"), col("pr").as("prev"))
+        .join(contrib, col("doc_id") === col("dst"), "left")
+        .select(col("doc_id"), col("outdeg"), col("prev"),
+          rnd6(lit(1.0 - damping) / nNodes +
+            lit(damping) * coalesce(col("mass"), lit(0.0))).as("pr"))
+        .localCheckpoint(true)
+      // exact-integer L∞ shift: both values are 6dp-rounded, so the
+      // micro-scaled difference is an exact long
+      shift = next.select(max(abs(
+          (round(col("pr") * 1e6)).cast("long") -
+          (round(col("prev") * 1e6)).cast("long"))).as("s"))
+        .head().getLong(0)
+      pr = next.select(col("doc_id"), col("outdeg"), col("pr")).localCheckpoint(true)
+      iters += 1
+    }
+    pr.select(col("doc_id"), col("outdeg"), col("pr"),
+        lit(iters.toLong).as("n_iters"),
+        lit(if (shift <= epsMicro) 1L else 0L).as("converged"))
+      .orderBy(col("doc_id"))
+  }
+
   def pairPageRank(pairs: DataFrame, damping: Double = 0.85): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))

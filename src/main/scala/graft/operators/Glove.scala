@@ -531,7 +531,12 @@ object Glove {
     val voc = t.vocab
     // held-out relevance: test-half co-occurrence gated on the TRAIN
     // vocab (the one corpus-scale pass of the eval)
+    // self co-occurrence (cand == q) leaves rel: the scoring grid
+    // excludes the diagonal, so keeping it in the ideal ranking would
+    // structurally cap nDCG below 1 whenever the diagonal reaches the
+    // ideal top-k — both metrics depressed for no signal
     val rel = coocWithVocab(testDocs, broadcast(voc), window, "text", maxGram)
+      .where(col("ia") =!= col("ib"))
       .select(col("ia").as("q"), col("ib").as("cand"),
         rnd(log(lit(1.0) + col("x").cast("double")), 6).as("rel"))
       .localCheckpoint(true)

@@ -356,4 +356,141 @@ object Ranking {
       .orderBy(col("qlm").desc, col("doc_id"))
       .limit(topK)
   }
+
+  /** The reference's /ask endpoint as ONE graded funnel (round 14 —
+    * the stages `rag_retrieve` / `rag_rerank` / `rag_mmr` /
+    * `rag_context_pack` each grade alone; the API actually runs
+    * their COMPOSITION): vector retrieve (cosine top-`depth` recall
+    * stage over the corpus) → blended rerank (min-max-normalized
+    * BM25 of the RETRIEVED candidates averaged with their cosine —
+    * the cross-encoder stand-in scoring O(queries·depth) rows) →
+    * MMR diversification over the reranked survivors (λ = 0.7, the
+    * `mmrTopK` exact-integer greedy with rel = the RERANK score) →
+    * greedy token-budget context packing in MMR order.
+    *
+    * Graded as per-(query, stage) audit rows: surviving doc count,
+    * token mass, and the md5 of the ORDERED id list — one hash pins
+    * every stage's membership AND ranking, so a drift anywhere in
+    * the chain (a candidate swapped, an order flipped, a budget
+    * off-by-one) lands in exactly one visible row.
+    *
+    * Scale shape: stage 1 is the only corpus-scale scan (plus the
+    * O(matches) BM25 token pass); it is checkpointed, so stages 2–4
+    * run on O(queries·depth) rows. The MMR greedy collects
+    * O(queries·rerankK²) cells driver-side — the mmrTopK budget. */
+  def askFunnel(docs: DataFrame, emb: DataFrame,
+                terms: Seq[String] = DefaultTerms, nQueries: Int = 3,
+                depth: Int = 20, rerankK: Int = 10, mmrK: Int = 5,
+                lambda: Double = 0.7, budgetTokens: Long = 150): DataFrame = {
+    import graft.functions.VectorFunctions.{cosinePrenormed, dot, norm}
+    val spark = docs.sparkSession
+    val l10 = math.round(lambda * 10)
+    require(l10 >= 0 && l10 <= 10, "lambda must be in [0, 1]")
+    // ── stage 1: retrieve (the one corpus pass; checkpoint so the
+    // later stages never re-derive it) ──
+    val ntok = docs.select(col("doc_id"), tokenCount(col("text")).as("n_tok"))
+    val s1 = graft.operators.Similarity.bruteTopK(emb, nQueries, depth)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank"), col("sim"))
+      .join(ntok, "doc_id")
+      .select(col("query_id"), col("doc_id"), col("rank"), col("sim"), col("n_tok"))
+      .localCheckpoint(true)
+    // ── stage 2: rerank the retrieved candidates (corpus-wide BM25
+    // stats, candidates' scores only; absent terms score 0) ──
+    val t = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+    val stats = t.agg(count(lit(1)).as("n_docs"), avg(size(col("tk"))).as("avg_len"))
+    val tf = t
+      .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+        explode(col("tk")).as("w"))
+      .where(col("w").isin(terms: _*))
+      .groupBy(col("doc_id"), col("w"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val idf = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val termScore = round(
+      idf * (col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avg_len"))), 6)
+    val bm = tf.join(broadcast(dfT), "w").crossJoin(broadcast(stats))
+      .withColumn("term_score", termScore)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("term_score").cast("decimal(18,6)")).cast("double").as("bm25"))
+    val withBm = s1.join(broadcast(bm), Seq("doc_id"), "left")
+      .withColumn("bm25", coalesce(col("bm25"), lit(0.0)))
+    val bstats = withBm.groupBy(col("query_id"))
+      .agg(min(col("bm25")).as("bmin"), max(col("bm25")).as("bmax"))
+    val nb = when(col("bmax") === col("bmin"), lit(1.0))
+      .otherwise((col("bm25") - col("bmin")) / (col("bmax") - col("bmin")))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("rscore").desc, col("doc_id"))
+    val s2 = withBm.join(broadcast(bstats), "query_id")
+      .withColumn("rscore", round(nb * lit(0.5) + lit(0.5) * col("sim"), 6))
+      .withColumn("rank", row_number().over(w2).cast("long"))
+      .where(col("rank") <= rerankK)
+      .select(col("query_id"), col("doc_id"), col("rank"), col("rscore"), col("n_tok"))
+      .localCheckpoint(true)
+    // ── stage 3: MMR over the reranked survivors, rel = rerank
+    // score. Pairwise sims are O(queries·rerankK²) cells; the greedy
+    // runs driver-side in exact integers (the mmrTopK discipline:
+    // 6dp-rounded scores 10⁶-scale to exact longs). ──
+    val e = emb.select(col("vec_id").as("id"), col("embedding").as("v"),
+      norm(col("embedding")).as("nrm"))
+    val av = e.select(col("id").as("pa"), col("v").as("av"), col("nrm").as("anrm"))
+    val bv = e.select(col("id").as("pb"), col("v").as("bv"), col("nrm").as("bnrm"))
+    val psim = s2.select(col("query_id"), col("doc_id").as("pa"))
+      .join(s2.select(col("query_id"), col("doc_id").as("pb")), "query_id")
+      .where(col("pa") =!= col("pb"))
+      .join(broadcast(av), "pa").join(broadcast(bv), "pb")
+      .select(col("query_id"), col("pa"), col("pb"),
+        round(cosinePrenormed(dot(col("av"), col("bv")), col("anrm"), col("bnrm")), 6)
+          .as("sim"))
+    def r6l(v: Double): Long =
+      java.math.BigDecimal.valueOf(v * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    val candRows = s2.select(col("query_id"), col("doc_id"), col("rscore")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val simMap: Map[(Long, Long, Long), Double] = psim.collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getDouble(3))).toMap
+    val s3rows = candRows.groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+      val rel = rows.map(r => r._2 -> r._3).toMap
+      var remaining = rel.keySet
+      var selected = List.empty[Long]
+      (1 to math.min(mmrK, remaining.size)).map { step =>
+        val (id, _) = remaining.map { c =>
+          val ms = if (selected.isEmpty) 0.0
+                   else selected.map(s => simMap((qid, c, s))).max
+          c -> (l10 * r6l(rel(c)) - (10L - l10) * r6l(ms))
+        }.minBy { case (cid, s) => (-s, cid) }
+        remaining -= id
+        selected ::= id
+        (qid, id, step.toLong)
+      }
+    }
+    import spark.implicits._
+    val s3 = s3rows.toDF("query_id", "doc_id", "rank")
+      .join(broadcast(s2.select(col("query_id"), col("doc_id"), col("n_tok"))),
+        Seq("query_id", "doc_id"))
+    // ── stage 4: pack the MMR order into the token budget ──
+    val w4 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("rank"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val s4 = s3.withColumn("cum", sum(col("n_tok")).over(w4))
+      .where(col("cum") <= budgetTokens)
+    // ── the audit frame: one row per (query, stage) — counts, token
+    // mass, and the md5 of the ordered id list ──
+    def stageRows(df: DataFrame, stage: Int, name: String): DataFrame = {
+      val idsOrdered = array_join(transform(
+        array_sort(collect_list(struct(col("rank"), col("doc_id")))),
+        x => x.getField("doc_id").cast("string")), ",")
+      df.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          md5(idsOrdered).as("ids_md5"))
+        .select(col("query_id"), lit(stage.toLong).as("stage"),
+          lit(name).as("name"), col("n_docs"), col("n_tokens"), col("ids_md5"))
+    }
+    stageRows(s1, 1, "retrieve")
+      .unionByName(stageRows(s2, 2, "rerank"))
+      .unionByName(stageRows(s3, 3, "mmr"))
+      .unionByName(stageRows(s4, 4, "pack"))
+      .orderBy(col("query_id"), col("stage"))
+  }
 }

@@ -1857,6 +1857,7 @@ object DeltaSource {
                          unset: Seq[String] = Nil,
                          commitStore: CommitStore = CreateExclusiveCommitStore): Long = {
     val snap = snapshot(spark, tablePath, None)
+    requireWritable(snap.protocol, tablePath)
     val table = new Path(tablePath)
     val fs = fsOf(spark, table)
     val cfg = (snap.configuration ++ set) -- unset
@@ -1881,6 +1882,7 @@ object DeltaSource {
   def enableInCommitTimestamps(spark: SparkSession, tablePath: String,
                                commitStore: CommitStore = CreateExclusiveCommitStore): Long = {
     val snap = snapshot(spark, tablePath, None)
+    requireWritable(snap.protocol, tablePath)
     require(!snap.configuration.get("delta.enableInCommitTimestamps").contains("true"),
       s"in-commit timestamps already enabled on $tablePath")
     val v = snap.version + 1
@@ -1911,6 +1913,7 @@ object DeltaSource {
   def enableRowTracking(spark: SparkSession, tablePath: String,
                         commitStore: CommitStore = CreateExclusiveCommitStore): Long = {
     val snap = snapshot(spark, tablePath, None)
+    requireWritable(snap.protocol, tablePath)
     require(!rowTrackingOn(snap.configuration),
       s"row tracking already enabled on $tablePath")
     val v = snap.version + 1
@@ -2018,6 +2021,9 @@ object DeltaSource {
   def addCheckConstraint(spark: SparkSession, tablePath: String,
                          name: String, sqlExpr: String,
                          commitStore: CommitStore = CreateExclusiveCommitStore): Long = {
+    // gate BEFORE the validation scan: an unwritable table must refuse
+    // without paying a distributed pass over its data
+    requireWritable(snapshot(spark, tablePath, None).protocol, tablePath)
     val existingBad = readDelta(spark, tablePath)
       .where(!coalesce(expr(sqlExpr), lit(true))).limit(1).count()
     require(existingBad == 0,
@@ -2030,7 +2036,9 @@ object DeltaSource {
   def dropCheckConstraint(spark: SparkSession, tablePath: String, name: String,
                           commitStore: CommitStore = CreateExclusiveCommitStore): Long = {
     val key = s"delta.constraints.$name"
-    require(snapshot(spark, tablePath, None).configuration.contains(key),
+    val snap = snapshot(spark, tablePath, None)
+    requireWritable(snap.protocol, tablePath)
+    require(snap.configuration.contains(key),
       s"no CHECK constraint named $name on $tablePath")
     setTableProperties(spark, tablePath, Map.empty, Seq(key), commitStore)
   }
@@ -2107,6 +2115,9 @@ object DeltaSource {
                              commitStore: CommitStore,
                              newProtocol: Option[Protocol] = None): Long = {
     val snap = snapshot(spark, tablePath, None)
+    // the writer-feature gate guards METADATA commits too (the Delta
+    // spec requires the check before ANY commit, not only data ones)
+    requireWritable(snap.protocol, tablePath)
     val table = new Path(tablePath)
     val fs = fsOf(spark, table)
     val now = System.currentTimeMillis()
@@ -2126,6 +2137,7 @@ object DeltaSource {
   def enableColumnMapping(spark: SparkSession, tablePath: String,
                           commitStore: CommitStore = CreateExclusiveCommitStore): Long = {
     val snap = snapshot(spark, tablePath, None)
+    requireWritable(snap.protocol, tablePath)
     require(!snap.configuration.get("delta.columnMapping.mode").contains("name"),
       s"column mapping already enabled on $tablePath")
     val newSchema = StructType(snap.schema.map(f => withPhysicalName(f, physicalName(f))))
@@ -2155,6 +2167,7 @@ object DeltaSource {
                    oldName: String, newName: String,
                    commitStore: CommitStore = CreateExclusiveCommitStore): Long = {
     val snap = snapshot(spark, tablePath, None)
+    requireWritable(snap.protocol, tablePath)
     require(snap.configuration.get("delta.columnMapping.mode").contains("name"),
       s"renameColumn requires column mapping: call enableColumnMapping($tablePath) first")
     require(snap.schema.exists(_.name == oldName), s"no column $oldName")
@@ -2175,6 +2188,7 @@ object DeltaSource {
   def dropColumn(spark: SparkSession, tablePath: String, name: String,
                  commitStore: CommitStore = CreateExclusiveCommitStore): Long = {
     val snap = snapshot(spark, tablePath, None)
+    requireWritable(snap.protocol, tablePath)
     require(snap.configuration.get("delta.columnMapping.mode").contains("name"),
       s"dropColumn requires column mapping: call enableColumnMapping($tablePath) first")
     require(snap.schema.exists(_.name == name), s"no column $name")

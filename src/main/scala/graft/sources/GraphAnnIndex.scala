@@ -246,6 +246,59 @@ object GraphAnnIndex {
       pqM, nCodes, idCol, vecCol)
   }
 
+  /** DELETE vectors from the index by id (round 14 — the production
+    * vector-store contract Chroma gives the reference for free): a
+    * node-level tombstone batch lands as one overwrite-idempotent
+    * parquet under `deleted/` (same batchTag → same path, so a
+    * retried delete never double-writes), the SERVE paths mask the
+    * ids automatically (raw and PQ walks both: excluded from the
+    * entry round AND from every round's candidate union, so the walk
+    * navigates the surviving subgraph exactly as it would after the
+    * physical reclaim), and [[compactTombstones]] reclaims — edges
+    * incident to a deleted node, its bucket assignments (so later
+    * increments can never link to it), its node rows, and its entry
+    * rows all rewritten away, `deleted/` dropped LAST so every crash
+    * point still serves correctly off the mask. Zero corpus work at
+    * delete time: the tombstone write is O(batch). */
+  def deleteVectors(spark: SparkSession, dir: String, ids: DataFrame,
+                    batchTag: String = "default"): Unit = {
+    ids.select(col("id").cast("long"))
+      .distinct()
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/deleted/del-$batchTag")
+  }
+
+  private def deletedDf(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val p = new Path(s"$dir/deleted")
+    if (!fs(spark, dir).exists(p)) None
+    else Some(spark.read.option("recursiveFileLookup", "true")
+      .parquet(p.toString).select(col("id").cast("long")).distinct())
+  }
+
+  /** The delete mask, SIZED before any driver materialization (the
+    * retiredDf routing verbatim): ≤ [[MaskMapLimit]] ids collect to
+    * a literal In-set probe; above it the mask stays a DataFrame and
+    * candidates anti-join against it. None when nothing is deleted. */
+  private def deleteMask(spark: SparkSession, dir: String)
+      : Option[Either[Array[Long], DataFrame]] =
+    deletedDf(spark, dir).flatMap { del =>
+      val sample = del.limit(MaskMapLimit + 1).collect()
+      if (sample.isEmpty) None
+      else if (sample.length <= MaskMapLimit) Some(Left(sample.map(_.getLong(0))))
+      else Some(Right(del.localCheckpoint(true)))
+    }
+
+  /** Apply the delete mask to a candidate frame on column `idc`. */
+  private def maskDeleted(df: DataFrame, idc: String,
+                          mask: Option[Either[Array[Long], DataFrame]]): DataFrame =
+    mask match {
+      case None => df
+      case Some(Left(ids)) => df.where(!col(idc).isin(ids.map(Long.box): _*))
+      case Some(Right(del)) => df.join(
+        broadcast(del.select(col("id").as("__del"))),
+        col(idc) === col("__del"), "left_anti")
+    }
+
   /** The tombstone table, reduced to owner → lowest generation still
     * visible, GATED to committed increments (`before_gen <= gens`):
     * an in-flight increment's tombstone must not mask the old lists
@@ -318,6 +371,9 @@ object GraphAnnIndex {
              maxBroadcastFrontier: Long = 1000000L,
              candidateFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val meta = readMeta(spark, dir)
+    // node-level delete tombstones mask AUTOMATICALLY on every serve
+    // path — a deleted vector must never be returned, whoever calls
+    val delMask = deleteMask(spark, dir)
     // pin the live edge table for the duration of the search: a
     // serving process holds its edge working set in the block cache
     // (RAM/SSD — the HNSW/DiskANN residency model), so the `steps`
@@ -347,9 +403,14 @@ object GraphAnnIndex {
           round(cosinePrenormed(dot(col("qv"), col("dv")), col("qnrm"), col("dnrm")), 6)
             .as("sim"))
     // round 0: the scattered entry points, scored for every query
-    val ent = spark.read.parquet(s"$dir/entries")
+    // deleted entries are excluded from ROUND 0 (unlike the metadata
+    // candidateFilter, which starts at round 1): this is what makes
+    // the masked serve bit-equal to the post-compaction serve — in
+    // the reclaimed layout the entry row is physically gone, so its
+    // out-edges must not seed the walk here either
+    val ent = maskDeleted(spark.read.parquet(s"$dir/entries")
       .select(col("id").cast("long"), col("v"), col("nrm"))
-      .where(col("id") < math.min(entries, meta.entryCap))
+      .where(col("id") < math.min(entries, meta.entryCap)), "id", delMask)
     var beamScored: DataFrame = score(
       q.select(col("query_id")).crossJoin(
         ent.select(col("id").as("node"), col("v").as("dv"), col("nrm").as("dnrm"))))
@@ -403,7 +464,8 @@ object GraphAnnIndex {
       // points included from round 1 on
       val unioned = beamScored.select(col("query_id"), col("node"), col("sim"))
         .unionByName(newScored)
-      val scoredRound = candidateFilter.fold(unioned)(unioned.where)
+      val scoredRound = maskDeleted(
+          candidateFilter.fold(unioned)(unioned.where), "node", delMask)
         .dropDuplicates("query_id", "node")
       lastScored = scoredRound
       if (step < steps) {
@@ -430,12 +492,16 @@ object GraphAnnIndex {
   def searchSelf(spark: SparkSession, dir: String, nQueries: Int = 5,
                  k: Int = 10, beam: Int = 32, steps: Int = 8,
                  entries: Int = 16, maxDriverFrontier: Int = 100000,
-                 maxBroadcastFrontier: Long = 1000000L): DataFrame =
+                 maxBroadcastFrontier: Long = 1000000L): DataFrame = {
+    // the query frame below reads entries/ BEFORE search() runs its
+    // own recovery — heal a torn reclaim swap first
+    recoverCompaction(spark, dir)
     search(spark, dir,
       spark.read.parquet(s"$dir/entries")
         .select(col("id").cast("long").as("query_id"), col("v").as("qv"))
         .where(col("query_id") < nQueries),
       k, beam, steps, entries, maxDriverFrontier, maxBroadcastFrontier)
+  }
 
   /** PQ-compressed serving over the SAME persisted layout (the
     * DiskANN memory model — see [[Similarity.graphPqTopK]] for the
@@ -453,6 +519,7 @@ object GraphAnnIndex {
                maxBroadcastFrontier: Long = 1000000L,
                candidateFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val meta = readMeta(spark, dir)
+    val delMask = deleteMask(spark, dir) // the raw walk's delete contract, verbatim
     val subDim = meta.dim / meta.pqM
     val cb = spark.read.parquet(s"$dir/codebook")
       .select(col("code").cast("long"), col("sub").cast("int"), col("cv"))
@@ -486,9 +553,9 @@ object GraphAnnIndex {
         .agg(sum(col("lv").cast("decimal(18,6)")).cast("double").as("sim"))
     // entry payloads: one model-sized fetch + frozen-codebook encode
     // (deterministic — identical to the stored codes)
-    val ent = spark.read.parquet(s"$dir/entries")
+    val ent = maskDeleted(spark.read.parquet(s"$dir/entries")
       .select(col("id").cast("long"), col("v"))
-      .where(col("id") < math.min(entries, meta.entryCap))
+      .where(col("id") < math.min(entries, meta.entryCap)), "id", delMask)
     val entC = ent.join(pqCodesArr(ent, cb, meta.pqM, subDim), Seq("id"))
       .select(col("id").as("node"), col("codes").as("dcodes"))
     var beamScored: DataFrame = adc(
@@ -533,7 +600,8 @@ object GraphAnnIndex {
       // the allowed subgraph
       val unioned = beamScored.select(col("query_id"), col("node"), col("sim"))
         .unionByName(adc(expanded))
-      val scoredRound = candidateFilter.fold(unioned)(unioned.where)
+      val scoredRound = maskDeleted(
+          candidateFilter.fold(unioned)(unioned.where), "node", delMask)
         .dropDuplicates("query_id", "node")
       lastScored = scoredRound
       if (step < steps) {
@@ -590,12 +658,14 @@ object GraphAnnIndex {
   def searchPqSelf(spark: SparkSession, dir: String, nQueries: Int = 5,
                    k: Int = 10, beam: Int = 32, steps: Int = 8,
                    entries: Int = 16, maxDriverFrontier: Int = 100000,
-                   maxBroadcastFrontier: Long = 1000000L): DataFrame =
+                   maxBroadcastFrontier: Long = 1000000L): DataFrame = {
+    recoverCompaction(spark, dir) // see searchSelf: heal before the entries read
     searchPq(spark, dir,
       spark.read.parquet(s"$dir/entries")
         .select(col("id").cast("long").as("query_id"), col("v").as("qv"))
         .where(col("query_id") < nQueries),
       k, beam, steps, entries, maxDriverFrontier, maxBroadcastFrontier)
+  }
 
   /** The DISTINCT live (src, dst) set — the spec surface for
     * rebuild-equivalence proofs. */
@@ -638,10 +708,22 @@ object GraphAnnIndex {
     val hfs = fs(spark, dir)
     recoverCompaction(spark, dir)
     val gens = readMeta(spark, dir).appliedFps.size
-    if (!retiredDf(spark, dir, gens).exists(_.limit(1).count() > 0)) return false
+    val del = deletedDf(spark, dir)
+    val hasRetired = retiredDf(spark, dir, gens).exists(_.limit(1).count() > 0)
+    if (!hasRetired && del.isEmpty) return false
+    // the live edge set MINUS everything incident to a deleted node
+    // (src, dst, or owner — the walk can never probe them again, and
+    // a later increment must not resurrect them via buckets/)
+    def minusDel(df: DataFrame, cols: Seq[String]): DataFrame =
+      del.fold(df) { dl =>
+        cols.zipWithIndex.foldLeft(df) { case (acc, (c, i)) =>
+          acc.join(dl.select(col("id").as(s"__d$i")),
+            col(c) === col(s"__d$i"), "left_anti")
+        }
+      }
     val stage = new Path(s"$dir/.gixcompact")
     hfs.delete(stage, true)
-    liveEdges(spark, dir)
+    minusDel(liveEdges(spark, dir), Seq("src", "dst", "owner"))
       .withColumn("gen", lit(0))
       .select(col("src"), col("dst"), col("dv"), col("dnrm"), col("dcodes"),
         col("kind"), col("owner"), col("gen"), col("pb"))
@@ -657,6 +739,36 @@ object GraphAnnIndex {
     if (!hfs.rename(stage, new Path(s"$dir/edges")))
       require(hfs.exists(new Path(s"$dir/edges")) && !hfs.exists(stage),
         s"could not swap compacted edges into $dir")
+    // ── node-delete RECLAIM: entries (walk seeds), buckets (so a
+    // later increment can never link to a dead node), nodes (the PQ
+    // rerank fetch + the disk the delete promised back). Each swap
+    // is staged+sealed and healable; deleted/ drops LAST, so every
+    // crash point before it still serves correctly off the mask, and
+    // a re-run completes the remainder idempotently. ──
+    del.foreach { dl =>
+      def reclaim(sub: String, partCol: Option[String]): Unit = {
+        val src = new Path(s"$dir/$sub")
+        if (!hfs.exists(src)) return
+        val st = new Path(s"$dir/.gixdel-$sub")
+        hfs.delete(st, true)
+        val kept = spark.read.parquet(src.toString)
+          .join(dl.select(col("id").as("__del")), col("id") === col("__del"), "left_anti")
+          .drop("__del")
+        val w = partCol.fold(kept.coalesce(1))(c => kept.repartition(col(c)))
+          .write.mode("overwrite")
+        partCol.fold(w)(c => w.partitionBy(c)).parquet(st.toString)
+        require(hfs.createNewFile(new Path(st, "_GIX_SEALED")),
+          s"could not seal reclaim stage $st")
+        hfs.delete(src, true)
+        if (!hfs.rename(st, src))
+          require(hfs.exists(src) && !hfs.exists(st),
+            s"could not swap reclaimed $sub into $dir")
+      }
+      reclaim("entries", None)
+      reclaim("buckets", Some("tbl"))
+      reclaim("nodes", Some("nb"))
+      hfs.delete(new Path(s"$dir/deleted"), true)
+    }
     true
   }
 
@@ -675,6 +787,19 @@ object GraphAnnIndex {
       if (!hfs.rename(stage, edges))
         require(hfs.exists(edges) && !hfs.exists(stage),
           s"compaction recovery rename failed in $dir")
+    }
+    // heal a torn delete-reclaim swap the same way: a sealed stage
+    // with its live dir absent IS the live dir. deleted/ still
+    // exists at every such crash point, so serving stayed correct
+    // throughout; the next compactTombstones call finishes the rest.
+    Seq("entries", "buckets", "nodes").foreach { sub =>
+      val st = new Path(s"$dir/.gixdel-$sub")
+      val live = new Path(s"$dir/$sub")
+      if (!hfs.exists(live) && hfs.exists(new Path(st, "_GIX_SEALED"))) {
+        if (!hfs.rename(st, live))
+          require(hfs.exists(live) && !hfs.exists(st),
+            s"delete-reclaim recovery rename failed for $sub in $dir")
+      }
     }
   }
 
@@ -779,8 +904,16 @@ object GraphAnnIndex {
       .localCheckpoint(true)
     val nodesC = nodesNeeded.join(
       pqCodesArr(nodesNeeded, cb, meta.pqM, meta.dim / meta.pqM), Seq("id"))
+    // backbone src-existence gate: a new node's tree parent may have
+    // been DELETED and reclaimed — treeEdges attaches only the dst
+    // payload, so the (parent → new) direction would otherwise ride
+    // in with the new node's vector and resurrect the dead src.
+    // nodesC holds exactly the LIVE endpoints (grown ∩ endpoints,
+    // increment-scale), so the semi-join is the existence oracle.
+    val treeE = treeEdges(newIds, nodesC, gen)
+      .join(nodesC.select(col("id").as("src")), Seq("src"), "leftsemi")
     val edgesNew = listEdges(lists, nodesC, gen)
-      .unionByName(treeEdges(newIds, nodesC, gen))
+      .unionByName(treeE)
       .withColumn("pb", pmod(col("src"), lit(meta.pBuckets.toLong)))
 
     def stageIn(df: DataFrame, destRoot: String, partCol: Option[String]): Unit = {

@@ -153,4 +153,78 @@ class BpeSpec extends SparkSpec {
     assert(rounds < 256 / 2,
       s"batching should collapse rounds well below one-per-merge; took $rounds for 256")
   }
+
+  test("SCALED training: 256 merges over mixed-gram units == sequential reference") {
+    val docs = Tables.documents(spark, sf)
+    // the scaled unit inventory, rebuilt driver-side: word 1..2-grams
+    // concatenated (the trainer's unitsOf), [a-z]+ gate
+    val unitVocab = docs.select(col("text")).collect()
+      .flatMap { r =>
+        val tk = r.getString(0).trim.toLowerCase(java.util.Locale.ROOT)
+          .split("\\s+").filter(_.nonEmpty)
+        tk.indices.flatMap { p =>
+          (1 to Bpe.ScaledMaxGram).flatMap { g =>
+            if (p + g <= tk.length) Some(tk.slice(p, p + g).mkString("")) else None
+          }
+        }
+      }
+      .filter(_.matches("[a-z]+"))
+      .groupBy(identity).map { case (w, o) => (w, o.length.toLong) }.toSeq
+    assert(unitVocab.size > 500,
+      s"mixed-gram inventory should be tokenizer-scale, got ${unitVocab.size}")
+    val expected = sequentialReference(unitVocab, Bpe.ScaledMerges)
+    assert(expected.size == Bpe.ScaledMerges,
+      s"corpus saturated early: only ${expected.size} merges learnable")
+    val (gotDf, rounds) = Bpe.bpeTrainWithRounds(docs,
+      nMerges = Bpe.ScaledMerges, maxGram = Bpe.ScaledMaxGram)
+    val got = gotDf.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getString(2), r.getString(3), r.getLong(4))).toSeq
+    assert(got == expected,
+      s"first divergence: ${got.zip(expected).indexWhere { case (g, e) => g != e }}")
+    info(s"scaled: ${Bpe.ScaledMerges} merges in $rounds batched rounds")
+    assert(rounds < Bpe.ScaledMerges,
+      s"batching must beat one-round-per-merge at scale; took $rounds")
+  }
+
+  test("SCALED serving: roundtrip under the 256-merge table; size-routed join is value-invisible") {
+    val docs = Tables.documents(spark, sf)
+    val merges = Bpe.bpeTrainScaled(docs)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.size == Bpe.ScaledMerges)
+    val serve = Seq((0L, "filter filterhash slower zebra"), (1L, "customer vectorjoin"))
+      .toDF("doc_id", "text")
+    val enc = Bpe.encodeWith(serve, merges)
+      .select(col("doc_id"), col("pos"), col("w"), col("pieces")).collect()
+    assert(enc.length == 6)
+    enc.foreach { r =>
+      assert(r.getSeq[String](3).mkString("") == r.getString(2),
+        s"scaled roundtrip broke on ${r.getString(2)}")
+    }
+    // the size-routed plain-join path (broadcastTypesMax = 0 forces
+    // it) must produce the identical encoding — routing is an
+    // execution-strategy swap, never a result change
+    val plain = Bpe.encodeWith(serve, merges, broadcastTypesMax = 0L)
+      .select(col("doc_id"), col("pos"), col("w"), col("pieces"))
+      .orderBy(col("doc_id"), col("pos")).collect()
+    val bcast = Bpe.encodeWith(serve, merges)
+      .select(col("doc_id"), col("pos"), col("w"), col("pieces"))
+      .orderBy(col("doc_id"), col("pos")).collect()
+    assert(plain.map(_.toString).toSeq == bcast.map(_.toString).toSeq)
+    // scaled encode compresses at least as hard as the toy table on
+    // the same corpus (more merges can only fuse more)
+    val toyPieces = Bpe.bpeEncode(docs).agg(sum(col("n_pieces"))).head().getLong(0)
+    val scaledPieces = Bpe.bpeEncodeScaled(docs).agg(sum(col("n_pieces"))).head().getLong(0)
+    assert(scaledPieces < toyPieces,
+      s"256 merges should compress below 4 merges: $scaledPieces vs $toyPieces")
+  }
+
+  test("encodeWith refuses merge symbols outside the trainer's alphabet") {
+    val serve = Seq((0L, "low")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](
+      Bpe.encodeWith(serve, Seq(("l'", "o"))))
+    intercept[IllegalArgumentException](
+      Bpe.encodeWith(serve, Seq(("l|o", "w"))))
+    intercept[IllegalArgumentException](
+      Bpe.encodeWith(serve, Seq(("", "o"))))
+  }
 }

@@ -132,6 +132,16 @@ class DeltaProtocolSpec extends SparkSpec {
       spark.range(0, 5).selectExpr("id", "id % 4 as k"), Seq("id")))
     refused(DeltaSource.optimizeDelta(spark, tbl))
     refused(DeltaSource.vacuum(spark, tbl))
+    // METADATA-mutating commits are gated too — the spec requires the
+    // writer-feature check before ANY commit, not only data ones
+    refused(DeltaSource.setTableProperties(spark, tbl, Map("foo" -> "bar")))
+    refused(DeltaSource.addCheckConstraint(spark, tbl, "kpos", "k >= 0"))
+    refused(DeltaSource.dropCheckConstraint(spark, tbl, "kpos"))
+    refused(DeltaSource.enableColumnMapping(spark, tbl))
+    refused(DeltaSource.renameColumn(spark, tbl, "k", "kk"))
+    refused(DeltaSource.dropColumn(spark, tbl, "k"))
+    refused(DeltaSource.enableRowTracking(spark, tbl))
+    refused(DeltaSource.enableInCommitTimestamps(spark, tbl))
     // an unknown minWriterVersion alone is refused too
     val out2 = fs.create(new Path(tbl, f"_delta_log/${2L}%020d.json"), true)
     out2.write("""{"protocol":{"minReaderVersion":1,"minWriterVersion":9}}""".getBytes("UTF-8"))

@@ -417,4 +417,107 @@ class GraphAnnSpec extends SparkSpec {
       .collect().map(_.toString).toSeq
     assert(after == before, "a no-op mask must not change served results")
   }
+
+  test("delete lifecycle: masked serve == compacted serve, reclaim complete, crash heals") {
+    import graft.sources.GraphAnnIndex
+    val dir = tmpDir("delete")
+    GraphAnnIndex.ensureBuilt(emb, dir)
+    val delIds = emb.where(pmod(col("vec_id"), lit(7)) === 6)
+      .select(col("vec_id").as("id"))
+    val delSet = delIds.collect().map(_.getLong(0)).toSet
+    assert(delSet.nonEmpty)
+    // O(batch) delete, idempotent per tag: a retried delete is one
+    // overwrite, not an accumulating append
+    GraphAnnIndex.deleteVectors(spark, dir, delIds, "mod7")
+    GraphAnnIndex.deleteVectors(spark, dir, delIds, "mod7")
+    val masked = GraphAnnIndex.searchSelf(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(masked.nonEmpty)
+    val maskedIds = GraphAnnIndex.searchSelf(spark, dir)
+      .select(col("neighbor_id")).collect().map(_.getLong(0))
+    assert(maskedIds.forall(!delSet(_)), "served a deleted vector")
+    val maskedPq = GraphAnnIndex.searchPqSelf(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(maskedPq.map(_.split(",")(1)).forall(s => !delSet(s.toLong)),
+      "PQ path served a deleted vector")
+    // compaction reclaims; the serve must be BIT-EQUAL to the mask
+    assert(GraphAnnIndex.compactTombstones(spark, dir))
+    assert(!new java.io.File(s"$dir/deleted").exists, "deleted/ must drop")
+    val compacted = GraphAnnIndex.searchSelf(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(compacted == masked,
+      "post-compaction serve must equal the masked serve bit-for-bit")
+    val compactedPq = GraphAnnIndex.searchPqSelf(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(compactedPq == maskedPq)
+    // physical reclaim: no deleted id survives in any layout table
+    def ids(sub: String, c: String) = spark.read.parquet(s"$dir/$sub")
+      .select(col(c).cast("long")).collect().map(_.getLong(0)).toSet
+    assert(ids("edges", "src").intersect(delSet).isEmpty)
+    assert(ids("edges", "dst").intersect(delSet).isEmpty)
+    assert(ids("entries", "id").intersect(delSet).isEmpty)
+    assert(ids("buckets", "id").intersect(delSet).isEmpty)
+    assert(ids("nodes", "id").intersect(delSet).isEmpty)
+    // nothing left to compact
+    assert(!GraphAnnIndex.compactTombstones(spark, dir))
+  }
+
+  test("delete-reclaim crash window heals: entries gone, sealed stage present") {
+    import graft.sources.GraphAnnIndex
+    val dir = tmpDir("delcrash")
+    GraphAnnIndex.ensureBuilt(emb, dir)
+    val delIds = emb.where(pmod(col("vec_id"), lit(7)) === 6)
+      .select(col("vec_id").as("id"))
+    GraphAnnIndex.deleteVectors(spark, dir, delIds, "mod7")
+    val masked = GraphAnnIndex.searchSelf(spark, dir)
+      .collect().map(_.toString).toSeq
+    // simulate the maintainer dying between the entries/ delete and
+    // the rename: stage the reclaimed entries, seal, remove live dir
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$dir/entries")
+    val st = new org.apache.hadoop.fs.Path(s"$dir/.gixdel-entries")
+    val kept = spark.read.parquet(live.toString)
+      .join(delIds.select(col("id").as("__del")), col("id") === col("__del"), "left_anti")
+    kept.coalesce(1).write.mode("overwrite").parquet(st.toString)
+    fs.createNewFile(new org.apache.hadoop.fs.Path(st, "_GIX_SEALED"))
+    fs.delete(live, true)
+    // deleted/ still present at this crash point → the next serve
+    // heals the swap AND stays correct off the mask
+    val healed = GraphAnnIndex.searchSelf(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(healed == masked && fs.exists(live))
+    // a follow-up compaction completes the remainder idempotently
+    assert(GraphAnnIndex.compactTombstones(spark, dir))
+    assert(!new java.io.File(s"$dir/deleted").exists)
+    val after = GraphAnnIndex.searchSelf(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(after == masked)
+  }
+
+  test("deletes compose with increments: post-compaction growth never links to dead nodes") {
+    import graft.sources.GraphAnnIndex
+    val n = emb.count()
+    val bits = Similarity.autoBits(n)
+    val dir = tmpDir("delgrow")
+    GraphAnnIndex.buildAndSave(emb.where(col("vec_id") < n * 4 / 5), dir, nbits = bits)
+    val delIds = emb.where(pmod(col("vec_id"), lit(11)) === 3 &&
+        col("vec_id") < n * 4 / 5)
+      .select(col("vec_id").as("id"))
+    val delSet = delIds.collect().map(_.getLong(0)).toSet
+    GraphAnnIndex.deleteVectors(spark, dir, delIds, "mod11")
+    assert(GraphAnnIndex.compactTombstones(spark, dir))
+    // the increment buckets against the RECLAIMED assignment — no
+    // new edge may point at a reclaimed node
+    GraphAnnIndex.appendIncremental(emb.where(col("vec_id") >= n * 4 / 5), dir)
+    val touched = GraphAnnIndex.liveEdgeSet(spark, dir)
+      .select(col("src")).union(
+        GraphAnnIndex.liveEdgeSet(spark, dir).select(col("dst")))
+      .collect().map(_.getLong(0)).toSet
+    assert(touched.intersect(delSet).isEmpty,
+      "an increment resurrected a deleted node")
+    val served = GraphAnnIndex.searchSelf(spark, dir)
+      .select(col("neighbor_id")).collect().map(_.getLong(0))
+    assert(served.nonEmpty && served.forall(!delSet(_)))
+  }
 }

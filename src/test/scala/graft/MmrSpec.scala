@@ -71,4 +71,29 @@ class MmrSpec extends SparkSpec {
       .select($"neighbor_id").collect().map(_.getLong(0)).toSeq
     assert(got == want)
   }
+
+  test("the /ask funnel shrinks monotonically, respects the budget, and is partition-invariant") {
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val rows = graft.operators.Ranking.askFunnel(docs, emb).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, rs) =>
+      val stages = rs.sortBy(_.getLong(1))
+      assert(stages.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L, 4L), s"query $q missing stages")
+      val counts = stages.map(_.getLong(3)).toSeq
+      assert(counts(0) == 20 && counts(1) == 10 && counts(2) == 5,
+        s"query $q stage counts $counts")
+      assert(counts(3) <= counts(2), s"query $q pack grew: $counts")
+      // the pack stage's token mass respects the budget
+      assert(stages(3).getLong(4) <= 150L, s"query $q pack over budget")
+      // funnel stages only ever DROP token mass
+      val toks = stages.map(_.getLong(4)).toSeq
+      assert(toks(0) >= toks(1) && toks(1) >= toks(2) && toks(2) >= toks(3),
+        s"query $q token mass grew: $toks")
+    }
+    val rows2 = graft.operators.Ranking.askFunnel(docs.repartition(7), emb.repartition(5))
+      .collect()
+    assert(rows.map(_.toString).toSeq == rows2.map(_.toString).toSeq)
+  }
 }

@@ -153,6 +153,33 @@ class Round3Spec extends SparkSpec {
     assert(math.abs(pr.sum - 1.0) < pr.length * 1e-6 + 1e-4, s"sum=${pr.sum}")
   }
 
+  test("converged pagerank: real iteration, mass conserved, partition-invariant, cap honored") {
+    val pairs = Dedup.embeddingPairs(Tables.embeddings(spark, sf))
+      .localCheckpoint(true)
+    val r = Dedup.pairPageRankConverged(pairs)
+    val rows = r.collect()
+    assert(rows.nonEmpty)
+    val iters = rows.map(_.getLong(3)).distinct.toSeq
+    val conv = rows.map(_.getLong(4)).distinct.toSeq
+    assert(iters.size == 1 && conv == Seq(1L), s"iters=$iters conv=$conv")
+    // the iterate genuinely iterated (one-step convergence would
+    // grade nothing) and stopped before the cap
+    assert(iters.head > 1 && iters.head < 48, s"n_iters=${iters.head}")
+    // mass conserved up to rounding slack
+    val mass = rows.map(_.getDouble(2)).sum
+    assert(math.abs(mass - 1.0) < rows.length * 1e-6 + 1e-4, s"sum=$mass")
+    // partition invariance: the exact-integer stopping rule and the
+    // decimal mass sums make the whole iterate layout-independent
+    val r2 = Dedup.pairPageRankConverged(pairs.repartition(7)).collect()
+    assert(rows.map(_.toString).toSeq == r2.map(_.toString).toSeq)
+    // an impossible epsilon exhausts the cap and reports NOT converged
+    val capped = Dedup.pairPageRankConverged(pairs, epsMicro = -1L, maxIters = 3)
+    val capRow = capped.select($"n_iters", $"converged").distinct().collect()
+    assert(capRow.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((3L, 0L)))
+    // the empty graph converges trivially to an empty frame
+    assert(Dedup.pairPageRankConverged(pairs.where($"id_a" < -1)).count() == 0)
+  }
+
   test("ivfpq scores decompose into coarse + fine terms") {
     val out = Similarity.ivfpqTopK(Tables.embeddings(spark, sf))
       .select($"query_id", $"rank", $"sim").collect()

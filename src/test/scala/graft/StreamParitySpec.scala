@@ -96,4 +96,61 @@ class StreamParitySpec extends SparkSpec {
       .collect().map(_.toString).toSeq
     assert(streamed == batch && streamed.nonEmpty)
   }
+
+  test("stream-stream interval join: time-ordered split arrival loses no pairs") {
+    // the state-retention inequality on trial: the 2h watermark
+    // EXCEEDS the 1h join interval, so when the corpus arrives in
+    // event-time order across separate micro-batches, no click a
+    // future purchase still needs is evicted before that purchase
+    // lands. Pairs STRADDLING the batch boundary are the teeth.
+    import graft.streaming.StreamingEvents
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+    // split BETWEEN a matched pair's click and purchase, so at least
+    // one pair provably straddles the batch boundary
+    val anchor = StreamingEvents.purchaseAttribution(ev)
+      .where(col("click_ts") < col("purchase_ts"))
+      .select(unix_micros(col("click_ts")).as("c"),
+        unix_micros(col("purchase_ts")).as("p"))
+      .orderBy(col("p"), col("c")).head()
+    val splitUs = (anchor.getLong(0) + anchor.getLong(1)) / 2
+    val h1 = ev.where(unix_micros(col("ts")) <= splitUs)
+    val h2 = ev.where(unix_micros(col("ts")) > splitUs)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ssj2").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/in"))
+    def land(df: org.apache.spark.sql.DataFrame, f: String): Unit = {
+      val stage = s"$tmp/stage_$f"
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles
+        .find(_.getName.endsWith(".parquet")).get.toPath
+      java.nio.file.Files.copy(part, java.nio.file.Paths.get(s"$tmp/in/$f.parquet"))
+    }
+    land(h1, "b1")
+    val joined = StreamingEvents.purchaseAttribution(
+      spark.readStream.schema(StreamingEvents.EventSchema).parquet(s"$tmp/in"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_split").start()
+    val streamed = try {
+      q.processAllAvailable()
+      land(h2, "b2") // second micro-batch: the late half
+      q.processAllAvailable()
+      spark.table("ssj_split")
+        .select(col("purchase_id"), col("click_id"))
+        .orderBy(col("purchase_id"), col("click_id"))
+        .collect().map(_.toString).toSeq
+    } finally q.stop()
+    val batchPairs = StreamingEvents.purchaseAttribution(ev)
+      .select(col("purchase_id"), col("click_id"))
+      .orderBy(col("purchase_id"), col("click_id"))
+      .collect().map(_.toString).toSeq
+    assert(streamed == batchPairs && streamed.nonEmpty)
+    // the control has teeth only if some pair straddles the boundary
+    val straddling = StreamingEvents.purchaseAttribution(ev)
+      .where(unix_micros(col("purchase_ts")) > splitUs &&
+        unix_micros(col("click_ts")) <= splitUs)
+      .count()
+    assert(straddling > 0,
+      "no pair straddles the split - the arrival-order control proves nothing")
+  }
 }
