@@ -2,6 +2,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
+    // optional args name a subset of queries (the scaling-decade
+    // study benches heavyweight families at sf1.0 without paying the
+    // full surface); the driver passes no args → full run, unchanged
+    val only = args.toSet
+    def selected(name: String): Boolean = only.isEmpty || only(name)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.tuning.foldLeft(SparkSession.builder()
@@ -29,8 +34,9 @@ object Bench {
         if (w.isDirectory && w.getPath != sfDir) Some(w.getPath) else None
     }
     warmDir.foreach { wd =>
-      SparkEntry.queries.values.foreach { fn =>
-        try exec(fn(spark, wd)) catch { case _: Throwable => () }
+      SparkEntry.queries.foreach { case (name, fn) =>
+        if (selected(name))
+          try exec(fn(spark, wd)) catch { case _: Throwable => () }
       }
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
@@ -55,6 +61,9 @@ object Bench {
         // from one persisted build; priming keeps BOTH timings pure
         // serving — ann_graph_build times construction on its own)
         "ann_graph_topk",
+        // the delete row's own dir: priming pays the one-time build,
+        // so the timed entry measures tombstone-write + masked serve
+        "ann_graph_delete",
         // the compaction lifecycle dir: priming pays the one-time
         // grow (fingerprint-guarded build + increment) and the
         // compaction itself, so the timed entry measures the
@@ -75,7 +84,7 @@ object Bench {
         // the memoized SCALED BPE training serves three graded views
         // (train/encode/pack) — prime so each times its consumption
         "txt_bpe_train_scaled").foreach { n =>
-      SparkEntry.queries.get(n).foreach { fn =>
+      if (selected(n)) SparkEntry.queries.get(n).foreach { fn =>
         try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
       }
     }
@@ -100,9 +109,9 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       dt
     }
-    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> timedRun(name, fn)
-    }
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => selected(name) }
+      .map { case (name, fn) => name -> timedRun(name, fn) }
     // OUTLIER RE-MEASURE: host pressure has misread the same
     // memory-sensitive queries three rounds running (r9–r11:
     // dedup_substrings timed 50.7 s against an unchanged 2.4 s
@@ -189,7 +198,9 @@ object Bench {
         // the BPE train/encode/pack rows (toy AND scaled) share one
         // memoized training per param set; txt_bpe_segment still
         // trains fresh (it needs the final vocab) and stays eligible
-        "txt_bpe_train", "txt_bpe_encode", "pipe_pack_bpe")
+        "txt_bpe_train", "txt_bpe_encode", "pipe_pack_bpe",
+        // fingerprint-guarded build in its own dir: a re-run serves warm
+        "ann_graph_delete")
   private[graft] def rerunExempt(name: String): Boolean =
     rerunExemptPrefixes.exists(name.startsWith)
 

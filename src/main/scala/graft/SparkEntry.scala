@@ -1801,6 +1801,16 @@ object SparkEntry {
     // floor-divs are bit-exact in both engines
     "mm_dct_roundtrip" -> ((s, d) =>
       Multimodal.dctRoundtrip(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    // JPEG-style Huffman/RLE entropy coding over the same quantized
+    // block (round 14 — the rung the DEFLATE framing left open):
+    // standard T.81 Annex K tables, (run,size) symbols + value bits,
+    // 1-padded byte packing, REAL bit-walking decoder roundtrip;
+    // graded on the md5 of the padded bitstring — every bit of every
+    // frame pinned, the oracle rebuilding it from the coefficient
+    // replay + the same injected code literals
+    "mm_dct_huffman" -> ((s, d) =>
+      graft.multimodal.JpegHuffman.dctHuffman(Tables.documents(s, d))
+        .orderBy(col("doc_id"))),
     "mm_feature_hist" -> ((s, d) =>
       Multimodal.extractFeatures(Multimodal.withBinaryPayload(Tables.documents(s, d)))
         .select(col("doc_id"), posexplode(col("features")).as(Seq("bin", "n")))
@@ -2065,6 +2075,26 @@ object SparkEntry {
        |${dBpeRound(2)},
        |${dBpeRound(3)},
        |${dBpeRound(4)}""".stripMargin
+
+  /** The DCT forward + quantize replay shared by the transform-codec
+    * oracles (mm_dct_roundtrip / mm_dct_huffman): pixels from the
+    * formula, T as injected literals, dq = per-doc quantized
+    * coefficients at (u, v). Emitted WITHOUT the leading WITH. */
+  private lazy val dDctQuantChain: String = {
+    val tvals = (0 until 8).flatMap(u => (0 until 8).map(x =>
+      s"($u, $x, ${graft.multimodal.Multimodal.DctT(u)(x)})")).mkString(", ")
+    val q = graft.multimodal.Multimodal.DctQ
+    s"""tmat AS (SELECT * FROM (VALUES $tvals) t(u, x, c)),
+       |dpx AS (SELECT d.doc_id, y.y, x.x,
+       |    CAST(((d.doc_id + x.x * 7 + y.y * 13) % 256 + 256) % 256 AS BIGINT) AS v
+       |  FROM documents d, range(0, 8) y(y), range(0, 8) x(x)),
+       |da AS (SELECT p.doc_id, t.u, p.x, SUM(t.c * p.v) AS a
+       |  FROM dpx p JOIN tmat t ON t.x = p.y GROUP BY 1, 2, 3),
+       |dy AS (SELECT a.doc_id, a.u, t.u AS v, SUM(a.a * t.c) AS yv
+       |  FROM da a JOIN tmat t ON t.x = a.x GROUP BY 1, 2, 3),
+       |dq AS (SELECT doc_id, u, v,
+       |    CAST(floor((yv + ${q / 2}) / $q.0) AS BIGINT) AS q FROM dy)""".stripMargin
+  }
 
   /** One SCALED BPE round — same algebra as [[dBpeRound]], with the
     * post-merge vocab MATERIALIZED: at 256 chained rounds the
@@ -3823,10 +3853,14 @@ object SparkEntry {
     // bits), candidates from same-bucket joins, cosine gate at τ
     "dedup_embedding_lsh" ->
       s"""$embNormCte,
+         |enb AS (SELECT COALESCE((SELECT MIN(b) FROM range(4, 25) t(b),
+         |    (SELECT count(*) AS cnt FROM n) c
+         |    WHERE pow(2, CAST(b AS DOUBLE)) >= c.cnt / 48.0), 24) AS nb),
          |planes AS (
          |  SELECT t, s, list_transform(range(0, 64),
          |    i -> CAST(CAST('0x' || substr(md5('t' || t || ':' || s || ':' || i), 1, 12) AS BIGINT) AS DOUBLE) / 281474976710656.0 - 0.5) AS pv
-         |  FROM (SELECT unnest(range(0, 4)) AS t), (SELECT unnest(range(0, 4)) AS s)),
+         |  FROM (SELECT unnest(range(0, 4)) AS t),
+         |       (SELECT unnest(range(0, (SELECT nb FROM enb))) AS s)),
          |bits AS (
          |  SELECT n.id, p.t, p.s,
          |    CASE WHEN ${dDot("n.v", "p.pv")} > 0 THEN 1 << s ELSE 0 END AS bit
@@ -6097,19 +6131,8 @@ object SparkEntry {
     // as literals (one matrix, zero per-engine cos calls), quantize /
     // rescale floor-divs exact because both divisors are powers of two
     "mm_dct_roundtrip" -> {
-      val tvals = (0 until 8).flatMap(u => (0 until 8).map(x =>
-        s"($u, $x, ${graft.multimodal.Multimodal.DctT(u)(x)})")).mkString(", ")
       val q = graft.multimodal.Multimodal.DctQ
-      s"""WITH tmat AS (SELECT * FROM (VALUES $tvals) t(u, x, c)),
-         |dpx AS (SELECT d.doc_id, y.y, x.x,
-         |    CAST(((d.doc_id + x.x * 7 + y.y * 13) % 256 + 256) % 256 AS BIGINT) AS v
-         |  FROM documents d, range(0, 8) y(y), range(0, 8) x(x)),
-         |da AS (SELECT p.doc_id, t.u, p.x, SUM(t.c * p.v) AS a
-         |  FROM dpx p JOIN tmat t ON t.x = p.y GROUP BY 1, 2, 3),
-         |dy AS (SELECT a.doc_id, a.u, t.u AS v, SUM(a.a * t.c) AS yv
-         |  FROM da a JOIN tmat t ON t.x = a.x GROUP BY 1, 2, 3),
-         |dq AS (SELECT doc_id, u, v,
-         |    CAST(floor((yv + ${q / 2}) / $q.0) AS BIGINT) AS q FROM dy),
+      s"""WITH $dDctQuantChain,
          |dyq AS (SELECT doc_id, u, v, q * $q AS yq FROM dq),
          |dia AS (SELECT y.doc_id, t.x AS yy, y.v, SUM(t.c * y.yq) AS a
          |  FROM dyq y JOIN tmat t ON t.u = y.u GROUP BY 1, 2, 3),
@@ -6128,6 +6151,63 @@ object SparkEntry {
          |SELECT s.doc_id, z.n_nonzero, s.sse, s.max_err
          |FROM dst s JOIN dnz z ON z.doc_id = s.doc_id
          |ORDER BY s.doc_id""".stripMargin
+    },
+
+    // the Huffman rung: the shared coefficient replay → zigzag
+    // symbol stream (lag-gap runs, ZRL explosion, EOB when the tail
+    // is zero) → codes from the SAME canonical tables the engine
+    // derives, value bits in the T.81 negative mapping → the padded
+    // bitstring md5
+    "mm_dct_huffman" -> {
+      import graft.multimodal.JpegHuffman
+      val zvals = JpegHuffman.ZigzagOrder.zipWithIndex
+        .map { case (i, p) => s"($p, ${i / 8}, ${i % 8})" }.mkString(", ")
+      val dcvals = JpegHuffman.DcCodes.toSeq.sorted
+        .map { case (s, c) => s"($s, '$c')" }.mkString(", ")
+      val acvals = JpegHuffman.AcCodes.toSeq.sorted
+        .map { case (s, c) => s"($s, '$c')" }.mkString(", ")
+      s"""WITH $dDctQuantChain,
+         |zig AS (SELECT * FROM (VALUES $zvals) z(pos, zu, zv)),
+         |dchuf AS (SELECT * FROM (VALUES $dcvals) h(sym, code)),
+         |achuf AS (SELECT * FROM (VALUES $acvals) h(sym, code)),
+         |dzz AS (SELECT q.doc_id, z.pos, q.q AS v
+         |  FROM dq q JOIN zig z ON z.zu = q.u AND z.zv = q.v),
+         |-- T.81 value coding: size = bits of |v|, negatives map to
+         |-- v + 2^s - 1 before the s-bit emit
+         |vb AS (SELECT doc_id, pos, v,
+         |    CASE WHEN v = 0 THEN 0 ELSE length(bin(abs(v))) END AS s,
+         |    CASE WHEN v = 0 THEN ''
+         |         ELSE lpad(bin(CASE WHEN v > 0 THEN v
+         |                          ELSE v + (1 << length(bin(abs(v)))) - 1 END),
+         |                   CAST(length(bin(abs(v))) AS INT), '0') END AS bits
+         |  FROM dzz),
+         |dcb AS (SELECT b.doc_id, CAST(0 AS BIGINT) AS ord, h.code || b.bits AS bits
+         |  FROM vb b JOIN dchuf h ON h.sym = b.s WHERE b.pos = 0),
+         |acnz AS (SELECT doc_id, pos, s, bits,
+         |    pos - COALESCE(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), 0) - 1 AS gap
+         |  FROM vb WHERE pos > 0 AND v != 0),
+         |zrl AS (SELECT a.doc_id, CAST(a.pos * 100 + z.zi AS BIGINT) AS ord, h.code AS bits
+         |  FROM acnz a, LATERAL (SELECT unnest(range(0, a.gap // 16)) AS zi) z
+         |  JOIN achuf h ON h.sym = 240),
+         |acb AS (SELECT a.doc_id, CAST(a.pos * 100 + 99 AS BIGINT) AS ord,
+         |    h.code || a.bits AS bits
+         |  FROM acnz a JOIN achuf h ON h.sym = (a.gap % 16) * 16 + a.s),
+         |eob AS (SELECT d.doc_id, CAST(100000 AS BIGINT) AS ord, h.code AS bits
+         |  FROM (SELECT doc_id FROM dzz GROUP BY doc_id
+         |        HAVING max(CASE WHEN pos > 0 AND v != 0 THEN pos ELSE 0 END) < 63) d
+         |  JOIN achuf h ON h.sym = 0),
+         |allb AS (SELECT * FROM dcb UNION ALL SELECT * FROM zrl
+         |  UNION ALL SELECT * FROM acb UNION ALL SELECT * FROM eob),
+         |agg AS (SELECT doc_id, count(*) AS n_codes,
+         |    string_agg(bits, '' ORDER BY ord) AS bs FROM allb GROUP BY doc_id),
+         |fin AS (SELECT doc_id, n_codes, length(bs) AS n_bits,
+         |    bs || repeat('1', CAST((8 - length(bs) % 8) % 8 AS BIGINT)) AS padded
+         |  FROM agg)
+         |SELECT doc_id, CAST(n_codes AS BIGINT) AS n_codes,
+         |  CAST(n_bits AS BIGINT) AS n_bits,
+         |  CAST(length(padded) // 8 AS BIGINT) AS n_bytes,
+         |  md5(padded) AS bits_md5
+         |FROM fin ORDER BY doc_id""".stripMargin
     },
 
     // ── the remaining hard TPC-H shapes ─────────────────────────────

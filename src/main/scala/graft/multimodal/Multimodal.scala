@@ -786,7 +786,7 @@ object Multimodal {
 
   /** The JPEG zigzag scan order over an 8×8 block (index = scan
     * position, value = y*8+x). */
-  private val Zigzag: Array[Int] = {
+  private[multimodal] val Zigzag: Array[Int] = {
     val order = for {
       s <- 0 to 14
       i <- 0 to s
@@ -799,7 +799,7 @@ object Multimodal {
 
   /** floor((n + half) / d) on longs — the shared rounding division
     * of the quantizer and the inverse rescale. */
-  private def rdiv(n: Long, d: Long): Long = Math.floorDiv(n + d / 2, d)
+  private[multimodal] def rdiv(n: Long, d: Long): Long = Math.floorDiv(n + d / 2, d)
 
   /** Forward T·X·Tᵀ (exact longs). */
   private[multimodal] def dctForward(px: Array[Array[Long]]): Array[Array[Long]] = {

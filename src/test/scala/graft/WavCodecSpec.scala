@@ -334,4 +334,71 @@ class WavCodecSpec extends SparkSpec {
       .orderBy("doc_id").collect().map(_.toString).toSeq
     assert(one == many && one.nonEmpty)
   }
+
+  test("JPEG Huffman tables derive the PUBLISHED standard codes") {
+    import graft.multimodal.JpegHuffman
+    // spot-pins straight out of ITU-T T.81 Annex K: the canonical
+    // derivation must land the exact codes every baseline JPEG
+    // decoder hardcodes
+    assert(JpegHuffman.DcCodes(0) == "00")
+    assert(JpegHuffman.DcCodes(1) == "010")
+    assert(JpegHuffman.DcCodes(11) == "111111110")
+    assert(JpegHuffman.AcCodes(0x00) == "1010", "EOB must be 1010")
+    assert(JpegHuffman.AcCodes(0x01) == "00")
+    assert(JpegHuffman.AcCodes(0xf0) == "11111111001", "ZRL must be 11111111001")
+    assert(JpegHuffman.AcCodes.size == 162 && JpegHuffman.DcCodes.size == 12)
+    // prefix-freeness: no code is a prefix of another (within a table)
+    for (codes <- Seq(JpegHuffman.DcCodes.values.toSeq, JpegHuffman.AcCodes.values.toSeq);
+         a <- codes; b <- codes if a != b)
+      assert(!b.startsWith(a), s"$a prefixes $b")
+  }
+
+  test("Huffman block coding roundtrips adversarial blocks exactly") {
+    import graft.multimodal.JpegHuffman
+    def rt(zz: Array[Long]): Unit = {
+      val (bits, _, nBits) = JpegHuffman.encodeBlockBits(zz)
+      assert(bits.length % 8 == 0 && bits.length - nBits < 8)
+      assert(bits.drop(nBits).forall(_ == '1'), "padding must be 1-bits")
+      val back = JpegHuffman.decodeBlock(JpegHuffman.packBits(bits))
+      assert(back.toSeq == zz.toSeq, s"roundtrip broke for ${zz.mkString(",")}")
+    }
+    rt(Array.fill(64)(0L))                         // all-zero: DC 0 + EOB
+    rt(Array(513L) ++ Array.fill(63)(0L))          // DC only
+    rt(Array.fill(64)(1L))                         // fully dense, no EOB
+    rt(Array(100L) ++ Array.fill(62)(0L) ++ Array(5L)) // 62-zero run: 3 ZRLs + sym
+    rt(Array(-37L) ++ Array.fill(16)(0L) ++ Array(-1L) ++ Array.fill(46)(0L)) // negatives + one ZRL
+    rt((0 until 64).map(i => if (i % 7 == 0) (i - 30).toLong else 0L).toArray)
+    // a value outside the AC table's size range is refused loudly
+    intercept[IllegalArgumentException](
+      JpegHuffman.encodeBlockBits(Array(0L, 1024L) ++ Array.fill(62)(0L)))
+  }
+
+  test("the graded Huffman stream is partition-invariant and decodes under mutation or not at all") {
+    import graft.multimodal.JpegHuffman
+    val docs = Tables.documents(spark, sf)
+    val one = JpegHuffman.dctHuffman(docs.coalesce(1))
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val many = JpegHuffman.dctHuffman(docs.repartition(7))
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(one == many && one.nonEmpty)
+    // the entropy layer has no CRC (JPEG's doesn't either): a bit
+    // flip must either throw (prefix walks off the table / run past
+    // block) or decode to a DIFFERENT block — never the original
+    val zz = Array(131L, 4L, -2L, 0L, 0L, 3L) ++ Array.fill(58)(0L)
+    val (bits, _, _) = JpegHuffman.encodeBlockBits(zz)
+    val good = JpegHuffman.packBits(bits)
+    var changed = 0
+    // the last byte may hold 1-padding, whose flips legitimately
+    // decode to the original (a JPEG decoder never reads pad bits) —
+    // sweep the data bytes
+    for (i <- 0 until good.length - 1; bit <- 0 to 1) {
+      val mut = good.clone()
+      mut(i) = (mut(i) ^ (1 << bit)).toByte
+      val r = try Some(JpegHuffman.decodeBlock(mut)) catch { case _: Exception => None }
+      r.foreach { dec => if (dec.toSeq != zz.toSeq) changed += 1 }
+      assert(r.isEmpty || r.get.toSeq != zz.toSeq ||
+        mut.toSeq == good.toSeq, s"mutation at byte $i bit $bit decoded to the original")
+    }
+    assert(changed > 0, "the sweep never produced a decodable mutant - weak test")
+  }
 }
