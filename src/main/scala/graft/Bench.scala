@@ -57,6 +57,13 @@ object Bench {
         "pipe_delta_widen", "pipe_delta_rename",
         "pipe_delta_compact", "pipe_delta_v2checkpoint",
         "pipe_delta_cluster3", "pipe_delta_bigsnapshot",
+        // round 14 (measurement fix): these four ZoneCache zones were
+        // never primed, so their first timed run absorbed the
+        // one-time zone build (pipe_delta_replacewhere timed 9.2 s of
+        // which ~7 s was the partitioned silver write) — the same
+        // read-path-vs-build-path bug the prime list exists to fix
+        "pipe_delta_vacuum", "pipe_delta_replacewhere",
+        "pipe_delta_pruned_replay", "pipe_delta_clone",
         // the shared graph-ANN index (ann_graph_topk/recall serve
         // from one persisted build; priming keeps BOTH timings pure
         // serving — ann_graph_build times construction on its own)

@@ -129,20 +129,55 @@ object SparkEntry {
     * oracle-gradable against the batch GROUP BY. Append mode: rows
     * are FINAL on emission (session closes, conversions); the caller
     * owns a watermark regime that flushes everything it grades. */
-  private def runStream(s: SparkSession, agg: DataFrame, mode: String): DataFrame = {
+  /** Scale-adaptive stateful-shuffle sizing for the streaming
+    * runners (round 14). Structured Streaming disables AQE, so every
+    * stateful exchange runs at the session's
+    * `spark.sql.shuffle.partitions` regardless of input size — and
+    * every state partition pays a per-micro-batch state-store commit
+    * (a stream-stream join pays FOUR stores per partition). Mirror
+    * AQE's advisory-size coalescing by hand: one state partition per
+    * 32 MB of source bytes, clamped to [1, session parallelism].
+    * Derived from DATA size, never from the host — a 100 TB source
+    * clamps to the session's full parallelism; a fixture stream
+    * stops paying `partitions × stores` commits per batch to shuffle
+    * kilobytes. Execution-layout only: streaming results are
+    * partition-count invariant (spec-pinned partition-invariance),
+    * and the conf is restored after the stream finishes. */
+  private def withStreamShuffle[T](s: SparkSession, srcDirs: String*)(run: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val before = s.conf.get(key)
+    val bytes = srcDirs.map { dir =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+      } catch { case scala.util.control.NonFatal(_) => 0L }
+    }.sum
+    val target = math.max(1L,
+      math.min(before.toLong, bytes / (32L * 1024 * 1024) + 1))
+    s.conf.set(key, target.toString)
+    try run finally s.conf.set(key, before)
+  }
+
+  private def runStream(s: SparkSession, agg: DataFrame, mode: String,
+                        srcDir: String): DataFrame = {
     val name = s"graft_stream_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode(mode)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamShuffle(s, srcDir) {
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode(mode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(name)
   }
-  private def streamComplete(s: SparkSession, agg: DataFrame): DataFrame =
-    runStream(s, agg, "complete")
+  private def streamComplete(s: SparkSession, agg: DataFrame,
+                             srcDir: String): DataFrame =
+    runStream(s, agg, "complete", srcDir)
 
-  private def streamAppend(s: SparkSession, agg: DataFrame): DataFrame =
-    runStream(s, agg, "append")
+  private def streamAppend(s: SparkSession, agg: DataFrame,
+                           srcDir: String): DataFrame =
+    runStream(s, agg, "append", srcDir)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── scraper (the reference stage UPSTREAM of bronze) ────────────
@@ -1408,16 +1443,20 @@ object SparkEntry {
     // oracle replays — stream/batch parity under real micro-batching
     // (complete mode makes the final answer independent of how the
     // file source chops the corpus into triggers)
-    "stream_tumbling_agg" -> ((s, d) =>
+    "stream_tumbling_agg" -> ((s, d) => {
+      val src = stagedEventsDir(s, d)
       streamComplete(s, graft.streaming.StreamingEvents.tumblingAgg(
-          graft.streaming.StreamingEvents.eventsStream(s, stagedEventsDir(s, d))))
+          graft.streaming.StreamingEvents.eventsStream(s, src)), src)
         .withColumn("window_start", date_format(col("window_start"), TsFmt))
-        .orderBy(col("window_start"), col("event_type"))),
-    "stream_hopping_agg" -> ((s, d) =>
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+    "stream_hopping_agg" -> ((s, d) => {
+      val src = stagedEventsDir(s, d)
       streamComplete(s, graft.streaming.StreamingEvents.hoppingAgg(
-          graft.streaming.StreamingEvents.eventsStream(s, stagedEventsDir(s, d))))
+          graft.streaming.StreamingEvents.eventsStream(s, src)), src)
         .withColumn("window_start", date_format(col("window_start"), TsFmt))
-        .orderBy(col("window_start"), col("event_type"))),
+        .orderBy(col("window_start"), col("event_type"))
+    }),
     // gap sessionization LIVE: session_window under a watermark in
     // APPEND mode — a session emits exactly once, when the watermark
     // passes its close (complete mode is unsupported for session
@@ -1455,7 +1494,7 @@ object SparkEntry {
       }
       streamAppend(s, graft.streaming.StreamingEvents.sessionWindowStream(
           graft.streaming.StreamingEvents.eventsStream(s, src),
-          gapMinutes = 30, watermarkDelay = "0 seconds"))
+          gapMinutes = 30, watermarkDelay = "0 seconds"), src)
         .where(col("user_id") =!= -1L)
         .withColumn("session_start", date_format(col("session_start"), TsFmtUs))
         .withColumn("session_end", date_format(col("session_end"), TsFmtUs))
@@ -1470,11 +1509,12 @@ object SparkEntry {
     // windowed-funnel oracle verbatim
     "stream_funnel" -> ((s, d) => {
       import s.implicits._
+      val src = stagedEventsDir(s, d)
       val typed = graft.streaming.StreamingEvents
-        .eventsStream(s, stagedEventsDir(s, d))
+        .eventsStream(s, src)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
         .as[graft.streaming.StreamingEvents.TypedEv]
-      streamAppend(s, graft.streaming.StreamingEvents.funnelStateful(typed).toDF())
+      streamAppend(s, graft.streaming.StreamingEvents.funnelStateful(typed).toDF(), src)
         .select(col("user_id"),
           (unix_micros(col("purchase_ts")) - unix_micros(col("view_ts"))).as("funnel_us"),
           date_format(col("view_ts"), TsFmtUs).as("view_ts"),
@@ -1490,12 +1530,13 @@ object SparkEntry {
     // batch window-carry oracle verbatim
     "stream_attribution" -> ((s, d) => {
       import s.implicits._
+      val src = stagedEventsDir(s, d)
       val typed = graft.streaming.StreamingEvents
-        .eventsStream(s, stagedEventsDir(s, d))
+        .eventsStream(s, src)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
         .as[graft.streaming.StreamingEvents.TypedEv]
       streamAppend(s,
-          graft.streaming.StreamingEvents.attributionStateful(typed).toDF())
+          graft.streaming.StreamingEvents.attributionStateful(typed).toDF(), src)
         .select(col("user_id"), col("event_id"), col("ts_us"),
           col("attributed_click_id"), col("delay_us"))
         .orderBy(col("event_id"))
@@ -1527,6 +1568,7 @@ object SparkEntry {
         .schema(graft.streaming.StreamingEvents.EventSchema)
         .parquet(watch.toString)
       val name = s"graft_wm_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      withStreamShuffle(s, staged.getPath) {
       val q = graft.streaming.StreamingEvents.tumblingAgg(stream)
         .writeStream.format("memory").queryName(name)
         .outputMode("append").start()
@@ -1547,6 +1589,7 @@ object SparkEntry {
             .foreach(p => java.nio.file.Files.deleteIfExists(p))
         } catch { case scala.util.control.NonFatal(_) => () }
       }
+      }
       s.table(name)
         .where(col("event_type") =!= "flush")
         .withColumn("window_start", date_format(col("window_start"), TsFmt))
@@ -1555,10 +1598,12 @@ object SparkEntry {
     // streaming DEDUP state standing in for the unsupported streaming
     // count(DISTINCT): dropDuplicates(type,user) → complete-mode count
     // must land the batch distinct counts exactly
-    "stream_distinct_users" -> ((s, d) =>
+    "stream_distinct_users" -> ((s, d) => {
+      val src = stagedEventsDir(s, d)
       streamComplete(s, graft.streaming.StreamingEvents.distinctUsers(
-          graft.streaming.StreamingEvents.eventsStream(s, stagedEventsDir(s, d))))
-        .orderBy(col("event_type"))),
+          graft.streaming.StreamingEvents.eventsStream(s, src)), src)
+        .orderBy(col("event_type"))
+    }),
     // the STREAM-STREAM interval join graded live (round 14 — the one
     // Structured Streaming state regime that had only a count-parity
     // spec): purchases join the same user's clicks in the preceding
@@ -1570,9 +1615,10 @@ object SparkEntry {
     // (the state-retention inequality the spec pins with a two-batch
     // split-arrival control); the appended table must therefore equal
     // the batch interval join the oracle replays
-    "stream_join_attrib" -> ((s, d) =>
+    "stream_join_attrib" -> ((s, d) => {
+      val src = stagedEventsDir(s, d)
       streamAppend(s, graft.streaming.StreamingEvents.purchaseAttribution(
-          graft.streaming.StreamingEvents.eventsStream(s, stagedEventsDir(s, d))))
+          graft.streaming.StreamingEvents.eventsStream(s, src)), src)
         .select(col("purchase_id"), col("click_id"),
           col("p_user").as("user_id"),
           date_format(col("purchase_ts"), TsFmtUs).as("purchase_ts"),
@@ -1580,7 +1626,8 @@ object SparkEntry {
           (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
             .as("delay_us"),
           col("value"))
-        .orderBy(col("purchase_id"), col("click_id"))),
+        .orderBy(col("purchase_id"), col("click_id"))
+    }),
     // the reference's medallion INGESTION as a live pipeline, graded
     // end to end: documents stream in (file source), the stateless
     // bronze→silver transforms apply per micro-batch (stateless is
@@ -1599,12 +1646,14 @@ object SparkEntry {
       val stream = s.readStream.schema(s.read.parquet(src).schema).parquet(src)
       val silver = Medallion.silverNormalize(Medallion.bronze(stream))
         .select(col("doc_id"), col("source"), col("content"), col("content_length"))
-      val q = silver.writeStream
-        .foreachBatch(
-          graft.sources.DeltaSource.exactlyOnceBatchSink(tbl, "stream_delta_silver") _)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withStreamShuffle(s, src) {
+        val q = silver.writeStream
+          .foreachBatch(
+            graft.sources.DeltaSource.exactlyOnceBatchSink(tbl, "stream_delta_silver") _)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       graft.sources.DeltaSource.readDelta(s, tbl).orderBy(col("doc_id"))
     }),
     "ev_moving_avg" -> ((s, d) => Analytics.movingAvg(s, d)),
@@ -2028,7 +2077,7 @@ object SparkEntry {
             org.apache.spark.sql.types.StringType))))
         .parquet(src)
       val directed = streamComplete(s,
-        graft.operators.Glove.coocDirectedWithVocab(stream, vb))
+        graft.operators.Glove.coocDirectedWithVocab(stream, vb), src)
       directed.unionByName(directed
           .select(col("ib").as("ia"), col("ia").as("ib"), col("x")))
         .groupBy(col("ia"), col("ib"))

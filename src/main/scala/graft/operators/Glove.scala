@@ -99,11 +99,29 @@ object Glove {
   private[graft] def unitsOf(c: Column, maxGram: Int): Column =
     if (maxGram == 1) tokens(lower(c))
     else {
+      // level-wise construction (round 14, guide §1.2 per-task work):
+      // the former per-position lambda did a slice + array_join + a
+      // sequence allocation for every (position, gram) cell —
+      // higher-order lambdas evaluate interpreted, and that nest was
+      // ~9.5 s of the 11 s co-occurrence pass at sf0.1. Build each
+      // gram level as ONE zip_with over the token array (u_g =
+      // u_{g-1} ⧺ "_" ⧺ tk shifted by g−1; zip_with pads the short
+      // side with null and concat propagates it, which reproduces
+      // the old `when(p + g <= size(tk), …)` out-of-range null),
+      // then interleave position-major via arrays_zip — the exact
+      // (position, length)-ordered, null-filtered unit array as
+      // before, term for term.
       val tk = tokens(lower(c))
+      val n = size(tk)
+      val levels = (2 to maxGram).scanLeft(tk) { (prev, g) =>
+        zip_with(prev, slice(tk, lit(g), n), (xy, z) => concat(xy, lit("_"), z))
+      }
+      val zipped = arrays_zip(levels.zipWithIndex.map {
+        case (l, i) => l.as(s"g$i")
+      }: _*)
       filter(
-        flatten(transform(tk, (_, p) =>
-          transform(sequence(lit(1), lit(maxGram)), g =>
-            when(p + g <= size(tk), array_join(slice(tk, p + 1, g), "_"))))),
+        flatten(transform(zipped, s =>
+          array(levels.indices.map(i => s.getField(s"g$i")): _*))),
         u => u.isNotNull)
     }
 
@@ -151,14 +169,18 @@ object Glove {
   private[graft] def coocWithVocab(docs: DataFrame, vb: DataFrame,
                                    window: Int, contentCol: String,
                                    maxGram: Int): DataFrame = {
-    val prs = pairsOf(docs, window, contentCol, maxGram)
-    val sym = prs.unionByName(
-      prs.select(col("b").as("a"), col("a").as("b"), col("dist")))
-    sym
-      .join(vb.select(col("w").as("a"), col("i").as("ia")), "a")
-      .join(vb.select(col("w").as("b"), col("i").as("ib")), "b")
+    // X = A + Aᵀ over the DIRECTED table (the fold
+    // [[coocDirectedWithVocab]] documents): the corpus-scale
+    // aggregation shuffles the directed pair stream ONCE instead of
+    // the former self-union's doubled stream (guide §2.3 — shuffle
+    // fewer bytes; the symmetrization moves to the model-scale X
+    // table). Decimal sums are exact, so the regrouped fold is
+    // bit-equal to summing both directions in one pass; the cast
+    // pins the former sum-of-terms output type.
+    val a = coocDirectedWithVocab(docs, vb, window, contentCol, maxGram)
+    a.unionByName(a.select(col("ib").as("ia"), col("ia").as("ib"), col("x")))
       .groupBy(col("ia"), col("ib"))
-      .agg(sum((lit(1.0) / col("dist")).cast("decimal(18,6)")).as("x"))
+      .agg(sum(col("x")).cast("decimal(28,6)").as("x"))
   }
 
   /** The DIRECTED co-occurrence counts (no symmetric union) —

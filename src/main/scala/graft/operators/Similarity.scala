@@ -30,9 +30,12 @@ object Similarity {
     * exchange — the window-function form would shuffle every scored
     * row). Ordering: sim DESC, neighbor_id ASC, identical to
     * row_number() over that window. */
-  private[graft] def rankTopK(scored: DataFrame, k: Int): DataFrame =
+  private[graft] def rankTopK(scored: DataFrame, k: Int,
+                              dedup: Boolean = false): DataFrame =
     scored.groupBy(col("query_id"))
-      .agg(graft.plans.TopKAgg.topK(col("sim"), col("neighbor_id"), k).as("top"))
+      .agg((if (dedup)
+              graft.plans.TopKAgg.topKDistinct(col("sim"), col("neighbor_id"), k)
+            else graft.plans.TopKAgg.topK(col("sim"), col("neighbor_id"), k)).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("query_id"), col("t.id").as("neighbor_id"),
         (col("pos") + 1).cast("long").as("rank"), col("t.score").as("sim"))

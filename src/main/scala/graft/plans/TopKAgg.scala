@@ -26,6 +26,7 @@ import scala.collection.mutable.ArrayBuffer
   * ASC — results are interchangeable with the row_number() plan.
   */
 case class TopKAgg(scoreExpr: Expression, idExpr: Expression, k: Int,
+                   dedupIds: Boolean = false,
                    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[ArrayBuffer[(Double, Long)]] {
 
@@ -45,10 +46,23 @@ case class TopKAgg(scoreExpr: Expression, idExpr: Expression, k: Int,
     case (s, id) => (if (s.isNaN) 0 else 1, if (s.isNaN) 0.0 else -s, id)
   }
 
+  /** Cut the buffer back to its top-k rows. With `dedupIds` the
+    * cut keeps the k best DISTINCT ids (per-id best score first —
+    * sorted order puts it first, distinctBy keeps first), which is
+    * exactly `dropDuplicates(id)` + top-k whenever every duplicate
+    * of an id carries the same score (the deterministic-scorer
+    * contract of the beam walk). Discarding below the k-th distinct
+    * id is safe: a reappearing duplicate scores the same and would
+    * be discarded again. */
+  private def cut(buf: ArrayBuffer[(Double, Long)]): ArrayBuffer[(Double, Long)] = {
+    val sorted = buf.sortBy(orderKey)
+    (if (dedupIds) sorted.distinctBy(_._2) else sorted).take(k)
+  }
+
   private def prune(buf: ArrayBuffer[(Double, Long)]): ArrayBuffer[(Double, Long)] =
     if (buf.length <= 2 * k) buf
     else {
-      val kept = buf.sortBy(orderKey).take(k)
+      val kept = cut(buf)
       buf.clear(); buf ++= kept
     }
 
@@ -69,7 +83,7 @@ case class TopKAgg(scoreExpr: Expression, idExpr: Expression, k: Int,
   }
 
   override def eval(buf: ArrayBuffer[(Double, Long)]): Any = {
-    val top = buf.sortBy(orderKey).take(k)
+    val top = cut(buf)
     new GenericArrayData(top.map { case (s, id) =>
       InternalRow(id, s)
     }.toArray[Any])
@@ -104,4 +118,11 @@ object TopKAgg {
   def topK(score: Column, id: Column, k: Int): Column =
     GraftBridge.column(TopKAgg(GraftBridge.expression(score),
       GraftBridge.expression(id), k).toAggregateExpression())
+
+  /** `top_k` over DISTINCT ids — `dropDuplicates(group, id)` + topK
+    * fused into one exchange, exact whenever duplicates of an id
+    * score identically (deterministic scorers). */
+  def topKDistinct(score: Column, id: Column, k: Int): Column =
+    GraftBridge.column(TopKAgg(GraftBridge.expression(score),
+      GraftBridge.expression(id), k, dedupIds = true).toAggregateExpression())
 }

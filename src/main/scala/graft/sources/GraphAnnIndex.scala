@@ -457,7 +457,13 @@ object GraphAnnIndex {
             .join(edges.where(col("pb").isin(pbs: _*)), col("node") === col("src"))
             .select(col("query_id"), col("dst").as("node"), col("dv"), col("dnrm"))
         }
-      val newScored = score(expanded.dropDuplicates("query_id", "node"))
+      // duplicates of a (query, node) pair score IDENTICALLY (the
+      // scorer is deterministic), so the per-round dedup exchanges
+      // are fused into the beam cut: score everything, let the
+      // DISTINCT-id top-k aggregate dedup inside its one exchange —
+      // 1 shuffle per round where the dedup→union→dedup→topK chain
+      // paid 3 (guide §2.4: remove shuffles outright)
+      val newScored = score(expanded)
       // the metadata filter (the vector store's `where=` on the
       // serving path): the walk NAVIGATES through allowed nodes only
       // — applied to the whole candidate union each round, entry
@@ -466,11 +472,10 @@ object GraphAnnIndex {
         .unionByName(newScored)
       val scoredRound = maskDeleted(
           candidateFilter.fold(unioned)(unioned.where), "node", delMask)
-        .dropDuplicates("query_id", "node")
       lastScored = scoredRound
       if (step < steps) {
         val topB = scoredRound.groupBy(col("query_id"))
-          .agg(graft.plans.TopKAgg.topK(col("sim"), col("node"), beam).as("top"))
+          .agg(graft.plans.TopKAgg.topKDistinct(col("sim"), col("node"), beam).as("top"))
           .select(col("query_id"), explode(col("top")).as("t"))
           .select(col("query_id"), col("t.id").as("node"), col("t.score").as("sim"))
         if (driverSide) {
@@ -481,9 +486,13 @@ object GraphAnnIndex {
       }
     }
     edges.unpersist(false)
+    // the final candidate union still carries duplicate (query, node)
+    // rows (identical sims) — the DISTINCT-id rank dedups them inside
+    // the one top-k exchange
     Similarity.rankTopK(
       lastScored.where(col("node") =!= col("query_id"))
-        .select(col("query_id"), col("node").as("neighbor_id"), col("sim")), k)
+        .select(col("query_id"), col("node").as("neighbor_id"), col("sim")), k,
+      dedup = true)
   }
 
   /** Self-query serving: queries are the index's own lowest
@@ -530,27 +539,41 @@ object GraphAnnIndex {
       .select(col("query_id").cast("long"), col("qv"), norm(col("qv")).as("qnrm"))
       .localCheckpoint(true)
     val nq = q.count()
+    // per-query LUT FLATTENED to one array row per query (sub-major,
+    // code-minor: index = sub·nCodes + code): ADC then scores as a
+    // broadcast join + one codegen array fold instead of a
+    // posexplode → LUT join → groupBy-sum re-shuffle of every
+    // candidate each round (guide §2.3/§2.4 — the shuffle per round
+    // carried candidates·pqM rows; now the only per-round exchange
+    // is the beam cut). The decimal fold order is sub 0..pqM-1 —
+    // decimal addition is exact, so the sum equals the groupBy form.
     val lut = Similarity
       .subVectors(q.select(col("query_id").as("id"), col("qv").as("v")),
         meta.pqM, subDim, "sv")
       .join(broadcast(cb), "sub")
       .select(col("id").as("query_id"), col("sub"), col("code"),
         round(dot(col("sv"), col("cv")), 6).as("lv"))
-      .localCheckpoint(true) // q·pqM·nCodes rows — size-routed at every use
+      .groupBy(col("query_id"))
+      .agg(sort_array(collect_list(struct(col("sub"), col("code"), col("lv"))))
+        .as("scl"))
+      .select(col("query_id"), expr("transform(scl, x -> x.lv)").as("lutv"))
+      .localCheckpoint(true) // nq rows, pqM·nCodes doubles each
     val scoreSchema = StructType(Seq(StructField("query_id", LongType),
       StructField("node", LongType), StructField("sim", DoubleType)))
     // nq-proportional sides are SIZE-ROUTED exactly as in [[search]]:
     // broadcast below `maxBroadcastFrontier` rows, sort-merge above
     def sized(df: DataFrame, rows: Long): DataFrame =
       if (rows <= maxBroadcastFrontier) broadcast(df) else df.hint("merge")
-    val lutRows = nq * meta.pqM * meta.nCodes
+    val nCodes = meta.nCodes
     def adc(cand: DataFrame): DataFrame =
-      cand.dropDuplicates("query_id", "node")
+      cand.join(sized(lut, nq), Seq("query_id"))
         .select(col("query_id"), col("node"),
-          posexplode(col("dcodes")).as(Seq("sub", "code")))
-        .join(sized(lut, lutRows), Seq("query_id", "sub", "code"))
-        .groupBy(col("query_id"), col("node"))
-        .agg(sum(col("lv").cast("decimal(18,6)")).cast("double").as("sim"))
+          expr(s"""cast(aggregate(
+            transform(dcodes, (c, s) -> element_at(lutv,
+              cast(s * $nCodes + c + 1 as int))),
+            cast(0 as decimal(28,6)),
+            (acc, v) -> cast(acc + cast(v as decimal(18,6)) as decimal(28,6)),
+            acc -> acc) as double)""").as("sim"))
     // entry payloads: one model-sized fetch + frozen-codebook encode
     // (deterministic — identical to the stored codes)
     val ent = maskDeleted(spark.read.parquet(s"$dir/entries")
@@ -598,15 +621,18 @@ object GraphAnnIndex {
       // whole candidate union filters each round, entry points
       // included from round 1 on, so the ADC-guided beam navigates
       // the allowed subgraph
+      // dedup is fused into the DISTINCT-id beam cut exactly as in
+      // [[search]] — duplicates of a (query, node) pair carry the
+      // same deterministic ADC sim, so one exchange replaces the
+      // dedup→union→dedup→topK chain's three
       val unioned = beamScored.select(col("query_id"), col("node"), col("sim"))
         .unionByName(adc(expanded))
       val scoredRound = maskDeleted(
           candidateFilter.fold(unioned)(unioned.where), "node", delMask)
-        .dropDuplicates("query_id", "node")
       lastScored = scoredRound
       if (step < steps) {
         val topB = scoredRound.groupBy(col("query_id"))
-          .agg(graft.plans.TopKAgg.topK(col("sim"), col("node"), beam).as("top"))
+          .agg(graft.plans.TopKAgg.topKDistinct(col("sim"), col("node"), beam).as("top"))
           .select(col("query_id"), explode(col("top")).as("t"))
           .select(col("query_id"), col("t.id").as("node"), col("t.score").as("sim"))
         if (driverSide) {
@@ -622,7 +648,10 @@ object GraphAnnIndex {
     val nodesTbl = spark.read.parquet(s"$dir/nodes")
       .select(col("id").cast("long"), col("v"), col("nrm"),
         col("nb").cast("long"))
-    val candKeys = lastScored.select(col("query_id"), col("node"))
+    // one dedup at walk end (the per-round dedups are fused into the
+    // beam cut): the rerank join must not multiply duplicate
+    // candidate rows into the fetch
+    val candKeys = lastScored.select(col("query_id"), col("node")).distinct()
     // the static-pruned fetch collects only the DISTINCT candidate
     // ids (never the scored rows — the final candidate union is
     // ~nq·beam·degree rows, NOT bounded by the frontier guard), and
