@@ -63,11 +63,23 @@ object Bpe {
   private def unitsOf(c: Column, maxGram: Int): Column =
     if (maxGram == 1) tokens(lower(c))
     else {
+      // level-wise zip_with construction — see Glove.unitsOf (round
+      // 14): the per-(position, gram) slice + array_join lambda nest
+      // ran interpreted and dominated the unit pass; u_g =
+      // u_{g-1} ⧺ tk shifted by g−1 (zip_with null-pads, concat
+      // null-propagates ≡ the old out-of-range `when`), interleaved
+      // position-major — output identical term for term.
       val tk = tokens(lower(c))
+      val n = size(tk)
+      val levels = (2 to maxGram).scanLeft(tk) { (prev, g) =>
+        zip_with(prev, slice(tk, lit(g), n), (xy, z) => concat(xy, z))
+      }
+      val zipped = arrays_zip(levels.zipWithIndex.map {
+        case (l, i) => l.as(s"g$i")
+      }: _*)
       filter(
-        flatten(transform(tk, (_, p) =>
-          transform(sequence(lit(1), lit(maxGram)), g =>
-            when(p + g <= size(tk), array_join(slice(tk, p + 1, g), ""))))),
+        flatten(transform(zipped, s =>
+          array(levels.indices.map(i => s.getField(s"g$i")): _*))),
         u => u.isNotNull)
     }
 

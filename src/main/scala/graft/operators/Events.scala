@@ -220,11 +220,21 @@ object Events {
     val slice = (floor(unix_timestamp(col("ts")) / slideSec) * slideSec)
       .cast("long").as("slice")
     val su = events.select(slice, col("user_id")).distinct()
+    // dedup (ws, user) BEFORE the sketch aggregation (round 14):
+    // countDistinct mixed with approx_count_distinct makes Spark
+    // two-phase the distinct through a per-(ws, user) partial agg
+    // that carries a 4 KB HLL buffer PER GROUP — ~k·|su| sketches of
+    // overhead. Deduped first, count(1) IS the exact distinct and
+    // the per-ws sketch ingests each user once — identical numbers
+    // (HLL insertion is idempotent on duplicates), one sketch per
+    // window instead of one per (window, user).
     su
       .select(explode(sequence(lit(0L), lit(k - 1L))).as("j"),
         col("slice"), col("user_id"))
-      .groupBy((col("slice") - col("j") * slideSec).as("ws"))
-      .agg(countDistinct(col("user_id")).as("exact_users"),
+      .select((col("slice") - col("j") * slideSec).as("ws"), col("user_id"))
+      .distinct()
+      .groupBy(col("ws"))
+      .agg(count(lit(1)).as("exact_users"),
         approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
       .select(date_format(timestamp_seconds(col("ws")), "yyyy-MM-dd HH:mm:ss")
           .as("window_start"),
@@ -980,10 +990,13 @@ object Events {
       .agg(coalesce(sum(col("b.cnt")), lit(0L)).as("cumb"))
     // exact ground truth per rank, by iterative banded counting
     val uvOnly = uv.select(col("uv"))
-    val ks = qs.map { q =>
-      val k = math.max(1L, math.ceil(q * n).toLong)
-      (q, k, Ranks.selectAtRank(uvOnly, "uv", k))
-    }.toDF("q", "k", "exact_u")
+    // one shared banding pass resolves every rank (round 14): the
+    // per-q selectAtRank calls each re-ran the corpus-scale
+    // boundary + band-count jobs the multi-rank variant shares
+    val ranks = qs.map(q => math.max(1L, math.ceil(q * n).toLong))
+    val exact = Ranks.selectAtRanks(uvOnly, "uv", ranks)
+    val ks = qs.zip(ranks).zip(exact)
+      .map { case ((q, k), e) => (q, k, e) }.toDF("q", "k", "exact_u")
     ks.join(cumB, col("cumb") < col("k") && col("cumb") + col("cnt") >= col("k"))
       .select(round(col("q"), 2).as("q"), col("k"),
         round((lit(lo) + lit(width) * col("bin") +

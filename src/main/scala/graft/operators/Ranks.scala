@@ -109,6 +109,46 @@ object Ranks {
     * ~bands×; once the surviving range holds ≤ `takeLimit` rows the
     * element resolves with a distributed TakeOrdered (per-partition
     * heaps, never a global sort). Rounds are O(log_bands n). */
+  /** Elements at SEVERAL ranks in one banding descent (round 14):
+    * the first boundaries + band-count pass — the corpus-scale one —
+    * is computed ONCE and shared by every rank; each rank then
+    * resolves inside its own band (already 1/bands of the input)
+    * exactly as [[selectAtRank]] would in its second round. Values
+    * are identical to per-rank calls: the banding only routes the
+    * descent, never the answer. */
+  def selectAtRanks(df: DataFrame, v: String, ks: Seq[Long], bands: Int = 64,
+                    takeLimit: Long = 65536): Seq[Long] = {
+    ks.foreach(k => require(k >= 1, s"rank must be >= 1, got $k"))
+    if (ks.isEmpty) return Nil
+    val cur = df.select(col(v).cast("long").as("v"))
+    val bs = percentileBoundaries(cur, col("v"), bands)
+    if (bs.size <= 1) return ks.map(k => selectAtRank(cur, "v", k, bands, takeLimit))
+    val counts = cur.groupBy(valueBands(col("v"), bs).as("b"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    ks.map { k =>
+      var prefix = 0L
+      var tb = -1L
+      var tc = 0L
+      counts.foreach { case (b, c) =>
+        if (tb < 0) {
+          if (k <= prefix + c) { tb = b; tc = c } else prefix += c
+        }
+      }
+      require(tb >= 0, s"rank $k beyond input size")
+      val kk = k - prefix
+      val lo = if (tb > 0) Some(bs(tb.toInt - 1)) else None
+      val hi = if (tb < bs.length) Some(bs(tb.toInt)) else None
+      val inBand = cur.where(
+        lo.map(col("v").cast("double") >= _).getOrElse(lit(true)) &&
+          hi.map(col("v").cast("double") < _).getOrElse(lit(true)))
+      if (tc <= takeLimit)
+        inBand.orderBy(col("v")).limit(kk.toInt)
+          .agg(max(col("v"))).head().getLong(0)
+      else selectAtRank(inBand, "v", kk, bands, takeLimit)
+    }
+  }
+
   def selectAtRank(df: DataFrame, v: String, k: Long, bands: Int = 64,
                    takeLimit: Long = 65536): Long = {
     require(k >= 1, s"rank must be >= 1, got $k")

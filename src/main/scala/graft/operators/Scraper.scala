@@ -222,7 +222,10 @@ object Scraper {
     var frontier = seen
     var frontierRows = 1L
     var seenRows = 1L
-    (1 to maxDepth).foreach { d =>
+    var d = 1
+    while (d <= maxDepth && frontierRows > 0) {
+      // exhausted-frontier rounds are no-ops — stop instead of
+      // running empty joins to maxDepth (round 14; result unchanged)
       def sized(df: DataFrame, n: Long): DataFrame =
         if (n <= maxBroadcastFrontier) broadcast(df) else df
       val next = sized(frontier.select(col("url")), frontierRows)
@@ -234,8 +237,13 @@ object Scraper {
         .localCheckpoint(true)
       frontierRows = next.count() // cheap: counts the checkpointed blocks
       seenRows += frontierRows
-      seen = seen.unionByName(next).localCheckpoint(true)
+      // union of already-checkpointed rounds: the lineage stays at
+      // most maxDepth checkpointed legs — re-checkpointing the whole
+      // union each round recopied every block (round 14: up to 6
+      // materializations of the full seen set removed)
+      seen = seen.unionByName(next)
       frontier = next
+      d += 1
     }
     links.unpersist(false)
     seen.orderBy(col("depth"), col("url"))

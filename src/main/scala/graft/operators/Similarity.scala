@@ -1354,9 +1354,12 @@ object Similarity {
       .select(col("id").as("src"), col("dst"),
         round(cosinePrenormed(dot(col("v"), col("dv")), col("nrm"), col("dnrm")), 6)
           .as("sim"))
-      .dropDuplicates("src", "dst")
+    // a pair colliding in several hash tables scores IDENTICALLY each
+    // time, so the cross-table dedup fuses into the DISTINCT-id top-m
+    // cut — one exchange instead of dedup + topK (round 14, the same
+    // fusion as the persisted beam walk)
     scored.groupBy(col("src"))
-      .agg(graft.plans.TopKAgg.topK(col("sim"), col("dst"), m).as("top"))
+      .agg(graft.plans.TopKAgg.topKDistinct(col("sim"), col("dst"), m).as("top"))
       .select(col("src"), explode(col("top")).as("t"))
       .select(col("src"), col("t.id").as("dst"))
   }

@@ -134,15 +134,18 @@ object GraphAnnIndex {
     * maintenance reproduces its build-time codes exactly. */
   private def pqCodesArr(nodes: DataFrame, cb: DataFrame, pqM: Int,
                          subDim: Int): DataFrame =
+    // one exchange (round 14): the per-(id, sub) argmin and the
+    // per-id code collection fold into a single groupBy(id) with one
+    // conditional min per sub — min(struct(l2, code)) per sub slot is
+    // exactly the former two-level agg, and the array is born
+    // sub-ordered (no sort_array/collect_list)
     Similarity.subVectors(nodes.select(col("id"), col("v")), pqM, subDim, "sv")
       .join(broadcast(cb), "sub")
       .select(col("id"), col("sub"), col("code"), Similarity.pqL2.as("l2"))
-      .groupBy(col("id"), col("sub"))
-      .agg(min(struct(col("l2"), col("code"))).as("best"))
-      .select(col("id"), col("sub"), col("best.code").as("code"))
       .groupBy(col("id"))
-      .agg(sort_array(collect_list(struct(col("sub"), col("code")))).as("sc"))
-      .select(col("id"), expr("transform(sc, x -> x.code)").as("codes"))
+      .agg(array((0 until pqM).map(i =>
+        min(when(col("sub") === i, struct(col("l2"), col("code")))).getField("code")): _*)
+        .as("codes"))
 
   /** Adjacency lists → directed edges with dst vectors AND dst PQ
     * codes inline. Each list edge u→v materializes BOTH directions
@@ -210,7 +213,12 @@ object GraphAnnIndex {
     val cb = pqCodebook(nodes, pqM, subDim, nCodes)
     cb.coalesce(1).write.mode("overwrite").parquet(s"$dir/codebook")
     val nodesC = nodes.join(pqCodesArr(nodes, cb, pqM, subDim), Seq("id"))
-    val lists = Similarity.localLists(bk, bk, m)
+    // materialize the adjacency lists once (round 14): listEdges
+    // consumes `lists` in BOTH union branches (fwd + rev), so the
+    // bucket-bounded pair-scoring join — the build's dominant
+    // compute — would otherwise run twice inside the edges write.
+    // O(n·m) id pairs: bounded, tiny next to the edge payloads.
+    val lists = Similarity.localLists(bk, bk, m).localCheckpoint(true)
     val edges = listEdges(lists, nodesC, gen = 0)
       .unionByName(treeEdges(nodes.select(col("id")), nodesC, gen = 0))
       .withColumn("pb", pmod(col("src"), lit(pBuckets.toLong)))
@@ -914,7 +922,11 @@ object GraphAnnIndex {
       .select(col("id")).distinct()
       .localCheckpoint(true) // O(new·occupancy) ids
     val srcSide = grown.join(broadcast(affNodes), Seq("id"), "leftsemi")
-    val lists = Similarity.localLists(srcSide, grown, meta.m)
+    // materialized once (round 14): consumed by endpointIds AND both
+    // listEdges branches — the affected×occupancy re-scoring is the
+    // increment's dominant compute and ran three times through the
+    // lineage. O(affected·m) id pairs.
+    val lists = Similarity.localLists(srcSide, grown, meta.m).localCheckpoint(true)
     val nodesGrown = grown.where(col("tbl") === 0)
       .select(col("id"), col("v"), col("nrm"))
     val newIds = newAssign.where(col("tbl") === 0).select(col("id"))
