@@ -140,20 +140,31 @@ object Dedup {
   def repeatedNgramStats(docs: DataFrame, contentCol: String = "text",
                          idCol: String = "doc_id", n: Int = 8,
                          minDf: Int = 2): DataFrame = {
-    val ex = hashedShingleSets(docs, contentCol, idCol, n)
-      .select(col("id"), explode(col("shh")).as("sg"))
-    // sets are per-doc distinct, so count(*) per shingle == doc freq
-    val df = ex.groupBy(col("sg")).agg(count(lit(1)).as("df"))
-    val perDoc = ex.join(df, "sg")
+    val sets = hashedShingleSets(docs, contentCol, idCol, n)
+    val ex = sets.select(col("id"), explode(col("shh")).as("sg"))
+    // sets are per-doc distinct, so count(*) per shingle == doc freq.
+    // round 15 (guide §2.4/§3.2): n_shingles is size(shh) map-side —
+    // no aggregation needed — and only shingles that ARE repeated
+    // (df ≥ minDf, a small fraction of the corpus vocabulary) join
+    // back; AQE broadcasts the repeated set when it fits, so the
+    // corpus-scale exploded table is never shuffled by shingle hash
+    val repeated = ex.groupBy(col("sg")).agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf).select(col("sg"))
+    val perDoc = ex.join(repeated, "sg")
       .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_repeated"))
+      .agg(count(lit(1)).as("n_repeated"))
     docs.select(col(idCol).as("id"))
+      .join(sets.select(col("id"), size(col("shh")).cast("long").as("n_shingles")),
+        Seq("id"), "left")
       .join(perDoc, Seq("id"), "left")
       .select(col("id").as("doc_id"),
         coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
         coalesce(col("n_repeated"), lit(0L)).as("n_repeated"),
-        (col("n_repeated").cast("double") / col("n_shingles")).as("rep_frac"))
+        // coalesced numerator: a doc with shingles but zero repeats
+        // must score 0.0 (its perDoc row is absent now), while a doc
+        // with no shingles keeps the old NULL (0 / NULL)
+        (coalesce(col("n_repeated"), lit(0L)).cast("double") /
+          col("n_shingles")).as("rep_frac"))
       .orderBy(col("doc_id"))
   }
 
@@ -396,10 +407,10 @@ object Dedup {
   def pairPageRankConverged(pairs: DataFrame, damping: Double = 0.85,
                             epsMicro: Long = 100L,
                             maxIters: Int = 48): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val edges0 = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val deg = edges0.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .localCheckpoint(true)
     val nNodes = deg.count()
     val spark = pairs.sparkSession
@@ -414,35 +425,47 @@ object Dedup {
     // double-multiply round and the JVM's string-exact round disagree
     // (measured: 1 flip without it at sf0.01)
     def rnd6(c: org.apache.spark.sql.Column) = graft.operators.Glove.rnd(c, 6)
-    var pr = deg.select(col("src").as("doc_id"), col("outdeg"),
-      rnd6(lit(1.0) / nNodes).as("pr")).localCheckpoint(true)
-    var iters = 0
-    var shift = Long.MaxValue
-    while (iters < maxIters && shift > epsMicro) {
-      val contrib = edges
-        .join(pr.select(col("doc_id").as("src"), col("outdeg"), col("pr")), "src")
-        .select(col("dst"), rnd6(col("pr") / col("outdeg")).as("term"))
-        .groupBy(col("dst")).agg(
-          sum(col("term").cast("decimal(18,6)")).cast("double").as("mass"))
-      val next = pr.select(col("doc_id"), col("outdeg"), col("pr").as("prev"))
-        .join(contrib, col("doc_id") === col("dst"), "left")
-        .select(col("doc_id"), col("outdeg"), col("prev"),
-          rnd6(lit(1.0 - damping) / nNodes +
-            lit(damping) * coalesce(col("mass"), lit(0.0))).as("pr"))
-        .localCheckpoint(true)
-      // exact-integer L∞ shift: both values are 6dp-rounded, so the
-      // micro-scaled difference is an exact long
-      shift = next.select(max(abs(
-          (round(col("pr") * 1e6)).cast("long") -
-          (round(col("prev") * 1e6)).cast("long"))).as("s"))
-        .head().getLong(0)
-      pr = next.select(col("doc_id"), col("outdeg"), col("pr")).localCheckpoint(true)
-      iters += 1
+    // round 15 (guide §2.2): every round's shuffles — and the
+    // checkpointed per-round state they feed — run at a partition
+    // count sized from the ITERATED table, not the session default;
+    // the edge list is re-laid-out once so each round's map side
+    // pays the same bounded fan-out. PageRank's decimal mass sums
+    // make the result partition-count invariant.
+    LoopShuffle.sized(spark, nNodes) { nParts =>
+      val edges = edges0.coalesce(nParts).localCheckpoint(true)
+      var pr = deg.coalesce(nParts)
+        .select(col("src").as("doc_id"), col("outdeg"),
+          rnd6(lit(1.0) / nNodes).as("pr")).localCheckpoint(true)
+      var iters = 0
+      var shift = Long.MaxValue
+      while (iters < maxIters && shift > epsMicro) {
+        val contrib = edges
+          .join(pr.select(col("doc_id").as("src"), col("outdeg"), col("pr")), "src")
+          .select(col("dst"), rnd6(col("pr") / col("outdeg")).as("term"))
+          .groupBy(col("dst")).agg(
+            sum(col("term").cast("decimal(18,6)")).cast("double").as("mass"))
+        val next = pr.select(col("doc_id"), col("outdeg"), col("pr").as("prev"))
+          .join(contrib, col("doc_id") === col("dst"), "left")
+          .select(col("doc_id"), col("outdeg"), col("prev"),
+            rnd6(lit(1.0 - damping) / nNodes +
+              lit(damping) * coalesce(col("mass"), lit(0.0))).as("pr"))
+          .localCheckpoint(true)
+        // exact-integer L∞ shift: both values are 6dp-rounded, so the
+        // micro-scaled difference is an exact long
+        shift = next.select(max(abs(
+            (round(col("pr") * 1e6)).cast("long") -
+            (round(col("prev") * 1e6)).cast("long"))).as("s"))
+          .head().getLong(0)
+        // next is already materialized; the narrow projection needs
+        // no second checkpoint (round 15: one fewer job per round)
+        pr = next.select(col("doc_id"), col("outdeg"), col("pr"))
+        iters += 1
+      }
+      pr.select(col("doc_id"), col("outdeg"), col("pr"),
+          lit(iters.toLong).as("n_iters"),
+          lit(if (shift <= epsMicro) 1L else 0L).as("converged"))
+        .orderBy(col("doc_id"))
     }
-    pr.select(col("doc_id"), col("outdeg"), col("pr"),
-        lit(iters.toLong).as("n_iters"),
-        lit(if (shift <= epsMicro) 1L else 0L).as("converged"))
-      .orderBy(col("doc_id"))
   }
 
   def pairPageRank(pairs: DataFrame, damping: Double = 0.85): DataFrame = {
@@ -550,10 +573,8 @@ object Dedup {
   private def winnowingPacked(docs: DataFrame, contentCol: String = "text",
                               n: Int = 5, w: Int = 4,
                               idCol: String = "doc_id"): DataFrame = {
-    val grams = docs
-      .select(col(idCol).as("doc_id"),
-        posexplode(shingles(tokens(col(contentCol)), n)).as(Seq("pos", "g")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+    val grams = Shingling.explodedGrams(docs, contentCol, idCol, n)
+      .select(col("doc_id"), col("pos"),
         (md5Int(col("g")) * lit(1048576L) + col("pos")).as("kh"))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(-(w - 1), 0)
@@ -605,10 +626,8 @@ object Dedup {
   def winnowingFingerprints(docs: DataFrame, contentCol: String = "text",
                             n: Int = 5, w: Int = 4,
                             idCol: String = "doc_id"): DataFrame = {
-    val grams = docs
-      .select(col(idCol).as("doc_id"),
-        posexplode(shingles(tokens(col(contentCol)), n)).as(Seq("pos", "g")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+    val grams = Shingling.explodedGrams(docs, contentCol, idCol, n)
+      .select(col("doc_id"), col("pos"),
         (md5Int(col("g")) * lit(1048576L) + col("pos")).as("kh"))
     val fps = winnowingPacked(docs, contentCol, n, w, idCol)
     val perDoc = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
@@ -636,26 +655,32 @@ object Dedup {
     * the cross-doc memorization signal. */
   def substringRuns(docs: DataFrame, contentCol: String = "text",
                     n: Int = 16, idCol: String = "doc_id"): DataFrame = {
-    val grams = docs
-      .select(col(idCol).as("doc_id"),
-        posexplode(shingles(tokens(col(contentCol)), n)).as(Seq("pos", "g")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), md5Long(col("g")).as("gh"))
-    val docsPerGram = grams.select(col("doc_id"), col("gh")).distinct()
+    val grams = Shingling.explodedGrams(docs, contentCol, idCol, n)
+      .select(col("doc_id"), col("pos"), md5Long(col("g")).as("gh"))
+    // round 15 (guide §2.4/§3.2): only grams shared by ≥2 docs matter
+    // downstream — n_grams is size(gs) map-side, and the flags join
+    // shrinks to the (small) duplicated-gram set, which AQE
+    // broadcasts; the corpus-scale gram table is never re-shuffled
+    // by hash for the flag join. The runs window and the dup counts
+    // then run over duplicated positions only, sharing one exchange
+    // (the aggregate keys extend the window's partition key).
+    val dupGrams = grams.select(col("doc_id"), col("gh")).distinct()
       .groupBy(col("gh")).agg(count(lit(1)).as("ndocs"))
-    val flagged = grams.join(docsPerGram, "gh")
-      .select(col("doc_id"), col("pos"), (col("ndocs") >= 2).as("dup"))
+      .where(col("ndocs") >= 2).select(col("gh"))
+    val dupPos = grams.join(dupGrams, "gh").select(col("doc_id"), col("pos"))
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val runs = flagged.where(col("dup"))
+    val runs = dupPos
       .withColumn("grp", col("pos") - row_number().over(wDoc))
       .groupBy(col("doc_id"), col("grp"))
       .agg(count(lit(1)).as("run"))
       .groupBy(col("doc_id"))
-      .agg(max(col("run")).as("max_run"))
-    val perDoc = flagged.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_grams"))
-    docs.select(col(idCol).as("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .agg(max(col("run")).as("max_run"), sum(col("run")).as("n_dup_grams"))
+    docs
+      .select(col(idCol).as("doc_id"), tokens(col(contentCol)).as("tk"))
+      .select(col("doc_id"),
+        when(size(col("tk")) >= n, (size(col("tk")) - (n - 1)).cast("long"))
+          .otherwise(lit(0L)).as("n_grams"))
       .join(runs, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),

@@ -326,16 +326,26 @@ object Quality {
     * doc score is partition-independent, and the final divide is a
     * raw double quotient (identical on every engine). */
   def unigramCrossEntropy(docs: DataFrame, contentCol: String = "text"): DataFrame = {
+    // round 15 (guide §2.3, aggregate before you shuffle): the token
+    // explode pre-aggregates to (doc_id, tok, tf) — the first shuffle
+    // carries distinct (doc, token) pairs, not every instance, the
+    // count table derives by summing tf, and the rate join runs over
+    // the pre-agg'd rows. Both consumers share the ONE pre-agg
+    // exchange (ReusedExchange), so the corpus is tokenized once.
+    // Repeated instances of a token in a doc carry an identical
+    // 6dp-rounded nll, so tf × nll in exact DECIMAL equals adding the
+    // term tf times — bit-identical scores.
     val tk = docs.select(col("doc_id"), explode(tokens(col(contentCol))).as("tok"))
-    val cnt = tk.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val cnt = tk.groupBy(col("tok")).agg(sum(col("tf")).as("cnt"))
     val total = cnt.agg(sum(col("cnt")).as("total"))
     val perDoc = tk.join(cnt, "tok")
       .crossJoin(broadcast(total))
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("tf"),
         round(-log(col("cnt").cast("double") / col("total")), 6).as("nll"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(col("nll").cast("decimal(18,6)")).cast("double").as("nll_sum"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("nll").cast("decimal(18,6)")).cast("double").as("nll_sum"))
     docs.select(col("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -1012,16 +1022,22 @@ object Quality {
     * The novelty curve of a growing corpus is the curation signal
     * for "are new sources still adding new content?". */
   def ngramNovelty(docs: DataFrame, contentCol: String = "text", n: Int = 8): DataFrame = {
-    val grams = docs
-      .select(col("doc_id"),
-        explode(shingles(tokens(col(contentCol)), n)).as("g"))
+    val grams = graft.operators.Shingling
+      .explodedGrams(docs, contentCol, "doc_id", n)
       .select(col("doc_id"), md5Long(col("g")).as("gh"))
       .distinct()
-    val firsts = grams.groupBy(col("gh")).agg(min(col("doc_id")).as("first_doc"))
-    val perDoc = grams.join(firsts, "gh")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L)).as("n_seen"))
+    // round 15 (guide §2.4): for a gram of doc d, first_doc ≤ d, so
+    // "seen before" ⟺ "not owned first": n_seen = n_grams − n_first,
+    // with n_first read off the firsts table itself — the corpus-
+    // scale join back on the gram hash disappears outright
+    val counts = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val firstCounts = grams
+      .groupBy(col("gh")).agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(col("first_doc")).agg(count(lit(1)).as("n_first"))
+    val perDoc = counts
+      .join(firstCounts, col("doc_id") === col("first_doc"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        (col("n_grams") - coalesce(col("n_first"), lit(0L))).as("n_seen"))
       .withColumn("novel_ppm", expr("(n_grams - n_seen) * 1000000 div n_grams"))
     docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -246,15 +246,23 @@ object Ranking {
               topK: Int = 10, contentCol: String = "text",
               idCol: String = "doc_id"): DataFrame = {
     val spark = docs.sparkSession
-    // tokenize ONCE: the pinned token zone feeds every later stage
-    // (feedback retrieval, term mining, corpus df, the weighted
-    // second pass) — PRF is inherently multi-pass, so one
-    // materialization replaces four full-corpus tokenization passes
     val t = docs.select(col(idCol).as("doc_id"), tokens(col(contentCol)).as("tk"))
-      .localCheckpoint()
     val stats = t.agg(count(lit(1)).as("n_docs"), avg(size(col("tk"))).as("avg_len"))
-    val toks = t.select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
-      explode(col("tk")).as("w"))
+    // round 15: the corpus-scale explode is pre-aggregated ONCE to a
+    // (doc_id, dl, w, tf) table and materialized — PRF is inherently
+    // multi-pass (feedback retrieval, term mining, corpus df, the
+    // weighted second pass), and each pass previously re-exploded and
+    // re-shuffled every token instance (the r14 before-plan:
+    // 38 Exchange nodes, zero reuse). Aggregate before you shuffle
+    // (guide §2.3/§2.4): every stage below now reads O(distinct
+    // (doc, term)) rows from this one checkpoint, and the only
+    // corpus-scale exchange in the query is the pre-agg's own.
+    val toks = t
+      .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+        explode(col("tk")).as("w"))
+      .groupBy(col("doc_id"), col("dl"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     // distinct: bm25TopK's isin() filter dedupes repeated query
     // terms implicitly; the join against this table must too, or a
     // duplicated term would double its tf
@@ -267,12 +275,13 @@ object Ranking {
       .limit(fbDocs)
       .select(col("doc_id"))
     // expansion candidates: feedback-set term mass, corpus idf;
-    // minLen is the inclusive minimum expansion-term length
+    // minLen is the inclusive minimum expansion-term length.
+    // fb_tf sums the pre-agg'd per-doc counts (== counting instances);
+    // the df pass needs no distinct — (doc_id, w) is unique in `toks`
     val fbTf = toks.join(broadcast(fb), "doc_id")
       .where(length(col("w")) >= minLen && !col("w").isin(terms: _*))
-      .groupBy(col("w")).agg(count(lit(1)).as("fb_tf"))
+      .groupBy(col("w")).agg(sum(col("tf")).as("fb_tf"))
     val dfAll = toks.join(broadcast(fbTf.select(col("w"))), "w")
-      .select(col("doc_id"), col("w")).distinct()
       .groupBy(col("w")).agg(count(lit(1)).as("df"))
     val expansion = fbTf.join(broadcast(dfAll), "w")
       .crossJoin(broadcast(stats.select(col("n_docs"))))
@@ -293,18 +302,18 @@ object Ranking {
       .orderBy(col("rank"))
   }
 
-  /** BM25 doc scores over a precomputed (doc_id, dl, w) token table
-    * and a broadcast (w, weight) term table — `bm25TopK`'s formula
-    * with per-term weights: each 6dp-rounded term score multiplies
-    * its DECIMAL(2,1) weight (exact at scale 7 — never a second
-    * double rounding, whose half-ulp ties engines break differently)
-    * and DECIMAL-sums per doc: order-independent and
-    * oracle-replayable. */
+  /** BM25 doc scores over a pre-aggregated (doc_id, dl, w, tf) token
+    * table and a broadcast (w, weight) term table — `bm25TopK`'s
+    * formula with per-term weights: each 6dp-rounded term score
+    * multiplies its DECIMAL(2,1) weight (exact at scale 7 — never a
+    * second double rounding, whose half-ulp ties engines break
+    * differently) and DECIMAL-sums per doc: order-independent and
+    * oracle-replayable. The tf counts arrive precomputed, so the
+    * only work here is a broadcast semi-filter plus model-scale
+    * aggregates — no corpus-scale exchange (round 15). */
   private def weightedBm25(toks: DataFrame, stats: DataFrame,
                            termTable: DataFrame, scoreName: String): DataFrame = {
     val tf = toks.join(broadcast(termTable), "w")
-      .groupBy(col("doc_id"), col("w"), col("dl"), col("weight"))
-      .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val idf = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
     val termScore = round(

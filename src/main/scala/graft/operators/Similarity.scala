@@ -853,34 +853,52 @@ object Similarity {
     def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       round(dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b), 6)
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val seedId = e.agg(min(col("id"))).head().getLong(0)
+    val seedRow = e.agg(min(col("id")), count(lit(1))).head()
+    val (seedId, nRows) = (seedRow.getLong(0), seedRow.getLong(1))
+    // loop-state partition count sized from the corpus (guide §2.2):
+    // the k-1 rounds each re-checkpoint the state, so its fan-out is
+    // paid every round — bound it by data size, not the session conf
+    val stateParts = graft.operators.LoopShuffle.partitionsFor(emb.sparkSession, nRows)
     val seed = e.where(col("id") === seedId)
-    var picked = seed.select(col("id"), lit(1L).as("rank"),
-      lit(null).cast("double").as("radius_sq")).localCheckpoint(true)
+    // round 15: the per-round argmax is ONE row — carry its vector in
+    // the max struct and keep the picked list on the driver, so each
+    // round is exactly two jobs (argmax agg + state re-checkpoint)
+    // instead of agg + two broadcast builds + two checkpoints. The
+    // newest center enters the distance update as an array LITERAL;
+    // the d2 expression is unchanged, so every rounded distance is
+    // bit-identical to the broadcast-join form.
+    val picked = scala.collection.mutable.ArrayBuffer[(Long, Long, Option[Double])](
+      (seedId, 1L, None))
     // state: every unpicked point with its scaled distance to the
     // nearest selected center so far
     var state = e.where(col("id") =!= seedId)
       .crossJoin(broadcast(seed.select(col("v").as("cv"))))
       .select(col("id"), col("v"),
         round(d2(col("v"), col("cv")) * 1e6).cast("long").as("mind6"))
+      .coalesce(stateParts)
       .localCheckpoint(true)
     (2 to k).foreach { rank =>
       val far = state
-        .agg(max(struct(col("mind6"), (-col("id")).as("negid"), col("id"))).as("m"))
-        .select(col("m.id").as("pid"), col("m.mind6").as("pm"))
-      picked = picked.unionByName(
-        far.select(col("pid").as("id"), lit(rank.toLong).as("rank"),
-          (col("pm").cast("double") / 1e6).as("radius_sq"))).localCheckpoint(true)
-      val newC = state.join(broadcast(far), col("id") === col("pid"))
-        .select(col("v").as("cv"))
-      state = state.join(broadcast(far), col("id") === col("pid"), "left_anti")
-        .crossJoin(broadcast(newC))
-        .select(col("id"), col("v"),
-          least(col("mind6"),
-            round(d2(col("v"), col("cv")) * 1e6).cast("long")).as("mind6"))
-        .localCheckpoint(true)
+        .agg(max(struct(col("mind6"), (-col("id")).as("negid"), col("id"), col("v"))).as("m"))
+        .select(col("m.id").as("pid"), col("m.mind6").as("pm"), col("m.v").as("pv"))
+        .head()
+      val (pid, pm) = (far.getLong(0), far.getLong(1))
+      // embeddings are array<float>: keep the literal at the exact
+      // column type so d2's arithmetic is unchanged
+      val pv = far.getSeq[Float](2).toArray
+      picked += ((pid, rank.toLong, Some(pm.toDouble / 1e6)))
+      if (rank < k) {
+        val cv = typedLit(pv)
+        state = state.where(col("id") =!= pid)
+          .select(col("id"), col("v"),
+            least(col("mind6"),
+              round(d2(col("v"), cv) * 1e6).cast("long")).as("mind6"))
+          .localCheckpoint(true)
+      }
     }
-    picked.select(col("id").as("vec_id"), col("rank"), col("radius_sq"))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    picked.toSeq.toDF("vec_id", "rank", "radius_sq")
       .orderBy(col("rank"))
   }
 
