@@ -25,34 +25,15 @@ object DevProbe {
       df.write.mode("overwrite").format("noop").save()
     spark.range(1000000).selectExpr("sum(id)").collect()
 
-    import graft.functions.TextFunctions._
-    import graft.functions.HashFunctions.md5Long
     val docs = Tables.documents(spark, sfDir)
-    val ex1 = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-    time("explode-tokens-warm")(noop(ex1))
-    time("explode-tokens")(noop(ex1))
-    val toksDf = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
-    val ex2 = toksDf.select(col("doc_id"), explode(col("tk")).as("tok"))
-    time("explode-tokens-attr")(noop(ex2))
-    // does keeping tk as an output defeat the inline?
-    val ex3 = toksDf.select(col("doc_id"), col("tk"), explode(col("tk")).as("tok")).drop("tk")
-    time("explode-tokens-keep")(noop(ex3))
-    // raw split (no filter HOF) inline:
-    val ex4 = docs.select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
-    time("explode-split-inline")(noop(ex4))
-    // bigram shape inline vs staged
-    val big1 = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
-      .where(size(col("tk")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(tk) - 1), i -> struct(element_at(tk, i) AS prev, element_at(tk, i + 1) AS w))")).as("p"))
-      .select(col("doc_id"), col("p.prev").as("prev"), col("p.w").as("w"))
-    time("bigram-inline")(noop(big1))
-    val big2 = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
-      .where(size(col("tk")) >= 2)
-      .select(col("doc_id"), col("tk"), posexplode(sequence(lit(1), size(col("tk")) - 1)).as(Seq("p0", "i")))
-      .select(col("doc_id"), element_at(col("tk"), col("i")).as("prev"), element_at(col("tk"), col("i") + 1).as("w"))
-    time("bigram-staged")(noop(big2))
-    time("bigram-staged2")(noop(big2))
+    val emb = Tables.embeddings(spark, sfDir)
+    time("bm25-warm")(noop(graft.operators.Ranking.bm25TopK(docs)))
+    time("bm25")(noop(graft.operators.Ranking.bm25TopK(docs)))
+    time("brute-warm")(noop(graft.operators.Similarity.bruteTopK(emb, 3, 20)))
+    time("brute")(noop(graft.operators.Similarity.bruteTopK(emb, 3, 20)))
+    time("hybrid")(noop(graft.operators.Ranking.hybridTopK(docs, emb)))
+    time("ndcg")(noop(graft.operators.Ranking.ndcgAtK(docs, emb)))
+    time("rag-retrieve-like")(noop(graft.operators.Similarity.bruteTopK(emb, 5, 20)))
 
     spark.stop()
   }

@@ -641,7 +641,9 @@ object SparkEntry {
       val p = new org.apache.hadoop.fs.Path(tmp)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true)
-      val zone = silverZone(s, d)
+      // round 15: the zone feeds the initial write AND both update
+      // legs — one silver pass instead of three
+      val zone = silverZone(s, d).localCheckpoint(true)
       graft.sources.DeltaSource.writeDelta(zone.repartition(4, col("doc_id")), tmp)
       // updates: every 7th doc uppercased in place; every 13th doc
       // cloned under a NEGATIVE id (collision-free at any corpus size)

@@ -213,6 +213,11 @@ object Bpe {
     override def removeEldestEntry(e: java.util.Map.Entry[String, TrainedMerges]): Boolean =
       size > memoCap
   }
+
+  /** Drop every memoized training (round 15): the bench's
+    * `txt_bpe_train_cold` row times the scaled training from
+    * parquet, not the memo-warm serve. Test/bench hook only. */
+  private[graft] def clearMemo(): Unit = memo.synchronized(memo.clear())
   // per-key in-flight futures: the memo lock is held only for get/put,
   // never across the multi-round Spark training (the Glove
   // concurrency contract)

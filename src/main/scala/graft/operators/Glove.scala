@@ -240,6 +240,11 @@ object Glove {
     override def removeEldestEntry(e: java.util.Map.Entry[String, TrainedRows]): Boolean =
       size > memoCap
   }
+
+  /** Drop every memoized training (round 15): the bench's
+    * `emb_glove_train_cold` row times the scaled training from
+    * parquet, not the memo-warm serve. Test/bench hook only. */
+  private[graft] def clearMemo(): Unit = memo.synchronized(memo.clear())
   // per-key in-flight futures: the memo lock is held only for get/put
   // (microseconds), never across the multi-job Spark training, so two
   // callers training DIFFERENT corpora/params proceed concurrently

@@ -138,16 +138,38 @@ object Quality {
     * rendering is engine-specific — longs/strings/dates render
     * identically everywhere. */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    // round 15: the multi-countDistinct wide aggregate planned as one
+    // Expand — every row multiplied (|cols|+1)-way into a single
+    // object-hash aggregate whose per-task state held every distinct
+    // value of every column (r14 driver: 5.6 s, and 2.4× FASTER at 8
+    // cores than 32 — pure oversharded-Expand overhead). Split per
+    // guide §2.3: pass 1 is the narrow nulls/min/max aggregate
+    // (map-side partials, one row); pass 2 unpivots to (column,
+    // value) and counts distinct via two partial-aggregating
+    // groupBys. Values compare as their string rendering — injective
+    // for the long/string/date columns this profiler accepts
+    // (doubles are excluded by contract, see scaladoc) — so the
+    // counts equal countDistinct's exactly. Measured 2× at sf0.1.
     val aggs = cols.flatMap { c => Seq(
       (count(lit(1)) - count(col(c))).as(s"nn_$c"),
-      countDistinct(col(c)).as(s"nd_$c"),
       min(col(c)).cast("string").as(s"mn_$c"),
       max(col(c)).cast("string").as(s"mx_$c")) }
     val row = df.agg(aggs.head, aggs.tail: _*)
     val entries = cols.map { c => struct(lit(c).as("column"),
-      col(s"nn_$c").as("n_nulls"), col(s"nd_$c").as("n_distinct"),
+      col(s"nn_$c").as("n_nulls"),
       col(s"mn_$c").as("min_val"), col(s"mx_$c").as("max_val")) }
-    row.select(explode(array(entries: _*)).as("e")).select(col("e.*"))
+    val narrow = row.select(explode(array(entries: _*)).as("e")).select(col("e.*"))
+    val distincts = df
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("column"), col(c).cast("string").as("v"))): _*)).as("e"))
+      .select(col("e.column").as("column"), col("e.v").as("v"))
+      .where(col("v").isNotNull)
+      .groupBy(col("column"), col("v")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("column")).agg(count(lit(1)).as("n_distinct"))
+    narrow.join(distincts, Seq("column"), "left")
+      .select(col("column"), col("n_nulls"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        col("min_val"), col("max_val"))
       .orderBy(col("column"))
   }
 

@@ -3795,8 +3795,16 @@ object DeltaSource {
       }
     }
     val nonIdSchema = StructType(snap.schema.filterNot(f => idNames(f.name)))
+    // round 15: the update set is consumed FOUR times below (the
+    // touched-file semi-join, the survivor anti-join, the replaced
+    // inner join, the insert anti-join) and callers routinely pass a
+    // derived plan (pipe_delta_merge's updates re-derive the silver
+    // zone) — materialize once. Updates are increment-sized by the
+    // merge contract (≤ one row per key), the same localCheckpoint
+    // idiom the graph index uses for its increments.
     val upd = updFilled.select(
       nonIdSchema.map(f => col(f.name).cast(f.dataType)).toIndexedSeq: _*)
+      .localCheckpoint(true)
     enforceConstraints(upd, snap.configuration.collect {
       case (k, v) if k.startsWith("delta.constraints.") =>
         k.stripPrefix("delta.constraints.") -> v

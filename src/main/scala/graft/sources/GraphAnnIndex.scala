@@ -83,6 +83,16 @@ object GraphAnnIndex {
                         pqM: Int, nCodes: Int,
                         corpusFp: String, appliedFps: Seq[String])
 
+  /** Dev-only stage timer (set GRAFT_PROBE=1): stderr wall-clock per
+    * labelled stage, zero cost otherwise. */
+  private def probe[T](tag: String)(f: => T): T =
+    if (sys.env.contains("GRAFT_PROBE")) {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"PROBE $tag ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    } else f
+
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -155,15 +165,17 @@ object GraphAnnIndex {
   private def listEdges(lists: DataFrame, nodesC: DataFrame, gen: Int): DataFrame = {
     val vecs = nodesC.select(col("id").as("nid"), col("v").as("nv"),
       col("nrm").as("nnrm"), col("codes").as("ncodes"))
-    val fwd = lists.join(vecs, col("dst") === col("nid"))
+    // round 15: union the (direction-swapped) id pairs FIRST, then
+    // attach the dst payload with ONE join — the fwd/rev form paid
+    // two joins against the vector table for identical output rows
+    val pairs = lists
+      .select(col("src"), col("dst"), col("src").as("owner"))
+      .unionByName(lists
+        .select(col("dst").as("src"), col("src").as("dst"), col("src").as("owner")))
+    pairs.join(vecs, col("dst") === col("nid"))
       .select(col("src"), col("dst"), col("nv").as("dv"), col("nnrm").as("dnrm"),
         col("ncodes").as("dcodes"),
-        lit("l").as("kind"), col("src").as("owner"), lit(gen).as("gen"))
-    val rev = lists.join(vecs, col("src") === col("nid"))
-      .select(col("dst").as("src"), col("src").as("dst"),
-        col("nv").as("dv"), col("nnrm").as("dnrm"), col("ncodes").as("dcodes"),
-        lit("l").as("kind"), col("src").as("owner"), lit(gen).as("gen"))
-    fwd.unionByName(rev)
+        lit("l").as("kind"), col("owner"), lit(gen).as("gen"))
   }
 
   /** Backbone edges u ↔ ⌊u/2⌋ for `ids` (>0), dst payloads from
@@ -195,7 +207,16 @@ object GraphAnnIndex {
                    pqM: Int = 8, nCodes: Int = 16,
                    idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val spark = emb.sparkSession
-    val bits = if (nbits > 0) nbits else Similarity.autoBits(emb.count())
+    val nRows = emb.count()
+    val bits = if (nbits > 0) nbits else Similarity.autoBits(nRows)
+    // round 15 (guide §2.2): the build is a chain of ~8 jobs over
+    // corpus-derived tables; size their shuffles from the corpus row
+    // count (clamped to session parallelism) instead of paying the
+    // session's full fan-out per stage on a small corpus. At 100 TB
+    // the clamp lands on full parallelism — layout only, the build
+    // output is partition-count invariant (deterministic scoring +
+    // per-key writes).
+    graft.operators.LoopShuffle.sized(spark, nRows) { _ =>
     val assign = Similarity.bucketAssign(emb, bits, tables, dim, idCol, vecCol)
     assign.repartition(col("tbl"), col("bucket"))
       .write.mode("overwrite").partitionBy("tbl").parquet(s"$dir/buckets")
@@ -218,20 +239,30 @@ object GraphAnnIndex {
     // bucket-bounded pair-scoring join — the build's dominant
     // compute — would otherwise run twice inside the edges write.
     // O(n·m) id pairs: bounded, tiny next to the edge payloads.
-    val lists = Similarity.localLists(bk, bk, m).localCheckpoint(true)
+    // round 15 (re-adjudicating r14's eager checkpoint, which the
+    // driver measured as a 17 % build regression): with listEdges
+    // fused to one pair-union the lists feed a SINGLE write action,
+    // and its two pair-union branches share the top-k aggregate's
+    // exchange (ReusedExchange) — the bucket-bounded scoring join
+    // runs once with no materialization job
+    val lists = Similarity.localLists(bk, bk, m)
     val edges = listEdges(lists, nodesC, gen = 0)
       .unionByName(treeEdges(nodes.select(col("id")), nodesC, gen = 0))
       .withColumn("pb", pmod(col("src"), lit(pBuckets.toLong)))
     // repartition ON the layout key before the partitioned write:
     // one file per pb dir instead of tasks×dirs small files — the
     // object-store request count IS the build cost at scale
-    edges.repartition(col("pb"))
+    // cluster by src within each pb file (guide §6): every serve
+    // round row-group-prunes on src.isin(frontier), so tight per-
+    // row-group src bounds are the read-path footprint
+    edges.repartition(col("pb")).sortWithinPartitions(col("src"))
       .write.mode("overwrite").partitionBy("pb").parquet(s"$dir/edges")
     nodes.where(col("id") < entryCap)
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/entries")
     fs(spark, dir).delete(new Path(s"$dir/retired"), true)
     writeMeta(spark, dir, Meta(m, tables, bits, dim, pBuckets, entryCap,
       pqM, nCodes, ZoneCache.corpusFingerprint(emb), Nil))
+    }
   }
 
   /** Build only if absent or stale (corpus fingerprint mismatch) —
@@ -910,23 +941,28 @@ object GraphAnnIndex {
         .foreach(st => hfs.delete(st.getPath, false))
     hfs.delete(new Path(s"$dir/retired/ret-$fp8"), true)
 
-    val newAssign = Similarity
+    val newAssign = probe("inc:newAssign")(Similarity
       .bucketAssign(newEmb, meta.nBits, meta.tables, meta.dim, idCol, vecCol)
-      .localCheckpoint(true) // increment-sized; hashed once
+      .localCheckpoint(true)) // increment-sized; hashed once
     val oldAssign = loadBuckets(spark, dir)
     val grown = oldAssign.unionByName(newAssign.select(
       col("id"), col("v"), col("nrm"), col("tbl"), col("bucket")))
     val affBuckets = newAssign.select(col("tbl"), col("bucket")).distinct()
-    val affNodes = grown
+    val affNodes = probe("inc:affNodes")(grown
       .join(broadcast(affBuckets), Seq("tbl", "bucket"), "leftsemi")
       .select(col("id")).distinct()
-      .localCheckpoint(true) // O(new·occupancy) ids
+      .localCheckpoint(true)) // O(new·occupancy) ids
+    // round 15 (guide §2.2): the increment is O(affected·occupancy)
+    // by contract — size every downstream shuffle from the affected
+    // set, not the session conf (same rationale as buildAndSave)
+    val nAff = affNodes.count()
+    graft.operators.LoopShuffle.sized(spark, nAff * math.max(1, meta.m)) { _ =>
     val srcSide = grown.join(broadcast(affNodes), Seq("id"), "leftsemi")
     // materialized once (round 14): consumed by endpointIds AND both
     // listEdges branches — the affected×occupancy re-scoring is the
     // increment's dominant compute and ran three times through the
     // lineage. O(affected·m) id pairs.
-    val lists = Similarity.localLists(srcSide, grown, meta.m).localCheckpoint(true)
+    val lists = probe("inc:lists")(Similarity.localLists(srcSide, grown, meta.m).localCheckpoint(true))
     val nodesGrown = grown.where(col("tbl") === 0)
       .select(col("id"), col("v"), col("nrm"))
     val newIds = newAssign.where(col("tbl") === 0).select(col("id"))
@@ -935,14 +971,15 @@ object GraphAnnIndex {
     // codes exactly, so the cost stays O(affected), never O(index)
     val cb = spark.read.parquet(s"$dir/codebook")
       .select(col("code").cast("long"), col("sub").cast("int"), col("cv"))
+    // no distinct: the left-semi probe below dedups by construction
+    // (round 15 — one exchange fewer)
     val endpointIds = lists.select(col("src").as("id"))
       .unionByName(lists.select(col("dst").as("id")))
       .unionByName(newIds)
       .unionByName(newIds.where(col("id") > 0)
         .select(floor(col("id") / 2).cast("long").as("id")))
-      .distinct()
-    val nodesNeeded = nodesGrown.join(endpointIds, Seq("id"), "leftsemi")
-      .localCheckpoint(true)
+    val nodesNeeded = probe("inc:nodesNeeded")(nodesGrown.join(endpointIds, Seq("id"), "leftsemi")
+      .localCheckpoint(true))
     val nodesC = nodesNeeded.join(
       pqCodesArr(nodesNeeded, cb, meta.pqM, meta.dim / meta.pqM), Seq("id"))
     // backbone src-existence gate: a new node's tree parent may have
@@ -957,11 +994,13 @@ object GraphAnnIndex {
       .unionByName(treeE)
       .withColumn("pb", pmod(col("src"), lit(meta.pBuckets.toLong)))
 
-    def stageIn(df: DataFrame, destRoot: String, partCol: Option[String]): Unit = {
+    def stageIn(df: DataFrame, destRoot: String, partCol: Option[String],
+                sortCol: Option[org.apache.spark.sql.Column] = None): Unit = {
       val stage = new Path(s"$dir/.gixstage-$fp8-${destRoot.split('/').last}")
       // one file per partition dir (see buildAndSave) — an increment
       // should add O(partitions touched) objects, not tasks×dirs
-      val staged = partCol.fold(df)(c => df.repartition(col(c)))
+      val staged0 = partCol.fold(df)(c => df.repartition(col(c)))
+      val staged = sortCol.fold(staged0)(c => staged0.sortWithinPartitions(c))
       val w = staged.write.mode("overwrite")
       partCol.fold(w)(c => w.partitionBy(c)).parquet(stage.toString)
       var seq = 0
@@ -985,22 +1024,28 @@ object GraphAnnIndex {
       hfs.delete(stage, true)
     }
 
-    stageIn(edgesNew, s"$dir/edges", Some("pb"))
-    stageIn(newAssign.select(col("id"), col("v"), col("nrm"), col("bucket"), col("tbl")),
-      s"$dir/buckets", Some("tbl"))
-    stageIn(newAssign.where(col("tbl") === 0)
+    // incremental edge files cluster by src too (same read-path
+    // row-group pruning as the build's edges write)
+    probe("inc:stage-edges")(stageIn(edgesNew, s"$dir/edges", Some("pb"),
+      sortCol = Some(col("src"))))
+    probe("inc:stage-buckets")(stageIn(newAssign.select(col("id"), col("v"), col("nrm"), col("bucket"), col("tbl")),
+      s"$dir/buckets", Some("tbl")))
+    probe("inc:stage-nodes")(stageIn(newAssign.where(col("tbl") === 0)
       .select(col("id"), col("v"), col("nrm"))
       .withColumn("nb", pmod(col("id"), lit(meta.pBuckets.toLong))),
-      s"$dir/nodes", Some("nb"))
+      s"$dir/nodes", Some("nb")))
     val newEntries = newAssign.where(col("tbl") === 0 && col("id") < meta.entryCap)
       .select(col("id"), col("v"), col("nrm"))
-    if (newEntries.limit(1).count() > 0)
-      stageIn(newEntries.coalesce(1), s"$dir/entries", None)
+    probe("inc:entries")(if (newEntries.limit(1).count() > 0)
+      stageIn(newEntries.coalesce(1), s"$dir/entries", None))
     // tombstone every recomputed owner (new owners are a no-op mask:
     // they have no earlier generations), then commit via meta
-    affNodes.select(col("id").as("owner"), lit(gen).as("before_gen"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/retired/ret-$fp8")
-    writeMeta(spark, dir, meta.copy(appliedFps = meta.appliedFps :+ fp))
+    probe("inc:retired+meta") {
+      affNodes.select(col("id").as("owner"), lit(gen).as("before_gen"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/retired/ret-$fp8")
+      writeMeta(spark, dir, meta.copy(appliedFps = meta.appliedFps :+ fp))
+    }
     true
+    }
   }
 }
