@@ -323,15 +323,18 @@ object Glove {
     (1 to steps).foreach { _ =>
       // err per pair: order-free decimal dot + IEEE bias adds, then
       // ONE round — same 6 dp the oracle applies at the same spot
+      // round 15: the factor tables are model-scale by construction
+      // (V×dim rows, V bounded by the vocab param) — broadcast them
+      // so the px×dim intermediate is never shuffled (guide §3.1)
       val dot = px
-        .join(wT.select(col("i").as("ia"), col("k"), col("v").as("wv")), "ia")
-        .join(cT.select(col("i").as("ib"), col("k"), col("v").as("cv")), Seq("ib", "k"))
+        .join(broadcast(wT.select(col("i").as("ia"), col("k"), col("v").as("wv"))), "ia")
+        .join(broadcast(cT.select(col("i").as("ib"), col("k"), col("v").as("cv"))), Seq("ib", "k"))
         .groupBy(col("ia"), col("ib"), col("f"), col("logx"))
         .agg(sum(rnd(col("wv") * col("cv"), termScale).cast("decimal(28,8)"))
           .cast("double").as("dot"))
       val err = dot
-        .join(bT.select(col("i").as("ia"), col("b")), "ia")
-        .join(bT.select(col("i").as("ib"), col("c").as("bc")), "ib")
+        .join(broadcast(bT.select(col("i").as("ia"), col("b"))), "ia")
+        .join(broadcast(bT.select(col("i").as("ib"), col("c").as("bc"))), "ib")
         .select(col("ia"), col("ib"), col("f"),
           rnd(col("dot") + col("b") + col("bc") - col("logx"), 6).as("err"))
         .withColumn("coef", rnd(lit(2.0) * col("f") * col("err"), 6))
@@ -344,12 +347,12 @@ object Glove {
           .cast("decimal(28,8)")).cast("double"))
         .head().get(0)).map(_.asInstanceOf[Double]).getOrElse(0.0)
       val gw = err
-        .join(cT.select(col("i").as("ib"), col("k"), col("v").as("cv")), "ib")
+        .join(broadcast(cT.select(col("i").as("ib"), col("k"), col("v").as("cv"))), "ib")
         .groupBy(col("ia").as("i"), col("k"))
         .agg(sum(rnd(col("coef") * col("cv"), termScale).cast("decimal(28,8)"))
           .cast("double").as("g"))
       val gc = err
-        .join(wT.select(col("i").as("ia"), col("k"), col("v").as("wv")), "ia")
+        .join(broadcast(wT.select(col("i").as("ia"), col("k"), col("v").as("wv"))), "ia")
         .groupBy(col("ib").as("i"), col("k"))
         .agg(sum(rnd(col("coef") * col("wv"), termScale).cast("decimal(28,8)"))
           .cast("double").as("g"))

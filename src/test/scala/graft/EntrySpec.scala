@@ -16,10 +16,25 @@ class EntrySpec extends SparkSpec {
   }
 
   test("every query runs at sf0.001 and most return rows") {
-    val empties = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val n = fn(spark, sf).count()
-      if (n == 0) Some(name) else None
+    // round 15 (suite budget): queries with no shared on-disk zone or
+    // session-conf scope are independent jobs — overlap them from a
+    // small thread pool (guide §2.6) so this sweep stops serializing
+    // ~300 sub-second jobs. Zone-building (pipe_*, ann_*) and
+    // conf-scoped streaming families stay strictly serial: ZoneCache
+    // markers and withStreamShuffle are serial-only contracts.
+    val serialPrefixes = Seq("pipe_", "stream_", "ann_")
+    val (serialQ, pooledQ) = SparkEntry.queries.toSeq.sortBy(_._1)
+      .partition { case (n, _) => serialPrefixes.exists(n.startsWith) }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val futs = pooledQ.map { case (name, fn) =>
+      scala.concurrent.Future(name -> fn(spark, sf).count())
     }
+    val counts = serialQ.map { case (name, fn) => name -> fn(spark, sf).count() } ++
+      futs.map(scala.concurrent.Await.result(_, scala.concurrent.duration.Duration(600, "s")))
+    pool.shutdown()
+    val empties = counts.collect { case (name, 0L) => name }
     // near-dup/similarity thresholds may legitimately find nothing in
     // the tiny sf0.001 corpus; everything else must produce rows
     val allowedEmpty = Set("dedup_ngram_jaccard", "dedup_minhash_lsh",

@@ -260,13 +260,30 @@ class PlanShapeSpec extends SparkSpec {
     val allow = Set("ev_cum_users", "ev_pareto", "rag_hybrid", "rag_ndcg",
       "txt_bpe_pairs", "txt_zipf_fit", "ev_survival_km", "ev_autocorr",
       "q_orders_backlog", "rag_prf")
-    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val globals = collectAll(physical(fn(spark, sf))).count {
+    // round 15 (suite budget): plan construction is independent per
+    // query — overlap the stateless families from a small pool
+    // (guide §2.6); zone-building / conf-scoped families stay serial
+    // (imperative queries execute their builds at construction time)
+    val serialPrefixes = Seq("pipe_", "stream_", "ann_")
+    val (serialQ, pooledQ) = SparkEntry.queries.toSeq.sortBy(_._1)
+      .partition { case (n, _) => serialPrefixes.exists(n.startsWith) }
+    def globalsOf(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Int =
+      collectAll(physical(fn(spark, sf))).count {
         case w: org.apache.spark.sql.execution.window.WindowExec =>
           w.partitionSpec.isEmpty
         case _ => false
       }
-      if (globals > 0 && !allow(name)) Some(name) else None
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val futs = pooledQ.map { case (name, fn) =>
+      scala.concurrent.Future(name -> globalsOf(fn))
+    }
+    val counts = serialQ.map { case (name, fn) => name -> globalsOf(fn) } ++
+      futs.map(scala.concurrent.Await.result(_, scala.concurrent.duration.Duration(600, "s")))
+    pool.shutdown()
+    val offenders = counts.collect {
+      case (name, g) if g > 0 && !allow(name) => name
     }
     assert(offenders.isEmpty,
       s"global-window plans outside the allowlist: $offenders")
